@@ -1,0 +1,81 @@
+"""Text-analysis primitives for training-data pipelines.
+
+All pure Column expressions (JVM-side): tokenization, n-grams/shingles, token
+counting (whitespace and a BPE-ish regex), and quality ratios. These are the
+building blocks for the dedup operators (operators/dedup.py), language ID and
+quality scoring (operators/textstats.py).
+
+Regexes stay within the common subset of Java regex (Spark) and RE2 (DuckDB) so
+the DuckDB oracle can recompute every one of them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WS = r"\s+"
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols —
+# approximates GPT-2/cl100k pre-tokenization without external deps.
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _c(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokens; empty/blank strings yield an empty array."""
+    t = F.trim(_c(c))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, WS))
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens (letters runs, digit runs, single symbols)."""
+    return F.size(F.regexp_extract_all(_c(c), F.lit(BPE_ISH), 0))
+
+
+def word_ngrams(c: Column | str, n: int = 3) -> Column:
+    """Space-joined word n-grams (shingles) as array<string>; docs shorter than
+    n words get a single shingle of the whole text so they still participate in
+    similarity (matching common MinHash practice)."""
+    toks = tokens(c)
+    k = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(k - F.lit(n - 1), F.lit(1)))
+    make = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(k == 0, F.array().cast("array<string>")).otherwise(make)
+
+
+def char_ngrams(c: Column | str, n: int = 5) -> Column:
+    """Character n-grams of the raw text."""
+    s = _c(c)
+    length = F.length(s)
+    idx = F.sequence(F.lit(1), F.greatest(length - F.lit(n - 1), F.lit(1)))
+    return F.when(length == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.substring(s, i, n).cast("string"))
+    )
+
+
+def punct_ratio(c: Column | str) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    s = _c(c)
+    n_punct = F.size(F.regexp_extract_all(s, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    return F.when(F.length(s) == 0, F.lit(0.0)).otherwise(n_punct / F.length(s).cast("double"))
+
+
+def uniq_token_ratio(c: Column | str) -> Column:
+    """Distinct-token fraction — low values indicate repetitive/low-quality text."""
+    t = tokens(c)
+    return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(t)) / F.size(t).cast("double")
+    )
+
+
+def stopword_ratio(c: Column | str, stopwords: list[str]) -> Column:
+    t = tokens(c)
+    hits = F.size(F.filter(t, lambda x: x.isin(stopwords)))
+    return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(hits / F.size(t).cast("double"))

@@ -1,0 +1,135 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Reference analog: `image_embedding` (X3/U6, ort_runtime.rs:608-664,843-906) —
+fetch bytes, preprocess 224², CLIP-normalize, embed; failures map to a
+`[-1.0]*dims` sentinel vector, NOT null (ort_runtime.rs:956-960).
+
+This environment has no image/audio codecs, so the *decode step* is stubbed:
+- `decode_image_features(..., decoder="fake")` produces a deterministic
+  hash-derived feature vector (real Spark plumbing: schema, Arrow batching,
+  per-row error→sentinel semantics all exercised end to end).
+- `decoder="pil"` gates on a real PIL import and raises NotImplementedError
+  here (clearly-marked STUB), keeping the signature ready for a real cluster.
+
+Scale notes: binary payloads ride the scan (parquet/binaryFile); feature
+extraction is `mapInPandas` so each Arrow batch holds only `batch_rows` images
+in memory — set `spark.sql.execution.arrow.maxRecordsPerBatch` to bound
+executor memory at large image sizes (the Spark version of the reference's
+20 MB/row cap, ort_runtime.rs:159).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    StructField,
+    StructType,
+)
+
+# (id, media binary, media_type, metadata) — the engine's canonical multimodal shape
+MEDIA_SCHEMA = (
+    "media_id long, media binary, media_type string, "
+    "width int, height int, duration_ms int"
+)
+
+SENTINEL_VALUE = -1.0  # failure sentinel, reference ort_runtime.rs:956-960
+
+
+def fake_image_feature(data: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for a decoded image feature: md5-seeded values in
+    [-1, 1). Lets the full pipeline (schema, batching, sentinel handling) run
+    and be asserted without codecs."""
+    out = []
+    for i in range(dim):
+        h = int(hashlib.md5(data + b":" + str(i).encode()).hexdigest()[:8], 16)
+        out.append(h / 4294967296.0 * 2.0 - 1.0)
+    return out
+
+
+def decode_image_features(
+    df: DataFrame,
+    media_col: str = "media",
+    out_col: str = "feature",
+    dim: int = 16,
+    decoder: str = "fake",
+    max_bytes: int = 20 * 1024 * 1024,
+) -> DataFrame:
+    """Attach a feature vector per media row.
+
+    Failure semantics match the reference exactly: any row that cannot be
+    decoded (null bytes, oversized payload > `max_bytes` — the reference's
+    20 MB cap, decode error) yields the `[-1.0]*dim` sentinel, never null,
+    preserving row alignment (U6)."""
+    if decoder == "pil":  # pragma: no cover — environment dependent
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "decoder='pil' requires Pillow (not installed here — STUB). "
+                "Use decoder='fake' for pipeline testing."
+            ) from e
+        raise NotImplementedError("real decoding path lands when codecs are available")
+    if decoder != "fake":
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    fields = df.schema.fields + [StructField(out_col, ArrayType(FloatType(), False))]
+    out_schema = StructType(fields)
+    cols = [f.name for f in df.schema.fields]
+    sentinel = [SENTINEL_VALUE] * dim
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for data in pdf[media_col]:
+                if data is None or len(data) == 0 or len(data) > max_bytes:
+                    feats.append(sentinel)
+                    continue
+                try:
+                    feats.append(fake_image_feature(bytes(data), dim))
+                except Exception:  # decode failure → sentinel, never null
+                    feats.append(sentinel)
+            pdf[out_col] = feats
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(extract, out_schema)
+
+
+def with_media_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Cheap metadata extraction without decoding: byte length and magic-number
+    sniffing (jpeg/png/gif/riff/unknown) as native expressions."""
+    m = F.col(media_col)
+    head = F.hex(F.substring(m, 1, 4))
+    return df.withColumn("media_bytes", F.length(m)).withColumn(
+        "media_format",
+        F.when(head.startswith("FFD8"), "jpeg")
+        .when(head.startswith("89504E47"), "png")
+        .when(head.startswith("47494638"), "gif")
+        .when(head.startswith("52494646"), "riff")
+        .otherwise("unknown"),
+    )
+
+
+def frame_sample(
+    df: DataFrame,
+    n_frames: int = 4,
+    media_col: str = "media",
+    out_col: str = "frames",
+) -> DataFrame:
+    """Video frame sampling STUB: emits `n_frames` deterministic byte-slices per
+    video payload (the real implementation decodes at timestamps; the Spark
+    plumbing — one row in, array of frame payloads out — is what's tested)."""
+    m = F.col(media_col)
+    n = F.length(m)
+    idx = F.sequence(F.lit(0), F.lit(n_frames - 1))
+    frames = F.transform(
+        idx, lambda i: F.substring(m, (i * F.greatest(n / n_frames, F.lit(1))).cast("int") + 1, 64)
+    )
+    return df.withColumn(out_col, F.when(m.isNotNull() & (n > 0), frames))

@@ -1,0 +1,313 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all shuffle-frugal by construction:
+
+- **exact**: group on md5(text). The shuffle key is the 32-char digest, never the
+  document body, so shuffled bytes are O(n · 32) regardless of document size.
+- **MinHash + LSH**: shingle → one portable 32-bit hash per distinct shingle →
+  `n_hashes` universal-hash permutations (one md5 per shingle, not per
+  (shingle × perm)) → banded LSH. Candidate generation is a self-join on
+  (band_index, band_hash) — the only shuffle is on the tiny band keys, and at
+  1000 executors it stays balanced because band hashes are uniform. Verification
+  recomputes exact Jaccard only for candidate pairs.
+- **SimHash**: 32-bit signature via per-bit majority vote of token hashes;
+  near-dup candidates join on any matching 8-bit band (hamming ≤ 4-ish classic
+  scheme), verified with `bit_count(xor)`.
+- **embedding cosine near-dup**: random-hyperplane LSH buckets over an embedding
+  column, cosine verified within buckets.
+
+Every hash is the engine-portable md5-based `hash32` so the DuckDB correctness
+oracle can recompute signatures bit-for-bit (see functions/hashing.py).
+
+Skew guard: `max_bucket` caps pathological LSH buckets (e.g. the empty-string
+shingle) — a documented recall trade-off, the standard practice at web scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lantern_extras_spark.functions.hashing import hash32
+from lantern_extras_spark.functions.text import tokens, word_ngrams
+
+# Universal-hash permutation family over the 32-bit hash space.
+# P is the smallest prime > 2^32; (a_i · h + b_i) mod P stays within int64.
+MINHASH_PRIME = 4294967311
+
+
+def perm_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic odd multiplier / offset for permutation i (portable, no RNG)."""
+    return 2 * i + 1, i * 12347 + 89
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: canonical (minimum) id per identical text.
+
+    Returns df columns + `text_hash`, `canonical_id`, `is_duplicate`.
+    Group key is md5(text): constant-width shuffle, safe at 100 TB of documents.
+    """
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy("text_hash")
+    return (
+        df.withColumn("text_hash", h)
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, shingles, sig) — MinHash signature as array<bigint> of length n_hashes.
+
+    One md5 per *distinct* shingle; the n_hashes permutations are integer affine
+    maps over that value (Broder's universal-hash MinHash), all JVM-side.
+    """
+    sh = F.array_distinct(word_ngrams(F.col(text_col), shingle_n))
+    hs = F.transform(sh, lambda s: hash32(s))
+
+    def perm(i: int):
+        a, b = perm_coeffs(i)
+        return lambda h: (h * a + b) % MINHASH_PRIME
+
+    sig = F.array(*[F.array_min(F.transform(hs, perm(i))) for i in range(n_hashes)])
+    return df.select(F.col(id_col), sh.alias("shingles"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing at least one LSH band bucket.
+
+    Explode signatures into (band_idx, band_key) rows, self-join on the band key.
+    Buckets larger than `max_bucket` are dropped (skew guard — they are almost
+    always degenerate content and would otherwise create O(b²) pair explosions
+    on a single executor).
+    """
+    n_hashes = len(sigs.select("sig").first()[0])
+    rows_per_band = n_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws("_", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(
+                    "band_key"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = (
+        sigs.select(id_col, band_structs.alias("bands"))
+        .select(id_col, F.explode("bands").alias("b"))
+        .select(id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+    )
+    counted = exploded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band_idx", "band_key"))
+    ).where(F.col("bucket_n") <= max_bucket)
+    a = counted.select(F.col("band_idx"), F.col("band_key"), F.col(id_col).alias("id_a"))
+    b = counted.select(F.col("band_idx"), F.col("band_key"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two string arrays (distinct-element semantics)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union == 0.0, F.lit(0.0)).otherwise(inter / union)
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 8,
+    threshold: float = 0.8,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """End-to-end MinHash near-dup pairs: (id_a, id_b, jaccard) with exact
+    Jaccard ≥ threshold, candidates generated by banded LSH.
+
+    Keep-first policy: a downstream `anti join` on id_b removes every document
+    that duplicates an earlier (smaller-id) one.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n).cache()
+    cands = lsh_candidate_pairs(sigs, bands, id_col, max_bucket)
+    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    verified = (
+        cands.join(sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def drop_duplicates_keep_first(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Remove every row whose id appears as the larger member of a near-dup pair."""
+    dupes = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dupes, id_col, "left_anti")
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """(id, simhash) — classic SimHash: bit b of the signature is 1 iff the
+    count-weighted majority of token hashes has bit b set.
+
+    Token hashes are computed once per token occurrence (md5-based, portable);
+    the per-bit vote is a JVM-side aggregate over that array.
+    """
+    hs = F.transform(tokens(F.col(text_col)), lambda t: hash32(t))
+    def bit_vote(b: int) -> Column:
+        return F.aggregate(
+            hs,
+            F.lit(0),
+            lambda acc, h: acc + F.when((F.floor(h / F.lit(2**b)) % 2) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+    sim = None
+    for b in range(bits):
+        term = F.when(bit_vote(b) > 0, F.lit(2**b)).otherwise(F.lit(0)).cast("bigint")
+        sim = term if sim is None else sim + term
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    sims: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    band_bits: int = 8,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share at least one `band_bits`-wide
+    band; verified with popcount(xor) ≤ max_hamming."""
+    n_bands = 32 // band_bits
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                (F.floor(F.col("simhash") / F.lit(2 ** (b * band_bits))) % F.lit(2**band_bits)).alias(
+                    "band_key"
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    e = (
+        sims.select(id_col, "simhash", F.explode(bands_arr).alias("b"))
+        .select(id_col, "simhash", "b.band_idx", "b.band_key")
+    )
+    e = e.withColumn("bucket_n", F.count("*").over(Window.partitionBy("band_idx", "band_key"))).where(
+        F.col("bucket_n") <= max_bucket
+    )
+    a = e.select("band_idx", "band_key", F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"))
+    b = e.select("band_idx", "band_key", F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"))
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = (),
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard: self-join within `block_cols` blocks
+    (e.g. (lang, source)), exact Jaccard on distinct word n-grams.
+
+    Without blocking this is O(n²) — callers at scale must provide blocks or use
+    `minhash_dedup`. The blocked join shuffles on the block key only.
+    """
+    sh = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols],
+        F.array_distinct(word_ngrams(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    a = sh.select(*block_cols, F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(*block_cols, F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    on = list(block_cols) if block_cols else None
+    joined = a.crossJoin(b) if not on else a.join(b, on)
+    return (
+        joined.where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Cosine near-duplicate pairs over an embedding column via random-hyperplane
+    LSH: bucket key = sign bits of `n_planes` seeded hyperplane projections; cosine
+    verified exactly within buckets.
+
+    sim(bucket collision) ≈ (1 - θ/π)^n_planes, so n_planes trades recall for
+    bucket size; at 100 TB run multiple hash tables (seeds) and union the pairs.
+    """
+    import numpy as np
+
+    from lantern_extras_spark.functions.vector import cos_sim
+
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    key = None
+    for i in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.lit([float(x) for x in planes[i]]).cast("array<double>"),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj >= 0, F.lit(2**i)).otherwise(F.lit(0))
+        key = bit if key is None else key + bit
+    buckets = df.select(F.col(id_col), F.col(vec_col), key.alias("bucket"))
+    buckets = buckets.withColumn("bucket_n", F.count("*").over(Window.partitionBy("bucket"))).where(
+        F.col("bucket_n") <= max_bucket
+    )
+    a = buckets.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = buckets.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos_sim(F.col("v_a"), F.col("v_b")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    )

@@ -1,0 +1,248 @@
+"""Exact k-nearest-neighbor operators.
+
+Reference surface:
+- J2 exact-kNN join (correlated `ORDER BY dist LIMIT k` subquery,
+  lantern_cli/src/index_autotune/mod.rs:196-203)
+- W1 top-k by distance (http_server/search.rs:87-126)
+- N3 ground-truth builder / N4 recall evaluation (index_autotune/mod.rs:189-255)
+
+Spark-first design, sized for 100 TB:
+- The query side is always the small side → **broadcast** it; the data side streams
+  through a narrow map stage. There is no shuffle of the data table at all.
+- Strategy "partial": per Arrow batch, a numpy/BLAS kernel computes the distance
+  matrix and keeps only the k best rows per query, so the global top-k step sees
+  ≤ (#batches × q × k) rows instead of n×q. The final exact top-k is a window over
+  that reduced set. Total shuffled bytes are O(q·k·#batches), independent of n·d.
+- Strategy "crossjoin": declarative broadcast-nested-loop + window; Catalyst plan,
+  good for small data sides and for the correctness oracle, O(n·q) through the window.
+
+Ties are broken deterministically by (distance, id) so results are reproducible and
+hash-comparable across engines.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+from lantern_extras_spark.functions.vector import cos_dist, hamming_dist, inner_product, l2sq_dist
+
+METRICS = ("l2sq", "cos", "hamming", "dot")
+
+
+def distance_col(metric: str, a: Column | str, b: Column | str) -> Column:
+    """Distance expression for a metric; 'dot' is negative inner product so that
+    ascending order = most similar first (reference `<+>` operator semantics,
+    lantern_cli/src/external_index/cli.rs:111-123)."""
+    if metric == "l2sq":
+        return l2sq_dist(a, b)
+    if metric == "cos":
+        return cos_dist(a, b)
+    if metric == "hamming":
+        return hamming_dist(a, b).cast("double")
+    if metric == "dot":
+        return -inner_product(a, b)
+    raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
+
+
+def _np_distances(metric: str, X: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """Distance matrix |X| × |Q| in float64 (BLAS path for the partial strategy)."""
+    if metric == "l2sq":
+        # ||x||^2 + ||q||^2 - 2 x·q  — one GEMM instead of a python loop
+        xq = X @ Q.T
+        return (X * X).sum(axis=1)[:, None] + (Q * Q).sum(axis=1)[None, :] - 2.0 * xq
+    if metric == "cos":
+        xn = np.linalg.norm(X, axis=1)
+        qn = np.linalg.norm(Q, axis=1)
+        denom = xn[:, None] * qn[None, :]
+        sim = np.divide(X @ Q.T, denom, out=np.zeros((X.shape[0], Q.shape[0])), where=denom != 0)
+        return 1.0 - sim
+    if metric == "dot":
+        return -(X @ Q.T)
+    if metric == "hamming":
+        return (X[:, None, :] != Q[None, :, :]).sum(axis=2).astype(np.float64)
+    raise ValueError(metric)
+
+
+def topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    metric: str = "l2sq",
+    vec_col: str = "vector",
+    dist_name: str = "distance",
+) -> DataFrame:
+    """Single-query top-k (reference W1: `ORDER BY col <-> $vec LIMIT k`).
+
+    `orderBy(dist).limit(k)` compiles to TakeOrderedAndProject — each partition
+    keeps a k-heap, the driver merges; no full sort, no shuffle.
+    """
+    q = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    return (
+        df.withColumn(dist_name, distance_col(metric, F.col(vec_col), q))
+        .orderBy(F.col(dist_name).asc())
+        .limit(k)
+    )
+
+
+def knn_join(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "l2sq",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+    strategy: str = "partial",
+    dist_scale: int | None = None,
+) -> DataFrame:
+    """Batch exact kNN: for every query row, the k nearest data rows.
+
+    Returns (qid_col, id_col, distance, rank). `strategy`:
+    - "partial" (default, the 100 TB path): broadcast queries into an Arrow-batched
+      kernel that emits per-batch top-k, then one window over the reduced set.
+    - "crossjoin": pure-DataFrame broadcast join + window (oracle-friendly).
+
+    `dist_scale` rounds the distance *before* ranking (with (distance, id) tie-break)
+    so rankings are reproducible across engines for correctness harnesses.
+    """
+    if metric not in METRICS:
+        raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
+    if strategy == "crossjoin":
+        d = distance_col(metric, F.col(vec_col), F.col(qvec_col))
+        if dist_scale is not None:
+            d = F.round(d, dist_scale)
+        joined = data.select(id_col, vec_col).crossJoin(
+            F.broadcast(queries.select(qid_col, qvec_col))
+        )
+        w = Window.partitionBy(qid_col).orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        return (
+            joined.withColumn("distance", d)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(qid_col, id_col, "distance", "rank")
+        )
+
+    if strategy != "partial":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    qrows = queries.select(qid_col, qvec_col).collect()  # query side is small by contract
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(map(float, r[1])) for r in qrows], dtype=np.float64)
+    spark = data.sparkSession
+    bqids = spark.sparkContext.broadcast(qids)
+    bQ = spark.sparkContext.broadcast(Q)
+
+    out_schema = StructType(
+        [
+            StructField(qid_col, LongType()),
+            StructField(id_col, LongType()),
+            StructField("distance", DoubleType()),
+        ]
+    )
+
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qi, Qm = bqids.value, bQ.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()])
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            D = _np_distances(metric, X, Qm)
+            if dist_scale is not None:
+                D = np.round(D, dist_scale)
+            kk = min(k, len(pdf))
+            # per query: k smallest with (distance, id) tie-break
+            for j in range(Qm.shape[0]):
+                order = np.lexsort((ids, D[:, j]))[:kk]
+                yield pd.DataFrame(
+                    {
+                        qid_col: np.full(kk, qi[j], dtype=np.int64),
+                        id_col: ids[order],
+                        "distance": D[order, j],
+                    }
+                )
+
+    partial = data.select(id_col, vec_col).mapInPandas(partial_topk, out_schema)
+    w = Window.partitionBy(qid_col).orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, "distance", "rank")
+    )
+
+
+def ground_truth(
+    df: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    metric: str = "l2sq",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Exact-kNN ground truth (reference N3, index_autotune/mod.rs:189-219):
+    sample `n_queries` rows, return (id, v, neighbors array<long> ordered by distance).
+
+    The reference samples with `ORDER BY RANDOM() LIMIT n`; we use a seeded
+    `orderBy(rand(seed))` for reproducibility.
+    """
+    queries = (
+        df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+        .orderBy(F.rand(seed))
+        .limit(n_queries)
+    )
+    kk = k + 1 if exclude_self else k
+    nn = knn_join(df, queries, k=kk, metric=metric, id_col=id_col, vec_col=vec_col)
+    if exclude_self:
+        nn = (
+            nn.where(F.col("query_id") != F.col(id_col))
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col(id_col).asc())
+                ),
+            )
+            .where(F.col("rank") <= k)
+        )
+    neighbors = (
+        nn.groupBy("query_id")
+        .agg(F.sort_array(F.collect_list(F.struct("rank", id_col))).alias("nbr"))
+        .select(
+            "query_id",
+            F.transform(F.col("nbr"), lambda s: s[id_col]).alias("neighbors"),
+        )
+    )
+    return queries.join(neighbors, "query_id").select(
+        F.col("query_id").alias("id"), F.col("query_vec").alias("v"), "neighbors"
+    )
+
+
+def recall(truth: DataFrame, result: DataFrame, k: int) -> float:
+    """Mean recall % truncated to 2 dp (reference N4 definition:
+    |truth ∩ result| / k · 100 averaged, index_autotune/mod.rs:238-252).
+
+    Both inputs: (id, neighbors array). Computed with `array_intersect` (J3)."""
+    j = truth.select("id", F.col("neighbors").alias("t")).join(
+        result.select("id", F.col("neighbors").alias("r")), "id"
+    )
+    mean = (
+        j.select((F.size(F.array_intersect("t", "r")) / F.lit(float(k)) * 100.0).alias("rec"))
+        .agg(F.avg("rec"))
+        .first()[0]
+    )
+    return math.floor(mean * 100.0) / 100.0

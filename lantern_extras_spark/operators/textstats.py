@@ -1,0 +1,114 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All pure Column expressions (portable to the oracle).
+
+These are the training-data-pipeline companions to the reference's embedding
+pipeline: at 100 TB they run as a single narrow projection over the document
+scan — no shuffle, full whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lantern_extras_spark.functions.hashing import hash32
+from lantern_extras_spark.functions.text import (
+    bpe_ish_token_count,
+    char_ngrams,
+    punct_ratio,
+    token_count,
+    tokens,
+    uniq_token_ratio,
+)
+
+# Tiny per-language stopword profiles — a deterministic n-gram/stopword heuristic
+# (not a model). Order matters: ties break toward the earlier language.
+STOPWORD_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"),
+    "zh": ("de", "shi", "le", "zai", "he", "wo", "you", "ni", "ta", "men"),
+}
+
+
+def lang_scores(c: Column | str, profiles: dict[str, tuple[str, ...]] | None = None) -> dict[str, Column]:
+    """Stopword-hit count per language for a text column."""
+    profiles = profiles or STOPWORD_PROFILES
+    t = tokens(c)
+
+    def hit(sw: tuple[str, ...]):
+        words = list(sw)
+        return lambda x: x.isin(words)
+
+    return {lang: F.size(F.filter(t, hit(sw))) for lang, sw in profiles.items()}
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "lang_pred",
+    profiles: dict[str, tuple[str, ...]] | None = None,
+    default: str = "und",
+) -> DataFrame:
+    """Predict language by stopword-profile argmax (deterministic tie-break =
+    profile declaration order; no hits at all → `default`)."""
+    profiles = profiles or STOPWORD_PROFILES
+    scores = lang_scores(F.col(text_col), profiles)
+    langs = list(profiles)
+    expr = F.lit(default)
+    for lang in reversed(langs):
+        cond = scores[lang] > 0
+        for other in langs[:langs.index(lang)]:
+            cond = cond & (scores[lang] > scores[other])
+        for other in langs[langs.index(lang) + 1:]:
+            cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach per-document quality features:
+    n_tokens, n_bpe_tokens, n_chars, mean_token_len, punct_ratio, uniq_ratio,
+    and a composite quality_score in [0,1] (heuristic, deterministic)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = token_count(t)
+    mean_len = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)) / n_tok.cast("double")
+    )
+    uniq = uniq_token_ratio(t)
+    pr = punct_ratio(t)
+    length_ok = F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = F.round(
+        (0.4 * uniq + 0.3 * length_ok + 0.3 * (1.0 - F.least(pr * 5.0, F.lit(1.0)))), 6
+    )
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_bpe_tokens", bpe_ish_token_count(t))
+        .withColumn("n_chars_m", F.length(t))
+        .withColumn("mean_token_len", F.round(mean_len, 6))
+        .withColumn("punct_ratio", F.round(pr, 6))
+        .withColumn("uniq_ratio", F.round(uniq, 6))
+        .withColumn("quality_score", score)
+    )
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+    sketch_k: int = 8,
+) -> DataFrame:
+    """Bottom-k document fingerprint: the `sketch_k` smallest portable hashes of
+    the document's char n-grams (a winnowing-style content sketch; equal sketches
+    ⇒ near-identical content). Returns (id, fingerprint array<bigint>, fp_key)."""
+    grams = F.array_distinct(char_ngrams(F.col(text_col), ngram))
+    hs = F.transform(grams, lambda g: hash32(g))
+    sketch = F.slice(F.array_sort(hs), 1, sketch_k)
+    return df.select(
+        F.col(id_col),
+        sketch.alias("fingerprint"),
+        F.md5(F.concat_ws(",", sketch.cast("array<string>"))).alias("fp_key"),
+    )
