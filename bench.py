@@ -1,0 +1,101 @@
+"""Benchmark harness: runs the engine's headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Query set = the operator families that matter at scale: relational joins/aggs,
+window sessionization, batch kNN (the mapInPandas partial-topk scale path),
+deterministic embedding generation, MinHash-LSH dedup, SimHash, PQ build+
+quantize+ADC. Each timing includes full plan execution to a driver-side action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+
+from lantern_extras_spark import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from lantern_extras_spark.operators import pq as PQ
+    from pyspark.sql import functions as F
+
+    spark = get_spark("lantern-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/session so query timings don't pay one-time startup costs
+    spark.range(1000).select(F.sum("id")).collect()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    qs = E.queries()
+    bench_set = [
+        "pricing_summary",
+        "top_revenue_orders",
+        "region_revenue",
+        "returned_items",
+        "events_hourly",
+        "user_sessions",
+        "top_users_per_type",
+        "vector_distances",
+        "knn_cos",
+        "knn_partial_strategy",
+        "label_vector_stats",
+        "embed_documents",
+        "doc_search",
+        "token_stats",
+        "language_id",
+        "quality_by_lang",
+        "dedup_exact",
+        "minhash_signatures",
+        "simhash",
+        "ngram_jaccard",
+        "minhash_lsh_pairs",
+        "fingerprints",
+        "pq_assign",
+    ]
+    for name in bench_set:
+        timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))
+
+    # PQ end-to-end (codebook fit + quantize + ADC top-k) — reference Q1-Q4 analog
+    def pq_e2e():
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        cb = PQ.build_codebook(emb, vec_col="embedding", splits=8, k=32, max_train_rows=5000)
+        coded = PQ.quantize(emb, cb, vec_col="embedding")
+        dim = len(emb.select("embedding").first()[0])
+        PQ.adc_topk(coded, cb, [0.0] * dim, k=10).collect()
+
+    timed("pq_e2e", pq_e2e)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

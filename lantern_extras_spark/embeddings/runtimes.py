@@ -139,6 +139,31 @@ class OrtRuntime(BaseRuntime):
 Transport = Callable[[str, Sequence[str], dict], list[list[float]]]
 
 
+def echo_transport(model: str, texts: Sequence[str], params: dict) -> list[list[float]]:
+    """Deterministic offline transport (params: {"transport": "echo"}): vector =
+    [len(text), n_tokens, 0...]. Lets the full API-runtime path (packing, retry,
+    alignment) run end-to-end in workers without network access."""
+    dim = int(params.get("dimensions", 4))
+    return [[float(len(t)), float(approx_token_count(t))] + [0.0] * (dim - 2) for t in texts]
+
+
+def resolve_transport(params: dict) -> Transport | None:
+    """Transports are resolvable by name through runtime_params so they survive
+    serialization into executor python workers ('echo' built-in; 'module:attr'
+    dotted path for custom endpoints)."""
+    spec = params.get("transport")
+    if spec is None or callable(spec):
+        return spec
+    if spec == "echo":
+        return echo_transport
+    if isinstance(spec, str) and ":" in spec:
+        import importlib
+
+        mod, attr = spec.split(":", 1)
+        return getattr(importlib.import_module(mod), attr)
+    raise ValueError(f"unresolvable transport spec {spec!r}")
+
+
 def _retrying(call: Callable[[], list[list[float]]]) -> list[list[float]]:
     """Reference retry loop: 5 attempts, 4 s·(attempt+1) sleep (core/utils.rs:88-99)."""
     last: Exception | None = None
@@ -171,7 +196,7 @@ class OpenAIRuntime(BaseRuntime):
 
     def __init__(self, model: str, params: dict | None = None, transport: Transport | None = None):
         super().__init__(model, params)
-        self.transport = transport or self._no_network
+        self.transport = transport or resolve_transport(self.params) or self._no_network
 
     @staticmethod
     def _no_network(model: str, texts: Sequence[str], params: dict) -> list[list[float]]:
@@ -224,7 +249,7 @@ class CohereRuntime(BaseRuntime):
     def __init__(self, model: str, params: dict | None = None, transport: Transport | None = None):
         super().__init__(model, params)
         self.params.setdefault("input_type", "search_query")
-        self.transport = transport or OpenAIRuntime._no_network
+        self.transport = transport or resolve_transport(self.params) or OpenAIRuntime._no_network
 
     def process(self, texts: Sequence[str]) -> EmbeddingResult:
         out: list[list[float]] = []

@@ -63,21 +63,72 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = 32,
     shingle_n: int = 3,
+    impl: str = "pandas",
 ) -> DataFrame:
     """(id, shingles, sig) — MinHash signature as array<bigint> of length n_hashes.
 
-    One md5 per *distinct* shingle; the n_hashes permutations are integer affine
-    maps over that value (Broder's universal-hash MinHash), all JVM-side.
+    One md5-based hash per *distinct* shingle; the n_hashes permutations are
+    integer affine maps over that value (Broder's universal-hash MinHash).
+    Values are identical between both impls (and to the DuckDB oracle):
+
+    - impl="pandas" (default): Arrow-batched kernel — hashlib md5 once per
+      shingle, then an (n_shingles × n_hashes) numpy min-reduce. Spark's
+      higher-order-function lambdas re-evaluate their inner expression per
+      outer element, so the native form costs n_hashes× the md5 work; the
+      kernel computes each hash exactly once. At 100 TB this stage is a pure
+      narrow map either way — no shuffle.
+    - impl="native": pure Column expressions (no Python workers); right choice
+      for small n_hashes or environments without Arrow.
     """
     sh = F.array_distinct(word_ngrams(F.col(text_col), shingle_n))
-    hs = F.transform(sh, lambda s: hash32(s))
+    base = df.select(F.col(id_col), sh.alias("shingles"))
 
-    def perm(i: int):
-        a, b = perm_coeffs(i)
-        return lambda h: (h * a + b) % MINHASH_PRIME
+    if impl == "native":
+        hs = F.transform(F.col("shingles"), lambda s: hash32(s))
 
-    sig = F.array(*[F.array_min(F.transform(hs, perm(i))) for i in range(n_hashes)])
-    return df.select(F.col(id_col), sh.alias("shingles"), sig.alias("sig"))
+        def perm(i: int):
+            a, b = perm_coeffs(i)
+            return lambda h: (h * a + b) % MINHASH_PRIME
+
+        sig = F.array(*[F.array_min(F.transform(hs, perm(i))) for i in range(n_hashes)])
+        return base.select(F.col(id_col), F.col("shingles"), sig.alias("sig"))
+
+    if impl != "pandas":
+        raise ValueError(f"unknown impl {impl!r}")
+
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+
+    A = np.array([perm_coeffs(i)[0] for i in range(n_hashes)], dtype=np.int64)
+    B = np.array([perm_coeffs(i)[1] for i in range(n_hashes)], dtype=np.int64)
+    out_schema = StructType(
+        [
+            StructField(id_col, base.schema[id_col].dataType),
+            StructField("shingles", ArrayType(StringType())),
+            StructField("sig", ArrayType(LongType())),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            sigs = []
+            for shingles in pdf["shingles"]:
+                if shingles is None or len(shingles) == 0:
+                    sigs.append(None)
+                    continue
+                hs = np.fromiter(
+                    (int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shingles),
+                    dtype=np.int64,
+                    count=len(shingles),
+                )
+                # (n_shingles × n_hashes) affine perms mod P, min over shingles
+                sigs.append(((hs[:, None] * A[None, :] + B[None, :]) % MINHASH_PRIME).min(axis=0).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "shingles": pdf["shingles"], "sig": sigs})
+
+    return base.mapInPandas(kernel, out_schema)
 
 
 def lsh_candidate_pairs(

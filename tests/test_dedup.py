@@ -1,0 +1,91 @@
+"""Dedup operators on constructed near-duplicate corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lantern_extras_spark.operators import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm "
+    "windowsill and the birds sing in the tall green trees beside the quiet river"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, BASE.replace("quick", "speedy")),  # near dup of 1
+        (4, "completely different text about database engines and query planners"),
+        (5, "another unrelated document discussing spark shuffle partitions at scale"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(corpus):
+    out = D.exact_dedup(corpus).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert not by_id[1]["is_duplicate"] and by_id[2]["is_duplicate"]
+    assert by_id[2]["canonical_id"] == 1
+    assert not by_id[3]["is_duplicate"]
+
+
+def test_minhash_finds_near_dups(corpus):
+    pairs = D.minhash_dedup(corpus, n_hashes=64, bands=16, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical
+    assert (1, 3) in got or (2, 3) in got  # near dup
+    assert all(p[0] < p[1] for p in got)
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_minhash_identical_docs_have_identical_sigs(corpus):
+    sigs = {r["doc_id"]: r["sig"] for r in D.minhash_signatures(corpus, n_hashes=16).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_minhash_native_equals_pandas(corpus):
+    a = {r["doc_id"]: r["sig"] for r in D.minhash_signatures(corpus, n_hashes=8, impl="pandas").collect()}
+    b = {r["doc_id"]: r["sig"] for r in D.minhash_signatures(corpus, n_hashes=8, impl="native").collect()}
+    assert a == b
+
+
+def test_drop_duplicates_keep_first(corpus):
+    pairs = D.minhash_dedup(corpus, n_hashes=64, bands=16, threshold=0.5)
+    kept = D.drop_duplicates_keep_first(corpus, pairs)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 1 in ids and 2 not in ids and 4 in ids and 5 in ids
+
+
+def test_simhash_near_dups(corpus):
+    sims = D.simhash(corpus)
+    by_id = {r["doc_id"]: r["simhash"] for r in sims.collect()}
+    assert by_id[1] == by_id[2]
+    ham13 = bin(by_id[1] ^ by_id[3]).count("1")
+    ham14 = bin(by_id[1] ^ by_id[4]).count("1")
+    assert ham13 < ham14
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in D.simhash_pairs(sims, max_hamming=4).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_ngram_jaccard_pairs(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.1]),
+        (2, [0.99, 0.01, 0.0, 0.1]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.2, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_pairs(df, threshold=0.95, n_planes=4).collect()}
+    assert (1, 2) in pairs and len(pairs) == 1

@@ -1,0 +1,64 @@
+"""fvecs/ivecs/bvecs readers — format fidelity per dotvecs.rs semantics."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from lantern_extras_spark.sources import vecs as VS
+
+
+@pytest.fixture(scope="module")
+def tdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("vecs")
+
+
+def test_fvecs_roundtrip(spark, tdir):
+    path = str(tdir / "a.fvecs")
+    data = [[1.5, -2.25, 3.0], [4.0, 5.0, 6.0]]
+    VS.write_fvecs(path, data)
+    rows = VS.read_fvecs(spark, path).orderBy("row_id").collect()
+    assert [r["vector"] for r in rows] == data
+
+
+def test_fvecs_count_limit(spark, tdir):
+    path = str(tdir / "b.fvecs")
+    VS.write_fvecs(path, [[float(i), 0.0] for i in range(10)])
+    assert VS.read_fvecs(spark, path, count=3).count() == 3
+
+
+def test_ivecs(spark, tdir):
+    path = str(tdir / "c.ivecs")
+    with open(path, "wb") as f:
+        for v in [[1, 2, 3], [4, 5, 6]]:
+            f.write(struct.pack("<I", 3))
+            f.write(np.asarray(v, dtype=np.int32).tobytes())
+    rows = VS.read_ivecs(spark, path).orderBy("row_id").collect()
+    assert [r["vector"] for r in rows] == [[1, 2, 3], [4, 5, 6]]
+
+
+def test_bvecs_widened(spark, tdir):
+    path = str(tdir / "d.bvecs")
+    with open(path, "wb") as f:
+        f.write(struct.pack("<I", 4))
+        f.write(bytes([0, 127, 200, 255]))  # u8 values > i8 range
+    rows = VS.read_bvecs(spark, path).collect()
+    assert rows[0]["vector"] == [0, 127, 200, 255]  # widened to smallint
+
+
+def test_inconsistent_dims_error(spark, tdir):
+    path = str(tdir / "bad.fvecs")
+    with open(path, "wb") as f:
+        f.write(struct.pack("<I", 2) + np.zeros(2, dtype=np.float32).tobytes())
+        f.write(struct.pack("<I", 3) + np.zeros(3, dtype=np.float32).tobytes())
+    with pytest.raises(Exception, match="inconsistent"):
+        VS.read_fvecs(spark, path).collect()
+
+
+def test_truncated_record_error(spark, tdir):
+    path = str(tdir / "trunc.fvecs")
+    with open(path, "wb") as f:
+        f.write(struct.pack("<I", 10) + b"\x00" * 8)  # claims 10 floats, has 2
+    with pytest.raises(Exception, match="truncated"):
+        VS.read_fvecs(spark, path).collect()
