@@ -1,0 +1,127 @@
+"""Collections — the reference's HTTP collection layer (SURVEY.md §2.12 H1–H5)
+re-expressed as a Python/DataFrame API (the serving transport is out of scope;
+the semantics are not).
+
+Reference parity:
+- default schema `id bigint / vector REAL[] / data TEXT / metadata JSONB`
+  (http_server/collection.rs:190-198) — metadata carried as a JSON string;
+- create/list/get/insert/drop (H1–H4);
+- `search(name, query_vec | query_text+query_model, k, metric)` embeds the
+  query with the same model before top-k — H5's CTE shape
+  (http_server/search.rs:110-123);
+- auto-assigned ascending ids on insert (bigint identity semantics).
+
+Storage is a parquet directory per collection; on a lakehouse deployment these
+become catalog tables and `insert` an ACID append."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lantern_extras_spark.embeddings.pipeline import embed_column
+from lantern_extras_spark.operators.knn import distance_col
+
+DEFAULT_SCHEMA = "id bigint, vector array<float>, data string, metadata string"
+
+
+class CollectionStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        safe = name.replace("/", "_")
+        return os.path.join(self.root, safe)
+
+    # -- H2: create ------------------------------------------------------
+
+    def create_collection(self, name: str, schema: str | None = None) -> None:
+        p = self._path(name)
+        if os.path.exists(p):
+            raise ValueError(f"collection {name!r} already exists")
+        df = self.spark.createDataFrame([], schema or DEFAULT_SCHEMA)
+        df.write.parquet(p)
+
+    # -- H1: list / get --------------------------------------------------
+
+    def list_collections(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def get_collection(self, name: str) -> dict:
+        df = self.read(name)
+        return {
+            "name": name,
+            "schema": {f.name: f.dataType.simpleString() for f in df.schema.fields},
+            "rows": df.count(),
+        }
+
+    def read(self, name: str) -> DataFrame:
+        p = self._path(name)
+        if not os.path.exists(p):
+            raise ValueError(f"no such collection {name!r}")
+        return self.spark.read.parquet(p)
+
+    # -- H3: insert ------------------------------------------------------
+
+    def insert(self, name: str, rows: list[dict]) -> int:
+        """Bulk insert (S12 analog): dict rows with auto-assigned ascending ids;
+        missing columns null; metadata dicts serialized to JSON text."""
+        cur = self.read(name)
+        start = (cur.agg(F.max("id")).first()[0] or 0) + 1
+        cols = [f.name for f in cur.schema.fields]
+        prepared = []
+        for i, r in enumerate(rows):
+            r = dict(r)
+            r.setdefault("id", start + i)
+            if isinstance(r.get("metadata"), (dict, list)):
+                r["metadata"] = json.dumps(r["metadata"])
+            prepared.append(tuple(r.get(c) for c in cols))
+        new = self.spark.createDataFrame(prepared, cur.schema)
+        new.write.mode("append").parquet(self._path(name))
+        return len(rows)
+
+    # -- H4: drop --------------------------------------------------------
+
+    def delete_collection(self, name: str) -> None:
+        p = self._path(name)
+        if not os.path.exists(p):
+            raise ValueError(f"no such collection {name!r}")
+        shutil.rmtree(p)
+
+    # -- H5: search ------------------------------------------------------
+
+    def search(
+        self,
+        name: str,
+        query_vec: list[float] | None = None,
+        query_text: str | None = None,
+        query_model: str = "hash/test-model",
+        query_runtime: str = "hash",
+        k: int = 10,
+        metric: str = "l2sq",
+        vec_col: str = "vector",
+    ) -> DataFrame:
+        """Top-k rows by distance; `query_text` is embedded with the same model
+        first (H5 CTE semantics). Exactly one of query_vec/query_text."""
+        if (query_vec is None) == (query_text is None):
+            raise ValueError("provide exactly one of query_vec / query_text")
+        if query_text is not None:
+            qdf = self.spark.createDataFrame([(query_text,)], "q string")
+            qrow = embed_column(qdf, "q", "emb", query_model, query_runtime).first()
+            query_vec = [float(x) for x in qrow["emb"]]
+        df = self.read(name)
+        q = F.lit([float(x) for x in query_vec]).cast("array<double>")
+        return (
+            df.withColumn("distance", distance_col(metric, F.col(vec_col), q))
+            .orderBy(F.col("distance").asc(), F.col("id").asc())
+            .limit(k)
+        )

@@ -160,7 +160,9 @@ class JobStore:
         self._update(job_id, init_progress=progress)
 
     def mark_started(self, job_id: int) -> None:
-        self._update(job_id, init_started_at=_now())
+        """(Re)start clears any prior failure so retried jobs report a clean
+        status lifecycle (daemon retry semantics, D6)."""
+        self._update(job_id, init_started_at=_now(), init_failed_at=None, init_failure_reason=None)
 
     def mark_finished(self, job_id: int) -> None:
         self._update(job_id, init_finished_at=_now(), init_progress=100)

@@ -1,0 +1,166 @@
+"""Autotune: parameter sweep for approximate kNN vs a recall target.
+
+Reference surface (SURVEY.md §2.10 N5/N6/W2, lantern_cli/src/index_autotune/):
+- N5 sweep: fixed grid of index variants, evaluated against exact ground truth,
+  early-stopping when a variant reaches the target recall (mod.rs:329-360,
+  476-478; default target 99.9 @ k=10).
+- W2 best-variant selection: recall desc → filter ≥ target → minimum
+  (latency + build_time) (mod.rs:162-187).
+- N6 result caching: reuse prior results for the same (model, k≥, n≥)
+  (mod.rs:112-160).
+
+The reference tunes HNSW (m, ef, ef_construction); HNSW is an online-index
+concern outside Spark's batch model (BASELINE.json), so this engine tunes its
+offline approximate-kNN structures instead — PQ (splits × clusters) — with
+identical sweep/eval/selection/caching semantics. Results persist to an
+`autotune_results`-shaped table (experiment_id, params…, recall, latency,
+build_time — FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lantern_extras_spark.operators import pq as PQ
+from lantern_extras_spark.operators.knn import ground_truth, recall
+
+# Default PQ variant grid — mirrors the reference's fixed 6-variant grid idea
+# (index_autotune/mod.rs:329-360), coarse→fine.
+DEFAULT_VARIANTS: tuple[tuple[int, int], ...] = (
+    (4, 16),
+    (4, 32),
+    (8, 32),
+    (8, 64),
+    (16, 64),
+    (16, 256),
+)
+
+RESULTS_SCHEMA = (
+    "experiment_id string, splits int, clusters int, recall double, "
+    "latency double, build_time double, k int, n_queries int, created_at timestamp"
+)
+
+
+@dataclass
+class VariantResult:
+    splits: int
+    clusters: int
+    recall: float
+    latency: float
+    build_time: float
+
+
+class AutotuneResults:
+    """Parquet-backed results cache (N6)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def load(self) -> DataFrame:
+        p = os.path.join(self.path, "autotune_results")
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            return self.spark.createDataFrame([], RESULTS_SCHEMA)
+        return self.spark.read.schema(RESULTS_SCHEMA).parquet(p)
+
+    def lookup(self, experiment_id: str, k: int, n_queries: int) -> list[VariantResult]:
+        """Reference reuse predicate: same experiment, k ≥ requested, n ≥ requested
+        (index_autotune/mod.rs:131-140)."""
+        rows = (
+            self.load()
+            .where(
+                (F.col("experiment_id") == experiment_id)
+                & (F.col("k") >= k)
+                & (F.col("n_queries") >= n_queries)
+            )
+            .collect()
+        )
+        return [VariantResult(r["splits"], r["clusters"], r["recall"], r["latency"], r["build_time"]) for r in rows]
+
+    def append(self, experiment_id: str, k: int, n_queries: int, results: list[VariantResult]) -> None:
+        now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        rows = [
+            (experiment_id, r.splits, r.clusters, r.recall, r.latency, r.build_time, k, n_queries, now)
+            for r in results
+        ]
+        df = self.spark.createDataFrame(rows, RESULTS_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(os.path.join(self.path, "autotune_results"))
+
+
+def select_best(results: list[VariantResult], target_recall: float) -> VariantResult | None:
+    """W2: among variants meeting the target, minimum latency+build_time;
+    if none meet it, the highest-recall variant."""
+    if not results:
+        return None
+    meeting = [r for r in results if r.recall >= target_recall]
+    if meeting:
+        return min(meeting, key=lambda r: (r.latency + r.build_time, -r.recall))
+    return max(results, key=lambda r: (r.recall, -(r.latency + r.build_time)))
+
+
+def autotune_pq(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_queries: int = 10,
+    target_recall: float = 99.9,
+    variants: tuple[tuple[int, int], ...] = DEFAULT_VARIANTS,
+    results: AutotuneResults | None = None,
+    experiment_id: str | None = None,
+    seed: int = 42,
+    max_train_rows: int = 20_000,
+) -> tuple[VariantResult | None, list[VariantResult]]:
+    """Sweep PQ variants against exact ground truth; early-stop at target.
+
+    Returns (best, all_results). With a `results` store, cached runs satisfying
+    the (k≥, n≥) reuse rule short-circuit the sweep entirely (N6)."""
+    exp = experiment_id or f"pq:{vec_col}"
+    if results is not None:
+        cached = results.lookup(exp, k, n_queries)
+        if cached:
+            return select_best(cached, target_recall), cached
+
+    truth = ground_truth(
+        df, n_queries=n_queries, k=k, metric="l2sq", id_col=id_col, vec_col=vec_col, seed=seed
+    ).collect()
+    spark = df.sparkSession
+    truth_df = spark.createDataFrame(
+        [(r["id"], [int(x) for x in r["neighbors"]]) for r in truth],
+        "id long, neighbors array<long>",
+    )
+    queries = [(r["id"], list(map(float, r["v"]))) for r in truth]
+
+    out: list[VariantResult] = []
+    for splits, clusters in variants:
+        t0 = time.monotonic()
+        cb = PQ.build_codebook(
+            df, vec_col=vec_col, splits=splits, k=clusters,
+            max_train_rows=max_train_rows, seed=seed,
+        )
+        coded = PQ.quantize(df, cb, vec_col=vec_col).cache()
+        coded.count()  # materialize so latency measures the query, not the build
+        build_time = time.monotonic() - t0
+
+        t1 = time.monotonic()
+        res_rows = []
+        for qid, qv in queries:
+            ids = [r[0] for r in PQ.adc_topk(coded, cb, qv, k=k, id_col=id_col).select(id_col).collect()]
+            res_rows.append((qid, ids))
+        latency = (time.monotonic() - t1) / max(len(queries), 1)
+        res_df = spark.createDataFrame(res_rows, "id long, neighbors array<long>")
+        rec = recall(truth_df, res_df, k)
+        coded.unpersist()
+        out.append(VariantResult(splits, clusters, rec, round(latency, 4), round(build_time, 4)))
+        if rec >= target_recall:  # early stop (mod.rs:476-478)
+            break
+
+    if results is not None:
+        results.append(exp, k, n_queries, out)
+    return select_best(out, target_recall), out

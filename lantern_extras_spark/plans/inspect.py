@@ -1,0 +1,73 @@
+"""Physical-plan inspection utilities — the engine's scale guardrails.
+
+At 100 TB the difference between a correct plan and a fast plan is visible in
+three places: filters reaching the parquet scan (`PushedFilters`), scans
+reading only needed columns (`ReadSchema`), and small-side joins broadcasting
+instead of shuffling. These helpers turn those properties into assertions so
+regressions fail tests instead of burning cluster hours.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class PlanSummary:
+    text: str
+    n_exchanges: int
+    n_broadcasts: int
+    pushed_filters: list[str] = field(default_factory=list)
+    read_schemas: list[str] = field(default_factory=list)
+
+    @property
+    def n_shuffles(self) -> int:
+        """Shuffle exchanges only (broadcast exchanges move small data)."""
+        return self.n_exchanges - self.n_broadcasts
+
+
+def plan_summary(df: DataFrame) -> PlanSummary:
+    text = df._jdf.queryExecution().executedPlan().toString()
+    return PlanSummary(
+        text=text,
+        n_exchanges=len(re.findall(r"\bExchange\b|\bBroadcastExchange\b", text)),
+        n_broadcasts=text.count("BroadcastExchange"),
+        pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", text),
+        read_schemas=re.findall(r"ReadSchema: struct<([^>]*)>", text),
+    )
+
+
+def assert_filter_pushed(df: DataFrame, fragment: str) -> PlanSummary:
+    """Assert that some parquet scan carries a pushed filter containing
+    `fragment` (e.g. "l_shipdate" or "EqualTo(c_mktsegment")."""
+    s = plan_summary(df)
+    if not any(fragment in f for f in s.pushed_filters):
+        raise AssertionError(
+            f"no pushed filter containing {fragment!r}; pushed={s.pushed_filters}"
+        )
+    return s
+
+
+def assert_column_pruned(df: DataFrame, absent_column: str) -> PlanSummary:
+    """Assert no scan reads `absent_column` — column pruning reached parquet."""
+    s = plan_summary(df)
+    for schema in s.read_schemas:
+        if absent_column in schema:
+            raise AssertionError(
+                f"column {absent_column!r} read by a scan; ReadSchema={schema}"
+            )
+    return s
+
+
+def assert_broadcast_join(df: DataFrame, at_least: int = 1) -> PlanSummary:
+    s = plan_summary(df)
+    if s.n_broadcasts < at_least:
+        raise AssertionError(f"expected ≥{at_least} broadcast joins, found {s.n_broadcasts}")
+    return s
+
+
+def count_shuffles(df: DataFrame) -> int:
+    return plan_summary(df).n_shuffles

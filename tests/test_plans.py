@@ -1,0 +1,59 @@
+"""Scale guardrails: physical-plan assertions on the entry queries.
+A regression that drops filter pushdown, reads extra columns, or turns a
+broadcast join into a shuffle join fails here — before it costs cluster time."""
+
+import pytest
+
+import __spark_entry__ as E
+from lantern_extras_spark.plans import (
+    assert_broadcast_join,
+    assert_column_pruned,
+    assert_filter_pushed,
+    plan_summary,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = E.q_pricing_summary(spark, SF)
+    assert_filter_pushed(df, "l_shipdate")
+    # only 7 of 11 lineitem columns are needed
+    assert_column_pruned(df, "l_partkey")
+    assert_column_pruned(df, "l_suppkey")
+
+
+def test_top_revenue_orders_broadcasts_dims(spark):
+    df = E.q_top_revenue_orders(spark, SF)
+    assert_filter_pushed(df, "EqualTo(c_mktsegment,BUILDING)")
+    assert_broadcast_join(df, at_least=2)
+    assert_column_pruned(df, "o_totalprice")
+
+
+def test_region_revenue_broadcasts_all_dims(spark):
+    df = E.q_region_revenue(spark, SF)
+    # nation, region, supplier, customer all broadcast; only the
+    # lineitem⋈orders join may shuffle
+    assert_broadcast_join(df, at_least=4)
+
+
+def test_knn_pushes_query_side_filter(spark):
+    df = E.q_knn_cos(spark, SF)
+    assert_filter_pushed(df, "GreaterThanOrEqual(vec_id,5)")
+    assert_filter_pushed(df, "LessThan(vec_id,5)")
+    assert_broadcast_join(df, at_least=1)  # query side broadcast, data side streams
+    assert_column_pruned(df, "label")
+
+
+def test_embed_documents_is_narrow(spark):
+    df = E.q_embed_documents(spark, SF)
+    s = plan_summary(df)
+    assert s.n_shuffles == 0  # pure projection over the scan
+    assert_column_pruned(df, "lang")
+
+
+def test_user_sessions_single_shuffle(spark):
+    df = E.q_user_sessions(spark, SF)
+    # windows + both aggregations share the user_id partitioning: 1 shuffle +
+    # the final AQE read; allow ≤2 but never the naive 3-4
+    assert plan_summary(df).n_shuffles <= 2
