@@ -783,7 +783,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard": f"""
             WITH t AS (SELECT doc_id, lang, source, {_sql_words()} AS w FROM documents),
-                 s AS (SELECT doc_id, lang, source, {_sql_shingles3()} AS sh FROM t)
+                 s0 AS (SELECT doc_id, lang, source, {_sql_shingles3()} AS sh0 FROM t),
+                 s AS (SELECT doc_id, lang, source,
+                              list_distinct(list_transform(sh0, x -> {_sql_hash32('x')})) AS sh FROM s0)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    round(CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 0.0
                          ELSE len(list_intersect(a.sh, b.sh))

@@ -222,25 +222,68 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 32,
+    impl: str = "pandas",
 ) -> DataFrame:
     """(id, simhash) — classic SimHash: bit b of the signature is 1 iff the
-    count-weighted majority of token hashes has bit b set.
+    count-weighted majority of token hashes has bit b set. Hashes are the
+    portable md5-based hash32, so both impls (and the DuckDB oracle) agree
+    bit-for-bit.
 
-    Token hashes are computed once per token occurrence (md5-based, portable);
-    the per-bit vote is a JVM-side aggregate over that array.
+    impl="pandas" (default): Arrow kernel — one md5 per token occurrence, the
+    per-bit majority as a numpy popcount matrix. The native Column form
+    re-evaluates the token-hash array once per bit (HOF lambda semantics:
+    `bits`× the md5 work), so it's kept for Arrow-less environments only.
     """
-    hs = F.transform(tokens(F.col(text_col)), lambda t: hash32(t))
-    def bit_vote(b: int) -> Column:
-        return F.aggregate(
-            hs,
-            F.lit(0),
-            lambda acc, h: acc + F.when((F.floor(h / F.lit(2**b)) % 2) == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-    sim = None
-    for b in range(bits):
-        term = F.when(bit_vote(b) > 0, F.lit(2**b)).otherwise(F.lit(0)).cast("bigint")
-        sim = term if sim is None else sim + term
-    return df.select(F.col(id_col), sim.alias("simhash"))
+    if impl == "native":
+        hs = F.transform(tokens(F.col(text_col)), lambda t: hash32(t))
+
+        def bit_vote(b: int) -> Column:
+            return F.aggregate(
+                hs,
+                F.lit(0),
+                lambda acc, h: acc + F.when((F.floor(h / F.lit(2**b)) % 2) == 1, F.lit(1)).otherwise(F.lit(-1)),
+            )
+
+        sim = None
+        for b in range(bits):
+            term = F.when(bit_vote(b) > 0, F.lit(2**b)).otherwise(F.lit(0)).cast("bigint")
+            sim = term if sim is None else sim + term
+        return df.select(F.col(id_col), sim.alias("simhash"))
+
+    if impl != "pandas":
+        raise ValueError(f"unknown impl {impl!r}")
+
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    out_schema = StructType(
+        [StructField(id_col, base.schema[id_col].dataType), StructField("simhash", LongType())]
+    )
+    weights = np.array([1 << b for b in range(bits)], dtype=np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            sims = []
+            for toks in pdf["toks"]:
+                if toks is None or len(toks) == 0:
+                    sims.append(0)
+                    continue
+                hs = np.fromiter(
+                    (int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks),
+                    dtype=np.int64,
+                    count=len(toks),
+                )
+                # votes[b] = 2·ones(b) − n  > 0  ⇒ bit b set
+                bitmat = (hs[:, None] >> np.arange(bits)[None, :]) & 1
+                votes = 2 * bitmat.sum(axis=0) - len(hs)
+                sims.append(int(weights[votes > 0].sum()))
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": sims})
+
+    return base.mapInPandas(kernel, out_schema)
 
 
 def simhash_pairs(
@@ -294,19 +337,45 @@ def ngram_jaccard_pairs(
     (e.g. (lang, source)), exact Jaccard on distinct word n-grams.
 
     Without blocking this is O(n²) — callers at scale must provide blocks or use
-    `minhash_dedup`. The blocked join shuffles on the block key only.
+    `minhash_dedup`. The blocked join shuffles on the block key only. Two cost
+    cuts that matter when blocks are large:
+    - length-band prune: jaccard ≥ t implies t·|b| ≤ |a| ≤ |b|/t, checked on
+      precomputed sizes before any array work;
+    - single intersect: jaccard = |∩| / (|a|+|b|−|∩|), avoiding a second
+      hash-set build for the union;
+    - int intersection: shingles are hashed (portable hash32) once per doc so
+      the per-pair set intersection compares 8-byte ints, not strings — the
+      dominant cost at |block|² pairs. The oracle hashes identically, so even
+      a hash collision (≈|sh|²/2³² per doc) cannot break cross-engine parity.
     """
-    sh = df.select(
-        F.col(id_col), *[F.col(c) for c in block_cols],
-        F.array_distinct(word_ngrams(F.col(text_col), shingle_n)).alias("sh"),
+    from pyspark import StorageLevel
+
+    sh = (
+        df.select(
+            F.col(id_col), *[F.col(c) for c in block_cols],
+            F.array_distinct(
+                F.transform(word_ngrams(F.col(text_col), shingle_n), lambda s: hash32(s))
+            ).alias("sh"),
+        )
+        .withColumn("sh_n", F.size("sh"))
+        # both self-join sides read this; persist so shingling+hashing runs
+        # once, spilling to disk rather than recomputing at scale
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a = sh.select(*block_cols, F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(*block_cols, F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    a = sh.select(*block_cols, F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("sh_n").alias("n_a"))
+    b = sh.select(*block_cols, F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.col("sh_n").alias("n_b"))
     on = list(block_cols) if block_cols else None
     joined = a.crossJoin(b) if not on else a.join(b, on)
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.col("n_a") + F.col("n_b") - inter
+    jac = F.when(union == 0.0, F.lit(0.0)).otherwise(inter / union)
     return (
         joined.where(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(
+            (F.col("n_a") >= threshold * F.col("n_b"))
+            & (F.col("n_b") >= threshold * F.col("n_a"))
+        )
+        .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
