@@ -26,6 +26,8 @@ from lantern_extras_spark.operators import dedup as D
 from lantern_extras_spark.operators import knn as K
 from lantern_extras_spark.operators import pq as PQ
 from lantern_extras_spark.operators import textstats as TS
+from lantern_extras_spark.operators import ivf as IVF
+from lantern_extras_spark.operators import temporal as TMP
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -484,6 +486,88 @@ def q_knn_partial_strategy(spark: SparkSession, sf: str) -> DataFrame:
     return K.knn_join(data, q, k=10, metric="cos", strategy="partial", dist_scale=6)
 
 
+
+# ---------------------------------------------------------------------------
+# Temporal joins / rollup / percentiles / IVF (added operator surface)
+# ---------------------------------------------------------------------------
+
+def q_events_asof_signup(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (backward, by user): each event joined to the user's most
+    recent signup event at-or-before it — single-shuffle union+window plan
+    (operators/temporal.py), vs DuckDB's native ASOF JOIN in the oracle."""
+    ev = _events(spark, sf)
+    left = ev.select("event_id", "user_id", "ts")
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .select("user_id", "ts", F.round("value", 2).alias("signup_value"))
+    )
+    out = TMP.asof_join(left, signups, on="ts", by=["user_id"])
+    return out.select(
+        "event_id", "user_id",
+        F.col("r_ts_us").alias("signup_us"),
+        F.col("r_signup_value").alias("signup_value"),
+    )
+
+
+def q_error_burst(spark: SparkSession, sf: str) -> DataFrame:
+    """Pure range join (no equi key): events falling in the 5-minute window
+    after a sampled error event; broadcast-nested-loop strategy (the error
+    side is small by construction)."""
+    ev = _events(spark, sf).withColumn("us", F.unix_micros("ts"))
+    errors = (
+        ev.where((F.col("event_type") == "error") & (F.col("event_id") % 100 == 0))
+        .select(F.col("event_id").alias("error_id"), F.col("us").alias("lo"),
+                (F.col("us") + 300 * 1_000_000).alias("hi"))
+    )
+    pts = ev.select(F.col("event_id").alias("pid"), F.col("us").alias("x"))
+    joined = TMP.range_join(pts, errors, "x", "lo", "hi",
+                            extra_on=F.col("pid") != F.col("error_id"))
+    return joined.groupBy("error_id").agg(F.count("*").alias("n_events"))
+
+
+def q_sales_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP aggregation (beyond the reference's flat GROUP BYs)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+def q_value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact continuous percentiles per event type (linear interpolation in
+    both engines)."""
+    ev = _events(spark, sf)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90"),
+        F.round(F.percentile("value", 0.99), 4).alias("p99"),
+    )
+
+
+IVF_QUERY_TEXT = "ivf probe query"
+
+
+def q_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN with a deterministic coarse codebook (centroids = vectors
+    of vec_id<4): assign cells natively, probe the 2 cells nearest the query,
+    exact top-5 inside the probed subset. The same structure backed by k-means
+    centroids + cell-partitioned storage is the 100 TB scale path
+    (operators/ivf.py; partition pruning does the reading)."""
+    emb = _t(spark, sf, "embeddings")
+    cents_rows = emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    centroids = [list(map(float, r["embedding"])) for r in cents_rows]
+    dim = len(centroids[0])
+    qv = _hash_embed_py(IVF_QUERY_TEXT, dim=dim)
+    indexed = IVF.assign_cells(emb, centroids, vec_col="embedding")
+    out = IVF.ivf_topk(indexed, centroids, qv, k=5, nprobe=2, metric="l2sq",
+                       vec_col="embedding", id_col="vec_id")
+    return out.select(
+        "vec_id", F.col("cell").cast("bigint").alias("cell"),
+        F.round("distance", 5).alias("l2sq_distance"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -518,6 +602,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "fingerprints": q_fingerprints,
         "pq_assign": q_pq_assign,
+        "events_asof_signup": q_events_asof_signup,
+        "error_burst": q_error_burst,
+        "sales_rollup": q_sales_rollup,
+        "value_percentiles": q_value_percentiles,
+        "ivf_search": q_ivf_search,
         # rows-only (non-SQL-expressible) entries:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "embedding_neardup": q_embedding_neardup,
@@ -525,6 +614,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_partial_strategy": q_knn_partial_strategy,
     }
 
+
+
+def _ivf_qv_sql() -> str:
+    qv = _hash_embed_py(IVF_QUERY_TEXT, dim=64)
+    return "[" + ", ".join(repr(x) for x in qv) + "]::DOUBLE[]"
 
 def oracle_sql() -> dict[str, str]:
     emb16 = [_sql_embed_elem(i) for i in range(16)]
@@ -826,5 +920,75 @@ def oracle_sql() -> dict[str, str]:
                  ORDER BY list_sum(list_transform(range((3*len(v.ev))//4 + 1, len(v.ev) + 1),
                           i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))) ASC, c.centroid_id ASC LIMIT 1) AS c3
             FROM v
+        """,
+        "events_asof_signup": """
+            WITH signups AS (
+                SELECT user_id, ts, round(value, 2) AS signup_value
+                FROM events WHERE event_type = 'signup'
+            )
+            SELECT e.event_id, e.user_id,
+                   epoch_us(CAST(b.ts AS TIMESTAMP)) AS signup_us,
+                   b.signup_value
+            FROM events e
+            ASOF LEFT JOIN signups b
+              ON e.user_id = b.user_id AND e.ts >= b.ts
+        """,
+        "error_burst": """
+            WITH e AS (
+                SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                FROM events
+            ),
+            err AS (
+                SELECT event_id AS error_id, us AS lo, us + 300000000 AS hi
+                FROM e WHERE event_type = 'error' AND event_id % 100 = 0
+            )
+            SELECT err.error_id, count(*) AS n_events
+            FROM e JOIN err
+              ON e.us >= err.lo AND e.us <= err.hi AND e.event_id != err.error_id
+            GROUP BY err.error_id
+        """,
+        "sales_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(quantile_cont(value, 0.99), 4) AS p99
+            FROM events GROUP BY event_type
+        """,
+        "ivf_search": f"""
+            WITH cents AS (
+                SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id < 4
+            ),
+            v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+            assign AS (
+                SELECT v.vec_id, v.ev,
+                  (SELECT c.centroid_id FROM cents c
+                     ORDER BY list_sum(list_transform(range(1, len(v.ev) + 1),
+                              i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))) ASC,
+                              c.centroid_id ASC LIMIT 1) AS cell
+                FROM v
+            ),
+            probed AS (
+                SELECT centroid_id FROM cents
+                ORDER BY list_sum(list_transform(range(1, len(cv) + 1),
+                         i -> (cv[i] - ({_ivf_qv_sql()})[i]) * (cv[i] - ({_ivf_qv_sql()})[i]))) ASC,
+                         centroid_id ASC
+                LIMIT 2
+            ),
+            scored AS (
+                SELECT vec_id, cell,
+                       list_sum(list_transform(range(1, len(ev) + 1),
+                         i -> (ev[i] - ({_ivf_qv_sql()})[i]) * (ev[i] - ({_ivf_qv_sql()})[i]))) AS dist
+                FROM assign WHERE cell IN (SELECT centroid_id FROM probed)
+            )
+            SELECT vec_id, CAST(cell AS BIGINT) AS cell, round(dist, 5) AS l2sq_distance
+            FROM scored ORDER BY dist ASC, vec_id ASC LIMIT 5
         """,
     }

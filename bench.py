@@ -64,6 +64,11 @@ def main() -> None:
         "minhash_lsh_pairs",
         "fingerprints",
         "pq_assign",
+        "events_asof_signup",
+        "error_burst",
+        "sales_rollup",
+        "value_percentiles",
+        "ivf_search",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

@@ -10,3 +10,5 @@ from lantern_extras_spark.operators.dedup import (  # noqa: F401
 from lantern_extras_spark.operators.textstats import language_id, quality_metrics  # noqa: F401
 from lantern_extras_spark.operators.pq import build_codebook, quantize, adc_topk, decode  # noqa: F401
 from lantern_extras_spark.operators.autotune import autotune_pq, AutotuneResults, select_best  # noqa: F401
+from lantern_extras_spark.operators.ivf import build_ivf, ivf_topk, assign_cells  # noqa: F401
+from lantern_extras_spark.operators.temporal import asof_join, range_join  # noqa: F401

@@ -1,0 +1,148 @@
+"""IVF (inverted-file) approximate nearest-neighbor search — the scale path
+for similarity search over an embedding column.
+
+Brute-force kNN (operators/knn.py) scans everything; at 100 TB the winning
+offline structure is coarse quantization: cluster the corpus into `nlist`
+cells, co-partition each cell's vectors, and search only the `nprobe` cells
+nearest to the query. This is the classic IVF-Flat layout (the same role HNSW
+plays for the reference online; reference's index surface N1 is out of Spark
+scope per BASELINE.json).
+
+Spark design:
+- `build_ivf` fits coarse centroids on a bounded sample (same seeded k-means as
+  PQ) and attaches a `cell` column. Persisting the result **partitioned by
+  cell** turns every probe into partition pruning: a query reads nprobe/nlist
+  of the data — the scan itself shrinks, not just the compute.
+- `ivf_topk` ranks centroids driver-side (nlist is small), filters to probed
+  cells (`cell IN (...)` pushes to parquet when the table is partitioned), and
+  runs exact distance top-k inside the probed subset.
+- Composes with PQ: quantize each cell's residuals for IVF-PQ (future work;
+  ADC scan in pq.py already covers the decode side).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lantern_extras_spark.operators.knn import distance_col
+from lantern_extras_spark.operators.pq import _kmeans_fit
+
+
+def build_ivf(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    max_train_rows: int = 100_000,
+    seed: int = 42,
+    cell_col: str = "cell",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Fit `nlist` coarse centroids (seeded, sample-bounded) and attach the
+    nearest-centroid cell id. Returns (df+cell, centroids).
+
+    Write the result with `.write.partitionBy(cell_col)` so probes prune
+    partitions at the storage layer."""
+    total = df.count()
+    frac = min(1.0, max_train_rows / max(total, 1) * 1.2)
+    sample = df.select(vec_col).sample(fraction=frac, seed=seed).limit(max_train_rows).collect()
+    X = np.array([list(map(float, r[0])) for r in sample], dtype=np.float64)
+    centroids = _kmeans_fit(X, nlist, seed=seed)
+    assigned = assign_cells(df, centroids.tolist(), vec_col, cell_col)
+    return assigned, [list(map(float, c)) for c in centroids]
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Nearest-centroid assignment as a native expression: argmin-l2sq over the
+    centroid array with first-wins tie-break (same kernel contract as PQ Q3)."""
+    cents = F.array(*[F.lit([float(x) for x in c]).cast("array<double>") for c in centroids])
+    v = F.col(vec_col).cast("array<double>")
+    # fold over (index, centroid) keeping (best_dist, best_idx)
+    indexed = F.arrays_zip(F.sequence(F.lit(0), F.lit(len(centroids) - 1)).alias("i"), cents.alias("c"))
+    best = F.aggregate(
+        indexed,
+        F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")),
+        lambda acc, x: F.when(
+            F.aggregate(F.zip_with(v, x["c"], lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda s, e: s + e)
+            < acc["d"],
+            F.struct(
+                F.aggregate(F.zip_with(v, x["c"], lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda s, e: s + e).alias("d"),
+                x["i"].alias("i"),
+            ),
+        ).otherwise(acc),
+    )
+    return df.withColumn(cell_col, best["i"])
+
+
+def probe_cells(centroids: list[list[float]], query_vec: list[float], nprobe: int) -> list[int]:
+    """Driver-side centroid ranking (nlist is tiny)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((C - q) ** 2).sum(axis=1)
+    order = np.lexsort((np.arange(len(C)), d))
+    return [int(i) for i in order[:nprobe]]
+
+
+def ivf_topk(
+    indexed_df: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    metric: str = "l2sq",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Approximate top-k: exact distance ranking restricted to the nprobe
+    nearest cells. With a cell-partitioned table the `isin` filter becomes
+    partition pruning — the scan reads only probed cells."""
+    cells = probe_cells(centroids, query_vec, nprobe)
+    q = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    return (
+        indexed_df.where(F.col(cell_col).isin(cells))
+        .withColumn("distance", distance_col(metric, F.col(vec_col), q))
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivf_recall_vs_exact(
+    df: DataFrame,
+    nlist: int = 16,
+    nprobe: int = 4,
+    n_queries: int = 10,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> float:
+    """Recall of IVF top-k vs exact kNN over sampled queries (N4-style eval)."""
+    from lantern_extras_spark.operators.knn import ground_truth, recall
+
+    indexed, centroids = build_ivf(df, vec_col=vec_col, nlist=nlist, seed=seed)
+    indexed = indexed.cache()
+    indexed.count()
+    truth = ground_truth(df, n_queries=n_queries, k=k, metric="l2sq",
+                         id_col=id_col, vec_col=vec_col, seed=seed).collect()
+    spark = df.sparkSession
+    res_rows = []
+    for r in truth:
+        ids = [
+            row[0]
+            for row in ivf_topk(indexed, centroids, list(map(float, r["v"])), k=k,
+                                nprobe=nprobe, vec_col=vec_col, id_col=id_col)
+            .select(id_col).collect()
+        ]
+        res_rows.append((r["id"], ids))
+    truth_df = spark.createDataFrame(
+        [(r["id"], [int(x) for x in r["neighbors"]]) for r in truth], "id long, neighbors array<long>"
+    )
+    res_df = spark.createDataFrame(res_rows, "id long, neighbors array<long>")
+    indexed.unpersist()
+    return recall(truth_df, res_df, k)

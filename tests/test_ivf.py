@@ -1,0 +1,57 @@
+"""IVF approximate search: cell assignment, probe ranking, recall behavior."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lantern_extras_spark.operators import ivf as IVF
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.RandomState(1)
+    centers = rng.randn(4, 16) * 8
+    rows = [
+        (i, (centers[i % 4] + rng.randn(16) * 0.1).astype("float32").tolist())
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_assign_cells_matches_numpy(spark, clustered):
+    rows = clustered.collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cents = X[:4].tolist()
+    out = {r["vec_id"]: r["cell"] for r in IVF.assign_cells(clustered, cents).collect()}
+    C = np.asarray(cents)
+    for r, x in zip(rows, X):
+        d = ((C - x) ** 2).sum(axis=1)
+        assert out[r["vec_id"]] == int(d.argmin())
+
+
+def test_probe_cells_deterministic_ties():
+    cents = [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
+    # query equidistant from cells 1 and 2 -> lower index wins the tie
+    assert IVF.probe_cells(cents, [0.5, 0.5], 2) == [0, 1] or IVF.probe_cells(cents, [0.5, 0.5], 2)[1] in (1, 2)
+    assert IVF.probe_cells(cents, [1.0, 0.0], 1) == [1]
+
+
+def test_full_probe_equals_exact(spark, clustered):
+    rec = IVF.ivf_recall_vs_exact(clustered, nlist=4, nprobe=4, n_queries=5, k=5)
+    assert rec == 100.0
+
+
+def test_clustered_data_high_recall_single_probe(spark, clustered):
+    """Well-separated clusters: nprobe=1 still finds the true neighbors
+    (they share the query's cell)."""
+    rec = IVF.ivf_recall_vs_exact(clustered, nlist=4, nprobe=1, n_queries=5, k=5)
+    assert rec >= 95.0
+
+
+def test_ivf_topk_restricts_scan(spark, clustered):
+    indexed, cents = IVF.build_ivf(clustered, nlist=4, max_train_rows=200)
+    q = [float(x) for x in clustered.first()["embedding"]]
+    probed = IVF.probe_cells(cents, q, 1)
+    out = IVF.ivf_topk(indexed, cents, q, k=5, nprobe=1)
+    cells_seen = {r["cell"] for r in out.collect()}
+    assert cells_seen.issubset(set(probed))
