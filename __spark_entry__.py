@@ -35,6 +35,11 @@ TABLES = (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver supplies its own SparkSession; make sure executors can import
+    # this package inside pandas-UDF queries regardless of driver cwd
+    from lantern_extras_spark.session import _ship_package
+
+    _ship_package(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -83,6 +83,12 @@ def main() -> None:
 
     timed("pq_e2e", pq_e2e)
 
+    # Embedding throughput per the reference's measure-model-speed methodology
+    # (BASELINE.md): emb/s on the short-text synthetic table, warm-up discarded.
+    from lantern_extras_spark.embeddings.speed import measure_model_speed
+
+    speed = measure_model_speed(spark, max_tokens=200)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
@@ -97,6 +103,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "embedding_rows_per_sec": {
+                    "short_text": speed.emb_per_sec_max,
+                    "long_text": speed.emb_per_sec_min,
+                    "avg": speed.emb_per_sec_avg,
+                    "model": speed.model,
+                    "runtime": speed.runtime,
+                },
             }
         )
     )

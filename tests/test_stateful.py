@@ -1,0 +1,33 @@
+"""Streaming exact dedup with applyInPandasWithState: within-batch and
+cross-batch (checkpointed state) dedup semantics."""
+
+import pytest
+
+from lantern_extras_spark.streaming.stateful import start_dedup_stream
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],  # 3 dups 1 within batch
+        "doc_id long, text string",
+    )
+    batch1.coalesce(1).write.mode("overwrite").parquet(src)
+    q = start_dedup_stream(spark, src, batch1.schema, out, ckpt)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    texts1 = sorted(r["text"] for r in first.collect())
+    assert texts1 == ["alpha", "beta"]
+
+    # batch 2: one repeat from batch 1 (state must reject), one new
+    batch2 = spark.createDataFrame([(4, "alpha"), (5, "gamma")], "doc_id long, text string")
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    q2 = start_dedup_stream(spark, src, batch1.schema, out, ckpt)
+    q2.awaitTermination(120)
+    final = spark.read.parquet(out)
+    texts = sorted(r["text"] for r in final.collect())
+    assert texts == ["alpha", "beta", "gamma"]  # 'alpha' admitted exactly once ever
+    assert final.count() == 3
