@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 from lantern_extras_spark.functions import text as T
 from lantern_extras_spark.functions import vector as V
 from lantern_extras_spark.functions.hashing import hash32
+from lantern_extras_spark.functions.portable import portable_round_sql, pround
 from lantern_extras_spark.embeddings.pipeline import hash_embedding, ignore_filter
 from lantern_extras_spark.operators import dedup as D
 from lantern_extras_spark.operators import knn as K
@@ -135,11 +136,11 @@ def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            pround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            pround(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -154,7 +155,7 @@ def q_top_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
     return rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc()).limit(10)
 
@@ -174,7 +175,7 @@ def q_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
 
 
@@ -189,7 +190,7 @@ def q_returned_items(spark: SparkSession, sf: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
@@ -203,7 +204,7 @@ def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour"),
             "event_type",
         )
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n"), pround(F.sum("value"), 2).alias("total_value"))
     )
 
 
@@ -235,7 +236,7 @@ def q_user_sessions(spark: SparkSession, sf: str) -> DataFrame:
 def q_top_users_per_type(spark: SparkSession, sf: str) -> DataFrame:
     """Ranking window: top-5 users by total value within each event type."""
     ev = _events(spark, sf)
-    totals = ev.groupBy("event_type", "user_id").agg(F.round(F.sum("value"), 2).alias("total_value"))
+    totals = ev.groupBy("event_type", "user_id").agg(pround(F.sum("value"), 2).alias("total_value"))
     w = Window.partitionBy("event_type").orderBy(F.col("total_value").desc(), F.col("user_id").asc())
     return totals.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 5)
 
@@ -255,9 +256,9 @@ def q_vector_distances(spark: SparkSession, sf: str) -> DataFrame:
         a.join(b, "vec_id")
         .select(
             "vec_id",
-            F.round(V.l2sq_dist("va", "vb"), 5).alias("l2sq"),
-            F.round(V.cos_sim("va", "vb"), 6).alias("cosine"),
-            F.round(V.inner_product("va", "vb"), 5).alias("dot"),
+            pround(V.l2sq_dist("va", "vb"), 5).alias("l2sq"),
+            pround(V.cos_sim("va", "vb"), 6).alias("cosine"),
+            pround(V.inner_product("va", "vb"), 5).alias("dot"),
             V.hamming_dist(sign(F.col("va")), sign(F.col("vb"))).cast("bigint").alias("sign_hamming"),
         )
     )
@@ -295,8 +296,8 @@ def q_label_vector_stats(spark: SparkSession, sf: str) -> DataFrame:
         emb.groupBy("label")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg(V.vector_norm("embedding")), 5).alias("avg_norm"),
-            F.round(F.avg(F.element_at(F.col("embedding"), 1)), 6).alias("avg_e0"),
+            pround(F.avg(V.vector_norm("embedding")), 5).alias("avg_norm"),
+            pround(F.avg(F.element_at(F.col("embedding"), 1)), 6).alias("avg_e0"),
         )
     )
 
@@ -316,7 +317,7 @@ def q_embed_documents(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.when(ignore_filter("text"), F.size(emb)).cast("bigint").alias("emb_dim"),
         F.when(ignore_filter("text"), V.vector_checksum(d, 5)).alias("emb_checksum"),
-        F.when(ignore_filter("text"), F.round(F.element_at(d, 1), 6)).alias("e0"),
+        F.when(ignore_filter("text"), pround(F.element_at(d, 1), 6)).alias("e0"),
     )
 
 
@@ -330,7 +331,7 @@ def q_doc_search(spark: SparkSession, sf: str) -> DataFrame:
     )
     qcol = F.lit(qv).cast("array<double>")
     scored = corpus.select(
-        "doc_id", F.round(V.cos_sim(F.col("emb"), qcol), 6).alias("cosine")
+        "doc_id", pround(V.cos_sim(F.col("emb"), qcol), 6).alias("cosine")
     )
     w = Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
     return (
@@ -351,8 +352,8 @@ def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.sum(T.token_count("text")).cast("bigint").alias("total_tokens"),
             F.sum(T.bpe_ish_token_count("text")).cast("bigint").alias("total_bpe_tokens"),
-            F.round(F.avg(T.uniq_token_ratio("text")), 5).alias("avg_uniq_ratio"),
-            F.round(F.avg(T.punct_ratio("text")), 6).alias("avg_punct_ratio"),
+            pround(F.avg(T.uniq_token_ratio("text")), 5).alias("avg_uniq_ratio"),
+            pround(F.avg(T.punct_ratio("text")), 6).alias("avg_punct_ratio"),
         )
     )
 
@@ -374,8 +375,8 @@ def q_quality_by_lang(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
     qm = TS.quality_metrics(docs)
     return qm.groupBy("lang").agg(
-        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
-        F.round(F.avg("mean_token_len"), 5).alias("avg_mean_token_len"),
+        pround(F.avg("quality_score"), 6).alias("avg_quality"),
+        pround(F.avg("mean_token_len"), 5).alias("avg_mean_token_len"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
 
@@ -414,7 +415,7 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Blocked pairwise 3-gram Jaccard ≥ 0.2 within (lang, source) blocks."""
     docs = _t(spark, sf, "documents")
     pairs = D.ngram_jaccard_pairs(docs, block_cols=("lang", "source"), threshold=0.2)
-    return pairs.select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))
+    return pairs.select("id_a", "id_b", pround("jaccard", 5).alias("jaccard"))
 
 
 def q_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
@@ -461,7 +462,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     verify step is pinned by q_ngram_jaccard's oracle."""
     docs = _t(spark, sf, "documents")
     return D.minhash_dedup(docs, n_hashes=32, bands=8, threshold=0.2).select(
-        "id_a", "id_b", F.round("jaccard", 5).alias("jaccard")
+        "id_a", "id_b", pround("jaccard", 5).alias("jaccard")
     )
 
 
@@ -504,7 +505,7 @@ def q_events_asof_signup(spark: SparkSession, sf: str) -> DataFrame:
     left = ev.select("event_id", "user_id", "ts")
     signups = (
         ev.where(F.col("event_type") == "signup")
-        .select("user_id", "ts", F.round("value", 2).alias("signup_value"))
+        .select("user_id", "ts", pround("value", 2).alias("signup_value"))
     )
     out = TMP.asof_join(left, signups, on="ts", by=["user_id"])
     return out.select(
@@ -535,7 +536,7 @@ def q_sales_rollup(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .agg(pround(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
     )
 
 
@@ -544,9 +545,9 @@ def q_value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     both engines)."""
     ev = _events(spark, sf)
     return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", 0.5), 4).alias("p50"),
-        F.round(F.percentile("value", 0.9), 4).alias("p90"),
-        F.round(F.percentile("value", 0.99), 4).alias("p99"),
+        pround(F.percentile("value", 0.5), 4).alias("p50"),
+        pround(F.percentile("value", 0.9), 4).alias("p90"),
+        pround(F.percentile("value", 0.99), 4).alias("p99"),
     )
 
 
@@ -569,7 +570,7 @@ def q_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
                        vec_col="embedding", id_col="vec_id")
     return out.select(
         "vec_id", F.col("cell").cast("bigint").alias("cell"),
-        F.round("distance", 5).alias("l2sq_distance"),
+        pround("distance", 5).alias("l2sq_distance"),
     )
 
 
@@ -625,7 +626,7 @@ def _ivf_qv_sql() -> str:
     qv = _hash_embed_py(IVF_QUERY_TEXT, dim=64)
     return "[" + ", ".join(repr(x) for x in qv) + "]::DOUBLE[]"
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_raw() -> dict[str, str]:
     emb16 = [_sql_embed_elem(i) for i in range(16)]
     emb_sum = " + ".join(emb16)
     qv = _hash_embed_py(QUERY_TEXT)
@@ -997,3 +998,9 @@ def oracle_sql() -> dict[str, str]:
             FROM scored ORDER BY dist ASC, vec_id ASC LIMIT 5
         """,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    """All float rounding rewritten to the engine-portable floor-form so both
+    engines round bit-identically (see functions/portable.py)."""
+    return {name: portable_round_sql(sql) for name, sql in _oracle_sql_raw().items()}

@@ -82,4 +82,6 @@ def vector_checksum(a: Column | str, scale: int = 5) -> Column:
     """Rounded element sum — a scalar fingerprint of a vector used by the
     correctness harness to compare array columns across engines without
     depending on array serialization formats."""
-    return F.round(F.aggregate(_d(a), F.lit(0.0), lambda acc, x: acc + x), scale)
+    from lantern_extras_spark.functions.portable import pround
+
+    return pround(F.aggregate(_d(a), F.lit(0.0), lambda acc, x: acc + x), scale)

@@ -37,6 +37,7 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
+from lantern_extras_spark.functions.portable import pround
 from lantern_extras_spark.functions.vector import cos_dist, hamming_dist, inner_product, l2sq_dist
 
 METRICS = ("l2sq", "cos", "hamming", "dot")
@@ -124,7 +125,7 @@ def knn_join(
     if strategy == "crossjoin":
         d = distance_col(metric, F.col(vec_col), F.col(qvec_col))
         if dist_scale is not None:
-            d = F.round(d, dist_scale)
+            d = pround(d, dist_scale)
         joined = data.select(id_col, vec_col).crossJoin(
             F.broadcast(queries.select(qid_col, qvec_col))
         )
@@ -163,7 +164,8 @@ def knn_join(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             D = _np_distances(metric, X, Qm)
             if dist_scale is not None:
-                D = np.round(D, dist_scale)
+                s = float(10**dist_scale)
+                D = np.floor(D * s + 0.5) / s  # portable rounding (matches pround)
             kk = min(k, len(pdf))
             # per query: k smallest with (distance, id) tie-break
             for j in range(Qm.shape[0]):

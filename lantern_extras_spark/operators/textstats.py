@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lantern_extras_spark.functions.portable import pround
+
 from lantern_extras_spark.functions.hashing import hash32
 from lantern_extras_spark.functions.text import (
     bpe_ish_token_count,
@@ -80,16 +82,16 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     uniq = uniq_token_ratio(t)
     pr = punct_ratio(t)
     length_ok = F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
-    score = F.round(
+    score = pround(
         (0.4 * uniq + 0.3 * length_ok + 0.3 * (1.0 - F.least(pr * 5.0, F.lit(1.0)))), 6
     )
     return (
         df.withColumn("n_tokens", n_tok)
         .withColumn("n_bpe_tokens", bpe_ish_token_count(t))
         .withColumn("n_chars_m", F.length(t))
-        .withColumn("mean_token_len", F.round(mean_len, 6))
-        .withColumn("punct_ratio", F.round(pr, 6))
-        .withColumn("uniq_ratio", F.round(uniq, 6))
+        .withColumn("mean_token_len", pround(mean_len, 6))
+        .withColumn("punct_ratio", pround(pr, 6))
+        .withColumn("uniq_ratio", pround(uniq, 6))
         .withColumn("quality_score", score)
     )
 
@@ -110,5 +112,9 @@ def fingerprint(
     return df.select(
         F.col(id_col),
         sketch.alias("fingerprint"),
-        F.md5(F.concat_ws(",", sketch.cast("array<string>"))).alias("fp_key"),
+        # empty documents have no fingerprint (NULL, matching SQL semantics
+        # where array_to_string of an empty list is NULL)
+        F.when(
+            F.size(sketch) > 0, F.md5(F.concat_ws(",", sketch.cast("array<string>")))
+        ).alias("fp_key"),
     )

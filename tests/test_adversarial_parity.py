@@ -1,0 +1,98 @@
+"""Adversarial oracle parity: the same Spark-vs-DuckDB hash gate, but over a
+synthetic scale-factor directory stuffed with edge cases the generated test
+data doesn't contain — empty/whitespace/unicode/sentinel texts, zero vectors,
+exact-duplicate vectors (distance ties), so regex/trim/tie-break divergence
+between engines shows up here first."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from oracle_check import run_all
+
+REAL_SF = "/root/testdata/sf0.001"
+
+NASTY_TEXTS = [
+    "",                                   # empty -> ignore filter
+    "   ",                                # whitespace only
+    "\tleading tab and\ttabs inside",
+    "newline\nseparated\nlines here",
+    "Error: Summary failed (llm)",        # sentinel -> ignore filter
+    "unicode nbsp token and café words",
+    "ALL CAPS SHOUTY DOCUMENT TEXT",
+    "a",                                  # single char
+    "the the the the the the",            # degenerate repetition
+    "mixed 123 numbers-and-punct!!! ???",
+    "x " * 500,                           # long repetitive
+    "word"                                # single token
+] + [f"normal document number {i} with some shared words" for i in range(20)]
+
+
+@pytest.fixture(scope="module")
+def nasty_sf(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("nasty_sf")
+    # copy the real small tables, then overwrite documents + embeddings
+    for t in "region nation customer supplier part orders lineitem events".split():
+        shutil.copy(f"{REAL_SF}/{t}.parquet", d / f"{t}.parquet")
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(NASTY_TEXTS)),
+            "text": NASTY_TEXTS,
+            "lang": ["en", "de", "fr", "es", "zh"] * (len(NASTY_TEXTS) // 5) + ["en"] * (len(NASTY_TEXTS) % 5),
+            "source": [f"src{i % 3}" for i in range(len(NASTY_TEXTS))],
+            "n_chars": [len(t) for t in NASTY_TEXTS],
+        }
+    )
+    docs.to_parquet(d / "documents.parquet", index=False)
+
+    rng = np.random.RandomState(11)
+    vecs = [rng.randn(8).astype("float32") for _ in range(26)]
+    vecs[3] = np.zeros(8, dtype="float32")          # zero vector (cos guard)
+    vecs[7] = vecs[6].copy()                        # exact duplicate -> distance tie
+    vecs[12] = vecs[6].copy()                       # triple tie
+    emb = pd.DataFrame(
+        {
+            "vec_id": range(26),
+            "embedding": [v.tolist() for v in vecs],
+            "label": [i % 3 for i in range(26)],
+        }
+    )
+    emb.to_parquet(d / "embeddings.parquet", index=False)
+    return str(d)
+
+
+TEXT_AND_VECTOR_QUERIES = [
+    "embed_documents",
+    "doc_search",
+    "token_stats",
+    "language_id",
+    "quality_by_lang",
+    "dedup_exact",
+    "minhash_signatures",
+    "simhash",
+    "ngram_jaccard",
+    "fingerprints",
+    "vector_distances",
+    "knn_cos",
+    "knn_l2",
+    "label_vector_stats",
+    "pq_assign",
+    "ivf_search",
+]
+
+
+def test_adversarial_oracle_parity(spark, nasty_sf):
+    res = run_all(spark, nasty_sf, only=TEXT_AND_VECTOR_QUERIES)
+    errs = {k: v.get("error") for k, v in res.items() if "error" in v}
+    assert not errs, errs
+    bad = {
+        k: (v["spark"][:2], v["oracle"][:2])
+        for k, v in res.items()
+        if "hash_match" in v and not (v["rows_match"] and v["cols_match"] and v["hash_match"])
+    }
+    assert not bad, bad
+    assert len(res) == len(TEXT_AND_VECTOR_QUERIES)
