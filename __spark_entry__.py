@@ -551,6 +551,24 @@ def q_value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_event_type_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct aggregation: per event type, exact distinct users + totals."""
+    ev = _events(spark, sf)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        pround(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def q_purchasers_no_errors(spark: SparkSession, sf: str) -> DataFrame:
+    """Set difference: users who purchased but never errored (EXCEPT)."""
+    ev = _events(spark, sf)
+    purchasers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+    return purchasers.exceptAll(erroring)
+
+
 IVF_QUERY_TEXT = "ivf probe query"
 
 
@@ -613,6 +631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_rollup": q_sales_rollup,
         "value_percentiles": q_value_percentiles,
         "ivf_search": q_ivf_search,
+        "event_type_users": q_event_type_users,
+        "purchasers_no_errors": q_purchasers_no_errors,
         # rows-only (non-SQL-expressible) entries:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "embedding_neardup": q_embedding_neardup,
@@ -996,6 +1016,17 @@ def _oracle_sql_raw() -> dict[str, str]:
             )
             SELECT vec_id, CAST(cell AS BIGINT) AS cell, round(dist, 5) AS l2sq_distance
             FROM scored ORDER BY dist ASC, vec_id ASC LIMIT 5
+        """,
+        "event_type_users": """
+            SELECT event_type, count(*) AS n,
+                   count(DISTINCT user_id) AS n_users,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY event_type
+        """,
+        "purchasers_no_errors": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
         """,
     }
 

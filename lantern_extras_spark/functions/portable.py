@@ -63,7 +63,7 @@ def portable_round_sql(sql: str) -> str:
             # round(x) with no scale — leave untouched (integral rounding)
             out.append(sql[j:k])
         else:
-            expr = sql[j + 6 : last_comma]
+            expr = portable_round_sql(sql[j + 6 : last_comma])  # recurse into nesting
             scale = int(sql[last_comma + 1 : k - 1].strip())
             out.append(sql_pround(expr, scale))
         i = k

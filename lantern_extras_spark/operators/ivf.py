@@ -146,3 +146,107 @@ def ivf_recall_vs_exact(
     res_df = spark.createDataFrame(res_rows, "id long, neighbors array<long>")
     indexed.unpersist()
     return recall(truth_df, res_df, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composition: coarse cells + product-quantized residuals
+# ---------------------------------------------------------------------------
+
+def build_ivf_pq(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    splits: int = 8,
+    k: int = 256,
+    max_train_rows: int = 100_000,
+    seed: int = 42,
+):
+    """The classic IVF-PQ layout: assign each vector to its nearest coarse
+    centroid, then product-quantize the *residual* (v − centroid). Storage per
+    vector collapses to (cell id + `splits` bytes); search touches only probed
+    cells and reads only codes. Returns (indexed_df, centroids, codebook) where
+    indexed_df = df + cell + pqvec (residual codes)."""
+    from lantern_extras_spark.operators import pq as PQ
+
+    indexed, centroids = build_ivf(df, vec_col=vec_col, nlist=nlist,
+                                   max_train_rows=max_train_rows, seed=seed)
+    cents_arr = F.array(*[F.lit([float(x) for x in c]).cast("array<double>") for c in centroids])
+    residual = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.element_at(cents_arr, F.col("cell") + 1),
+        lambda a, b: (a - b).cast("float"),
+    )
+    with_res = indexed.withColumn("__residual", residual)
+    codebook = PQ.build_codebook(with_res, vec_col="__residual", splits=splits, k=k,
+                                 max_train_rows=max_train_rows, seed=seed)
+    coded = PQ.quantize(with_res, codebook, vec_col="__residual").drop("__residual")
+    return coded, centroids, codebook
+
+
+def ivf_pq_topk(
+    indexed_df: DataFrame,
+    centroids: list[list[float]],
+    codebook: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    code_col: str = "pqvec",
+) -> DataFrame:
+    """ADC search over IVF-PQ: one distance lookup table per probed cell
+    (query residual vs that cell's centroid), then each candidate row costs
+    `splits` table lookups. The scan is partition-pruned to probed cells and
+    reads only (id, cell, codes)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from lantern_extras_spark.operators.pq import _codebook_tensor, split_bounds
+
+    mats, splits = _codebook_tensor(codebook)
+    q = np.asarray(query_vec, dtype=np.float64)
+    dim = q.shape[0]
+    bounds = split_bounds(dim, splits)
+    cells = probe_cells(centroids, query_vec, nprobe)
+    C = np.asarray(centroids, dtype=np.float64)
+    # per probed cell: LUT[s][code] = || (q - centroid)[s] - codeword ||^2
+    luts = {}
+    for cell in cells:
+        rq = q - C[cell]
+        luts[cell] = [((mats[s] - rq[lo:hi]) ** 2).sum(axis=1) for s, (lo, hi) in enumerate(bounds)]
+    spark = indexed_df.sparkSession
+    b_luts = spark.sparkContext.broadcast(luts)
+
+    out_schema = StructType(
+        [StructField(id_col, LongType()), StructField("adc_distance", DoubleType())]
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        L = b_luts.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.asarray(
+                [np.frombuffer(c, dtype=np.uint8) if isinstance(c, (bytes, bytearray)) else np.asarray(c)
+                 for c in pdf[code_col].to_numpy()],
+                dtype=np.int64,
+            )
+            cells_v = pdf[cell_col].to_numpy()
+            dist = np.zeros(len(pdf))
+            for cell, lut in L.items():
+                mask = cells_v == cell
+                if not mask.any():
+                    continue
+                d = np.zeros(mask.sum())
+                for s in range(splits):
+                    d += lut[s][codes[mask, s]]
+                dist[mask] = d
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "adc_distance": dist})
+
+    pruned = indexed_df.where(F.col(cell_col).isin([int(c) for c in cells])).select(
+        id_col, cell_col, code_col
+    )
+    scanned = pruned.mapInPandas(scan, out_schema)
+    return scanned.orderBy(F.col("adc_distance").asc(), F.col(id_col).asc()).limit(k)

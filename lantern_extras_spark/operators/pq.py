@@ -101,6 +101,8 @@ def build_codebook(
     Training sample is seeded `df.sample` capped at `max_train_rows` (Q6
     semantics); each subvector is fit independently.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = df.sparkSession
     total = df.count()
     frac = min(1.0, max_train_rows / max(total, 1) * 1.2)
@@ -108,11 +110,16 @@ def build_codebook(
     X = np.array([list(map(float, r[0])) for r in sample], dtype=np.float64)
     dim = X.shape[1]
     bounds = split_bounds(dim, splits)
-    rows = []
-    for sub_id, (lo, hi) in enumerate(bounds):
+
+    def fit(sub_id: int) -> list:
+        lo, hi = bounds[sub_id]
         cents = _kmeans_fit(X[:, lo:hi], k, max_iter=max_iter, tol=tol, seed=seed + sub_id)
-        for cid, c in enumerate(cents):
-            rows.append((sub_id, cid, [float(x) for x in c]))
+        return [(sub_id, cid, [float(x) for x in c]) for cid, c in enumerate(cents)]
+
+    # subvector fits are independent; BLAS releases the GIL, so a thread pool
+    # gives near-linear speedup (the reference uses rayon here, codebook.rs:248)
+    with ThreadPoolExecutor(max_workers=min(splits, 16)) as pool:
+        rows = [r for chunk in pool.map(fit, range(splits)) for r in chunk]
     schema = StructType(
         [
             StructField("subvector_id", IntegerType(), False),

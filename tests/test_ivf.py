@@ -55,3 +55,23 @@ def test_ivf_topk_restricts_scan(spark, clustered):
     out = IVF.ivf_topk(indexed, cents, q, k=5, nprobe=1)
     cells_seen = {r["cell"] for r in out.collect()}
     assert cells_seen.issubset(set(probed))
+
+
+def test_ivf_pq_end_to_end(spark, clustered):
+    from lantern_extras_spark.operators.knn import ground_truth, recall
+
+    coded, cents, cb = IVF.build_ivf_pq(clustered, nlist=4, splits=8, k=32, max_train_rows=200)
+    coded = coded.cache()
+    assert coded.columns == ["vec_id", "embedding", "cell", "pqvec"]
+    assert coded.count() == 200
+    truth = ground_truth(clustered, n_queries=4, k=5, seed=3).collect()
+    res = []
+    for r in truth:
+        ids = [x[0] for x in IVF.ivf_pq_topk(coded, cents, cb, list(map(float, r["v"])), k=5, nprobe=2).collect()]
+        res.append((r["id"], ids))
+    tdf = spark.createDataFrame([(r["id"], [int(x) for x in r["neighbors"]]) for r in truth],
+                                "id long, neighbors array<long>")
+    rdf = spark.createDataFrame(res, "id long, neighbors array<long>")
+    # tightly clustered fixture: residual PQ at nprobe=2 must stay accurate
+    assert recall(tdf, rdf, 5) >= 60.0
+    coded.unpersist()
