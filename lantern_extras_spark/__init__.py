@@ -11,4 +11,5 @@ numpy kernels (PQ assignment, model inference).
 
 __version__ = "0.1.0"
 
-from lantern_extras_spark.session import get_spark  # noqa: F401
+from lantern_extras_spark.session import get_spark, load_tables  # noqa: F401
+from lantern_extras_spark.collections import CollectionStore  # noqa: F401

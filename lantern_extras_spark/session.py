@@ -74,7 +74,13 @@ def get_spark(app_name: str = "lantern-extras-spark", shuffle_partitions: int | 
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None) -> dict:
-    """Load the standard parquet tables of a test scale-factor directory."""
+    """Load the standard parquet tables of a test scale-factor directory.
+
+    `events` carries TIMESTAMP(NANOS), which Spark's parquet reader rejects —
+    it is read as long nanos and truncated to a microsecond timestamp
+    (identical to DuckDB's ns→us cast)."""
+    from pyspark.sql import functions as F
+
     names = names or (
         "region",
         "nation",
@@ -87,4 +93,12 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         "documents",
         "embeddings",
     )
-    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+    out = {}
+    for n in names:
+        if n == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+            out[n] = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        else:
+            out[n] = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+    return out

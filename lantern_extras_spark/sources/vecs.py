@@ -113,3 +113,33 @@ def write_fvecs(path: str, vectors: list[list[float]]) -> None:
         for v in vectors:
             f.write(struct.pack("<I", len(v)))
             f.write(np.asarray(v, dtype=np.float32).tobytes())
+
+
+def read_jdbc_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str,
+    lower_bound: int,
+    upper_bound: int,
+    num_partitions: int = 32,
+    **options: str,
+) -> DataFrame:
+    """S6/S8 — the reference's chunked portal scan / parallel range fetch
+    (lantern_cli/src/embeddings/mod.rs:74-108, pq/codebook.rs:168-211) is, in
+    Spark, a partitioned JDBC read: `num_partitions` concurrent range queries
+    over the pk, exactly the reference's hand-rolled WHERE pk >= a AND pk < b
+    fan-out. Requires a JDBC driver on the classpath (none in this container —
+    untestable here, kept thin by design)."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("partitionColumn", partition_column)
+        .option("lowerBound", str(lower_bound))
+        .option("upperBound", str(upper_bound))
+        .option("numPartitions", str(num_partitions))
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

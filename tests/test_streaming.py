@@ -65,3 +65,41 @@ def test_windowed_event_counts_batch_parity(spark):
     got = {(str(r["window_start"]), r["event_type"]): (r["n"], r["total_value"]) for r in out}
     assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
     assert got[("2024-01-01 01:00:00", "view")] == (1, 3.0)
+
+
+def test_streaming_embed_then_quantize(spark, tmp_path):
+    """Q5 trigger parity: PQ codes stay fresh compute-on-write — the streaming
+    micro-batch embeds new rows AND quantizes them in the same foreachBatch."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lantern_extras_spark.embeddings.pipeline import embed_column
+    from lantern_extras_spark.operators import pq as PQ
+
+    src = str(tmp_path / "src"); out = str(tmp_path / "out"); ckpt = str(tmp_path / "ckpt")
+    docs = spark.createDataFrame([(i, f"doc body {i}") for i in range(20)], "id long, title string")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+
+    # codebook fit offline on an embedded snapshot (16-dim hash embeddings)
+    snap = embed_column(docs, "title", "emb")
+    cb = PQ.build_codebook(snap.where("emb is not null"), vec_col="emb", splits=4, k=8,
+                           max_train_rows=100)
+
+    def handle_batch(batch_df, batch_id):
+        embedded = embed_column(batch_df, "title", "emb")
+        coded = PQ.quantize(embedded.where("emb is not null"), cb, vec_col="emb")
+        coded.write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema(docs.schema).parquet(src)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.read.parquet(out)
+    assert res.count() == 20
+    rows = res.select("pqvec").collect()
+    assert all(len(r["pqvec"]) == 4 for r in rows)
+    assert all(0 <= c < 8 for r in rows for c in r["pqvec"])
