@@ -28,10 +28,10 @@ from __future__ import annotations
 import hashlib
 import json
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Sequence
 
-from lantern_extras_spark.embeddings.registry import MODEL_REGISTRY, model_dim
+from lantern_extras_spark.embeddings.registry import model_dim
 
 # Reference retry policy: 5 attempts, 4000 ms * (attempt+1) backoff (core/utils.rs:88-99)
 MAX_RETRIES = 5

@@ -43,7 +43,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from lantern_extras_spark.operators.knn import knn_join
 
 
 def split_bounds(dim: int, splits: int) -> list[tuple[int, int]]:
