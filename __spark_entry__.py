@@ -37,10 +37,12 @@ TABLES = (
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the driver supplies its own SparkSession; make sure executors can import
-    # this package inside pandas-UDF queries regardless of driver cwd
+    # this package inside pandas-UDF queries regardless of driver cwd, and pin
+    # UTC so timestamp rendering matches the (timezone-naive) DuckDB oracle
     from lantern_extras_spark.session import _ship_package
 
     _ship_package(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -49,6 +51,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejects; read nanos as long and truncate to microseconds — bit-identical to
     DuckDB's ns→us cast (truncation, verified)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
