@@ -572,6 +572,32 @@ def q_purchasers_no_errors(spark: SparkSession, sf: str) -> DataFrame:
     return purchasers.exceptAll(erroring)
 
 
+def q_order_priority_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — orders in a date window having at
+    least one late lineitem, counted by priority."""
+    orders = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    late = _t(spark, sf, "lineitem").select("l_orderkey").distinct()
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Anti join: customers that never placed an order, counted per segment."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").select("o_custkey").distinct()
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
 IVF_QUERY_TEXT = "ivf probe query"
 
 
@@ -586,7 +612,8 @@ def q_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
     centroids = [list(map(float, r["embedding"])) for r in cents_rows]
     dim = len(centroids[0])
     qv = _hash_embed_py(IVF_QUERY_TEXT, dim=dim)
-    indexed = IVF.assign_cells(emb, centroids, vec_col="embedding")
+    # native expression: same (a-b)^2 summation order as the SQL oracle
+    indexed = IVF.assign_cells(emb, centroids, vec_col="embedding", impl="native")
     out = IVF.ivf_topk(indexed, centroids, qv, k=5, nprobe=2, metric="l2sq",
                        vec_col="embedding", id_col="vec_id")
     return out.select(
@@ -636,6 +663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_search": q_ivf_search,
         "event_type_users": q_event_type_users,
         "purchasers_no_errors": q_purchasers_no_errors,
+        "order_priority_counts": q_order_priority_counts,
+        "customers_without_orders": q_customers_without_orders,
         # rows-only (non-SQL-expressible) entries:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "embedding_neardup": q_embedding_neardup,
@@ -1030,6 +1059,20 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
             EXCEPT
             SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        """,
+        "order_priority_counts": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+            GROUP BY o_orderpriority
+        """,
+        "customers_without_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment
         """,
     }
 
