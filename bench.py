@@ -69,6 +69,10 @@ def main() -> None:
         "sales_rollup",
         "value_percentiles",
         "ivf_search",
+        "event_type_users",
+        "purchasers_no_errors",
+        "order_priority_counts",
+        "customers_without_orders",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))
