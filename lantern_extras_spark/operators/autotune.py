@@ -164,3 +164,80 @@ def autotune_pq(
     if results is not None:
         results.append(exp, k, n_queries, out)
     return select_best(out, target_recall), out
+
+
+# Default IVF variant grid: (nlist, nprobe) coarse→fine
+DEFAULT_IVF_VARIANTS: tuple[tuple[int, int], ...] = (
+    (64, 1),
+    (64, 4),
+    (32, 4),
+    (16, 4),
+    (16, 8),
+    (8, 8),
+)
+
+
+def autotune_ivf(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_queries: int = 10,
+    target_recall: float = 99.9,
+    variants: tuple[tuple[int, int], ...] = DEFAULT_IVF_VARIANTS,
+    results: AutotuneResults | None = None,
+    experiment_id: str | None = None,
+    seed: int = 42,
+    max_train_rows: int = 20_000,
+) -> tuple[VariantResult | None, list[VariantResult]]:
+    """IVF (nlist, nprobe) sweep vs exact ground truth — same N5/N6/W2
+    semantics as `autotune_pq`, tuning the other approximate-kNN structure.
+    VariantResult reuses (splits=nlist, clusters=nprobe) fields for storage."""
+    from lantern_extras_spark.operators import ivf as IVF
+
+    exp = experiment_id or f"ivf:{vec_col}"
+    if results is not None:
+        cached = results.lookup(exp, k, n_queries)
+        if cached:
+            return select_best(cached, target_recall), cached
+
+    truth = ground_truth(
+        df, n_queries=n_queries, k=k, metric="l2sq", id_col=id_col, vec_col=vec_col, seed=seed
+    ).collect()
+    spark = df.sparkSession
+    truth_df = spark.createDataFrame(
+        [(r["id"], [int(x) for x in r["neighbors"]]) for r in truth],
+        "id long, neighbors array<long>",
+    )
+    queries = [(r["id"], list(map(float, r["v"]))) for r in truth]
+
+    out: list[VariantResult] = []
+    built: dict[int, tuple] = {}
+    for nlist, nprobe in variants:
+        t0 = time.monotonic()
+        if nlist not in built:
+            indexed, cents = IVF.build_ivf(df, vec_col=vec_col, nlist=nlist,
+                                           max_train_rows=max_train_rows, seed=seed)
+            indexed = indexed.cache()
+            indexed.count()
+            built[nlist] = (indexed, cents)
+        indexed, cents = built[nlist]
+        build_time = time.monotonic() - t0
+
+        t1 = time.monotonic()
+        res_rows = []
+        for qid, qv in queries:
+            ids = [r[0] for r in IVF.ivf_topk(indexed, cents, qv, k=k, nprobe=nprobe,
+                                              vec_col=vec_col, id_col=id_col).select(id_col).collect()]
+            res_rows.append((qid, ids))
+        latency = (time.monotonic() - t1) / max(len(queries), 1)
+        rec = recall(truth_df, spark.createDataFrame(res_rows, "id long, neighbors array<long>"), k)
+        out.append(VariantResult(nlist, nprobe, rec, round(latency, 4), round(build_time, 4)))
+        if rec >= target_recall:
+            break
+
+    for indexed, _ in built.values():
+        indexed.unpersist()
+    if results is not None:
+        results.append(exp, k, n_queries, out)
+    return select_best(out, target_recall), out

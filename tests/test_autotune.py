@@ -70,3 +70,18 @@ def test_measure_model_speed(spark):
     assert rep.emb_per_sec_avg == pytest.approx(
         (rep.emb_per_sec_max + rep.emb_per_sec_min) / 2, rel=0.01
     )
+
+
+def test_autotune_ivf_sweep(spark, clustered, tmp_path):
+    store = AT.AutotuneResults(spark, str(tmp_path / "ivf_at"))
+    best, results = AT.autotune_ivf(
+        clustered, k=5, n_queries=3, target_recall=90.0,
+        variants=((5, 5), (5, 1)), results=store, max_train_rows=300,
+    )
+    assert best is not None
+    # full probe of all 5 cells is exact -> early stop on the first variant
+    assert results[0].recall == 100.0 and len(results) == 1
+    # cache round trip
+    best2, _ = AT.autotune_ivf(clustered, k=5, n_queries=3, target_recall=90.0,
+                               variants=((5, 5),), results=store, max_train_rows=300)
+    assert best2.recall == 100.0
