@@ -24,7 +24,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from lantern_extras_spark import CollectionStore, get_spark
-from lantern_extras_spark.embeddings import create_embeddings
 from lantern_extras_spark.jobs import JobStore, run_backfill
 from lantern_extras_spark.operators import autotune as AT
 from lantern_extras_spark.operators import dedup as D
