@@ -336,10 +336,15 @@ def q_doc_search(spark: SparkSession, sf: str) -> DataFrame:
     scored = corpus.select(
         "doc_id", pround(V.cos_sim(F.col("emb"), qcol), 6).alias("cosine")
     )
+    # Top-10 via orderBy().limit() → TakeOrderedAndProject (partial top-k per
+    # partition, k rows to driver) instead of ranking the whole corpus through a
+    # single-partition global window — the 100 TB-safe plan (reference
+    # http_server/search.rs is a LIMIT-k, not rank-everything). The rnk window
+    # then runs over only the 10 surviving rows.
+    top = scored.orderBy(F.col("cosine").desc(), F.col("doc_id").asc()).limit(10)
     w = Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rnk") <= 10)
+        top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .select("doc_id", "cosine", "rnk")
     )
 
@@ -871,8 +876,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "token_stats": f"""
             WITH t AS (SELECT source, {_sql_words()} AS w, text FROM documents)
             SELECT source,
-                   sum(len(w)) AS total_tokens,
-                   sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS total_bpe_tokens,
+                   CAST(sum(len(w)) AS BIGINT) AS total_tokens,
+                   CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens,
                    round(avg(CASE WHEN len(w) = 0 THEN 0.0 ELSE len(list_distinct(w)) / CAST(len(w) AS DOUBLE) END), 5) AS avg_uniq_ratio,
                    round(avg(CASE WHEN length(text) = 0 THEN 0.0
                              ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / CAST(length(text) AS DOUBLE) END), 6) AS avg_punct_ratio
@@ -883,7 +888,7 @@ def _oracle_sql_raw() -> dict[str, str]:
                  s AS (SELECT lang, {scores_sql} FROM t),
                  p AS (SELECT lang, {lang_case} AS lang_pred FROM s)
             SELECT lang, count(*) AS n,
-                   sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS n_correct
+                   CAST(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
             FROM p GROUP BY lang
         """,
         "quality_by_lang": f"""
@@ -907,7 +912,7 @@ def _oracle_sql_raw() -> dict[str, str]:
                  )
             SELECT lang, round(avg(quality_score), 6) AS avg_quality,
                    round(avg(round(mean_token_len, 6)), 5) AS avg_mean_token_len,
-                   sum(n_tokens) AS total_tokens
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
             FROM q GROUP BY lang
         """,
         "dedup_exact": """
@@ -917,7 +922,7 @@ def _oracle_sql_raw() -> dict[str, str]:
                        FROM h)
             SELECT source, count(*) AS n_docs,
                    count(DISTINCT text_hash) AS n_distinct,
-                   sum(CASE WHEN doc_id != canonical_id THEN 1 ELSE 0 END) AS n_dupes
+                   CAST(sum(CASE WHEN doc_id != canonical_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes
             FROM c GROUP BY source
         """,
         "minhash_signatures": f"""

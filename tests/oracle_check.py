@@ -43,15 +43,31 @@ def frame_fingerprint(df: pd.DataFrame) -> tuple[int, tuple[str, ...], str]:
     return len(df), tuple(cols), h
 
 
+def _dtype_kinds(df: pd.DataFrame) -> dict[str, str]:
+    """Numpy dtype 'kind' per column ('i' int, 'f' float, 'O' object, ...).
+
+    The driver's hash normalizer distinguishes int 7 from float 7.0 (our
+    _norm_val does not, to tolerate formatting differences), so an int-vs-float
+    column mismatch passes locally but fails the driver gate — e.g. DuckDB
+    summing integers to HUGEINT, which pandas materializes as float64. Comparing
+    kinds catches that class of bug locally.
+    """
+    return {c: df[c].dtype.kind for c in df.columns}
+
+
 def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> dict:
     n1, c1, h1 = frame_fingerprint(spark_df)
     n2, c2, h2 = frame_fingerprint(oracle_df)
+    k1, k2 = _dtype_kinds(spark_df), _dtype_kinds(oracle_df)
     return {
         "rows_match": n1 == n2,
         "cols_match": c1 == c2,
         "hash_match": h1 == h2,
+        "kinds_match": k1 == k2,
         "spark": (n1, c1, h1),
         "oracle": (n2, c2, h2),
+        "spark_kinds": k1,
+        "oracle_kinds": k2,
     }
 
 

@@ -28,6 +28,17 @@ def test_all_oracle_queries_match(results):
     assert not bad, {k: (v["spark"][:2], v["oracle"][:2]) for k, v in bad.items()}
 
 
+def test_dtype_kinds_match(results):
+    """int-vs-float column kind mismatches pass our value hash (7.0≡7) but fail
+    the driver's stricter normalizer — catch them locally (DuckDB HUGEINT→float64)."""
+    bad = {
+        k: (v["spark_kinds"], v["oracle_kinds"])
+        for k, v in results.items()
+        if "kinds_match" in v and not v["kinds_match"]
+    }
+    assert not bad, bad
+
+
 def test_rows_only_queries_execute(results):
     rows_only = {k: v for k, v in results.items() if "rows_only" in v}
     assert len(rows_only) >= 3  # the non-SQL-expressible surface stays alive

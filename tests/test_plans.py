@@ -57,3 +57,15 @@ def test_user_sessions_single_shuffle(spark):
     # windows + both aggregations share the user_id partitioning: 1 shuffle +
     # the final AQE read; allow ≤2 but never the naive 3-4
     assert plan_summary(df).n_shuffles <= 2
+
+
+def test_doc_search_uses_take_ordered_not_global_window(spark):
+    """Top-10 must be TakeOrderedAndProject (partial per-partition top-k); the
+    rnk window may only run downstream of the 10-row limit — never over the
+    whole scored corpus (a single-partition sort at 100 TB)."""
+    df = E.q_doc_search(spark, SF)
+    s = plan_summary(df)
+    assert "TakeOrderedAndProject" in s.text
+    # The window must consume the limit's output, not feed it: in the plan
+    # string the Window operator appears above (before) TakeOrderedAndProject.
+    assert s.text.index("Window") < s.text.index("TakeOrderedAndProject")
