@@ -39,9 +39,12 @@ def test_dtype_kinds_match(results):
     assert not bad, bad
 
 
-def test_rows_only_queries_execute(results):
-    rows_only = {k: v for k, v in results.items() if "rows_only" in v}
-    assert len(rows_only) >= 3  # the non-SQL-expressible surface stays alive
+def test_every_query_is_oracle_checked(results):
+    """Round 2: every queries() entry has a hash-checked DuckDB oracle — the
+    former rows-only set (LSH pairs, ADC top-k, partial kNN, hyperplane
+    near-dup) was promoted by replaying banding/LUT/hyperplanes in SQL."""
+    rows_only = {k for k, v in results.items() if "rows_only" in v}
+    assert not rows_only, rows_only
 
 
 def test_entry_smoke(spark):
