@@ -420,7 +420,13 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Blocked pairwise 3-gram Jaccard ≥ 0.2 within (lang, source) blocks."""
+    """Blocked exact 3-gram Jaccard ≥ 0.2 within (lang, source) blocks, via the
+    inverted-index strategy (explode hashed shingles → co-occurrence count =
+    |∩|) — identical results to the pairwise plan for threshold > 0, but cost
+    scales with shingle posting lists, not block². Blocks above
+    `max_block_rows` (default 20k) fail loudly or route through MinHash-LSH —
+    the quadratic-block guard lives in
+    lantern_extras_spark/operators/dedup.py:ngram_jaccard_pairs."""
     docs = _t(spark, sf, "documents")
     pairs = D.ngram_jaccard_pairs(docs, block_cols=("lang", "source"), threshold=0.2)
     return pairs.select("id_a", "id_b", pround("jaccard", 5).alias("jaccard"))

@@ -32,12 +32,31 @@ def main() -> None:
     # warm the JVM/session so query timings don't pay one-time startup costs
     spark.range(1000).select(F.sum("id")).collect()
 
+    # pre-touch every table: parquet footer + full scan so the first timed
+    # query doesn't absorb OS page-cache and metadata warm-up (the round-2
+    # bench charged ~2.4 s of one-time cost to whichever query ran first)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").foreach(lambda r: None)
+    E._events(spark, SF_DIR).foreach(lambda r: None)  # nanos-ts table needs the special reader
+    # warm the Python worker pool (mapInPandas queries fork+import on first use)
+    spark.range(32).repartition(32).mapInPandas(lambda it: it, "id long").foreach(lambda r: None)
+
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
+    N_ITER = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 
     def timed(name: str, fn) -> None:
-        t0 = time.monotonic()
-        fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+        # median-of-N so one GC pause / compile stall can't fake a regression;
+        # min is reported too (steady-state capability)
+        runs = []
+        for _ in range(N_ITER):
+            t0 = time.monotonic()
+            fn()
+            runs.append(time.monotonic() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
+        timings_min[name] = round(runs[0], 3)
 
     qs = E.queries()
     bench_set = [
@@ -73,6 +92,8 @@ def main() -> None:
         "purchasers_no_errors",
         "order_priority_counts",
         "customers_without_orders",
+        "embedding_neardup",
+        "pq_adc_topk",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))
@@ -106,6 +127,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
+                "bench_iters": N_ITER,
                 "sf": sf_val,
                 "embedding_rows_per_sec": {
                     "short_text": speed.emb_per_sec_max,

@@ -136,6 +136,7 @@ def lsh_candidate_pairs(
     bands: int = 8,
     id_col: str = "doc_id",
     max_bucket: int = 500,
+    n_hashes: int | None = None,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) sharing at least one LSH band bucket.
 
@@ -143,8 +144,13 @@ def lsh_candidate_pairs(
     Buckets larger than `max_bucket` are dropped (skew guard — they are almost
     always degenerate content and would otherwise create O(b²) pair explosions
     on a single executor).
+
+    Pass `n_hashes` (the signature length) to avoid a driver-side `first()`
+    probe — the probe costs one extra Spark job and is kept only as a fallback
+    for ad-hoc use.
     """
-    n_hashes = len(sigs.select("sig").first()[0])
+    if n_hashes is None:
+        n_hashes = len(sigs.select("sig").first()[0])
     rows_per_band = n_hashes // bands
     band_structs = F.array(
         *[
@@ -238,7 +244,7 @@ def minhash_dedup(
     that duplicates an earlier (smaller-id) one.
     """
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n).cache()
-    cands = lsh_candidate_pairs(sigs, bands, id_col, max_bucket)
+    cands = lsh_candidate_pairs(sigs, bands, id_col, max_bucket, n_hashes=n_hashes)
     sh = sigs.select(F.col(id_col), F.col("shingles"))
     verified = (
         cands.join(sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
@@ -364,38 +370,39 @@ def simhash_pairs(
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    block_cols: tuple[str, ...] = (),
-    shingle_n: int = 3,
-    threshold: float = 0.5,
+def _ngram_pairs_index(
+    sh: DataFrame, id_col: str, block_cols: tuple[str, ...], threshold: float
 ) -> DataFrame:
-    """Blocked pairwise n-gram Jaccard: self-join within `block_cols` blocks
-    (e.g. (lang, source)), exact Jaccard on distinct word n-grams.
-
-    Without blocking this is O(n²) — callers at scale must provide blocks or use
-    `minhash_dedup`. The blocked join shuffles on the block key only. Two cost
-    cuts that matter when blocks are large:
-    - length-band prune: jaccard ≥ t implies t·|b| ≤ |a| ≤ |b|/t, checked on
-      precomputed sizes before any array work;
-    - single intersect: jaccard = |∩| / (|a|+|b|−|∩|), avoiding a second
-      hash-set build for the union;
-    - int intersection: shingles are hashed (portable hash32) once per doc so
-      the per-pair set intersection compares 8-byte ints, not strings — the
-      dominant cost at |block|² pairs. The oracle hashes identically, so even
-      a hash collision (≈|sh|²/2³² per doc) cannot break cross-engine parity.
-    """
-    from pyspark import StorageLevel
-
-    sh = (
-        hashed_shingles(df, text_col, id_col, shingle_n, extra_cols=block_cols)
-        .withColumn("sh_n", F.size("sh"))
-        # both self-join sides read this; persist so shingling+hashing runs
-        # once, spilling to disk rather than recomputing at scale
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    """Inverted-index exact Jaccard: explode hashed shingles, self-join on
+    (block, shingle), count co-occurrences per pair = |∩|. A pair that shares
+    no shingle never materializes — exactly the pairs a threshold > 0 would
+    drop anyway — so results are identical to the pairwise plan while the work
+    is O(Σ posting-list²) instead of O(Σ block²)."""
+    e = sh.select(*block_cols, F.col(id_col), F.col("sh_n"), F.explode("sh").alias("h"))
+    a = e.select(*block_cols, "h", F.col(id_col).alias("id_a"), F.col("sh_n").alias("n_a"))
+    b = e.select(*block_cols, "h", F.col(id_col).alias("id_b"), F.col("sh_n").alias("n_b"))
+    inter = F.count("*").cast("double")
+    return (
+        a.join(b, [*block_cols, "h"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            (F.col("n_a") >= threshold * F.col("n_b"))
+            & (F.col("n_b") >= threshold * F.col("n_a"))
+        )
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(inter.alias("inter"))
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
+
+
+def _ngram_pairs_pairwise(
+    sh: DataFrame, id_col: str, block_cols: tuple[str, ...], threshold: float
+) -> DataFrame:
+    """All-pairs exact Jaccard within blocks — O(block²) `array_intersect`
+    calls. Correct for any threshold (including 0) but quadratic; the guard in
+    `ngram_jaccard_pairs` keeps it off oversized blocks."""
     a = sh.select(*block_cols, F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("sh_n").alias("n_a"))
     b = sh.select(*block_cols, F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.col("sh_n").alias("n_b"))
     on = list(block_cols) if block_cols else None
@@ -415,6 +422,118 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = (),
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    strategy: str = "index",
+    max_block_rows: int | None = 20_000,
+    on_oversize: str = "error",
+) -> DataFrame:
+    """Blocked exact n-gram Jaccard pairs within `block_cols` blocks
+    (e.g. (lang, source)): (id_a, id_b, jaccard) with jaccard ≥ threshold on
+    distinct word n-grams.
+
+    Strategies (identical results for threshold > 0):
+    - "index" (default): inverted-index join — explode each doc's hashed
+      shingle set, self-join on (block, shingle_hash), count co-occurrences
+      per pair = |∩|, jaccard = |∩|/(n_a+n_b−|∩|). Cost is driven by shingle
+      posting-list sizes, not block sizes, and the shuffle key is the
+      fine-grained (block, shingle) pair — this is the 100 TB path. Requires
+      threshold > 0 (zero-overlap pairs never materialize).
+    - "pairwise": all-pairs `array_intersect` self-join per block — O(block²).
+      Kept for threshold = 0 and tiny corpora.
+    Both share the length-band prune (jaccard ≥ t ⟹ t·|b| ≤ |a| ≤ |b|/t) and
+    hash shingles once per doc (portable hash32, so the DuckDB oracle replays
+    values bit-for-bit; a hash collision affects both engines identically).
+
+    Guard: blocks larger than `max_block_rows` are a quadratic cluster-killer
+    for "pairwise" and a posting-list blowup risk for "index". With
+    on_oversize="error" (default) the call fails loudly, naming the offending
+    blocks; with on_oversize="route", oversized blocks are sent through
+    MinHash-LSH (`minhash_dedup`, same threshold, pairs restricted to the same
+    block — approximate recall, exact jaccard values on surviving pairs) and
+    unioned with the exact pairs from the in-bound blocks. `max_block_rows=None`
+    disables the guard. This mirrors the reference's posture that exactness
+    belongs in a candidate-verify step, not an all-pairs scan
+    (lantern_cli/src/index_autotune/mod.rs:238-246 intersects only candidates).
+    """
+    from pyspark import StorageLevel
+
+    if strategy not in ("index", "pairwise"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if on_oversize not in ("error", "route"):
+        raise ValueError(f"unknown on_oversize {on_oversize!r}")
+    if strategy == "index" and threshold <= 0.0:
+        raise ValueError("strategy='index' requires threshold > 0; use strategy='pairwise'")
+
+    sh = (
+        hashed_shingles(df, text_col, id_col, shingle_n, extra_cols=block_cols)
+        .withColumn("sh_n", F.size("sh"))
+        # the guard count and both join sides read this; persist so
+        # shingling+hashing runs once, spilling to disk rather than recomputing
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    exact = _ngram_pairs_index if strategy == "index" else _ngram_pairs_pairwise
+
+    if max_block_rows is None:
+        return exact(sh, id_col, block_cols, threshold)
+
+    counts = (sh.groupBy(*block_cols) if block_cols else sh.groupBy(F.lit(0).alias("__all"))).count()
+    oversized = counts.where(F.col("count") > max_block_rows).collect()
+    if not oversized:
+        return exact(sh, id_col, block_cols, threshold)
+
+    desc = ", ".join(
+        ("(" + ", ".join(f"{c}={r[c]!r}" for c in block_cols) + ")" if block_cols else "<unblocked>")
+        + f": {r['count']} rows"
+        for r in oversized
+    )
+    if on_oversize == "error":
+        raise ValueError(
+            f"ngram_jaccard_pairs: block(s) exceed max_block_rows={max_block_rows}: {desc}. "
+            "Exact pairwise verification is quadratic per block — pass on_oversize='route' to "
+            "send oversized blocks through MinHash-LSH, raise max_block_rows deliberately, or "
+            "use minhash_dedup directly."
+        )
+
+    # on_oversize="route": exact path for in-bound blocks, MinHash-LSH for the rest
+    if not block_cols:
+        return minhash_dedup(
+            df, text_col, id_col, shingle_n=shingle_n, threshold=threshold
+        ).select("id_a", "id_b", "jaccard")
+    over_cond = None
+    for r in oversized:
+        c = None
+        for col in block_cols:
+            eq = F.col(col).eqNullSafe(F.lit(r[col]))
+            c = eq if c is None else c & eq
+        over_cond = c if over_cond is None else over_cond | c
+    ok_pairs = exact(sh.where(~over_cond), id_col, block_cols, threshold)
+    big_df = df.where(over_cond)
+    big_pairs = minhash_dedup(big_df, text_col, id_col, shingle_n=shingle_n, threshold=threshold)
+    # restrict LSH pairs to same-block (minhash_dedup is block-unaware)
+    blocks = big_df.select(F.col(id_col), *block_cols)
+    from functools import reduce
+
+    cond_same = reduce(
+        lambda a, b: a & b,
+        [F.col(f"__blk_a.{c}").eqNullSafe(F.col(f"__blk_b.{c}")) for c in block_cols],
+    )
+    big_pairs = (
+        big_pairs.join(
+            blocks.select(F.col(id_col).alias("id_a"), *block_cols).alias("__blk_a"), "id_a"
+        )
+        .join(blocks.select(F.col(id_col).alias("id_b"), *block_cols).alias("__blk_b"), "id_b")
+        .where(cond_same)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return ok_pairs.unionByName(big_pairs)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -423,6 +542,7 @@ def embedding_neardup_pairs(
     n_planes: int = 12,
     seed: int = 42,
     max_bucket: int = 2000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an embedding column via random-hyperplane
     LSH: bucket key = sign bits of `n_planes` seeded hyperplane projections; cosine
@@ -430,12 +550,16 @@ def embedding_neardup_pairs(
 
     sim(bucket collision) ≈ (1 - θ/π)^n_planes, so n_planes trades recall for
     bucket size; at 100 TB run multiple hash tables (seeds) and union the pairs.
+
+    Pass `dim` to avoid the driver-side `first()` probe (one extra Spark job);
+    the probe is kept as a fallback for ad-hoc use.
     """
     import numpy as np
 
     from lantern_extras_spark.functions.vector import cos_sim
 
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
     key = None

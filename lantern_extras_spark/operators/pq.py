@@ -147,15 +147,26 @@ def quantize(
     vec_col: str = "embedding",
     out_col: str = "pqvec",
     as_binary: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Attach the PQ code column: per subvector the argmin-l2sq centroid id
     (reference Q3, pq/quantization.rs:17-79). Ties break toward the lower
     centroid id (argmin first-wins), matching the reference's strict `<` scan.
+
+    Near-tie caveat: the kernel uses the GEMM expansion ||x||²+||c||²−2x·c
+    (numpy pairwise summation); a SQL oracle computing Σ(x−c)² sequentially is
+    not bit-identical in float64, so assignments can differ on exact centroid
+    near-ties. The driver oracle passes because the fixture has no such ties;
+    parity-checked paths should keep centroids well-separated.
+
+    Pass `dim` (the vector length) to avoid the driver-side `first()` probe;
+    the probe is kept as a fallback for ad-hoc use.
     """
     mats, splits = _codebook_tensor(codebook)
     spark = df.sparkSession
     b_mats = spark.sparkContext.broadcast(mats)
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     bounds = split_bounds(dim, splits)
 
     fields = df.schema.fields + [

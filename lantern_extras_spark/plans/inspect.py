@@ -22,6 +22,7 @@ class PlanSummary:
     n_broadcasts: int
     pushed_filters: list[str] = field(default_factory=list)
     read_schemas: list[str] = field(default_factory=list)
+    partition_filters: list[str] = field(default_factory=list)
 
     @property
     def n_shuffles(self) -> int:
@@ -37,6 +38,7 @@ def plan_summary(df: DataFrame) -> PlanSummary:
         n_broadcasts=text.count("BroadcastExchange"),
         pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", text),
         read_schemas=re.findall(r"ReadSchema: struct<([^>]*)>", text),
+        partition_filters=re.findall(r"PartitionFilters: \[(.*?)\], ", text),
     )
 
 
@@ -66,6 +68,30 @@ def assert_broadcast_join(df: DataFrame, at_least: int = 1) -> PlanSummary:
     s = plan_summary(df)
     if s.n_broadcasts < at_least:
         raise AssertionError(f"expected ≥{at_least} broadcast joins, found {s.n_broadcasts}")
+    return s
+
+
+def assert_partition_pruned(df: DataFrame, column: str, values: list) -> PlanSummary:
+    """Assert some scan carries a PartitionFilter restricting `column` to
+    exactly `values` — i.e. the probe becomes storage-level partition pruning
+    (the central 100 TB ANN claim: nprobe/nlist of the data is read, not all
+    of it). Fails if the filter is missing or mentions any non-probed value."""
+    s = plan_summary(df)
+    hits = [f for f in s.partition_filters if column in f]
+    if not hits:
+        raise AssertionError(
+            f"no PartitionFilters on {column!r}; partition_filters={s.partition_filters}"
+        )
+    import re as _re
+
+    for f in hits:
+        in_sets = _re.findall(r"IN \(([^)]*)\)", f)
+        eqs = _re.findall(rf"{column}#\d+\s*=\s*(-?\w+)", f)
+        got = {v.strip() for s_ in in_sets for v in s_.split(",")} | set(eqs)
+        if got and got != {str(v) for v in values}:
+            raise AssertionError(
+                f"PartitionFilter on {column!r} selects {sorted(got)}, expected {sorted(str(v) for v in values)}"
+            )
     return s
 
 

@@ -79,6 +79,48 @@ def test_ngram_jaccard_pairs(corpus):
     assert 0.5 <= pairs[(1, 3)] < 1.0
 
 
+def test_ngram_index_equals_pairwise(corpus):
+    """The inverted-index plan must reproduce the all-pairs plan exactly."""
+    blocked = corpus.withColumn("blk", (F.col("doc_id") % 2).cast("int"))
+    for kw in ({}, {"block_cols": ("blk",)}):
+        a = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(blocked, threshold=0.3, strategy="index", **kw).collect()
+        }
+        b = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(blocked, threshold=0.3, strategy="pairwise", **kw).collect()
+        }
+        assert a == b and a
+
+
+def test_ngram_index_requires_positive_threshold(corpus):
+    with pytest.raises(ValueError, match="threshold > 0"):
+        D.ngram_jaccard_pairs(corpus, threshold=0.0, strategy="index")
+
+
+def test_ngram_oversized_block_raises(corpus):
+    with pytest.raises(ValueError, match="max_block_rows"):
+        D.ngram_jaccard_pairs(corpus, threshold=0.5, max_block_rows=3).collect()
+
+
+def test_ngram_oversized_block_routes_through_minhash(spark):
+    """on_oversize='route': the big block goes through MinHash-LSH (exact dups
+    still found), the small block keeps exact all-pairs semantics, and no
+    cross-block pair appears."""
+    rows = [(i, BASE, "big") for i in range(1, 7)]  # 6 identical docs, one block
+    rows += [(10, BASE, "small"), (11, "totally different words entirely", "small")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, blk string")
+    pairs = D.ngram_jaccard_pairs(
+        df, block_cols=("blk",), threshold=0.5, max_block_rows=4, on_oversize="route"
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    # all 15 identical pairs inside the routed block survive with jaccard 1.0
+    assert all(got.get((a, b)) == 1.0 for a in range(1, 7) for b in range(a + 1, 7))
+    # nothing leaks across blocks
+    assert all((a < 7) == (b < 7) for a, b in got)
+
+
 def test_embedding_neardup(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.1]),

@@ -75,3 +75,43 @@ def test_ivf_pq_end_to_end(spark, clustered):
     # tightly clustered fixture: residual PQ at nprobe=2 must stay accurate
     assert recall(tdf, rdf, 5) >= 60.0
     coded.unpersist()
+
+
+def test_ivf_probe_is_partition_pruned(spark, clustered, tmp_path):
+    """The central 100 TB ANN claim: on a `partitionBy(cell)` table, the
+    `cell IN (probed)` filter must reach the scan as PartitionFilters —
+    the probe reads nprobe/nlist of the storage, not all of it — and the
+    filter must name exactly the probed cells."""
+    from lantern_extras_spark.plans.inspect import assert_partition_pruned, plan_summary
+
+    indexed, cents = IVF.build_ivf(clustered, nlist=4, max_train_rows=200)
+    path = str(tmp_path / "ivf_cells")
+    indexed.write.partitionBy("cell").parquet(path)
+    idx = spark.read.parquet(path)
+    q = [float(x) for x in clustered.first()["embedding"]]
+    probed = IVF.probe_cells(cents, q, 2)
+
+    out = IVF.ivf_topk(idx, cents, q, k=5, nprobe=2)
+    assert_partition_pruned(out, "cell", probed)
+
+    # the assertion must actually detect a dropped filter: the same plan
+    # without the probe restriction carries no cell PartitionFilter
+    from pyspark.sql import functions as F
+    from lantern_extras_spark.operators.knn import distance_col
+
+    unpruned = (
+        idx.withColumn("distance", distance_col("l2sq", F.col("embedding"),
+                                                F.lit(q).cast("array<double>")))
+        .orderBy("distance", "vec_id").limit(5)
+    )
+    with pytest.raises(AssertionError):
+        assert_partition_pruned(unpruned, "cell", probed)
+
+    # and ivf_pq_topk's pruned scan keeps the same property
+    coded, cents2, cb = IVF.build_ivf_pq(clustered, nlist=4, splits=4, k=16, max_train_rows=200)
+    path2 = str(tmp_path / "ivfpq_cells")
+    coded.write.partitionBy("cell").parquet(path2)
+    idx2 = spark.read.parquet(path2)
+    probed2 = IVF.probe_cells(cents2, q, 2)
+    out2 = IVF.ivf_pq_topk(idx2, cents2, cb, q, k=5, nprobe=2)
+    assert_partition_pruned(out2, "cell", probed2)
