@@ -449,6 +449,7 @@ def q_pq_assign(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     cents = emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
     dim = len(cents[0]["embedding"])
+    assert dim == EMB_DIM, f"fixture dim {dim} != EMB_DIM {EMB_DIM}; oracle SQL would desync"
     bounds = PQ.split_bounds(dim, 4)
     rows = []
     for r in sorted(cents, key=lambda r: r["vec_id"]):
@@ -456,7 +457,7 @@ def q_pq_assign(spark: SparkSession, sf: str) -> DataFrame:
         for s, (lo, hi) in enumerate(bounds):
             rows.append((s, int(r["vec_id"]), v[lo:hi]))
     cb = spark.createDataFrame(rows, "subvector_id int, centroid_id int, c array<float>")
-    coded = PQ.quantize(emb, cb, vec_col="embedding", out_col="pqvec")
+    coded = PQ.quantize(emb, cb, vec_col="embedding", out_col="pqvec", dim=dim)
     return coded.select(
         "vec_id",
         F.element_at("pqvec", 1).cast("bigint").alias("c0"),
@@ -488,7 +489,7 @@ def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     bucket → pair → cosine-verify pipeline exactly (threshold applied on the
     unrounded cosine, output rounded for the cross-engine hash)."""
     emb = _t(spark, sf, "embeddings")
-    pairs = D.embedding_neardup_pairs(emb, threshold=0.4, n_planes=6)
+    pairs = D.embedding_neardup_pairs(emb, threshold=0.4, n_planes=6, dim=EMB_DIM)
     return pairs.select("id_a", "id_b", pround("cosine", 6).alias("cosine"))
 
 
@@ -501,6 +502,7 @@ def q_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     cents = emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
     dim = len(cents[0]["embedding"])
+    assert dim == EMB_DIM, f"fixture dim {dim} != EMB_DIM {EMB_DIM}; oracle SQL would desync"
     bounds = PQ.split_bounds(dim, 4)
     rows = []
     for r in sorted(cents, key=lambda r: r["vec_id"]):
@@ -508,7 +510,7 @@ def q_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
         for s, (lo, hi) in enumerate(bounds):
             rows.append((s, int(r["vec_id"]), v[lo:hi]))
     cb = spark.createDataFrame(rows, "subvector_id int, centroid_id int, c array<float>")
-    coded = PQ.quantize(emb, cb, vec_col="embedding")
+    coded = PQ.quantize(emb, cb, vec_col="embedding", dim=dim)
     qv = _hash_embed_py(IVF_QUERY_TEXT, dim=dim)
     out = PQ.adc_topk(coded, cb, qv, k=10)
     return out.select(
@@ -638,6 +640,11 @@ def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
 
 IVF_QUERY_TEXT = "ivf probe query"
 
+# The testdata embeddings fixture dim (TESTDATA.md; all SFs carry 64). Single
+# source of truth for BOTH the Spark queries and the DuckDB oracle builders —
+# a fixture dim change must flow to both sides or fail loudly, never desync.
+EMB_DIM = 64
+
 
 def q_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-style ANN with a deterministic coarse codebook (centroids = vectors
@@ -713,14 +720,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _ivf_qv_sql() -> str:
-    qv = _hash_embed_py(IVF_QUERY_TEXT, dim=64)
+    qv = _hash_embed_py(IVF_QUERY_TEXT, dim=EMB_DIM)
     return "[" + ", ".join(repr(x) for x in qv) + "]::DOUBLE[]"
 
 def _minhash_lsh_pairs_sql(n_hashes: int = 32, bands: int = 8, threshold: float = 0.2,
                            max_bucket: int = 500) -> str:
     """DuckDB replay of dedup.minhash_dedup: 32-perm signatures over portable
     hash32 shingles, '_'-joined 4-value band keys, bucket-size skew guard,
-    candidate self-join, exact-Jaccard verify on the string shingle sets."""
+    candidate self-join, exact-Jaccard verify on the string shingle sets.
+
+    Empty-shingle invariant: this SQL drops empty-shingle docs before banding
+    (WHERE len(sh) > 0) while the Spark pipeline keeps them with null sigs →
+    band_key ''. Equivalence holds because (a) threshold > 0 and an
+    empty-shingle doc's jaccard with anything is 0, so such pairs can never
+    survive the verify step, and (b) '' can never collide with a real
+    '_'-joined band key (those always contain digits). Keep both properties
+    if you touch the threshold default or the band-key format."""
     perms = ", ".join(
         f"list_min(list_transform(hs, h -> (h * {D.perm_coeffs(i)[0]} + {D.perm_coeffs(i)[1]}) % {D.MINHASH_PRIME}))"
         for i in range(n_hashes)
@@ -756,40 +771,58 @@ def _minhash_lsh_pairs_sql(n_hashes: int = 32, bands: int = 8, threshold: float 
     """
 
 
+def _pq_slices_1based() -> list[tuple[int, int]]:
+    """PQ.split_bounds(EMB_DIM, 4) as DuckDB 1-based [lo, hi) range args — the
+    same function and dim the Spark side uses, so remainder handling for dims
+    not divisible by 4 can never desync (split_bounds gives the last split the
+    remainder)."""
+    return [(lo + 1, hi + 1) for lo, hi in PQ.split_bounds(EMB_DIM, 4)]
+
+
+def _pq_codes_ctes() -> str:
+    """Shared CTE block (cents/v/pairs/codes) replaying PQ.quantize with the
+    deterministic slice codebook: per-slice l2sq to every centroid via an
+    *uncorrelated* CROSS JOIN (DuckDB lambdas cannot bind outer columns that
+    appear only inside the lambda body), argmin with centroid_id tie-break via
+    min over (distance, id) structs."""
+    slices = _pq_slices_1based()
+    dcols = ",\n                           ".join(
+        f"list_sum(list_transform(range({lo}, {hi}), "
+        f"i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))) AS d{s}"
+        for s, (lo, hi) in enumerate(slices)
+    )
+    acols = ",\n                           ".join(
+        f"min(struct_pack(d := d{s}, c := centroid_id)).c AS c{s}" for s in range(len(slices))
+    )
+    return f"""cents AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+                           FROM embeddings WHERE vec_id < 8),
+                 v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+                 pairs AS (
+                    SELECT v.vec_id, c.centroid_id,
+                           {dcols}
+                    FROM v CROSS JOIN cents c),
+                 codes AS (
+                    SELECT vec_id,
+                           {acols}
+                    FROM pairs GROUP BY vec_id)"""
+
+
 def _pq_adc_topk_sql(qv_sql: str) -> str:
     """DuckDB replay of q_pq_adc_topk: deterministic slice codebook (vec_id<8,
     4 subvectors), argmin code per slice, ADC distance = sum of per-slice LUT
     entries, float32-cast before top-k ordering (mirrors adc_topk's float32
-    output), ties broken on vec_id."""
-    slices = [
-        ("1", "len(v.ev)//4 + 1"),
-        ("len(v.ev)//4 + 1", "len(v.ev)//2 + 1"),
-        ("len(v.ev)//2 + 1", "(3*len(v.ev))//4 + 1"),
-        ("(3*len(v.ev))//4 + 1", "len(v.ev) + 1"),
-    ]
-    code_cols = ",\n              ".join(
-        f"(SELECT c.centroid_id FROM cents c ORDER BY list_sum(list_transform(range({lo}, {hi}), "
-        f"i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))) ASC, c.centroid_id ASC LIMIT 1) AS c{s}"
-        for s, (lo, hi) in enumerate(slices)
-    )
-    # same slice bounds, but relative to the codes row's dim column d
-    dslices = [(lo.replace("len(v.ev)", "d"), hi.replace("len(v.ev)", "d")) for lo, hi in slices]
+    output), ties broken on vec_id. Slice bounds come from PQ.split_bounds on
+    EMB_DIM (shared with the pq_assign oracle via _pq_codes_ctes)."""
+    slices = _pq_slices_1based()
     lut_terms = "\n                      + ".join(
         f"list_sum(list_transform(range({lo}, {hi}), i -> (a{s}.cv[i] - ({qv_sql})[i]) * (a{s}.cv[i] - ({qv_sql})[i])))"
-        for s, (lo, hi) in enumerate(dslices)
+        for s, (lo, hi) in enumerate(slices)
     )
     lut_joins = "\n                ".join(
         f"JOIN cents a{s} ON a{s}.centroid_id = codes.c{s}" for s in range(4)
     )
     return f"""
-            WITH cents AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
-                           FROM embeddings WHERE vec_id < 8),
-                 v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-                 codes AS (
-                    SELECT v.vec_id, len(v.ev) AS d,
-              {code_cols}
-                    FROM v
-                 ),
+            WITH {_pq_codes_ctes()},
                  dist AS (
                     SELECT codes.vec_id,
                            CAST(({lut_terms}) AS FLOAT) AS adc32
@@ -802,7 +835,7 @@ def _pq_adc_topk_sql(qv_sql: str) -> str:
 
 
 def _embedding_neardup_sql(threshold: float = 0.4, n_planes: int = 6, seed: int = 42,
-                           dim: int = 64, max_bucket: int = 2000) -> str:
+                           dim: int = EMB_DIM, max_bucket: int = 2000) -> str:
     """DuckDB replay of dedup.embedding_neardup_pairs with the seeded
     hyperplanes inlined as literals (np.random.RandomState(seed).randn, exactly
     the plane matrix the Spark operator builds)."""
@@ -1115,26 +1148,11 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT doc_id, md5(array_to_string(hs[1:8], ',')) AS fp_key
             FROM h
         """,
-        "pq_assign": """
-            WITH cents AS (
-                SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
-                FROM embeddings WHERE vec_id < 8
-            ),
-            v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
-            SELECT v.vec_id,
-              (SELECT c.centroid_id FROM cents c
-                 ORDER BY list_sum(list_transform(range(1, len(v.ev)//4 + 1),
-                          i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))) ASC, c.centroid_id ASC LIMIT 1) AS c0,
-              (SELECT c.centroid_id FROM cents c
-                 ORDER BY list_sum(list_transform(range(len(v.ev)//4 + 1, len(v.ev)//2 + 1),
-                          i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))) ASC, c.centroid_id ASC LIMIT 1) AS c1,
-              (SELECT c.centroid_id FROM cents c
-                 ORDER BY list_sum(list_transform(range(len(v.ev)//2 + 1, (3*len(v.ev))//4 + 1),
-                          i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))) ASC, c.centroid_id ASC LIMIT 1) AS c2,
-              (SELECT c.centroid_id FROM cents c
-                 ORDER BY list_sum(list_transform(range((3*len(v.ev))//4 + 1, len(v.ev) + 1),
-                          i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))) ASC, c.centroid_id ASC LIMIT 1) AS c3
-            FROM v
+        "pq_assign": f"""
+            WITH {_pq_codes_ctes()}
+            SELECT vec_id, CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+                   CAST(c2 AS BIGINT) AS c2, CAST(c3 AS BIGINT) AS c3
+            FROM codes
         """,
         "events_asof_signup": """
             WITH signups AS (

@@ -50,11 +50,27 @@ class EmbeddingResult:
 
 
 def approx_token_count(text: str) -> int:
-    """Whitespace token count — the usage-accounting estimate used when a real
-    tokenizer is unavailable. The reference counts exact tokenizer tokens
-    (text_embedding_test.rs:88); with HF/tiktoken absent we document this as an
-    approximation and keep the accounting shape identical."""
+    """Whitespace token count — the deterministic estimate the hash test
+    runtime ledgers with (its oracle parity depends on it staying trivial)."""
     return len(text.split())
+
+
+def token_counter(method: str = "bpe"):
+    """Resolve the usage-ledger/packing token counter.
+
+    The reference counts *exact* tokenizer tokens — tiktoken cl100k_base for
+    OpenAI (openai_runtime.rs:50-66), the model's HF tokenizer for ORT
+    (text_embedding_test.rs:88 asserts exact counts). "bpe" is the vendored
+    byte-level BPE over the committed mini-vocab (functions/bpe.py): exact and
+    reproducible w.r.t. that vocab, no network. "whitespace" keeps the legacy
+    estimate."""
+    if method == "bpe":
+        from lantern_extras_spark.functions.bpe import bpe_token_count
+
+        return bpe_token_count
+    if method == "whitespace":
+        return approx_token_count
+    raise ValueError(f"unknown token_method {method!r}")
 
 
 class BaseRuntime:
@@ -197,6 +213,8 @@ class OpenAIRuntime(BaseRuntime):
     def __init__(self, model: str, params: dict | None = None, transport: Transport | None = None):
         super().__init__(model, params)
         self.transport = transport or resolve_transport(self.params) or self._no_network
+        # exact BPE counts by default — the cl100k role (openai_runtime.rs:50-66)
+        self._count = token_counter(self.params.get("token_method", "bpe"))
 
     @staticmethod
     def _no_network(model: str, texts: Sequence[str], params: dict) -> list[list[float]]:
@@ -217,7 +235,7 @@ class OpenAIRuntime(BaseRuntime):
         cur: list[str] = []
         cur_tokens = 0
         for t in texts:
-            n = min(approx_token_count(t), OPENAI_MAX_TOKENS_PER_REQUEST)
+            n = min(self._count(t), OPENAI_MAX_TOKENS_PER_REQUEST)
             if cur and cur_tokens + n > OPENAI_MAX_TOKENS_PER_REQUEST:
                 batches.append(cur)
                 cur, cur_tokens = [], 0
@@ -235,7 +253,7 @@ class OpenAIRuntime(BaseRuntime):
             vecs = _retrying(lambda b=batch: self.transport(self.model, b, params))
             assert len(vecs) == len(batch), "transport must return one vector per input"
             out.extend(vecs)
-            tokens += sum(approx_token_count(t) for t in batch)
+            tokens += sum(self._count(t) for t in batch)
         return EmbeddingResult(out, tokens)
 
 
@@ -250,6 +268,7 @@ class CohereRuntime(BaseRuntime):
         super().__init__(model, params)
         self.params.setdefault("input_type", "search_query")
         self.transport = transport or resolve_transport(self.params) or OpenAIRuntime._no_network
+        self._count = token_counter(self.params.get("token_method", "bpe"))
 
     def process(self, texts: Sequence[str]) -> EmbeddingResult:
         out: list[list[float]] = []
@@ -259,7 +278,7 @@ class CohereRuntime(BaseRuntime):
             vecs = _retrying(lambda b=batch: self.transport(self.model, b, self.params))
             assert len(vecs) == len(batch)
             out.extend(vecs)
-            tokens += sum(approx_token_count(t) for t in batch)
+            tokens += sum(self._count(t) for t in batch)
         return EmbeddingResult(out, tokens)
 
 

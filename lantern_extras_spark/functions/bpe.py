@@ -151,11 +151,10 @@ def bpe_token_count(text: str) -> int:
 
 def bpe_token_count_col(col):
     """Arrow-batched pandas UDF: exact BPE token count of a string column."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
-    def _count(s: pd.Series) -> pd.Series:
+    def _count(s):
         enc = default_bpe()
         return s.map(lambda t: enc.count(t) if t is not None else None)
 

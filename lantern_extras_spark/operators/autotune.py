@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lantern_extras_spark.operators import pq as PQ
-from lantern_extras_spark.operators.knn import ground_truth, recall
+from lantern_extras_spark.operators.knn import collect_neighbors, ground_truth, recall
 
 # Default PQ variant grid — mirrors the reference's fixed 6-variant grid idea
 # (index_autotune/mod.rs:329-360), coarse→fine.
@@ -149,13 +149,16 @@ def autotune_pq(
         build_time = time.monotonic() - t0
 
         t1 = time.monotonic()
-        res_rows = []
-        for qid, qv in queries:
-            ids = [r[0] for r in PQ.adc_topk(coded, cb, qv, k=k, id_col=id_col).select(id_col).collect()]
-            res_rows.append((qid, ids))
+        # one batched ADC job for ALL queries (O(1) Spark jobs per variant);
+        # latency is the amortized per-query share of that job
+        res_df = collect_neighbors(
+            PQ.adc_topk_batch(coded, cb, queries, k=k, id_col=id_col),
+            qid_col="query_id", id_col=id_col,
+        ).cache()
+        res_df.count()
         latency = (time.monotonic() - t1) / max(len(queries), 1)
-        res_df = spark.createDataFrame(res_rows, "id long, neighbors array<long>")
         rec = recall(truth_df, res_df, k)
+        res_df.unpersist()
         coded.unpersist()
         out.append(VariantResult(splits, clusters, rec, round(latency, 4), round(build_time, 4)))
         if rec >= target_recall:  # early stop (mod.rs:476-478)
@@ -225,13 +228,16 @@ def autotune_ivf(
         build_time = time.monotonic() - t0
 
         t1 = time.monotonic()
-        res_rows = []
-        for qid, qv in queries:
-            ids = [r[0] for r in IVF.ivf_topk(indexed, cents, qv, k=k, nprobe=nprobe,
-                                              vec_col=vec_col, id_col=id_col).select(id_col).collect()]
-            res_rows.append((qid, ids))
+        # one batched probe job for ALL queries (O(1) Spark jobs per variant)
+        res_df = collect_neighbors(
+            IVF.ivf_topk_batch(indexed, cents, queries, k=k, nprobe=nprobe,
+                               vec_col=vec_col, id_col=id_col),
+            qid_col="query_id", id_col=id_col,
+        ).cache()
+        res_df.count()
         latency = (time.monotonic() - t1) / max(len(queries), 1)
-        rec = recall(truth_df, spark.createDataFrame(res_rows, "id long, neighbors array<long>"), k)
+        rec = recall(truth_df, res_df, k)
+        res_df.unpersist()
         out.append(VariantResult(nlist, nprobe, rec, round(latency, 4), round(build_time, 4)))
         if rec >= target_recall:
             break

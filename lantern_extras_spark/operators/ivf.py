@@ -148,6 +148,81 @@ def ivf_topk(
     )
 
 
+def ivf_topk_batch(
+    indexed_df: DataFrame,
+    centroids: list[list[float]],
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    metric: str = "l2sq",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Batched IVF top-k: ALL queries in ONE Spark job. The scan is pruned to
+    the UNION of every query's probed cells (still partition pruning on a
+    cell-partitioned table); inside the Arrow kernel each query ranks only the
+    rows whose cell it probed, emitting a per-batch partial top-k per query;
+    one window finishes the ranking. Per-sweep job count is O(1) in n_queries.
+    Returns (query_id, id_col, distance, rank≤k)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+    from pyspark.sql.window import Window
+
+    from lantern_extras_spark.operators.knn import _np_distances
+
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    Q = np.asarray([list(map(float, q[1])) for q in queries], dtype=np.float64)
+    qcells = [probe_cells(centroids, list(map(float, q[1])), nprobe) for q in queries]
+    union_cells = sorted({c for cs in qcells for c in cs})
+    spark = indexed_df.sparkSession
+    b = spark.sparkContext.broadcast((qids, Q, [set(cs) for cs in qcells]))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField(id_col, LongType()),
+            StructField("distance", DoubleType()),
+        ]
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qi, Qm, cellsets = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()])
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cells = pdf[cell_col].to_numpy()
+            D = _np_distances(metric, X, Qm)
+            for j in range(Qm.shape[0]):
+                mask = np.isin(cells, list(cellsets[j]))
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                order = idx[np.lexsort((ids[idx], D[idx, j]))][: min(k, len(idx))]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), qi[j], dtype=np.int64),
+                        id_col: ids[order],
+                        "distance": D[order, j],
+                    }
+                )
+
+    pruned = indexed_df.where(F.col(cell_col).isin([int(c) for c in union_cells])).select(
+        id_col, cell_col, vec_col
+    )
+    partial = pruned.mapInPandas(scan, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "distance", "rank")
+    )
+
+
 def ivf_recall_vs_exact(
     df: DataFrame,
     nlist: int = 16,
@@ -158,8 +233,9 @@ def ivf_recall_vs_exact(
     id_col: str = "vec_id",
     seed: int = 42,
 ) -> float:
-    """Recall of IVF top-k vs exact kNN over sampled queries (N4-style eval)."""
-    from lantern_extras_spark.operators.knn import ground_truth, recall
+    """Recall of IVF top-k vs exact kNN over sampled queries (N4-style eval).
+    All queries run through one batched probe job (`ivf_topk_batch`)."""
+    from lantern_extras_spark.operators.knn import collect_neighbors, ground_truth, recall
 
     indexed, centroids = build_ivf(df, vec_col=vec_col, nlist=nlist, seed=seed)
     indexed = indexed.cache()
@@ -167,21 +243,18 @@ def ivf_recall_vs_exact(
     truth = ground_truth(df, n_queries=n_queries, k=k, metric="l2sq",
                          id_col=id_col, vec_col=vec_col, seed=seed).collect()
     spark = df.sparkSession
-    res_rows = []
-    for r in truth:
-        ids = [
-            row[0]
-            for row in ivf_topk(indexed, centroids, list(map(float, r["v"])), k=k,
-                                nprobe=nprobe, vec_col=vec_col, id_col=id_col)
-            .select(id_col).collect()
-        ]
-        res_rows.append((r["id"], ids))
+    queries = [(int(r["id"]), list(map(float, r["v"]))) for r in truth]
+    res_df = collect_neighbors(
+        ivf_topk_batch(indexed, centroids, queries, k=k, nprobe=nprobe,
+                       vec_col=vec_col, id_col=id_col),
+        qid_col="query_id", id_col=id_col,
+    )
     truth_df = spark.createDataFrame(
         [(r["id"], [int(x) for x in r["neighbors"]]) for r in truth], "id long, neighbors array<long>"
     )
-    res_df = spark.createDataFrame(res_rows, "id long, neighbors array<long>")
+    rec = recall(truth_df, res_df, k)
     indexed.unpersist()
-    return recall(truth_df, res_df, k)
+    return rec
 
 
 # ---------------------------------------------------------------------------

@@ -221,16 +221,22 @@ def ground_truth(
             )
             .where(F.col("rank") <= k)
         )
-    neighbors = (
-        nn.groupBy("query_id")
+    neighbors = collect_neighbors(nn, qid_col="query_id", id_col=id_col)
+    return queries.join(neighbors.withColumnRenamed("id", "query_id"), "query_id").select(
+        F.col("query_id").alias("id"), F.col("query_vec").alias("v"), "neighbors"
+    )
+
+
+def collect_neighbors(nn: DataFrame, qid_col: str = "query_id", id_col: str = "vec_id") -> DataFrame:
+    """(qid, id, rank) rows → (id, neighbors array<id> ordered by rank) — the
+    shape `recall` consumes; one aggregation, no driver loop."""
+    return (
+        nn.groupBy(qid_col)
         .agg(F.sort_array(F.collect_list(F.struct("rank", id_col))).alias("nbr"))
         .select(
-            "query_id",
+            F.col(qid_col).alias("id"),
             F.transform(F.col("nbr"), lambda s: s[id_col]).alias("neighbors"),
         )
-    )
-    return queries.join(neighbors, "query_id").select(
-        F.col("query_id").alias("id"), F.col("query_vec").alias("v"), "neighbors"
     )
 
 

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -270,6 +271,78 @@ def adc_topk(
     return scanned.orderBy(F.col("adc_distance").asc(), F.col(id_col).asc()).limit(k)
 
 
+def adc_topk_batch(
+    df: DataFrame,
+    codebook: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pqvec",
+) -> DataFrame:
+    """Batched ADC top-k: ALL queries in ONE Spark job. LUTs for every query
+    are broadcast as one (splits × nq × n_centroids) tensor; each Arrow batch
+    computes every query's ADC distances with vectorized lookups and emits a
+    per-batch partial top-k per query (the knn partial-topk shape), then one
+    window ranks the reduced set. Per-sweep Spark job count is O(1) in
+    n_queries — this is what the autotune/recall loops call.
+    Returns (query_id, id_col, adc_distance, rank≤k)."""
+    mats, splits = _codebook_tensor(codebook)
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    Q = np.asarray([list(map(float, q[1])) for q in queries], dtype=np.float64)
+    dim = Q.shape[1]
+    bounds = split_bounds(dim, splits)
+    # luts[s]: (nq × n_centroids) — query q's distance to each codeword of split s
+    luts = [((Q[:, None, lo:hi] - mats[s][None, :, :]) ** 2).sum(axis=2)
+            for s, (lo, hi) in enumerate(bounds)]
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast((qids, luts))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField(id_col, LongType()),
+            StructField("adc_distance", DoubleType()),
+        ]
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qi, L = b.value
+        nq = len(qi)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.asarray(
+                [np.frombuffer(c, dtype=np.uint8) if isinstance(c, (bytes, bytearray)) else np.asarray(c)
+                 for c in pdf[code_col].to_numpy()],
+                dtype=np.int64,
+            )
+            n = len(pdf)
+            D = np.zeros((n, nq))
+            for s in range(splits):
+                D += L[s][:, codes[:, s]].T
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            kk = min(k, n)
+            for j in range(nq):
+                order = np.lexsort((ids, D[:, j]))[:kk]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(kk, qi[j], dtype=np.int64),
+                        id_col: ids[order],
+                        "adc_distance": D[order, j],
+                    }
+                )
+
+    from pyspark.sql.window import Window
+
+    partial = df.select(id_col, code_col).mapInPandas(scan, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_distance").asc(), F.col(id_col).asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "adc_distance", "rank")
+    )
+
+
 def pq_recall_vs_exact(
     df: DataFrame,
     codebook: DataFrame,
@@ -280,20 +353,17 @@ def pq_recall_vs_exact(
     seed: int = 42,
 ) -> float:
     """Recall of ADC top-k vs exact l2 top-k over sampled queries — the
-    autotune-style evaluation loop (reference N4/N5) specialized to PQ."""
-    from lantern_extras_spark.operators.knn import ground_truth, recall
+    autotune-style evaluation (reference N4/N5) specialized to PQ. All queries
+    run through one batched ADC job (`adc_topk_batch`), not a per-query loop."""
+    from lantern_extras_spark.operators.knn import collect_neighbors, ground_truth, recall
 
     truth = ground_truth(df, n_queries=n_queries, k=k, metric="l2sq",
                          id_col=id_col, vec_col=vec_col, seed=seed)
     coded = quantize(df, codebook, vec_col=vec_col)
     tr = truth.collect()
-    results = []
-    spark = df.sparkSession
-    for row in tr:
-        ids = [r[0] for r in adc_topk(coded, codebook, list(map(float, row["v"])), k=k,
-                                      id_col=id_col).select(id_col).collect()]
-        results.append((row["id"], ids))
-    res_df = spark.createDataFrame(results, f"id long, neighbors array<long>")
+    queries = [(int(r["id"]), list(map(float, r["v"]))) for r in tr]
+    res_df = collect_neighbors(adc_topk_batch(coded, codebook, queries, k=k, id_col=id_col),
+                               qid_col="query_id", id_col=id_col)
     truth_df = df.sparkSession.createDataFrame(
         [(r["id"], [int(x) for x in r["neighbors"]]) for r in tr], "id long, neighbors array<long>"
     )

@@ -115,3 +115,16 @@ def test_ivf_probe_is_partition_pruned(spark, clustered, tmp_path):
     probed2 = IVF.probe_cells(cents2, q, 2)
     out2 = IVF.ivf_pq_topk(idx2, cents2, cb, q, k=5, nprobe=2)
     assert_partition_pruned(out2, "cell", probed2)
+
+
+def test_ivf_topk_batch_matches_single(spark, clustered):
+    indexed, cents = IVF.build_ivf(clustered, nlist=4, max_train_rows=200)
+    indexed = indexed.cache()
+    rows = clustered.limit(5).collect()
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows]
+    batch = IVF.ivf_topk_batch(indexed, cents, queries, k=5, nprobe=2)
+    got = {(r["query_id"], r["rank"]): r["vec_id"] for r in batch.collect()}
+    for qid, qv in queries:
+        single = [r["vec_id"] for r in IVF.ivf_topk(indexed, cents, qv, k=5, nprobe=2).collect()]
+        assert [got[(qid, rk)] for rk in range(1, len(single) + 1)] == single, qid
+    indexed.unpersist()

@@ -86,3 +86,22 @@ def test_codebook_deterministic(vecs):
     a = PQ.build_codebook(vecs, vec_col="v", splits=4, k=5, max_train_rows=500).collect()
     b = PQ.build_codebook(vecs, vec_col="v", splits=4, k=5, max_train_rows=500).collect()
     assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_adc_topk_batch_matches_single(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(16).astype("float32").tolist()) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = PQ.build_codebook(df, vec_col="embedding", splits=4, k=16, max_train_rows=120)
+    coded = PQ.quantize(df, cb, vec_col="embedding").cache()
+    queries = [(int(r[0]), [float(x) for x in r[1]]) for r in rows[:5]]
+    batch = PQ.adc_topk_batch(coded, cb, queries, k=8)
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"] for r in batch.collect()
+    }
+    for qid, qv in queries:
+        single = [r["vec_id"] for r in PQ.adc_topk(coded, cb, qv, k=8).collect()]
+        assert [got[(qid, rk)] for rk in range(1, 9)] == single, qid
+    coded.unpersist()
