@@ -449,7 +449,6 @@ def q_pq_assign(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     cents = emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
     dim = len(cents[0]["embedding"])
-    assert dim == EMB_DIM, f"fixture dim {dim} != EMB_DIM {EMB_DIM}; oracle SQL would desync"
     bounds = PQ.split_bounds(dim, 4)
     rows = []
     for r in sorted(cents, key=lambda r: r["vec_id"]):
@@ -502,7 +501,6 @@ def q_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     cents = emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
     dim = len(cents[0]["embedding"])
-    assert dim == EMB_DIM, f"fixture dim {dim} != EMB_DIM {EMB_DIM}; oracle SQL would desync"
     bounds = PQ.split_bounds(dim, 4)
     rows = []
     for r in sorted(cents, key=lambda r: r["vec_id"]):
@@ -640,9 +638,14 @@ def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
 
 IVF_QUERY_TEXT = "ivf probe query"
 
-# The testdata embeddings fixture dim (TESTDATA.md; all SFs carry 64). Single
-# source of truth for BOTH the Spark queries and the DuckDB oracle builders —
-# a fixture dim change must flow to both sides or fail loudly, never desync.
+# The testdata embeddings fixture dim (TESTDATA.md; all SFs carry 64). Used
+# only where the oracle SQL needs dim-sized LITERALS (the inlined query vector
+# and hyperplane matrices); everything else in the oracles derives bounds from
+# len() of the actual data via _sql_split_ranges, so the same SQL stays correct
+# on any-dim fixtures (the adversarial-parity suite runs dim-8). The hash
+# query-vector truncation is consistent by construction: element i of
+# hash_embedding depends only on (model, i, text), so a 64-dim literal read
+# through len(data)-bounded ranges equals the lower-dim vector exactly.
 EMB_DIM = 64
 
 
@@ -665,6 +668,43 @@ def q_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", F.col("cell").cast("bigint").alias("cell"),
         pround("distance", 5).alias("l2sq_distance"),
     )
+
+
+def q_ivf_pq_search(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF∘PQ residual composition (the classic IVF-PQ layout, ivf.py:191-288):
+    deterministic coarse codebook (centroids = vectors of vec_id<4, native-
+    expression cell assignment), residual = v − centroid[cell], deterministic
+    residual PQ codebook (residuals of vec_id<8 sliced into 4 subvectors — the
+    q_pq_assign trick), ADC top-10 over the 2 probed cells. Exercises the full
+    cell-pruned ADC path (probe → per-cell LUT → code lookups → top-k) with a
+    DuckDB oracle replaying every stage. At scale the probed-cell filter is
+    storage partition pruning (pinned by tests/test_ivf.py)."""
+    emb = _t(spark, sf, "embeddings")
+    coarse_rows = emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    coarse = [list(map(float, r["embedding"])) for r in coarse_rows]
+    indexed = IVF.assign_cells(emb, coarse, vec_col="embedding", impl="native")
+    cents_arr = F.array(*[F.lit(c).cast("array<double>") for c in coarse])
+    with_res = indexed.withColumn(
+        "rv",
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.element_at(cents_arr, F.col("cell") + 1),
+            lambda a, b: a - b,
+        ),
+    )
+    cb_rows = with_res.where(F.col("vec_id") < 8).select("vec_id", "rv").collect()
+    dim = len(coarse[0])
+    bounds = PQ.split_bounds(dim, 4)
+    rows = []
+    for r in sorted(cb_rows, key=lambda r: r["vec_id"]):
+        rv = [float(x) for x in r["rv"]]
+        for s, (lo, hi) in enumerate(bounds):
+            rows.append((s, int(r["vec_id"]), rv[lo:hi]))
+    cb = spark.createDataFrame(rows, "subvector_id int, centroid_id int, c array<double>")
+    coded = PQ.quantize(with_res, cb, vec_col="rv", dim=dim)
+    qv = _hash_embed_py(IVF_QUERY_TEXT, dim=dim)
+    out = IVF.ivf_pq_topk(coded, coarse, cb, qv, k=10, nprobe=2, id_col="vec_id")
+    return out.select("vec_id", pround("adc_distance", 4).alias("adc_distance"))
 
 
 # ---------------------------------------------------------------------------
@@ -715,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "pq_adc_topk": q_pq_adc_topk,
         "knn_partial_strategy": q_knn_partial_strategy,
+        "ivf_pq_search": q_ivf_pq_search,
     }
 
 
@@ -771,12 +812,17 @@ def _minhash_lsh_pairs_sql(n_hashes: int = 32, bands: int = 8, threshold: float 
     """
 
 
-def _pq_slices_1based() -> list[tuple[int, int]]:
-    """PQ.split_bounds(EMB_DIM, 4) as DuckDB 1-based [lo, hi) range args — the
-    same function and dim the Spark side uses, so remainder handling for dims
-    not divisible by 4 can never desync (split_bounds gives the last split the
-    remainder)."""
-    return [(lo + 1, hi + 1) for lo, hi in PQ.split_bounds(EMB_DIM, 4)]
+def _sql_split_ranges(len_expr: str, splits: int = 4) -> list[tuple[str, str]]:
+    """PQ.split_bounds (pq.py:48-54) expressed over a SQL array-length
+    expression: base = len//splits, split s covers [s·base, (s+1)·base), the
+    LAST split takes the remainder. Returned as 1-based DuckDB range() args.
+    One rule shared by every PQ oracle, applied to the data's actual dim — a
+    fixture dim change (or a non-divisible dim) flows to both engines
+    identically instead of desyncing."""
+    base = f"({len_expr}//{splits})"
+    out = [(f"{s}*{base} + 1", f"{s + 1}*{base} + 1") for s in range(splits - 1)]
+    out.append((f"{splits - 1}*{base} + 1", f"{len_expr} + 1"))
+    return out
 
 
 def _pq_codes_ctes() -> str:
@@ -785,7 +831,7 @@ def _pq_codes_ctes() -> str:
     *uncorrelated* CROSS JOIN (DuckDB lambdas cannot bind outer columns that
     appear only inside the lambda body), argmin with centroid_id tie-break via
     min over (distance, id) structs."""
-    slices = _pq_slices_1based()
+    slices = _sql_split_ranges("len(v.ev)")
     dcols = ",\n                           ".join(
         f"list_sum(list_transform(range({lo}, {hi}), "
         f"i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))) AS d{s}"
@@ -811,12 +857,13 @@ def _pq_adc_topk_sql(qv_sql: str) -> str:
     """DuckDB replay of q_pq_adc_topk: deterministic slice codebook (vec_id<8,
     4 subvectors), argmin code per slice, ADC distance = sum of per-slice LUT
     entries, float32-cast before top-k ordering (mirrors adc_topk's float32
-    output), ties broken on vec_id. Slice bounds come from PQ.split_bounds on
-    EMB_DIM (shared with the pq_assign oracle via _pq_codes_ctes)."""
-    slices = _pq_slices_1based()
+    output), ties broken on vec_id. Slice bounds derive from the data's dim
+    via _sql_split_ranges (shared with the pq_assign oracle via
+    _pq_codes_ctes) — the codebook centroids are full vectors, so len(a{s}.cv)
+    is the full dim."""
     lut_terms = "\n                      + ".join(
         f"list_sum(list_transform(range({lo}, {hi}), i -> (a{s}.cv[i] - ({qv_sql})[i]) * (a{s}.cv[i] - ({qv_sql})[i])))"
-        for s, (lo, hi) in enumerate(slices)
+        for s, (lo, hi) in enumerate(_sql_split_ranges("len(a0.cv)"))
     )
     lut_joins = "\n                ".join(
         f"JOIN cents a{s} ON a{s}.centroid_id = codes.c{s}" for s in range(4)
@@ -865,6 +912,70 @@ def _embedding_neardup_sql(threshold: float = 0.4, n_planes: int = 6, seed: int 
                              ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id),
                  scored AS (SELECT id_a, id_b, {cs} AS cs FROM pairs)
             SELECT id_a, id_b, round(cs, 6) AS cosine FROM scored WHERE cs >= {threshold}
+    """
+
+
+def _ivf_pq_search_sql(qv_sql: str, nprobe: int = 2, k: int = 10) -> str:
+    """DuckDB replay of q_ivf_pq_search: coarse cell assignment (argmin via
+    CROSS JOIN + struct-min, cid tie-break — same shape as _pq_codes_ctes),
+    residual vectors, residual slice-codebook codes, query probed to the
+    `nprobe` nearest coarse cells, per-row ADC distance = Σ_s ||(q−centroid)
+    [slice] − codeword[slice]||², top-k by (adc, vec_id). All bounds derive
+    from len() of the data via _sql_split_ranges — dim-agnostic like the
+    Spark side."""
+    dcols = ",\n                           ".join(
+        f"list_sum(list_transform(range({lo}, {hi}), "
+        f"i -> (r.rv[i] - c.rv[i]) * (r.rv[i] - c.rv[i]))) AS d{s}"
+        for s, (lo, hi) in enumerate(_sql_split_ranges("len(r.rv)"))
+    )
+    acols = ",\n                           ".join(
+        f"min(struct_pack(d := d{s}, c := centroid_id)).c AS c{s}" for s in range(4)
+    )
+    adc_terms = "\n                      + ".join(
+        f"list_sum(list_transform(range({lo}, {hi}), "
+        f"i -> (cand.rqv[i] - cb{s}.rv[i]) * (cand.rqv[i] - cb{s}.rv[i])))"
+        for s, (lo, hi) in enumerate(_sql_split_ranges("len(cand.rqv)"))
+    )
+    cb_joins = "\n                  ".join(
+        f"JOIN cents cb{s} ON cb{s}.centroid_id = cand.c{s}" for s in range(4)
+    )
+    return f"""
+            WITH coarse AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                            FROM embeddings WHERE vec_id < 4),
+                 v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+                 cellp AS (SELECT v.vec_id, c.cid,
+                                  list_sum(list_transform(range(1, len(v.ev) + 1),
+                                      i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))) AS d
+                           FROM v CROSS JOIN coarse c),
+                 cells AS (SELECT vec_id, min(struct_pack(d := d, c := cid)).c AS cell
+                           FROM cellp GROUP BY vec_id),
+                 res AS (SELECT v.vec_id, cells.cell,
+                                list_transform(range(1, len(v.ev) + 1), i -> v.ev[i] - co.cv[i]) AS rv
+                         FROM v JOIN cells ON cells.vec_id = v.vec_id
+                                JOIN coarse co ON co.cid = cells.cell),
+                 cents AS (SELECT vec_id AS centroid_id, rv FROM res WHERE vec_id < 8),
+                 pairs AS (SELECT r.vec_id, c.centroid_id,
+                           {dcols}
+                           FROM res r CROSS JOIN cents c),
+                 codes AS (SELECT vec_id,
+                           {acols}
+                           FROM pairs GROUP BY vec_id),
+                 qcell AS (SELECT cid, cv
+                           FROM (SELECT cid, cv,
+                                        list_sum(list_transform(range(1, len(cv) + 1),
+                                            i -> (({qv_sql})[i] - cv[i]) * (({qv_sql})[i] - cv[i]))) AS d
+                                 FROM coarse)
+                           ORDER BY d, cid LIMIT {nprobe}),
+                 cand AS (SELECT res.vec_id, codes.c0, codes.c1, codes.c2, codes.c3,
+                                 list_transform(range(1, len(q.cv) + 1), i -> ({qv_sql})[i] - q.cv[i]) AS rqv
+                          FROM res JOIN codes ON codes.vec_id = res.vec_id
+                                   JOIN qcell q ON q.cid = res.cell),
+                 dist AS (SELECT cand.vec_id,
+                                 ({adc_terms}) AS adc
+                          FROM cand
+                  {cb_joins})
+            SELECT vec_id, round(adc, 4) AS adc_distance
+            FROM dist ORDER BY adc ASC, vec_id ASC LIMIT {k}
     """
 
 
@@ -1257,6 +1368,7 @@ def _oracle_sql_raw() -> dict[str, str]:
     sql["minhash_lsh_pairs"] = _minhash_lsh_pairs_sql()
     sql["pq_adc_topk"] = _pq_adc_topk_sql(_ivf_qv_sql())
     sql["embedding_neardup"] = _embedding_neardup_sql()
+    sql["ivf_pq_search"] = _ivf_pq_search_sql(_ivf_qv_sql())
     return sql
 
 

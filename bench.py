@@ -94,6 +94,7 @@ def main() -> None:
         "customers_without_orders",
         "embedding_neardup",
         "pq_adc_topk",
+        "ivf_pq_search",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

@@ -41,6 +41,110 @@ MEDIA_SCHEMA = (
 
 SENTINEL_VALUE = -1.0  # failure sentinel, reference ort_runtime.rs:956-960
 
+# Reference fetch policy (ort_runtime.rs:843-906,925-997): 15 s per request,
+# at most 2 redirects, 20 MB payload cap, parallel fetch; failures map to the
+# sentinel downstream, never break row alignment.
+FETCH_TIMEOUT_S = 15.0
+FETCH_MAX_REDIRECTS = 2
+FETCH_MAX_BYTES = 20 * 1024 * 1024
+
+
+def _no_network_transport(url: str, timeout_s: float):
+    raise NotImplementedError(
+        "No network transport configured for fetch_media (STUB in this "
+        "environment). Inject transport=(url, timeout_s) -> (status, body, "
+        "redirect_url) — the same injection pattern the OpenAI runtime uses."
+    )
+
+
+def fetch_bytes(
+    url: str,
+    transport=None,
+    timeout_s: float = FETCH_TIMEOUT_S,
+    max_redirects: int = FETCH_MAX_REDIRECTS,
+    max_bytes: int = FETCH_MAX_BYTES,
+) -> tuple[bytes | None, str | None]:
+    """Fetch one URL through an injected transport, enforcing the reference's
+    caps: `timeout_s` per request (transport raises TimeoutError), at most
+    `max_redirects` follows, payloads over `max_bytes` rejected. Returns
+    (data, error) — exactly one is non-None.
+
+    `transport(url, timeout_s) -> (status:int, body:bytes|None,
+    redirect_url:str|None)`; a non-None redirect_url is followed regardless of
+    status, mirroring HTTP 3xx handling.
+    """
+    transport = transport or _no_network_transport
+    cur, hops = url, 0
+    while True:
+        try:
+            status, body, redirect = transport(cur, timeout_s)
+        except TimeoutError:
+            return None, f"timeout after {timeout_s}s"
+        except NotImplementedError:
+            raise
+        except Exception as e:  # noqa: BLE001 — any transport failure → row error
+            return None, f"fetch error: {e}"
+        if redirect is not None:
+            hops += 1
+            if hops > max_redirects:
+                return None, f"too many redirects (> {max_redirects})"
+            cur = redirect
+            continue
+        if status != 200:
+            return None, f"http {status}"
+        if body is None or len(body) == 0:
+            return None, "empty body"
+        if len(body) > max_bytes:
+            return None, f"payload {len(body)} bytes > cap {max_bytes}"
+        return bytes(body), None
+
+
+def fetch_media(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "media",
+    err_col: str = "fetch_error",
+    transport=None,
+    timeout_s: float = FETCH_TIMEOUT_S,
+    max_redirects: int = FETCH_MAX_REDIRECTS,
+    max_bytes: int = FETCH_MAX_BYTES,
+    parallelism: int = 8,
+) -> DataFrame:
+    """Parallel URL fetch: adds (`out_col` binary, `err_col` string) columns.
+    Each Arrow batch fans its URLs across a `parallelism`-wide thread pool
+    (I/O-bound; threads release the GIL), so per-executor concurrency is
+    partitions × parallelism — the Spark shape of the reference's parallel
+    image download (ort_runtime.rs:843-906). A failed fetch yields a null
+    payload + error string; `decode_image_features` then maps null media to
+    the `[-1.0]*dim` sentinel, so row alignment survives end to end (U6).
+
+    `transport` must be picklable (module-level function or functools.partial
+    over plain data) — it ships to executors."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql.types import BinaryType, StringType
+
+    fields = df.schema.fields + [
+        StructField(out_col, BinaryType()),
+        StructField(err_col, StringType()),
+    ]
+    out_schema = StructType(fields)
+    cols = [f.name for f in df.schema.fields]
+
+    def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with ThreadPoolExecutor(max_workers=parallelism) as pool:
+            for pdf in batches:
+                def one(u):
+                    if u is None:
+                        return None, "null url"
+                    return fetch_bytes(u, transport, timeout_s, max_redirects, max_bytes)
+                results = list(pool.map(one, pdf[url_col]))
+                pdf[out_col] = [r[0] for r in results]
+                pdf[err_col] = [r[1] for r in results]
+                yield pdf[cols + [out_col, err_col]]
+
+    return df.mapInPandas(fetch_batches, out_schema)
+
 
 def fake_image_feature(data: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for a decoded image feature: md5-seeded values in

@@ -103,3 +103,27 @@ class EmbeddingDaemon:
             cycles += 1
             if max_cycles is None or cycles < max_cycles:
                 time.sleep(poll_seconds)
+
+
+class MultiCatalogDaemon:
+    """D10 multi-DB fan-out: one daemon process spanning several catalogs, one
+    job loop per catalog — the reference spawns one embedding-job loop per
+    target database URI (daemon/mod.rs:225-353). Each catalog keeps its own
+    JobStore, source map, and label routing; a cycle drains every catalog.
+
+    On a real cluster each catalog maps to a metastore/Delta catalog; failures
+    in one catalog's jobs never block another's (per-job try in run_once)."""
+
+    def __init__(self, catalogs: dict[str, EmbeddingDaemon]):
+        self.catalogs = dict(catalogs)
+
+    def run_once(self) -> dict[str, DaemonReport]:
+        return {name: d.run_once() for name, d in self.catalogs.items()}
+
+    def run_forever(self, poll_seconds: int = 10, max_cycles: int | None = None) -> None:
+        cycles = 0
+        while max_cycles is None or cycles < max_cycles:
+            self.run_once()
+            cycles += 1
+            if max_cycles is None or cycles < max_cycles:
+                time.sleep(poll_seconds)

@@ -57,3 +57,93 @@ def test_frame_sample(media):
     out = {r["media_id"]: r["frames"] for r in frame_sample(media, n_frames=3).collect()}
     assert out[2] is None and out[3] is None
     assert len(out[1]) == 3
+
+
+# ---------------------------------------------------------------------------
+# Image-fetch scaffolding (U6 fetch caps) against an injected transport
+# ---------------------------------------------------------------------------
+
+# module-level fake transport state: picklable, ships to executors
+_FAKE_SITE = {
+    "http://ok/a": (200, b"\xff\xd8\xff\xe0" + b"img" * 20, None),
+    "http://redir/1": (302, None, "http://redir/2"),
+    "http://redir/2": (302, None, "http://ok/a"),
+    "http://redir/loop1": (302, None, "http://redir/loop2"),
+    "http://redir/loop2": (302, None, "http://redir/loop3"),
+    "http://redir/loop3": (302, None, "http://ok/a"),
+    "http://big/payload": (200, b"x" * 2048, None),
+    "http://err/500": (500, None, None),
+    "http://err/empty": (200, b"", None),
+}
+
+
+def fake_transport(url, timeout_s):
+    if url == "http://slow/never":
+        raise TimeoutError
+    if url not in _FAKE_SITE:
+        return (404, None, None)
+    return _FAKE_SITE[url]
+
+
+def test_fetch_bytes_caps():
+    from lantern_extras_spark.multimodal.media import fetch_bytes
+
+    data, err = fetch_bytes("http://ok/a", fake_transport)
+    assert err is None and data.startswith(b"\xff\xd8")
+    # 2 redirects allowed...
+    data, err = fetch_bytes("http://redir/1", fake_transport)
+    assert err is None and data is not None
+    # ...3 is one too many (reference cap)
+    data, err = fetch_bytes("http://redir/loop1", fake_transport)
+    assert data is None and "redirect" in err
+    # payload cap
+    data, err = fetch_bytes("http://big/payload", fake_transport, max_bytes=1024)
+    assert data is None and "cap" in err
+    # timeout and status errors
+    assert fetch_bytes("http://slow/never", fake_transport)[1].startswith("timeout")
+    assert fetch_bytes("http://err/500", fake_transport)[1] == "http 500"
+    assert fetch_bytes("http://err/empty", fake_transport)[1] == "empty body"
+    assert fetch_bytes("http://gone/404", fake_transport)[1] == "http 404"
+
+
+def test_fetch_bytes_requires_transport():
+    from lantern_extras_spark.multimodal.media import fetch_bytes
+
+    with pytest.raises(NotImplementedError):
+        fetch_bytes("http://anything", None)
+
+
+def test_fetch_media_pipeline_sentinel_composition(spark):
+    """fetch_media + decode_image_features end to end: failures become null
+    payloads with error strings, then the [-1]*dim sentinel — row alignment
+    preserved (reference ort_runtime.rs:925-997 semantics)."""
+    from lantern_extras_spark.multimodal.media import fetch_media
+
+    # nested def: cloudpickle ships it by value (a test-module-level function
+    # pickles by reference and executors can't import test modules)
+    site = dict(_FAKE_SITE)
+
+    def transport(url, timeout_s):
+        if url == "http://slow/never":
+            raise TimeoutError
+        return site.get(url, (404, None, None))
+
+    rows = [
+        (1, "http://ok/a"),
+        (2, "http://redir/1"),
+        (3, "http://redir/loop1"),
+        (4, "http://slow/never"),
+        (5, None),
+        (6, "http://big/payload"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, url string")
+    fetched = fetch_media(df, transport=transport, max_bytes=1024)
+    out = decode_image_features(fetched, dim=4)
+    got = {r["media_id"]: (r["media"] is not None, r["fetch_error"], r["feature"]) for r in out.collect()}
+    assert got[1][0] and got[1][1] is None and got[1][2] != [-1.0] * 4
+    assert got[2][0]  # redirect chain within cap succeeds
+    for mid, expect_err in [(3, "redirect"), (4, "timeout"), (5, "null url"), (6, "cap")]:
+        ok, err, feat = got[mid]
+        assert not ok and expect_err in err and feat == [-1.0] * 4
+    # identical payloads produce identical features (fetch is deterministic)
+    assert got[1][2] == got[2][2]

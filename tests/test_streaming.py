@@ -103,3 +103,44 @@ def test_streaming_embed_then_quantize(spark, tmp_path):
     rows = res.select("pqvec").collect()
     assert all(len(r["pqvec"]) == 4 for r in rows)
     assert all(0 <= c < 8 for r in rows for c in r["pqvec"])
+
+
+def test_multi_catalog_daemon_fanout(spark, tmp_path):
+    """D10: one daemon process fanning out over two catalogs (reference spawns
+    one job loop per target DB, daemon/mod.rs:225-353). Jobs in both catalogs
+    reach 'enabled'; label routing stays per-catalog."""
+    from lantern_extras_spark.jobs.spec import JobStore
+    from lantern_extras_spark.streaming.daemon import EmbeddingDaemon, MultiCatalogDaemon
+
+    store_a = JobStore(spark, str(tmp_path / "cat_a"))
+    store_b = JobStore(spark, str(tmp_path / "cat_b"))
+    src_a = spark.createDataFrame([(i, f"alpha doc {i}") for i in range(5)], "id long, t string")
+    src_b = spark.createDataFrame([(i, f"beta doc {i}") for i in range(7)], "id long, t string")
+
+    ja = store_a.add_embedding_job("ta", "t", "e")
+    jb = store_b.add_embedding_job("tb", "t", "e")
+    jb_gpu = store_b.add_embedding_job("tb", "t", "e2", label="gpu")
+
+    daemon = MultiCatalogDaemon({
+        "a": EmbeddingDaemon(store_a, {"ta": src_a}, label=None),
+        "b": EmbeddingDaemon(store_b, {"tb": src_b}, label=None),
+    })
+    reports = daemon.run_once()
+    assert reports["a"].ran == [ja]
+    assert reports["b"].ran == [jb]
+    assert reports["b"].skipped_label == [jb_gpu]  # gpu job waits for a gpu daemon
+
+    assert store_a.get_embedding_job_status(ja)["status"] == "enabled"
+    assert store_b.get_embedding_job_status(jb)["status"] == "enabled"
+    assert daemon.catalogs["a"].results[ja].where("e is not null").count() == 5
+    assert daemon.catalogs["b"].results[jb].where("e is not null").count() == 7
+
+    # a gpu-labeled daemon on catalog b picks up the routed job; catalog a
+    # has nothing left to do
+    daemon_gpu = MultiCatalogDaemon({
+        "a": EmbeddingDaemon(store_a, {"ta": src_a}, label="gpu"),
+        "b": EmbeddingDaemon(store_b, {"tb": src_b}, label="gpu"),
+    })
+    reports2 = daemon_gpu.run_once()
+    assert reports2["b"].ran == [jb_gpu]
+    assert store_b.get_embedding_job_status(jb_gpu)["status"] == "enabled"
