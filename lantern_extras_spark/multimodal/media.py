@@ -49,6 +49,32 @@ FETCH_MAX_REDIRECTS = 2
 FETCH_MAX_BYTES = 20 * 1024 * 1024
 
 
+def urllib_transport(url: str, timeout_s: float):
+    """Stdlib transport for real clusters (untested in this sandbox — no
+    network). Redirects are NOT auto-followed: a 3xx returns its Location so
+    `fetch_bytes` enforces the reference's 2-redirect cap itself; the body
+    read is capped at FETCH_MAX_BYTES+1 so the fetcher's size check fires
+    without buffering unbounded payloads."""
+    import socket
+    import urllib.error
+    import urllib.request
+
+    class _NoRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, req, fp, code, msg, headers, newurl):
+            return None
+
+    opener = urllib.request.build_opener(_NoRedirect)
+    try:
+        with opener.open(url, timeout=timeout_s) as resp:
+            return resp.status, resp.read(FETCH_MAX_BYTES + 1), None
+    except urllib.error.HTTPError as e:
+        if e.code in (301, 302, 303, 307, 308):
+            return e.code, None, e.headers.get("Location")
+        return e.code, None, None
+    except socket.timeout as e:
+        raise TimeoutError(str(e)) from e
+
+
 def _no_network_transport(url: str, timeout_s: float):
     raise NotImplementedError(
         "No network transport configured for fetch_media (STUB in this "
