@@ -432,6 +432,31 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select("id_a", "id_b", pround("jaccard", 5).alias("jaccard"))
 
 
+def q_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Subset/boilerplate detection: |∩|/min(|a|,|b|) ≥ 0.5 on 3-gram shingle
+    sets within (lang, source) blocks, via the same inverted-index plan as
+    q_ngram_jaccard (no length-band prune — a short doc fully contained in a
+    long one is exactly the target)."""
+    docs = _t(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, block_cols=("lang", "source"), threshold=0.5, metric="containment"
+    )
+    return pairs.select("id_a", "id_b", pround("containment", 5).alias("containment"))
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms over the doc_id<50 slice (tf · ln(N/df),
+    portable 6-dp rounding BEFORE ranking so cross-engine ln() ulps can't flip
+    ranks; ties break on term)."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 50)
+    out = TS.tfidf_top_terms(docs, k=3, round_dp=6)
+    return out.select(
+        "doc_id", "term", F.col("tf").cast("bigint").alias("tf"),
+        F.col("df_t").cast("bigint").alias("df_t"), "score",
+        F.col("rank").cast("bigint").alias("rnk"),
+    )
+
+
 def q_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
     return TS.fingerprint(docs).select("doc_id", "fp_key")
@@ -756,6 +781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc_topk,
         "knn_partial_strategy": q_knn_partial_strategy,
         "ivf_pq_search": q_ivf_pq_search,
+        "ngram_containment": q_ngram_containment,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -1247,6 +1274,36 @@ def _oracle_sql_raw() -> dict[str, str]:
             WHERE CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 0.0
                   ELSE len(list_intersect(a.sh, b.sh))
                        / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) END >= 0.2
+        """,
+        "ngram_containment": f"""
+            WITH t AS (SELECT doc_id, lang, source, {_sql_words()} AS w FROM documents),
+                 s0 AS (SELECT doc_id, lang, source, {_sql_shingles3()} AS sh0 FROM t),
+                 s AS (SELECT doc_id, lang, source,
+                              list_distinct(list_transform(sh0, x -> {_sql_hash32('x')})) AS sh FROM s0)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CASE WHEN least(len(a.sh), len(b.sh)) = 0 THEN 0.0
+                         ELSE len(list_intersect(a.sh, b.sh))
+                              / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) END, 5) AS containment
+            FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+            WHERE CASE WHEN least(len(a.sh), len(b.sh)) = 0 THEN 0.0
+                  ELSE len(list_intersect(a.sh, b.sh))
+                       / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) END >= 0.5
+        """,
+        "tfidf_top_terms": f"""
+            WITH t AS (SELECT doc_id, {_sql_words()} AS w FROM documents WHERE doc_id < 50),
+                 tok AS (SELECT doc_id, unnest(w) AS term FROM t),
+                 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+                 dfq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+                 n AS (SELECT count(*) AS n FROM t),
+                 scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df_t,
+                                   round(tf.tf * ln((SELECT n FROM n) / df_t), 6) AS score
+                            FROM tf JOIN dfq USING (term)),
+                 ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term ASC) AS rnk
+                            FROM scored)
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df_t AS BIGINT) AS df_t,
+                   score, CAST(rnk AS BIGINT) AS rnk
+            FROM ranked WHERE rnk <= 3
         """,
         "fingerprints": f"""
             WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),

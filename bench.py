@@ -95,6 +95,8 @@ def main() -> None:
         "embedding_neardup",
         "pq_adc_topk",
         "ivf_pq_search",
+        "ngram_containment",
+        "tfidf_top_terms",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

@@ -370,10 +370,35 @@ def simhash_pairs(
     )
 
 
+def _ngram_score(metric: str, inter: Column, n_a: Column, n_b: Column) -> tuple[str, Column]:
+    """(output column name, score expression) for a pair-similarity metric:
+    - "jaccard":      |∩| / |∪|          — symmetric near-dup detection
+    - "containment":  |∩| / min(|a|,|b|) — subset/boilerplate detection (a
+      short doc embedded in a long one scores 1.0 where jaccard stays low)
+    """
+    if metric == "jaccard":
+        union = n_a + n_b - inter
+        return "jaccard", F.when(union == 0.0, F.lit(0.0)).otherwise(inter / union)
+    if metric == "containment":
+        m = F.least(n_a, n_b).cast("double")
+        return "containment", F.when(m == 0.0, F.lit(0.0)).otherwise(inter / m)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def _ngram_length_prune(metric: str, threshold: float, n_a: Column, n_b: Column) -> Column:
+    """Length-band prune, valid per metric: jaccard ≥ t ⟹ t·|b| ≤ |a| ≤ |b|/t.
+    No such bound exists for containment (a 3-shingle doc fully contained in a
+    3000-shingle doc is exactly the target), so it must not prune."""
+    if metric == "jaccard":
+        return (n_a >= threshold * n_b) & (n_b >= threshold * n_a)
+    return F.lit(True)
+
+
 def _ngram_pairs_index(
-    sh: DataFrame, id_col: str, block_cols: tuple[str, ...], threshold: float
+    sh: DataFrame, id_col: str, block_cols: tuple[str, ...], threshold: float,
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """Inverted-index exact Jaccard: explode hashed shingles, self-join on
+    """Inverted-index exact pair scoring: explode hashed shingles, self-join on
     (block, shingle), count co-occurrences per pair = |∩|. A pair that shares
     no shingle never materializes — exactly the pairs a threshold > 0 would
     drop anyway — so results are identical to the pairwise plan while the work
@@ -382,25 +407,24 @@ def _ngram_pairs_index(
     a = e.select(*block_cols, "h", F.col(id_col).alias("id_a"), F.col("sh_n").alias("n_a"))
     b = e.select(*block_cols, "h", F.col(id_col).alias("id_b"), F.col("sh_n").alias("n_b"))
     inter = F.count("*").cast("double")
+    name, score = _ngram_score(metric, F.col("inter"), F.col("n_a"), F.col("n_b"))
     return (
         a.join(b, [*block_cols, "h"])
         .where(F.col("id_a") < F.col("id_b"))
-        .where(
-            (F.col("n_a") >= threshold * F.col("n_b"))
-            & (F.col("n_b") >= threshold * F.col("n_a"))
-        )
+        .where(_ngram_length_prune(metric, threshold, F.col("n_a"), F.col("n_b")))
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(inter.alias("inter"))
-        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn(name, score)
+        .where(F.col(name) >= threshold)
+        .select("id_a", "id_b", name)
     )
 
 
 def _ngram_pairs_pairwise(
-    sh: DataFrame, id_col: str, block_cols: tuple[str, ...], threshold: float
+    sh: DataFrame, id_col: str, block_cols: tuple[str, ...], threshold: float,
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """All-pairs exact Jaccard within blocks — O(block²) `array_intersect`
+    """All-pairs exact scoring within blocks — O(block²) `array_intersect`
     calls. Correct for any threshold (including 0) but quadratic; the guard in
     `ngram_jaccard_pairs` keeps it off oversized blocks."""
     a = sh.select(*block_cols, F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("sh_n").alias("n_a"))
@@ -408,17 +432,13 @@ def _ngram_pairs_pairwise(
     on = list(block_cols) if block_cols else None
     joined = a.crossJoin(b) if not on else a.join(b, on)
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
-    union = F.col("n_a") + F.col("n_b") - inter
-    jac = F.when(union == 0.0, F.lit(0.0)).otherwise(inter / union)
+    name, score = _ngram_score(metric, inter, F.col("n_a"), F.col("n_b"))
     return (
         joined.where(F.col("id_a") < F.col("id_b"))
-        .where(
-            (F.col("n_a") >= threshold * F.col("n_b"))
-            & (F.col("n_b") >= threshold * F.col("n_a"))
-        )
-        .withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .where(_ngram_length_prune(metric, threshold, F.col("n_a"), F.col("n_b")))
+        .withColumn(name, score)
+        .where(F.col(name) >= threshold)
+        .select("id_a", "id_b", name)
     )
 
 
@@ -432,10 +452,14 @@ def ngram_jaccard_pairs(
     strategy: str = "index",
     max_block_rows: int | None = 20_000,
     on_oversize: str = "error",
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """Blocked exact n-gram Jaccard pairs within `block_cols` blocks
-    (e.g. (lang, source)): (id_a, id_b, jaccard) with jaccard ≥ threshold on
-    distinct word n-grams.
+    """Blocked exact n-gram pair similarity within `block_cols` blocks
+    (e.g. (lang, source)): (id_a, id_b, <metric>) with score ≥ threshold on
+    distinct word n-grams. metric="jaccard" (symmetric near-dups) or
+    "containment" (|∩|/min — subset/boilerplate detection; the length-band
+    prune is disabled for it, and MinHash routing is unavailable because LSH
+    estimates jaccard, not containment).
 
     Strategies (identical results for threshold > 0):
     - "index" (default): inverted-index join — explode each doc's hashed
@@ -469,6 +493,8 @@ def ngram_jaccard_pairs(
         raise ValueError(f"unknown on_oversize {on_oversize!r}")
     if strategy == "index" and threshold <= 0.0:
         raise ValueError("strategy='index' requires threshold > 0; use strategy='pairwise'")
+    if metric == "containment" and on_oversize == "route":
+        raise ValueError("on_oversize='route' requires metric='jaccard' (MinHash-LSH estimates jaccard)")
 
     sh = (
         hashed_shingles(df, text_col, id_col, shingle_n, extra_cols=block_cols)
@@ -480,12 +506,12 @@ def ngram_jaccard_pairs(
     exact = _ngram_pairs_index if strategy == "index" else _ngram_pairs_pairwise
 
     if max_block_rows is None:
-        return exact(sh, id_col, block_cols, threshold)
+        return exact(sh, id_col, block_cols, threshold, metric)
 
     counts = (sh.groupBy(*block_cols) if block_cols else sh.groupBy(F.lit(0).alias("__all"))).count()
     oversized = counts.where(F.col("count") > max_block_rows).collect()
     if not oversized:
-        return exact(sh, id_col, block_cols, threshold)
+        return exact(sh, id_col, block_cols, threshold, metric)
 
     desc = ", ".join(
         ("(" + ", ".join(f"{c}={r[c]!r}" for c in block_cols) + ")" if block_cols else "<unblocked>")
@@ -512,7 +538,7 @@ def ngram_jaccard_pairs(
             eq = F.col(col).eqNullSafe(F.lit(r[col]))
             c = eq if c is None else c & eq
         over_cond = c if over_cond is None else over_cond | c
-    ok_pairs = exact(sh.where(~over_cond), id_col, block_cols, threshold)
+    ok_pairs = exact(sh.where(~over_cond), id_col, block_cols, threshold, metric)
     big_df = df.where(over_cond)
     big_pairs = minhash_dedup(big_df, text_col, id_col, shingle_n=shingle_n, threshold=threshold)
     # restrict LSH pairs to same-block (minhash_dedup is block-unaware)

@@ -118,3 +118,42 @@ def fingerprint(
             F.size(sketch) > 0, F.md5(F.concat_ws(",", sketch.cast("array<string>")))
         ).alias("fp_key"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_docs: int | None = None,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms: tf = term occurrences in the doc,
+    idf = ln(N / df_term), deterministic (score desc, term asc) ranking.
+    The corpus-characterization primitive of a training-data pipeline (which
+    terms dominate a source / a cluster of near-dups).
+
+    Scale shape: one shuffle on (doc, term) for tf, one on term for document
+    frequency, then a join back — the df side is vocabulary-sized, so Spark
+    broadcasts it when small and sort-merges at web scale. No driver loops.
+
+    Pass `n_docs` to skip the count job; `round_dp` rounds the score with the
+    portable floor-form BEFORE ranking so rankings are reproducible across
+    engines (cross-engine ln() differs in ulps)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    n = n_docs if n_docs is not None else df.count()
+    score = F.col("tf") * F.log(F.lit(float(n)) / F.col("df_t"))
+    if round_dp is not None:
+        score = pround(score, round_dp)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df_t", "score", "rank")
+    )

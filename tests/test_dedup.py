@@ -131,3 +131,24 @@ def test_embedding_neardup(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     pairs = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_pairs(df, threshold=0.95, n_planes=4).collect()}
     assert (1, 2) in pairs and len(pairs) == 1
+
+
+def test_ngram_containment_subset_detection(spark):
+    """A short doc embedded verbatim in a long one: containment 1.0 while
+    jaccard stays below threshold — and index == pairwise for the metric."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + "other words follow here in a much longer document " * 3
+    df = spark.createDataFrame([(1, long), (2, short), (3, "unrelated text entirely different")],
+                               "doc_id long, text string")
+    for strategy in ("index", "pairwise"):
+        got = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in D.ngram_jaccard_pairs(df, threshold=0.9, metric="containment",
+                                           strategy=strategy).collect()
+        }
+        assert got == {(1, 2): 1.0}, (strategy, got)
+    # jaccard at the same threshold finds nothing (sets differ a lot)
+    assert D.ngram_jaccard_pairs(df, threshold=0.9).count() == 0
+    # routing is jaccard-only
+    with pytest.raises(ValueError, match="route"):
+        D.ngram_jaccard_pairs(df, metric="containment", on_oversize="route")

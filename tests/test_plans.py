@@ -69,3 +69,20 @@ def test_doc_search_uses_take_ordered_not_global_window(spark):
     # The window must consume the limit's output, not feed it: in the plan
     # string the Window operator appears above (before) TakeOrderedAndProject.
     assert s.text.index("Window") < s.text.index("TakeOrderedAndProject")
+
+
+def test_ngram_jaccard_no_quadratic_crossjoin(spark):
+    """The headline ngram query must run the inverted-index plan: no
+    cartesian/nested-loop product anywhere, and the only equi-join key is the
+    fine-grained (block, shingle-hash) tuple — the plan whose cost follows
+    posting lists, not block²."""
+    import re
+
+    df = E.q_ngram_jaccard(spark, SF)
+    s = plan_summary(df)
+    assert "CartesianProduct" not in s.text
+    assert "BroadcastNestedLoopJoin" not in s.text
+    # an equi hash/merge join whose keys include the shingle hash column `h`
+    # (AQE may pick broadcast at tiny SF; the key set is what matters)
+    join_lines = [l for l in s.text.splitlines() if re.search(r"HashJoin|SortMergeJoin", l)]
+    assert any(re.search(r"\bh#\d+", l) for l in join_lines), join_lines
