@@ -47,6 +47,25 @@ def gen_docs(spark, path: str, n: int, parts: int = 64) -> None:
     base.write.mode("overwrite").parquet(path)
 
 
+def gen_docs_diverse(spark, path: str, n: int, vocab: int = 5000, parts: int = 64) -> None:
+    """Word-soup over a `vocab`-word hash-derived vocabulary: 3-gram shingles
+    are discriminative (small posting lists), the regime real text lives in
+    and the one the inverted-index ngram strategy targets. The 20-word
+    `gen_docs` vocab is the degenerate opposite — dense posting lists — which
+    is exactly what `max_block_rows` + MinHash routing exist for. ~5% of docs
+    duplicate their predecessor so near-dup pairs exist."""
+    seed = F.when((F.col("id") % 20 == 0) & (F.col("id") > 0), F.col("id") - 1).otherwise(F.col("id"))
+
+    def word(i: int):
+        return F.concat(F.lit("w"), (((F.xxhash64(seed * 131 + i) % vocab) + vocab) % vocab).cast("string"))
+
+    base = spark.range(0, n, 1, parts).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[word(i) for i in range(60)]).alias("text"),
+    )
+    base.write.mode("overwrite").parquet(path)
+
+
 def main() -> None:
     n_vec = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_doc = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
@@ -100,6 +119,17 @@ def main() -> None:
     timed("exact_dedup_100k", lambda: D.exact_dedup(docs).where("is_duplicate").count())
     timed("minhash_lsh_100k", lambda: D.minhash_dedup(docs, n_hashes=32, bands=8, threshold=0.8).count())
     timed("simhash_100k", lambda: D.simhash(docs).foreach(lambda r: None))
+
+    # exact ngram Jaccard via the inverted-index strategy on discriminative-
+    # shingle docs (real-text regime); guard explicitly disabled — the caller
+    # opts in, posting lists carry the cost
+    doc2_path = f"{base}/docs_diverse"
+    timed("gen_docs_diverse", lambda: gen_docs_diverse(spark, doc2_path, n_doc))
+    docs2 = spark.read.parquet(doc2_path)
+    timed(
+        "ngram_index_exact",
+        lambda: D.ngram_jaccard_pairs(docs2, threshold=0.5, max_block_rows=None).count(),
+    )
 
     print(json.dumps({"n_vectors": n_vec, "n_docs": n_doc, "timings": timings}))
 
