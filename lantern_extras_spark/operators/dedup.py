@@ -569,6 +569,7 @@ def embedding_neardup_pairs(
     seed: int = 42,
     max_bucket: int = 2000,
     dim: int | None = None,
+    impl: str = "native",
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an embedding column via random-hyperplane
     LSH: bucket key = sign bits of `n_planes` seeded hyperplane projections; cosine
@@ -576,6 +577,14 @@ def embedding_neardup_pairs(
 
     sim(bucket collision) ≈ (1 - θ/π)^n_planes, so n_planes trades recall for
     bucket size; at 100 TB run multiple hash tables (seeds) and union the pairs.
+
+    impl="native" (default): pure Column expressions — sequential fold per
+    plane, bit-replayable by the DuckDB oracle; the parity path.
+    impl="pandas": Arrow kernel, one (batch × dim)·(dim × n_planes) GEMM for
+    all projections — the 100 TB path (the fold evaluates O(n_planes·dim)
+    interpreted ops per row). Buckets can differ from "native" only when a
+    projection sits within float-summation-order noise of 0 (measure-zero for
+    real data); downstream pairs are cosine-verified either way.
 
     Pass `dim` to avoid the driver-side `first()` probe (one extra Spark job);
     the probe is kept as a fallback for ad-hoc use.
@@ -588,20 +597,45 @@ def embedding_neardup_pairs(
         dim = len(df.select(vec_col).first()[0])
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
-    key = None
-    for i in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col).cast("array<double>"),
-                F.lit([float(x) for x in planes[i]]).cast("array<double>"),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(proj >= 0, F.lit(2**i)).otherwise(F.lit(0))
-        key = bit if key is None else key + bit
-    buckets = df.select(F.col(id_col), F.col(vec_col), key.alias("bucket"))
+
+    if impl == "pandas":
+        import pandas as pd
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        spark = df.sparkSession
+        bP = spark.sparkContext.broadcast(planes)
+        weights = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
+        base = df.select(F.col(id_col), F.col(vec_col))
+        out_schema = StructType(base.schema.fields + [StructField("bucket", LongType())])
+
+        def kernel(batches):
+            P = bP.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()])
+                bits = (X @ P.T) >= 0.0
+                pdf["bucket"] = (bits * weights[None, :]).sum(axis=1)
+                yield pdf[[id_col, vec_col, "bucket"]]
+
+        buckets = base.mapInPandas(kernel, out_schema)
+    elif impl == "native":
+        key = None
+        for i in range(n_planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col).cast("array<double>"),
+                    F.lit([float(x) for x in planes[i]]).cast("array<double>"),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(proj >= 0, F.lit(2**i)).otherwise(F.lit(0))
+            key = bit if key is None else key + bit
+        buckets = df.select(F.col(id_col), F.col(vec_col), key.alias("bucket"))
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
     buckets = buckets.withColumn("bucket_n", F.count("*").over(Window.partitionBy("bucket"))).where(
         F.col("bucket_n") <= max_bucket
     )

@@ -152,3 +152,16 @@ def test_ngram_containment_subset_detection(spark):
     # routing is jaccard-only
     with pytest.raises(ValueError, match="route"):
         D.ngram_jaccard_pairs(df, metric="containment", on_oversize="route")
+
+
+def test_embedding_neardup_pandas_impl_matches_native(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = [(i, rng.randn(16).astype("float32").tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = {(r["id_a"], r["id_b"]): round(r["cosine"], 9)
+         for r in D.embedding_neardup_pairs(df, threshold=0.6, n_planes=6, dim=16).collect()}
+    b = {(r["id_a"], r["id_b"]): round(r["cosine"], 9)
+         for r in D.embedding_neardup_pairs(df, threshold=0.6, n_planes=6, dim=16, impl="pandas").collect()}
+    assert a == b and a
