@@ -262,6 +262,28 @@ def drop_duplicates_keep_first(df: DataFrame, pairs: DataFrame, id_col: str = "d
     return df.join(dupes, id_col, "left_anti")
 
 
+def simhash_col(c: Column | str, bits: int = 32) -> Column:
+    """SimHash as a pure Column expression (usable on streams — no Python
+    workers, no shuffle). HOF re-evaluation makes it `bits`× the md5 work of
+    the Arrow kernel; right for live feeds, wrong for backfills (use
+    `simhash(impl='pandas')` there)."""
+    c = F.col(c) if isinstance(c, str) else c
+    hs = F.transform(tokens(c), lambda t: hash32(t))
+
+    def bit_vote(b: int) -> Column:
+        return F.aggregate(
+            hs,
+            F.lit(0),
+            lambda acc, h: acc + F.when((F.floor(h / F.lit(2**b)) % 2) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    sim = None
+    for b in range(bits):
+        term = F.when(bit_vote(b) > 0, F.lit(2**b)).otherwise(F.lit(0)).cast("bigint")
+        sim = term if sim is None else sim + term
+    return sim
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",
@@ -280,20 +302,7 @@ def simhash(
     `bits`× the md5 work), so it's kept for Arrow-less environments only.
     """
     if impl == "native":
-        hs = F.transform(tokens(F.col(text_col)), lambda t: hash32(t))
-
-        def bit_vote(b: int) -> Column:
-            return F.aggregate(
-                hs,
-                F.lit(0),
-                lambda acc, h: acc + F.when((F.floor(h / F.lit(2**b)) % 2) == 1, F.lit(1)).otherwise(F.lit(-1)),
-            )
-
-        sim = None
-        for b in range(bits):
-            term = F.when(bit_vote(b) > 0, F.lit(2**b)).otherwise(F.lit(0)).cast("bigint")
-            sim = term if sim is None else sim + term
-        return df.select(F.col(id_col), sim.alias("simhash"))
+        return df.select(F.col(id_col), simhash_col(F.col(text_col), bits).alias("simhash"))
 
     if impl != "pandas":
         raise ValueError(f"unknown impl {impl!r}")

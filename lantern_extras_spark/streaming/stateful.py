@@ -66,6 +66,124 @@ def dedup_stream(
     return deduped.drop(hash_col) if hash_col.startswith("__") else deduped
 
 
+def near_dedup_band_flags(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Streaming NEAR-dup guard, SimHash band stage: one output row per
+    (doc × band) with `band_dup` = this band key was seen before — by any
+    earlier batch (checkpoint state) or by a lower-id doc in this batch.
+
+    Semantics: a doc is a near-dup iff ANY of its bands was seen (aggregate
+    with `collapse_band_flags`, or let `start_near_dedup_stream` wire it via
+    foreachBatch — two chained stateful ops aren't allowed in one stream).
+    Bands of EVERY incoming doc are registered, dropped docs included: a
+    near-dup of a dropped doc duplicates whatever that doc duplicated, so
+    registration is monotone and restart-safe. State per band key is one
+    boolean, sharded by key hash — the same minimal-footprint design as
+    `dedup_stream`."""
+    from lantern_extras_spark.operators.dedup import simhash_col
+
+    n_bands = bits // band_bits
+    sim = simhash_col(F.col(text_col), bits)
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                (F.floor(sim / F.lit(2 ** (b * band_bits))) % F.lit(2**band_bits))
+                .cast("long")
+                .alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = (
+        stream.withColumn("__b", F.explode(bands_arr))
+        .withColumn("band_idx", F.col("__b.band_idx"))
+        .withColumn("band_key", F.col("__b.band_key"))
+        .drop("__b")
+    )
+    out_schema = StructType(
+        [f for f in exploded.schema.fields] + [StructType.fromDDL("band_dup boolean").fields[0]]
+    )
+    state_schema = StructType.fromDDL("seen boolean")
+    cols = [f.name for f in exploded.schema.fields]
+
+    def flag_fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        seen_before = state.exists
+        state.update((True,))
+        first = True
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(id_col)
+            dup = [True] * len(pdf)
+            if first and not seen_before:
+                dup[0] = False  # lowest-id doc in this batch claims the band
+            first = False
+            out = pdf[cols].copy()
+            out["band_dup"] = dup
+            yield out
+
+    return exploded.groupBy("band_idx", "band_key").applyInPandasWithState(
+        flag_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def collapse_band_flags(flags: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc × band) flags → surviving docs: keep a doc iff NO band was seen.
+    Batch-side aggregation (call inside foreachBatch on a stream)."""
+    keep_cols = [c for c in flags.columns if c not in ("band_idx", "band_key", "band_dup")]
+    agg = flags.groupBy(id_col).agg(
+        F.max(F.col("band_dup").cast("int")).alias("__any_dup"),
+        *[F.first(c).alias(c) for c in keep_cols if c != id_col],
+    )
+    return agg.where(F.col("__any_dup") == 0).select(*keep_cols)
+
+
+def start_near_dedup_stream(
+    spark,
+    source_dir: str,
+    source_schema,
+    output_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    band_bits: int = 8,
+    available_now: bool = True,
+    trigger_seconds: int = 10,
+):
+    """Wire the near-dup guard: stateful band flags → per-doc collapse in
+    foreachBatch (streaming aggregation after a stateful op isn't allowed in
+    append mode) → parquet. Exactly-once via the checkpoint."""
+    stream = spark.readStream.schema(source_schema).parquet(source_dir)
+    flags = near_dedup_band_flags(stream, text_col, id_col, bits, band_bits)
+
+    def write_batch(bdf, epoch_id):
+        collapse_band_flags(bdf, id_col).write.mode("append").parquet(output_dir)
+
+    writer = flags.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("append")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def start_dedup_stream(
     spark,
     source_dir: str,

@@ -31,3 +31,36 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     texts = sorted(r["text"] for r in final.collect())
     assert texts == ["alpha", "beta", "gamma"]  # 'alpha' admitted exactly once ever
     assert final.count() == 3
+
+
+def test_streaming_near_dedup_across_batches(spark, tmp_path):
+    """SimHash-band near-dup guard: exact and near duplicates are rejected
+    within and across batches (state survives the checkpoint restart)."""
+    from lantern_extras_spark.streaming.stateful import start_near_dedup_stream
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat watches "
+            "from the warm windowsill and the birds sing in the tall trees")
+    src = str(tmp_path / "src"); out = str(tmp_path / "out"); ckpt = str(tmp_path / "ckpt")
+
+    batch1 = spark.createDataFrame(
+        [(1, base),
+         (2, base.replace("quick", "speedy")),  # near-dup of 1 -> rejected
+         (3, "a completely different document about query planners and shuffles")],
+        "doc_id long, text string",
+    )
+    batch1.coalesce(1).write.mode("overwrite").parquet(src)
+    q = start_near_dedup_stream(spark, src, batch1.schema, out, ckpt)
+    q.awaitTermination(120)
+    ids1 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert ids1 == [1, 3]
+
+    batch2 = spark.createDataFrame(
+        [(4, base.replace("lazy", "sleepy")),  # near-dup of 1, next batch -> state rejects
+         (5, "entirely novel text describing streaming checkpoints and state stores")],
+        "doc_id long, text string",
+    )
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    q2 = start_near_dedup_stream(spark, src, batch1.schema, out, ckpt)
+    q2.awaitTermination(120)
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert ids == [1, 3, 5]
