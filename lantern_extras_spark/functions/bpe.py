@@ -127,9 +127,18 @@ def save_merges(merges: list[tuple[int, int]], path: Path = VOCAB_PATH) -> None:
     path.write_text("\n".join(f"{a} {b}" for a, b in merges) + "\n")
 
 
-def load_merges(path: Path = VOCAB_PATH) -> list[tuple[int, int]]:
+def load_merges(path: Path | None = None) -> list[tuple[int, int]]:
+    """Load the merge list. With no path, reads the committed vocab through
+    importlib.resources so it works when the package ships to executors as a
+    zip (addPyFile) — a plain filesystem read would fail inside the archive."""
+    if path is None:
+        from importlib import resources
+
+        text = resources.files("lantern_extras_spark.functions").joinpath("bpe_vocab.txt").read_text()
+    else:
+        text = Path(path).read_text()
     merges = []
-    for line in path.read_text().splitlines():
+    for line in text.splitlines():
         line = line.strip()
         if line:
             a, b = line.split()

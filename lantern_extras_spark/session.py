@@ -33,7 +33,10 @@ def _ship_package(spark: SparkSession) -> None:
             if "__pycache__" in root:
                 continue
             for f in files:
-                if f.endswith(".py"):
+                # .txt rides along for data files the package loads at runtime
+                # (e.g. functions/bpe_vocab.txt — executors resolve it relative
+                # to the module path inside the shipped zip)
+                if f.endswith((".py", ".txt")):
                     full = os.path.join(root, f)
                     rel = os.path.join("lantern_extras_spark", os.path.relpath(full, pkg_dir))
                     zf.write(full, rel)
