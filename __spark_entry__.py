@@ -292,6 +292,35 @@ def q_knn_l2(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.col("distance").alias("l2sq_distance"), F.col("rank").cast("bigint").alias("rnk"))
 
 
+def q_knn_dot(spark: SparkSession, sf: str) -> DataFrame:
+    """kNN under (negative) inner product — the reference's `<+>` operator
+    semantics (external_index/cli.rs:111-123): ascending distance = most
+    similar first."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    data = emb.where(F.col("vec_id") >= 5)
+    out = K.knn_join(data, q, k=10, metric="dot", strategy="crossjoin", dist_scale=5)
+    return out.select("query_id", "vec_id", F.col("distance").alias("dot_distance"),
+                      F.col("rank").cast("bigint").alias("rnk"))
+
+
+def q_knn_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-filtered kNN (the reference's filtered search, H5 `filter`
+    param): corpus restricted to label=3 BEFORE the distance work — the
+    predicate reaches the parquet scan, so at 100 TB the filter prunes the
+    read, not just the ranking."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    data = emb.where((F.col("vec_id") >= 5) & (F.col("label") == 3))
+    out = K.knn_join(data, q, k=10, metric="cos", strategy="crossjoin", dist_scale=6)
+    return out.select("query_id", "vec_id", F.col("distance").alias("cos_distance"),
+                      F.col("rank").cast("bigint").alias("rnk"))
+
+
 def q_label_vector_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label vector statistics (norms via higher-order functions)."""
     emb = _t(spark, sf, "embeddings")
@@ -754,6 +783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_distances": q_vector_distances,
         "knn_cos": q_knn_cos,
         "knn_l2": q_knn_l2,
+        "knn_dot": q_knn_dot,
+        "knn_filtered": q_knn_filtered,
         "label_vector_stats": q_label_vector_stats,
         "embed_documents": q_embed_documents,
         "doc_search": q_doc_search,
@@ -1162,6 +1193,36 @@ def _oracle_sql_raw() -> dict[str, str]:
                  )
             SELECT query_id, vec_id, l2sq_distance,
                    row_number() OVER (PARTITION BY query_id ORDER BY l2sq_distance ASC, vec_id ASC) AS rnk
+            FROM scored
+            QUALIFY rnk <= 10
+        """,
+        "knn_dot": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+                 d AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings WHERE vec_id >= 5),
+                 scored AS (
+                    SELECT q.query_id, d.vec_id,
+                           round(-list_sum(list_transform(range(1, len(dv)+1), i -> dv[i]*qv[i])), 5) AS dot_distance
+                    FROM q, d
+                 )
+            SELECT query_id, vec_id, dot_distance,
+                   row_number() OVER (PARTITION BY query_id ORDER BY dot_distance ASC, vec_id ASC) AS rnk
+            FROM scored
+            QUALIFY rnk <= 10
+        """,
+        "knn_filtered": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+                 d AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings WHERE vec_id >= 5 AND label = 3),
+                 scored AS (
+                    SELECT q.query_id, d.vec_id,
+                           round(1.0 - CASE WHEN sqrt(list_sum(list_transform(dv, x->x*x))) * sqrt(list_sum(list_transform(qv, x->x*x))) = 0
+                                 THEN 0.0
+                                 ELSE list_sum(list_transform(range(1, len(dv)+1), i -> dv[i]*qv[i]))
+                                      / (sqrt(list_sum(list_transform(dv, x->x*x))) * sqrt(list_sum(list_transform(qv, x->x*x))))
+                           END, 6) AS cos_distance
+                    FROM q, d
+                 )
+            SELECT query_id, vec_id, cos_distance,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos_distance ASC, vec_id ASC) AS rnk
             FROM scored
             QUALIFY rnk <= 10
         """,

@@ -97,6 +97,8 @@ def main() -> None:
         "ivf_pq_search",
         "ngram_containment",
         "tfidf_top_terms",
+        "knn_dot",
+        "knn_filtered",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

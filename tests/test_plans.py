@@ -86,3 +86,10 @@ def test_ngram_jaccard_no_quadratic_crossjoin(spark):
     # (AQE may pick broadcast at tiny SF; the key set is what matters)
     join_lines = [l for l in s.text.splitlines() if re.search(r"HashJoin|SortMergeJoin", l)]
     assert any(re.search(r"\bh#\d+", l) for l in join_lines), join_lines
+
+
+def test_knn_filtered_pushes_label_predicate(spark):
+    """Filtered kNN: the label predicate must reach the parquet scan — at
+    100 TB the filter prunes the read, not just the ranking."""
+    df = E.q_knn_filtered(spark, SF)
+    assert_filter_pushed(df, "EqualTo(label,3)")
