@@ -626,6 +626,25 @@ def q_error_burst(spark: SparkSession, sf: str) -> DataFrame:
     return joined.groupBy("error_id").agg(F.count("*").alias("n_events"))
 
 
+def q_error_burst_binned(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME error-burst range join through the strategy='bin' scale path
+    (explode intervals over bins, equi-join on bin id, exact re-check) —
+    output mirrors q_error_burst so one oracle hash-checks both strategies,
+    proving the bin kernel against the broadcast-nested-loop plan. Bin width =
+    the interval width (each interval covers ≤ 2 bins)."""
+    ev = _events(spark, sf).withColumn("us", F.unix_micros("ts"))
+    errors = (
+        ev.where((F.col("event_type") == "error") & (F.col("event_id") % 100 == 0))
+        .select(F.col("event_id").alias("error_id"), F.col("us").alias("lo"),
+                (F.col("us") + 300 * 1_000_000).alias("hi"))
+    )
+    pts = ev.select(F.col("event_id").alias("pid"), F.col("us").alias("x"))
+    joined = TMP.range_join(pts, errors, "x", "lo", "hi",
+                            extra_on=F.col("pid") != F.col("error_id"),
+                            strategy="bin", bin_width=300 * 1_000_000)
+    return joined.groupBy("error_id").agg(F.count("*").alias("n_events"))
+
+
 def q_sales_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """ROLLUP aggregation (beyond the reference's flat GROUP BYs)."""
     li = _t(spark, sf, "lineitem")
@@ -799,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_assign": q_pq_assign,
         "events_asof_signup": q_events_asof_signup,
         "error_burst": q_error_burst,
+        "error_burst_binned": q_error_burst_binned,
         "sales_rollup": q_sales_rollup,
         "value_percentiles": q_value_percentiles,
         "ivf_search": q_ivf_search,
@@ -1483,6 +1503,7 @@ def _oracle_sql_raw() -> dict[str, str]:
     # the partial-topk kNN strategy must reproduce the crossjoin plan's answer,
     # so it shares knn_cos's oracle verbatim.
     sql["knn_partial_strategy"] = sql["knn_cos"]
+    sql["error_burst_binned"] = sql["error_burst"]
     sql["minhash_lsh_pairs"] = _minhash_lsh_pairs_sql()
     sql["pq_adc_topk"] = _pq_adc_topk_sql(_ivf_qv_sql())
     sql["embedding_neardup"] = _embedding_neardup_sql()

@@ -99,6 +99,7 @@ def main() -> None:
         "tfidf_top_terms",
         "knn_dot",
         "knn_filtered",
+        "error_burst_binned",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))
