@@ -28,6 +28,7 @@ from lantern_extras_spark.operators import knn as K
 from lantern_extras_spark.operators import pq as PQ
 from lantern_extras_spark.operators import textstats as TS
 from lantern_extras_spark.operators import ivf as IVF
+from lantern_extras_spark.operators import sampling as SMP
 from lantern_extras_spark.operators import temporal as TMP
 
 TABLES = (
@@ -461,6 +462,24 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select("id_a", "id_b", pround("jaccard", 5).alias("jaccard"))
 
 
+def q_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 90/5/5 train/eval/test split (hash32-bucketed — same doc,
+    same split, every run/engine/cluster; no RNG), summarized as counts per
+    (split, lang)."""
+    docs = _t(spark, sf, "documents")
+    out = SMP.hash_split(docs)
+    return out.groupBy("split", "lang").agg(F.count("*").alias("n"))
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic balanced mixture: 2 docs per (lang, source), ranked by
+    portable hash — the reproducible alternative to sampleBy."""
+    docs = _t(spark, sf, "documents")
+    out = SMP.stratified_take(docs, ("lang", "source"), 2)
+    return out.select("doc_id", "lang", "source",
+                      F.col("sample_rank").cast("bigint").alias("sample_rank"))
+
+
 def q_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
     """Subset/boilerplate detection: |∩|/min(|a|,|b|) ≥ 0.5 on 3-gram shingle
     sets within (lang, source) blocks, via the same inverted-index plan as
@@ -834,6 +853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_search": q_ivf_pq_search,
         "ngram_containment": q_ngram_containment,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1355,6 +1376,27 @@ def _oracle_sql_raw() -> dict[str, str]:
             WHERE CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 0.0
                   ELSE len(list_intersect(a.sh, b.sh))
                        / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) END >= 0.2
+        """,
+        "hash_split": f"""
+            WITH b AS (SELECT lang,
+                              {_sql_hash32("concat('split', ':', CAST(doc_id AS VARCHAR))")} % 10000 AS bucket
+                       FROM documents),
+                 s AS (SELECT lang, CASE WHEN bucket < 9000 THEN 'train'
+                                         WHEN bucket < 9500 THEN 'eval'
+                                         ELSE 'test' END AS split FROM b)
+            SELECT split, lang, CAST(count(*) AS BIGINT) AS n
+            FROM s GROUP BY split, lang
+        """,
+        "stratified_sample": f"""
+            WITH h AS (SELECT doc_id, lang, source,
+                              {_sql_hash32("concat('sample', ':', CAST(doc_id AS VARCHAR))")} AS hv
+                       FROM documents),
+                 r AS (SELECT doc_id, lang, source,
+                              row_number() OVER (PARTITION BY lang, source
+                                                 ORDER BY hv ASC, doc_id ASC) AS sample_rank
+                       FROM h)
+            SELECT doc_id, lang, source, CAST(sample_rank AS BIGINT) AS sample_rank
+            FROM r WHERE sample_rank <= 2
         """,
         "ngram_containment": f"""
             WITH t AS (SELECT doc_id, lang, source, {_sql_words()} AS w FROM documents),

@@ -100,6 +100,8 @@ def main() -> None:
         "knn_dot",
         "knn_filtered",
         "error_burst_binned",
+        "hash_split",
+        "stratified_sample",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

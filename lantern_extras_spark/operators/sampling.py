@@ -1,0 +1,72 @@
+"""Deterministic sampling and dataset splitting for training-data pipelines.
+
+Real pipelines need *reproducible* splits and samples: the same document must
+land in the same split on every run, every engine, every cluster size — which
+rules out RNG (`rand()` depends on partitioning) and ORDER BY RANDOM. Both
+operators key off the engine-portable `hash32` (functions/hashing.py), so the
+DuckDB oracle replays them bit-for-bit and a re-run years later agrees.
+
+Scale shape: both are pure projections + (for stratified_take) one window over
+the group key — no driver state, no RNG broadcast, no skew beyond the group
+cardinalities themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lantern_extras_spark.functions.hashing import hash32
+
+# hash32 is uniform over [0, 2^32); buckets of 1/10000 give 0.01% split grain
+SPLIT_BUCKETS = 10_000
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign a deterministic split label per row: bucket = hash32(salt:id) %
+    SPLIT_BUCKETS, mapped to labels by cumulative fraction (dict order).
+    Fractions must sum to ≤ 1; any remainder falls into the LAST label.
+
+    The salt namespaces independent splits of the same corpus (e.g. a second
+    experiment re-splits without correlation to the first).
+    """
+    splits = splits or {"train": 0.9, "eval": 0.05, "test": 0.05}
+    if any(v < 0 for v in splits.values()) or sum(splits.values()) > 1.0 + 1e-9:
+        raise ValueError(f"split fractions must be ≥ 0 and sum ≤ 1: {splits}")
+    bucket = hash32(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))) % SPLIT_BUCKETS
+    labels = list(splits)
+    cum = 0.0
+    expr = None
+    for name, frac in splits.items():
+        cum += frac
+        hi = int(round(cum * SPLIT_BUCKETS))
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(out_col, expr.otherwise(F.lit(labels[-1])))
+
+
+def stratified_take(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    n_per_group: int,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic per-group sample: rank rows inside each group by
+    hash32(salt:id) (id tie-break for hash collisions), keep the first
+    `n_per_group`. The balanced-mixture primitive ("3 docs per (lang, source)")
+    — reproducible across engines and runs, unlike `sampleBy`."""
+    h = hash32(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= n_per_group)
+    )
