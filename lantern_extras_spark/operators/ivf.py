@@ -257,6 +257,22 @@ def ivf_recall_vs_exact(
     return rec
 
 
+def save_centroids(spark, centroids: list[list[float]], path: str) -> None:
+    """Persist coarse centroids as a tiny parquet artifact (cell, c) — with a
+    cell-partitioned data table this is the entire 'index': centroids +
+    partition layout replace the reference's .usearch file for the offline
+    search path."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(rows, "cell int, c array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_centroids(spark, path: str) -> list[list[float]]:
+    rows = spark.read.schema("cell int, c array<double>").parquet(path).collect()
+    return [list(map(float, r["c"])) for r in sorted(rows, key=lambda r: r["cell"])]
+
+
 # ---------------------------------------------------------------------------
 # IVF-PQ composition: coarse cells + product-quantized residuals
 # ---------------------------------------------------------------------------

@@ -130,6 +130,22 @@ def build_codebook(
     return spark.createDataFrame(rows, schema)
 
 
+CODEBOOK_SCHEMA = "subvector_id int, centroid_id int, c array<float>"
+
+
+def save_codebook(codebook: DataFrame, path: str) -> None:
+    """Persist the codebook table (reference keeps it in
+    `_lantern_internal.pq_<table>_<col>`, pq/setup.rs:27; here it's a tiny
+    parquet artifact — one file, it is k×splits rows)."""
+    codebook.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_codebook(spark, path: str) -> DataFrame:
+    """Load a persisted codebook; schema-pinned so quantize/ADC consume it
+    directly."""
+    return spark.read.schema(CODEBOOK_SCHEMA).parquet(path)
+
+
 def _codebook_tensor(codebook: DataFrame) -> tuple[list[np.ndarray], int]:
     """Collect the codebook into per-subvector centroid matrices (subdims may differ
     on the last split)."""

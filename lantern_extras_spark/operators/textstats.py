@@ -120,6 +120,44 @@ def fingerprint(
     )
 
 
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "compression_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression ratio (compressed/raw bytes) per document — the
+    classic cheap boilerplate/repetition detector (highly repetitive text
+    compresses far below ~0.4; high-entropy junk sits near 1.0). Deterministic
+    for a fixed zlib level, but NOT SQL-replayable (no zlib in the oracle), so
+    this ships with pytest goldens instead of a driver oracle entry.
+
+    Arrow-batched kernel: one C-speed compress per doc, no shuffle — a pure
+    projection at any scale. Null/empty text → null ratio."""
+    import zlib
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(df.schema.fields + [StructField(out_col, DoubleType())])
+    cols = [f.name for f in df.schema.fields]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ratios = []
+            for t in pdf[text_col]:
+                if t is None or len(t) == 0:
+                    ratios.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                ratios.append(len(zlib.compress(raw, level)) / len(raw))
+            pdf[out_col] = ratios
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(kernel, out_schema)
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

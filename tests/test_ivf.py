@@ -128,3 +128,15 @@ def test_ivf_topk_batch_matches_single(spark, clustered):
         single = [r["vec_id"] for r in IVF.ivf_topk(indexed, cents, qv, k=5, nprobe=2).collect()]
         assert [got[(qid, rk)] for rk in range(1, len(single) + 1)] == single, qid
     indexed.unpersist()
+
+
+def test_centroids_save_load_roundtrip(spark, clustered, tmp_path):
+    indexed, cents = IVF.build_ivf(clustered, nlist=4, max_train_rows=200)
+    path = str(tmp_path / "cents")
+    IVF.save_centroids(spark, cents, path)
+    loaded = IVF.load_centroids(spark, path)
+    assert loaded == [[float(x) for x in c] for c in cents]
+    q = [float(x) for x in clustered.first()["embedding"]]
+    a = [r["vec_id"] for r in IVF.ivf_topk(indexed, cents, q, k=5, nprobe=2).collect()]
+    b = [r["vec_id"] for r in IVF.ivf_topk(indexed, loaded, q, k=5, nprobe=2).collect()]
+    assert a == b

@@ -105,3 +105,18 @@ def test_adc_topk_batch_matches_single(spark):
         single = [r["vec_id"] for r in PQ.adc_topk(coded, cb, qv, k=8).collect()]
         assert [got[(qid, rk)] for rk in range(1, 9)] == single, qid
     coded.unpersist()
+
+
+def test_codebook_save_load_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(16).astype("float32").tolist()) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = PQ.build_codebook(df, vec_col="embedding", splits=4, k=8, max_train_rows=100)
+    path = str(tmp_path / "cb")
+    PQ.save_codebook(cb, path)
+    cb2 = PQ.load_codebook(spark, path)
+    a = {r["vec_id"]: list(r["pqvec"]) for r in PQ.quantize(df, cb, dim=16).collect()}
+    b = {r["vec_id"]: list(r["pqvec"]) for r in PQ.quantize(df, cb2, dim=16).collect()}
+    assert a == b

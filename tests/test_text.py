@@ -92,3 +92,21 @@ def test_fingerprint_identity(spark):
     )
     fp = {r["doc_id"]: r["fp_key"] for r in TS.fingerprint(df).collect()}
     assert fp[1] == fp[2] != fp[3]
+
+
+def test_compression_ratio_detects_repetition(spark):
+    from lantern_extras_spark.operators.textstats import compression_ratio
+
+    rows = [
+        (1, "the same phrase " * 50),               # highly repetitive
+        (2, "k9#xQ!vR2@mZ8$wL5%nJ3^bT7&cY1*fH6(d"), # high entropy
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["compression_ratio"] for r in compression_ratio(df).collect()}
+    assert got[1] < 0.1 < got[2]
+    assert got[3] is None and got[4] is None
+    # deterministic across runs
+    again = {r["doc_id"]: r["compression_ratio"] for r in compression_ratio(df).collect()}
+    assert again == got
