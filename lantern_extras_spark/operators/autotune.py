@@ -136,15 +136,18 @@ def autotune_pq(
         "id long, neighbors array<long>",
     )
     queries = [(r["id"], list(map(float, r["v"]))) for r in truth]
+    # one count + one dim probe for the WHOLE sweep, not one per variant
+    total_rows = df.count()
+    dim = len(queries[0][1])
 
     out: list[VariantResult] = []
     for splits, clusters in variants:
         t0 = time.monotonic()
         cb = PQ.build_codebook(
             df, vec_col=vec_col, splits=splits, k=clusters,
-            max_train_rows=max_train_rows, seed=seed,
+            max_train_rows=max_train_rows, seed=seed, total_rows=total_rows,
         )
-        coded = PQ.quantize(df, cb, vec_col=vec_col).cache()
+        coded = PQ.quantize(df, cb, vec_col=vec_col, dim=dim).cache()
         coded.count()  # materialize so latency measures the query, not the build
         build_time = time.monotonic() - t0
 
@@ -213,6 +216,7 @@ def autotune_ivf(
         "id long, neighbors array<long>",
     )
     queries = [(r["id"], list(map(float, r["v"]))) for r in truth]
+    total_rows = df.count()  # one count for the whole sweep
 
     out: list[VariantResult] = []
     built: dict[int, tuple] = {}
@@ -220,7 +224,8 @@ def autotune_ivf(
         t0 = time.monotonic()
         if nlist not in built:
             indexed, cents = IVF.build_ivf(df, vec_col=vec_col, nlist=nlist,
-                                           max_train_rows=max_train_rows, seed=seed)
+                                           max_train_rows=max_train_rows, seed=seed,
+                                           total_rows=total_rows)
             indexed = indexed.cache()
             indexed.count()
             built[nlist] = (indexed, cents)

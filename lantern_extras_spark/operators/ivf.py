@@ -37,13 +37,14 @@ def build_ivf(
     max_train_rows: int = 100_000,
     seed: int = 42,
     cell_col: str = "cell",
+    total_rows: int | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Fit `nlist` coarse centroids (seeded, sample-bounded) and attach the
     nearest-centroid cell id. Returns (df+cell, centroids).
 
     Write the result with `.write.partitionBy(cell_col)` so probes prune
-    partitions at the storage layer."""
-    total = df.count()
+    partitions at the storage layer. Pass `total_rows` to skip the count job."""
+    total = total_rows if total_rows is not None else df.count()
     frac = min(1.0, max_train_rows / max(total, 1) * 1.2)
     sample = df.select(vec_col).sample(fraction=frac, seed=seed).limit(max_train_rows).collect()
     X = np.array([list(map(float, r[0])) for r in sample], dtype=np.float64)

@@ -94,17 +94,19 @@ def build_codebook(
     seed: int = 42,
     max_iter: int = 20,
     tol: float = 0.1,
+    total_rows: int | None = None,
 ) -> DataFrame:
     """Fit the PQ codebook; returns a DataFrame (subvector_id, centroid_id, c)
     — the reference codebook table shape (pq/setup.rs:27).
 
     Training sample is seeded `df.sample` capped at `max_train_rows` (Q6
-    semantics); each subvector is fit independently.
+    semantics); each subvector is fit independently. Pass `total_rows` to skip
+    the count job (sweeps rebuild codebooks per variant — one count suffices).
     """
     from concurrent.futures import ThreadPoolExecutor
 
     spark = df.sparkSession
-    total = df.count()
+    total = total_rows if total_rows is not None else df.count()
     frac = min(1.0, max_train_rows / max(total, 1) * 1.2)
     sample = df.select(vec_col).sample(fraction=frac, seed=seed).limit(max_train_rows).collect()
     X = np.array([list(map(float, r[0])) for r in sample], dtype=np.float64)
