@@ -50,11 +50,11 @@ FETCH_MAX_BYTES = 20 * 1024 * 1024
 
 
 def urllib_transport(url: str, timeout_s: float):
-    """Stdlib transport for real clusters (untested in this sandbox — no
-    network). Redirects are NOT auto-followed: a 3xx returns its Location so
-    `fetch_bytes` enforces the reference's 2-redirect cap itself; the body
-    read is capped at FETCH_MAX_BYTES+1 so the fetcher's size check fires
-    without buffering unbounded payloads."""
+    """Stdlib transport for real clusters (tested against a loopback HTTP
+    server — tests/test_multimodal.py). Redirects are NOT auto-followed: a 3xx
+    returns its Location so `fetch_bytes` enforces the reference's 2-redirect
+    cap itself; the body read is capped at FETCH_MAX_BYTES+1 so the fetcher's
+    size check fires without buffering unbounded payloads."""
     import socket
     import urllib.error
     import urllib.request

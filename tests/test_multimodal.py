@@ -147,3 +147,59 @@ def test_fetch_media_pipeline_sentinel_composition(spark):
         assert not ok and expect_err in err and feat == [-1.0] * 4
     # identical payloads produce identical features (fetch is deterministic)
     assert got[1][2] == got[2][2]
+
+
+def test_urllib_transport_against_local_server():
+    """Drive the real stdlib transport against a loopback HTTP server:
+    redirects surfaced (not followed) so fetch_bytes enforces the 2-hop cap,
+    status and payload-cap behavior end to end."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from lantern_extras_spark.multimodal.media import fetch_bytes, urllib_transport
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/ok":
+                body = b"\xff\xd8payload"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path.startswith("/redir"):
+                n = int(self.path[len("/redir"):])
+                target = "/ok" if n <= 1 else f"/redir{n - 1}"
+                self.send_response(302)
+                self.send_header("Location", f"http://127.0.0.1:{self.server.server_port}{target}")
+                self.end_headers()
+            elif self.path == "/big":
+                body = b"x" * 4096
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        data, err = fetch_bytes(f"{base}/ok", urllib_transport)
+        assert err is None and data == b"\xff\xd8payload"
+        # 2 hops allowed, 3 rejected by the fetcher (transport surfaces each 302)
+        data, err = fetch_bytes(f"{base}/redir2", urllib_transport)
+        assert err is None and data is not None
+        data, err = fetch_bytes(f"{base}/redir3", urllib_transport)
+        assert data is None and "redirect" in err
+        data, err = fetch_bytes(f"{base}/big", urllib_transport, max_bytes=1024)
+        assert data is None and "cap" in err
+        assert fetch_bytes(f"{base}/gone", urllib_transport)[1] == "http 404"
+    finally:
+        srv.shutdown()
