@@ -555,6 +555,19 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive near-dup clusters over the MinHash-LSH pair graph
+    (connected components via iterative min-label propagation,
+    dedup.py:dedup_clusters); the DuckDB oracle recomputes the same pair set
+    and resolves components with a recursive CTE — an iterative Spark
+    algorithm hash-checked against a declarative fixpoint."""
+    docs = _t(spark, sf, "documents")
+    pairs = D.minhash_dedup(docs, n_hashes=32, bands=8, threshold=0.2)
+    return D.dedup_clusters(pairs).select(
+        F.col("id").alias("doc_id"), F.col("cluster_id").cast("bigint").alias("cluster_id")
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Random-hyperplane LSH cosine near-dup pairs. Hash-checked: the seeded
     hyperplanes are inlined as literals in the DuckDB oracle, which replays the
@@ -855,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1547,6 +1561,21 @@ def _oracle_sql_raw() -> dict[str, str]:
     sql["knn_partial_strategy"] = sql["knn_cos"]
     sql["error_burst_binned"] = sql["error_burst"]
     sql["minhash_lsh_pairs"] = _minhash_lsh_pairs_sql()
+    # transitive clusters: same pair set, components resolved by a recursive
+    # CTE (min reachable id) — the declarative fixpoint the Spark label
+    # propagation must agree with
+    sql["dedup_clusters"] = f"""
+        WITH RECURSIVE pairs AS ({_minhash_lsh_pairs_sql()}),
+             edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                       UNION SELECT id_b, id_a FROM pairs),
+             reach(id, r) AS (
+                 SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                 UNION
+                 SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+             )
+        SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY id
+    """
     sql["pq_adc_topk"] = _pq_adc_topk_sql(_ivf_qv_sql())
     sql["embedding_neardup"] = _embedding_neardup_sql()
     sql["ivf_pq_search"] = _ivf_pq_search_sql(_ivf_qv_sql())

@@ -102,6 +102,7 @@ def main() -> None:
         "error_burst_binned",
         "hash_split",
         "stratified_sample",
+        "dedup_clusters",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

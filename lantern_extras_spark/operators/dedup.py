@@ -262,6 +262,60 @@ def drop_duplicates_keep_first(df: DataFrame, pairs: DataFrame, id_col: str = "d
     return df.join(dupes, id_col, "left_anti")
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the pair graph,
+    cluster_id = the minimum doc id in the component. Pipelines dedup by
+    CLUSTER (keep one doc per component), not by pairs — pairwise keep-first
+    can drop every member of an A−B−C chain except A yet still keep C when
+    (A,C) itself wasn't a candidate pair.
+
+    Iterative min-label propagation (the classic Spark connected-components
+    loop): each round every node takes min(own label, neighbors' labels);
+    converges in O(component diameter) rounds — near-dup components are
+    shallow (dups of dups of one original), so a handful of rounds in
+    practice, `max_iter` as the safety bound. `localCheckpoint` truncates the
+    growing lineage each round (the standard iterative-algorithm hygiene).
+    Only ids appearing in `pairs` are labeled; singleton docs are implicitly
+    their own cluster. Returns (id, cluster_id)."""
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().cache()
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct().withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.select(F.col("id").alias("b"), F.col("cluster_id").alias("nl")), "b")
+            .groupBy("a")
+            .agg(F.min("nl").alias("nbr_min"))
+            .select(F.col("a").alias("id"), "nbr_min")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            labels.select("id", F.col("cluster_id").alias("old"))
+            .join(new_labels, "id")
+            .where(F.col("old") != F.col("cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def simhash_col(c: Column | str, bits: int = 32) -> Column:
     """SimHash as a pure Column expression (usable on streams — no Python
     workers, no shuffle). HOF re-evaluation makes it `bits`× the md5 work of

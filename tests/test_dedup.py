@@ -165,3 +165,14 @@ def test_embedding_neardup_pandas_impl_matches_native(spark):
     b = {(r["id_a"], r["id_b"]): round(r["cosine"], 9)
          for r in D.embedding_neardup_pairs(df, threshold=0.6, n_planes=6, dim=16, impl="pandas").collect()}
     assert a == b and a
+
+
+def test_dedup_clusters_chain_transitivity(spark):
+    """A-B-C-D chain (no direct A-C/A-D pair) must collapse to ONE cluster —
+    exactly what pairwise keep-first gets wrong; plus a separate 2-cycle."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster_id"] for r in D.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
