@@ -42,11 +42,21 @@ def _make_table(spark: SparkSession, text: str):
     )
 
 
-def _measure(spark: SparkSession, text: str, model: str, runtime: str, params: dict | None) -> float:
+def _measure(
+    spark: SparkSession, text: str, model: str, runtime: str, params: dict | None,
+    n_runs: int = 3,
+) -> float:
     df = _make_table(spark, text)
     limit = 512
     # warm-up (discarded — model load, JIT)
     embed_column(df.limit(64), "title", "emb", model, runtime, params).foreach(lambda r: None)
+
+    def one_run(work, n: int) -> float:
+        t0 = time.monotonic()
+        embed_column(work, "title", "emb", model, runtime, params).foreach(lambda r: None)
+        elapsed = time.monotonic() - t0
+        return n / elapsed
+
     while True:
         work = df.limit(min(limit, ROWS))
         n = work.count()
@@ -54,7 +64,11 @@ def _measure(spark: SparkSession, text: str, model: str, runtime: str, params: d
         embed_column(work, "title", "emb", model, runtime, params).foreach(lambda r: None)
         elapsed = time.monotonic() - t0
         if elapsed >= MIN_WINDOW_S or n >= ROWS:
-            return n / elapsed
+            # median-of-N at the established window size: a single run inherits
+            # whatever GC / page-cache state the session is in (the r02→r03
+            # 11.1k→6.0k swing was measurement, not code)
+            rates = sorted([n / elapsed] + [one_run(work, n) for _ in range(max(0, n_runs - 1))])
+            return rates[len(rates) // 2]
         limit *= 2  # doubling until the window is ≥1.5 s (measure_speed.rs:140-166)
 
 
@@ -64,11 +78,12 @@ def measure_model_speed(
     runtime: str = "hash",
     runtime_params: dict | None = None,
     max_tokens: int = 1000,
+    n_runs: int = 3,
 ) -> SpeedReport:
     words = LOREM.split()
     long_text = " ".join(words[i % len(words)] for i in range(max_tokens))
-    fast = _measure(spark, SHORT_TEXT, model, runtime, runtime_params)
-    slow = _measure(spark, long_text, model, runtime, runtime_params)
+    fast = _measure(spark, SHORT_TEXT, model, runtime, runtime_params, n_runs=n_runs)
+    slow = _measure(spark, long_text, model, runtime, runtime_params, n_runs=n_runs)
     return SpeedReport(
         model=model,
         runtime=runtime,

@@ -49,15 +49,25 @@ FETCH_MAX_REDIRECTS = 2
 FETCH_MAX_BYTES = 20 * 1024 * 1024
 
 
-def urllib_transport(url: str, timeout_s: float):
+def urllib_transport(url: str, timeout_s: float, max_bytes: int = FETCH_MAX_BYTES):
     """Stdlib transport for real clusters (tested against a loopback HTTP
     server — tests/test_multimodal.py). Redirects are NOT auto-followed: a 3xx
     returns its Location so `fetch_bytes` enforces the reference's 2-redirect
-    cap itself; the body read is capped at FETCH_MAX_BYTES+1 so the fetcher's
-    size check fires without buffering unbounded payloads."""
+    cap itself; the body read is capped at `max_bytes`+1 (the caller's cap, not
+    the module constant) so the fetcher's size check fires without buffering
+    unbounded payloads AND without silently truncating when a caller raises
+    the cap. Only http(s) URLs are opened: the default urllib opener would
+    otherwise honor file:// / ftp:// / data: from a hostile URL column and
+    read local executor files into the dataset — rejected up front, and
+    re-checked on every redirect hop since each hop re-enters the transport."""
     import socket
     import urllib.error
+    import urllib.parse
     import urllib.request
+
+    scheme = urllib.parse.urlsplit(url).scheme.lower()
+    if scheme not in ("http", "https"):
+        raise ValueError(f"unsupported URL scheme {scheme!r} (http/https only)")
 
     class _NoRedirect(urllib.request.HTTPRedirectHandler):
         def redirect_request(self, req, fp, code, msg, headers, newurl):
@@ -66,7 +76,7 @@ def urllib_transport(url: str, timeout_s: float):
     opener = urllib.request.build_opener(_NoRedirect)
     try:
         with opener.open(url, timeout=timeout_s) as resp:
-            return resp.status, resp.read(FETCH_MAX_BYTES + 1), None
+            return resp.status, resp.read(max_bytes + 1), None
     except urllib.error.HTTPError as e:
         if e.code in (301, 302, 303, 307, 308):
             return e.code, None, e.headers.get("Location")
@@ -95,15 +105,25 @@ def fetch_bytes(
     `max_redirects` follows, payloads over `max_bytes` rejected. Returns
     (data, error) — exactly one is non-None.
 
-    `transport(url, timeout_s) -> (status:int, body:bytes|None,
+    `transport(url, timeout_s[, max_bytes]) -> (status:int, body:bytes|None,
     redirect_url:str|None)`; a non-None redirect_url is followed regardless of
-    status, mirroring HTTP 3xx handling.
+    status, mirroring HTTP 3xx handling. Transports that accept a third
+    parameter receive the caller's `max_bytes` so their read cap matches the
+    size check here (two-arg transports are still supported).
     """
     transport = transport or _no_network_transport
+    import inspect
+
+    try:
+        three_arg = len(inspect.signature(transport).parameters) >= 3
+    except (TypeError, ValueError):
+        three_arg = False
     cur, hops = url, 0
     while True:
         try:
-            status, body, redirect = transport(cur, timeout_s)
+            status, body, redirect = (
+                transport(cur, timeout_s, max_bytes) if three_arg else transport(cur, timeout_s)
+            )
         except TimeoutError:
             return None, f"timeout after {timeout_s}s"
         except NotImplementedError:

@@ -287,6 +287,7 @@ def dedup_clusters(
     labels = (
         edges.select(F.col("a").alias("id")).distinct().withColumn("cluster_id", F.col("id"))
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels.select(F.col("id").alias("b"), F.col("cluster_id").alias("nl")), "b")
@@ -311,8 +312,21 @@ def dedup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # a silent return here would yield under-merged components (wrong
+        # cluster_ids) for any chain with diameter > max_iter
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters: max_iter={max_iter} exhausted before convergence; "
+            "cluster_ids may be under-merged (component diameter exceeds max_iter). "
+            "Re-run with a larger max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -650,7 +664,10 @@ def embedding_neardup_pairs(
     real data); downstream pairs are cosine-verified either way.
 
     Pass `dim` to avoid the driver-side `first()` probe (one extra Spark job);
-    the probe is kept as a fallback for ad-hoc use.
+    the probe is kept as a fallback for ad-hoc use. Either way `dim` is
+    enforced per row in the plan: a mismatched vector raises instead of
+    silently hashing to garbage (zip_with would null-pad the shorter side,
+    collapsing every row into bucket 0 and degrading recall with no signal).
     """
     import numpy as np
 
@@ -658,6 +675,18 @@ def embedding_neardup_pairs(
 
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    # fail-loud guard: evaluated per row inside the plan, no extra job
+    dim_guard = F.when(
+        F.size(F.col(vec_col)) == F.lit(dim), F.col(vec_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"embedding_neardup_pairs: expected dim={dim}, got vector of length "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        )
+    )
+    df = df.withColumn(vec_col, dim_guard)
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
 
@@ -677,6 +706,11 @@ def embedding_neardup_pairs(
                 if len(pdf) == 0:
                     continue
                 X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()])
+                if X.ndim != 2 or X.shape[1] != P.shape[1]:
+                    raise ValueError(
+                        f"embedding_neardup_pairs: expected dim={P.shape[1]}, "
+                        f"got batch shape {X.shape}"
+                    )
                 bits = (X @ P.T) >= 0.0
                 pdf["bucket"] = (bits * weights[None, :]).sum(axis=1)
                 yield pdf[[id_col, vec_col, "bucket"]]

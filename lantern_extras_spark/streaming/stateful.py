@@ -72,28 +72,43 @@ def near_dedup_band_flags(
     id_col: str = "doc_id",
     bits: int = 32,
     band_bits: int = 8,
+    max_hamming: int = 3,
+    max_band_state: int = 64,
 ) -> DataFrame:
     """Streaming NEAR-dup guard, SimHash band stage: one output row per
-    (doc × band) with `band_dup` = this band key was seen before — by any
-    earlier batch (checkpoint state) or by a lower-id doc in this batch.
+    (doc × band) with `band_dup` = an earlier doc (any earlier batch via
+    checkpoint state, or a lower-id doc in this batch) registered a simhash
+    under this band key within `max_hamming` bits of this doc's.
 
-    Semantics: a doc is a near-dup iff ANY of its bands was seen (aggregate
-    with `collapse_band_flags`, or let `start_near_dedup_stream` wire it via
+    Semantics: a doc is a near-dup iff ANY of its bands flags (aggregate with
+    `collapse_band_flags`, or let `start_near_dedup_stream` wire it via
     foreachBatch — two chained stateful ops aren't allowed in one stream).
-    Bands of EVERY incoming doc are registered, dropped docs included: a
+    With `bits // band_bits > max_hamming` bands, a true near-dup pair always
+    shares at least one identical band (pigeonhole), so banding loses no
+    recall; the hamming VERIFY against the full simhashes stored in state is
+    what makes the small per-band key space (2^band_bits) safe — a band-key
+    collision between unrelated docs costs one popcount, never a false drop.
+
+    Every incoming doc's simhash is registered (dropped docs included: a
     near-dup of a dropped doc duplicates whatever that doc duplicated, so
-    registration is monotone and restart-safe. State per band key is one
-    boolean, sharded by key hash — the same minimal-footprint design as
-    `dedup_stream`."""
+    registration is monotone and restart-safe), bounded to `max_band_state`
+    simhashes per band key. State is sharded by (band_idx, band_key) hash and
+    lives in the checkpoint (RocksDB on a real cluster).
+
+    Chunking: applyInPandasWithState delivers a group's rows as MULTIPLE Arrow
+    chunks with no global ordering, so the claimant election concatenates all
+    chunks before sorting by id — the survivor is the global lowest id of the
+    group regardless of chunk boundaries."""
     from lantern_extras_spark.operators.dedup import simhash_col
 
     n_bands = bits // band_bits
-    sim = simhash_col(F.col(text_col), bits)
+    withsim = stream.withColumn("__sim", simhash_col(F.col(text_col), bits))
     bands_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                (F.floor(sim / F.lit(2 ** (b * band_bits))) % F.lit(2**band_bits))
+                F.shiftrightunsigned(F.col("__sim"), b * band_bits)
+                .bitwiseAND(F.lit(2**band_bits - 1))
                 .cast("long")
                 .alias("band_key"),
             )
@@ -101,7 +116,7 @@ def near_dedup_band_flags(
         ]
     )
     exploded = (
-        stream.withColumn("__b", F.explode(bands_arr))
+        withsim.withColumn("__b", F.explode(bands_arr))
         .withColumn("band_idx", F.col("__b.band_idx"))
         .withColumn("band_key", F.col("__b.band_key"))
         .drop("__b")
@@ -109,28 +124,33 @@ def near_dedup_band_flags(
     out_schema = StructType(
         [f for f in exploded.schema.fields] + [StructType.fromDDL("band_dup boolean").fields[0]]
     )
-    state_schema = StructType.fromDDL("seen boolean")
+    state_schema = StructType.fromDDL("sims array<bigint>")
     cols = [f.name for f in exploded.schema.fields]
+    mask = (1 << 64) - 1
 
     def flag_fn(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        seen_before = state.exists
-        state.update((True,))
-        first = True
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(id_col)
-            dup = [True] * len(pdf)
-            if first and not seen_before:
-                dup[0] = False  # lowest-id doc in this batch claims the band
-            first = False
-            out = pdf[cols].copy()
-            out["band_dup"] = dup
-            yield out
+        chunks = [pdf for pdf in pdfs if len(pdf) > 0]
+        if not chunks:
+            return
+        # one group = one (band_idx, band_key); concat ALL chunks before
+        # sorting so the claimant is the global min id, not per-chunk min
+        pdf = (chunks[0] if len(chunks) == 1 else pd.concat(chunks)).sort_values(id_col)
+        known: list[int] = [int(s) for s in state.get[0]] if state.exists else []
+        dup = []
+        for s in pdf["__sim"]:
+            s = int(s)
+            hit = any(bin((s ^ k) & mask).count("1") <= max_hamming for k in known)
+            dup.append(hit)
+            if len(known) < max_band_state:
+                known.append(s)
+        state.update((known,))
+        out = pdf[cols].copy()
+        out["band_dup"] = dup
+        yield out
 
     return exploded.groupBy("band_idx", "band_key").applyInPandasWithState(
         flag_fn,
@@ -144,7 +164,7 @@ def near_dedup_band_flags(
 def collapse_band_flags(flags: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc × band) flags → surviving docs: keep a doc iff NO band was seen.
     Batch-side aggregation (call inside foreachBatch on a stream)."""
-    keep_cols = [c for c in flags.columns if c not in ("band_idx", "band_key", "band_dup")]
+    keep_cols = [c for c in flags.columns if c not in ("band_idx", "band_key", "band_dup", "__sim")]
     agg = flags.groupBy(id_col).agg(
         F.max(F.col("band_dup").cast("int")).alias("__any_dup"),
         *[F.first(c).alias(c) for c in keep_cols if c != id_col],
@@ -162,6 +182,7 @@ def start_near_dedup_stream(
     id_col: str = "doc_id",
     bits: int = 32,
     band_bits: int = 8,
+    max_hamming: int = 3,
     available_now: bool = True,
     trigger_seconds: int = 10,
 ):
@@ -169,7 +190,7 @@ def start_near_dedup_stream(
     foreachBatch (streaming aggregation after a stateful op isn't allowed in
     append mode) → parquet. Exactly-once via the checkpoint."""
     stream = spark.readStream.schema(source_schema).parquet(source_dir)
-    flags = near_dedup_band_flags(stream, text_col, id_col, bits, band_bits)
+    flags = near_dedup_band_flags(stream, text_col, id_col, bits, band_bits, max_hamming)
 
     def write_batch(bdf, epoch_id):
         collapse_band_flags(bdf, id_col).write.mode("append").parquet(output_dir)

@@ -176,3 +176,38 @@ def test_dedup_clusters_chain_transitivity(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in D.dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_embedding_neardup_dim_mismatch_fails_loudly(spark):
+    """Passing the wrong dim must raise, not silently null-pad projections
+    into bucket 0 (ADVICE r3): the guard is a per-row plan expression."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises((SparkRuntimeException, Exception), match="expected dim=8"):
+        D.embedding_neardup_pairs(df, threshold=0.5, dim=8).collect()
+    with pytest.raises(Exception, match="expected dim=8"):
+        D.embedding_neardup_pairs(df, threshold=0.5, dim=8, impl="pandas").collect()
+
+
+def test_dedup_clusters_warns_when_max_iter_exhausted(spark):
+    """A chain longer than max_iter rounds must not silently return
+    under-merged components."""
+    import warnings
+
+    # path graph 0-1-2-...-9: diameter 9, needs more than 1 round
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        D.dedup_clusters(pairs, max_iter=1)
+        assert any("under-merged" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = D.dedup_clusters(pairs, max_iter=30)
+        assert not any("under-merged" in str(x.message) for x in w)
+    assert set(r["cluster_id"] for r in out.collect()) == {0}

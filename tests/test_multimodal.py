@@ -203,3 +203,32 @@ def test_urllib_transport_against_local_server():
         assert fetch_bytes(f"{base}/gone", urllib_transport)[1] == "http 404"
     finally:
         srv.shutdown()
+
+
+def test_urllib_transport_rejects_non_http_schemes():
+    """A hostile URL column (file://, ftp://, data:) must not reach the
+    default opener — local-file disclosure via the dataset. The fetcher maps
+    the transport's ValueError to a per-row error."""
+    from lantern_extras_spark.multimodal.media import fetch_bytes, urllib_transport
+
+    for url in ("file:///etc/hosts", "ftp://example.com/x", "data:text/plain,hi"):
+        data, err = fetch_bytes(url, urllib_transport)
+        assert data is None and "unsupported URL scheme" in err
+
+
+def test_fetch_bytes_plumbs_max_bytes_to_three_arg_transport():
+    """A transport accepting (url, timeout_s, max_bytes) receives the CALLER's
+    cap, so raising max_bytes above the module default cannot silently
+    truncate the payload behind a passing size check."""
+    from lantern_extras_spark.multimodal.media import FETCH_MAX_BYTES, fetch_bytes
+
+    seen = {}
+
+    def transport(url, timeout_s, max_bytes):
+        seen["max_bytes"] = max_bytes
+        return 200, b"x" * 10, None
+
+    big_cap = FETCH_MAX_BYTES * 2
+    data, err = fetch_bytes("http://ok/x", transport, max_bytes=big_cap)
+    assert err is None and data == b"x" * 10
+    assert seen["max_bytes"] == big_cap

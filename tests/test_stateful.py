@@ -64,3 +64,41 @@ def test_streaming_near_dedup_across_batches(spark, tmp_path):
     q2.awaitTermination(120)
     ids = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert ids == [1, 3, 5]
+
+
+def test_near_dedup_band_collisions_do_not_drop_distinct_docs(spark, tmp_path):
+    """ADVICE r3: with 8-bit bands (256 keys) and no verify, nearly every doc
+    beyond the first few hundred collides on SOME band key and gets dropped —
+    ~100% false-positive rate at stream scale. The hamming verify against the
+    full simhashes stored in state makes a band-key collision cost a popcount,
+    never a drop. 48 pairwise-distant docs (4 bands × 48 = 192 registrations
+    over 256 keys/band ⇒ collisions certain) must ALL survive."""
+    from lantern_extras_spark.operators.dedup import simhash
+    from lantern_extras_spark.streaming.stateful import start_near_dedup_stream
+
+    # disjoint per-doc vocabularies -> simhashes are ~uniform random 32-bit
+    # values, pairwise distant yet certain to collide on some 8-bit band key
+    docs = [(i, " ".join(f"w{i}x{j}" for j in range(12))) for i in range(48)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # preconditions: every pair is far in simhash space (> max_hamming=3), so
+    # zero drops is the unambiguous correct answer — AND at least one band-key
+    # collision exists, so the verify stage is actually exercised
+    sims = {r["doc_id"]: r["simhash"] for r in simhash(df, "text", "doc_id").collect()}
+    mask = (1 << 64) - 1
+    min_ham = min(
+        bin((sims[a] ^ sims[b]) & mask).count("1")
+        for a in sims for b in sims if a < b
+    )
+    assert min_ham > 3, f"fixture too close: min pairwise hamming {min_ham}"
+    band_keys = [
+        (b, (s >> (b * 8)) & 0xFF) for s in sims.values() for b in range(4)
+    ]
+    assert len(band_keys) > len(set(band_keys)), "fixture has no band collisions"
+
+    src = str(tmp_path / "src"); out = str(tmp_path / "out"); ckpt = str(tmp_path / "ckpt")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    q = start_near_dedup_stream(spark, src, df.schema, out, ckpt)
+    q.awaitTermination(180)
+    survivors = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert survivors == list(range(48))
