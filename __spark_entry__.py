@@ -449,6 +449,21 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return D.simhash(docs)
 
 
+def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup PAIR stage (dedup.simhash_pairs) — banded candidates +
+    hamming verify, hash-checked end to end: the DuckDB oracle replays the
+    8-bit band extraction ((sim // 2^(8b)) % 256), the max_bucket skew guard
+    (count window over (band_idx, band_key)), the banded candidate self-join,
+    and the popcount(xor) ≤ max_hamming verify. Completes the dedup family:
+    every SQL-expressible stage of every dedup pipeline is now oracle-checked
+    (reference parity anchor: lantern_cli/src/daemon/README near-dup notes)."""
+    docs = _t(spark, sf, "documents")
+    sims = D.simhash(docs)
+    return D.simhash_pairs(sims).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Blocked exact 3-gram Jaccard ≥ 0.2 within (lang, source) blocks, via the
     inverted-index strategy (explode hashed shingles → co-occurrence count =
@@ -529,7 +544,8 @@ def q_pq_assign(spark: SparkSession, sf: str) -> DataFrame:
         for s, (lo, hi) in enumerate(bounds):
             rows.append((s, int(r["vec_id"]), v[lo:hi]))
     cb = spark.createDataFrame(rows, "subvector_id int, centroid_id int, c array<float>")
-    coded = PQ.quantize(emb, cb, vec_col="embedding", out_col="pqvec", dim=dim)
+    coded = PQ.quantize(emb, cb, vec_col="embedding", out_col="pqvec", dim=dim,
+                        formulation="direct")
     return coded.select(
         "vec_id",
         F.element_at("pqvec", 1).cast("bigint").alias("c0"),
@@ -540,7 +556,8 @@ def q_pq_assign(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Non-SQL-expressible operators → rows-only checks (driver records weaker gate)
+# Multi-stage pipelines (LSH, clusters, ADC, IVF∘PQ) — all hash-checked: each
+# has a DuckDB oracle replaying every stage (promoted from rows-only in r2/r3)
 # ---------------------------------------------------------------------------
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -594,7 +611,7 @@ def q_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
         for s, (lo, hi) in enumerate(bounds):
             rows.append((s, int(r["vec_id"]), v[lo:hi]))
     cb = spark.createDataFrame(rows, "subvector_id int, centroid_id int, c array<float>")
-    coded = PQ.quantize(emb, cb, vec_col="embedding", dim=dim)
+    coded = PQ.quantize(emb, cb, vec_col="embedding", dim=dim, formulation="direct")
     qv = _hash_embed_py(IVF_QUERY_TEXT, dim=dim)
     out = PQ.adc_topk(coded, cb, qv, k=10)
     return out.select(
@@ -806,7 +823,7 @@ def q_ivf_pq_search(spark: SparkSession, sf: str) -> DataFrame:
         for s, (lo, hi) in enumerate(bounds):
             rows.append((s, int(r["vec_id"]), rv[lo:hi]))
     cb = spark.createDataFrame(rows, "subvector_id int, centroid_id int, c array<double>")
-    coded = PQ.quantize(with_res, cb, vec_col="rv", dim=dim)
+    coded = PQ.quantize(with_res, cb, vec_col="rv", dim=dim, formulation="direct")
     qv = _hash_embed_py(IVF_QUERY_TEXT, dim=dim)
     out = IVF.ivf_pq_topk(coded, coarse, cb, qv, k=10, nprobe=2, id_col="vec_id")
     return out.select("vec_id", pround("adc_distance", 4).alias("adc_distance"))
@@ -845,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "fingerprints": q_fingerprints,
         "pq_assign": q_pq_assign,
@@ -858,7 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchasers_no_errors": q_purchasers_no_errors,
         "order_priority_counts": q_order_priority_counts,
         "customers_without_orders": q_customers_without_orders,
-        # rows-only (non-SQL-expressible) entries:
+        # multi-stage pipelines (every one hash-checked — see oracle_sql()):
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "embedding_neardup": q_embedding_neardup,
         "pq_adc_topk": q_pq_adc_topk,
@@ -922,6 +940,51 @@ def _minhash_lsh_pairs_sql(n_hashes: int = 32, bands: int = 8, threshold: float 
                             JOIN sigt sa ON sa.doc_id = c.id_a
                             JOIN sigt sb ON sb.doc_id = c.id_b)
             SELECT id_a, id_b, round(j, 5) AS jaccard FROM verify WHERE j >= {threshold}
+    """
+
+
+def _sql_simhash_expr() -> str:
+    """32-bit SimHash over a token-hash list `hs` as a DuckDB expression: bit b
+    set iff the majority of token hashes has bit b set (2·ones(b) − n > 0) —
+    the same vote rule as dedup.simhash's numpy kernel. Shared by the simhash
+    and simhash_pairs oracles."""
+    return " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, h -> (h // {2**b}) % 2 = 1)) - len(hs) > 0 "
+        f"THEN {2**b} ELSE 0 END"
+        for b in range(32)
+    )
+
+
+def _simhash_pairs_sql(max_hamming: int = 3, band_bits: int = 8, max_bucket: int = 2000) -> str:
+    """DuckDB replay of dedup.simhash_pairs over dedup.simhash signatures:
+    full-table 32-bit simhash, `band_bits`-wide band keys via integer
+    div/mod (matching the Spark floor(sim / 2^(8b)) % 256 extraction), the
+    count-window skew guard, DISTINCT banded candidates, and the
+    popcount(xor) ≤ max_hamming verify (DuckDB bit_count ≡ Spark bit_count;
+    signatures are 32-bit non-negative so no sign-extension concerns)."""
+    n_bands = 32 // band_bits
+    band_selects = "\n                 UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, (sim // {2 ** (b * band_bits)}) % {2**band_bits} AS band_key FROM sims"
+        for b in range(n_bands)
+    )
+    return f"""
+            WITH t AS (SELECT doc_id, {_sql_words()} AS w FROM documents),
+                 h AS (SELECT doc_id, list_transform(w, x -> {_sql_hash32('x')}) AS hs FROM t),
+                 sims AS (SELECT doc_id, CAST({_sql_simhash_expr()} AS BIGINT) AS sim FROM h),
+                 bands AS ({band_selects}),
+                 counted AS (SELECT doc_id, band_idx, band_key,
+                                    count(*) OVER (PARTITION BY band_idx, band_key) AS bucket_n
+                             FROM bands),
+                 keep AS (SELECT * FROM counted WHERE bucket_n <= {max_bucket}),
+                 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                          FROM keep a JOIN keep b
+                            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                               AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, CAST(bit_count(xor(sa.sim, sb.sim)) AS BIGINT) AS hamming
+            FROM cand
+            JOIN sims sa ON sa.doc_id = id_a
+            JOIN sims sb ON sb.doc_id = id_b
+            WHERE bit_count(xor(sa.sim, sb.sim)) <= {max_hamming}
     """
 
 
@@ -1105,13 +1168,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         sig_exprs.append(
             f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {D.MINHASH_PRIME})) AS sig{i}"
         )
-    simhash_terms = []
-    for b in range(32):
-        simhash_terms.append(
-            f"CASE WHEN 2 * len(list_filter(hs, h -> (h // {2**b}) % 2 = 1)) - len(hs) > 0 "
-            f"THEN {2**b} ELSE 0 END"
-        )
-    simhash_sql = " + ".join(simhash_terms)
+    simhash_sql = _sql_simhash_expr()
 
     stop_lists = {
         lang: ", ".join(repr(s) for s in sw) for lang, sw in TS.STOPWORD_PROFILES.items()
@@ -1561,6 +1618,7 @@ def _oracle_sql_raw() -> dict[str, str]:
     sql["knn_partial_strategy"] = sql["knn_cos"]
     sql["error_burst_binned"] = sql["error_burst"]
     sql["minhash_lsh_pairs"] = _minhash_lsh_pairs_sql()
+    sql["simhash_pairs"] = _simhash_pairs_sql()
     # transitive clusters: same pair set, components resolved by a recursive
     # CTE (min reachable id) — the declarative fixpoint the Spark label
     # propagation must agree with

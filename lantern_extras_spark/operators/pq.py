@@ -167,20 +167,28 @@ def quantize(
     out_col: str = "pqvec",
     as_binary: bool = False,
     dim: int | None = None,
+    formulation: str = "gemm",
 ) -> DataFrame:
     """Attach the PQ code column: per subvector the argmin-l2sq centroid id
     (reference Q3, pq/quantization.rs:17-79). Ties break toward the lower
     centroid id (argmin first-wins), matching the reference's strict `<` scan.
 
-    Near-tie caveat: the kernel uses the GEMM expansion ||x||²+||c||²−2x·c
-    (numpy pairwise summation); a SQL oracle computing Σ(x−c)² sequentially is
-    not bit-identical in float64, so assignments can differ on exact centroid
-    near-ties. The driver oracle passes because the fixture has no such ties;
-    parity-checked paths should keep centroids well-separated.
+    formulation="gemm" (default, the scale path): one BLAS call per subvector
+    via the ||x||²+||c||²−2x·c expansion — fastest, but catastrophic
+    cancellation makes distances differ from a direct Σ(x−c)² at ~1e-10
+    scale, so exact centroid near-ties can argmin differently than a SQL
+    oracle. formulation="direct" (the parity path): per-centroid (x−c)²
+    summed LEFT-TO-RIGHT over the slice (cumsum, matching DuckDB's
+    sequential list_sum association order) — near-tie flips against the
+    Σ(x−c)² oracle become impossible rather than improbable, at k× the
+    kernel cost (k is small; fine for oracle-checked fixtures, wrong for
+    100 TB scans — keep gemm there).
 
     Pass `dim` (the vector length) to avoid the driver-side `first()` probe;
     the probe is kept as a fallback for ad-hoc use.
     """
+    if formulation not in ("gemm", "direct"):
+        raise ValueError(f"unknown formulation {formulation!r}")
     mats, splits = _codebook_tensor(codebook)
     spark = df.sparkSession
     b_mats = spark.sparkContext.broadcast(mats)
@@ -204,7 +212,16 @@ def quantize(
             for s, (lo, hi) in enumerate(bounds):
                 C = cb[s]
                 Xs = X[:, lo:hi]
-                d = (Xs * Xs).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * Xs @ C.T
+                if formulation == "gemm":
+                    d = (Xs * Xs).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * Xs @ C.T
+                else:
+                    d = np.empty((len(Xs), len(C)))
+                    for j in range(len(C)):
+                        sq = Xs - C[j][None, :]
+                        sq *= sq
+                        # cumsum accumulates left-to-right: bit-matches the
+                        # oracle's sequential list_sum(Σ(x−c)²) association
+                        d[:, j] = np.cumsum(sq, axis=1)[:, -1]
                 codes[:, s] = d.argmin(axis=1)
             if as_binary:
                 pdf[out_col] = [bytes(row.astype(np.uint8)) for row in codes]

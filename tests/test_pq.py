@@ -51,6 +51,37 @@ def test_quantize_deterministic(vecs, codebook):
     assert a == b
 
 
+def test_quantize_direct_formulation_matches_gemm(vecs, codebook):
+    """The parity path (sequential Σ(x−c)², oracle association order) and the
+    scale path (GEMM expansion) must agree away from exact near-ties — this
+    fixture's k-means centroids are well-separated."""
+    g = {r["id"]: r["pqvec"] for r in PQ.quantize(vecs, codebook, vec_col="v").collect()}
+    d = {
+        r["id"]: r["pqvec"]
+        for r in PQ.quantize(vecs, codebook, vec_col="v", formulation="direct").collect()
+    }
+    assert g == d
+    with pytest.raises(ValueError, match="formulation"):
+        PQ.quantize(vecs, codebook, vec_col="v", formulation="nope")
+
+
+def test_quantize_direct_is_sequential_sum():
+    """The direct kernel's accumulation order is left-to-right (cumsum), i.e.
+    bit-identical to a python running sum — the property the DuckDB list_sum
+    oracle relies on for tie-impossibility."""
+    rng = np.random.RandomState(7)
+    X = rng.rand(5, 16)
+    C = rng.rand(3, 16)
+    for x in X:
+        for c in C:
+            seq = 0.0
+            for xi, ci in zip(x, c):
+                seq += (xi - ci) * (xi - ci)
+            sq = x - c
+            sq = sq * sq
+            assert np.cumsum(sq)[-1] == seq
+
+
 def test_decode_dimensions(vecs, codebook):
     coded = PQ.quantize(vecs.limit(5), codebook, vec_col="v")
     dec = PQ.decode(coded, codebook).collect()
