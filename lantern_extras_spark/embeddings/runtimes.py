@@ -8,10 +8,13 @@ Runtimes:
 - **HashRuntime** — deterministic md5-based embeddings, reproducible in any
   engine (the correctness-oracle model; also the default in environments
   without model weights, like this container).
-- **OrtRuntime** — local ONNX inference. The Spark plumbing (executor-singleton
-  session cache, memory-aware chunking, pooling strategies) is real; the actual
-  `onnxruntime`/`tokenizers` imports are gated — absent in this container, so
-  `process` raises NotImplementedError with a clear message (STUB).
+- **OrtRuntime** — local ONNX inference, fully implemented: tokenize →
+  memory-aware micro-batches → session.run → pooling, with the reference's
+  80%-free-memory cache eviction (ModelCache). Only the `onnxruntime`/
+  `tokenizers` imports are env-gated (absent in this container →
+  NotImplementedError with a clear message); the session/tokenizer seams are
+  injectable, so the whole path is pinned by tests today and activates with
+  one pip install (tests/test_ort_activation.py).
 - **OpenAIRuntime / CohereRuntime** — HTTP API runtimes with the reference's
   batching and retry semantics (token-budget packing ≤8190 via cl100k-ish
   estimate, cohere 96 inputs/request, 5 retries with 4 s·(attempt+1) backoff —
@@ -109,23 +112,140 @@ class HashRuntime(BaseRuntime):
         return EmbeddingResult(out, sum(approx_token_count(t) for t in texts))
 
 
+# Reference memory guard: loading a model whose file size is ≥80% of free
+# memory first clears the whole encoder cache, re-checks, then fails loudly
+# (ort_runtime.rs:715 MEM_PERCENT_THRESHOLD, :711-768 check_available_memory).
+MEM_PERCENT_THRESHOLD = 80.0
+
+
+def _free_memory_bytes() -> int:
+    """Free RAM + free swap, the reference's sysinfo formula
+    (ort_runtime.rs:717-719: (total−used) + (swap_total−swap_used))."""
+    free = swap_free = 0
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                k, v = line.split(":", 1)
+                if k == "MemAvailable":
+                    free = int(v.split()[0]) * 1024
+                elif k == "SwapFree":
+                    swap_free = int(v.split()[0]) * 1024
+    except OSError:  # pragma: no cover — non-linux
+        return 1 << 40
+    return free + swap_free
+
+
+class ModelCache:
+    """Executor-process encoder cache with the reference's memory-pressure
+    eviction (ort_runtime.rs:701-768): `ensure_memory(model_bytes)` before a
+    load — if the model would take ≥80% of free memory, drop EVERY cached
+    encoder (the reference clears the whole MODEL_INFO_MAP, not one LRU
+    entry), re-measure, and raise the reference's "Not enough free memory"
+    error if still over. `free_mem_fn` is injectable so tests drive the
+    threshold logic without real model weights."""
+
+    def __init__(self, free_mem_fn: Callable[[], int] | None = None):
+        self._cache: dict[str, tuple] = {}
+        self._free_mem_fn = free_mem_fn or _free_memory_bytes
+        self.clear_count = 0
+
+    def __len__(self) -> int:
+        return len(self._cache)
+
+    def get(self, key: str):
+        return self._cache.get(key)
+
+    def put(self, key: str, encoder) -> None:
+        self._cache[key] = encoder
+
+    def clear(self) -> None:
+        self._cache.clear()
+        self.clear_count += 1
+
+    def ensure_memory(self, model_bytes: int) -> None:
+        free = float(self._free_mem_fn())
+        pct = model_bytes / max(free, 1.0) * 100.0
+        if pct < MEM_PERCENT_THRESHOLD:
+            return
+        self.clear()  # second chance: evict every cached encoder, re-check
+        free = float(self._free_mem_fn())
+        pct = model_bytes / max(free, 1.0) * 100.0
+        if pct >= MEM_PERCENT_THRESHOLD:
+            mem_avail_mb = free / 1024.0 / 1024.0
+            percent_diff = pct - MEM_PERCENT_THRESHOLD
+            mem_needed_mb = mem_avail_mb + mem_avail_mb / (100.0 / max(percent_diff, 1e-9))
+            raise MemoryError(
+                f"Not enough free memory to run the model. Memory needed: "
+                f"{mem_needed_mb:.2f}MB, Memory available: {mem_avail_mb:.2f}MB"
+            )
+
+
+MODEL_CACHE = ModelCache()
+
+
 class OrtRuntime(BaseRuntime):
-    """Local ONNX inference (reference ort_runtime.rs). STUB in this container:
-    the orchestration (singleton session, chunking, pooling dispatch) is
-    implemented, but onnxruntime/tokenizers are not installed here, so
-    `process` raises NotImplementedError unless both import cleanly."""
+    """Local ONNX inference (reference ort_runtime.rs:316-533). The full
+    pipeline is implemented: tokenizer-encode (padding + seq_len truncation) →
+    memory-aware micro-batches → session.run feeding exactly the inputs the
+    graph declares (input_ids / attention_mask / token_type_ids,
+    ort_runtime.rs:444-490) → pooling.pool() by the registry's per-model
+    strategy → EmbeddingResult with the reference's padded-token accounting
+    (processed_tokens counts the concatenated padded id matrix,
+    ort_runtime.rs:465).
+
+    Activation: `params['data_path']` names a directory with model.onnx +
+    tokenizer.json; needs the `onnxruntime` + `tokenizers` pip packages (not
+    installed in this container — tests/test_ort_activation.py skips unless
+    present and lights up the day they are). The session/tokenizer seams are
+    injectable (`session`, `tokenizer` ctor kwargs) so everything downstream
+    of the imports — chunking, input-name dispatch, pooling, token ledger,
+    the cache's memory guard — is exercised today with numpy fakes.
+
+    Sessions live in MODEL_CACHE keyed by (model, data_path): one load per
+    executor process, evicted together under memory pressure like the
+    reference's MODEL_INFO_MAP."""
 
     name = "ort"
 
-    def __init__(self, model: str, params: dict | None = None):
+    def __init__(self, model: str, params: dict | None = None, *,
+                 session=None, tokenizer=None, cache: ModelCache | None = None):
         super().__init__(model, params)
-        self._session = None
-        self._tokenizer = None
+        self._session = session
+        self._tokenizer = tokenizer
+        self._cache = cache if cache is not None else MODEL_CACHE
+        self._injected = session is not None
+
+    def _spec(self):
+        from lantern_extras_spark.embeddings.registry import MODEL_REGISTRY
+
+        return MODEL_REGISTRY.get(self.model)
+
+    def _seq_len(self) -> int:
+        spec = self._spec()
+        return int(self.params.get("seq_len", spec.seq_len if spec else 512))
+
+    def _pooling(self) -> str:
+        spec = self._spec()
+        return str(self.params.get("pooling", spec.pooling if spec else "mean"))
+
+    def dim(self) -> int:
+        spec = self._spec()
+        if spec:
+            return spec.dim
+        return int(self.params.get("dimensions", 16))
 
     def _load(self):
+        if self._session is not None:
+            return
+        data_path = self.params.get("data_path")
+        key = f"{self.model}|{data_path}"
+        cached = self._cache.get(key)
+        if cached is not None:
+            self._session, self._tokenizer = cached
+            return
         try:
-            import onnxruntime  # noqa: F401
-            from tokenizers import Tokenizer  # noqa: F401
+            import onnxruntime as ort
+            from tokenizers import Tokenizer
         except ImportError as e:  # pragma: no cover - environment dependent
             raise NotImplementedError(
                 "OrtRuntime requires onnxruntime + tokenizers (not installed in "
@@ -133,10 +253,30 @@ class OrtRuntime(BaseRuntime):
                 "or install the ORT stack and point runtime_params['data_path'] "
                 "at a directory containing model.onnx + tokenizer.json."
             ) from e
-        raise NotImplementedError(
-            "Model weight download is not available in this environment (STUB). "
-            "Provide runtime_params['data_path'] with pre-downloaded model files."
+        if not data_path:  # pragma: no cover - needs ORT present
+            raise NotImplementedError(
+                "Model weight download is not available in this environment. "
+                "Provide runtime_params['data_path'] with pre-downloaded model "
+                "files (model.onnx + tokenizer.json)."
+            )
+        import os
+
+        model_file = os.path.join(data_path, "model.onnx")
+        self._cache.ensure_memory(os.path.getsize(model_file))
+        opts = ort.SessionOptions()
+        opts.graph_optimization_level = ort.GraphOptimizationLevel.ORT_ENABLE_ALL
+        session = ort.InferenceSession(
+            model_file, sess_options=opts, providers=["CPUExecutionProvider"]
         )
+        tok_file = os.path.join(data_path, "tokenizer.json")
+        tokenizer = Tokenizer.from_file(tok_file) if os.path.exists(tok_file) else None
+        if tokenizer is not None:
+            # reference EncoderService::new applies padding+truncation params
+            # when the tokenizer file lacks them (ort_runtime.rs:330-343)
+            tokenizer.enable_padding()
+            tokenizer.enable_truncation(max_length=self._seq_len())
+        self._session, self._tokenizer = session, tokenizer
+        self._cache.put(key, (session, tokenizer))
 
     @staticmethod
     def chunk_for_memory(n_rows: int, seq_len: int, dim: int, free_bytes: int) -> int:
@@ -146,10 +286,60 @@ class OrtRuntime(BaseRuntime):
         per_row = (seq_len * dim * 8 * 4) * 1.2
         return max(1, min(n_rows, int(free_bytes / max(per_row, 1))))
 
+    def _encode(self, texts: Sequence[str]):
+        """texts → (input_ids, attention_mask, token_type_ids) int64 matrices,
+        padded to the batch max (≤ seq_len)."""
+        import numpy as np
+
+        if self._tokenizer is None:
+            raise NotImplementedError(
+                f"model {self.model!r} needs a tokenizer.json next to model.onnx"
+            )
+        encs = self._tokenizer.encode_batch(list(texts))
+        seq_len = self._seq_len()
+        width = max(1, min(max(len(e.ids) for e in encs), seq_len))
+        n = len(encs)
+        ids = np.zeros((n, width), dtype=np.int64)
+        mask = np.zeros((n, width), dtype=np.int64)
+        types = np.zeros((n, width), dtype=np.int64)
+        for i, e in enumerate(encs):
+            L = min(len(e.ids), width)
+            ids[i, :L] = e.ids[:L]
+            mask[i, :L] = e.attention_mask[:L]
+            tt = getattr(e, "type_ids", None)
+            if tt:
+                types[i, :L] = tt[:L]
+        return ids, mask, types
+
     def process(self, texts: Sequence[str]) -> EmbeddingResult:
-        if self._session is None:
-            self._load()
-        raise NotImplementedError  # pragma: no cover — unreachable until _load succeeds
+        import numpy as np
+
+        from lantern_extras_spark.embeddings.pooling import pool
+
+        if not texts:
+            return EmbeddingResult([], 0)
+        self._load()
+        ids, mask, types = self._encode(texts)
+        # reference processed_tokens = length of the concatenated padded id
+        # vector (ort_runtime.rs:463-466) — padding included by design
+        processed = int(ids.size)
+        feed_all = {"input_ids": ids, "attention_mask": mask, "token_type_ids": types}
+        input_names = [i.name for i in self._session.get_inputs()]
+        if "attention_mask" not in input_names:
+            raise ValueError(
+                f"Could not get attention_mask from session inputs: {input_names}"
+            )
+        chunk = self.chunk_for_memory(
+            len(texts), ids.shape[1], self.dim(), _free_memory_bytes()
+        )
+        strategy = self._pooling()
+        out: list[list[float]] = []
+        for lo in range(0, len(texts), chunk):
+            feed = {k: v[lo : lo + chunk] for k, v in feed_all.items() if k in input_names}
+            hidden = self._session.run(None, feed)[0]
+            pooled = pool(strategy, np.asarray(hidden), mask[lo : lo + chunk])
+            out.extend([[float(x) for x in row] for row in pooled])
+        return EmbeddingResult(out, processed)
 
 
 Transport = Callable[[str, Sequence[str], dict], list[list[float]]]
