@@ -192,6 +192,105 @@ def fetch_media(
     return df.mapInPandas(fetch_batches, out_schema)
 
 
+# CLIP dataset normalization constants (reference ort_runtime.rs:612-613)
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+CLIP_VISION_SIZE = 224  # reference default vision_size (ort_runtime.rs:615)
+
+
+def _catmull_rom(x):
+    """Catmull-Rom cubic kernel (the Mitchell-Netravali family at B=0, C=0.5 —
+    the reference resizes with FilterType::CatmullRom, ort_runtime.rs:628-632):
+    1.5|x|³−2.5|x|²+1 on |x|<1, −0.5|x|³+2.5|x|²−4|x|+2 on 1≤|x|<2, else 0."""
+    import numpy as np
+
+    a = np.abs(np.asarray(x, dtype=np.float64))
+    return np.where(
+        a < 1.0,
+        1.5 * a**3 - 2.5 * a**2 + 1.0,
+        np.where(a < 2.0, -0.5 * a**3 + 2.5 * a**2 - 4.0 * a + 2.0, 0.0),
+    )
+
+
+def _resample_weights(n_src: int, n_dst: int, support: float = 2.0):
+    """(n_dst × n_src) row-normalized resampling matrix, matching the standard
+    separable algorithm the image crate uses: center = (out+0.5)·ratio, window
+    ±support·max(ratio,1), weight k((i+0.5−center)/max(ratio,1))."""
+    import numpy as np
+
+    ratio = n_src / n_dst
+    sratio = max(ratio, 1.0)
+    sup = support * sratio
+    W = np.zeros((n_dst, n_src), dtype=np.float64)
+    for o in range(n_dst):
+        center = (o + 0.5) * ratio
+        left = max(int(np.floor(center - sup)), 0)
+        right = min(int(np.ceil(center + sup)), n_src - 1)
+        i = np.arange(left, right + 1)
+        w = _catmull_rom((i + 0.5 - center) / sratio)
+        s = w.sum()
+        if s != 0.0:
+            W[o, left : right + 1] = w / s
+    return W
+
+
+def resize_catmull_rom(img, out_h: int, out_w: int):
+    """(H, W, C) → (out_h, out_w, C) float64 via separable Catmull-Rom
+    resampling (one float pass, like the image crate's f32 intermediate —
+    rounding back to u8 happens once, in `clip_preprocess`)."""
+    import numpy as np
+
+    x = np.asarray(img, dtype=np.float64)
+    if x.ndim != 3:
+        raise ValueError(f"expected (H, W, C) image array, got shape {x.shape}")
+    Wh = _resample_weights(x.shape[0], out_h)
+    Ww = _resample_weights(x.shape[1], out_w)
+    y = np.einsum("oh,hwc->owc", Wh, x)
+    return np.einsum("pw,owc->opc", Ww, y)
+
+
+def clip_preprocess(img, vision_size: int = CLIP_VISION_SIZE):
+    """One decoded RGB image (H, W, 3 uint8) → the CLIP input tensor slot,
+    bit-matching the reference's process_image_clip (ort_runtime.rs:608-645):
+
+    1. resize_exact to vision_size² with Catmull-Rom (u8 in, u8 out — so the
+       filtered floats round back to u8 BEFORE normalization; reproduced with
+       a clamp+rint),
+    2. per-channel (px/255 − CLIP_MEAN)/CLIP_STD,
+    3. layout: the reference writes pixels[[n, c, x, y]] where x is the
+       COLUMN (image crate pixels() yields (x, y, px)) — i.e. its tensor axes
+       are (C, W, H), not (C, H, W). Reproduced exactly; square inputs make
+       the shapes identical, the data transposed.
+
+    Returns (3, vision_size, vision_size) float32. This is the entire
+    preprocessing stage — only the compressed-bytes → pixel-array decode
+    remains env-gated (no codecs in this container)."""
+    import numpy as np
+
+    arr = np.asarray(img)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got shape {arr.shape}")
+    resized = resize_catmull_rom(arr, vision_size, vision_size)
+    u8 = np.clip(np.rint(resized), 0.0, 255.0)
+    mean = np.asarray(CLIP_MEAN, dtype=np.float64)
+    std = np.asarray(CLIP_STD, dtype=np.float64)
+    norm = (u8 / 255.0 - mean) / std  # (H, W, 3)
+    return np.transpose(norm, (2, 1, 0)).astype(np.float32)  # (C, W, H)
+
+
+def clip_pixel_batch(images, vision_size: int = CLIP_VISION_SIZE):
+    """List of decoded RGB arrays (or None) → (N, 3, size, size) float32 batch.
+    A None slot stays all-zeros — the reference pre-fills Array4::zeros and
+    only writes decoded pixels (ort_runtime.rs:618-624)."""
+    import numpy as np
+
+    out = np.zeros((len(images), 3, vision_size, vision_size), dtype=np.float32)
+    for i, img in enumerate(images):
+        if img is not None:
+            out[i] = clip_preprocess(img, vision_size)
+    return out
+
+
 def fake_image_feature(data: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for a decoded image feature: md5-seeded values in
     [-1, 1). Lets the full pipeline (schema, batching, sentinel handling) run
@@ -222,10 +321,16 @@ def decode_image_features(
             import PIL  # noqa: F401
         except ImportError as e:
             raise NotImplementedError(
-                "decoder='pil' requires Pillow (not installed here — STUB). "
+                "decoder='pil' requires Pillow (not installed here). Only the "
+                "compressed-bytes → pixel-array decode is env-gated: the full "
+                "CLIP preprocessing (Catmull-Rom 224² resize + normalize) is "
+                "implemented and tested in clip_preprocess/clip_pixel_batch. "
                 "Use decoder='fake' for pipeline testing."
             ) from e
-        raise NotImplementedError("real decoding path lands when codecs are available")
+        raise NotImplementedError(
+            "byte decode lands when codecs are available; feed decoded arrays "
+            "to clip_preprocess for the (already implemented) CLIP stage"
+        )
     if decoder != "fake":
         raise ValueError(f"unknown decoder {decoder!r}")
 

@@ -1,6 +1,7 @@
 """Multimodal plumbing: schema, sentinel failure semantics (ort_runtime.rs:956-960),
 metadata sniffing, frame sampling stub."""
 
+import numpy as np
 import pytest
 
 from lantern_extras_spark.multimodal import (
@@ -232,3 +233,122 @@ def test_fetch_bytes_plumbs_max_bytes_to_three_arg_transport():
     data, err = fetch_bytes("http://ok/x", transport, max_bytes=big_cap)
     assert err is None and data == b"x" * 10
     assert seen["max_bytes"] == big_cap
+
+
+# ---------------------------------------------------------------------------
+# CLIP preprocessing (reference process_image_clip, ort_runtime.rs:608-645):
+# Catmull-Rom resize to 224², u8 round-trip, (px/255 − mean)/std, and the
+# reference's width-major (C, W, H) tensor layout. Only the compressed-bytes →
+# pixel-array decode is env-gated; everything numeric here is real and pinned.
+# ---------------------------------------------------------------------------
+
+def test_catmull_rom_kernel_values():
+    from lantern_extras_spark.multimodal.media import _catmull_rom
+
+    assert _catmull_rom(0.0) == 1.0
+    assert _catmull_rom(1.0) == 0.0
+    assert _catmull_rom(2.0) == 0.0
+    assert _catmull_rom(2.5) == 0.0
+    # interior value: 1.5·0.125 − 2.5·0.25 + 1 = 0.5625
+    np.testing.assert_allclose(_catmull_rom(0.5), 0.5625)
+    # negative lobe between 1 and 2 (sharpening — what distinguishes this
+    # from bilinear): −0.5·3.375 + 2.5·2.25 − 6 + 2 = −0.0625
+    np.testing.assert_allclose(_catmull_rom(1.5), -0.0625)
+    np.testing.assert_allclose(_catmull_rom(-0.5), 0.5625)  # even symmetry
+
+
+def test_resize_identity_when_same_size():
+    from lantern_extras_spark.multimodal.media import resize_catmull_rom
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (8, 6, 3)).astype(np.float64)
+    out = resize_catmull_rom(img, 8, 6)
+    np.testing.assert_allclose(out, img, atol=1e-9)
+
+
+def test_resize_preserves_constant_images():
+    """Row-normalized weights ⇒ flat fields stay flat at any scale factor."""
+    from lantern_extras_spark.multimodal.media import resize_catmull_rom
+
+    img = np.full((50, 30, 3), 137.0)
+    for h, w in ((224, 224), (7, 13), (100, 3)):
+        out = resize_catmull_rom(img, h, w)
+        np.testing.assert_allclose(out, 137.0, atol=1e-9)
+
+
+def test_resize_downscale_mass_and_phase():
+    """2× downscale of a row-alternating pattern: the normalized 4-tap
+    Catmull-Rom window preserves total mass (mean stays 50) but keeps phase —
+    output row 0, centered nearer the 100-rows, exceeds row 1 (a box filter
+    would flatten both to exactly 50; Catmull-Rom's sharpening must not)."""
+    from lantern_extras_spark.multimodal.media import resize_catmull_rom
+
+    img = np.zeros((4, 4, 1))
+    img[::2, :, 0] = 100.0  # rows alternate 100, 0
+    out = resize_catmull_rom(img, 2, 4)[:, :, 0]
+    np.testing.assert_allclose(out.mean(axis=0), 50.0, atol=1e-9)
+    assert np.all(out[0] > out[1])
+
+
+def test_clip_preprocess_normalization_and_shape():
+    from lantern_extras_spark.multimodal.media import CLIP_MEAN, CLIP_STD, clip_preprocess
+
+    img = np.zeros((10, 10, 3), dtype=np.uint8)
+    out = clip_preprocess(img, vision_size=4)
+    assert out.shape == (3, 4, 4) and out.dtype == np.float32
+    for c in range(3):
+        np.testing.assert_allclose(
+            out[c], (0.0 - CLIP_MEAN[c]) / CLIP_STD[c], rtol=1e-6
+        )
+    white = clip_preprocess(np.full((10, 10, 3), 255, dtype=np.uint8), vision_size=4)
+    for c in range(3):
+        np.testing.assert_allclose(
+            white[c], (1.0 - CLIP_MEAN[c]) / CLIP_STD[c], rtol=1e-6
+        )
+
+
+def test_clip_preprocess_width_major_layout():
+    """The reference writes pixels[[n, c, x, y]] with x = COLUMN — its tensor
+    is (C, W, H). A half-black/half-white vertical split must land on the
+    FIRST axis of the (W, H) plane."""
+    from lantern_extras_spark.multimodal.media import CLIP_MEAN, CLIP_STD, clip_preprocess
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[:, 4:, :] = 255  # right half white (columns 4-7)
+    out = clip_preprocess(img, vision_size=8)
+    lo = (0.0 - CLIP_MEAN[0]) / CLIP_STD[0]
+    hi = (1.0 - CLIP_MEAN[0]) / CLIP_STD[0]
+    np.testing.assert_allclose(out[0, 0, :], lo, rtol=1e-6)  # x=0 → left (black)
+    np.testing.assert_allclose(out[0, 7, :], hi, rtol=1e-6)  # x=7 → right (white)
+
+
+def test_clip_preprocess_u8_roundtrip_before_normalize():
+    """resize_exact returns a u8 image, so filtered floats hit the integer
+    grid BEFORE /255: every output must equal (k/255 − mean)/std for integer
+    k — no intermediate-float leakage."""
+    from lantern_extras_spark.multimodal.media import CLIP_MEAN, CLIP_STD, clip_preprocess
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (17, 11, 3)).astype(np.uint8)
+    out = clip_preprocess(img, vision_size=5).astype(np.float64)
+    for c in range(3):
+        k = out[c] * CLIP_STD[c] + CLIP_MEAN[c]
+        k255 = k * 255.0
+        np.testing.assert_allclose(k255, np.rint(k255), atol=1e-4)
+
+
+def test_clip_pixel_batch_none_slots_stay_zero():
+    from lantern_extras_spark.multimodal.media import clip_pixel_batch
+
+    imgs = [np.full((6, 6, 3), 255, dtype=np.uint8), None]
+    out = clip_pixel_batch(imgs, vision_size=4)
+    assert out.shape == (2, 3, 4, 4)
+    assert np.all(out[1] == 0.0)
+    assert np.all(out[0] != 0.0)
+
+
+def test_clip_preprocess_rejects_non_rgb():
+    from lantern_extras_spark.multimodal.media import clip_preprocess
+
+    with pytest.raises(ValueError, match="H, W, 3"):
+        clip_preprocess(np.zeros((5, 5), dtype=np.uint8))
