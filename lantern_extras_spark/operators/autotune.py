@@ -45,9 +45,31 @@ RESULTS_SCHEMA = (
     "latency double, build_time double, k int, n_queries int, created_at timestamp"
 )
 
+IVF_PQ_RESULTS_SCHEMA = (
+    "experiment_id string, nlist int, nprobe int, splits int, clusters int, "
+    "recall double, latency double, build_time double, k int, n_queries int, "
+    "created_at timestamp"
+)
+
 
 @dataclass
 class VariantResult:
+    splits: int
+    clusters: int
+    recall: float
+    latency: float
+    build_time: float
+
+
+@dataclass
+class IvfPqVariant:
+    """One IVF-PQ sweep point: coarse cells (nlist) probed nprobe-at-a-time,
+    residuals coded as splits × clusters codewords. `select_best` only touches
+    recall/latency/build_time, so W2 selection is shared with the PQ/IVF
+    sweeps."""
+
+    nlist: int
+    nprobe: int
     splits: int
     clusters: int
     recall: float
@@ -91,6 +113,43 @@ class AutotuneResults:
         ]
         df = self.spark.createDataFrame(rows, RESULTS_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(os.path.join(self.path, "autotune_results"))
+
+    # -- IVF-PQ results: 4-parameter variants, own table, same N6 reuse rule --
+
+    def load_ivf_pq(self) -> DataFrame:
+        p = os.path.join(self.path, "autotune_results_ivf_pq")
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            return self.spark.createDataFrame([], IVF_PQ_RESULTS_SCHEMA)
+        return self.spark.read.schema(IVF_PQ_RESULTS_SCHEMA).parquet(p)
+
+    def lookup_ivf_pq(self, experiment_id: str, k: int, n_queries: int) -> list[IvfPqVariant]:
+        rows = (
+            self.load_ivf_pq()
+            .where(
+                (F.col("experiment_id") == experiment_id)
+                & (F.col("k") >= k)
+                & (F.col("n_queries") >= n_queries)
+            )
+            .collect()
+        )
+        return [
+            IvfPqVariant(r["nlist"], r["nprobe"], r["splits"], r["clusters"],
+                         r["recall"], r["latency"], r["build_time"])
+            for r in rows
+        ]
+
+    def append_ivf_pq(self, experiment_id: str, k: int, n_queries: int,
+                      results: list[IvfPqVariant]) -> None:
+        now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        rows = [
+            (experiment_id, r.nlist, r.nprobe, r.splits, r.clusters,
+             r.recall, r.latency, r.build_time, k, n_queries, now)
+            for r in results
+        ]
+        df = self.spark.createDataFrame(rows, IVF_PQ_RESULTS_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(
+            os.path.join(self.path, "autotune_results_ivf_pq")
+        )
 
 
 def select_best(results: list[VariantResult], target_recall: float) -> VariantResult | None:
@@ -251,4 +310,96 @@ def autotune_ivf(
         indexed.unpersist()
     if results is not None:
         results.append(exp, k, n_queries, out)
+    return select_best(out, target_recall), out
+
+
+# Default IVF-PQ grid: (nlist, nprobe, splits, clusters), coarse→fine. Ordered
+# so consecutive variants share the (nlist, splits, clusters) index build and
+# only re-probe — the expensive stage is reused exactly like autotune_ivf's
+# per-nlist cache.
+DEFAULT_IVF_PQ_VARIANTS: tuple[tuple[int, int, int, int], ...] = (
+    (16, 2, 4, 16),
+    (16, 4, 4, 16),
+    (16, 4, 8, 32),
+    (16, 8, 8, 32),
+    (8, 4, 8, 64),
+    (8, 8, 8, 64),
+)
+
+
+def autotune_ivf_pq(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_queries: int = 10,
+    target_recall: float = 99.9,
+    variants: tuple[tuple[int, int, int, int], ...] = DEFAULT_IVF_PQ_VARIANTS,
+    results: AutotuneResults | None = None,
+    experiment_id: str | None = None,
+    seed: int = 42,
+    max_train_rows: int = 20_000,
+) -> tuple[IvfPqVariant | None, list[IvfPqVariant]]:
+    """(nlist, nprobe, splits, clusters) sweep over the IVF∘PQ composition vs
+    exact ground truth — N5 grid shape, early stop at target recall, N6 result
+    reuse, W2 selection, all shared with the PQ/IVF sweeps. Each variant costs
+    O(1) Spark jobs: index builds are cached per (nlist, splits, clusters) —
+    nprobe is query-time only — and every query in the eval set runs in ONE
+    batched ADC job (`ivf_pq_topk_batch`)."""
+    from lantern_extras_spark.operators import ivf as IVF
+
+    exp = experiment_id or f"ivf_pq:{vec_col}"
+    if results is not None:
+        cached = results.lookup_ivf_pq(exp, k, n_queries)
+        if cached:
+            return select_best(cached, target_recall), cached
+
+    truth = ground_truth(
+        df, n_queries=n_queries, k=k, metric="l2sq", id_col=id_col, vec_col=vec_col, seed=seed
+    ).collect()
+    spark = df.sparkSession
+    truth_df = spark.createDataFrame(
+        [(r["id"], [int(x) for x in r["neighbors"]]) for r in truth],
+        "id long, neighbors array<long>",
+    )
+    queries = [(r["id"], list(map(float, r["v"]))) for r in truth]
+    total_rows = df.count()  # one count for the whole sweep
+
+    out: list[IvfPqVariant] = []
+    built: dict[tuple[int, int, int], tuple] = {}
+    for nlist, nprobe, splits, clusters in variants:
+        bkey = (nlist, splits, clusters)
+        t0 = time.monotonic()
+        if bkey not in built:
+            coded, cents, cb = IVF.build_ivf_pq(
+                df, vec_col=vec_col, nlist=nlist, splits=splits, k=clusters,
+                max_train_rows=max_train_rows, seed=seed, total_rows=total_rows,
+            )
+            coded = coded.cache()
+            coded.count()  # materialize so latency measures the probe, not the build
+            built[bkey] = (coded, cents, cb)
+        coded, cents, cb = built[bkey]
+        build_time = time.monotonic() - t0
+
+        t1 = time.monotonic()
+        res_df = collect_neighbors(
+            IVF.ivf_pq_topk_batch(coded, cents, cb, queries, k=k, nprobe=nprobe,
+                                  id_col=id_col),
+            qid_col="query_id", id_col=id_col,
+        ).cache()
+        res_df.count()
+        latency = (time.monotonic() - t1) / max(len(queries), 1)
+        rec = recall(truth_df, res_df, k)
+        res_df.unpersist()
+        out.append(
+            IvfPqVariant(nlist, nprobe, splits, clusters, rec,
+                         round(latency, 4), round(build_time, 4))
+        )
+        if rec >= target_recall:  # early stop (mod.rs:476-478)
+            break
+
+    for coded, _, _ in built.values():
+        coded.unpersist()
+    if results is not None:
+        results.append_ivf_pq(exp, k, n_queries, out)
     return select_best(out, target_recall), out

@@ -286,16 +286,19 @@ def build_ivf_pq(
     k: int = 256,
     max_train_rows: int = 100_000,
     seed: int = 42,
+    total_rows: int | None = None,
 ):
     """The classic IVF-PQ layout: assign each vector to its nearest coarse
     centroid, then product-quantize the *residual* (v − centroid). Storage per
     vector collapses to (cell id + `splits` bytes); search touches only probed
     cells and reads only codes. Returns (indexed_df, centroids, codebook) where
-    indexed_df = df + cell + pqvec (residual codes)."""
+    indexed_df = df + cell + pqvec (residual codes). Pass `total_rows` to skip
+    the sampling count job (autotune sweeps probe the count once)."""
     from lantern_extras_spark.operators import pq as PQ
 
     indexed, centroids = build_ivf(df, vec_col=vec_col, nlist=nlist,
-                                   max_train_rows=max_train_rows, seed=seed)
+                                   max_train_rows=max_train_rows, seed=seed,
+                                   total_rows=total_rows)
     cents_arr = F.array(*[F.lit([float(x) for x in c]).cast("array<double>") for c in centroids])
     residual = F.zip_with(
         F.col(vec_col).cast("array<double>"),
@@ -376,3 +379,112 @@ def ivf_pq_topk(
     )
     scanned = pruned.mapInPandas(scan, out_schema)
     return scanned.orderBy(F.col("adc_distance").asc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_pq_topk_batch(
+    indexed_df: DataFrame,
+    centroids: list[list[float]],
+    codebook: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    code_col: str = "pqvec",
+) -> DataFrame:
+    """Batched IVF-PQ ADC search: ALL queries in ONE Spark job (the same
+    O(1)-jobs-per-variant shape as `ivf_topk_batch`/`adc_topk_batch` — what
+    makes an autotune sweep over (nlist, nprobe, splits, clusters) affordable).
+    The scan prunes to the UNION of every query's probed cells and reads only
+    (id, cell, codes); each (query, probed cell) pair gets its own residual
+    LUT, so a candidate row costs `splits` lookups per probing query. Partial
+    per-batch top-k per query, one window to finish.
+    Returns (query_id, id_col, adc_distance, rank ≤ k)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+    from pyspark.sql.window import Window
+
+    from lantern_extras_spark.operators.pq import _codebook_tensor, split_bounds
+
+    mats, splits = _codebook_tensor(codebook)
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    Q = np.asarray([list(map(float, q[1])) for q in queries], dtype=np.float64)
+    dim = Q.shape[1]
+    bounds = split_bounds(dim, splits)
+    C = np.asarray(centroids, dtype=np.float64)
+    qcells = [probe_cells(centroids, list(map(float, q[1])), nprobe) for q in queries]
+    union_cells = sorted({c for cs in qcells for c in cs})
+    # luts[(j, cell)][s] = distances from query j's residual slice to split s's
+    # codewords — nq × nprobe small dense tables, broadcast once
+    luts: dict[tuple[int, int], list[np.ndarray]] = {}
+    for j in range(len(queries)):
+        for cell in qcells[j]:
+            rq = Q[j] - C[cell]
+            luts[(j, cell)] = [
+                ((mats[s] - rq[lo:hi]) ** 2).sum(axis=1) for s, (lo, hi) in enumerate(bounds)
+            ]
+    spark = indexed_df.sparkSession
+    b = spark.sparkContext.broadcast((qids, luts))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField(id_col, LongType()),
+            StructField("adc_distance", DoubleType()),
+        ]
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qi, L = b.value
+        nq = len(qi)
+        per_query: dict[int, list[tuple[int, int]]] = {}
+        for (j, cell), _ in L.items():
+            per_query.setdefault(j, []).append(cell)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.asarray(
+                [np.frombuffer(c, dtype=np.uint8) if isinstance(c, (bytes, bytearray)) else np.asarray(c)
+                 for c in pdf[code_col].to_numpy()],
+                dtype=np.int64,
+            )
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cells_v = pdf[cell_col].to_numpy()
+            cell_rows = {c: np.nonzero(cells_v == c)[0] for c in np.unique(cells_v)}
+            for j in range(nq):
+                d_parts, i_parts = [], []
+                for cell in per_query.get(j, ()):
+                    idx = cell_rows.get(cell)
+                    if idx is None or len(idx) == 0:
+                        continue
+                    lut = L[(j, cell)]
+                    d = np.zeros(len(idx))
+                    for s in range(len(lut)):
+                        d += lut[s][codes[idx, s]]
+                    d_parts.append(d)
+                    i_parts.append(ids[idx])
+                if not d_parts:
+                    continue
+                dist = np.concatenate(d_parts)
+                rid = np.concatenate(i_parts)
+                order = np.lexsort((rid, dist))[: min(k, len(dist))]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), qi[j], dtype=np.int64),
+                        id_col: rid[order],
+                        "adc_distance": dist[order],
+                    }
+                )
+
+    pruned = indexed_df.where(F.col(cell_col).isin([int(c) for c in union_cells])).select(
+        id_col, cell_col, code_col
+    )
+    partial = pruned.mapInPandas(scan, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_distance").asc(), F.col(id_col).asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "adc_distance", "rank")
+    )

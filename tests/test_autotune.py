@@ -85,3 +85,70 @@ def test_autotune_ivf_sweep(spark, clustered, tmp_path):
     best2, _ = AT.autotune_ivf(clustered, k=5, n_queries=3, target_recall=90.0,
                                variants=((5, 5),), results=store, max_train_rows=300)
     assert best2.recall == 100.0
+
+
+def test_autotune_ivf_pq_sweep_and_cache(spark, clustered, tmp_path):
+    """N5 grid over the IVF∘PQ composition: early stop at target recall,
+    O(1)-jobs batched eval, N6 (k≥, n≥) result reuse in its own table."""
+    store = AT.AutotuneResults(spark, str(tmp_path / "ivfpq_at"))
+    # Exhaustive-sweep mechanics first: an unreachable target (101) runs the
+    # whole grid; the two variants share (nlist, splits, clusters), so the
+    # second must reuse the cached index build (nprobe is query-time only)
+    best, results = AT.autotune_ivf_pq(
+        clustered, k=5, n_queries=3, target_recall=101.0,
+        variants=((5, 2, 4, 16), (5, 4, 4, 16)),
+        results=store, max_train_rows=300,
+    )
+    assert len(results) == 2 and best is not None
+    assert results[1].build_time < results[0].build_time  # cached build reused
+    assert best.recall == max(r.recall for r in results)  # W2 fallback
+    # monotonicity: probing more cells can only help (ADC error aside, the
+    # candidate set strictly grows)
+    assert results[1].recall >= results[0].recall
+
+    # Early stop: a trivially reachable target stops after the first variant
+    # (recall < 1% would mean a broken kernel, not a hard dataset)
+    _, stopped = AT.autotune_ivf_pq(
+        clustered, k=5, n_queries=3, target_recall=1.0,
+        variants=((5, 5, 4, 64), (5, 1, 4, 16)),
+        results=store, experiment_id="ivfpq:early", max_train_rows=300,
+    )
+    assert len(stopped) == 1 and stopped[0].recall >= 1.0
+
+    # N6 reuse: same (k, n) served from the store, no new rows appended
+    n_rows = store.load_ivf_pq().count()
+    best2, results2 = AT.autotune_ivf_pq(
+        clustered, k=5, n_queries=3, target_recall=101.0,
+        variants=((5, 1, 4, 16),), results=store, max_train_rows=300,
+    )
+    assert store.load_ivf_pq().count() == n_rows
+    assert len(results2) == 2  # the cached 2-variant sweep, not the 1-variant grid
+    # a STRICTER ask (larger k) must miss the cache and re-sweep
+    best3, _ = AT.autotune_ivf_pq(
+        clustered, k=8, n_queries=3, target_recall=101.0,
+        variants=((5, 2, 4, 16),), results=store, max_train_rows=300,
+    )
+    assert store.load_ivf_pq().count() > n_rows
+
+
+def test_ivf_pq_topk_batch_matches_single(spark, clustered):
+    """The batched ADC kernel must reproduce ivf_pq_topk query-by-query (same
+    LUTs, same tie-break) — the invariant that makes the sweep's O(1)-jobs
+    eval trustworthy."""
+    from lantern_extras_spark.operators import ivf as IVF
+
+    coded, cents, cb = IVF.build_ivf_pq(
+        clustered, nlist=5, splits=4, k=16, max_train_rows=300)
+    coded = coded.cache()
+    qs = [(r["vec_id"], [float(x) for x in r["embedding"]])
+          for r in clustered.where("vec_id < 3").collect()]
+    batched = IVF.ivf_pq_topk_batch(coded, cents, cb, qs, k=5, nprobe=2)
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["adc_distance"], 9))
+        for r in batched.collect()
+    }
+    for qid, qv in qs:
+        single = IVF.ivf_pq_topk(coded, cents, cb, qv, k=5, nprobe=2).collect()
+        for rank, r in enumerate(single, start=1):
+            assert got[(qid, rank)] == (r["vec_id"], round(r["adc_distance"], 9))
+    coded.unpersist()
