@@ -1,0 +1,200 @@
+"""sf1 scaling bench: run the heaviest bench queries at 10× sf0.1 and record
+the per-query scaling exponent — the evidence tying sf0.1 bench numbers to
+SCALE.md's 100 TB claims (VERDICT r3 #9).
+
+No sf1 testdata exists (and /root/testdata is read-only), so this builds a
+faithful 10× dataset in /tmp from sf0.1:
+
+- relational tables: 10 copies with key columns shifted per copy (orders ×10
+  per customer-region structure preserved; dims nation/region/supplier stay
+  single-copy, like real scale-up where dimensions grow slower than facts);
+- documents: 10 copies with doc_id shift AND a per-copy vocabulary remap
+  (every word suffixed `_c<i>` for copy i>0) — cross-copy shingle/token
+  overlap is exactly zero, so the duplicate RATE stays constant instead of
+  every doc gaining 9 artificial near-dups (which would measure a data
+  artifact, not operator scaling);
+- embeddings: 10 copies with vec_id shift and deterministic per-copy
+  perturbation (xxhash-derived, ±0.3) — copies spread apart in vector space
+  rather than stacking 10 exact duplicates into every LSH bucket.
+
+Copy 0 is byte-identical to sf0.1, so sf0.1 ⊂ sf1.
+
+Run: python tools/bench_sf1.py  → one JSON line + SCALE_SF1.json sidecar.
+Env: SPARK_GRAFT_SF1_DIR (default /tmp/lantern_sf1), SPARK_GRAFT_SF1_ITERS
+(default 2; timing = min over iters, steady-state capability).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from lantern_extras_spark import get_spark
+
+SF01 = "/root/testdata/sf0.1"
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/lantern_sf1")
+N_COPIES = 10
+ID_SHIFT = 10_000_000
+
+# The heaviest bench_set queries (BENCH r4 medians), one per operator family.
+HEAVY_QUERIES = [
+    "dedup_clusters",
+    "embedding_neardup",
+    "ivf_pq_search",
+    "pq_adc_topk",
+    "minhash_lsh_pairs",
+    "ngram_jaccard",
+    "knn_cos",
+    "region_revenue",
+    "returned_items",
+    "top_revenue_orders",
+]
+
+TABLES_NEEDED = (
+    "documents", "embeddings", "lineitem", "orders", "customer",
+    "supplier", "nation", "region",
+)
+
+
+def _copies(df, build_one):
+    out = None
+    for c in range(N_COPIES):
+        part = build_one(df, c)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def build_sf1(spark) -> None:
+    os.makedirs(SF1_DIR, exist_ok=True)
+
+    def done(t):
+        return os.path.exists(os.path.join(SF1_DIR, f"{t}.parquet", "_SUCCESS"))
+
+    # dims: single copy (real scale-up grows facts, not dimensions)
+    for t in ("supplier", "nation", "region"):
+        if not done(t):
+            spark.read.parquet(f"{SF01}/{t}.parquet").write.mode("overwrite").parquet(
+                f"{SF1_DIR}/{t}.parquet"
+            )
+
+    if not done("documents"):
+        docs = spark.read.parquet(f"{SF01}/documents.parquet")
+
+        def doc_copy(df, c):
+            if c == 0:
+                return df
+            remapped = F.concat_ws(
+                " ", F.transform(F.split(F.col("text"), " "), lambda w: F.concat(w, F.lit(f"_c{c}")))
+            )
+            return df.select(
+                (F.col("doc_id") + c * ID_SHIFT).alias("doc_id"),
+                remapped.alias("text"),
+                "lang", "source",
+                F.length(remapped).cast("long").alias("n_chars"),
+            )
+
+        _copies(docs, doc_copy).write.mode("overwrite").parquet(f"{SF1_DIR}/documents.parquet")
+
+    if not done("embeddings"):
+        emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+
+        def emb_copy(df, c):
+            if c == 0:
+                return df
+            jiggled = F.transform(
+                F.col("embedding"),
+                lambda x, j: (
+                    x
+                    + (
+                        (F.xxhash64(F.col("vec_id") * 64 + j + F.lit(c * 1_000_003)) % 2001)
+                        - F.lit(1000)
+                    ).cast("double")
+                    / 1000.0
+                    * 0.3
+                ).cast("float"),
+            )
+            return df.select(
+                (F.col("vec_id") + c * ID_SHIFT).alias("vec_id"),
+                jiggled.alias("embedding"),
+                "label",
+            )
+
+        _copies(emb, emb_copy).write.mode("overwrite").parquet(f"{SF1_DIR}/embeddings.parquet")
+
+    if not done("customer"):
+        cust = spark.read.parquet(f"{SF01}/customer.parquet")
+        _copies(
+            cust,
+            lambda df, c: df.withColumn("c_custkey", F.col("c_custkey") + c * ID_SHIFT),
+        ).write.mode("overwrite").parquet(f"{SF1_DIR}/customer.parquet")
+
+    if not done("orders"):
+        orders = spark.read.parquet(f"{SF01}/orders.parquet")
+        _copies(
+            orders,
+            lambda df, c: df.withColumn("o_orderkey", F.col("o_orderkey") + c * ID_SHIFT * 10)
+            .withColumn("o_custkey", F.col("o_custkey") + c * ID_SHIFT),
+        ).write.mode("overwrite").parquet(f"{SF1_DIR}/orders.parquet")
+
+    if not done("lineitem"):
+        li = spark.read.parquet(f"{SF01}/lineitem.parquet")
+        _copies(
+            li,
+            lambda df, c: df.withColumn("l_orderkey", F.col("l_orderkey") + c * ID_SHIFT * 10),
+        ).write.mode("overwrite").parquet(f"{SF1_DIR}/lineitem.parquet")
+
+
+def main() -> None:
+    import __spark_entry__ as E
+
+    spark = get_spark("bench-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    n_iter = int(os.environ.get("SPARK_GRAFT_SF1_ITERS", "2"))
+
+    t0 = time.monotonic()
+    build_sf1(spark)
+    build_s = round(time.monotonic() - t0, 1)
+
+    # pre-touch both scales (same warm-up discipline as bench.py)
+    for sf in (SF01, SF1_DIR):
+        for t in TABLES_NEEDED:
+            spark.read.parquet(f"{sf}/{t}.parquet").foreach(lambda r: None)
+    spark.range(32).repartition(32).mapInPandas(lambda it: it, "id long").foreach(lambda r: None)
+
+    qs = E.queries()
+    results: dict[str, dict] = {}
+    for name in HEAVY_QUERIES:
+        per_sf = {}
+        for label, sf in (("sf0.1", SF01), ("sf1", SF1_DIR)):
+            runs = []
+            for _ in range(n_iter):
+                t1 = time.monotonic()
+                qs[name](spark, sf).foreach(lambda r: None)
+                runs.append(time.monotonic() - t1)
+            per_sf[label] = round(min(runs), 3)
+        # exponent e: t ∝ n^e over the 10× step (e=1 linear, <1 sublinear)
+        exponent = round(math.log10(max(per_sf["sf1"], 1e-9) / max(per_sf["sf0.1"], 1e-9)), 3)
+        results[name] = {**per_sf, "exponent": exponent}
+
+    out = {
+        "metric": "sf1_scaling",
+        "n_copies": N_COPIES,
+        "iters_min_of": n_iter,
+        "build_sf1_sec": build_s,
+        "queries": results,
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "SCALE_SF1.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -115,10 +115,42 @@ def main() -> None:
         IVF.ivf_topk(idx, cents, qv, k=10, nprobe=4).collect()
     timed("ivf_build_and_probe_1M", ivf_flow)
 
+    def ivf_pq_flow():
+        coded, cents, cb = IVF.build_ivf_pq(
+            vecs, nlist=64, splits=8, k=256, max_train_rows=50_000, total_rows=n_vec
+        )
+        coded.write.mode("overwrite").partitionBy("cell").parquet(f"{base}/ivfpq")
+        idx = spark.read.parquet(f"{base}/ivfpq")
+        qv = [0.1] * 64
+        IVF.ivf_pq_topk(idx, cents, cb, qv, k=10, nprobe=4).collect()
+        # batched probe: 10 queries in ONE job (the autotune eval shape)
+        qs = [(i, [0.1 * ((i + j) % 7) for j in range(64)]) for i in range(10)]
+        IVF.ivf_pq_topk_batch(idx, cents, cb, qs, k=10, nprobe=4).foreach(lambda r: None)
+    timed("ivf_pq_build_probe_batch10", ivf_pq_flow)
+
     timed("embed_hash_100k_docs", lambda: embed_column(docs, "text", "emb").foreach(lambda r: None))
     timed("exact_dedup_100k", lambda: D.exact_dedup(docs).where("is_duplicate").count())
     timed("minhash_lsh_100k", lambda: D.minhash_dedup(docs, n_hashes=32, bands=8, threshold=0.8).count())
     timed("simhash_100k", lambda: D.simhash(docs).foreach(lambda r: None))
+
+    # pairs → transitive components (iterative min-label propagation); the
+    # ~5% predecessor-duplicate rate yields many 2-doc components — diameter
+    # stays shallow, so rounds are few and each is one bounded join
+    def clusters_flow():
+        pairs = D.minhash_dedup(docs, n_hashes=32, bands=8, threshold=0.8)
+        return D.dedup_clusters(pairs).count()
+    timed("dedup_clusters_pairs_to_components", clusters_flow)
+
+    # embedding cosine near-dup over the full vector table: hyperplane-LSH
+    # bucketing (GEMM impl — the scale path) + bucketed self-join with the
+    # max_bucket skew guard; rand() vectors are near-orthogonal so candidate
+    # pairs are sparse — the cost measured is the bucketing scan + join
+    timed(
+        "embedding_neardup_1M",
+        lambda: D.embedding_neardup_pairs(
+            vecs, threshold=0.9, n_planes=12, dim=64, impl="pandas"
+        ).count(),
+    )
 
     # exact ngram Jaccard via the inverted-index strategy on discriminative-
     # shingle docs (real-text regime); guard explicitly disabled — the caller
@@ -129,6 +161,13 @@ def main() -> None:
     timed(
         "ngram_index_exact",
         lambda: D.ngram_jaccard_pairs(docs2, threshold=0.5, max_block_rows=None).count(),
+    )
+    # containment metric shares the inverted-index plan (different score only)
+    timed(
+        "ngram_index_containment",
+        lambda: D.ngram_jaccard_pairs(
+            docs2, threshold=0.5, metric="containment", max_block_rows=None
+        ).count(),
     )
 
     print(json.dumps({"n_vectors": n_vec, "n_docs": n_doc, "timings": timings}))
