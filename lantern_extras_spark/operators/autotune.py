@@ -9,10 +9,12 @@ Reference surface (SURVEY.md §2.10 N5/N6/W2, lantern_cli/src/index_autotune/):
 - N6 result caching: reuse prior results for the same (model, k≥, n≥)
   (mod.rs:112-160).
 
-The reference tunes HNSW (m, ef, ef_construction); HNSW is an online-index
-concern outside Spark's batch model (BASELINE.json), so this engine tunes its
-offline approximate-kNN structures instead — PQ (splits × clusters) — with
-identical sweep/eval/selection/caching semantics. Results persist to an
+The reference tunes HNSW (m, ef, ef_construction). This engine tunes all of
+its approximate-kNN structures with the same sweep/eval/selection/caching
+semantics: PQ (splits × clusters), IVF, IVF∘PQ, and — since the sharded-HNSW
+operator landed (`operators/hnsw.py`) — HNSW itself, over the reference's own
+6-variant (m, efc, ef) grid copied value-for-value from
+`index_autotune/mod.rs:329-360`. Results persist to an
 `autotune_results`-shaped table (experiment_id, params…, recall, latency,
 build_time — FIXTURES.md §3)."""
 
@@ -51,6 +53,11 @@ IVF_PQ_RESULTS_SCHEMA = (
     "created_at timestamp"
 )
 
+HNSW_RESULTS_SCHEMA = (
+    "experiment_id string, m int, ef_construction int, ef int, recall double, "
+    "latency double, build_time double, k int, n_queries int, created_at timestamp"
+)
+
 
 @dataclass
 class VariantResult:
@@ -72,6 +79,19 @@ class IvfPqVariant:
     nprobe: int
     splits: int
     clusters: int
+    recall: float
+    latency: float
+    build_time: float
+
+
+@dataclass
+class HnswVariant:
+    """One HNSW sweep point — the reference's IndexParams
+    (index_autotune/mod.rs:22-34: ef, ef_construction, m)."""
+
+    m: int
+    ef_construction: int
+    ef: int
     recall: float
     latency: float
     build_time: float
@@ -149,6 +169,43 @@ class AutotuneResults:
         df = self.spark.createDataFrame(rows, IVF_PQ_RESULTS_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(
             os.path.join(self.path, "autotune_results_ivf_pq")
+        )
+
+    # -- HNSW results: the reference's own (m, efc, ef) variants, same rule --
+
+    def load_hnsw(self) -> DataFrame:
+        p = os.path.join(self.path, "autotune_results_hnsw")
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            return self.spark.createDataFrame([], HNSW_RESULTS_SCHEMA)
+        return self.spark.read.schema(HNSW_RESULTS_SCHEMA).parquet(p)
+
+    def lookup_hnsw(self, experiment_id: str, k: int, n_queries: int) -> list[HnswVariant]:
+        rows = (
+            self.load_hnsw()
+            .where(
+                (F.col("experiment_id") == experiment_id)
+                & (F.col("k") >= k)
+                & (F.col("n_queries") >= n_queries)
+            )
+            .collect()
+        )
+        return [
+            HnswVariant(r["m"], r["ef_construction"], r["ef"],
+                        r["recall"], r["latency"], r["build_time"])
+            for r in rows
+        ]
+
+    def append_hnsw(self, experiment_id: str, k: int, n_queries: int,
+                    results: list[HnswVariant]) -> None:
+        now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        rows = [
+            (experiment_id, r.m, r.ef_construction, r.ef,
+             r.recall, r.latency, r.build_time, k, n_queries, now)
+            for r in results
+        ]
+        df = self.spark.createDataFrame(rows, HNSW_RESULTS_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(
+            os.path.join(self.path, "autotune_results_hnsw")
         )
 
 
@@ -402,4 +459,81 @@ def autotune_ivf_pq(
         coded.unpersist()
     if results is not None:
         results.append_ivf_pq(exp, k, n_queries, out)
+    return select_best(out, target_recall), out
+
+
+# The reference's exact 6-variant HNSW grid, value-for-value
+# (index_autotune/mod.rs:329-360): (m, ef_construction, ef) coarse→fine.
+DEFAULT_HNSW_VARIANTS: tuple[tuple[int, int, int], ...] = (
+    (6, 32, 64),
+    (8, 40, 64),
+    (12, 48, 64),
+    (16, 60, 76),
+    (32, 96, 96),
+    (48, 128, 128),
+)
+
+
+def autotune_hnsw(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_queries: int = 10,
+    target_recall: float = 99.9,
+    variants: tuple[tuple[int, int, int], ...] = DEFAULT_HNSW_VARIANTS,
+    results: AutotuneResults | None = None,
+    experiment_id: str | None = None,
+    seed: int = 42,
+    n_shards: int = 4,
+) -> tuple[HnswVariant | None, list[HnswVariant]]:
+    """The reference's actual autotune target (index_autotune/mod.rs:418-475):
+    build an HNSW variant, measure recall + amortized latency against exact
+    ground truth, early-stop at the target. One sharded build + ONE batched
+    search job per variant; N6 result reuse and W2 selection shared with the
+    PQ/IVF sweeps. `ef` from the grid is the query-time beam width."""
+    from lantern_extras_spark.operators import hnsw as HNSW
+
+    exp = experiment_id or f"hnsw:{vec_col}"
+    if results is not None:
+        cached = results.lookup_hnsw(exp, k, n_queries)
+        if cached:
+            return select_best(cached, target_recall), cached
+
+    truth = ground_truth(
+        df, n_queries=n_queries, k=k, metric="l2sq", id_col=id_col, vec_col=vec_col, seed=seed
+    ).collect()
+    spark = df.sparkSession
+    truth_df = spark.createDataFrame(
+        [(r["id"], [int(x) for x in r["neighbors"]]) for r in truth],
+        "id long, neighbors array<long>",
+    )
+    queries = [(r["id"], list(map(float, r["v"]))) for r in truth]
+
+    out: list[HnswVariant] = []
+    for m, efc, ef in variants:
+        t0 = time.monotonic()
+        shards = HNSW.build_hnsw_shards(
+            df, vec_col=vec_col, id_col=id_col, n_shards=n_shards,
+            m=m, ef_construction=efc, metric="l2sq", seed=seed,
+        ).cache()
+        shards.count()  # materialize: latency measures the search, not the build
+        build_time = time.monotonic() - t0
+
+        t1 = time.monotonic()
+        res_df = collect_neighbors(
+            HNSW.hnsw_topk_batch(shards, queries, k=k, ef=ef, id_col=id_col),
+            qid_col="query_id", id_col=id_col,
+        ).cache()
+        res_df.count()
+        latency = (time.monotonic() - t1) / max(len(queries), 1)
+        rec = recall(truth_df, res_df, k)
+        res_df.unpersist()
+        shards.unpersist()
+        out.append(HnswVariant(m, efc, ef, rec, round(latency, 4), round(build_time, 4)))
+        if rec >= target_recall:  # early stop (mod.rs:476-478)
+            break
+
+    if results is not None:
+        results.append_hnsw(exp, k, n_queries, out)
     return select_best(out, target_recall), out
