@@ -48,13 +48,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events carries TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
-    rejects; read nanos as long and truncate to microseconds — bit-identical to
-    DuckDB's ns→us cast (truncation, verified)."""
+    """Some testdata generations store events.ts as TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects — read nanos as long and truncate to
+    microseconds (bit-identical to DuckDB's ns→us cast); newer generations
+    store plain micros TIMESTAMP, which passes through untouched."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return ev
 
 
 # ---------------------------------------------------------------------------

@@ -97,6 +97,44 @@ class CollectionStore:
             raise ValueError(f"no such collection {name!r}")
         shutil.rmtree(p)
 
+    # -- H6: index build ---------------------------------------------------
+
+    def create_index(
+        self,
+        name: str,
+        column: str = "vector",
+        metric: str = "l2sq",
+        ef: int = 64,
+        ef_construction: int = 128,
+        m: int = 16,
+        pq: bool = False,
+        index_name: str | None = None,
+    ) -> str:
+        """H6 `POST /collections/{name}/index` (http_server/index.rs:58-139,
+        defaults ef=64, efc=128, m=16 from lines 66-70): build the external
+        HNSW index over a collection column. The artifact lives under the
+        collection root as `_index_<name>` (leading underscore so parquet
+        scans of the collection ignore it); X9 create_external_index does the
+        validation + build + catalog recording."""
+        from lantern_extras_spark.operators.hnsw import create_external_index
+
+        path = self._path(name)
+        if not os.path.exists(path):
+            raise ValueError(f"no such collection {name!r}")
+        return create_external_index(
+            self.read(name),
+            column=column,
+            table=path,
+            metric_kind=metric,
+            m=m,
+            ef_construction=ef_construction,
+            ef=ef,
+            pq=pq,
+            index_name=f"_index_{index_name or column}",
+            root=path,
+            id_col="id",
+        )
+
     # -- H5: search ------------------------------------------------------
 
     def search(
@@ -109,9 +147,14 @@ class CollectionStore:
         k: int = 10,
         metric: str = "l2sq",
         vec_col: str = "vector",
+        use_index: bool = False,
     ) -> DataFrame:
         """Top-k rows by distance; `query_text` is embedded with the same model
-        first (H5 CTE semantics). Exactly one of query_vec/query_text."""
+        first (H5 CTE semantics). Exactly one of query_vec/query_text.
+        `use_index=True` answers through the collection's HNSW artifact
+        (built by `create_index`) — per-shard graph search then a k-row
+        semi-join back to the collection for the payload columns; falls back
+        loudly if no index exists for `vec_col`."""
         if (query_vec is None) == (query_text is None):
             raise ValueError("provide exactly one of query_vec / query_text")
         if query_text is not None:
@@ -119,6 +162,24 @@ class CollectionStore:
             qrow = embed_column(qdf, "q", "emb", query_model, query_runtime).first()
             query_vec = [float(x) for x in qrow["emb"]]
         df = self.read(name)
+        if use_index:
+            from lantern_extras_spark.operators.hnsw import hnsw_topk, load_hnsw
+
+            idx_path = os.path.join(self._path(name), f"_index_{vec_col}")
+            if not os.path.exists(idx_path):
+                raise ValueError(
+                    f"collection {name!r} has no index on {vec_col!r}; "
+                    "call create_index first"
+                )
+            hits = hnsw_topk(
+                load_hnsw(self.spark, idx_path),
+                [float(x) for x in query_vec],
+                k=k,
+                id_col="id",
+            ).withColumnRenamed("dist", "distance")
+            return df.join(F.broadcast(hits), "id", "inner").select(
+                *df.columns, "distance"
+            ).orderBy(F.col("distance").asc(), F.col("id").asc())
         q = F.lit([float(x) for x in query_vec]).cast("array<double>")
         return (
             df.withColumn("distance", distance_col(metric, F.col(vec_col), q))

@@ -428,6 +428,124 @@ def hnsw_topk(
     return cand.select(id_col, "dist").orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(k)
 
 
+# ---------------------------------------------------------------------------
+# X9/X10 — create / reindex external index (lantern_extras/src/external_index.rs)
+# ---------------------------------------------------------------------------
+
+_PARAM_RANGES = {"ef": (1, 400), "ef_construction": (1, 400), "m": (2, 128)}
+
+
+def validate_index_param(name: str, value: int, lo: int, hi: int) -> None:
+    """Reference `validate_index_param` (external_index.rs:6-10)."""
+    if not (lo <= int(value) <= hi):
+        raise ValueError(f"{name} should be in range [{lo}, {hi}]")
+
+
+def create_external_index(
+    df: DataFrame,
+    column: str = "embedding",
+    table: str = "",
+    metric_kind: str = "l2sq",
+    dim: int = 0,
+    m: int = 16,
+    ef_construction: int = 16,
+    ef: int = 16,
+    pq: bool = False,
+    index_name: str = "",
+    root: str = ".",
+    id_col: str = "vec_id",
+    n_shards: int = 4,
+    seed: int = 42,
+) -> str:
+    """X9 `lantern_create_external_index(column, table, schema, metric_kind,
+    dim, m, ef_construction, ef, pq, index_name)` — same parameter surface and
+    the reference's exact validation ranges (external_index.rs:25-33: ef/efc
+    ∈ [1,400], m ∈ [2,128], dim ∈ [1,2000] when given). Builds the sharded
+    HNSW artifact under `root/index_name` and records a catalog sidecar
+    (source column + params) so `reindex_external_index` can resolve
+    index → (table, column) the way the reference queries pg_index
+    (external_index.rs:121-147). `table`, when given, is a parquet path the
+    source rows can be re-read from on reindex; otherwise reindex requires a
+    DataFrame. With `pq=True` the graph is built over PQ-quantized-then-
+    reconstructed vectors (the reference's pq_construction/pq_output mode —
+    server.rs:139-152 — compresses construction memory the same way).
+    Returns the artifact path."""
+    import json
+    import os
+
+    validate_index_param("ef", ef, *_PARAM_RANGES["ef"])
+    validate_index_param("ef_construction", ef_construction, *_PARAM_RANGES["ef_construction"])
+    validate_index_param("m", m, *_PARAM_RANGES["m"])
+    if dim != 0:
+        validate_index_param("dim", dim, 1, 2000)
+    metric = {"l2sq": "l2sq", "cos": "cos", "dot": "dot"}.get(metric_kind)
+    if metric is None:
+        raise ValueError(f"Invalid metric {metric_kind!r} (l2sq/cos/dot)")
+
+    source = df
+    if pq:
+        from lantern_extras_spark.operators import pq as PQ
+
+        cb = PQ.build_codebook(df, vec_col=column, splits=8, k=16, seed=seed)
+        coded = PQ.quantize(df, cb, vec_col=column, out_col="__pq", dim=dim or None)
+        source = (
+            PQ.decode(coded, cb, code_col="__pq", out_col="__recon")
+            .drop(column, "__pq")
+            .withColumnRenamed("__recon", column)
+            .select(df.columns)
+        )
+
+    name = index_name or f"ldb_index_{column}"
+    path = os.path.join(root, name)
+    shards = build_hnsw_shards(
+        source, vec_col=column, id_col=id_col, n_shards=n_shards,
+        m=m, ef_construction=ef_construction, metric=metric, seed=seed,
+    )
+    save_hnsw(shards, path)
+    catalog = {
+        "table": table, "column": column, "id_col": id_col,
+        "metric_kind": metric_kind, "dim": dim, "m": m,
+        "ef_construction": ef_construction, "ef": ef, "pq": pq,
+        "n_shards": n_shards, "seed": seed,
+    }
+    with open(os.path.join(path, "_lantern_catalog.json"), "w") as f:
+        json.dump(catalog, f)
+    return path
+
+
+def reindex_external_index(
+    spark,
+    index_path: str,
+    df: DataFrame | None = None,
+    **overrides,
+) -> str:
+    """X10 `_reindex_external_index(index, metric_kind, dim, m, efc, ef, pq)`:
+    resolve the index back to its (table, column) via the recorded catalog
+    (the reference's pg_index join, external_index.rs:121-147), then rebuild
+    by calling create (external_index.rs:150-161). `overrides` replace any
+    recorded param (the reference passes fresh params on reindex); rows come
+    from the recorded source path unless `df` is supplied."""
+    import json
+    import os
+
+    cat_path = os.path.join(index_path, "_lantern_catalog.json")
+    if not os.path.exists(cat_path):
+        raise ValueError(f"Index at {index_path!r} not found (no catalog sidecar)")
+    with open(cat_path) as f:
+        cat = json.load(f)
+    if df is None:
+        if not cat["table"]:
+            raise ValueError("catalog records no source table path; pass df=")
+        df = spark.read.parquet(cat["table"])
+    params = {k: cat[k] for k in (
+        "column", "table", "metric_kind", "dim", "m", "ef_construction",
+        "ef", "pq", "id_col", "n_shards", "seed",
+    )}
+    params.update(overrides)
+    params["index_name"] = os.path.basename(index_path.rstrip("/"))
+    return create_external_index(df, root=os.path.dirname(index_path.rstrip("/")) or ".", **params)
+
+
 def hnsw_recall_vs_exact(
     df: DataFrame,
     n_shards: int = 4,

@@ -1,0 +1,247 @@
+"""N2 — external-index streaming protocol (reference
+`lantern_cli/src/external_index/server.rs:22-34,76-156,213-434`).
+
+Wire format, byte-for-byte the reference's (all integers little-endian):
+
+- on connect the server writes `u32 PROTOCOL_VERSION (1)` then
+  `u32 SERVER_TYPE (0x1 = indexing server)` (server.rs:180-183);
+- the client sends one 48-byte INIT frame:
+  `[u32 INIT_MSG = 0x13333337][11 × u32: pq, metric_kind, quantization, dim,
+  m, ef_construction, ef, num_centroids, num_subvectors, estimated_capacity,
+  element_bits]` (server.rs:33-34,76-90);
+- metric_kind: 1 = cos, 3 = l2sq (8 = hamming — unsupported here, the graph
+  kernel is float-metric; cli.rs:56-69), quantization 0..1 = f32 (F64/F16/
+  I8/B1 raise — server.rs:93-99 maps them to usearch scalar kinds; this
+  engine's artifact is f32);
+- if `pq`, the client streams codebook frames of `dim × 4` bytes (one
+  centroid row of f32s per frame, num_centroids total) terminated by a
+  4-byte `u32 END_MSG = 0x31333337` frame (server.rs:107-125);
+- the server acks setup with one `0x00` byte (server.rs:205);
+- the client streams row frames of `8 + dim × 4` bytes
+  (`[u64 label][dim × f32]`, server.rs:168-172,226-231) terminated by
+  END_MSG. As in the reference, frames carry no per-frame magic: END is
+  detected by the first 4 bytes of a frame, so frame sizes must be exact
+  (server.rs:280-306);
+- the server replies `u64 tuple_count`, `u64 index_size`, then the
+  serialized index (server.rs:378-425).
+
+The returned artifact is this engine's `HnswIndex.to_bytes()` npz (not a
+`.usearch` file — the graph format is original, the protocol semantics are
+the parity surface). With `pq=1` rows are quantized-then-reconstructed
+through the streamed codebook before insertion, the reference's
+pq_construction/pq_output behavior (server.rs:139-152) in f32 space.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+
+import numpy as np
+
+from lantern_extras_spark.operators.hnsw import HnswIndex
+
+PROTOCOL_VERSION = 1
+SERVER_TYPE_INDEXING = 0x1
+INIT_MSG = 0x13333337
+END_MSG = 0x31333337
+ERR_MSG = 0x37333337
+_HEADER_PARAMS = 11  # pq..element_bits
+INIT_FRAME_SIZE = 4 * (1 + _HEADER_PARAMS)
+
+_METRIC_FROM_U32 = {1: "cos", 3: "l2sq"}  # 8=hamming unsupported (cli.rs:56-69)
+_METRIC_TO_U32 = {v: k for k, v in _METRIC_FROM_U32.items()}
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed mid-frame")
+        buf += chunk
+    return buf
+
+
+def _read_frame(sock: socket.socket, expected_size: int) -> bytes | None:
+    """One protocol frame: END is the first u32 (server.rs:280-306); data
+    frames are exactly `expected_size` bytes. Returns None on END."""
+    head = _recv_exact(sock, 4)
+    if struct.unpack("<I", head)[0] == END_MSG:
+        return None
+    return head + _recv_exact(sock, expected_size - 4)
+
+
+class _IndexHandler(socketserver.BaseRequestHandler):
+    def handle(self) -> None:  # one connection = one index build
+        sock = self.request
+        sock.sendall(struct.pack("<II", PROTOCOL_VERSION, SERVER_TYPE_INDEXING))
+        init = _recv_exact(sock, INIT_FRAME_SIZE)
+        fields = struct.unpack(f"<{1 + _HEADER_PARAMS}I", init)
+        if fields[0] != INIT_MSG:
+            sock.sendall(struct.pack("<I", ERR_MSG))
+            return
+        (pq, metric_kind, quantization, dim, m, efc, ef,
+         num_centroids, num_subvectors, _capacity, element_bits) = fields[1:]
+        try:
+            metric = _METRIC_FROM_U32[metric_kind]
+            if quantization > 1:
+                raise ValueError("only f32 quantization supported")
+            if element_bits != 32:
+                raise ValueError("only 32-bit elements supported")
+        except (KeyError, ValueError):
+            sock.sendall(struct.pack("<I", ERR_MSG))
+            return
+
+        codebook = None
+        if pq == 1:
+            rows = []
+            while True:
+                frame = _read_frame(sock, dim * 4)
+                if frame is None:
+                    break
+                rows.append(np.frombuffer(frame, dtype="<f4"))
+            # [num_centroids][dim] → per-subvector centroid tensors
+            cb = np.asarray(rows, dtype=np.float32).reshape(num_centroids, dim)
+            sub = dim // num_subvectors
+            codebook = [
+                np.ascontiguousarray(cb[:, s * sub:(s + 1) * sub])
+                for s in range(num_subvectors)
+            ]
+
+        sock.sendall(b"\x00")  # setup ack (server.rs:205)
+
+        idx = HnswIndex(dim=dim, m=max(m, 2), ef_construction=max(efc, ef, 1),
+                        metric=metric, seed=self.server.seed)
+        row_size = 8 + dim * 4
+        count = 0
+        while True:
+            frame = _read_frame(sock, row_size)
+            if frame is None:
+                break
+            (label,) = struct.unpack_from("<Q", frame)
+            vec = np.frombuffer(frame, dtype="<f4", offset=8).copy()
+            if codebook is not None:
+                # pq_construction: insert the quantized reconstruction
+                parts = []
+                sub = dim // num_subvectors
+                for s, cents in enumerate(codebook):
+                    d = cents - vec[s * sub:(s + 1) * sub][None, :]
+                    parts.append(cents[int(np.argmin(np.einsum("ij,ij->i", d, d)))])
+                vec = np.concatenate(parts)
+            idx.add_batch([label], vec[None, :])
+            count += 1
+
+        blob = idx.to_bytes()
+        sock.sendall(struct.pack("<Q", count))
+        sock.sendall(struct.pack("<Q", len(blob)))
+        sock.sendall(blob)
+
+
+class IndexServer(socketserver.ThreadingTCPServer):
+    """Loopback-friendly indexing server; `with IndexServer() as s: s.port`."""
+
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0, seed: int = 42):
+        super().__init__((host, port), _IndexHandler)
+        self.seed = seed
+        self.port = self.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "IndexServer":
+        self._thread = threading.Thread(target=self.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.shutdown()
+        if self._thread:
+            self._thread.join(timeout=5)
+        self.server_close()
+
+    def __enter__(self) -> "IndexServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+
+def stream_index_build(
+    host: str,
+    port: int,
+    rows,
+    dim: int,
+    metric_kind: str = "l2sq",
+    m: int = 16,
+    ef_construction: int = 64,
+    ef: int = 64,
+    pq: bool = False,
+    codebook: np.ndarray | None = None,
+    num_subvectors: int = 0,
+    timeout_s: float = 60.0,
+) -> tuple[int, HnswIndex]:
+    """Protocol client: stream `(label, vector)` rows, get back
+    (tuple_count, index). `codebook` is [num_centroids][dim] f32 when pq."""
+    if metric_kind not in _METRIC_TO_U32:
+        raise ValueError(f"unsupported metric {metric_kind!r}")
+    with socket.create_connection((host, port), timeout=timeout_s) as sock:
+        version, server_type = struct.unpack("<II", _recv_exact(sock, 8))
+        if version != PROTOCOL_VERSION or server_type != SERVER_TYPE_INDEXING:
+            raise ConnectionError(
+                f"unexpected handshake version={version} type={server_type}"
+            )
+        n_centroids = int(codebook.shape[0]) if pq else 0
+        sock.sendall(struct.pack(
+            f"<{1 + _HEADER_PARAMS}I",
+            INIT_MSG, int(pq), _METRIC_TO_U32[metric_kind], 0, dim, m,
+            ef_construction, ef, n_centroids, num_subvectors, 0, 32,
+        ))
+        if pq:
+            cb = np.asarray(codebook, dtype="<f4")
+            for row in cb:
+                sock.sendall(row.tobytes())
+            sock.sendall(struct.pack("<I", END_MSG))
+        ack = _recv_exact(sock, 1)
+        if ack != b"\x00":
+            raise ConnectionError(f"server rejected setup (0x{ack.hex()})")
+        count_sent = 0
+        for label, vec in rows:
+            payload = np.asarray(vec, dtype="<f4")
+            if payload.shape[0] != dim:
+                raise ValueError(f"row {label}: dim {payload.shape[0]} != {dim}")
+            sock.sendall(struct.pack("<Q", int(label)) + payload.tobytes())
+            count_sent += 1
+        sock.sendall(struct.pack("<I", END_MSG))
+        (tuple_count,) = struct.unpack("<Q", _recv_exact(sock, 8))
+        (size,) = struct.unpack("<Q", _recv_exact(sock, 8))
+        blob = _recv_exact(sock, size)
+    return int(tuple_count), HnswIndex.from_bytes(blob)
+
+
+def build_index_via_server(
+    df,
+    host: str,
+    port: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    **kwargs,
+) -> tuple[int, HnswIndex]:
+    """Stream a DataFrame's rows to an indexing server — the reference's
+    create_usearch_index scan→stream loop (external_index/mod.rs:336-374).
+    Deliberately single-stream (the protocol is); rows arrive through
+    `toLocalIterator` so only one partition is resident driver-side. For
+    cluster-parallel builds use `build_hnsw_shards` — this path exists for
+    protocol parity with external indexing services."""
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("empty DataFrame")
+    dim = len(first[0])
+    it = (
+        (r[id_col], r[vec_col])
+        for r in df.select(id_col, vec_col).toLocalIterator()
+    )
+    return stream_index_build(host, port, it, dim=dim, **kwargs)

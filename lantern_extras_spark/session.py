@@ -99,9 +99,13 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     out = {}
     for n in names:
         if n == "events":
+            # TIMESTAMP(NANOS) generations need the nanos→long→micros bridge;
+            # plain-micros generations read as timestamp directly.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-            out[n] = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+                ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            out[n] = ev
         else:
             out[n] = spark.read.parquet(f"{sf_dir}/{n}.parquet")
     return out

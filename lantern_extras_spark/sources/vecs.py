@@ -115,6 +115,75 @@ def write_fvecs(path: str, vectors: list[list[float]]) -> None:
             f.write(np.asarray(v, dtype=np.float32).tobytes())
 
 
+def get_vectors(
+    spark: SparkSession,
+    url: str,
+    transport=None,
+    count: int | None = None,
+    max_bytes: int = 1 << 30,
+) -> DataFrame:
+    """S5 `get_vectors(gzippath)` (lantern_extras/src/dotvecs.rs:140-207) —
+    download a gzipped (optionally tarred) vector-benchmark archive and parse
+    every .fvecs/.ivecs/.bvecs member to rows (member, row_id, vector
+    array<float>). The reference streams FTP, lists tar entries, and bails
+    with "not implemented"; this completes the operation over http(s) through
+    the same injected-transport pattern as media fetch (multimodal/media.py) —
+    `transport(url, timeout_s, max_bytes) -> (status, body, redirect_url)`,
+    loopback-tested, urllib for real clusters. `file://`-free by design (the
+    transport rejects non-http(s) schemes).
+
+    Driver-side by nature — one URL is one archive; vectors are then
+    distributed via createDataFrame. For multi-file corpora already on shared
+    storage use `read_fvecs` (binaryFile → one task per file) instead; this
+    is the bootstrap path for pulling public benchmark sets (sift/gist).
+    Mixed element kinds are unified to float for one stable schema."""
+    import gzip
+    import io
+    import tarfile
+
+    from lantern_extras_spark.multimodal.media import fetch_bytes, urllib_transport
+
+    data, err = fetch_bytes(
+        url, transport=transport or urllib_transport, max_bytes=max_bytes
+    )
+    if err is not None:
+        raise IOError(f"get_vectors({url!r}): {err}")
+
+    members: list[tuple[str, bytes]] = []
+    blob = data
+    if url.endswith(".gz") and not url.endswith(".tar.gz"):
+        blob = gzip.decompress(blob)
+        members.append((url.rsplit("/", 1)[-1][: -len(".gz")], blob))
+    else:
+        # .tar.gz / .tgz (tarfile handles the gzip layer itself)
+        with tarfile.open(fileobj=io.BytesIO(blob), mode="r:*") as tar:
+            for info in tar:
+                if not info.isfile():
+                    continue
+                ext = info.name.rsplit(".", 1)[-1]
+                if ext in _ELEM:
+                    members.append((info.name, tar.extractfile(info).read()))
+    members = [(n, p) for n, p in members if n.rsplit(".", 1)[-1] in _ELEM]
+    if not members:
+        raise ValueError(f"no .fvecs/.ivecs/.bvecs members found in {url!r}")
+
+    rows = []
+    remaining = count
+    for name, payload in members:
+        kind = name.rsplit(".", 1)[-1]
+        vecs = parse_vecs_bytes(payload, kind, remaining)
+        rows.extend(
+            (name, i, [float(x) for x in v]) for i, v in enumerate(vecs)
+        )
+        if remaining is not None:
+            remaining -= len(vecs)
+            if remaining <= 0:
+                break
+    return spark.createDataFrame(
+        rows, "member string, row_id long, vector array<float>"
+    )
+
+
 def read_jdbc_partitioned(
     spark: SparkSession,
     url: str,
