@@ -57,6 +57,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes)["ts"] in ("bigint", "long"):
         ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        # plain-micros generations read as TIMESTAMP_NTZ; every consumer uses
+        # unix_micros (TIMESTAMP only). Session tz is UTC, so NTZ→TZ cast is
+        # value-preserving.
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 
@@ -832,6 +837,49 @@ def q_ivf_pq_search(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("vec_id", pround("adc_distance", 4).alias("adc_distance"))
 
 
+def q_hnsw_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Sharded-HNSW eval with a SQL oracle (N1/N4, hnsw.py): the returned rows
+    ARE the exact l2sq top-10 ground truth (fully SQL-replayable, same shape as
+    knn_l2), plus a `recall_ok` flag the oracle pins to TRUE. The flag comes
+    from building seeded HNSW shards over the same corpus, batch-searching the
+    same 5 queries, and intersecting with the truth — graph traversal isn't
+    SQL-expressible, but its pass criterion (recall ≥ 0.9 on a deterministic
+    seeded build) is a literal the oracle asserts, so an HNSW regression flips
+    the hash red."""
+    from lantern_extras_spark.operators import hnsw as H
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    data = emb.where(F.col("vec_id") >= 5)
+    exact = K.knn_join(data, q, k=10, metric="l2sq", strategy="crossjoin", dist_scale=5)
+
+    truth: dict[int, set[int]] = {}
+    exact_rows = exact.select("query_id", "vec_id").collect()
+    for r in exact_rows:
+        truth.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+
+    shards = H.build_hnsw_shards(
+        data, vec_col="embedding", id_col="vec_id", n_shards=4, m=16,
+        ef_construction=80, metric="l2sq", seed=42,
+    )
+    queries = [
+        (int(r["query_id"]), [float(x) for x in r["query_vec"]]) for r in q.collect()
+    ]
+    got: dict[int, set[int]] = {}
+    for r in H.hnsw_topk_batch(shards, queries, k=10, ef=80, id_col="vec_id").collect():
+        got.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+    rec = sum(len(truth[qid] & got.get(qid, set())) for qid in truth) / sum(
+        len(v) for v in truth.values()
+    )
+    return exact.select(
+        "query_id", "vec_id", F.col("distance").alias("l2sq_distance"),
+        F.col("rank").cast("bigint").alias("rnk"),
+        F.lit(bool(rec >= 0.9)).alias("recall_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -885,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc_topk,
         "knn_partial_strategy": q_knn_partial_strategy,
         "ivf_pq_search": q_ivf_pq_search,
+        "hnsw_recall": q_hnsw_recall,
         "ngram_containment": q_ngram_containment,
         "tfidf_top_terms": q_tfidf_top_terms,
         "hash_split": q_hash_split,
@@ -1640,6 +1689,20 @@ def _oracle_sql_raw() -> dict[str, str]:
     sql["pq_adc_topk"] = _pq_adc_topk_sql(_ivf_qv_sql())
     sql["embedding_neardup"] = _embedding_neardup_sql()
     sql["ivf_pq_search"] = _ivf_pq_search_sql(_ivf_qv_sql())
+    sql["hnsw_recall"] = """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+             d AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings WHERE vec_id >= 5),
+             scored AS (
+                SELECT q.query_id, d.vec_id,
+                       round(list_sum(list_transform(range(1, len(dv)+1), i -> (dv[i]-qv[i])*(dv[i]-qv[i]))), 5) AS l2sq_distance
+                FROM q, d
+             )
+        SELECT query_id, vec_id, l2sq_distance,
+               row_number() OVER (PARTITION BY query_id ORDER BY l2sq_distance ASC, vec_id ASC) AS rnk,
+               TRUE AS recall_ok
+        FROM scored
+        QUALIFY rnk <= 10
+    """
     return sql
 
 

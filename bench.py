@@ -112,6 +112,7 @@ def main() -> None:
         "hash_split",
         "stratified_sample",
         "dedup_clusters",
+        "hnsw_recall",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))
@@ -132,6 +133,23 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+
+    # The compact contract line (metric/value/unit/per-query medians/sf only —
+    # ~1.1 KB, fits the driver's 2 KB tail window that truncated BENCH_r03's fat
+    # line). Printed immediately AND as the very last line after spark.stop()
+    # so it survives whether the driver keeps head or tail, with no shutdown
+    # noise after the final copy.
+    contract = json.dumps(
+        {
+            "metric": "headline_queries_total_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
+    )
+    print(contract, flush=True)
 
     # Full detail (min runs, iteration count, embedding throughput) goes to a
     # sidecar file: BENCH_r03's one-line JSON outgrew the driver's tail-capture
@@ -157,20 +175,8 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), sidecar), "w") as f:
         json.dump(detail, f, indent=1)
 
-    # The compact contract line is the LAST stdout line, kept small enough for
-    # the driver's tail capture: metric/value/unit/sf + per-query medians only.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            },
-            separators=(",", ":"),
-        )
-    )
+    spark.stop()
+    print(contract, flush=True)
 
 
 if __name__ == "__main__":

@@ -49,7 +49,10 @@ def asof_join(
     # visible to a same-ts left row, so right sorts first (backward) / last
     # reversed (forward handled by inverting the timestamp).
     sign = 1 if direction == "backward" else -1
-    ts_key = (F.unix_micros(F.col(on)) * sign).alias("__ts_key")
+    # cast("timestamp") is a no-op for TIMESTAMP inputs and makes TIMESTAMP_NTZ
+    # parquet columns acceptable to unix_micros (value-preserving under UTC tz).
+    _us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    ts_key = (_us(on) * sign).alias("__ts_key")
 
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
@@ -65,7 +68,7 @@ def asof_join(
         ts_key,
         F.lit(0).alias("__src"),
         *[F.col(c).alias(f"__r_{c}") for c in rcols],
-        F.unix_micros(F.col(on)).alias("__r_ts"),
+        _us(on).alias("__r_ts"),
     ).select(*[F.col(c) for c in l_tagged.columns])  # align column order
 
     unioned = l_tagged.unionByName(r_tagged)
@@ -77,7 +80,7 @@ def asof_join(
     filled = unioned.select(
         *[F.col(c) for c in left.columns],
         F.col("__src"),
-        F.unix_micros(F.col(on)).alias("__l_ts"),
+        _us(on).alias("__l_ts"),
         *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}") for c in rcols],
         F.last("__r_ts", ignorenulls=True).over(w).alias("__m_ts"),
     ).where(F.col("__src") == 1)

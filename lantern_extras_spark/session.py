@@ -105,6 +105,11 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
             ev = spark.read.parquet(f"{sf_dir}/events.parquet")
             if dict(ev.dtypes)["ts"] in ("bigint", "long"):
                 ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            else:
+                # plain-micros parquet reads as TIMESTAMP_NTZ; consumers call
+                # unix_micros (TIMESTAMP only). Session tz is UTC → cast is
+                # value-preserving.
+                ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
             out[n] = ev
         else:
             out[n] = spark.read.parquet(f"{sf_dir}/{n}.parquet")
