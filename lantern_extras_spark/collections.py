@@ -135,6 +135,29 @@ class CollectionStore:
             id_col="id",
         )
 
+    def _resolve_index(self, name: str, vec_col: str) -> tuple[str, dict]:
+        """Find the index artifact serving `vec_col`: the default-named
+        `_index_<vec_col>` first, else any `_index_*` whose catalog records
+        `column == vec_col` (custom `index_name` builds). Returns
+        (artifact_path, catalog)."""
+        root = self._path(name)
+        candidates = [os.path.join(root, f"_index_{vec_col}")] + sorted(
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("_index_") and d != f"_index_{vec_col}"
+        )
+        for p in candidates:
+            cat_file = os.path.join(p, "_lantern_catalog.json")
+            if not os.path.isfile(cat_file):
+                continue
+            with open(cat_file) as f:
+                catalog = json.load(f)
+            if catalog.get("column") == vec_col:
+                return p, catalog
+        raise ValueError(
+            f"collection {name!r} has no index on {vec_col!r}; call create_index first"
+        )
+
     # -- H5: search ------------------------------------------------------
 
     def search(
@@ -148,13 +171,16 @@ class CollectionStore:
         metric: str = "l2sq",
         vec_col: str = "vector",
         use_index: bool = False,
+        ef: int | None = None,
     ) -> DataFrame:
         """Top-k rows by distance; `query_text` is embedded with the same model
         first (H5 CTE semantics). Exactly one of query_vec/query_text.
         `use_index=True` answers through the collection's HNSW artifact
         (built by `create_index`) — per-shard graph search then a k-row
-        semi-join back to the collection for the payload columns; falls back
-        loudly if no index exists for `vec_col`."""
+        semi-join back to the collection for the payload columns; fails loudly
+        if no index serves `vec_col` or the index was built under a different
+        metric than the one requested. `ef` overrides the query beam width
+        (defaults to the ef recorded at create_index time)."""
         if (query_vec is None) == (query_text is None):
             raise ValueError("provide exactly one of query_vec / query_text")
         if query_text is not None:
@@ -165,17 +191,20 @@ class CollectionStore:
         if use_index:
             from lantern_extras_spark.operators.hnsw import hnsw_topk, load_hnsw
 
-            idx_path = os.path.join(self._path(name), f"_index_{vec_col}")
-            if not os.path.exists(idx_path):
+            idx_path, catalog = self._resolve_index(name, vec_col)
+            built_metric = catalog.get("metric_kind", "l2sq")
+            if built_metric != metric:
                 raise ValueError(
-                    f"collection {name!r} has no index on {vec_col!r}; "
-                    "call create_index first"
+                    f"index at {idx_path!r} was built with metric "
+                    f"{built_metric!r}; search requested {metric!r} — "
+                    "rebuild the index or request the matching metric"
                 )
             hits = hnsw_topk(
                 load_hnsw(self.spark, idx_path),
                 [float(x) for x in query_vec],
                 k=k,
-                id_col="id",
+                ef=ef or catalog.get("ef"),
+                id_col=catalog.get("id_col", "id"),
             ).withColumnRenamed("dist", "distance")
             return df.join(F.broadcast(hits), "id", "inner").select(
                 *df.columns, "distance"

@@ -10,9 +10,11 @@ Wire format, byte-for-byte the reference's (all integers little-endian):
   m, ef_construction, ef, num_centroids, num_subvectors, estimated_capacity,
   element_bits]` (server.rs:33-34,76-90);
 - metric_kind: 1 = cos, 3 = l2sq (8 = hamming — unsupported here, the graph
-  kernel is float-metric; cli.rs:56-69), quantization 0..1 = f32 (F64/F16/
-  I8/B1 raise — server.rs:93-99 maps them to usearch scalar kinds; this
-  engine's artifact is f32);
+  kernel is float-metric; cli.rs:56-69), quantization 0..=1 = F32, 2 = F64,
+  3 = F16, 4 = I8 (server.rs:93-99); row frames carry `element_bits`-wide
+  elements (receive_rows: LABEL_SIZE + dim · element_bits/8) and non-f32
+  elements are dequantized to f32 at ingest — the graph itself is f32.
+  5 = B1 is rejected (bit-packed rows need the hamming kernel);
 - if `pq`, the client streams codebook frames of `dim × 4` bytes (one
   centroid row of f32s per frame, num_centroids total) terminated by a
   4-byte `u32 END_MSG = 0x31333337` frame (server.rs:107-125);
@@ -54,6 +56,11 @@ INIT_FRAME_SIZE = 4 * (1 + _HEADER_PARAMS)
 _METRIC_FROM_U32 = {1: "cos", 3: "l2sq"}  # 8=hamming unsupported (cli.rs:56-69)
 _METRIC_TO_U32 = {v: k for k, v in _METRIC_FROM_U32.items()}
 
+# scalar element kinds by wire width (receive_rows sizes frames from
+# element_bits, server.rs:224-230); everything dequantizes to f32 at ingest.
+_DTYPE_FROM_BITS = {64: "<f8", 32: "<f4", 16: "<f2", 8: "<i1"}
+_MAX_QUANTIZATION = 4  # 0..=1 F32, 2 F64, 3 F16, 4 I8; 5 B1 rejected
+
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes:
     buf = b""
@@ -87,22 +94,36 @@ class _IndexHandler(socketserver.BaseRequestHandler):
          num_centroids, num_subvectors, _capacity, element_bits) = fields[1:]
         try:
             metric = _METRIC_FROM_U32[metric_kind]
-            if quantization > 1:
-                raise ValueError("only f32 quantization supported")
-            if element_bits != 32:
-                raise ValueError("only 32-bit elements supported")
+            if quantization > _MAX_QUANTIZATION:
+                raise ValueError("B1/unknown scalar quantization unsupported")
+            elem_dtype = _DTYPE_FROM_BITS.get(element_bits)
+            if elem_dtype is None:
+                raise ValueError(f"unsupported element_bits {element_bits}")
+            if dim < 1:
+                raise ValueError("dim must be >= 1")
+            if pq == 1 and (
+                num_subvectors < 1 or dim % num_subvectors or num_centroids < 1
+            ):
+                raise ValueError("invalid pq header")
         except (KeyError, ValueError):
             sock.sendall(struct.pack("<I", ERR_MSG))
             return
 
         codebook = None
         if pq == 1:
+            # codebook frames are always f32 (bytes_to_f32_vec_le,
+            # server.rs:107-125) regardless of row element kind
             rows = []
             while True:
                 frame = _read_frame(sock, dim * 4)
                 if frame is None:
                     break
                 rows.append(np.frombuffer(frame, dtype="<f4"))
+            if len(rows) != num_centroids:
+                # malformed codebook: reply ERR instead of dying mid-reshape
+                # and leaving the client blocked on the setup ack
+                sock.sendall(struct.pack("<I", ERR_MSG))
+                return
             # [num_centroids][dim] → per-subvector centroid tensors
             cb = np.asarray(rows, dtype=np.float32).reshape(num_centroids, dim)
             sub = dim // num_subvectors
@@ -115,14 +136,16 @@ class _IndexHandler(socketserver.BaseRequestHandler):
 
         idx = HnswIndex(dim=dim, m=max(m, 2), ef_construction=max(efc, ef, 1),
                         metric=metric, seed=self.server.seed)
-        row_size = 8 + dim * 4
+        row_size = 8 + dim * (element_bits // 8)
         count = 0
         while True:
             frame = _read_frame(sock, row_size)
             if frame is None:
                 break
             (label,) = struct.unpack_from("<Q", frame)
-            vec = np.frombuffer(frame, dtype="<f4", offset=8).copy()
+            vec = np.frombuffer(frame, dtype=elem_dtype, offset=8).astype(
+                np.float32
+            )
             if codebook is not None:
                 # pq_construction: insert the quantized reconstruction
                 parts = []
@@ -182,12 +205,19 @@ def stream_index_build(
     pq: bool = False,
     codebook: np.ndarray | None = None,
     num_subvectors: int = 0,
+    element_bits: int = 32,
     timeout_s: float = 60.0,
 ) -> tuple[int, HnswIndex]:
     """Protocol client: stream `(label, vector)` rows, get back
-    (tuple_count, index). `codebook` is [num_centroids][dim] f32 when pq."""
+    (tuple_count, index). `codebook` is [num_centroids][dim] f32 when pq.
+    `element_bits` selects the wire element kind (64 f64 / 32 f32 / 16 f16 /
+    8 i8 — pre-quantized ints); the server dequantizes to f32 at ingest."""
     if metric_kind not in _METRIC_TO_U32:
         raise ValueError(f"unsupported metric {metric_kind!r}")
+    elem_dtype = _DTYPE_FROM_BITS.get(element_bits)
+    if elem_dtype is None:
+        raise ValueError(f"unsupported element_bits {element_bits}")
+    quantization = {64: 2, 32: 0, 16: 3, 8: 4}[element_bits]
     with socket.create_connection((host, port), timeout=timeout_s) as sock:
         version, server_type = struct.unpack("<II", _recv_exact(sock, 8))
         if version != PROTOCOL_VERSION or server_type != SERVER_TYPE_INDEXING:
@@ -197,8 +227,9 @@ def stream_index_build(
         n_centroids = int(codebook.shape[0]) if pq else 0
         sock.sendall(struct.pack(
             f"<{1 + _HEADER_PARAMS}I",
-            INIT_MSG, int(pq), _METRIC_TO_U32[metric_kind], 0, dim, m,
-            ef_construction, ef, n_centroids, num_subvectors, 0, 32,
+            INIT_MSG, int(pq), _METRIC_TO_U32[metric_kind], quantization, dim,
+            m, ef_construction, ef, n_centroids, num_subvectors, 0,
+            element_bits,
         ))
         if pq:
             cb = np.asarray(codebook, dtype="<f4")
@@ -210,7 +241,7 @@ def stream_index_build(
             raise ConnectionError(f"server rejected setup (0x{ack.hex()})")
         count_sent = 0
         for label, vec in rows:
-            payload = np.asarray(vec, dtype="<f4")
+            payload = np.asarray(vec).astype(elem_dtype)
             if payload.shape[0] != dim:
                 raise ValueError(f"row {label}: dim {payload.shape[0]} != {dim}")
             sock.sendall(struct.pack("<Q", int(label)) + payload.tobytes())
