@@ -855,13 +855,18 @@ def q_hnsw_recall(spark: SparkSession, sf: str) -> DataFrame:
     data = emb.where(F.col("vec_id") >= 5)
     exact = K.knn_join(data, q, k=10, metric="l2sq", strategy="crossjoin", dist_scale=5)
 
+    # collect the exact side ONCE (50 rows) — it is both the ground truth for
+    # the recall check and, re-materialized below, the returned result
+    exact_rows = exact.select(
+        "query_id", "vec_id", F.col("distance").alias("l2sq_distance"),
+        F.col("rank").cast("bigint").alias("rnk"),
+    ).collect()
     truth: dict[int, set[int]] = {}
-    exact_rows = exact.select("query_id", "vec_id").collect()
     for r in exact_rows:
         truth.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
 
     shards = H.build_hnsw_shards(
-        data, vec_col="embedding", id_col="vec_id", n_shards=4, m=16,
+        data, vec_col="embedding", id_col="vec_id", n_shards=8, m=16,
         ef_construction=80, metric="l2sq", seed=42,
     )
     queries = [
@@ -873,10 +878,13 @@ def q_hnsw_recall(spark: SparkSession, sf: str) -> DataFrame:
     rec = sum(len(truth[qid] & got.get(qid, set())) for qid in truth) / sum(
         len(v) for v in truth.values()
     )
-    return exact.select(
-        "query_id", "vec_id", F.col("distance").alias("l2sq_distance"),
-        F.col("rank").cast("bigint").alias("rnk"),
-        F.lit(bool(rec >= 0.9)).alias("recall_ok"),
+    ok = bool(rec >= 0.9)
+    return spark.createDataFrame(
+        [
+            (r["query_id"], r["vec_id"], r["l2sq_distance"], r["rnk"], ok)
+            for r in exact_rows
+        ],
+        "query_id long, vec_id long, l2sq_distance double, rnk bigint, recall_ok boolean",
     )
 
 

@@ -295,22 +295,19 @@ def dedup_clusters(
             .agg(F.min("nl").alias("nbr_min"))
             .select(F.col("a").alias("id"), "nbr_min")
         )
+        # carry the previous label through the checkpoint so convergence is a
+        # scan of already-materialized blocks, not another shuffle join
         new_labels = (
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
+                F.col("cluster_id").alias("__old"),
                 F.least(F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))).alias("cluster_id"),
             )
             .localCheckpoint()
         )
-        changed = (
-            labels.select("id", F.col("cluster_id").alias("old"))
-            .join(new_labels, "id")
-            .where(F.col("old") != F.col("cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("__old") != F.col("cluster_id")).limit(1).count()
+        labels = new_labels.select("id", "cluster_id")
         if changed == 0:
             converged = True
             break

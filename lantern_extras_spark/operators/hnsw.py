@@ -43,15 +43,17 @@ from pyspark.sql.types import (
     StructType,
 )
 
-_METRICS = ("cos", "l2sq", "dot")
+_METRICS = ("cos", "l2sq", "dot", "hamming")
 
 
 class HnswIndex:
     """In-memory HNSW graph over float32 vectors (one shard's worth).
 
     Distances are "smaller is better": l2sq = squared L2; cos = 1 - cosine
-    (vectors normalized once at insert); dot = -inner-product (the reference's
-    usearch metric kinds, `external_index/server.rs` header `metric`)."""
+    (vectors normalized once at insert); dot = -inner-product; hamming =
+    count of differing elements over 0/1 (or small-int) vectors — the
+    reference's usearch metric kinds (`external_index/server.rs` header
+    `metric`, hamming from cli.rs:56-69 for bit elements)."""
 
     def __init__(
         self,
@@ -96,6 +98,8 @@ class HnswIndex:
         if self.metric == "l2sq":
             d = X - q[None, :]
             return np.einsum("ij,ij->i", d, d)
+        if self.metric == "hamming":
+            return (X != q[None, :]).sum(axis=1).astype(np.float64)
         # cos (normalized) and dot both reduce to negative inner product;
         # cos shifted by +1 so ties/ordering match 1-cosine exactly
         ip = X @ q
@@ -478,9 +482,9 @@ def create_external_index(
     validate_index_param("m", m, *_PARAM_RANGES["m"])
     if dim != 0:
         validate_index_param("dim", dim, 1, 2000)
-    metric = {"l2sq": "l2sq", "cos": "cos", "dot": "dot"}.get(metric_kind)
+    metric = {m: m for m in _METRICS}.get(metric_kind)
     if metric is None:
-        raise ValueError(f"Invalid metric {metric_kind!r} (l2sq/cos/dot)")
+        raise ValueError(f"Invalid metric {metric_kind!r} ({'/'.join(_METRICS)})")
 
     source = df
     if pq:

@@ -11,10 +11,11 @@ Wire format, byte-for-byte the reference's (all integers little-endian):
   element_bits]` (server.rs:33-34,76-90);
 - metric_kind: 1 = cos, 3 = l2sq (8 = hamming — unsupported here, the graph
   kernel is float-metric; cli.rs:56-69), quantization 0..=1 = F32, 2 = F64,
-  3 = F16, 4 = I8 (server.rs:93-99); row frames carry `element_bits`-wide
-  elements (receive_rows: LABEL_SIZE + dim · element_bits/8) and non-f32
-  elements are dequantized to f32 at ingest — the graph itself is f32.
-  5 = B1 is rejected (bit-packed rows need the hamming kernel);
+  3 = F16, 4 = I8, 5 = B1 (server.rs:93-99); row frames carry
+  `element_bits`-wide elements (receive_rows: LABEL_SIZE + dim ·
+  element_bits/8, bit-packed ceil(dim/8) for B1) and non-f32 elements are
+  dequantized to f32 at ingest — the graph itself is f32. B1 requires
+  metric_kind 8 (hamming); float metrics over bit vectors are rejected;
 - if `pq`, the client streams codebook frames of `dim × 4` bytes (one
   centroid row of f32s per frame, num_centroids total) terminated by a
   4-byte `u32 END_MSG = 0x31333337` frame (server.rs:107-125);
@@ -53,13 +54,15 @@ ERR_MSG = 0x37333337
 _HEADER_PARAMS = 11  # pq..element_bits
 INIT_FRAME_SIZE = 4 * (1 + _HEADER_PARAMS)
 
-_METRIC_FROM_U32 = {1: "cos", 3: "l2sq"}  # 8=hamming unsupported (cli.rs:56-69)
+_METRIC_FROM_U32 = {1: "cos", 3: "l2sq", 8: "hamming"}  # cli.rs:56-69
 _METRIC_TO_U32 = {v: k for k, v in _METRIC_FROM_U32.items()}
 
 # scalar element kinds by wire width (receive_rows sizes frames from
 # element_bits, server.rs:224-230); everything dequantizes to f32 at ingest.
+# element_bits=1 is B1: ceil(dim/8) bytes/row, MSB-first bit unpack, and
+# requires the hamming metric (bit vectors have no float geometry).
 _DTYPE_FROM_BITS = {64: "<f8", 32: "<f4", 16: "<f2", 8: "<i1"}
-_MAX_QUANTIZATION = 4  # 0..=1 F32, 2 F64, 3 F16, 4 I8; 5 B1 rejected
+_MAX_QUANTIZATION = 5  # 0..=1 F32, 2 F64, 3 F16, 4 I8, 5 B1 (server.rs:93-99)
 
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes:
@@ -95,14 +98,21 @@ class _IndexHandler(socketserver.BaseRequestHandler):
         try:
             metric = _METRIC_FROM_U32[metric_kind]
             if quantization > _MAX_QUANTIZATION:
-                raise ValueError("B1/unknown scalar quantization unsupported")
+                raise ValueError("unknown scalar quantization")
             elem_dtype = _DTYPE_FROM_BITS.get(element_bits)
-            if elem_dtype is None:
+            if element_bits == 1:
+                # B1 bit vectors carry no float geometry — hamming only
+                if metric != "hamming":
+                    raise ValueError("element_bits=1 requires the hamming metric")
+            elif elem_dtype is None:
                 raise ValueError(f"unsupported element_bits {element_bits}")
             if dim < 1:
                 raise ValueError("dim must be >= 1")
             if pq == 1 and (
-                num_subvectors < 1 or dim % num_subvectors or num_centroids < 1
+                element_bits == 1
+                or num_subvectors < 1
+                or dim % num_subvectors
+                or num_centroids < 1
             ):
                 raise ValueError("invalid pq header")
         except (KeyError, ValueError):
@@ -136,16 +146,24 @@ class _IndexHandler(socketserver.BaseRequestHandler):
 
         idx = HnswIndex(dim=dim, m=max(m, 2), ef_construction=max(efc, ef, 1),
                         metric=metric, seed=self.server.seed)
-        row_size = 8 + dim * (element_bits // 8)
+        # receive_rows frame sizing (server.rs:224-230): bit-packed when
+        # element_bits < 8, else dim * element_bits/8 bytes of elements
+        row_size = 8 + (-(-dim // 8) if element_bits == 1 else dim * (element_bits // 8))
         count = 0
         while True:
             frame = _read_frame(sock, row_size)
             if frame is None:
                 break
             (label,) = struct.unpack_from("<Q", frame)
-            vec = np.frombuffer(frame, dtype=elem_dtype, offset=8).astype(
-                np.float32
-            )
+            if element_bits == 1:
+                bits = np.unpackbits(
+                    np.frombuffer(frame, dtype=np.uint8, offset=8), bitorder="big"
+                )
+                vec = bits[:dim].astype(np.float32)
+            else:
+                vec = np.frombuffer(frame, dtype=elem_dtype, offset=8).astype(
+                    np.float32
+                )
             if codebook is not None:
                 # pq_construction: insert the quantized reconstruction
                 parts = []
@@ -211,13 +229,14 @@ def stream_index_build(
     """Protocol client: stream `(label, vector)` rows, get back
     (tuple_count, index). `codebook` is [num_centroids][dim] f32 when pq.
     `element_bits` selects the wire element kind (64 f64 / 32 f32 / 16 f16 /
-    8 i8 — pre-quantized ints); the server dequantizes to f32 at ingest."""
+    8 i8 pre-quantized ints / 1 B1 bit-packed 0-1 vectors, hamming metric
+    only); the server dequantizes to f32 at ingest."""
     if metric_kind not in _METRIC_TO_U32:
         raise ValueError(f"unsupported metric {metric_kind!r}")
     elem_dtype = _DTYPE_FROM_BITS.get(element_bits)
-    if elem_dtype is None:
+    if elem_dtype is None and element_bits != 1:
         raise ValueError(f"unsupported element_bits {element_bits}")
-    quantization = {64: 2, 32: 0, 16: 3, 8: 4}[element_bits]
+    quantization = {64: 2, 32: 0, 16: 3, 8: 4, 1: 5}[element_bits]
     with socket.create_connection((host, port), timeout=timeout_s) as sock:
         version, server_type = struct.unpack("<II", _recv_exact(sock, 8))
         if version != PROTOCOL_VERSION or server_type != SERVER_TYPE_INDEXING:
@@ -241,9 +260,14 @@ def stream_index_build(
             raise ConnectionError(f"server rejected setup (0x{ack.hex()})")
         count_sent = 0
         for label, vec in rows:
-            payload = np.asarray(vec).astype(elem_dtype)
-            if payload.shape[0] != dim:
-                raise ValueError(f"row {label}: dim {payload.shape[0]} != {dim}")
+            arr = np.asarray(vec)
+            if arr.shape[0] != dim:
+                raise ValueError(f"row {label}: dim {arr.shape[0]} != {dim}")
+            payload = (
+                np.packbits(arr.astype(bool), bitorder="big")
+                if element_bits == 1
+                else arr.astype(elem_dtype)
+            )
             sock.sendall(struct.pack("<Q", int(label)) + payload.tobytes())
             count_sent += 1
         sock.sendall(struct.pack("<I", END_MSG))

@@ -77,6 +77,26 @@ def test_nonstandard_element_bits(server, bits, tol):
     assert hits[0][0] == 7 and hits[0][1] == pytest.approx(0.0, abs=tol)
 
 
+def test_b1_hamming_roundtrip(server):
+    """B1 bit-packed rows under the hamming metric (metric_kind 8,
+    quantization 5): dim=12 spans two packed bytes, exercising the
+    non-byte-aligned tail."""
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randint(0, 2, 12).tolist()) for i in range(16)]
+    count, idx = stream_index_build(
+        "127.0.0.1", server.port, rows, dim=12, metric_kind="hamming",
+        element_bits=1,
+    )
+    assert count == 16
+    q = np.asarray(rows[9][1], np.float32)
+    hits = idx.search(q, k=1)
+    assert hits[0][1] == pytest.approx(0.0)  # an identical bit vector exists
+    got = idx.search(np.zeros(12, np.float32), k=16)
+    # hamming distance == popcount of each stored vector
+    want = sorted(sum(v) for _, v in rows)
+    assert sorted(d for _, d in got) == pytest.approx(want)
+
+
 def test_pq_codebook_path(server):
     """pq=1 streams an f32 codebook; rows insert as their quantized
     reconstruction, so every search hit lands exactly on a centroid."""
@@ -108,8 +128,9 @@ def test_build_via_server_from_dataframe(server, emb):
 @pytest.mark.parametrize(
     "kw",
     [
-        dict(metric=8),            # hamming — float-metric kernel only
-        dict(quant=5, bits=1),     # B1 bit-packed
+        dict(metric=7),            # no such metric kind
+        dict(quant=5, bits=1),     # B1 under a float metric (l2sq default)
+        dict(metric=8, quant=5, bits=1, pq=1, n_sub=1, n_cent=2),  # pq over B1
         dict(bits=12),             # no such element width
         dict(dim=0),
         dict(pq=1, n_sub=0, n_cent=4),      # ZeroDivision guard
@@ -142,7 +163,7 @@ def test_err_on_codebook_count_mismatch(server):
 
 def test_client_raises_on_rejected_setup(server):
     with pytest.raises(ValueError, match="unsupported metric"):
-        stream_index_build("127.0.0.1", server.port, [], dim=DIM, metric_kind="hamming")
+        stream_index_build("127.0.0.1", server.port, [], dim=DIM, metric_kind="jaccard")
 
 
 # -- S5 get_vectors over a fake transport -----------------------------------
