@@ -7,6 +7,7 @@ Mirrors what a lantern_extras user does today (README of the reference):
   4. incremental embedding of newly arriving rows         (daemon D2-D4)
   5. dedup the corpus before training                     (beyond-reference ops)
   6. quantize vectors + autotune the ANN structure        (PQ Q1-Q3, N5)
+  7. build an HNSW index and search through it            (H6 / X9 / N1)
 
 Run: python examples/quickstart.py  (local[*]; uses the deterministic hash
 model — swap runtime="ort"/"openai" + runtime_params on a cluster with model
@@ -103,6 +104,19 @@ def main(base_dir: str | None = None) -> dict:
     best, _ = AT.autotune_pq(vecs, vec_col="vector", id_col="vec_id", k=2, n_queries=2,
                              target_recall=50.0, variants=((4, 4),), max_train_rows=100)
     out["autotune_recall"] = best.recall if best else None
+
+    # 7. HNSW index over the embedded collection + index-backed search -------
+    # (a collection is a parquet dir; persist the embedded rows as one, then
+    # create_index -> search(use_index=True) is the reference's index workflow)
+    merged.select("id", "vector", "data", "metadata").write.parquet(
+        os.path.join(base, "collections", "articles_embedded")
+    )
+    store.create_index("articles_embedded", column="vector", metric="l2sq", m=8)
+    hit = store.search(
+        "articles_embedded", query_vec=[float(x) for x in qrow["emb"]],
+        k=1, metric="l2sq", use_index=True,
+    ).first()
+    out["index_search_top"] = hit["data"]
     return out
 
 

@@ -25,6 +25,8 @@ shingle) — a documented recall trade-off, the standard practice at web scale.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -639,7 +641,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_planes: int = 12,
+    n_planes: int | None = 12,
     seed: int = 42,
     max_bucket: int = 2000,
     dim: int | None = None,
@@ -651,14 +653,26 @@ def embedding_neardup_pairs(
 
     sim(bucket collision) ≈ (1 - θ/π)^n_planes, so n_planes trades recall for
     bucket size; at 100 TB run multiple hash tables (seeds) and union the pairs.
+    `n_planes=None` auto-scales to the corpus: ceil(log2(n/64)) planes targets
+    ~64 rows/bucket, keeping within-bucket verification O(n·bucket) instead of
+    O(n²/2^planes) as the corpus grows past a fixed plane count (measured: a
+    fixed 6 planes went superlinear at 10× sf0.1 — SCALE_SF1.json history).
 
     impl="native" (default): pure Column expressions — sequential fold per
     plane, bit-replayable by the DuckDB oracle; the parity path.
-    impl="pandas": Arrow kernel, one (batch × dim)·(dim × n_planes) GEMM for
-    all projections — the 100 TB path (the fold evaluates O(n_planes·dim)
-    interpreted ops per row). Buckets can differ from "native" only when a
-    projection sits within float-summation-order noise of 0 (measure-zero for
-    real data); downstream pairs are cosine-verified either way.
+    impl="pandas": Arrow kernels end to end — one (batch × dim)·(dim ×
+    n_planes) GEMM for all projections, then per-bucket verification as a
+    normalized X·Xᵀ similarity matrix inside `applyInPandas` (one group = one
+    bucket; oversized groups drop exactly like the native `max_bucket`
+    filter). The 100 TB path: the native fold evaluates O(n_planes·dim)
+    interpreted ops per row and the native verify join evaluates an
+    interpreted cosine per candidate pair, both ~100× the BLAS kernels.
+    Buckets can differ from "native" only when a projection sits within
+    float-summation-order noise of 0 (measure-zero for real data);
+    downstream pairs are cosine-verified either way.
+
+    The pandas impl emits ids as longs (integer id columns assumed — the
+    engine's pk convention); native preserves any id dtype.
 
     Pass `dim` to avoid the driver-side `first()` probe (one extra Spark job);
     the probe is kept as a fallback for ad-hoc use. Either way `dim` is
@@ -672,6 +686,9 @@ def embedding_neardup_pairs(
 
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    if n_planes is None:
+        n = df.count()
+        n_planes = max(8, math.ceil(math.log2(max(n, 2) / 64)))
     # fail-loud guard: evaluated per row inside the plan, no extra job
     dim_guard = F.when(
         F.size(F.col(vec_col)) == F.lit(dim), F.col(vec_col)
@@ -713,6 +730,31 @@ def embedding_neardup_pairs(
                 yield pdf[[id_col, vec_col, "bucket"]]
 
         buckets = base.mapInPandas(kernel, out_schema)
+
+        def verify(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                  "id_b": pd.Series(dtype="int64"),
+                                  "cosine": pd.Series(dtype="float64")})
+            n = len(pdf)
+            if n < 2 or n > max_bucket:  # oversize: same drop as the window filter
+                return empty
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()])
+            ids = pdf[id_col].to_numpy()
+            norms = np.linalg.norm(X, axis=1)
+            denom = norms[:, None] * norms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(denom == 0.0, 0.0, (X @ X.T) / np.where(denom == 0.0, 1.0, denom))
+            iu, ju = np.triu_indices(n, k=1)
+            keep = S[iu, ju] >= threshold
+            ia, ib = ids[iu[keep]], ids[ju[keep]]
+            lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+            return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": S[iu, ju][keep]})
+
+        return (
+            buckets.groupBy("bucket")
+            .applyInPandas(verify, "id_a long, id_b long, cosine double")
+            .distinct()
+        )
     elif impl == "native":
         key = None
         for i in range(n_planes):

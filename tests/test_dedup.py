@@ -133,6 +133,15 @@ def test_embedding_neardup(spark):
     assert (1, 2) in pairs and len(pairs) == 1
 
 
+def test_embedding_neardup_auto_planes(emb):
+    """n_planes=None auto-scales to ~64 rows/bucket — at 500 rows that floors
+    at 8 planes, so auto and explicit-8 produce identical pairs."""
+    auto = D.embedding_neardup_pairs(emb, threshold=0.8, n_planes=None, impl="pandas")
+    explicit = D.embedding_neardup_pairs(emb, threshold=0.8, n_planes=8, impl="pandas")
+    key = lambda df: sorted((r["id_a"], r["id_b"]) for r in df.collect())  # noqa: E731
+    assert key(auto) == key(explicit)
+
+
 def test_ngram_containment_subset_detection(spark):
     """A short doc embedded verbatim in a long one: containment 1.0 while
     jaccard stays below threshold — and index == pairwise for the metric."""

@@ -19,3 +19,4 @@ def test_quickstart_workflow(spark, tmp_path):
     assert out["after_dedup"] == 6  # the exact duplicate removed
     assert len(out["pq_codes"]) == 4
     assert out["autotune_recall"] is not None
+    assert out["index_search_top"] == "Weather is nice today"

@@ -169,19 +169,41 @@ def main() -> None:
     spark.range(32).repartition(32).mapInPandas(lambda it: it, "id long").foreach(lambda r: None)
 
     qs = E.queries()
-    results: dict[str, dict] = {}
-    for name in HEAVY_QUERIES:
+
+    def measure(fn) -> dict:
         per_sf = {}
         for label, sf in (("sf0.1", SF01), ("sf1", SF1_DIR)):
             runs = []
             for _ in range(n_iter):
                 t1 = time.monotonic()
-                qs[name](spark, sf).foreach(lambda r: None)
+                fn(sf)
                 runs.append(time.monotonic() - t1)
             per_sf[label] = round(min(runs), 3)
         # exponent e: t ∝ n^e over the 10× step (e=1 linear, <1 sublinear)
         exponent = round(math.log10(max(per_sf["sf1"], 1e-9) / max(per_sf["sf0.1"], 1e-9)), 3)
-        results[name] = {**per_sf, "exponent": exponent}
+        return {**per_sf, "exponent": exponent}
+
+    results: dict[str, dict] = {}
+    for name in HEAVY_QUERIES:
+        results[name] = measure(
+            lambda sf, n=name: qs[n](spark, sf).foreach(lambda r: None)
+        )
+
+    # The driver's embedding_neardup query pins n_planes=6 / threshold=0.4 for
+    # its sf0.01 oracle — at sf1 that config has 64 buckets of ~300 rows and a
+    # multi-million-pair TRUE result (the jiggled copies sit above cosine 0.4),
+    # so its time measures output size, not operator scaling. Measure the
+    # operator's scale configuration too: auto-scaled planes (~64 rows/bucket),
+    # GEMM bucketing, a real near-dup threshold.
+    from lantern_extras_spark.operators import dedup as D
+
+    def neardup_scaled(sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        D.embedding_neardup_pairs(
+            emb, threshold=0.9, n_planes=None, dim=64, impl="pandas"
+        ).foreach(lambda r: None)
+
+    results["embedding_neardup_scaled"] = measure(neardup_scaled)
 
     out = {
         "metric": "sf1_scaling",
@@ -189,6 +211,17 @@ def main() -> None:
         "iters_min_of": n_iter,
         "build_sf1_sec": build_s,
         "queries": results,
+        "notes": {
+            "embedding_neardup": (
+                "driver-oracle config (n_planes=6, threshold=0.4): 64 buckets "
+                "and a multi-million-pair true result on the jiggled sf1 corpus "
+                "- its exponent measures output density, not operator scaling"
+            ),
+            "embedding_neardup_scaled": (
+                "scale config (auto planes ~64 rows/bucket, GEMM bucket+verify, "
+                "threshold=0.9) - the 100 TB path"
+            ),
+        },
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "SCALE_SF1.json"), "w") as f:
