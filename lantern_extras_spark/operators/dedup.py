@@ -646,13 +646,18 @@ def embedding_neardup_pairs(
     max_bucket: int = 2000,
     dim: int | None = None,
     impl: str = "native",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an embedding column via random-hyperplane
     LSH: bucket key = sign bits of `n_planes` seeded hyperplane projections; cosine
     verified exactly within buckets.
 
     sim(bucket collision) ≈ (1 - θ/π)^n_planes, so n_planes trades recall for
-    bucket size; at 100 TB run multiple hash tables (seeds) and union the pairs.
+    bucket size; `n_tables > 1` runs that many independent hash tables
+    (seed, seed+1, …) and unions the verified pairs — collision probability
+    becomes 1-(1-p)^n_tables, the standard LSH recall lever at 100 TB (each
+    table is one independent bucket-join; cost is additive, recall
+    multiplicative).
     `n_planes=None` auto-scales to the corpus: ceil(log2(n/64)) planes targets
     ~64 rows/bucket, keeping within-bucket verification O(n·bucket) instead of
     O(n²/2^planes) as the corpus grows past a fixed plane count (measured: a
@@ -689,6 +694,18 @@ def embedding_neardup_pairs(
     if n_planes is None:
         n = df.count()
         n_planes = max(8, math.ceil(math.log2(max(n, 2) / 64)))
+    if n_tables < 1:
+        raise ValueError("n_tables must be >= 1")
+    if n_tables > 1:
+        out = None
+        for t in range(n_tables):
+            part = embedding_neardup_pairs(
+                df, vec_col=vec_col, id_col=id_col, threshold=threshold,
+                n_planes=n_planes, seed=seed + t, max_bucket=max_bucket,
+                dim=dim, impl=impl, n_tables=1,
+            )
+            out = part if out is None else out.unionByName(part)
+        return out.distinct()
     # fail-loud guard: evaluated per row inside the plan, no extra job
     dim_guard = F.when(
         F.size(F.col(vec_col)) == F.lit(dim), F.col(vec_col)

@@ -133,6 +133,26 @@ def test_embedding_neardup(spark):
     assert (1, 2) in pairs and len(pairs) == 1
 
 
+def test_embedding_neardup_multi_table_recall(spark):
+    """n_tables unions independent hash tables: the pair set is a superset of
+    any single table's (the LSH recall lever), with no duplicate rows."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(16).astype("float32").tolist()) for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    one = {(r["id_a"], r["id_b"])
+           for r in D.embedding_neardup_pairs(df, threshold=0.5, n_planes=8,
+                                              dim=16, impl="pandas").collect()}
+    multi_rows = D.embedding_neardup_pairs(df, threshold=0.5, n_planes=8, dim=16,
+                                           impl="pandas", n_tables=4).collect()
+    multi = {(r["id_a"], r["id_b"]) for r in multi_rows}
+    assert one <= multi and len(multi) > len(one)
+    assert len(multi_rows) == len(multi)  # distinct output
+    with pytest.raises(ValueError, match="n_tables"):
+        D.embedding_neardup_pairs(df, n_tables=0)
+
+
 def test_embedding_neardup_auto_planes(emb):
     """n_planes=None auto-scales to ~64 rows/bucket — at 500 rows that floors
     at 8 planes, so auto and explicit-8 produce identical pairs."""
