@@ -866,14 +866,14 @@ def q_hnsw_recall(spark: SparkSession, sf: str) -> DataFrame:
         truth.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
 
     shards = H.build_hnsw_shards(
-        data, vec_col="embedding", id_col="vec_id", n_shards=8, m=16,
-        ef_construction=80, metric="l2sq", seed=42,
+        data, vec_col="embedding", id_col="vec_id", n_shards=8, m=12,
+        ef_construction=64, metric="l2sq", seed=42,
     )
     queries = [
         (int(r["query_id"]), [float(x) for x in r["query_vec"]]) for r in q.collect()
     ]
     got: dict[int, set[int]] = {}
-    for r in H.hnsw_topk_batch(shards, queries, k=10, ef=80, id_col="vec_id").collect():
+    for r in H.hnsw_topk_batch(shards, queries, k=10, ef=64, id_col="vec_id").collect():
         got.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
     rec = sum(len(truth[qid] & got.get(qid, set())) for qid in truth) / sum(
         len(v) for v in truth.values()

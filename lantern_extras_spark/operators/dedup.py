@@ -767,8 +767,17 @@ def embedding_neardup_pairs(
             lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
             return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": S[iu, ju][keep]})
 
+        # drop oversized buckets BEFORE grouping: applyInPandas materializes a
+        # whole group in the worker, so a degenerate bucket (e.g. all-zero
+        # vectors) must never reach the kernel. Buckets over max_bucket are few
+        # by definition (each holds > max_bucket rows) — broadcast anti-join.
+        oversized = (
+            buckets.groupBy("bucket").count()
+            .where(F.col("count") > max_bucket).select("bucket")
+        )
+        pruned = buckets.join(F.broadcast(oversized), "bucket", "left_anti")
         return (
-            buckets.groupBy("bucket")
+            pruned.groupBy("bucket")
             .applyInPandas(verify, "id_a long, id_b long, cosine double")
             .distinct()
         )

@@ -153,6 +153,18 @@ def test_embedding_neardup_multi_table_recall(spark):
         D.embedding_neardup_pairs(df, n_tables=0)
 
 
+def test_embedding_neardup_oversized_bucket_dropped(spark):
+    """Both impls drop buckets over max_bucket (the skew guard) — and the
+    pandas impl prunes them before the group ever reaches a worker."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(10)]  # one shared bucket
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for impl in ("native", "pandas"):
+        got = D.embedding_neardup_pairs(
+            df, threshold=0.5, n_planes=4, dim=4, max_bucket=5, impl=impl
+        ).count()
+        assert got == 0, impl
+
+
 def test_embedding_neardup_auto_planes(emb):
     """n_planes=None auto-scales to ~64 rows/bucket — at 500 rows that floors
     at 8 planes, so auto and explicit-8 produce identical pairs."""
