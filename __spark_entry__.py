@@ -485,6 +485,24 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select("id_a", "id_b", pround("jaccard", 5).alias("jaccard"))
 
 
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py:decontaminate — the
+    training-pipeline op that strips eval-set leakage before training): docs
+    with doc_id < 10 act as the evaluation set; training docs (doc_id ≥ 10)
+    are flagged when ≥ 30% of a benchmark doc's distinct 3-gram shingles
+    appear in them (containment of the BENCH side, so an embedded eval item
+    scores high no matter how much text surrounds it). The documents table
+    has near-dup groups by construction, so real hits exist. Scale shape:
+    broadcast benchmark + exploded-shingle equi-join, no self-join."""
+    docs = _t(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") < 10)
+    train = docs.where(F.col("doc_id") >= 10)
+    flags = D.decontaminate(train, bench, threshold=0.3)
+    return flags.select(
+        "doc_id", "bench_id", pround("containment", 5).alias("containment")
+    )
+
+
 def q_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic 90/5/5 train/eval/test split (hash32-bucketed — same doc,
     same split, every run/engine/cluster; no RNG), summarized as counts per
@@ -947,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "dedup_clusters": q_dedup_clusters,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1697,6 +1716,18 @@ def _oracle_sql_raw() -> dict[str, str]:
     sql["pq_adc_topk"] = _pq_adc_topk_sql(_ivf_qv_sql())
     sql["embedding_neardup"] = _embedding_neardup_sql()
     sql["ivf_pq_search"] = _ivf_pq_search_sql(_ivf_qv_sql())
+    sql["decontaminate"] = f"""
+        WITH t AS (SELECT doc_id, {_sql_words()} AS w FROM documents),
+             s0 AS (SELECT doc_id, {_sql_shingles3()} AS sh0 FROM t),
+             s AS (SELECT doc_id,
+                          list_distinct(list_transform(sh0, x -> {_sql_hash32('x')})) AS sh FROM s0),
+             d AS (SELECT doc_id, sh FROM s WHERE doc_id >= 10),
+             b AS (SELECT doc_id AS bench_id, sh AS bsh FROM s WHERE doc_id < 10)
+        SELECT d.doc_id, b.bench_id,
+               round(len(list_intersect(d.sh, b.bsh)) / CAST(len(b.bsh) AS DOUBLE), 5) AS containment
+        FROM d, b
+        WHERE len(list_intersect(d.sh, b.bsh)) / CAST(len(b.bsh) AS DOUBLE) >= 0.3
+    """
     sql["hnsw_recall"] = """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
              d AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings WHERE vec_id >= 5),

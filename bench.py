@@ -113,6 +113,7 @@ def main() -> None:
         "stratified_sample",
         "dedup_clusters",
         "hnsw_recall",
+        "decontaminate",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

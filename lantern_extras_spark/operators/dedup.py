@@ -636,6 +636,67 @@ def ngram_jaccard_pairs(
     return ok_pairs.unionByName(big_pairs)
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    mode: str = "flag",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination — the training-pipeline op that removes (or
+    flags) training docs overlapping an evaluation set, so eval scores measure
+    generalization rather than memorized test items.
+
+    Contamination score = containment of the BENCHMARK doc in the training
+    doc: |shingles(train) ∩ shingles(bench)| / |shingles(bench)| — a training
+    doc that embeds a whole eval item scores 1.0 regardless of how much other
+    text surrounds it (jaccard would dilute it to ~0).
+
+    mode="flag" returns (id_col, bench_id, containment) pairs ≥ threshold;
+    mode="drop" returns `docs` minus every flagged row (left_anti).
+
+    Scale shape: distinct word n-grams are hashed once per doc (the portable
+    hash32 Arrow kernel shared with ngram_jaccard_pairs), the benchmark side
+    is broadcast (eval sets are small by nature — pass
+    broadcast_benchmark=False for a giant one), and the only wide operation
+    is the exploded shingle equi-join + count aggregation: posting-list cost,
+    linear in corpus shingle volume, no self-join anywhere."""
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"unknown mode {mode!r} (flag/drop)")
+    if threshold <= 0.0:
+        raise ValueError("threshold must be > 0 (zero-overlap pairs never materialize)")
+
+    d_sh = hashed_shingles(docs, text_col, id_col, shingle_n).select(
+        F.col(id_col), F.explode("sh").alias("__sh")
+    )
+    b_sh = (
+        hashed_shingles(benchmark, bench_text_col, bench_id_col, shingle_n)
+        .select(
+            F.col(bench_id_col).alias("bench_id"),
+            F.size("sh").alias("__b_n"),
+            F.explode("sh").alias("__sh"),
+        )
+    )
+    if broadcast_benchmark:
+        b_sh = F.broadcast(b_sh)
+    flags = (
+        d_sh.join(b_sh, "__sh")
+        .groupBy(id_col, "bench_id", "__b_n")
+        .agg(F.count("*").alias("__inter"))
+        .withColumn("containment", F.col("__inter") / F.col("__b_n"))
+        .where(F.col("containment") >= threshold)
+        .select(id_col, "bench_id", "containment")
+    )
+    if mode == "flag":
+        return flags
+    return docs.join(flags.select(id_col).distinct(), id_col, "left_anti")
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -153,6 +153,32 @@ def test_embedding_neardup_multi_table_recall(spark):
         D.embedding_neardup_pairs(df, n_tables=0)
 
 
+def test_decontaminate_flags_embedded_eval_item(spark):
+    """A training doc that embeds a whole benchmark item verbatim scores
+    containment 1.0 (jaccard would dilute it); clean docs survive drop mode."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words here the quick brown fox jumps over the lazy dog suffix trailer"),
+            (2, "completely unrelated content about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    flags = {(r["doc_id"], r["bench_id"]): r["containment"]
+             for r in D.decontaminate(train, bench, threshold=0.5).collect()}
+    assert flags == {(1, 100): 1.0}
+    kept = [r["doc_id"] for r in D.decontaminate(train, bench, threshold=0.5,
+                                                 mode="drop").collect()]
+    assert kept == [2]
+    with pytest.raises(ValueError, match="mode"):
+        D.decontaminate(train, bench, mode="purge")
+    with pytest.raises(ValueError, match="threshold"):
+        D.decontaminate(train, bench, threshold=0.0)
+
+
 def test_embedding_neardup_oversized_bucket_dropped(spark):
     """Both impls drop buckets over max_bucket (the skew guard) — and the
     pandas impl prunes them before the group ever reaches a worker."""
