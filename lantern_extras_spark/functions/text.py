@@ -42,12 +42,25 @@ def bpe_ish_token_count(c: Column | str) -> Column:
 def word_ngrams(c: Column | str, n: int = 3) -> Column:
     """Space-joined word n-grams (shingles) as array<string>; docs shorter than
     n words get a single shingle of the whole text so they still participate in
-    similarity (matching common MinHash practice)."""
-    toks = tokens(c)
+    similarity (matching common MinHash practice).
+
+    NOTE: this inlines the tokenization inside the n-gram lambda, and Spark
+    re-evaluates a lambda's inner expression tree per output element — O(words²)
+    string splitting per doc. Fine for ad-hoc column use; table-scan shingling
+    should project `tokens(c)` into a real column first and use
+    `word_ngrams_of` (multi-use aliases survive CollapseProject, so the split
+    runs once per row). hashed_shingles/minhash_signatures do this."""
+    return word_ngrams_of(tokens(c), n)
+
+
+def word_ngrams_of(toks: Column, n: int = 3) -> Column:
+    """word_ngrams over an already-computed token-array column (or expression).
+    Pass a BOUND column reference (project `tokens(text)` first) to avoid the
+    per-element re-evaluation documented on `word_ngrams`."""
     k = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(k - F.lit(n - 1), F.lit(1)))
     make = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.when(k == 0, F.array().cast("array<string>")).otherwise(make)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(make)
 
 
 def char_ngrams(c: Column | str, n: int = 5) -> Column:

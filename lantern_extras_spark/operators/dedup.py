@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lantern_extras_spark.functions.hashing import hash32
-from lantern_extras_spark.functions.text import tokens, word_ngrams
+from lantern_extras_spark.functions.text import tokens, word_ngrams, word_ngrams_of
 
 # Universal-hash permutation family over the 32-bit hash space.
 # P is the smallest prime > 2^32; (a_i · h + b_i) mod P stays within int64.
@@ -82,8 +82,13 @@ def minhash_signatures(
     - impl="native": pure Column expressions (no Python workers); right choice
       for small n_hashes or environments without Arrow.
     """
-    sh = F.array_distinct(word_ngrams(F.col(text_col), shingle_n))
-    base = df.select(F.col(id_col), sh.alias("shingles"))
+    # project tokens into a real column first: a multi-use alias survives
+    # CollapseProject, so the split runs once per row instead of once per
+    # shingle (word_ngrams' inlined form is O(words²) per doc)
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")).select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams_of(F.col("__toks"), shingle_n)).alias("shingles"),
+    )
 
     if impl == "native":
         hs = F.transform(F.col("shingles"), lambda s: hash32(s))
@@ -198,9 +203,14 @@ def hashed_shingles(
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
+    # two-step project so tokenization runs once per row, not once per shingle
+    # (see word_ngrams docstring; the multi-use __toks alias is not collapsed)
     base = df.select(
         F.col(id_col), *[F.col(c) for c in extra_cols],
-        F.array_distinct(word_ngrams(F.col(text_col), shingle_n)).alias("__sh_str"),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        F.array_distinct(word_ngrams_of(F.col("__toks"), shingle_n)).alias("__sh_str"),
     )
     fields = [StructField(id_col, base.schema[id_col].dataType)]
     fields += [StructField(c, base.schema[c].dataType) for c in extra_cols]
