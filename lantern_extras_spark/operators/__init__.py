@@ -1,11 +1,21 @@
 from lantern_extras_spark.operators.knn import knn_join, topk, ground_truth, recall  # noqa: F401
 from lantern_extras_spark.operators.dedup import (  # noqa: F401
+    decontaminate,
+    dedup_clusters,
+    embedding_neardup_pairs,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
     minhash_dedup,
     ngram_jaccard_pairs,
     simhash,
+)
+from lantern_extras_spark.operators.hnsw import (  # noqa: F401
+    build_hnsw_shards,
+    create_external_index,
+    hnsw_topk,
+    hnsw_topk_batch,
+    reindex_external_index,
 )
 from lantern_extras_spark.operators.textstats import language_id, quality_metrics  # noqa: F401
 from lantern_extras_spark.operators.pq import build_codebook, quantize, adc_topk, decode  # noqa: F401
