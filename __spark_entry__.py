@@ -503,6 +503,24 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_clean_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Scrape-cleanup pipeline op (functions/text.py:clean_text): tag strip →
+    entity decode (one level, &amp; last) → whitespace collapse, all native
+    expressions inside whole-stage codegen. Documents are wrapped in synthetic
+    markup so the oracle exercises every stage (tags, entities incl. the
+    double-escaped &amp;amp;, mixed whitespace) rather than passing plain text
+    through."""
+    docs = _t(spark, sf, "documents")
+    wrapped = docs.where(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.concat(
+            F.lit('<p class="x">  '), F.col("text"),
+            F.lit(" &nbsp;&amp;amp; <br/>trailing\t&lt;tag&gt;</p>"),
+        ).alias("raw"),
+    )
+    return wrapped.select("doc_id", T.clean_text(F.col("raw")).alias("cleaned"))
+
+
 def q_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic 90/5/5 train/eval/test split (hash32-bucketed — same doc,
     same split, every run/engine/cluster; no RNG), summarized as counts per
@@ -966,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
+        "clean_text": q_clean_text,
     }
 
 
@@ -1727,6 +1746,22 @@ def _oracle_sql_raw() -> dict[str, str]:
                round(len(list_intersect(d.sh, b.bsh)) / CAST(len(b.bsh) AS DOUBLE), 5) AS containment
         FROM d, b
         WHERE len(list_intersect(d.sh, b.bsh)) / CAST(len(b.bsh) AS DOUBLE) >= 0.3
+    """
+    sql["clean_text"] = r"""
+        WITH w AS (
+            SELECT doc_id,
+                   concat('<p class="x">  ', text, ' &nbsp;&amp;amp; <br/>trailing',
+                          chr(9), '&lt;tag&gt;</p>') AS raw
+            FROM documents WHERE doc_id < 50
+        )
+        SELECT doc_id,
+               trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                       regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                   '&nbsp;', ' '), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS cleaned
+        FROM w
     """
     sql["hnsw_recall"] = """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

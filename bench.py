@@ -114,6 +114,7 @@ def main() -> None:
         "dedup_clusters",
         "hnsw_recall",
         "decontaminate",
+        "clean_text",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

@@ -73,6 +73,31 @@ def char_ngrams(c: Column | str, n: int = 5) -> Column:
     )
 
 
+_HTML_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ("&nbsp;", " "), ("&amp;", "&"),  # &amp; LAST so "&amp;lt;" → "&lt;" stays literal
+)
+
+
+def clean_text(c: Column | str) -> Column:
+    """Standard pre-tokenization cleanup for scraped corpora, as one native
+    expression (no Python workers — runs inside whole-stage codegen):
+
+    1. strip HTML/XML tags (`<[^>]*>` → space, so `a<br>b` keeps its word
+       boundary),
+    2. decode the six common HTML entities (`&amp;` last — double-escaped
+       text decodes one level per pass, the conventional behavior),
+    3. collapse all whitespace runs to single spaces and trim.
+
+    Engine-portable: the same regex/replace chain runs verbatim in the DuckDB
+    oracle (`q_clean_text`), so cleanup differences between engines surface
+    as hash mismatches."""
+    s = F.regexp_replace(_c(c), r"<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
 def punct_ratio(c: Column | str) -> Column:
     """Fraction of non-alphanumeric, non-space characters."""
     s = _c(c)

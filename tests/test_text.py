@@ -110,3 +110,27 @@ def test_compression_ratio_detects_repetition(spark):
     # deterministic across runs
     again = {r["doc_id"]: r["compression_ratio"] for r in compression_ratio(df).collect()}
     assert again == got
+
+
+def test_clean_text(spark):
+    from lantern_extras_spark.functions.text import clean_text
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, '<div class="a">Hello <b>world</b></div>'),
+        (2, "a&lt;b &amp;&amp; c&gt;d &quot;q&quot; &#39;s&#39;"),
+        (3, "&amp;amp; one-level decode"),
+        (4, "spaces \t and\n\nnewlines   collapse"),
+        (5, "a<br>b"),          # tag becomes a word boundary, not a join
+        (6, ""),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r["id"]: r["c"] for r in df.select("id", clean_text("t").alias("c")).collect()}
+    assert got[1] == "Hello world"
+    assert got[2] == 'a<b && c>d "q" \'s\''
+    assert got[3] == "&amp; one-level decode"
+    assert got[4] == "spaces and newlines collapse"
+    assert got[5] == "a b"
+    assert got[6] == ""
+    assert got[7] is None
