@@ -521,6 +521,28 @@ def q_clean_text(spark: SparkSession, sf: str) -> DataFrame:
     return wrapped.select("doc_id", T.clean_text(F.col("raw")).alias("cleaned"))
 
 
+def q_strip_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal
+    (operators/textstats.py:strip_boilerplate_lines): every doc of a source is
+    wrapped with the same header/footer lines (the cookie-banner/nav-menu
+    pattern), which then occur in 100% of the source's docs and are stripped;
+    body lines never reach the 50% doc-fraction bar and survive in order. The
+    oracle replays explode → per-(source,line) doc counts → anti-join →
+    ordered reassembly with DuckDB's lockstep unnest + string_agg."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    wrapped = docs.select(
+        "doc_id", "source",
+        F.concat_ws(
+            "\n", F.lit("SUBSCRIBE TO OUR NEWSLETTER"), F.col("text"),
+            F.lit("(c) 2026 Example Corp"),
+        ).alias("text"),
+    )
+    out = TS.strip_boilerplate_lines(
+        wrapped, group_cols=("source",), min_docs=2, max_doc_frac=0.5
+    )
+    return out.select("doc_id", "text_clean")
+
+
 def q_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic 90/5/5 train/eval/test split (hash32-bucketed — same doc,
     same split, every run/engine/cluster; no RNG), summarized as counts per
@@ -985,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
         "clean_text": q_clean_text,
+        "strip_boilerplate": q_strip_boilerplate,
     }
 
 
@@ -1762,6 +1785,44 @@ def _oracle_sql_raw() -> dict[str, str]:
                    '&nbsp;', ' '), '&amp;', '&'),
                '\s+', ' ', 'g')) AS cleaned
         FROM w
+    """
+    sql["strip_boilerplate"] = """
+        WITH w AS (
+            SELECT doc_id, source,
+                   concat('SUBSCRIBE TO OUR NEWSLETTER', chr(10), text, chr(10),
+                          '(c) 2026 Example Corp') AS t2
+            FROM documents WHERE doc_id < 100
+        ),
+        ls AS (SELECT doc_id, source, string_split(t2, chr(10)) AS l FROM w),
+        ln AS (
+            SELECT doc_id, source,
+                   unnest(l) AS line,
+                   unnest(range(1, len(l) + 1)) AS pos
+            FROM ls
+        ),
+        ln2 AS (SELECT doc_id, source, line, pos, trim(line) AS norm FROM ln),
+        gs AS (SELECT source, count(DISTINCT doc_id) AS g_docs FROM w GROUP BY source),
+        ld AS (
+            SELECT source, norm, count(*) AS l_docs
+            FROM (SELECT DISTINCT source, norm, doc_id FROM ln2 WHERE norm != '')
+            GROUP BY source, norm
+        ),
+        boiler AS (
+            SELECT ld.source, ld.norm
+            FROM ld JOIN gs USING (source)
+            WHERE l_docs >= 2 AND l_docs / CAST(g_docs AS DOUBLE) >= 0.5
+        ),
+        kept AS (
+            SELECT ln2.doc_id, ln2.line, ln2.pos
+            FROM ln2 ANTI JOIN boiler
+              ON ln2.source = boiler.source AND ln2.norm = boiler.norm
+        ),
+        agg AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS tc
+            FROM kept GROUP BY doc_id
+        )
+        SELECT w.doc_id, coalesce(agg.tc, '') AS text_clean
+        FROM w LEFT JOIN agg USING (doc_id)
     """
     sql["hnsw_recall"] = """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

@@ -115,6 +115,7 @@ def main() -> None:
         "hnsw_recall",
         "decontaminate",
         "clean_text",
+        "strip_boilerplate",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

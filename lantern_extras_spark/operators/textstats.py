@@ -195,3 +195,69 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df_t", "score", "rank")
     )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_cols: tuple[str, ...] = ("source",),
+    min_docs: int = 2,
+    max_doc_frac: float = 0.5,
+    line_sep: str = "\n",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: a line is boilerplate when
+    its trimmed form appears in ≥ `min_docs` documents AND in ≥ `max_doc_frac`
+    of the documents of its `group_cols` group (e.g. per source — cookie
+    banners, nav menus, subscribe prompts repeat within a site, not across
+    the web). Boilerplate lines are removed; remaining lines are rejoined in
+    their original order (blank lines count like any other line but are never
+    treated as boilerplate). Adds `out_col`; all other columns pass through.
+
+    Scale shape: one explode over lines, a (group, line) count aggregation
+    whose result is boilerplate-sized (broadcast join back), and one
+    (id, pos)-ordered reassembly groupBy — no self-joins, no driver loops.
+    """
+    if not (0.0 < max_doc_frac <= 1.0):
+        raise ValueError("max_doc_frac must be in (0, 1]")
+    gcols = [F.col(c) for c in group_cols]
+
+    lines = df.select(
+        F.col(id_col), *gcols,
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("__pos", "__line"),
+    ).withColumn("__norm", F.trim(F.col("__line")))
+
+    group_sizes = df.groupBy(*gcols).agg(F.countDistinct(id_col).alias("__g_docs"))
+    line_docs = (
+        lines.where(F.col("__norm") != "")
+        .select(*gcols, "__norm", F.col(id_col))
+        .distinct()
+        .groupBy(*gcols, "__norm")
+        .agg(F.count("*").alias("__l_docs"))
+    )
+    boiler = (
+        line_docs.join(group_sizes, list(group_cols))
+        .where(
+            (F.col("__l_docs") >= min_docs)
+            & (F.col("__l_docs") / F.col("__g_docs") >= max_doc_frac)
+        )
+        .select(*gcols, "__norm")
+    )
+
+    kept = lines.join(F.broadcast(boiler), [*group_cols, "__norm"], "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                line_sep,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                    lambda s: s["__line"],
+                ),
+            ).alias(out_col)
+        )
+    )
+    return df.join(rebuilt, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(""))
+    )

@@ -134,3 +134,24 @@ def test_clean_text(spark):
     assert got[5] == "a b"
     assert got[6] == ""
     assert got[7] is None
+
+
+def test_strip_boilerplate_lines(spark):
+    from lantern_extras_spark.operators.textstats import strip_boilerplate_lines
+
+    hdr, ftr = "COOKIE BANNER", "ALL RIGHTS RESERVED"
+    rows = [
+        (1, "s1", f"{hdr}\nunique body one\n{ftr}"),
+        (2, "s1", f"{hdr}\nanother body\n\nwith a blank line\n{ftr}"),
+        (3, "s1", f"{hdr}\n{ftr}"),                      # only boilerplate
+        (4, "s2", f"{hdr}\nother-source body\n{ftr}"),   # s2 has ONE doc -> min_docs keeps all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r["text_clean"]
+           for r in strip_boilerplate_lines(df, min_docs=2, max_doc_frac=0.5).collect()}
+    assert out[1] == "unique body one"
+    assert out[2] == "another body\n\nwith a blank line"  # blanks survive, order kept
+    assert out[3] == ""                                   # fully-boilerplate doc
+    assert out[4] == f"{hdr}\nother-source body\n{ftr}"   # per-source grouping
+    with pytest.raises(ValueError, match="max_doc_frac"):
+        strip_boilerplate_lines(df, max_doc_frac=0.0)
