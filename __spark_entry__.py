@@ -543,6 +543,16 @@ def q_strip_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "text_clean")
 
 
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic sequence packing (operators/sampling.py:pack_sequences):
+    docs are seeded-shuffled into 8 hash buckets, and bin = floor(exclusive
+    prefix-token-sum / 256) — the pre-training batch-construction step, fully
+    hash-checked (bucket, bin, and within-bin position all replayed by the
+    DuckDB oracle's window cumsum)."""
+    docs = _t(spark, sf, "documents")
+    return SMP.pack_sequences(docs, max_tokens=256, n_buckets=8)
+
+
 def q_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic 90/5/5 train/eval/test split (hash32-bucketed — same doc,
     same split, every run/engine/cluster; no RNG), summarized as counts per
@@ -1008,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "clean_text": q_clean_text,
         "strip_boilerplate": q_strip_boilerplate,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1823,6 +1834,30 @@ def _oracle_sql_raw() -> dict[str, str]:
         )
         SELECT w.doc_id, coalesce(agg.tc, '') AS text_clean
         FROM w LEFT JOIN agg USING (doc_id)
+    """
+    sql["pack_sequences"] = f"""
+        WITH b AS (
+            SELECT doc_id,
+                   CAST(len({_sql_words()}) AS BIGINT) AS n_tokens,
+                   CAST({_sql_hash32("concat('pack:', CAST(doc_id AS VARCHAR))")} % 8 AS INTEGER) AS bucket,
+                   {_sql_hash32("concat('pack#', CAST(doc_id AS VARCHAR))")} AS ord
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, n_tokens, bucket, ord,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY bucket ORDER BY ord ASC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS prefix
+            FROM b
+        )
+        SELECT doc_id, n_tokens, bucket,
+               CAST(floor(prefix / 256.0) AS BIGINT) AS bin,
+               CAST(row_number() OVER (
+                   PARTITION BY bucket, CAST(floor(prefix / 256.0) AS BIGINT)
+                   ORDER BY ord ASC, doc_id ASC
+               ) AS BIGINT) AS pos
+        FROM p
     """
     sql["hnsw_recall"] = """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

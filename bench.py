@@ -116,6 +116,7 @@ def main() -> None:
         "decontaminate",
         "clean_text",
         "strip_boilerplate",
+        "pack_sequences",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

@@ -70,3 +70,55 @@ def stratified_take(
         df.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= n_per_group)
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+    n_buckets: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """Deterministic sequence packing — assign documents to fixed-token-budget
+    bins (the pre-training batch-construction step: concatenate docs until the
+    context window is full, start the next sequence).
+
+    Contiguous-prefix formulation: docs are ordered deterministically inside
+    `n_buckets` hash buckets (order = (hash32(salt:id), id) — effectively a
+    seeded shuffle, reproducible across runs/engines/cluster sizes), then
+    bin = floor(exclusive_prefix_tokens / max_tokens). A bin averages
+    `max_tokens` whitespace tokens; a doc longer than the budget simply spans
+    multiple budget units instead of being dropped. Empty docs count 0 tokens
+    and ride along.
+
+    Returns (id_col, n_tokens, bucket, bin, pos) — pos is the doc's position
+    within its (bucket, bin) sequence, ready for a groupBy concat or a
+    per-bin tokenizer pass.
+
+    Scale shape: one projection (hash, token count), one shuffle on bucket,
+    one window cumsum per bucket — bins never materialize as driver state,
+    and bucket count sets the parallelism (use executors×4 at scale)."""
+    from lantern_extras_spark.functions.text import token_count
+
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    base = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        (hash32(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+         % n_buckets).cast("int").alias("bucket"),
+        hash32(F.concat(F.lit(f"{salt}#"), F.col(id_col).cast("string"))).alias("__ord"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col("__ord").asc(), F.col(id_col).asc())
+    prefix = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    binned = base.withColumn("bin", F.floor(prefix / max_tokens).cast("long"))
+    wpos = Window.partitionBy("bucket", "bin").orderBy(F.col("__ord").asc(), F.col(id_col).asc())
+    return binned.withColumn("pos", F.row_number().over(wpos).cast("long")).select(
+        id_col, "n_tokens", "bucket", "bin", "pos"
+    )

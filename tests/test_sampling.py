@@ -50,3 +50,28 @@ def test_stratified_take_exact_group_sizes(docs):
     # deterministic: same ids every run
     again = sorted(r["doc_id"] for r in SMP.stratified_take(docs, ("lang",), 5).collect())
     assert again == sorted(r["doc_id"] for r in out)
+
+
+def test_pack_sequences_invariants(spark):
+    from lantern_extras_spark.operators.sampling import pack_sequences
+
+    rows = [(i, "tok " * (5 + (i * 7) % 40)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, max_tokens=50, n_buckets=1).collect()
+    assert len(out) == 60 and len({r["doc_id"] for r in out}) == 60
+    # replaying the (bin, pos) order must reproduce every bin boundary:
+    # bin == floor(exclusive-prefix / max_tokens) at each step
+    running = 0
+    for r in sorted(out, key=lambda r: (r["bin"], r["pos"])):
+        assert r["bin"] == running // 50, (r, running)
+        running += r["n_tokens"]
+    # deterministic across calls
+    again = pack_sequences(df, max_tokens=50, n_buckets=1).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    # bucketed variant covers every doc exactly once too
+    b = pack_sequences(df, max_tokens=50, n_buckets=4).collect()
+    assert len({r["doc_id"] for r in b}) == 60
+    assert {r["bucket"] for r in b} <= set(range(4))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_tokens"):
+        pack_sequences(df, max_tokens=0)
