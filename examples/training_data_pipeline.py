@@ -1,0 +1,94 @@
+"""End-to-end training-data pipeline — raw scraped docs to packed sequences.
+
+The stages a 100 TB pre-training corpus actually goes through, each one an
+operator of this engine (all deterministic, all tested against the DuckDB
+oracle via __spark_entry__):
+
+  1. scrape cleanup            clean_text (tags, entities, whitespace)
+  2. boilerplate removal       strip_boilerplate_lines (per-source lines)
+  3. quality + language        quality_metrics, language_id
+  4. exact + near dedup        exact_dedup / minhash_dedup -> dedup_clusters
+  5. benchmark decontamination decontaminate (drop eval-set leakage)
+  6. split + sequence packing  hash_split, pack_sequences
+
+Run: python examples/training_data_pipeline.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from lantern_extras_spark import get_spark
+from lantern_extras_spark.functions.text import clean_text
+from lantern_extras_spark.operators import dedup as D
+from lantern_extras_spark.operators import sampling as SMP
+from lantern_extras_spark.operators.textstats import (
+    language_id,
+    quality_metrics,
+    strip_boilerplate_lines,
+)
+
+BOILER_HDR = "SUBSCRIBE TO OUR NEWSLETTER"
+BOILER_FTR = "(c) 2026 Example Corp"
+
+RAW_DOCS = [
+    # (id, source, raw html-ish text) — doc 3 duplicates doc 1; doc 4 embeds
+    # the eval item; every doc carries the same source boilerplate lines
+    (1, "siteA", f"{BOILER_HDR}\n<p>The <b>quick</b> brown fox jumps over the lazy dog</p>\n{BOILER_FTR}"),
+    (2, "siteA", f"{BOILER_HDR}\n<p>Spark shuffles data between stages &amp; caches hot sets</p>\n{BOILER_FTR}"),
+    (3, "siteA", f"{BOILER_HDR}\n<p>The quick  brown fox jumps over the lazy dog</p>\n{BOILER_FTR}"),
+    (4, "siteA", f"{BOILER_HDR}\n<p>intro words what is the capital of france answer paris more filler text</p>\n{BOILER_FTR}"),
+    (5, "siteA", f"{BOILER_HDR}\n<p>Product quantization compresses vectors into byte codes</p>\n{BOILER_FTR}"),
+    (6, "siteA", f"{BOILER_HDR}\n<p>A completely distinct document about window functions</p>\n{BOILER_FTR}"),
+]
+
+EVAL_SET = [(100, "what is the capital of france answer paris")]
+
+
+def main() -> dict:
+    spark = get_spark("training-data-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {}
+
+    docs = spark.createDataFrame(RAW_DOCS, "doc_id long, source string, text string")
+
+    # 1-2. cleanup: strip shared boilerplate lines, then tags/entities/ws
+    docs = strip_boilerplate_lines(docs, min_docs=2, max_doc_frac=0.5)
+    docs = docs.withColumn("text", clean_text("text_clean")).drop("text_clean")
+    out["cleaned_sample"] = docs.where("doc_id = 1").first()["text"]
+
+    # 3. quality + language annotations (kept as columns for downstream filters)
+    docs = language_id(quality_metrics(docs))
+
+    # 4. dedup: near-dup pairs -> connected components -> keep cluster minimum
+    pairs = D.minhash_dedup(docs, n_hashes=32, bands=8, threshold=0.8)
+    clusters = D.dedup_clusters(pairs)
+    drop = clusters.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    docs = docs.join(drop, "doc_id", "left_anti")
+    out["after_dedup"] = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+
+    # 5. benchmark decontamination against the eval set
+    bench = spark.createDataFrame(EVAL_SET, "doc_id long, text string")
+    docs = D.decontaminate(docs, bench, threshold=0.5, mode="drop")
+    out["after_decontaminate"] = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+
+    # 6. deterministic split + sequence packing for the train shard
+    docs = SMP.hash_split(docs)
+    train = docs.where(F.col("split") == "train")
+    packed = SMP.pack_sequences(train, max_tokens=16, n_buckets=1)
+    out["packed"] = [
+        (r["doc_id"], r["bucket"], r["bin"], r["pos"]) for r in packed.collect()
+    ]
+    return out
+
+
+if __name__ == "__main__":
+    for k, v in main().items():
+        print(f"{k}: {v}")

@@ -1,0 +1,23 @@
+"""examples/training_data_pipeline.py as a living e2e test: clean ->
+strip boilerplate -> quality/lang -> dedup -> decontaminate -> split -> pack."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"))
+
+
+def test_training_data_pipeline(spark):
+    from training_data_pipeline import main
+
+    out = main()
+    # boilerplate lines stripped AND markup cleaned
+    assert out["cleaned_sample"] == "The quick brown fox jumps over the lazy dog"
+    # doc 3 (near-dup of 1) removed; everything else survives dedup
+    assert out["after_dedup"] == [1, 2, 4, 5, 6]
+    # doc 4 embedded the eval item -> decontaminated
+    assert out["after_decontaminate"] == [1, 2, 5, 6]
+    # every surviving train doc packed exactly once, positions start at 1
+    ids = [p[0] for p in out["packed"]]
+    assert len(ids) == len(set(ids)) and set(ids) <= {1, 2, 5, 6}
+    assert all(p[3] >= 1 for p in out["packed"])
