@@ -55,6 +55,10 @@ HEAVY_QUERIES = [
     "region_revenue",
     "returned_items",
     "top_revenue_orders",
+    "decontaminate",
+    "strip_boilerplate",
+    "pack_sequences",
+    "clean_text",
 ]
 
 TABLES_NEEDED = (
