@@ -491,9 +491,12 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     with doc_id < 10 act as the evaluation set; training docs (doc_id ≥ 10)
     are flagged when ≥ 30% of a benchmark doc's distinct 3-gram shingles
     appear in them (containment of the BENCH side, so an embedded eval item
-    scores high no matter how much text surrounds it). The documents table
-    has near-dup groups by construction, so real hits exist. Scale shape:
-    broadcast benchmark + exploded-shingle equi-join, no self-join."""
+    scores high no matter how much text surrounds it). Both sides are
+    case/punctuation-normalized before shingling (normalize=True default —
+    the r5-verdict fix; oracle SQL applies the identical lower+regexp chain).
+    The documents table has near-dup groups by construction, so real hits
+    exist. Scale shape: broadcast benchmark + exploded-shingle equi-join,
+    no self-join."""
     docs = _t(spark, sf, "documents")
     bench = docs.where(F.col("doc_id") < 10)
     train = docs.where(F.col("doc_id") >= 10)
@@ -1769,8 +1772,12 @@ def _oracle_sql_raw() -> dict[str, str]:
     sql["pq_adc_topk"] = _pq_adc_topk_sql(_ivf_qv_sql())
     sql["embedding_neardup"] = _embedding_neardup_sql()
     sql["ivf_pq_search"] = _ivf_pq_search_sql(_ivf_qv_sql())
+    # normalize=True default: lowercase + collapse non-alphanumeric runs to a
+    # single space BEFORE shingling (mirrors functions/text.py
+    # normalize_for_matching — the regex is in the Java-regex ∩ RE2 subset).
+    _norm_text = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
     sql["decontaminate"] = f"""
-        WITH t AS (SELECT doc_id, {_sql_words()} AS w FROM documents),
+        WITH t AS (SELECT doc_id, {_sql_words(_norm_text)} AS w FROM documents),
              s0 AS (SELECT doc_id, {_sql_shingles3()} AS sh0 FROM t),
              s AS (SELECT doc_id,
                           list_distinct(list_transform(sh0, x -> {_sql_hash32('x')})) AS sh FROM s0),

@@ -63,6 +63,20 @@ def word_ngrams_of(toks: Column, n: int = 3) -> Column:
     return F.when(k <= 0, F.array().cast("array<string>")).otherwise(make)
 
 
+def normalize_for_matching(c: Column | str) -> Column:
+    """Case/punctuation-insensitive canonical form for overlap matching:
+    lowercase, collapse every non-alphanumeric run to a single space, trim.
+
+    This is the standard pre-shingling normalization for benchmark
+    decontamination (reference practice for eval-leak removal — see e.g. the
+    GPT-3/PaLM 13-gram decontamination write-ups): "What is the capital of
+    France? Answer: Paris." and "what is the capital of france answer paris"
+    must produce identical shingles. Pure native expression; the regex stays
+    in the Java-regex ∩ RE2 subset so the DuckDB oracle replays it verbatim
+    (`[^a-z0-9]+` → ' ', applied after lower())."""
+    return F.trim(F.regexp_replace(F.lower(_c(c)), r"[^a-z0-9]+", " "))
+
+
 def char_ngrams(c: Column | str, n: int = 5) -> Column:
     """Character n-grams of the raw text."""
     s = _c(c)

@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lantern_extras_spark.functions.hashing import hash32
-from lantern_extras_spark.functions.text import tokens, word_ngrams, word_ngrams_of
+from lantern_extras_spark.functions.text import (
+    normalize_for_matching,
+    tokens,
+    word_ngrams,
+    word_ngrams_of,
+)
 
 # Universal-hash permutation family over the 32-bit hash space.
 # P is the smallest prime > 2^32; (a_i · h + b_i) mod P stays within int64.
@@ -657,6 +662,7 @@ def decontaminate(
     threshold: float = 0.5,
     mode: str = "flag",
     broadcast_benchmark: bool = True,
+    normalize: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination — the training-pipeline op that removes (or
     flags) training docs overlapping an evaluation set, so eval scores measure
@@ -667,8 +673,18 @@ def decontaminate(
     doc that embeds a whole eval item scores 1.0 regardless of how much other
     text surrounds it (jaccard would dilute it to ~0).
 
+    `normalize=True` (default) canonicalizes BOTH sides before shingling with
+    `functions.text.normalize_for_matching` (lowercase + collapse punctuation
+    runs to spaces) — the standard decontamination practice: case/punctuation
+    differences between a training copy and the eval item are the COMMON case,
+    and raw shingles would miss them entirely. Pass normalize=False for exact
+    surface-form matching. Normalization is a native column expression applied
+    in the same shingling projection — no extra pass over the data.
+
     mode="flag" returns (id_col, bench_id, containment) pairs ≥ threshold;
-    mode="drop" returns `docs` minus every flagged row (left_anti).
+    mode="drop" returns `docs` minus every flagged row (left_anti) — the
+    returned rows are always the ORIGINAL docs (normalization only affects
+    matching, never the output text).
 
     Scale shape: distinct word n-grams are hashed once per doc (the portable
     hash32 Arrow kernel shared with ngram_jaccard_pairs), the benchmark side
@@ -681,11 +697,21 @@ def decontaminate(
     if threshold <= 0.0:
         raise ValueError("threshold must be > 0 (zero-overlap pairs never materialize)")
 
-    d_sh = hashed_shingles(docs, text_col, id_col, shingle_n).select(
+    if normalize:
+        d_src = docs.select(
+            F.col(id_col), normalize_for_matching(F.col(text_col)).alias(text_col)
+        )
+        b_src = benchmark.select(
+            F.col(bench_id_col),
+            normalize_for_matching(F.col(bench_text_col)).alias(bench_text_col),
+        )
+    else:
+        d_src, b_src = docs, benchmark
+    d_sh = hashed_shingles(d_src, text_col, id_col, shingle_n).select(
         F.col(id_col), F.explode("sh").alias("__sh")
     )
     b_sh = (
-        hashed_shingles(benchmark, bench_text_col, bench_id_col, shingle_n)
+        hashed_shingles(b_src, bench_text_col, bench_id_col, shingle_n)
         .select(
             F.col(bench_id_col).alias("bench_id"),
             F.size("sh").alias("__b_n"),

@@ -179,6 +179,33 @@ def test_decontaminate_flags_embedded_eval_item(spark):
         D.decontaminate(train, bench, threshold=0.0)
 
 
+def test_decontaminate_normalizes_case_and_punctuation(spark):
+    """The r5-verdict gap: a case/punctuation-varied copy of the eval item
+    embedded in a training doc MUST still be flagged (normalize=True default);
+    normalize=False reproduces the old raw surface-form behavior."""
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france answer paris")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, 'Intro text... "What is the capital of France?  Answer: Paris." And more.'),
+            (2, "completely unrelated content about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    flags = {(r["doc_id"], r["bench_id"]): r["containment"]
+             for r in D.decontaminate(train, bench, threshold=0.5).collect()}
+    assert flags == {(1, 100): 1.0}
+    # raw matching misses it entirely — documents the behavioral difference
+    assert D.decontaminate(train, bench, threshold=0.5, normalize=False).count() == 0
+    # drop mode still returns ORIGINAL text, not the normalized form
+    kept = D.decontaminate(train, bench, threshold=0.5, mode="drop").collect()
+    assert [(r["doc_id"], r["text"]) for r in kept] == [
+        (2, "completely unrelated content about spark shuffles and joins")
+    ]
+
+
 def test_embedding_neardup_oversized_bucket_dropped(spark):
     """Both impls drop buckets over max_bucket (the skew guard) — and the
     pandas impl prunes them before the group ever reaches a worker."""
