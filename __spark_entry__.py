@@ -556,6 +556,22 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return SMP.pack_sequences(docs, max_tokens=256, n_buckets=8)
 
 
+def q_pack_sequences_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Packed sequences as DATA (operators/sampling.py:pack_sequences_concat
+    — the r5-verdict completion of the pipeline's last stage): one row per
+    (bucket, bin) with member doc ids in pack order and texts concatenated,
+    the ready-to-tokenize training sequence. Fully hash-checked — the oracle
+    replays the assignment windows AND the ordered string_agg, so doc order
+    inside every sequence is pinned, not just membership."""
+    docs = _t(spark, sf, "documents")
+    packed = SMP.pack_sequences_concat(docs, max_tokens=256, n_buckets=8)
+    return packed.select(
+        "bucket", "bin", "n_docs", "n_tokens",
+        F.array_join(F.transform("doc_ids", lambda d: d.cast("string")), ",").alias("doc_ids"),
+        "text",
+    )
+
+
 def q_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic 90/5/5 train/eval/test split (hash32-bucketed — same doc,
     same split, every run/engine/cluster; no RNG), summarized as counts per
@@ -1022,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": q_clean_text,
         "strip_boilerplate": q_strip_boilerplate,
         "pack_sequences": q_pack_sequences,
+        "pack_sequences_text": q_pack_sequences_text,
     }
 
 
@@ -1865,6 +1882,36 @@ def _oracle_sql_raw() -> dict[str, str]:
                    ORDER BY ord ASC, doc_id ASC
                ) AS BIGINT) AS pos
         FROM p
+    """
+    # same assignment CTEs as pack_sequences, then the ordered concatenation —
+    # string_agg(... ORDER BY pos) pins doc order inside every sequence
+    sql["pack_sequences_text"] = f"""
+        WITH b AS (
+            SELECT doc_id, text,
+                   CAST(len({_sql_words()}) AS BIGINT) AS n_tokens,
+                   CAST({_sql_hash32("concat('pack:', CAST(doc_id AS VARCHAR))")} % 8 AS INTEGER) AS bucket,
+                   {_sql_hash32("concat('pack#', CAST(doc_id AS VARCHAR))")} AS ord
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, text, n_tokens, bucket, ord,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY bucket ORDER BY ord ASC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS prefix
+            FROM b
+        ),
+        a AS (
+            SELECT doc_id, text, n_tokens, bucket, ord,
+                   CAST(floor(prefix / 256.0) AS BIGINT) AS bin
+            FROM p
+        )
+        SELECT bucket, bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY ord ASC, doc_id ASC) AS doc_ids,
+               string_agg(text, ' ' ORDER BY ord ASC, doc_id ASC) AS text
+        FROM a GROUP BY bucket, bin
     """
     sql["hnsw_recall"] = """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

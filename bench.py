@@ -48,7 +48,10 @@ def main() -> None:
     # whatever GC/page-cache state 3x44 queries leave behind.
     from lantern_extras_spark.embeddings.speed import measure_model_speed
 
-    speed = measure_model_speed(spark, max_tokens=200)
+    # max_tokens=1000 matches the reference methodology (measure_speed.rs /
+    # BASELINE.md row 1), so the short/long emb-per-sec spread is comparable
+    # to the reference's min/max semantics (was 200 through r5).
+    speed = measure_model_speed(spark, max_tokens=1000)
 
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}

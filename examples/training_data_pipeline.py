@@ -86,6 +86,14 @@ def main() -> dict:
     out["packed"] = [
         (r["doc_id"], r["bucket"], r["bin"], r["pos"]) for r in packed.collect()
     ]
+
+    # 7. materialize the packed sequences as data — one ready-to-tokenize
+    #    training row per (bucket, bin), texts concatenated in pack order
+    seqs = SMP.pack_sequences_concat(train, max_tokens=16, n_buckets=1)
+    out["sequences"] = [
+        (r["bucket"], r["bin"], r["doc_ids"], r["n_tokens"], r["text"])
+        for r in sorted(seqs.collect(), key=lambda r: (r["bucket"], r["bin"]))
+    ]
     return out
 
 

@@ -122,3 +122,52 @@ def pack_sequences(
     return binned.withColumn("pos", F.row_number().over(wpos).cast("long")).select(
         id_col, "n_tokens", "bucket", "bin", "pos"
     )
+
+
+def pack_sequences_concat(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+    n_buckets: int = 64,
+    salt: str = "pack",
+    sep: str = " ",
+) -> DataFrame:
+    """Materialize the packed training sequences as DATA (the last pipeline
+    stage `pack_sequences` leaves as metadata): one row per (bucket, bin) with
+    the member doc ids in pack order and their texts concatenated with `sep`.
+
+    Returns (bucket, bin, n_docs, n_tokens, doc_ids array<id>, text) — `text`
+    is the ready-to-tokenize training sequence, `n_tokens` its whitespace
+    token total (~max_tokens by construction; a single over-budget doc makes
+    an over-budget sequence rather than being truncated — truncation is the
+    tokenizer's decision, not the packer's).
+
+    Scale shape: the `pack_sequences` assignment plan (one bucket shuffle +
+    window cumsum), an id equi-join back to the text, then ONE groupBy on
+    (bucket, bin). Each group holds ~max_tokens tokens of text by
+    construction, so `collect_list` per group is bounded regardless of corpus
+    size; order inside the group is restored with `array_sort` on
+    (pos, …) structs — no window, no driver involvement, parallelism =
+    number of (bucket, bin) groups."""
+    asg = pack_sequences(df, text_col, id_col, max_tokens, n_buckets, salt)
+    joined = asg.join(df.select(F.col(id_col), F.col(text_col)), id_col)
+    # pos is unique within (bucket, bin), so struct sort order == pack order
+    docs = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col(id_col).alias("__id"),
+                                F.col("n_tokens"), F.col(text_col).alias("__t")))
+    )
+    return (
+        joined.groupBy("bucket", "bin")
+        .agg(docs.alias("__docs"))
+        .select(
+            "bucket",
+            "bin",
+            F.size("__docs").cast("long").alias("n_docs"),
+            F.aggregate(
+                "__docs", F.lit(0).cast("long"), lambda a, d: a + d["n_tokens"]
+            ).alias("n_tokens"),
+            F.transform("__docs", lambda d: d["__id"]).alias("doc_ids"),
+            F.concat_ws(sep, F.transform("__docs", lambda d: d["__t"])).alias(text_col),
+        )
+    )

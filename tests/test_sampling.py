@@ -75,3 +75,29 @@ def test_pack_sequences_invariants(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="max_tokens"):
         pack_sequences(df, max_tokens=0)
+
+
+def test_pack_sequences_concat_materializes_sequences(spark):
+    """pack_sequences_concat = pack_sequences assignments joined back to text:
+    membership, pack order, token totals, and the concatenated string must all
+    agree with a driver-side replay of the assignment table."""
+    from lantern_extras_spark.operators.sampling import pack_sequences, pack_sequences_concat
+
+    rows = [(i, f"d{i} " + "tok " * (5 + (i * 7) % 40)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    asg = pack_sequences(df, max_tokens=50, n_buckets=4).collect()
+    packed = pack_sequences_concat(df, max_tokens=50, n_buckets=4).collect()
+    text_of = dict(rows)
+    expect: dict[tuple, list] = {}
+    for r in sorted(asg, key=lambda r: (r["bucket"], r["bin"], r["pos"])):
+        expect.setdefault((r["bucket"], r["bin"]), []).append(r)
+    assert len(packed) == len(expect)
+    for p in packed:
+        members = expect[(p["bucket"], p["bin"])]
+        assert p["doc_ids"] == [m["doc_id"] for m in members]
+        assert p["n_docs"] == len(members)
+        assert p["n_tokens"] == sum(m["n_tokens"] for m in members)
+        assert p["text"] == " ".join(text_of[m["doc_id"]] for m in members)
+    # every doc appears in exactly one sequence
+    all_ids = [i for p in packed for i in p["doc_ids"]]
+    assert sorted(all_ids) == list(range(60))

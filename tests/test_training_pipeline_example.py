@@ -21,3 +21,8 @@ def test_training_data_pipeline(spark):
     ids = [p[0] for p in out["packed"]]
     assert len(ids) == len(set(ids)) and set(ids) <= {1, 2, 5, 6}
     assert all(p[3] >= 1 for p in out["packed"])
+    # materialized sequences cover the same docs, in assignment order, and
+    # the concatenated text is real data (non-empty, whitespace-joined)
+    seq_ids = [i for s in out["sequences"] for i in s[2]]
+    assert sorted(seq_ids) == sorted(ids)
+    assert all(s[4].strip() and s[3] > 0 for s in out["sequences"])
