@@ -773,8 +773,9 @@ def embedding_neardup_pairs(
     float-summation-order noise of 0 (measure-zero for real data);
     downstream pairs are cosine-verified either way.
 
-    The pandas impl emits ids as longs (integer id columns assumed — the
-    engine's pk convention); native preserves any id dtype.
+    The pandas impl emits ids as longs (integer id columns required — the
+    engine's pk convention; a non-integral id raises TypeError up front);
+    native preserves any id dtype.
 
     Pass `dim` to avoid the driver-side `first()` probe (one extra Spark job);
     the probe is kept as a fallback for ad-hoc use. Either way `dim` is
@@ -820,7 +821,25 @@ def embedding_neardup_pairs(
 
     if impl == "pandas":
         import pandas as pd
-        from pyspark.sql.types import LongType, StructField, StructType
+        from pyspark.sql.types import (
+            ByteType,
+            IntegerType,
+            LongType,
+            ShortType,
+            StructField,
+            StructType,
+        )
+
+        # fail loud at the API, not deep inside numpy: the pandas kernels emit
+        # ids as int64 ("id_a long, id_b long"), so non-integral id columns are
+        # a documented limitation of this impl (native preserves any dtype)
+        id_type = df.schema[id_col].dataType
+        if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+            raise TypeError(
+                f"embedding_neardup_pairs(impl='pandas') requires an integral "
+                f"id column; {id_col!r} is {id_type.simpleString()}. Use "
+                f"impl='native' (preserves any id dtype) or cast/surrogate the id."
+            )
 
         spark = df.sparkSession
         bP = spark.sparkContext.broadcast(planes)

@@ -223,9 +223,14 @@ def strip_boilerplate_lines(
         raise ValueError("max_doc_frac must be in (0, 1]")
     gcols = [F.col(c) for c in group_cols]
 
+    # F.split takes a Java regex but concat_ws re-joins with the literal
+    # separator — escape so a regex-special line_sep ('|', '.') round-trips
+    # instead of splitting per character
+    import re as _re
+
     lines = df.select(
         F.col(id_col), *gcols,
-        F.posexplode(F.split(F.col(text_col), line_sep)).alias("__pos", "__line"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(line_sep))).alias("__pos", "__line"),
     ).withColumn("__norm", F.trim(F.col("__line")))
 
     group_sizes = df.groupBy(*gcols).agg(F.countDistinct(id_col).alias("__g_docs"))

@@ -153,6 +153,19 @@ def test_embedding_neardup_multi_table_recall(spark):
         D.embedding_neardup_pairs(df, n_tables=0)
 
 
+def test_embedding_neardup_pandas_rejects_non_integral_ids(spark):
+    """impl='pandas' hard-codes long ids in its output schema — a string-id
+    corpus must fail at the API with a clear message, not deep inside numpy
+    (native impl keeps working and preserves the dtype)."""
+    rows = [("a", [1.0, 0.0]), ("b", [1.0, 0.001]), ("c", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    with pytest.raises(TypeError, match="integral id column.*'vec_id' is string"):
+        D.embedding_neardup_pairs(df, n_planes=2, dim=2, impl="pandas")
+    native = D.embedding_neardup_pairs(df, threshold=0.99, n_planes=2, dim=2,
+                                       impl="native").collect()
+    assert {(r["id_a"], r["id_b"]) for r in native} == {("a", "b")}
+
+
 def test_decontaminate_flags_embedded_eval_item(spark):
     """A training doc that embeds a whole benchmark item verbatim scores
     containment 1.0 (jaccard would dilute it); clean docs survive drop mode."""

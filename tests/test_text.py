@@ -155,3 +155,19 @@ def test_strip_boilerplate_lines(spark):
     assert out[4] == f"{hdr}\nother-source body\n{ftr}"   # per-source grouping
     with pytest.raises(ValueError, match="max_doc_frac"):
         strip_boilerplate_lines(df, max_doc_frac=0.0)
+
+
+def test_strip_boilerplate_regex_special_separator(spark):
+    """A regex-special line_sep ('|') must round-trip: split literally (not
+    per-character) and re-join with the same separator."""
+    from lantern_extras_spark.operators.textstats import strip_boilerplate_lines
+
+    rows = [
+        (1, "s1", "AD HERE|real content one|(c) corp."),
+        (2, "s1", "AD HERE|real content two|(c) corp."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r["text_clean"]
+           for r in strip_boilerplate_lines(df, min_docs=2, max_doc_frac=0.5,
+                                            line_sep="|").collect()}
+    assert out == {1: "real content one", 2: "real content two"}
