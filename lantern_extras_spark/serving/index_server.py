@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import socket
 import socketserver
+import ssl
 import struct
 import threading
 
@@ -182,16 +183,42 @@ class _IndexHandler(socketserver.BaseRequestHandler):
 
 
 class IndexServer(socketserver.ThreadingTCPServer):
-    """Loopback-friendly indexing server; `with IndexServer() as s: s.port`."""
+    """Loopback-friendly indexing server; `with IndexServer() as s: s.port`.
+
+    Pass `ssl_context` (an `ssl.SSLContext` loaded with the server cert/key)
+    to serve the same byte protocol over TLS — the reference's `--cert/--key`
+    mode (`external_index/server.rs` SSL arm; exercised by
+    `external_index_server_test.rs`'s SSL case). The TLS handshake is
+    deferred to the handler thread (`do_handshake_on_connect=False`) so a
+    slow or broken client can't stall the accept loop.
+
+    I8 note (element_bits=8): rows are ingested as raw int8 values cast to
+    f32. The reference's usearch I8 ScalarKind instead stores
+    scale-quantized floats (value ≈ round(f · 127) with the scale reapplied
+    on read), so absolute I8 value semantics diverge: this server treats the
+    wire integers as the caller's pre-quantized representation and does not
+    rescale. Relative geometry (and therefore neighbor ranking) matches for
+    any uniform scale; callers needing reference value parity should send
+    `round(f * 127)` and rescale query vectors the same way."""
 
     allow_reuse_address = True
     daemon_threads = True
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0, seed: int = 42):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0, seed: int = 42,
+                 ssl_context: ssl.SSLContext | None = None):
         super().__init__((host, port), _IndexHandler)
         self.seed = seed
         self.port = self.server_address[1]
+        self._ssl_context = ssl_context
         self._thread: threading.Thread | None = None
+
+    def get_request(self):
+        sock, addr = super().get_request()
+        if self._ssl_context is not None:
+            sock = self._ssl_context.wrap_socket(
+                sock, server_side=True, do_handshake_on_connect=False
+            )
+        return sock, addr
 
     def start(self) -> "IndexServer":
         self._thread = threading.Thread(target=self.serve_forever, daemon=True)
@@ -225,19 +252,33 @@ def stream_index_build(
     num_subvectors: int = 0,
     element_bits: int = 32,
     timeout_s: float = 60.0,
+    cafile: str | None = None,
+    ssl_context: ssl.SSLContext | None = None,
+    server_hostname: str | None = None,
 ) -> tuple[int, HnswIndex]:
     """Protocol client: stream `(label, vector)` rows, get back
     (tuple_count, index). `codebook` is [num_centroids][dim] f32 when pq.
     `element_bits` selects the wire element kind (64 f64 / 32 f32 / 16 f16 /
     8 i8 pre-quantized ints / 1 B1 bit-packed 0-1 vectors, hamming metric
-    only); the server dequantizes to f32 at ingest."""
+    only); the server dequantizes to f32 at ingest.
+
+    TLS: pass `cafile` (trust anchor for the server cert — the reference
+    client's CA-file argument) or a ready `ssl_context`; `server_hostname`
+    defaults to `host` for certificate name checking."""
     if metric_kind not in _METRIC_TO_U32:
         raise ValueError(f"unsupported metric {metric_kind!r}")
     elem_dtype = _DTYPE_FROM_BITS.get(element_bits)
     if elem_dtype is None and element_bits != 1:
         raise ValueError(f"unsupported element_bits {element_bits}")
     quantization = {64: 2, 32: 0, 16: 3, 8: 4, 1: 5}[element_bits]
-    with socket.create_connection((host, port), timeout=timeout_s) as sock:
+    if cafile is not None and ssl_context is None:
+        ssl_context = ssl.create_default_context(cafile=cafile)
+    raw_sock = socket.create_connection((host, port), timeout=timeout_s)
+    if ssl_context is not None:
+        raw_sock = ssl_context.wrap_socket(
+            raw_sock, server_hostname=server_hostname or host
+        )
+    with raw_sock as sock:
         version, server_type = struct.unpack("<II", _recv_exact(sock, 8))
         if version != PROTOCOL_VERSION or server_type != SERVER_TYPE_INDEXING:
             raise ConnectionError(

@@ -252,3 +252,53 @@ def test_collection_index_roundtrip(spark, tmp_path):
     hits2 = store.search("docs", query_vec=[4.0, 0.0, 1.0], k=3,
                          metric="l2sq", use_index=True)
     assert [r["id"] for r in hits2.collect()][0] == 5
+
+
+# -- TLS transport ----------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tls_material(tmp_path_factory):
+    """Self-signed localhost cert via the openssl CLI (no extra python deps)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("openssl") is None:
+        pytest.skip("openssl CLI not available")
+    d = tmp_path_factory.mktemp("tls")
+    cert, key = d / "cert.pem", d / "key.pem"
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(cert), "-days", "1",
+         "-subj", "/CN=localhost",
+         "-addext", "subjectAltName=DNS:localhost,IP:127.0.0.1"],
+        check=True, capture_output=True,
+    )
+    return str(cert), str(key)
+
+
+def test_tls_roundtrip_and_rejects_plaintext(tls_material):
+    """The byte protocol runs unchanged over TLS (the reference server's
+    --cert/--key mode, external_index_server_test.rs SSL case): same build
+    result as plaintext, cert verified against the test CA; an unverified
+    client fails the handshake instead of silently skipping verification."""
+    import ssl
+
+    cert, key = tls_material
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(cert, key)
+    with IndexServer(ssl_context=ctx) as s:
+        count, idx = stream_index_build(
+            "127.0.0.1", s.port, VECS, dim=DIM, cafile=cert,
+            server_hostname="localhost",
+        )
+        assert count == len(VECS)
+        hits = idx.search(np.asarray(VECS[5][1], np.float32), k=1)
+        assert hits[0][0] == 5 and hits[0][1] == pytest.approx(0.0)
+
+        # default trust store does not contain the self-signed cert
+        with pytest.raises(ssl.SSLError):
+            stream_index_build(
+                "127.0.0.1", s.port, VECS, dim=DIM,
+                ssl_context=ssl.create_default_context(),
+                server_hostname="localhost", timeout_s=10,
+            )
