@@ -930,9 +930,11 @@ def q_hnsw_recall(spark: SparkSession, sf: str) -> DataFrame:
     knn_l2), plus a `recall_ok` flag the oracle pins to TRUE. The flag comes
     from building seeded HNSW shards over the same corpus, batch-searching the
     same 5 queries, and intersecting with the truth — graph traversal isn't
-    SQL-expressible, but its pass criterion (recall ≥ 0.9 on a deterministic
-    seeded build) is a literal the oracle asserts, so an HNSW regression flips
-    the hash red."""
+    SQL-expressible, but its pass criteria are literals the oracle asserts:
+    `recall_ok` (aggregate ≥ 0.9) AND per-query `recall`, which the seeded
+    build measures at exactly 1.0 for every sf0.01 query — so an HNSW
+    regression that loses even ONE neighbor for one query flips the hash red
+    (the r5-advice tightening; 0.9 alone let a 1.0→0.91 slide pass)."""
     from lantern_extras_spark.operators import hnsw as H
 
     emb = _t(spark, sf, "embeddings")
@@ -966,12 +968,18 @@ def q_hnsw_recall(spark: SparkSession, sf: str) -> DataFrame:
         len(v) for v in truth.values()
     )
     ok = bool(rec >= 0.9)
+    per_q = {
+        qid: round(len(truth[qid] & got.get(qid, set())) / len(truth[qid]), 2)
+        for qid in truth
+    }
     return spark.createDataFrame(
         [
-            (r["query_id"], r["vec_id"], r["l2sq_distance"], r["rnk"], ok)
+            (r["query_id"], r["vec_id"], r["l2sq_distance"], r["rnk"], ok,
+             per_q[int(r["query_id"])])
             for r in exact_rows
         ],
-        "query_id long, vec_id long, l2sq_distance double, rnk bigint, recall_ok boolean",
+        "query_id long, vec_id long, l2sq_distance double, rnk bigint, "
+        "recall_ok boolean, recall double",
     )
 
 
@@ -1923,7 +1931,8 @@ def _oracle_sql_raw() -> dict[str, str]:
              )
         SELECT query_id, vec_id, l2sq_distance,
                row_number() OVER (PARTITION BY query_id ORDER BY l2sq_distance ASC, vec_id ASC) AS rnk,
-               TRUE AS recall_ok
+               TRUE AS recall_ok,
+               1.0 AS recall
         FROM scored
         QUALIFY rnk <= 10
     """

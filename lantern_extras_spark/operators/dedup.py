@@ -253,24 +253,51 @@ def minhash_dedup(
     bands: int = 8,
     threshold: float = 0.8,
     max_bucket: int = 500,
+    verify: str = "exact",
 ) -> DataFrame:
-    """End-to-end MinHash near-dup pairs: (id_a, id_b, jaccard) with exact
-    Jaccard ≥ threshold, candidates generated by banded LSH.
+    """End-to-end MinHash near-dup pairs: (id_a, id_b, jaccard) with Jaccard
+    ≥ threshold, candidates generated by banded LSH.
+
+    verify="exact" (default): recompute exact Jaccard on the full distinct
+    shingle sets of each candidate pair — the parity path, zero estimator
+    error, but the verify join re-materializes every candidate's shingle set
+    (O(doc tokens) per side).
+
+    verify="signature": estimate Jaccard as the fraction of agreeing MinHash
+    positions — the unbiased Broder estimator, std ≈ sqrt(J(1-J)/n_hashes)
+    (±0.07 at J=0.8 with the default 32 hashes; raise n_hashes to tighten).
+    The verify join then carries only the n_hashes-long signatures already
+    shuffled for banding — at 100 TB this removes the dominant verify-stage
+    cost (shingle re-materialization) for a quantified, tunable error band.
+    The output column is named `jaccard` either way (estimated under
+    "signature").
 
     Keep-first policy: a downstream `anti join` on id_b removes every document
     that duplicates an earlier (smaller-id) one.
     """
+    if verify not in ("exact", "signature"):
+        raise ValueError(f"unknown verify {verify!r} (exact/signature)")
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n).cache()
     cands = lsh_candidate_pairs(sigs, bands, id_col, max_bucket, n_hashes=n_hashes)
-    sh = sigs.select(F.col(id_col), F.col("shingles"))
-    verified = (
-        cands.join(sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+    ver_col = "shingles" if verify == "exact" else "sig"
+    sh = sigs.select(F.col(id_col), F.col(ver_col))
+    joined = (
+        cands.join(sh.select(F.col(id_col).alias("id_a"), F.col(ver_col).alias("v_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col(ver_col).alias("v_b")), "id_b")
+    )
+    if verify == "exact":
+        est = jaccard(F.col("v_a"), F.col("v_b"))
+    else:
+        matches = F.size(
+            F.filter(F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x == y),
+                     lambda m: m)
+        )
+        est = matches.cast("double") / F.lit(float(n_hashes))
+    return (
+        joined.withColumn("jaccard", est)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
 
 
 def drop_duplicates_keep_first(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -52,6 +52,26 @@ def test_minhash_native_equals_pandas(corpus):
     assert a == b
 
 
+def test_minhash_signature_verify_parity(spark, corpus):
+    """verify='signature' (Broder collision-fraction estimator) finds the same
+    pairs as exact verify on a separated corpus, with the estimate inside the
+    n_hashes error band; identical docs estimate exactly 1.0; bad verify
+    values fail loudly."""
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.minhash_dedup(corpus, n_hashes=64, bands=16,
+                                      threshold=0.5).collect()}
+    est = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in D.minhash_dedup(corpus, n_hashes=64, bands=16, threshold=0.5,
+                                    verify="signature").collect()}
+    assert set(est) == set(exact)  # same pairs at a well-separated threshold
+    assert est[(1, 2)] == 1.0      # identical docs: every position agrees
+    for p, j in exact.items():
+        # std = sqrt(J(1-J)/64) <= 0.0625; 4 sigma
+        assert abs(est[p] - j) <= 0.25, (p, j, est[p])
+    with pytest.raises(ValueError, match="verify"):
+        D.minhash_dedup(corpus, verify="approximate")
+
+
 def test_drop_duplicates_keep_first(corpus):
     pairs = D.minhash_dedup(corpus, n_hashes=64, bands=16, threshold=0.5)
     kept = D.drop_duplicates_keep_first(corpus, pairs)

@@ -43,24 +43,10 @@ SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/lantern_sf1")
 N_COPIES = 10
 ID_SHIFT = 10_000_000
 
-# The heaviest bench_set queries (BENCH r4 medians), one per operator family.
-HEAVY_QUERIES = [
-    "dedup_clusters",
-    "embedding_neardup",
-    "ivf_pq_search",
-    "pq_adc_topk",
-    "minhash_lsh_pairs",
-    "ngram_jaccard",
-    "knn_cos",
-    "region_revenue",
-    "returned_items",
-    "top_revenue_orders",
-    "decontaminate",
-    "strip_boilerplate",
-    "pack_sequences",
-    "clean_text",
-]
-
+# Round 6: the sweep covers EVERY driver query (VERDICT r5 #2) — the
+# 100×-design claims rest on measured exponents, so the evidence must be
+# complete, not a hand-picked heavy subset. Set SPARK_GRAFT_SF1_ONLY to a
+# comma-separated subset for quick iteration.
 TABLES_NEEDED = (
     "documents", "embeddings", "lineitem", "orders", "customer",
     "supplier", "nation", "region",
@@ -154,6 +140,20 @@ def build_sf1(spark) -> None:
             lambda df, c: df.withColumn("l_orderkey", F.col("l_orderkey") + c * ID_SHIFT * 10),
         ).write.mode("overwrite").parquet(f"{SF1_DIR}/lineitem.parquet")
 
+    if not done("events"):
+        # read through the driver's nanos-aware reader, write plain micros;
+        # copies shift event_id AND user_id (10× users over the same period —
+        # facts grow, the time window doesn't), keeping per-user session /
+        # burst / as-of structure identical per copy
+        import __spark_entry__ as E
+
+        ev = E._events(spark, SF01)
+        _copies(
+            ev,
+            lambda df, c: df.withColumn("event_id", F.col("event_id") + c * ID_SHIFT)
+            .withColumn("user_id", F.col("user_id") + c * ID_SHIFT),
+        ).write.mode("overwrite").parquet(f"{SF1_DIR}/events.parquet")
+
 
 def main() -> None:
     import __spark_entry__ as E
@@ -170,9 +170,12 @@ def main() -> None:
     for sf in (SF01, SF1_DIR):
         for t in TABLES_NEEDED:
             spark.read.parquet(f"{sf}/{t}.parquet").foreach(lambda r: None)
+        E._events(spark, sf).foreach(lambda r: None)
     spark.range(32).repartition(32).mapInPandas(lambda it: it, "id long").foreach(lambda r: None)
 
     qs = E.queries()
+    only = os.environ.get("SPARK_GRAFT_SF1_ONLY")
+    names = [n.strip() for n in only.split(",")] if only else list(qs)
 
     def measure(fn) -> dict:
         per_sf = {}
@@ -188,10 +191,11 @@ def main() -> None:
         return {**per_sf, "exponent": exponent}
 
     results: dict[str, dict] = {}
-    for name in HEAVY_QUERIES:
+    for name in names:
         results[name] = measure(
             lambda sf, n=name: qs[n](spark, sf).foreach(lambda r: None)
         )
+        print(json.dumps({name: results[name]}), flush=True)
 
     # The driver's embedding_neardup query pins n_planes=6 / threshold=0.4 for
     # its sf0.01 oracle — at sf1 that config has 64 buckets of ~300 rows and a
@@ -208,6 +212,23 @@ def main() -> None:
         ).foreach(lambda r: None)
 
     results["embedding_neardup_scaled"] = measure(neardup_scaled)
+    print(json.dumps({"embedding_neardup_scaled": results["embedding_neardup_scaled"]}), flush=True)
+
+    # MinHash verify-stage trade-off (VERDICT r5 #6): exact verify
+    # re-materializes full shingle sets per candidate pair; signature verify
+    # reuses the already-shuffled n_hashes-long signatures — measure both so
+    # the estimated-verify cost drop is recorded, not argued.
+    def minhash_verify(mode):
+        def run(sf):
+            docs = spark.read.parquet(f"{sf}/documents.parquet")
+            D.minhash_dedup(docs, n_hashes=32, bands=8, threshold=0.8,
+                            verify=mode).foreach(lambda r: None)
+        return run
+
+    for mode in ("exact", "signature"):
+        key = f"minhash_verify_{mode}"
+        results[key] = measure(minhash_verify(mode))
+        print(json.dumps({key: results[key]}), flush=True)
 
     out = {
         "metric": "sf1_scaling",
@@ -224,6 +245,12 @@ def main() -> None:
             "embedding_neardup_scaled": (
                 "scale config (auto planes ~64 rows/bucket, GEMM bucket+verify, "
                 "threshold=0.9) - the 100 TB path"
+            ),
+            "minhash_verify": (
+                "exact vs signature candidate verification at identical "
+                "LSH params - signature reuses the banding signatures and "
+                "skips shingle re-materialization (estimator std "
+                "sqrt(J(1-J)/32))"
             ),
         },
     }
