@@ -89,6 +89,15 @@ def _sql_shingles3(words: str = "w") -> str:
     )
 
 
+def _sql_ngrams(words: str, n: int) -> str:
+    """ALL word n-grams (occurrence-preserving, mirrors T.word_ngrams_of)."""
+    return (
+        f"CASE WHEN len({words}) = 0 THEN CAST([] AS VARCHAR[]) ELSE "
+        f"list_transform(range(1, greatest(len({words}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string({words}[i:i+{n - 1}], ' ')) END"
+    )
+
+
 def _sql_embed_elem(i: int, col: str = "text", model: str = "hash/test-model") -> str:
     """One hash-embedding element, float32-rounded then widened back to double —
     mirrors Spark's array<float> storage of hash_embedding exactly (IEEE f32
@@ -602,6 +611,61 @@ def q_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select("id_a", "id_b", pround("containment", 5).alias("containment"))
 
 
+def q_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing (functions/text.py:redact_pii — the deterministic
+    pre-release pass for scraped corpora): docs are wrapped with synthetic
+    email / IPv4 / phone spans so every pattern fires, then redacted to typed
+    placeholders in one native regexp chain. The oracle replays the identical
+    chain in the same most-specific-first order (RE2 ∩ Java-regex subset)."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    did = F.col("doc_id").cast("string")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Contact admin"), did, F.lit("@site.example.org or +1 555-000-"),
+            did, F.lit(" via 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 | "), F.col("text"),
+        ).alias("raw"),
+    )
+    return wrapped.select("doc_id", T.redact_pii("raw").alias("redacted"))
+
+
+def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/MassiveText repetition filters
+    (operators/textstats.py:repetition_stats): docs are wrapped with a
+    twice-repeated boilerplate line so the duplicate-line signals fire on
+    every row, while the top-2-gram / dup-5-gram fractions measure each doc's
+    own text. Pure per-row array-sort + indexed-scan expressions (no shuffle);
+    the oracle recomputes the same fractions via unnest + GROUP BY."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    wrapped = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.lit("SUBSCRIBE NOW"), F.col("text"), F.lit("SUBSCRIBE NOW"),
+        ).alias("text"),
+    )
+    out = TS.repetition_stats(wrapped)
+    return out.select(
+        "doc_id",
+        pround("dup_line_frac", 5).alias("dup_line_frac"),
+        pround("dup_line_char_frac", 5).alias("dup_line_char_frac"),
+        pround("top_ngram_char_frac", 5).alias("top_ngram_char_frac"),
+        pround("dup_ngram_char_frac", 5).alias("dup_ngram_char_frac"),
+    )
+
+
+def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality proxy
+    (operators/textstats.py:unigram_logprob_score): per-doc mean token
+    log-probability under the corpus's own add-one-smoothed unigram LM —
+    the deterministic analog of CCNet's KenLM perplexity ranking. Vocab is
+    one token-count aggregation; totals ride a broadcast 1-row cross join
+    (no driver collect); the oracle replays count → ln → per-doc avg."""
+    docs = _t(spark, sf, "documents")
+    out = TS.unigram_logprob_score(docs)
+    return out.select("doc_id", pround("lm_logprob", 5).alias("lm_logprob"))
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms over the doc_id<50 slice (tf · ln(N/df),
     portable 6-dp rounding BEFORE ranking so cross-engine ln() ulps can't flip
@@ -1045,6 +1109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "clean_text": q_clean_text,
         "strip_boilerplate": q_strip_boilerplate,
+        "redact_pii": q_redact_pii,
+        "repetition_stats": q_repetition_stats,
+        "unigram_logprob": q_unigram_logprob,
         "pack_sequences": q_pack_sequences,
         "pack_sequences_text": q_pack_sequences_text,
     }
@@ -1890,6 +1957,86 @@ def _oracle_sql_raw() -> dict[str, str]:
                    ORDER BY ord ASC, doc_id ASC
                ) AS BIGINT) AS pos
         FROM p
+    """
+    # identical PII regex chain, identical most-specific-first order
+    # (functions/text.py:PII_PATTERNS); plain string (no f-string) so the
+    # regex braces survive verbatim
+    sql["redact_pii"] = (
+        """
+        WITH w AS (
+            SELECT doc_id,
+                   concat('Contact admin', CAST(doc_id AS VARCHAR),
+                          '@site.example.org or +1 555-000-', CAST(doc_id AS VARCHAR),
+                          ' via 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7 | ', text) AS raw
+            FROM documents WHERE doc_id < 100
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(raw,
+                   '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+                   '\\+[0-9][0-9()\\-. ]{6,}[0-9]|\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g')
+               AS redacted
+        FROM w
+        """
+    )
+    sql["repetition_stats"] = f"""
+        WITH w AS (
+            SELECT doc_id,
+                   concat('SUBSCRIBE NOW', chr(10), text, chr(10), 'SUBSCRIBE NOW') AS t2
+            FROM documents WHERE doc_id < 200
+        ),
+        base AS (SELECT doc_id, t2, length(t2) AS n_chars, {_sql_words('t2')} AS wds FROM w),
+        ln AS (
+            SELECT doc_id, trim(u.x) AS line
+            FROM base, unnest(string_split(t2, chr(10))) AS u(x)
+            WHERE trim(u.x) != ''
+        ),
+        lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS l FROM ln GROUP BY doc_id, line),
+        lstat AS (
+            SELECT doc_id,
+                   sum(c) AS n_lines,
+                   sum(c * l) AS tot_line_chars,
+                   sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_cnt,
+                   sum(CASE WHEN c >= 2 THEN c * l ELSE 0 END) AS dup_line_chars
+            FROM lc GROUP BY doc_id
+        ),
+        g2 AS (SELECT doc_id, unnest({_sql_ngrams('wds', 2)}) AS g FROM base),
+        g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+        top2 AS (
+            SELECT doc_id, CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END AS top_chars
+            FROM g2c
+            QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1
+        ),
+        g5 AS (SELECT doc_id, unnest({_sql_ngrams('wds', 5)}) AS g FROM base),
+        g5c AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+        d5 AS (
+            SELECT doc_id,
+                   sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup5_chars
+            FROM g5c GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               round(round(coalesce(dup_cnt / CAST(n_lines AS DOUBLE), 0.0), 6), 5) AS dup_line_frac,
+               round(round(coalesce(dup_line_chars / CAST(tot_line_chars AS DOUBLE), 0.0), 6), 5) AS dup_line_char_frac,
+               round(round(coalesce(least(top_chars / CAST(b.n_chars AS DOUBLE), 1.0), 0.0), 6), 5) AS top_ngram_char_frac,
+               round(round(coalesce(least(dup5_chars / CAST(b.n_chars AS DOUBLE), 1.0), 0.0), 6), 5) AS dup_ngram_char_frac
+        FROM base b
+        LEFT JOIN lstat USING (doc_id)
+        LEFT JOIN top2 USING (doc_id)
+        LEFT JOIN d5 USING (doc_id)
+    """
+    sql["unigram_logprob"] = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_sql_words('lower(text)')}) AS w FROM documents
+        ),
+        vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM vocab),
+        scored AS (
+            SELECT t.doc_id, ln((vocab.c + 1.0) / (tot.n + 1.0 * (tot.v + 1.0))) AS lp
+            FROM tok t JOIN vocab USING (w) CROSS JOIN tot
+        ),
+        per_doc AS (SELECT doc_id, avg(lp) AS m FROM scored GROUP BY doc_id)
+        SELECT d.doc_id, round(round(coalesce(per_doc.m, 0.0), 6), 5) AS lm_logprob
+        FROM documents d LEFT JOIN per_doc USING (doc_id)
     """
     # same assignment CTEs as pack_sequences, then the ordered concatenation —
     # string_agg(... ORDER BY pos) pins doc order inside every sequence

@@ -112,6 +112,41 @@ def clean_text(c: Column | str) -> Column:
     return F.trim(F.regexp_replace(s, r"\s+", " "))
 
 
+# PII patterns, ordered most- to least-specific so earlier redactions can't be
+# re-matched by later ones (an email's digits must not become a "phone").
+# Regexes stay in the Java-regex ∩ RE2 subset (no lookaround) so the DuckDB
+# oracle replays the exact chain.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    # international-ish phone: optional +CC, then 7+ digits in groups broken
+    # by spaces/dots/dashes/parens; \b guards keep plain long numbers (ids,
+    # timestamps) from matching without a separator or leading +
+    ("phone", r"\+[0-9][0-9()\-. ]{6,}[0-9]|\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"),
+)
+
+
+def redact_pii(c: Column | str, kinds: tuple[str, ...] = ("email", "ip", "phone")) -> Column:
+    """Scrub common PII spans, replacing each with a typed placeholder
+    (`<EMAIL>`, `<IP>`, `<PHONE>`) — the standard pre-release scrubbing pass
+    for web-scraped training corpora. One native regexp_replace chain per
+    kind (whole-stage codegen, no Python workers), applied most-specific
+    first so an already-redacted span can't be re-matched.
+
+    Deliberately pattern-based (emails, IPv4, phone-shaped digit groups):
+    names/addresses need an NER model and belong in a model-backed pass;
+    this is the deterministic, engine-portable layer under it."""
+    pats = dict(PII_PATTERNS)
+    unknown = [k for k in kinds if k not in pats]
+    if unknown:
+        raise ValueError(f"unknown PII kinds {unknown}; valid: {list(pats)}")
+    s = _c(c)
+    for kind, pat in PII_PATTERNS:
+        if kind in kinds:
+            s = F.regexp_replace(s, pat, f"<{kind.upper()}>")
+    return s
+
+
 def punct_ratio(c: Column | str) -> Column:
     """Fraction of non-alphanumeric, non-space characters."""
     s = _c(c)

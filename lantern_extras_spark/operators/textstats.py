@@ -8,6 +8,8 @@ scan — no shuffle, full whole-stage codegen.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -197,6 +199,178 @@ def tfidf_top_terms(
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ngram_n: int = 2,
+    dup_ngram_n: int = 5,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Gopher/MassiveText-style within-document repetition signals — the
+    quality filters that catch boilerplate-looping and keyword-stuffed docs
+    which length/punctuation ratios miss (Rae et al. 2021 §A1.1 thresholds:
+    e.g. drop if dup_line_frac > 0.30 or top_2gram_char_frac > 0.20).
+
+    Adds four columns (all in [0, 1], empty docs score 0):
+    - `dup_line_frac`: occurrences of repeated non-empty lines / total
+      non-empty lines (every occurrence of a line that appears ≥ 2× counts);
+    - `dup_line_char_frac`: characters in those occurrences / characters in
+      all non-empty lines;
+    - `top_ngram_char_frac`: (occurrences × char length) of the most frequent
+      word `top_ngram_n`-gram / doc char length (ties break to the
+      lexicographically smallest gram); 0.0 unless that gram occurs ≥ 2× — a
+      once-occurring gram is not repetition, and without the floor every
+      short doc scores high on pure length noise;
+    - `dup_ngram_char_frac`: summed char length over all occurrences of word
+      `dup_ngram_n`-grams appearing ≥ 2×, / doc char length, capped at 1.0
+      (overlapping occurrences double-count, the standard approximation).
+
+    Scale shape: pure per-row Column expressions — each doc's lines/grams are
+    array-sorted and scanned via index transforms (duplicates are adjacent
+    after the sort), so the whole operator is one narrow projection with NO
+    shuffle and no Python workers; O(L log L) per doc. The DuckDB oracle
+    replays the semantics with unnest + GROUP BY (`q_repetition_stats`)."""
+    t = F.col(text_col)
+
+    def _sorted_scan(arr: Column, chars_of) -> tuple[Column, Column, Column]:
+        """(n, dup_count, dup_chars) over a sorted array's adjacency runs."""
+        s = F.array_sort(arr)
+        n = F.size(s)
+        idx = F.sequence(F.lit(1), n)  # guarded by callers: only used when n > 0
+
+        def is_dup(i):
+            # neighbors via when-guarded element_at: ANSI mode throws on
+            # out-of-range indexes, and when() branches evaluate lazily;
+            # x == NULL is NULL, which `when` treats as false — correct here
+            x = F.element_at(s, i)
+            prev = F.when(i > 1, F.element_at(s, i - 1))
+            nxt = F.when(i < n, F.element_at(s, i + 1))
+            return (x == prev) | (x == nxt)
+
+        dup_count = F.aggregate(
+            idx, F.lit(0),
+            lambda acc, i: acc + F.when(is_dup(i), 1).otherwise(0),
+        )
+        dup_chars = F.aggregate(
+            idx, F.lit(0),
+            lambda acc, i: acc + F.when(is_dup(i), chars_of(F.element_at(s, i))).otherwise(0),
+        )
+        return n, dup_count, dup_chars
+
+    lines = F.filter(
+        F.transform(F.split(t, re.escape(line_sep)), F.trim),
+        lambda x: x != "",
+    )
+    ln, l_dup, l_dup_chars = _sorted_scan(lines, F.length)
+    total_line_chars = F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x))
+    dup_line_frac = F.when(ln == 0, F.lit(0.0)).otherwise(
+        l_dup.cast("double") / ln.cast("double")
+    )
+    dup_line_char_frac = F.when((ln == 0) | (total_line_chars == 0), F.lit(0.0)).otherwise(
+        l_dup_chars.cast("double") / total_line_chars.cast("double")
+    )
+
+    from lantern_extras_spark.functions.text import word_ngrams_of
+
+    toks = tokens(t)
+    n_chars = F.length(t)
+
+    # most-frequent top_ngram_n-gram: after array_sort equal grams are one
+    # contiguous run — a single indexed scan tracks (run, best, best_chars);
+    # ties keep the first (lexicographically smallest) gram
+    tg = F.array_sort(word_ngrams_of(toks, top_ngram_n))
+    tn = F.size(tg)
+    state0 = F.struct(
+        F.lit(0).alias("run"), F.lit(0).alias("best"), F.lit(0).alias("best_chars"),
+    )
+    idx_t = F.sequence(F.lit(1), tn)
+
+    def step(st, i):
+        x = F.element_at(tg, i)
+        prev = F.when(i > 1, F.element_at(tg, i - 1))  # NULL at i=1 (ANSI-safe)
+        run = F.when(x == prev, st["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            run.alias("run"),
+            F.greatest(st["best"], run).alias("best"),
+            F.when(run > st["best"], run * F.length(x)).otherwise(st["best_chars"]).alias("best_chars"),
+        )
+
+    top_chars = F.aggregate(
+        idx_t, state0, step,
+        lambda st: F.when(st["best"] >= 2, st["best_chars"]).otherwise(F.lit(0)),
+    )
+    top_frac = F.when((tn == 0) | (n_chars == 0), F.lit(0.0)).otherwise(
+        F.least(top_chars.cast("double") / n_chars.cast("double"), F.lit(1.0))
+    )
+
+    dg = word_ngrams_of(toks, dup_ngram_n)
+    dn, _d_cnt, d_chars = _sorted_scan(dg, F.length)
+    dup_ngram_frac = F.when((dn == 0) | (n_chars == 0), F.lit(0.0)).otherwise(
+        F.least(d_chars.cast("double") / n_chars.cast("double"), F.lit(1.0))
+    )
+
+    return (
+        df.withColumn("dup_line_frac", pround(dup_line_frac, 6))
+        .withColumn("dup_line_char_frac", pround(dup_line_char_frac, 6))
+        .withColumn("top_ngram_char_frac", pround(top_frac, 6))
+        .withColumn("dup_ngram_char_frac", pround(dup_ngram_frac, 6))
+    )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref: DataFrame | None = None,
+    alpha: float = 1.0,
+    out_col: str = "lm_logprob",
+) -> DataFrame:
+    """CCNet-style language-model quality score without the language model:
+    per-doc mean log-probability of its (lowercased, whitespace) tokens under
+    an add-alpha-smoothed unigram LM trained on `ref` (default: the corpus
+    itself). CCNet ranks web text by wiki-KenLM perplexity and keeps the
+    low-perplexity head; this is the deterministic, engine-portable unigram
+    analog — gibberish, keyword-stuffing, and rare-token soup score far below
+    prose, and `exp(-lm_logprob)` is the usual perplexity reading.
+
+    logp(w) = ln((count(w) + alpha) / (N + alpha·(V + 1))) — unseen tokens
+    (scoring against an external `ref`) get the +alpha mass. Adds `out_col`
+    (0.0 for token-less docs; join is id-preserving).
+
+    Scale shape: vocab = one token-keyed count aggregation (map-side partial
+    combine absorbs the Zipf head), totals ride along as a broadcast 1-row
+    cross join (no driver collect), scoring = explode → vocab join → per-doc
+    mean. The token join is Zipf-skewed by nature — AQE skew-join splitting
+    (on by default) is the intended mitigation at 100 TB; pass a trimmed
+    external `ref` (e.g. top-1M tokens of a reference corpus) to make the
+    vocab broadcast-able, which is how CCNet deploys it."""
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (zero breaks unseen-token mass)")
+    ref = df if ref is None else ref
+    ref_toks = ref.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok"))
+    vocab = ref_toks.groupBy("__tok").agg(F.count("*").alias("__c"))
+    tot = vocab.agg(
+        F.sum("__c").alias("__n"), F.count("*").alias("__v")
+    )
+    doc_toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok")
+    )
+    logp = F.log(
+        (F.coalesce(F.col("__c"), F.lit(0)).cast("double") + F.lit(float(alpha)))
+        / (F.col("__n").cast("double") + F.lit(float(alpha)) * (F.col("__v").cast("double") + 1.0))
+    )
+    per_doc = (
+        doc_toks.join(vocab, "__tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(F.avg(logp).alias(out_col))
+    )
+    return df.join(per_doc, id_col, "left").withColumn(
+        out_col, pround(F.coalesce(F.col(out_col), F.lit(0.0)), 6)
+    )
+
+
 def strip_boilerplate_lines(
     df: DataFrame,
     text_col: str = "text",
@@ -226,11 +400,9 @@ def strip_boilerplate_lines(
     # F.split takes a Java regex but concat_ws re-joins with the literal
     # separator — escape so a regex-special line_sep ('|', '.') round-trips
     # instead of splitting per character
-    import re as _re
-
     lines = df.select(
         F.col(id_col), *gcols,
-        F.posexplode(F.split(F.col(text_col), _re.escape(line_sep))).alias("__pos", "__line"),
+        F.posexplode(F.split(F.col(text_col), re.escape(line_sep))).alias("__pos", "__line"),
     ).withColumn("__norm", F.trim(F.col("__line")))
 
     group_sizes = df.groupBy(*gcols).agg(F.countDistinct(id_col).alias("__g_docs"))

@@ -171,3 +171,77 @@ def test_strip_boilerplate_regex_special_separator(spark):
            for r in strip_boilerplate_lines(df, min_docs=2, max_doc_frac=0.5,
                                             line_sep="|").collect()}
     assert out == {1: "real content one", 2: "real content two"}
+
+
+def test_redact_pii(spark):
+    from lantern_extras_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "contact john.doe+spam@example.co.uk or call +1 (555) 123-4567 now"),
+        (2, "server at 192.168.0.1 responded; also 555.867.5309 and x@y.io"),
+        (3, "no pii here, just the number 1234567890123 as an id"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["clean"]
+           for r in df.select("doc_id", redact_pii("text").alias("clean")).collect()}
+    assert out[1] == "contact <EMAIL> or call <PHONE> now"
+    assert out[2] == "server at <IP> responded; also <PHONE> and <EMAIL>"
+    assert out[3] == rows[2][1]  # bare digit runs are NOT phones
+    # kind selection + validation
+    only_email = df.select(redact_pii("text", kinds=("email",)).alias("c")).collect()
+    assert "192.168.0.1" in only_email[1]["c"]
+    with pytest.raises(ValueError, match="unknown PII kinds"):
+        df.select(redact_pii("text", kinds=("ssn",)))
+
+
+def test_repetition_stats(spark):
+    from lantern_extras_spark.operators.textstats import repetition_stats
+
+    rows = [
+        # 4 non-empty lines, "spam line" twice (2/4 dup; 18 of 38 line chars)
+        (1, "spam line\nunique alpha text\nspam line\nbeta gamma"),
+        (2, "one tidy line\nanother neat row"),
+        (3, ""),  # empty doc -> all zeros
+        # "buy now" 2-gram repeated 4x in 8 tokens
+        (4, "buy now buy now buy now buy now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["dup_line_frac"] == pytest.approx(0.5)
+    total_chars = len("spam line") * 2 + len("unique alpha text") + len("beta gamma")
+    assert out[1]["dup_line_char_frac"] == pytest.approx(18 / total_chars, abs=1e-6)
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["top_ngram_char_frac"] == 0.0  # no gram occurs twice
+    assert out[3]["dup_line_frac"] == 0.0 and out[3]["dup_ngram_char_frac"] == 0.0
+    # doc 4: top 2-gram "buy now" occurs 4x, 7 chars, text is 31 chars
+    assert out[4]["top_ngram_char_frac"] == pytest.approx(min(4 * 7 / 31, 1.0), abs=1e-6)
+    assert out[4]["dup_line_frac"] == 0.0  # single line
+    # the Gopher-style screen separates the looping docs from clean prose
+    assert out[4]["top_ngram_char_frac"] > 0.2 > out[2]["top_ngram_char_frac"]
+
+
+def test_unigram_logprob_score(spark):
+    import math
+
+    from lantern_extras_spark.operators.textstats import unigram_logprob_score
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the the the the"),          # most common token only -> highest score
+        (3, "zyxwvut qponmlk jihgfed"),  # hapax soup -> lowest score
+        (4, ""),                          # token-less -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["lm_logprob"] for r in unigram_logprob_score(df).collect()}
+    assert out[2] > out[1] > out[3]
+    assert out[4] == 0.0
+    # hand-check doc 2: N=13 tokens, V=8 distinct, count(the)=6;
+    # p(the) = (6+1)/(13 + 1*(8+1)) = 7/22
+    assert out[2] == pytest.approx(round(math.log(7 / 22), 6), abs=1e-6)
+    with pytest.raises(ValueError, match="alpha"):
+        unigram_logprob_score(df, alpha=0.0)
+    # scoring against an external reference: unseen tokens take the +alpha mass
+    ref = spark.createDataFrame([(10, "the cat")], "doc_id long, text string")
+    ext = {r["doc_id"]: r["lm_logprob"]
+           for r in unigram_logprob_score(df, ref=ref).collect()}
+    assert ext[3] == pytest.approx(round(math.log(1 / (2 + 3)), 6), abs=1e-6)
