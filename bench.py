@@ -120,6 +120,10 @@ def main() -> None:
         "clean_text",
         "strip_boilerplate",
         "pack_sequences",
+        "pack_sequences_text",
+        "redact_pii",
+        "repetition_stats",
+        "unigram_logprob",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

@@ -12,7 +12,10 @@ from lantern_extras_spark.functions.hashing import hash32, hash_unit  # noqa: F4
 from lantern_extras_spark.functions.text import (  # noqa: F401
     bpe_ish_token_count,
     char_ngrams,
+    clean_text,
+    normalize_for_matching,
     punct_ratio,
+    redact_pii,
     token_count,
     tokens,
     uniq_token_ratio,

@@ -17,7 +17,19 @@ from lantern_extras_spark.operators.hnsw import (  # noqa: F401
     hnsw_topk_batch,
     reindex_external_index,
 )
-from lantern_extras_spark.operators.textstats import language_id, quality_metrics  # noqa: F401
+from lantern_extras_spark.operators.textstats import (  # noqa: F401
+    language_id,
+    quality_metrics,
+    repetition_stats,
+    strip_boilerplate_lines,
+    unigram_logprob_score,
+)
+from lantern_extras_spark.operators.sampling import (  # noqa: F401
+    hash_split,
+    pack_sequences,
+    pack_sequences_concat,
+    stratified_take,
+)
 from lantern_extras_spark.operators.pq import build_codebook, quantize, adc_topk, decode  # noqa: F401
 from lantern_extras_spark.operators.autotune import autotune_pq, AutotuneResults, select_best  # noqa: F401
 from lantern_extras_spark.operators.ivf import build_ivf, ivf_topk, assign_cells  # noqa: F401
