@@ -258,8 +258,11 @@ def repetition_stats(
         )
         return n, dup_count, dup_chars
 
+    # NOT `F.transform(..., F.trim)`: trim's optional 2nd param makes
+    # transform pass the element INDEX as the trim-character set, silently
+    # leaving whitespace intact (caught by the adversarial parity gate)
     lines = F.filter(
-        F.transform(F.split(t, re.escape(line_sep)), F.trim),
+        F.transform(F.split(t, re.escape(line_sep)), lambda x: F.trim(x)),
         lambda x: x != "",
     )
     ln, l_dup, l_dup_chars = _sorted_scan(lines, F.length)

@@ -82,6 +82,15 @@ TEXT_AND_VECTOR_QUERIES = [
     "label_vector_stats",
     "pq_assign",
     "ivf_search",
+    # round-6 text-quality operators: regex/trim/array-sort/ln parity over
+    # the same empty/whitespace/unicode/repetition edge cases
+    "clean_text",
+    "redact_pii",
+    "repetition_stats",
+    "unigram_logprob",
+    "decontaminate",
+    "pack_sequences",
+    "pack_sequences_text",
 ]
 
 
