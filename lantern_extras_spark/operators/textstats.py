@@ -229,13 +229,35 @@ def repetition_stats(
     Scale shape: pure per-row Column expressions — each doc's lines/grams are
     array-sorted and scanned via index transforms (duplicates are adjacent
     after the sort), so the whole operator is one narrow projection with NO
-    shuffle and no Python workers; O(L log L) per doc. The DuckDB oracle
-    replays the semantics with unnest + GROUP BY (`q_repetition_stats`)."""
-    t = F.col(text_col)
+    shuffle and no Python workers; O(L log L) per doc. The sorted arrays are
+    projected into real (multi-use) columns BEFORE the indexed scans — Spark
+    re-evaluates a higher-order lambda's inner expression tree per element,
+    so an inlined array_sort would re-sort per element_at, turning the scan
+    O(L² log L) (measured 82 s → 0.7 s at sf0.1; the word_ngrams trap again).
+    The DuckDB oracle replays the semantics with unnest + GROUP BY
+    (`q_repetition_stats`)."""
+    from lantern_extras_spark.functions.text import word_ngrams_of
 
-    def _sorted_scan(arr: Column, chars_of) -> tuple[Column, Column, Column]:
-        """(n, dup_count, dup_chars) over a sorted array's adjacency runs."""
-        s = F.array_sort(arr)
+    t = F.col(text_col)
+    # NOT `F.transform(..., F.trim)`: trim's optional 2nd param makes
+    # transform pass the element INDEX as the trim-character set, silently
+    # leaving whitespace intact (caught by the adversarial parity gate)
+    lines = F.filter(
+        F.transform(F.split(t, re.escape(line_sep)), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    toks = tokens(t)
+    # stage sorted arrays as bound multi-use columns (survive CollapseProject)
+    staged = (
+        df.withColumn("__rep_toks", toks)
+        .withColumn("__rep_sl", F.array_sort(lines))
+        .withColumn("__rep_tg", F.array_sort(word_ngrams_of(F.col("__rep_toks"), top_ngram_n)))
+        .withColumn("__rep_dg", F.array_sort(word_ngrams_of(F.col("__rep_toks"), dup_ngram_n)))
+    )
+
+    def _sorted_scan(s: Column, chars_of) -> tuple[Column, Column, Column]:
+        """(n, dup_count, dup_chars) over a SORTED bound column's adjacency
+        runs. `s` must be a column reference, never an inline expression."""
         n = F.size(s)
         idx = F.sequence(F.lit(1), n)  # guarded by callers: only used when n > 0
 
@@ -258,15 +280,9 @@ def repetition_stats(
         )
         return n, dup_count, dup_chars
 
-    # NOT `F.transform(..., F.trim)`: trim's optional 2nd param makes
-    # transform pass the element INDEX as the trim-character set, silently
-    # leaving whitespace intact (caught by the adversarial parity gate)
-    lines = F.filter(
-        F.transform(F.split(t, re.escape(line_sep)), lambda x: F.trim(x)),
-        lambda x: x != "",
-    )
-    ln, l_dup, l_dup_chars = _sorted_scan(lines, F.length)
-    total_line_chars = F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x))
+    sl = F.col("__rep_sl")
+    ln, l_dup, l_dup_chars = _sorted_scan(sl, F.length)
+    total_line_chars = F.aggregate(sl, F.lit(0), lambda a, x: a + F.length(x))
     dup_line_frac = F.when(ln == 0, F.lit(0.0)).otherwise(
         l_dup.cast("double") / ln.cast("double")
     )
@@ -274,15 +290,12 @@ def repetition_stats(
         l_dup_chars.cast("double") / total_line_chars.cast("double")
     )
 
-    from lantern_extras_spark.functions.text import word_ngrams_of
-
-    toks = tokens(t)
     n_chars = F.length(t)
 
     # most-frequent top_ngram_n-gram: after array_sort equal grams are one
     # contiguous run — a single indexed scan tracks (run, best, best_chars);
     # ties keep the first (lexicographically smallest) gram
-    tg = F.array_sort(word_ngrams_of(toks, top_ngram_n))
+    tg = F.col("__rep_tg")
     tn = F.size(tg)
     state0 = F.struct(
         F.lit(0).alias("run"), F.lit(0).alias("best"), F.lit(0).alias("best_chars"),
@@ -307,17 +320,17 @@ def repetition_stats(
         F.least(top_chars.cast("double") / n_chars.cast("double"), F.lit(1.0))
     )
 
-    dg = word_ngrams_of(toks, dup_ngram_n)
-    dn, _d_cnt, d_chars = _sorted_scan(dg, F.length)
+    dn, _d_cnt, d_chars = _sorted_scan(F.col("__rep_dg"), F.length)
     dup_ngram_frac = F.when((dn == 0) | (n_chars == 0), F.lit(0.0)).otherwise(
         F.least(d_chars.cast("double") / n_chars.cast("double"), F.lit(1.0))
     )
 
     return (
-        df.withColumn("dup_line_frac", pround(dup_line_frac, 6))
+        staged.withColumn("dup_line_frac", pround(dup_line_frac, 6))
         .withColumn("dup_line_char_frac", pround(dup_line_char_frac, 6))
         .withColumn("top_ngram_char_frac", pround(top_frac, 6))
         .withColumn("dup_ngram_char_frac", pround(dup_ngram_frac, 6))
+        .drop("__rep_toks", "__rep_sl", "__rep_tg", "__rep_dg")
     )
 
 
