@@ -666,6 +666,52 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", pround("lm_logprob", 5).alias("lm_logprob"))
 
 
+def q_gopher_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher quality screen (operators/textstats.py:gopher_filter —
+    length / mean-token-length / symbol-ratio / stopword / repetition rules
+    with an audit trail): every 5th doc is wrapped with duplicated spam lines
+    so repetition rules fire on a known subset while the rest exercise the
+    token screens. Every signal is an exact integer quotient, so the DuckDB
+    oracle replays the full rule set bit-for-bit, reasons included."""
+    docs = _t(spark, sf, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat_ws("\n", F.lit("SPAM SPAM"), F.col("text"), F.lit("SPAM SPAM")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = TS.gopher_filter(wrapped)
+    return out.select(
+        "doc_id", "gopher_keep",
+        F.array_join("gopher_drop_reasons", ",").alias("reasons"),
+    )
+
+
+def q_url_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization for web-corpus dedup (functions/url.py): messy
+    variants (uppercase scheme/host, www., default port, fragment, trailing
+    slash) are synthesized deterministically per doc and reduced to the
+    canonical form + grouping domain — `groupBy(canonical)` is the cheapest
+    dedup a crawl corpus has. Oracle replays the identical regex chain."""
+    from lantern_extras_spark.functions.url import canonicalize_url, url_domain
+
+    docs = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:443/docs/"), F.col("source"), F.lit("/"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("#section")).otherwise(F.lit("")),
+    )
+    w = docs.select("doc_id", url.alias("url"))
+    return w.select(
+        "doc_id",
+        canonicalize_url("url").alias("canonical"),
+        url_domain("url").alias("domain"),
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms over the doc_id<50 slice (tf · ln(N/df),
     portable 6-dp rounding BEFORE ranking so cross-engine ln() ulps can't flip
@@ -1112,6 +1158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "repetition_stats": q_repetition_stats,
         "unigram_logprob": q_unigram_logprob,
+        "url_canonical": q_url_canonical,
+        "gopher_filter": q_gopher_filter,
         "pack_sequences": q_pack_sequences,
         "pack_sequences_text": q_pack_sequences_text,
     }
@@ -2017,8 +2065,10 @@ def _oracle_sql_raw() -> dict[str, str]:
         SELECT b.doc_id,
                round(round(coalesce(dup_cnt / CAST(n_lines AS DOUBLE), 0.0), 6), 5) AS dup_line_frac,
                round(round(coalesce(dup_line_chars / CAST(tot_line_chars AS DOUBLE), 0.0), 6), 5) AS dup_line_char_frac,
-               round(round(coalesce(least(top_chars / CAST(b.n_chars AS DOUBLE), 1.0), 0.0), 6), 5) AS top_ngram_char_frac,
-               round(round(coalesce(least(dup5_chars / CAST(b.n_chars AS DOUBLE), 1.0), 0.0), 6), 5) AS dup_ngram_char_frac
+               round(round(CASE WHEN b.n_chars = 0 THEN 0.0
+                           ELSE least(coalesce(top_chars, 0) / CAST(b.n_chars AS DOUBLE), 1.0) END, 6), 5) AS top_ngram_char_frac,
+               round(round(CASE WHEN b.n_chars = 0 THEN 0.0
+                           ELSE least(coalesce(dup5_chars, 0) / CAST(b.n_chars AS DOUBLE), 1.0) END, 6), 5) AS dup_ngram_char_frac
         FROM base b
         LEFT JOIN lstat USING (doc_id)
         LEFT JOIN top2 USING (doc_id)
@@ -2038,6 +2088,126 @@ def _oracle_sql_raw() -> dict[str, str]:
         SELECT d.doc_id, round(round(coalesce(per_doc.m, 0.0), 6), 5) AS lm_logprob
         FROM documents d LEFT JOIN per_doc USING (doc_id)
     """
+    # the full Gopher rule set over the same wrapped corpus: repetition CTEs
+    # (as in repetition_stats, rounded to 6 like the operator's columns) +
+    # token screens, reasons assembled in the operator's exact order
+    sql["gopher_filter"] = f"""
+        WITH w AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN concat('SPAM SPAM', chr(10), text, chr(10), 'SPAM SPAM')
+                        ELSE text END AS t2
+            FROM documents
+        ),
+        base AS (SELECT doc_id, t2, length(t2) AS n_chars, {_sql_words('t2')} AS wds FROM w),
+        ln AS (
+            SELECT doc_id, trim(u.x) AS line
+            FROM base, unnest(string_split(t2, chr(10))) AS u(x)
+            WHERE trim(u.x) != ''
+        ),
+        lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS l FROM ln GROUP BY doc_id, line),
+        lstat AS (
+            SELECT doc_id, sum(c) AS n_lines, sum(c * l) AS tot_line_chars,
+                   sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_cnt,
+                   sum(CASE WHEN c >= 2 THEN c * l ELSE 0 END) AS dup_line_chars
+            FROM lc GROUP BY doc_id
+        ),
+        g2 AS (SELECT doc_id, unnest({_sql_ngrams('wds', 2)}) AS g FROM base),
+        g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+        top2 AS (
+            SELECT doc_id, CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END AS top_chars
+            FROM g2c
+            QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1
+        ),
+        g5 AS (SELECT doc_id, unnest({_sql_ngrams('wds', 5)}) AS g FROM base),
+        g5c AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+        d5 AS (
+            SELECT doc_id, sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup5_chars
+            FROM g5c GROUP BY doc_id
+        ),
+        rep AS (
+            SELECT b.doc_id,
+                   round(coalesce(dup_cnt / CAST(n_lines AS DOUBLE), 0.0), 6) AS dlf,
+                   round(coalesce(dup_line_chars / CAST(tot_line_chars AS DOUBLE), 0.0), 6) AS dlcf,
+                   round(CASE WHEN b.n_chars = 0 THEN 0.0
+                              ELSE least(coalesce(top_chars, 0) / CAST(b.n_chars AS DOUBLE), 1.0) END, 6) AS tncf,
+                   round(CASE WHEN b.n_chars = 0 THEN 0.0
+                              ELSE least(coalesce(dup5_chars, 0) / CAST(b.n_chars AS DOUBLE), 1.0) END, 6) AS dncf
+            FROM base b
+            LEFT JOIN lstat USING (doc_id) LEFT JOIN top2 USING (doc_id)
+            LEFT JOIN d5 USING (doc_id)
+        ),
+        met AS (
+            SELECT doc_id,
+                   len(wds) AS n_tokens,
+                   CASE WHEN len(wds) = 0 THEN 0.0
+                        ELSE list_sum(list_transform(wds, x -> length(x))) / CAST(len(wds) AS DOUBLE) END AS mean_len,
+                   CASE WHEN length(t2) = 0 THEN 0.0
+                        ELSE len(regexp_extract_all(t2, '[^A-Za-z0-9\\s]')) / CAST(length(t2) AS DOUBLE) END AS pr,
+                   len(list_filter(wds, x -> list_contains(
+                       ['the','a','of','and','to','in','is','it','that','for'], lower(x)))) AS sw_hits
+            FROM base
+        ),
+        checks AS (
+            SELECT m.doc_id, list_filter([
+                CASE WHEN n_tokens < 50 THEN 'too_short' END,
+                CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+                CASE WHEN mean_len < 3.0 OR mean_len > 10.0 THEN 'mean_token_len' END,
+                CASE WHEN pr > 0.1 THEN 'symbol_ratio' END,
+                CASE WHEN sw_hits < 2 THEN 'too_few_stopwords' END,
+                CASE WHEN dlf > 0.30 THEN 'dup_line_frac' END,
+                CASE WHEN dlcf > 0.20 THEN 'dup_line_char_frac' END,
+                CASE WHEN tncf > 0.20 THEN 'top_ngram_char_frac' END,
+                CASE WHEN dncf > 0.15 THEN 'dup_ngram_char_frac' END
+            ], x -> x IS NOT NULL) AS reasons
+            FROM met m JOIN rep USING (doc_id)
+        )
+        SELECT doc_id, len(reasons) = 0 AS gopher_keep,
+               coalesce(array_to_string(reasons, ','), '') AS reasons
+        FROM checks
+    """
+    # identical URL regex chain (functions/url.py) — plain string so regex
+    # braces/backslashes survive verbatim
+    sql["url_canonical"] = (
+        r"""
+        WITH w AS (
+            SELECT doc_id,
+                   concat('HTTPS://WWW.Example', CAST(doc_id % 7 AS VARCHAR),
+                          '.COM:443/docs/', source, '/', CAST(doc_id % 20 AS VARCHAR),
+                          CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+                          CASE WHEN doc_id % 4 = 0 THEN '#section' ELSE '' END) AS url
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, regexp_replace(trim(url), '#.*', '') AS u FROM w
+        ),
+        p AS (
+            SELECT doc_id, u,
+                   lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                   lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS host,
+                   regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', '') AS tail
+            FROM s
+        ),
+        h AS (
+            SELECT doc_id, u, scheme, tail,
+                   regexp_replace(host, '^www\.', '') AS h1, host
+            FROM p
+        ),
+        h2 AS (
+            SELECT doc_id, u, scheme, tail, host,
+                   CASE WHEN scheme = 'http' THEN regexp_replace(h1, ':80$', '')
+                        WHEN scheme = 'https' THEN regexp_replace(h1, ':443$', '')
+                        ELSE h1 END AS hc
+            FROM h
+        )
+        SELECT doc_id,
+               regexp_replace(CASE WHEN scheme = '' THEN u
+                                   ELSE concat(scheme, '://', hc, tail) END,
+                              '/+$', '') AS canonical,
+               regexp_replace(regexp_replace(host, '^www\.', ''), ':[0-9]+$', '') AS domain
+        FROM h2
+        """
+    )
     # same assignment CTEs as pack_sequences, then the ordered concatenation —
     # string_agg(... ORDER BY pos) pins doc order inside every sequence
     sql["pack_sequences_text"] = f"""

@@ -124,6 +124,8 @@ def main() -> None:
         "redact_pii",
         "repetition_stats",
         "unigram_logprob",
+        "url_canonical",
+        "gopher_filter",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

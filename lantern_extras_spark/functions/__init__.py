@@ -9,6 +9,11 @@ from lantern_extras_spark.functions.vector import (  # noqa: F401
     vector_checksum,
 )
 from lantern_extras_spark.functions.hashing import hash32, hash_unit  # noqa: F401
+from lantern_extras_spark.functions.url import (  # noqa: F401
+    canonicalize_url,
+    url_domain,
+    url_host,
+)
 from lantern_extras_spark.functions.text import (  # noqa: F401
     bpe_ish_token_count,
     char_ngrams,

@@ -5,6 +5,7 @@ from lantern_extras_spark.operators.dedup import (  # noqa: F401
     embedding_neardup_pairs,
     exact_dedup,
     lsh_candidate_pairs,
+    lsh_tune,
     minhash_signatures,
     minhash_dedup,
     ngram_jaccard_pairs,
@@ -18,6 +19,7 @@ from lantern_extras_spark.operators.hnsw import (  # noqa: F401
     reindex_external_index,
 )
 from lantern_extras_spark.operators.textstats import (  # noqa: F401
+    gopher_filter,
     language_id,
     quality_metrics,
     repetition_stats,

@@ -244,6 +244,46 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0.0, F.lit(0.0)).otherwise(inter / union)
 
 
+def lsh_tune(threshold: float, n_hashes: int = 128) -> dict:
+    """Pick the LSH banding (bands b × rows r = n_hashes) whose S-curve puts
+    its sweet spot at `threshold` — the standard Leskovec-Rajaraman-Ullman
+    criterion: candidate probability at similarity s is 1-(1-s^r)^b, and the
+    curve's steepest point sits near (1/b)^(1/r). Chooses the divisor pair
+    minimizing |(1/b)^(1/r) - threshold|.
+
+    Returns {bands, rows_per_band, s_curve_midpoint, p_at_threshold,
+    p_below (at 0.75·threshold), p_above (at 1.25·threshold)} — feed `bands`
+    straight into `minhash_dedup`/`lsh_candidate_pairs`. p_below/p_above
+    quantify the false-candidate and miss rates the banding implies, so the
+    choice is auditable instead of folklore (b=8, r=4 etc.)."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    if n_hashes < 2:
+        raise ValueError("n_hashes must be >= 2")
+
+    def p_cand(s: float, b: int, r: int) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    best = None
+    for b in range(1, n_hashes + 1):
+        if n_hashes % b:
+            continue
+        r = n_hashes // b
+        mid = (1.0 / b) ** (1.0 / r)
+        key = abs(mid - threshold)
+        if best is None or key < best[0]:
+            best = (key, b, r, mid)
+    _, b, r, mid = best
+    return {
+        "bands": b,
+        "rows_per_band": r,
+        "s_curve_midpoint": round(mid, 4),
+        "p_at_threshold": round(p_cand(threshold, b, r), 4),
+        "p_below": round(p_cand(0.75 * threshold, b, r), 4),
+        "p_above": round(p_cand(min(1.25 * threshold, 1.0), b, r), 4),
+    }
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",

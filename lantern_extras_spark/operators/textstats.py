@@ -334,6 +334,79 @@ def repetition_stats(
     )
 
 
+GOPHER_DEFAULTS = {
+    "min_tokens": 50,
+    "max_tokens": 100_000,
+    "min_mean_token_len": 3.0,
+    "max_mean_token_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "min_stopword_hits": 2,
+    "max_dup_line_frac": 0.30,
+    "max_dup_line_char_frac": 0.20,
+    "max_top_ngram_char_frac": 0.20,
+    "max_dup_ngram_char_frac": 0.15,
+}
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: tuple[str, ...] | None = None,
+    **thresholds,
+) -> DataFrame:
+    """The Gopher quality screen as one composable operator (Rae et al. 2021
+    §A1.1, the rule set most open-data pipelines start from): length bounds,
+    mean-token-length window, symbol ratio, minimum stopword hits, and the
+    four `repetition_stats` caps. Adds the repetition columns plus
+    `gopher_drop_reasons` (array of rule names that fired, deterministic
+    order) and `gopher_keep` — keep the audit trail, filter with
+    `.where("gopher_keep")`.
+
+    Every signal is an exact integer quotient (count/count, sum/count), so
+    threshold comparisons are bit-identical across engines — the DuckDB
+    oracle replays the full rule set (`q_gopher_filter`). Thresholds are
+    overridable per call (`gopher_filter(df, min_tokens=100)`); unknown
+    names raise. Scale shape: `repetition_stats`' narrow projection plus a
+    handful of token aggregates — still zero shuffles, zero Python workers."""
+    bad = set(thresholds) - set(GOPHER_DEFAULTS)
+    if bad:
+        raise ValueError(f"unknown thresholds {sorted(bad)}; valid: {sorted(GOPHER_DEFAULTS)}")
+    th = {**GOPHER_DEFAULTS, **thresholds}
+    sw = [s.lower() for s in (stopwords or STOPWORD_PROFILES["en"])]
+
+    rep = repetition_stats(df, text_col, id_col)
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    mean_len = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)) / n_tok.cast("double")
+    )
+    pr = punct_ratio(t)
+    sw_lit = F.array(*[F.lit(s) for s in sw])
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(sw_lit, F.lower(x))))
+
+    checks = [
+        ("too_short", n_tok < th["min_tokens"]),
+        ("too_long", n_tok > th["max_tokens"]),
+        ("mean_token_len", (mean_len < th["min_mean_token_len"])
+                           | (mean_len > th["max_mean_token_len"])),
+        ("symbol_ratio", pr > th["max_symbol_ratio"]),
+        ("too_few_stopwords", hits < th["min_stopword_hits"]),
+        ("dup_line_frac", F.col("dup_line_frac") > th["max_dup_line_frac"]),
+        ("dup_line_char_frac", F.col("dup_line_char_frac") > th["max_dup_line_char_frac"]),
+        ("top_ngram_char_frac", F.col("top_ngram_char_frac") > th["max_top_ngram_char_frac"]),
+        ("dup_ngram_char_frac", F.col("dup_ngram_char_frac") > th["max_dup_ngram_char_frac"]),
+    ]
+    reasons = F.array_compact(
+        F.array(*[F.when(cond, F.lit(name)) for name, cond in checks])
+    )
+    return (
+        rep.withColumn("gopher_drop_reasons", reasons)
+        .withColumn("gopher_keep", F.size(F.col("gopher_drop_reasons")) == 0)
+    )
+
+
 def unigram_logprob_score(
     df: DataFrame,
     text_col: str = "text",

@@ -91,6 +91,8 @@ TEXT_AND_VECTOR_QUERIES = [
     "decontaminate",
     "pack_sequences",
     "pack_sequences_text",
+    "url_canonical",
+    "gopher_filter",
 ]
 
 

@@ -338,3 +338,27 @@ def test_dedup_clusters_warns_when_max_iter_exhausted(spark):
         out = D.dedup_clusters(pairs, max_iter=30)
         assert not any("under-merged" in str(x.message) for x in w)
     assert set(r["cluster_id"] for r in out.collect()) == {0}
+
+
+def test_lsh_tune_matches_s_curve_theory():
+    """The chosen banding's S-curve midpoint lands nearest the requested
+    threshold among all divisor pairs, and the classic textbook case holds:
+    128 hashes at threshold~0.85 -> finer rows than at 0.4."""
+    hi = D.lsh_tune(0.85, 128)
+    lo = D.lsh_tune(0.4, 128)
+    assert hi["bands"] * hi["rows_per_band"] == 128
+    assert lo["bands"] * lo["rows_per_band"] == 128
+    assert hi["rows_per_band"] > lo["rows_per_band"]  # tighter curve for high sim
+    assert lo["bands"] > hi["bands"]
+    # S-curve shape: probability ramps steeply through the threshold
+    for t in (hi, lo):
+        assert t["p_above"] > t["p_at_threshold"] > t["p_below"]
+    # exhaustive check: no divisor pair sits closer to the threshold
+    for b in range(1, 129):
+        if 128 % b == 0:
+            mid = (1.0 / b) ** (b / 128.0)
+            assert abs(hi["s_curve_midpoint"] - 0.85) <= abs(mid - 0.85) + 1e-9
+    with pytest.raises(ValueError, match="threshold"):
+        D.lsh_tune(1.0)
+    with pytest.raises(ValueError, match="n_hashes"):
+        D.lsh_tune(0.5, n_hashes=1)

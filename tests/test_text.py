@@ -245,3 +245,34 @@ def test_unigram_logprob_score(spark):
     ext = {r["doc_id"]: r["lm_logprob"]
            for r in unigram_logprob_score(df, ref=ref).collect()}
     assert ext[3] == pytest.approx(round(math.log(1 / (2 + 3)), 6), abs=1e-6)
+
+
+def test_gopher_filter(spark):
+    from lantern_extras_spark.operators.textstats import gopher_filter
+
+    prose = ("the cat sat on a mat and it was that kind of day for a walk in "
+             "the park where a dog ran to the tree and the birds sang songs "
+             "over the quiet pond while a child played near the old bench "
+             "in the warm sun of an autumn afternoon with leaves falling")
+    rows = [
+        (1, prose),                                   # clean -> keep
+        (2, "short doc"),                             # too_short (+ stopwords)
+        (3, "buy now " * 80),                         # repetition screens fire
+        (4, prose + ("\nSPAM LINE" * 1) + "\nSPAM LINE"),  # dup lines
+        (5, "@@@@ #### $$$$ %%%% " * 20),             # symbols + no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_filter(df).collect()}
+    assert out[1]["gopher_keep"] and out[1]["gopher_drop_reasons"] == []
+    assert not out[2]["gopher_keep"] and "too_short" in out[2]["gopher_drop_reasons"]
+    r3 = out[3]["gopher_drop_reasons"]
+    assert "top_ngram_char_frac" in r3 and "dup_ngram_char_frac" in r3
+    assert "dup_line_frac" in out[4]["gopher_drop_reasons"]
+    r5 = out[5]["gopher_drop_reasons"]
+    assert "symbol_ratio" in r5 and "too_few_stopwords" in r5
+    # threshold override + validation
+    strict = {r["doc_id"]: r["gopher_keep"]
+              for r in gopher_filter(df, min_tokens=1000).collect()}
+    assert not strict[1]
+    with pytest.raises(ValueError, match="unknown thresholds"):
+        gopher_filter(df, max_lines=3)
