@@ -4,12 +4,15 @@ The stages a 100 TB pre-training corpus actually goes through, each one an
 operator of this engine (all deterministic, all tested against the DuckDB
 oracle via __spark_entry__):
 
-  1. scrape cleanup            clean_text (tags, entities, whitespace)
+  0. URL-level dedup           canonicalize_url (cheapest dedup a crawl has)
+  1. scrape cleanup            clean_text (tags, entities, whitespace),
+                               redact_pii (emails/IPs/phones -> placeholders)
   2. boilerplate removal       strip_boilerplate_lines (per-source lines)
-  3. quality + language        quality_metrics, language_id
+  3. quality + language        quality_metrics, language_id, gopher_filter
   4. exact + near dedup        exact_dedup / minhash_dedup -> dedup_clusters
+                               (banding picked by lsh_tune)
   5. benchmark decontamination decontaminate (drop eval-set leakage)
-  6. split + sequence packing  hash_split, pack_sequences
+  6. split + sequence packing  hash_split, pack_sequences(_concat)
 
 Run: python examples/training_data_pipeline.py
 """
@@ -22,12 +25,15 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from lantern_extras_spark import get_spark
-from lantern_extras_spark.functions.text import clean_text
+from lantern_extras_spark.functions.text import clean_text, redact_pii
+from lantern_extras_spark.functions.url import canonicalize_url
 from lantern_extras_spark.operators import dedup as D
 from lantern_extras_spark.operators import sampling as SMP
 from lantern_extras_spark.operators.textstats import (
+    gopher_filter,
     language_id,
     quality_metrics,
     strip_boilerplate_lines,
@@ -37,15 +43,24 @@ BOILER_HDR = "SUBSCRIBE TO OUR NEWSLETTER"
 BOILER_FTR = "(c) 2026 Example Corp"
 
 RAW_DOCS = [
-    # (id, source, raw html-ish text) — doc 3 duplicates doc 1; doc 4 embeds
-    # the eval item; every doc carries the same source boilerplate lines
+    # (id, source, raw html-ish text) — doc 3 duplicates doc 1 (and its URL is
+    # a trivial variant of doc 6's below); doc 4 embeds the eval item; every
+    # doc carries the same source boilerplate lines
     (1, "siteA", f"{BOILER_HDR}\n<p>The <b>quick</b> brown fox jumps over the lazy dog</p>\n{BOILER_FTR}"),
     (2, "siteA", f"{BOILER_HDR}\n<p>Spark shuffles data between stages &amp; caches hot sets</p>\n{BOILER_FTR}"),
     (3, "siteA", f"{BOILER_HDR}\n<p>The quick  brown fox jumps over the lazy dog</p>\n{BOILER_FTR}"),
     (4, "siteA", f"{BOILER_HDR}\n<p>intro words what is the capital of france answer paris more filler text</p>\n{BOILER_FTR}"),
     (5, "siteA", f"{BOILER_HDR}\n<p>Product quantization compresses vectors into byte codes</p>\n{BOILER_FTR}"),
     (6, "siteA", f"{BOILER_HDR}\n<p>A completely distinct document about window functions</p>\n{BOILER_FTR}"),
+    # doc 7: a re-crawl of doc 1's page under a trivially-different URL —
+    # caught by URL-level dedup before any text processing runs
+    (7, "siteA", f"{BOILER_HDR}\n<p>The <b>quick</b> brown fox jumps over the lazy dog</p>\n{BOILER_FTR}"),
 ]
+
+# crawl metadata: doc 7's URL is a variant (case/www/trailing-slash/fragment)
+# of doc 1's
+URLS = [(i, f"https://WWW.siteA.example/page{i}#frag") for i, *_ in RAW_DOCS[:-1]]
+URLS.append((7, "https://sitea.example/page1/"))
 
 EVAL_SET = [(100, "what is the capital of france answer paris")]
 
@@ -57,13 +72,26 @@ def main() -> dict:
 
     docs = spark.createDataFrame(RAW_DOCS, "doc_id long, source string, text string")
 
-    # 1-2. cleanup: strip shared boilerplate lines, then tags/entities/ws
+    # 0. URL-level dedup: canonical key collapses trivial crawl variants;
+    #    keep the smallest doc_id per canonical URL (doc 7 re-crawls doc 1)
+    u = spark.createDataFrame(URLS, "doc_id long, url string")
+    docs = docs.join(u, "doc_id").withColumn("canonical_url", canonicalize_url("url"))
+    w_min = F.min("doc_id").over(Window.partitionBy("canonical_url"))
+    docs = docs.withColumn("__keep", F.col("doc_id") == w_min).where("__keep").drop("__keep", "url")
+    out["after_url_dedup"] = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+
+    # 1-2. cleanup: strip shared boilerplate lines, then tags/entities/ws,
+    #      then PII scrubbing (emails/IPs/phones -> typed placeholders)
     docs = strip_boilerplate_lines(docs, min_docs=2, max_doc_frac=0.5)
-    docs = docs.withColumn("text", clean_text("text_clean")).drop("text_clean")
+    docs = docs.withColumn("text", redact_pii(clean_text("text_clean"))).drop("text_clean")
     out["cleaned_sample"] = docs.where("doc_id = 1").first()["text"]
 
-    # 3. quality + language annotations (kept as columns for downstream filters)
+    # 3. quality + language annotations (kept as columns for downstream
+    #    filters) + the Gopher screen as an auditable keep flag (thresholds
+    #    relaxed for this tiny demo corpus — real corpora use the defaults)
     docs = language_id(quality_metrics(docs))
+    docs = gopher_filter(docs, min_tokens=3, min_stopword_hits=0).where("gopher_keep")
+    out["gopher_kept"] = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
 
     # 4. dedup: near-dup pairs -> connected components -> keep cluster minimum
     pairs = D.minhash_dedup(docs, n_hashes=32, bands=8, threshold=0.8)

@@ -11,6 +11,10 @@ def test_training_data_pipeline(spark):
     from training_data_pipeline import main
 
     out = main()
+    # doc 7 (re-crawl of doc 1's page under a variant URL) dies at stage 0
+    assert out["after_url_dedup"] == [1, 2, 3, 4, 5, 6]
+    # the relaxed Gopher screen keeps the whole demo corpus (audit trail)
+    assert out["gopher_kept"] == [1, 2, 3, 4, 5, 6]
     # boilerplate lines stripped AND markup cleaned
     assert out["cleaned_sample"] == "The quick brown fox jumps over the lazy dog"
     # doc 3 (near-dup of 1) removed; everything else survives dedup
