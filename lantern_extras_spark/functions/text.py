@@ -148,9 +148,13 @@ def redact_pii(c: Column | str, kinds: tuple[str, ...] = ("email", "ip", "phone"
 
 
 def punct_ratio(c: Column | str) -> Column:
-    """Fraction of non-alphanumeric, non-space characters."""
+    """Fraction of non-alphanumeric, non-space characters.
+
+    Counted as length(s) - length(s with the class removed): every match is a
+    single character, so the count is identical to regexp_extract_all (which
+    the DuckDB oracle still uses) without materializing a match array."""
     s = _c(c)
-    n_punct = F.size(F.regexp_extract_all(s, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    n_punct = F.length(s) - F.length(F.regexp_replace(s, r"[^A-Za-z0-9\s]", ""))
     return F.when(F.length(s) == 0, F.lit(0.0)).otherwise(n_punct / F.length(s).cast("double"))
 
 

@@ -375,9 +375,13 @@ def gopher_filter(
     th = {**GOPHER_DEFAULTS, **thresholds}
     sw = [s.lower() for s in (stopwords or STOPWORD_PROFILES["en"])]
 
-    rep = repetition_stats(df, text_col, id_col)
+    # stage tokens once (multi-use alias survives CollapseProject) — three
+    # signals read them, and an inlined tokens() would re-split per signal
+    rep = repetition_stats(df, text_col, id_col).withColumn(
+        "__gq_toks", tokens(F.col(text_col))
+    )
     t = F.col(text_col)
-    toks = tokens(t)
+    toks = F.col("__gq_toks")
     n_tok = F.size(toks)
     mean_len = F.when(n_tok == 0, F.lit(0.0)).otherwise(
         F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)) / n_tok.cast("double")
@@ -404,6 +408,7 @@ def gopher_filter(
     return (
         rep.withColumn("gopher_drop_reasons", reasons)
         .withColumn("gopher_keep", F.size(F.col("gopher_drop_reasons")) == 0)
+        .drop("__gq_toks")
     )
 
 
