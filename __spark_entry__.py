@@ -402,12 +402,17 @@ def q_doc_search(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
+    # stage tokens once per row (total_tokens + uniq both read them); BPE and
+    # punct counts are one-scan regexp_replace lengths (functions/text.py)
+    staged = docs.select(
+        "source", "text", T.tokens(F.col("text")).alias("__toks")
+    )
     return (
-        docs.groupBy("source")
+        staged.groupBy("source")
         .agg(
-            F.sum(T.token_count("text")).cast("bigint").alias("total_tokens"),
+            F.sum(F.size("__toks")).cast("bigint").alias("total_tokens"),
             F.sum(T.bpe_ish_token_count("text")).cast("bigint").alias("total_bpe_tokens"),
-            pround(F.avg(T.uniq_token_ratio("text")), 5).alias("avg_uniq_ratio"),
+            pround(F.avg(T.uniq_token_ratio_of(F.col("__toks"))), 5).alias("avg_uniq_ratio"),
             pround(F.avg(T.punct_ratio("text")), 6).alias("avg_punct_ratio"),
         )
     )

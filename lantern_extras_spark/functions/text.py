@@ -31,12 +31,55 @@ def tokens(c: Column | str) -> Column:
 
 
 def token_count(c: Column | str) -> Column:
-    return F.size(tokens(c))
+    """Whitespace-token count WITHOUT materializing the token array.
+
+    Each non-whitespace run collapses to its first character (every later char
+    of a run matches `(?<=\\S)\\S`, every whitespace char matches `\\s`; both
+    are deleted), so `length()` of the result IS the run count — one regex
+    scan building one short string, vs split()'s per-token substring
+    allocations. Value-identical to `size(tokens(c))` for all inputs
+    (blank → 0, NULL → NULL). The lookbehind is Java-regex-only (Spark side);
+    the DuckDB oracles count `len(regexp_split_to_array(...))` instead — same
+    values. If the token ARRAY is already staged in a column, prefer
+    `F.size(that_col)` (free) over this."""
+    return F.length(F.regexp_replace(_c(c), r"(?<=\S)\S|\s", ""))
+
+
+def token_count_of(toks: Column) -> Column:
+    """Token count over an already-staged `tokens()` column."""
+    return F.size(toks)
 
 
 def bpe_ish_token_count(c: Column | str) -> Column:
-    """Count of BPE-ish pre-tokens (letters runs, digit runs, single symbols)."""
-    return F.size(F.regexp_extract_all(_c(c), F.lit(BPE_ISH), 0))
+    """Count of BPE-ish pre-tokens (letter runs, digit runs, single symbols)
+    WITHOUT materializing the match array.
+
+    Letters after a letter and digits after a digit are deleted (each run
+    keeps only its first char), whitespace is deleted, symbols survive
+    one-char each — so `length()` of the result equals
+    `size(regexp_extract_all(c, BPE_ISH))` exactly, at one regex scan and one
+    string allocation per row instead of one UTF8String per pre-token.
+    Lookbehind is Java-only; oracles keep the `regexp_extract_all` form
+    (RE2-safe), values identical."""
+    return F.length(
+        F.regexp_replace(_c(c), r"(?<=[A-Za-z])[A-Za-z]|(?<=[0-9])[0-9]|\s", "")
+    )
+
+
+def nonws_char_count(c: Column | str) -> Column:
+    """Count of non-whitespace characters — equal to the summed length of the
+    whitespace tokens, so `nonws_char_count(c) / token_count` IS the mean
+    token length without folding over the token array."""
+    s = _c(c)
+    return F.length(s) - F.length(F.regexp_replace(s, r"\S", ""))
+
+
+def uniq_token_ratio_of(toks: Column) -> Column:
+    """`uniq_token_ratio` over an already-staged `tokens()` column — skips the
+    re-split when the token array is in scope."""
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(toks)) / F.size(toks).cast("double")
+    )
 
 
 def word_ngrams(c: Column | str, n: int = 3) -> Column:
@@ -154,7 +197,9 @@ def punct_ratio(c: Column | str) -> Column:
     single character, so the count is identical to regexp_extract_all (which
     the DuckDB oracle still uses) without materializing a match array."""
     s = _c(c)
-    n_punct = F.length(s) - F.length(F.regexp_replace(s, r"[^A-Za-z0-9\s]", ""))
+    # delete the ALNUM+WS side so the allocated result is only the (rare)
+    # punctuation chars — same count, much smaller intermediate string
+    n_punct = F.length(F.regexp_replace(s, r"[A-Za-z0-9\s]", ""))
     return F.when(F.length(s) == 0, F.lit(0.0)).otherwise(n_punct / F.length(s).cast("double"))
 
 

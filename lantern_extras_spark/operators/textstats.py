@@ -19,10 +19,12 @@ from lantern_extras_spark.functions.hashing import hash32
 from lantern_extras_spark.functions.text import (
     bpe_ish_token_count,
     char_ngrams,
+    nonws_char_count,
     punct_ratio,
     token_count,
     tokens,
     uniq_token_ratio,
+    uniq_token_ratio_of,
 )
 
 # Tiny per-language stopword profiles — a deterministic n-gram/stopword heuristic
@@ -76,25 +78,32 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens, n_bpe_tokens, n_chars, mean_token_len, punct_ratio, uniq_ratio,
     and a composite quality_score in [0,1] (heuristic, deterministic)."""
     t = F.col(text_col)
-    toks = tokens(t)
-    n_tok = token_count(t)
+    # stage tokens once (multi-use alias survives CollapseProject) — n_tokens
+    # and uniq_ratio both read them; inlining tokens() would re-split per use
+    staged = df.withColumn("__qm_toks", tokens(t))
+    toks = F.col("__qm_toks")
+    n_tok = F.size(toks)
+    # mean token length = (summed token lengths) / n_tok, and the summed token
+    # lengths of a whitespace split ARE the non-ws char count — one regex scan
+    # instead of a per-element fold over the token array
     mean_len = F.when(n_tok == 0, F.lit(0.0)).otherwise(
-        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)) / n_tok.cast("double")
+        nonws_char_count(t) / n_tok.cast("double")
     )
-    uniq = uniq_token_ratio(t)
+    uniq = uniq_token_ratio_of(toks)
     pr = punct_ratio(t)
     length_ok = F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
     score = pround(
         (0.4 * uniq + 0.3 * length_ok + 0.3 * (1.0 - F.least(pr * 5.0, F.lit(1.0)))), 6
     )
     return (
-        df.withColumn("n_tokens", n_tok)
+        staged.withColumn("n_tokens", n_tok)
         .withColumn("n_bpe_tokens", bpe_ish_token_count(t))
         .withColumn("n_chars_m", F.length(t))
         .withColumn("mean_token_len", pround(mean_len, 6))
         .withColumn("punct_ratio", pround(pr, 6))
         .withColumn("uniq_ratio", pround(uniq, 6))
         .withColumn("quality_score", score)
+        .drop("__qm_toks")
     )
 
 
@@ -383,8 +392,10 @@ def gopher_filter(
     t = F.col(text_col)
     toks = F.col("__gq_toks")
     n_tok = F.size(toks)
+    # summed token lengths of a ws-split == non-ws char count: one regex scan,
+    # no per-element fold
     mean_len = F.when(n_tok == 0, F.lit(0.0)).otherwise(
-        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)) / n_tok.cast("double")
+        nonws_char_count(t) / n_tok.cast("double")
     )
     pr = punct_ratio(t)
     sw_lit = F.array(*[F.lit(s) for s in sw])
