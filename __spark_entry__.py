@@ -586,6 +586,34 @@ def q_pack_sequences_text(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+DP_HEADER = "LICENSED UNDER CC BY 4.0 - SEE TERMS AT EXAMPLE ORG"
+DP_FOOTER = "FOLLOW US ON SOCIAL MEDIA FOR UPDATES AND NEWS"
+
+
+def q_dedup_paragraphs(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-global line/paragraph dedup (operators/dedup.py:dedup_paragraphs
+    — CCNet/RefinedWeb stage): a license header + footer injected into every
+    doc survives only in its first corpus occurrence; exact-dup doc bodies
+    collapse the same way. Hash-checks the rebuilt text AND the per-doc drop
+    count, so canonical-occurrence choice (min (doc_id, pos)) is pinned."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    base = docs.select(
+        "doc_id",
+        F.concat_ws("\n", F.lit(DP_HEADER), F.col("text"), F.lit(DP_FOOTER)).alias("text"),
+    )
+    out = D.dedup_paragraphs(base, para_sep="\n", min_chars=20)
+    return out.select("doc_id", "text_dedup", "n_paras_dropped")
+
+
+def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-design vocabulary report (operators/textstats.py:
+    vocab_coverage): top-50 lowercased whitespace tokens with rank, count,
+    corpus frequency, and cumulative coverage — deterministic tie-break
+    (count desc, token asc) so ranks are engine-portable."""
+    docs = _t(spark, sf, "documents")
+    return TS.vocab_coverage(docs, top_k=50)
+
+
 def q_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic 90/5/5 train/eval/test split (hash32-bucketed — same doc,
     same split, every run/engine/cluster; no RNG), summarized as counts per
@@ -1167,6 +1195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "pack_sequences": q_pack_sequences,
         "pack_sequences_text": q_pack_sequences_text,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "vocab_coverage": q_vocab_coverage,
     }
 
 
@@ -2242,6 +2272,56 @@ def _oracle_sql_raw() -> dict[str, str]:
                string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY ord ASC, doc_id ASC) AS doc_ids,
                string_agg(text, ' ' ORDER BY ord ASC, doc_id ASC) AS text
         FROM a GROUP BY bucket, bin
+    """
+    # corpus-global line dedup: row_number over (norm) picks the canonical
+    # (doc_id, pos); units shorter than 20 chars after trim never dedup
+    sql["dedup_paragraphs"] = f"""
+        WITH w AS (
+            SELECT doc_id,
+                   concat('{DP_HEADER}', chr(10), text, chr(10), '{DP_FOOTER}') AS t2
+            FROM documents WHERE doc_id < 100
+        ),
+        ls AS (SELECT doc_id, string_split(t2, chr(10)) AS l FROM w),
+        ln AS (
+            SELECT doc_id,
+                   unnest(l) AS u,
+                   unnest(range(1, len(l) + 1)) AS pos
+            FROM ls
+        ),
+        n AS (
+            SELECT doc_id, pos, u, trim(u) AS norm,
+                   length(trim(u)) >= 20 AS elig
+            FROM ln
+        ),
+        rk AS (
+            SELECT doc_id, pos, u, elig,
+                   row_number() OVER (PARTITION BY norm ORDER BY doc_id ASC, pos ASC) AS rn
+            FROM n
+        ),
+        kept AS (SELECT doc_id, pos, u, (NOT elig) OR rn = 1 AS keep FROM rk),
+        agg AS (
+            SELECT doc_id,
+                   string_agg(u, chr(10) ORDER BY pos) FILTER (WHERE keep) AS td,
+                   sum(CASE WHEN keep THEN 0 ELSE 1 END) AS nd
+            FROM kept GROUP BY doc_id
+        )
+        SELECT w.doc_id, coalesce(agg.td, '') AS text_dedup,
+               CAST(coalesce(agg.nd, 0) AS INTEGER) AS n_paras_dropped
+        FROM w LEFT JOIN agg USING (doc_id)
+    """
+    sql["vocab_coverage"] = f"""
+        WITH tok AS (SELECT lower(unnest({_sql_words()})) AS token FROM documents),
+        c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+        tot AS (SELECT sum(n) AS total FROM c),
+        top AS (SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 50)
+        SELECT row_number() OVER (ORDER BY n DESC, token ASC) AS rank,
+               token,
+               CAST(n AS BIGINT) AS n,
+               round(n / CAST(total AS DOUBLE), 8) AS freq,
+               round(sum(n) OVER (ORDER BY n DESC, token ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / CAST(total AS DOUBLE), 8) AS coverage
+        FROM top, tot
     """
     sql["hnsw_recall"] = """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

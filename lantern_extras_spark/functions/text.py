@@ -37,12 +37,21 @@ def token_count(c: Column | str) -> Column:
     of a run matches `(?<=\\S)\\S`, every whitespace char matches `\\s`; both
     are deleted), so `length()` of the result IS the run count — one regex
     scan building one short string, vs split()'s per-token substring
-    allocations. Value-identical to `size(tokens(c))` for all inputs
-    (blank → 0, NULL → NULL). The lookbehind is Java-regex-only (Spark side);
-    the DuckDB oracles count `len(regexp_split_to_array(...))` instead — same
-    values. If the token ARRAY is already staged in a column, prefer
-    `F.size(that_col)` (free) over this."""
-    return F.length(F.regexp_replace(_c(c), r"(?<=\S)\S|\s", ""))
+    allocations. Value-identical to `size(tokens(c))` for ALL inputs,
+    including the phantom empty tokens split() emits when the space-trimmed
+    string still starts/ends with non-space whitespace ("\\tx" -> ["", "x"]):
+    those are re-added as edge flags. Blank -> 0, NULL -> NULL. The
+    lookbehind is Java-regex-only (Spark side); the DuckDB oracles count
+    `len(regexp_split_to_array(...))` instead — same values. If the token
+    ARRAY is already staged in a column, prefer `F.size(that_col)` (free)
+    over this."""
+    t = F.trim(_c(c))
+    runs = F.length(F.regexp_replace(t, r"(?<=\S)\S|\s", ""))
+    edges = (
+        F.when(t.rlike(r"^\s"), F.lit(1)).otherwise(F.lit(0))
+        + F.when(t.rlike(r"\s$"), F.lit(1)).otherwise(F.lit(0))
+    )
+    return F.when(t == "", F.lit(0)).otherwise(runs + edges)
 
 
 def token_count_of(toks: Column) -> Column:

@@ -2,6 +2,7 @@ from lantern_extras_spark.operators.knn import knn_join, topk, ground_truth, rec
 from lantern_extras_spark.operators.dedup import (  # noqa: F401
     decontaminate,
     dedup_clusters,
+    dedup_paragraphs,
     embedding_neardup_pairs,
     exact_dedup,
     lsh_candidate_pairs,
@@ -25,6 +26,7 @@ from lantern_extras_spark.operators.textstats import (  # noqa: F401
     repetition_stats,
     strip_boilerplate_lines,
     unigram_logprob_score,
+    vocab_coverage,
 )
 from lantern_extras_spark.operators.sampling import (  # noqa: F401
     hash_split,

@@ -26,6 +26,7 @@ shingle) — a documented recall trade-off, the standard practice at web scale.
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -994,3 +995,83 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", "cosine")
         .distinct()
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    para_sep: str = "\n",
+    min_chars: int = 20,
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Corpus-global paragraph/line-level exact dedup (the CCNet/RefinedWeb
+    pipeline stage AFTER per-site boilerplate removal): every repeated unit —
+    a paragraph when `para_sep='\\n\\n'`, a line when `'\\n'` — keeps only its
+    FIRST occurrence in corpus order (smallest `(id, pos)`); later occurrences
+    are removed everywhere, across sources. Complements
+    `textstats.strip_boilerplate_lines`, which removes only lines frequent
+    *within a group*: this catches the license block pasted on two sites, the
+    syndicated wire paragraph, the copied Stack Overflow answer.
+
+    Units shorter than `min_chars` after trim (and blank units) never dedup —
+    dropping every later "Yes." would mangle ordinary prose. Adds `out_col`
+    (units re-joined by `para_sep` in original order) and `n_paras_dropped`;
+    all other columns pass through.
+
+    Scale shape: posexplode → one shuffle partitioned on the trimmed unit text
+    (window `min(struct(id,pos))` picks the canonical occurrence — grouping on
+    the string itself, not a hash, so no collision caveat) → one `(id, pos)`
+    reassembly groupBy. Two corpus-sized shuffles, no self-join, no driver
+    loop; unit strings hash-distribute evenly at any executor count (the
+    all-identical worst case is bounded: a unit's group is as big as its
+    duplication count, and the window computes one min — no quadratic work).
+    Reference analog: lanterndata processes text via SQL pushed to Postgres
+    (lantern_cli/src/embeddings/mod.rs:88); this stage is pure Spark surface.
+    """
+    if min_chars < 1:
+        raise ValueError("min_chars must be >= 1")
+    units = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), re.escape(para_sep))).alias("__pos", "__u"),
+    ).withColumn("__norm", F.trim(F.col("__u")))
+    eligible = (F.length("__norm") >= min_chars)
+    # Skew guard: ineligible units (blank / < min_chars) share few norm values
+    # (think "" at web scale) but never read the window result — salt their
+    # partition key so they spread across executors instead of forming one
+    # giant window partition. Eligible units keep salt 0, so their min() is
+    # exact. Within-norm eligibility is uniform (it depends only on the norm),
+    # so a salted partition never mixes eligible and ineligible rows.
+    units = units.withColumn(
+        "__salt",
+        F.when(eligible, F.lit(0)).otherwise(
+            F.pmod(F.xxhash64(F.col(id_col), F.col("__pos")), F.lit(4096)).cast("int")
+        ),
+    )
+    w = Window.partitionBy("__norm", "__salt")
+    first = F.min(F.struct(F.col(id_col), F.col("__pos"))).over(w)
+    kept = units.withColumn(
+        "__keep",
+        (~eligible)
+        | ((F.col(id_col) == first[id_col]) & (F.col("__pos") == first["__pos"])),
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                para_sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("__keep"), F.struct("__pos", "__u"))
+                        )
+                    ),
+                    lambda s: s["__u"],
+                ),
+            ).alias(out_col),
+            F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).cast("int").alias("n_paras_dropped"),
+        )
+    )
+    return df.join(rebuilt, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(""))
+    ).withColumn("n_paras_dropped", F.coalesce(F.col("n_paras_dropped"), F.lit(0)))

@@ -12,6 +12,7 @@ import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from lantern_extras_spark.functions.portable import pround
 
@@ -542,4 +543,43 @@ def strip_boilerplate_lines(
     )
     return df.join(rebuilt, id_col, "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.lit(""))
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 1000,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenizer-design vocabulary report: the `top_k` most frequent
+    whitespace tokens with rank, count, corpus frequency, and CUMULATIVE token
+    coverage — read off "what vocab size covers 95% of the corpus" directly.
+    Ties break lexicographically (deterministic across engines). Returns
+    `(rank, token, n, freq, coverage)` with rank 1 = most frequent.
+
+    Scale shape: token counts partial-aggregate map-side (the shuffle carries
+    one row per distinct token per partition, never per occurrence); the
+    global sort + running sum happen AFTER `limit(top_k)`, so the
+    single-partition window only ever sees `top_k` rows regardless of corpus
+    size; the corpus-total token count rides in as a broadcast scalar
+    (cross-join of a 1-row aggregate). No driver-side collect.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    t = F.col(text_col)
+    tok = F.explode(tokens(F.lower(t) if lowercase else t)).alias("token")
+    counts = df.select(tok).groupBy("token").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(top_k)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("freq", pround(F.col("n") / F.col("__total"), 8))
+        .withColumn(
+            "coverage",
+            pround(F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)) / F.col("__total"), 8),
+        )
+        .select("rank", "token", F.col("n").cast("bigint").alias("n"), "freq", "coverage")
     )

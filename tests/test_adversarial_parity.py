@@ -93,6 +93,8 @@ TEXT_AND_VECTOR_QUERIES = [
     "pack_sequences_text",
     "url_canonical",
     "gopher_filter",
+    "dedup_paragraphs",
+    "vocab_coverage",
 ]
 
 

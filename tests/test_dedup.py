@@ -362,3 +362,37 @@ def test_lsh_tune_matches_s_curve_theory():
         D.lsh_tune(1.0)
     with pytest.raises(ValueError, match="n_hashes"):
         D.lsh_tune(0.5, n_hashes=1)
+
+
+def test_dedup_paragraphs_keeps_first_occurrence(spark):
+    shared = "this shared paragraph is long enough to dedup"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared}\nunique first body text here\nok"),
+            (2, f"second doc opening line words\n{shared}"),
+            (3, f"{shared}\n\nshort\n{shared}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.dedup_paragraphs(docs, min_chars=20).collect()}
+    # doc 1 has the first (doc_id, pos) occurrence -> keeps it
+    assert out[1]["text_dedup"] == f"{shared}\nunique first body text here\nok"
+    assert out[1]["n_paras_dropped"] == 0
+    # later occurrences drop everywhere, including twice within one doc
+    assert out[2]["text_dedup"] == "second doc opening line words"
+    assert out[2]["n_paras_dropped"] == 1
+    # blanks and short lines (< min_chars) always survive
+    assert out[3]["text_dedup"] == "\nshort"
+    assert out[3]["n_paras_dropped"] == 2
+
+
+def test_dedup_paragraphs_passthrough_and_validation(spark):
+    docs = spark.createDataFrame(
+        [(1, "lonely but sufficiently long paragraph", "s0")],
+        "doc_id long, text string, source string",
+    )
+    out = D.dedup_paragraphs(docs).collect()
+    assert out[0]["source"] == "s0"          # extra columns pass through
+    assert out[0]["text_dedup"] == out[0]["text"]
+    with pytest.raises(ValueError, match="min_chars"):
+        D.dedup_paragraphs(docs, min_chars=0)

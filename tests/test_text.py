@@ -276,3 +276,49 @@ def test_gopher_filter(spark):
     assert not strict[1]
     with pytest.raises(ValueError, match="unknown thresholds"):
         gopher_filter(df, max_lines=3)
+
+
+def test_count_kernels_match_array_forms(spark):
+    """The run-collapsing regexp_replace counters must equal the original
+    array-materializing forms on every edge case (the optimization is
+    count-only, never semantic)."""
+    texts = [
+        "", "   ", "a", "ab12cd", "12ab34", "héllo wörld", "a-b_c.d",
+        "x " * 200, "tabs\tand\nnewlines mixed", "ALL CAPS 999 !!!",
+        "mixed 123 numbers-and-punct!!! ???", "ünï©ödé — emoji 🙂 test",
+        # phantom-empty-token edges: split() on the space-trimmed string emits
+        # "" when it still starts/ends with non-space whitespace
+        "\tleading tab", "trailing tab\t", "\t", " \t ", "\n\nx\n", "  x  ",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
+    chk = df.select(
+        "id",
+        T.token_count("t").alias("tc_fast"),
+        F.size(T.tokens("t")).alias("tc_ref"),
+        T.bpe_ish_token_count("t").alias("bpe_fast"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(T.BPE_ISH), 0)).alias("bpe_ref"),
+        T.nonws_char_count("t").alias("nonws"),
+        F.aggregate(T.tokens("t"), F.lit(0), lambda a, x: a + F.length(x)).alias("sumlen"),
+    ).collect()
+    for r in chk:
+        assert r["tc_fast"] == r["tc_ref"], r
+        assert r["bpe_fast"] == r["bpe_ref"], r
+        assert r["nonws"] == r["sumlen"], r
+
+
+def test_vocab_coverage(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a B b c"), (2, "a b"), (3, ""), (4, "   ")],
+        "id long, text string",
+    )
+    # lowercased counts: a=4, b=3, c=1; total=8
+    out = TS.vocab_coverage(df, top_k=2).collect()
+    assert [(r["rank"], r["token"], r["n"]) for r in out] == [(1, "a", 4), (2, "b", 3)]
+    assert out[0]["freq"] == pytest.approx(0.5)
+    assert out[0]["coverage"] == pytest.approx(0.5)
+    assert out[1]["coverage"] == pytest.approx(7 / 8)
+    # case-sensitive mode separates B from b; ties break lexicographically
+    cs = TS.vocab_coverage(df, top_k=4, lowercase=False).collect()
+    assert [r["token"] for r in cs] == ["a", "b", "B", "c"]
+    with pytest.raises(ValueError, match="top_k"):
+        TS.vocab_coverage(df, top_k=0)
