@@ -586,6 +586,38 @@ def q_pack_sequences_text(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+MIX_TARGET = {"src0": 0.3, "src1": 0.2, "src2": 0.1, "src3": 0.4}
+
+
+def q_quota_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token-budget quota (operators/sampling.py:quota_sample):
+    seeded-hash order, keep while the exclusive token prefix is under budget.
+    The id_sum column pins WHICH docs were kept, not just how many."""
+    docs = _t(spark, sf, "documents")
+    kept = SMP.quota_sample(docs, group_cols=("source",), token_budget=600)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        F.max("cum_tokens").cast("bigint").alias("max_cum"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
+def q_resample_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture resampling (operators/sampling.py:resample_mixture):
+    per-source weights = target_token_share / actual_share; each doc emitted
+    floor(w) + deterministic-Bernoulli(frac(w)) times. weighted_id_sum pins
+    the exact per-doc copy counts; sources outside the target vanish."""
+    docs = _t(spark, sf, "documents")
+    out = SMP.resample_mixture(docs, target=MIX_TARGET)
+    return out.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.max("copy").alias("max_copy"),
+        F.sum(F.col("doc_id") * F.col("copy")).cast("bigint").alias("weighted_id_sum"),
+    )
+
+
 DP_HEADER = "LICENSED UNDER CC BY 4.0 - SEE TERMS AT EXAMPLE ORG"
 DP_FOOTER = "FOLLOW US ON SOCIAL MEDIA FOR UPDATES AND NEWS"
 
@@ -1197,6 +1229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_text": q_pack_sequences_text,
         "dedup_paragraphs": q_dedup_paragraphs,
         "vocab_coverage": q_vocab_coverage,
+        "quota_sample": q_quota_sample,
+        "resample_mixture": q_resample_mixture,
     }
 
 
@@ -2322,6 +2356,70 @@ def _oracle_sql_raw() -> dict[str, str]:
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      / CAST(total AS DOUBLE), 8) AS coverage
         FROM top, tot
+    """
+    # per-source token quota: same hash-order window as the Spark plan; a row
+    # is kept while the tokens BEFORE it are under budget
+    sql["quota_sample"] = f"""
+        WITH b AS (
+            SELECT source, doc_id,
+                   CAST(len({_sql_words()}) AS BIGINT) AS n_tokens,
+                   {_sql_hash32("concat('quota:', CAST(doc_id AS VARCHAR))")} AS ord
+            FROM documents
+        ),
+        p AS (
+            SELECT source, doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY ord ASC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS prefix
+            FROM b
+        )
+        SELECT source,
+               count(*) AS n_kept,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+               CAST(max(prefix + n_tokens) AS BIGINT) AS max_cum,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM p WHERE prefix < 600 GROUP BY source
+    """
+    # mixture resampling: weight = round(target_share * total / group_tokens, 8)
+    # (rounded BEFORE floor/frac, matching sampling.py's pround-ed weight);
+    # copies = floor(w) + (u < frac(w)) with u = hash32/2^32
+    mix_case = "CASE source " + " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in MIX_TARGET.items()
+    ) + " ELSE 0.0 END"
+    sql["resample_mixture"] = f"""
+        WITH c AS (
+            SELECT source, CAST(sum(len({_sql_words()})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        t AS (SELECT sum(n_tokens) AS total FROM c),
+        wt AS (
+            SELECT source,
+                   round(CASE WHEN n_tokens = 0 THEN 0.0
+                         ELSE ({mix_case}) * total / CAST(n_tokens AS DOUBLE) END, 8) AS w
+            FROM c, t
+        ),
+        d AS (
+            SELECT doc_id, documents.source, w,
+                   {_sql_hash32("concat('mix:', CAST(doc_id AS VARCHAR))")} / 4294967296.0 AS u
+            FROM documents JOIN wt ON documents.source = wt.source
+        ),
+        n AS (
+            SELECT doc_id, source,
+                   CAST(floor(w) AS INTEGER)
+                   + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS n_copies
+            FROM d
+        ),
+        e AS (
+            SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS copy
+            FROM n WHERE n_copies >= 1
+        )
+        SELECT source,
+               count(*) AS n_rows,
+               count(DISTINCT doc_id) AS n_docs,
+               CAST(max(copy) AS INTEGER) AS max_copy,
+               CAST(sum(doc_id * copy) AS BIGINT) AS weighted_id_sum
+        FROM e GROUP BY source
     """
     sql["hnsw_recall"] = """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

@@ -126,6 +126,10 @@ def main() -> None:
         "unigram_logprob",
         "url_canonical",
         "gopher_filter",
+        "dedup_paragraphs",
+        "vocab_coverage",
+        "quota_sample",
+        "resample_mixture",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

@@ -30,8 +30,11 @@ from lantern_extras_spark.operators.textstats import (  # noqa: F401
 )
 from lantern_extras_spark.operators.sampling import (  # noqa: F401
     hash_split,
+    mixture_weights,
     pack_sequences,
     pack_sequences_concat,
+    quota_sample,
+    resample_mixture,
     stratified_take,
 )
 from lantern_extras_spark.operators.pq import build_codebook, quantize, adc_topk, decode  # noqa: F401

@@ -171,3 +171,140 @@ def pack_sequences_concat(
             F.concat_ws(sep, F.transform("__docs", lambda d: d["__t"])).alias(text_col),
         )
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("source",),
+    token_budget: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "quota",
+) -> DataFrame:
+    """Per-group token-budget cap — "at most ~N tokens from each domain", the
+    standard per-source quota of corpus construction. Docs inside each group
+    are ordered by the seeded hash (a reproducible shuffle, so the kept subset
+    is unbiased w.r.t. any corpus ordering); a doc is kept while the tokens
+    BEFORE it are under the budget, so the doc that crosses the line is the
+    last one kept (≥1 doc per non-empty group, overshoot < one doc — the
+    convention that never emits an empty group).
+
+    Returns kept rows with `n_tokens`, `cum_tokens` (inclusive), and
+    `quota_rank` appended. Scale shape: one projection (hash + token count),
+    one window cumsum per group — same shape as `pack_sequences`, no driver
+    state; group cardinality sets the skew ceiling.
+    """
+    from lantern_extras_spark.functions.text import token_count
+
+    if token_budget < 1:
+        raise ValueError("token_budget must be >= 1")
+    h = hash32(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    base = df.withColumn("n_tokens", token_count(F.col(text_col)).cast("long")).withColumn(
+        "__ord", h
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__ord").asc(), F.col(id_col).asc())
+    prefix = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return (
+        base.withColumn("__prefix", prefix)
+        .withColumn("quota_rank", F.row_number().over(w))
+        .where(F.col("__prefix") < token_budget)
+        .withColumn("cum_tokens", F.col("__prefix") + F.col("n_tokens"))
+        .drop("__ord", "__prefix")
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    target: dict[str, float],
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-mixture diagnosis: per-group token counts, actual corpus share,
+    target share, and the resampling weight (`target_share / actual_share`)
+    that moves the mixture to `target` (the Pile/DoReMi-style static
+    reweighting primitive). Groups absent from `target` get weight 0.0 —
+    `resample_mixture` drops them.
+
+    Returns one row per group: (group_col, n_docs, n_tokens, actual_share,
+    target_share, weight). Group-count-sized output; one aggregation shuffle.
+    """
+    if not target:
+        raise ValueError("target must be a non-empty {group: share} dict")
+    if any(v < 0 for v in target.values()):
+        raise ValueError("target shares must be >= 0")
+    from lantern_extras_spark.functions.text import token_count
+    from lantern_extras_spark.functions.portable import pround
+
+    counts = (
+        df.groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(token_count(F.col(text_col))).cast("bigint").alias("n_tokens"),
+        )
+    )
+    total = counts.agg(F.sum("n_tokens").alias("__total"))
+    tmap = F.create_map(*[F.lit(x) for kv in target.items() for x in kv])
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("actual_share", pround(F.col("n_tokens") / F.col("__total"), 8))
+        .withColumn("target_share", F.coalesce(tmap[F.col(group_col)], F.lit(0.0)))
+        .withColumn(
+            "weight",
+            pround(
+                F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                    F.col("target_share") * F.col("__total") / F.col("n_tokens")
+                ),
+                8,
+            ),
+        )
+        .select(group_col, "n_docs", "n_tokens", "actual_share", "target_share", "weight")
+    )
+
+
+def resample_mixture(
+    df: DataFrame,
+    target: dict[str, float],
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Materialize the reweighted corpus: each row is emitted
+    `floor(weight) + Bernoulli(frac(weight))` times, with the Bernoulli drawn
+    deterministically from the seeded hash (same doc → same decision, every
+    run/engine). weight > 1 oversamples (duplicate rows distinguished by
+    `copy` = 1..n), weight < 1 undersamples, weight 0 (group not in `target`)
+    drops the group. In expectation the output token mixture equals `target`
+    and total size is preserved when the shares sum to 1.
+
+    Scale shape: the group-count-sized weight table broadcasts onto the scan;
+    copies come from `explode` over a 1..n_copies array — rows with
+    n_copies = 0 explode an empty array and vanish (NB: Spark's
+    `sequence(1, 0)` DESCENDS to [1, 0], so the zero case is guarded
+    explicitly), nothing is shuffled for the resample itself.
+    """
+    wtab = mixture_weights(df, target, group_col, text_col).select(
+        group_col, "weight"
+    )
+    # hash32 is uniform on [0, 2^32): frac-part Bernoulli via threshold
+    u = hash32(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))) / F.lit(
+        float(2**32)
+    )
+    n_copies = (
+        F.floor(F.col("weight")).cast("int")
+        + F.when(u < (F.col("weight") - F.floor(F.col("weight"))), 1).otherwise(0)
+    )
+    return (
+        df.join(F.broadcast(wtab), group_col)
+        .withColumn("__n", n_copies)
+        .withColumn(
+            "copy",
+            F.explode(
+                F.when(F.col("__n") >= 1, F.sequence(F.lit(1), F.col("__n")))
+                .otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .drop("__n", "weight")
+    )

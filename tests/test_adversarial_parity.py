@@ -95,6 +95,8 @@ TEXT_AND_VECTOR_QUERIES = [
     "gopher_filter",
     "dedup_paragraphs",
     "vocab_coverage",
+    "quota_sample",
+    "resample_mixture",
 ]
 
 

@@ -101,3 +101,59 @@ def test_pack_sequences_concat_materializes_sequences(spark):
     # every doc appears in exactly one sequence
     all_ids = [i for p in packed for i in p["doc_ids"]]
     assert sorted(all_ids) == list(range(60))
+
+
+def test_quota_sample_budget_semantics(spark):
+    df = spark.createDataFrame(
+        [(i, "w " * 10, "s0") for i in range(20)] + [(100, "single doc", "s1")],
+        "doc_id long, text string, source string",
+    )
+    # each s0 doc has 10 tokens; budget 35 -> kept while prefix < 35: 4 docs
+    # (prefixes 0,10,20,30), the 4th crosses the line and is the last kept
+    kept = SMP.quota_sample(df, token_budget=35).collect()
+    s0 = [r for r in kept if r["source"] == "s0"]
+    assert len(s0) == 4
+    assert max(r["cum_tokens"] for r in s0) == 40          # overshoot < one doc
+    assert sorted(r["quota_rank"] for r in s0) == [1, 2, 3, 4]
+    # a non-empty group always keeps >= 1 doc, even when one doc > budget
+    s1 = [r for r in kept if r["source"] == "s1"]
+    assert len(s1) == 1
+    # deterministic: same seed, same kept set
+    again = {r["doc_id"] for r in SMP.quota_sample(df, token_budget=35).collect()}
+    assert {r["doc_id"] for r in kept} == again
+    with pytest.raises(ValueError, match="token_budget"):
+        SMP.quota_sample(df, token_budget=0)
+
+
+def test_mixture_weights_and_resample(spark):
+    # s0: 4 docs x 5 tokens = 20; s1: 2 docs x 10 tokens = 20; total 40
+    df = spark.createDataFrame(
+        [(i, "a b c d e", "s0") for i in range(4)]
+        + [(10 + i, "a b c d e f g h i j", "s1") for i in range(2)]
+        + [(20, "dropped entirely", "s2")],
+        "doc_id long, text string, source string",
+    )
+    w = {r["source"]: r for r in SMP.mixture_weights(df, {"s0": 0.75, "s1": 0.25}).collect()}
+    assert w["s0"]["n_tokens"] == 20 and w["s1"]["n_tokens"] == 20
+    total = 20 + 20 + 2  # s2 has 2 tokens
+    assert w["s0"]["weight"] == pytest.approx(0.75 * total / 20, abs=1e-6)
+    assert w["s2"]["target_share"] == 0.0 and w["s2"]["weight"] == 0.0
+    out = SMP.resample_mixture(df, {"s0": 0.75, "s1": 0.25})
+    rows = out.collect()
+    # s2 (weight 0) vanishes; every emitted row carries a 1-based copy index
+    assert {r["source"] for r in rows} == {"s0", "s1"}
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["copy"])
+    for doc, copies in per_doc.items():
+        assert sorted(copies) == list(range(1, len(copies) + 1))
+    # integer part of the weight is a guaranteed floor on copies per doc
+    import math
+    w0 = w["s0"]["weight"]
+    for doc in (0, 1, 2, 3):
+        assert len(per_doc.get(doc, [])) >= math.floor(w0)
+    # deterministic across runs
+    again = sorted((r["doc_id"], r["copy"]) for r in SMP.resample_mixture(df, {"s0": 0.75, "s1": 0.25}).collect())
+    assert sorted((r["doc_id"], r["copy"]) for r in rows) == again
+    with pytest.raises(ValueError, match="non-empty"):
+        SMP.mixture_weights(df, {})

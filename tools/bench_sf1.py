@@ -252,6 +252,18 @@ def main() -> None:
                 "skips shingle re-materialization (estimator std "
                 "sqrt(J(1-J)/32))"
             ),
+            "error_burst": (
+                "deliberately the broadcast-nested-loop range-join STRATEGY "
+                "demo (O(points x intervals) by construction, both sides grow "
+                "with sf); error_burst_binned is the same query+oracle through "
+                "the binned equi-join scale path - compare their exponents"
+            ),
+            "ngram_containment": (
+                "inverted-index posting-list join without the length-band "
+                "prune (containment targets short-in-long pairs, so the prune "
+                "would be wrong) - posting-list cost grows with corpus, "
+                "exponent ~0.5 expected"
+            ),
         },
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
