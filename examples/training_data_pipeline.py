@@ -5,14 +5,18 @@ operator of this engine (all deterministic, all tested against the DuckDB
 oracle via __spark_entry__):
 
   0. URL-level dedup           canonicalize_url (cheapest dedup a crawl has)
-  1. scrape cleanup            clean_text (tags, entities, whitespace),
+  1. boilerplate removal       strip_boilerplate_lines (per-source lines)
+  2. paragraph-level dedup     dedup_paragraphs (corpus-GLOBAL: the license
+                               paragraph pasted on two different sites)
+  3. scrape cleanup            clean_text (tags, entities, whitespace),
                                redact_pii (emails/IPs/phones -> placeholders)
-  2. boilerplate removal       strip_boilerplate_lines (per-source lines)
-  3. quality + language        quality_metrics, language_id, gopher_filter
-  4. exact + near dedup        exact_dedup / minhash_dedup -> dedup_clusters
+  4. quality + language        quality_metrics, language_id, gopher_filter
+  5. exact + near dedup        exact_dedup / minhash_dedup -> dedup_clusters
                                (banding picked by lsh_tune)
-  5. benchmark decontamination decontaminate (drop eval-set leakage)
-  6. split + sequence packing  hash_split, pack_sequences(_concat)
+  6. benchmark decontamination decontaminate (drop eval-set leakage)
+  7. mixture + quota reports   mixture_weights / resample_mixture,
+                               quota_sample, vocab_coverage
+  8. split + sequence packing  hash_split, pack_sequences(_concat)
 
 Run: python examples/training_data_pipeline.py
 """
@@ -37,17 +41,21 @@ from lantern_extras_spark.operators.textstats import (
     language_id,
     quality_metrics,
     strip_boilerplate_lines,
+    vocab_coverage,
 )
 
 BOILER_HDR = "SUBSCRIBE TO OUR NEWSLETTER"
 BOILER_FTR = "(c) 2026 Example Corp"
+# pasted on two DIFFERENT sites — per-source boilerplate removal cannot see
+# it, corpus-global paragraph dedup keeps only the first occurrence
+LICENSE_PAR = "Licensed under the Creative Commons Attribution 4.0 International License"
 
 RAW_DOCS = [
     # (id, source, raw html-ish text) — doc 3 duplicates doc 1 (and its URL is
     # a trivial variant of doc 6's below); doc 4 embeds the eval item; every
     # doc carries the same source boilerplate lines
     (1, "siteA", f"{BOILER_HDR}\n<p>The <b>quick</b> brown fox jumps over the lazy dog</p>\n{BOILER_FTR}"),
-    (2, "siteA", f"{BOILER_HDR}\n<p>Spark shuffles data between stages &amp; caches hot sets</p>\n{BOILER_FTR}"),
+    (2, "siteA", f"{BOILER_HDR}\n<p>Spark shuffles data between stages &amp; caches hot sets</p>\n{LICENSE_PAR}\n{BOILER_FTR}"),
     (3, "siteA", f"{BOILER_HDR}\n<p>The quick  brown fox jumps over the lazy dog</p>\n{BOILER_FTR}"),
     (4, "siteA", f"{BOILER_HDR}\n<p>intro words what is the capital of france answer paris more filler text</p>\n{BOILER_FTR}"),
     (5, "siteA", f"{BOILER_HDR}\n<p>Product quantization compresses vectors into byte codes</p>\n{BOILER_FTR}"),
@@ -55,11 +63,15 @@ RAW_DOCS = [
     # doc 7: a re-crawl of doc 1's page under a trivially-different URL —
     # caught by URL-level dedup before any text processing runs
     (7, "siteA", f"{BOILER_HDR}\n<p>The <b>quick</b> brown fox jumps over the lazy dog</p>\n{BOILER_FTR}"),
+    # siteB: doc 8 pastes the same license paragraph doc 2 carries — a
+    # cross-site repeat per-source boilerplate removal can never catch
+    (8, "siteB", f"<p>Columnar formats amortize IO across row groups</p>\n{LICENSE_PAR}"),
+    (9, "siteB", "<p>Broadcast joins avoid shuffling the large fact side</p>"),
 ]
 
 # crawl metadata: doc 7's URL is a variant (case/www/trailing-slash/fragment)
 # of doc 1's
-URLS = [(i, f"https://WWW.siteA.example/page{i}#frag") for i, *_ in RAW_DOCS[:-1]]
+URLS = [(i, f"https://WWW.{src}.example/page{i}#frag") for i, src, _ in RAW_DOCS if i != 7]
 URLS.append((7, "https://sitea.example/page1/"))
 
 EVAL_SET = [(100, "what is the capital of france answer paris")]
@@ -80,10 +92,23 @@ def main() -> dict:
     docs = docs.withColumn("__keep", F.col("doc_id") == w_min).where("__keep").drop("__keep", "url")
     out["after_url_dedup"] = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
 
-    # 1-2. cleanup: strip shared boilerplate lines, then tags/entities/ws,
-    #      then PII scrubbing (emails/IPs/phones -> typed placeholders)
+    # 1. per-source boilerplate lines (header/footer every siteA page shares)
     docs = strip_boilerplate_lines(docs, min_docs=2, max_doc_frac=0.5)
-    docs = docs.withColumn("text", redact_pii(clean_text("text_clean"))).drop("text_clean")
+
+    # 2. corpus-GLOBAL paragraph dedup — the license paragraph doc 8 pasted
+    #    from doc 2's site survives only in its first corpus occurrence.
+    #    Runs BEFORE clean_text (which collapses the newlines it keys on).
+    docs = D.dedup_paragraphs(docs, text_col="text_clean", min_chars=30)
+    out["license_kept_in"] = sorted(
+        r["doc_id"]
+        for r in docs.where(F.col("text_dedup").contains(LICENSE_PAR)).collect()
+    )
+
+    # 3. cleanup: tags/entities/whitespace, then PII scrubbing
+    #    (emails/IPs/phones -> typed placeholders)
+    docs = docs.withColumn("text", redact_pii(clean_text("text_dedup"))).drop(
+        "text_clean", "text_dedup", "n_paras_dropped"
+    )
     out["cleaned_sample"] = docs.where("doc_id = 1").first()["text"]
 
     # 3. quality + language annotations (kept as columns for downstream
@@ -107,7 +132,26 @@ def main() -> dict:
     docs = D.decontaminate(docs, bench, threshold=0.5, mode="drop")
     out["after_decontaminate"] = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
 
-    # 6. deterministic split + sequence packing for the train shard
+    # 7. corpus-shaping reports: the source mixture (and what resampling to a
+    #    50/50 token split would emit), a per-source token quota, and the
+    #    vocabulary coverage curve
+    target = {"siteA": 0.5, "siteB": 0.5}
+    out["mixture"] = {
+        r["source"]: (r["n_tokens"], r["actual_share"], r["weight"])
+        for r in SMP.mixture_weights(docs, target).collect()
+    }
+    resampled = SMP.resample_mixture(docs, target)
+    out["resampled_rows"] = {
+        s: n for s, n in resampled.groupBy("source").count().collect()
+    }
+    out["quota_kept"] = sorted(
+        r["doc_id"] for r in SMP.quota_sample(docs, token_budget=25).collect()
+    )
+    out["vocab_top3"] = [
+        (r["token"], r["n"]) for r in vocab_coverage(docs, top_k=3).collect()
+    ]
+
+    # 8. deterministic split + sequence packing for the train shard
     docs = SMP.hash_split(docs)
     train = docs.where(F.col("split") == "train")
     packed = SMP.pack_sequences(train, max_tokens=16, n_buckets=1)
@@ -115,7 +159,7 @@ def main() -> dict:
         (r["doc_id"], r["bucket"], r["bin"], r["pos"]) for r in packed.collect()
     ]
 
-    # 7. materialize the packed sequences as data — one ready-to-tokenize
+    # 9. materialize the packed sequences as data — one ready-to-tokenize
     #    training row per (bucket, bin), texts concatenated in pack order
     seqs = SMP.pack_sequences_concat(train, max_tokens=16, n_buckets=1)
     out["sequences"] = [

@@ -28,6 +28,19 @@ def hash32(c: Column | str, seed: int | str | None = None) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
+def hash60(c: Column | str, seed: int | str | None = None) -> Column:
+    """Unsigned 60-bit hash (first 15 md5 hex digits). 60 rather than 64 so
+    the value is always positive in a signed BIGINT in every engine (16 hex
+    digits can overflow the cast). The wide variant for signature work where
+    32 bits of key space is the bottleneck — e.g. simhash banding, where
+    band-key cardinality bounds candidate-join bucket density.
+    DuckDB replay: CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)."""
+    col = F.col(c) if isinstance(c, str) else c
+    if seed is not None:
+        col = F.concat_ws(":", F.lit(str(seed)), col)
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def hash_unit(c: Column | str, seed: int | str | None = None) -> Column:
     """Hash mapped into [0, 1) as a double."""
     return hash32(c, seed) / F.lit(HASH32_SPACE)

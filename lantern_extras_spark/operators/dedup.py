@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from lantern_extras_spark.functions.hashing import hash32
+from lantern_extras_spark.functions.hashing import hash32, hash60
 from lantern_extras_spark.functions.text import (
     normalize_for_matching,
     tokens,
@@ -416,15 +416,22 @@ def simhash_col(c: Column | str, bits: int = 32) -> Column:
     """SimHash as a pure Column expression (usable on streams — no Python
     workers, no shuffle). HOF re-evaluation makes it `bits`× the md5 work of
     the Arrow kernel; right for live feeds, wrong for backfills (use
-    `simhash(impl='pandas')` there)."""
+    `simhash(impl='pandas')` there). bits > 32 draws token hashes from the
+    60-bit portable hash (same md5, more digits)."""
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be in [1, 60]")
     c = F.col(c) if isinstance(c, str) else c
-    hs = F.transform(tokens(c), lambda t: hash32(t))
+    token_hash = hash32 if bits <= 32 else hash60
+    hs = F.transform(tokens(c), lambda t: token_hash(t))
 
     def bit_vote(b: int) -> Column:
+        # bitwiseAND, not floor(h / 2^b) % 2: the division runs in DOUBLE and
+        # silently corrupts low bits once h exceeds 2^53 (the 60-bit sigs)
+        mask = F.lit(1 << b).cast("bigint")
         return F.aggregate(
             hs,
             F.lit(0),
-            lambda acc, h: acc + F.when((F.floor(h / F.lit(2**b)) % 2) == 1, F.lit(1)).otherwise(F.lit(-1)),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1)),
         )
 
     sim = None
@@ -450,7 +457,15 @@ def simhash(
     per-bit majority as a numpy popcount matrix. The native Column form
     re-evaluates the token-hash array once per bit (HOF lambda semantics:
     `bits`× the md5 work), so it's kept for Arrow-less environments only.
+
+    bits=32 (default) is the oracle-replayed config; **bits=60 is the scale
+    config** — with `simhash_pairs(band_bits=15)` the band-key space grows
+    from 256 to 32768 values per band, cutting candidate-join bucket density
+    128× (32-bit/8-bit banding caps out at 1024 buckets total, which makes
+    candidate generation O(n²/256) on a web-scale corpus).
     """
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be in [1, 60]")
     if impl == "native":
         return df.select(F.col(id_col), simhash_col(F.col(text_col), bits).alias("simhash"))
 
@@ -468,6 +483,8 @@ def simhash(
         [StructField(id_col, base.schema[id_col].dataType), StructField("simhash", LongType())]
     )
     weights = np.array([1 << b for b in range(bits)], dtype=np.int64)
+    # matches hash32 (8 hex digits) / hash60 (15 digits) bit-for-bit
+    n_hex = 8 if bits <= 32 else 15
 
     def kernel(batches):
         for pdf in batches:
@@ -477,7 +494,7 @@ def simhash(
                     sims.append(0)
                     continue
                 hs = np.fromiter(
-                    (int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks),
+                    (int(hashlib.md5(t.encode()).hexdigest()[:n_hex], 16) for t in toks),
                     dtype=np.int64,
                     count=len(toks),
                 )
@@ -496,17 +513,28 @@ def simhash_pairs(
     max_hamming: int = 3,
     band_bits: int = 8,
     max_bucket: int = 2000,
+    bits: int = 32,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share at least one `band_bits`-wide
-    band; verified with popcount(xor) ≤ max_hamming."""
-    n_bands = 32 // band_bits
+    band; verified with popcount(xor) ≤ max_hamming.
+
+    `bits` must match the signature width `simhash()` produced. Scale note:
+    candidate-join bucket density is bounded by the band-key space
+    (n_bands · 2^band_bits keys total) — at web scale use bits=60 /
+    band_bits=15 (32768 keys per band), not the 32/8 oracle default
+    (256 per band), or candidate generation degrades toward O(n²/256)."""
+    if band_bits < 1 or bits % band_bits != 0:
+        raise ValueError("band_bits must divide bits")
+    n_bands = bits // band_bits
+    # shift/mask, not floor-division: double division corrupts low bits of
+    # 60-bit signatures (exact and value-identical for the 32-bit oracle path)
     bands_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                (F.floor(F.col("simhash") / F.lit(2 ** (b * band_bits))) % F.lit(2**band_bits)).alias(
-                    "band_key"
-                ),
+                F.shiftright(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit(2**band_bits - 1))
+                .alias("band_key"),
             )
             for b in range(n_bands)
         ]

@@ -396,3 +396,42 @@ def test_dedup_paragraphs_passthrough_and_validation(spark):
     assert out[0]["text_dedup"] == out[0]["text"]
     with pytest.raises(ValueError, match="min_chars"):
         D.dedup_paragraphs(docs, min_chars=0)
+
+
+def test_simhash_60bit_scale_config(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data between stages and caches hot sets"),
+            (2, "spark shuffles data between stages and caches cold sets"),   # near-dup of 1
+            (3, "a completely different document about window functions"),
+            (4, "spark shuffles data between stages and caches hot sets"),   # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    sims = D.simhash(docs, bits=60)
+    vals = {r["doc_id"]: r["simhash"] for r in sims.collect()}
+    assert all(0 <= v < 2**60 for v in vals.values())
+    assert vals[1] == vals[4]                       # exact dup -> identical sig
+    # native column form agrees bit-for-bit with the Arrow kernel
+    nat = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, bits=60, impl="native").collect()}
+    assert nat == vals
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_pairs(sims, band_bits=15, bits=60, max_hamming=10).collect()
+    }
+    assert pairs.get((1, 4)) == 0                   # exact dup at hamming 0
+    assert pairs.get((1, 2)) == 9                   # near-dup caught (one token of nine differs)
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    with pytest.raises(ValueError, match="band_bits"):
+        D.simhash_pairs(sims, band_bits=7, bits=60)
+    with pytest.raises(ValueError, match="bits"):
+        D.simhash(docs, bits=64)
+
+
+def test_hash60_matches_md5_prefix(spark):
+    from lantern_extras_spark.functions.hashing import hash60
+    import hashlib
+    df = spark.createDataFrame([("hello world",), ("",), ("café 123",)], "s string")
+    got = [r["h"] for r in df.select(hash60("s").alias("h")).collect()]
+    want = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in ("hello world", "", "café 123")]
+    assert got == want

@@ -12,18 +12,29 @@ def test_training_data_pipeline(spark):
 
     out = main()
     # doc 7 (re-crawl of doc 1's page under a variant URL) dies at stage 0
-    assert out["after_url_dedup"] == [1, 2, 3, 4, 5, 6]
+    assert out["after_url_dedup"] == [1, 2, 3, 4, 5, 6, 8, 9]
+    # the cross-site license paragraph survives only in doc 2 (its first
+    # corpus occurrence) — doc 8's pasted copy is removed globally
+    assert out["license_kept_in"] == [2]
     # the relaxed Gopher screen keeps the whole demo corpus (audit trail)
-    assert out["gopher_kept"] == [1, 2, 3, 4, 5, 6]
+    assert out["gopher_kept"] == [1, 2, 3, 4, 5, 6, 8, 9]
     # boilerplate lines stripped AND markup cleaned
     assert out["cleaned_sample"] == "The quick brown fox jumps over the lazy dog"
     # doc 3 (near-dup of 1) removed; everything else survives dedup
-    assert out["after_dedup"] == [1, 2, 4, 5, 6]
+    assert out["after_dedup"] == [1, 2, 4, 5, 6, 8, 9]
     # doc 4 embedded the eval item -> decontaminated
-    assert out["after_decontaminate"] == [1, 2, 5, 6]
+    assert out["after_decontaminate"] == [1, 2, 5, 6, 8, 9]
+    # mixture report: shares sum to 1, under-represented siteB upweights
+    shares = [v[1] for v in out["mixture"].values()]
+    assert abs(sum(shares) - 1.0) < 1e-6
+    assert out["mixture"]["siteB"][2] > 1 > out["mixture"]["siteA"][2]
+    assert set(out["resampled_rows"]) == {"siteA", "siteB"}
+    # quota keeps a deterministic subset; vocab report is (token, count) rows
+    assert set(out["quota_kept"]) <= {1, 2, 5, 6, 8, 9}
+    assert out["vocab_top3"][0] == ("the", 4)
     # every surviving train doc packed exactly once, positions start at 1
     ids = [p[0] for p in out["packed"]]
-    assert len(ids) == len(set(ids)) and set(ids) <= {1, 2, 5, 6}
+    assert len(ids) == len(set(ids)) and set(ids) <= {1, 2, 5, 6, 8, 9}
     assert all(p[3] >= 1 for p in out["packed"])
     # materialized sequences cover the same docs, in assignment order, and
     # the concatenated text is real data (non-empty, whitespace-joined)

@@ -214,6 +214,18 @@ def main() -> None:
     results["embedding_neardup_scaled"] = measure(neardup_scaled)
     print(json.dumps({"embedding_neardup_scaled": results["embedding_neardup_scaled"]}), flush=True)
 
+    # simhash scale config: 60-bit signatures with 15-bit bands (32768 keys
+    # per band vs the 32/8 oracle default's 256) — candidate-join bucket
+    # density drops 128x, which is what keeps candidate generation linear at
+    # corpus scale.
+    def simhash_scaled(sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        sims = D.simhash(docs, bits=60)
+        D.simhash_pairs(sims, bits=60, band_bits=15, max_hamming=6).foreach(lambda r: None)
+
+    results["simhash_pairs_scaled"] = measure(simhash_scaled)
+    print(json.dumps({"simhash_pairs_scaled": results["simhash_pairs_scaled"]}), flush=True)
+
     # MinHash verify-stage trade-off (VERDICT r5 #6): exact verify
     # re-materializes full shingle sets per candidate pair; signature verify
     # reuses the already-shuffled n_hashes-long signatures — measure both so
@@ -258,6 +270,12 @@ def main() -> None:
                 "with sf); error_burst_binned is the same query+oracle through "
                 "the binned equi-join scale path - compare their exponents"
             ),
+            "simhash_pairs": (
+                "driver-oracle config (32-bit sig, 8-bit bands): only 256 "
+                "band-key values, so candidate density grows with corpus size "
+                "by construction; simhash_pairs_scaled (60-bit sig, 15-bit "
+                "bands, 32768 keys/band) is the corpus-scale config"
+            ),
             "ngram_containment": (
                 "inverted-index posting-list join without the length-band "
                 "prune (containment targets short-in-long pairs, so the prune "
@@ -267,7 +285,16 @@ def main() -> None:
         },
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "SCALE_SF1.json"), "w") as f:
+    path = os.path.join(repo, "SCALE_SF1.json")
+    # a SPARK_GRAFT_SF1_ONLY subset run MERGES into the committed sweep —
+    # overwriting with a partial file silently dropped 49 entries once
+    if only and os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        merged_queries = {**prev.get("queries", {}), **results}
+        out["queries"] = merged_queries
+        out["notes"] = {**prev.get("notes", {}), **out["notes"]}
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
