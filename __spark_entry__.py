@@ -586,6 +586,14 @@ def q_pack_sequences_text(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Long-doc token-window chunking (operators/textstats.py:
+    chunk_documents): 16-token windows, 4-token overlap — chunk membership,
+    order, short final chunks, and the no-pure-overlap rule all hash-pinned."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 50)
+    return TS.chunk_documents(docs, window=16, overlap=4)
+
+
 MIX_TARGET = {"src0": 0.3, "src1": 0.2, "src2": 0.1, "src3": 0.4}
 
 
@@ -1231,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "quota_sample": q_quota_sample,
         "resample_mixture": q_resample_mixture,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -2356,6 +2365,26 @@ def _oracle_sql_raw() -> dict[str, str]:
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      / CAST(total AS DOUBLE), 8) AS coverage
         FROM top, tot
+    """
+    # token-window chunking: starts at 1, 1+stride, ...; a start > 1 whose
+    # window adds no new tokens (previous chunk already reached the end) is
+    # skipped; final chunk may be short. window=16, overlap=4, stride=12.
+    sql["chunk_documents"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_sql_words()} AS w FROM documents WHERE doc_id < 50
+        ),
+        s AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+        st AS (
+            SELECT doc_id, w, n,
+                   unnest([x FOR x IN range(1, greatest(n, 1) + 1, 12)
+                           IF x <= n AND (x = 1 OR x - 12 + 16 - 1 < n)]) AS start
+            FROM s
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start ASC) AS INTEGER) AS chunk_idx,
+               CAST(least(16, n - start + 1) AS INTEGER) AS n_chunk_tokens,
+               array_to_string(w[start:start + 15], ' ') AS chunk_text
+        FROM st
     """
     # per-source token quota: same hash-order window as the Spark plan; a row
     # is kept while the tokens BEFORE it are under budget

@@ -130,6 +130,7 @@ def main() -> None:
         "vocab_coverage",
         "quota_sample",
         "resample_mixture",
+        "chunk_documents",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

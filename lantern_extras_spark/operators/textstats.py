@@ -583,3 +583,52 @@ def vocab_coverage(
         )
         .select("rank", "token", F.col("n").cast("bigint").alias("n"), "freq", "coverage")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split long documents into whitespace-token windows of `window` tokens
+    with `overlap` tokens of context carried between consecutive chunks — the
+    long-document stage ahead of embedding generation or context-window
+    training (the reference's ORT runtime chunks oversized inputs the same
+    way before pooling, lantern_cli/src/embeddings/core/ort_runtime.rs:
+    chunk-and-mean; this is that stage as a standalone, engine-level op).
+
+    Emits one row per chunk: (id_col, chunk_idx 1-based, n_chunk_tokens,
+    chunk_text). The final chunk may be shorter; a start whose window would
+    add no new tokens (everything already covered by the previous chunk) is
+    skipped, so no chunk is pure overlap. Zero-token docs emit nothing.
+
+    Pure Column plan: stage tokens once, build the filtered start array,
+    posexplode, slice — a narrow projection with no shuffle at any scale.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if not 0 <= overlap < window:
+        raise ValueError("overlap must satisfy 0 <= overlap < window")
+    stride = window - overlap
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    n = F.col("__n")
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride)),
+        lambda s: (s <= n) & ((s == 1) | (s - stride + window - 1 < n)),
+    )
+    return (
+        staged.select(
+            F.col(id_col), "__toks", "__n",
+            F.posexplode(starts).alias("__pos", "__start"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("__pos") + 1).alias("chunk_idx"),
+            F.least(F.lit(window), n - F.col("__start") + 1).alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.slice("__toks", F.col("__start"), window)).alias("chunk_text"),
+        )
+    )

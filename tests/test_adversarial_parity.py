@@ -97,6 +97,7 @@ TEXT_AND_VECTOR_QUERIES = [
     "vocab_coverage",
     "quota_sample",
     "resample_mixture",
+    "chunk_documents",
 ]
 
 

@@ -322,3 +322,34 @@ def test_vocab_coverage(spark):
     assert [r["token"] for r in cs] == ["a", "b", "B", "c"]
     with pytest.raises(ValueError, match="top_k"):
         TS.vocab_coverage(df, top_k=0)
+
+
+def test_chunk_documents(spark):
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(1, 11))),   # 10 tokens
+            (2, "only three tokens"),
+            (3, ""),                                        # no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = TS.chunk_documents(df, window=8, overlap=4)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"], r["chunk_text"]) for r in out.collect())
+    )
+    # doc 1: starts 1, 5 (stride 4); start 9 skipped — chunk at 5 already
+    # reached token 10, a third chunk would be pure overlap
+    assert rows == [
+        (1, 1, 8, "t1 t2 t3 t4 t5 t6 t7 t8"),
+        (1, 2, 6, "t5 t6 t7 t8 t9 t10"),
+        (2, 1, 3, "only three tokens"),
+    ]
+    # zero overlap tiles exactly
+    flat = TS.chunk_documents(df.where("doc_id = 1"), window=5, overlap=0).collect()
+    assert [r["chunk_text"] for r in sorted(flat, key=lambda r: r["chunk_idx"])] == [
+        "t1 t2 t3 t4 t5", "t6 t7 t8 t9 t10"
+    ]
+    with pytest.raises(ValueError, match="overlap"):
+        TS.chunk_documents(df, window=8, overlap=8)
+    with pytest.raises(ValueError, match="window"):
+        TS.chunk_documents(df, window=0)
