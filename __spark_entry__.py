@@ -586,6 +586,21 @@ def q_pack_sequences_text(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental MinHash dedup (operators/dedup.py:minhash_dedup_incremental
+    — the streaming-ingest shape): docs >= 300 arrive as a new batch and are
+    matched against the signed corpus (docs < 300) plus within-batch, with
+    the signature-estimate verify (the store keeps only (id, sig)). Pins the
+    band join, per-side bucket caps, the Broder estimator, and the
+    corpus/batch labeling."""
+    docs = _t(spark, sf, "documents")
+    corpus = docs.where(F.col("doc_id") < 300)
+    new = docs.where(F.col("doc_id") >= 300)
+    corpus_sigs = D.minhash_signatures(corpus).select("doc_id", "sig")
+    out = D.minhash_dedup_incremental(new, corpus_sigs, threshold=0.5)
+    return out.select("id_a", "id_b", pround("jaccard", 5).alias("jaccard"), "vs")
+
+
 def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Long-doc token-window chunking (operators/textstats.py:
     chunk_documents): 16-token windows, 4-token overlap — chunk membership,
@@ -1240,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": q_quota_sample,
         "resample_mixture": q_resample_mixture,
         "chunk_documents": q_chunk_documents,
+        "minhash_incremental": q_minhash_incremental,
     }
 
 
@@ -2365,6 +2381,57 @@ def _oracle_sql_raw() -> dict[str, str]:
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      / CAST(total AS DOUBLE), 8) AS coverage
         FROM top, tot
+    """
+    # incremental MinHash: same signature/banding CTEs as minhash_lsh_pairs,
+    # but candidates are (corpus-band x new-band) plus (new x new), bucket
+    # caps applied per side, and the verify is the signature-agreement
+    # estimator (len(filter(sig positions equal))/n) — the (id, sig)-store
+    # path that never re-materializes corpus shingles
+    perms_inc = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {D.perm_coeffs(i)[0]} + {D.perm_coeffs(i)[1]}) % {D.MINHASH_PRIME}))"
+        for i in range(32)
+    )
+    bands_inc = "\n                 UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, array_to_string(sig[{b * 4 + 1}:{b * 4 + 4}], '_') AS band_key FROM sigt"
+        for b in range(8)
+    )
+    est_inc = "len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32.0"
+    sql["minhash_incremental"] = f"""
+        WITH t AS (SELECT doc_id, {_sql_words()} AS w FROM documents),
+             s AS (SELECT doc_id, {_sql_shingles3()} AS sh FROM t),
+             h AS (SELECT doc_id, list_transform(sh, x -> {_sql_hash32('x')}) AS hs
+                   FROM s WHERE len(sh) > 0),
+             sigt AS (SELECT doc_id, [{perms_inc}] AS sig FROM h),
+             bands AS ({bands_inc}),
+             ckeep AS (
+                SELECT * FROM (
+                    SELECT doc_id, band_idx, band_key,
+                           count(*) OVER (PARTITION BY band_idx, band_key) AS bucket_n
+                    FROM bands WHERE doc_id < 300
+                ) WHERE bucket_n <= 500
+             ),
+             nkeep AS (
+                SELECT * FROM (
+                    SELECT doc_id, band_idx, band_key,
+                           count(*) OVER (PARTITION BY band_idx, band_key) AS bucket_n
+                    FROM bands WHERE doc_id >= 300
+                ) WHERE bucket_n <= 500
+             ),
+             cand AS (
+                SELECT DISTINCT c.doc_id AS id_a, n.doc_id AS id_b, 'corpus' AS vs
+                FROM ckeep c JOIN nkeep n
+                  ON c.band_idx = n.band_idx AND c.band_key = n.band_key
+                UNION ALL
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, 'batch' AS vs
+                FROM nkeep a JOIN nkeep b
+                  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                     AND a.doc_id < b.doc_id
+             )
+        SELECT id_a, id_b, round({est_inc}, 5) AS jaccard, vs
+        FROM cand
+        JOIN sigt sa ON sa.doc_id = id_a
+        JOIN sigt sb ON sb.doc_id = id_b
+        WHERE {est_inc} >= 0.5
     """
     # token-window chunking: starts at 1, 1+stride, ...; a start > 1 whose
     # window adds no new tokens (previous chunk already reached the end) is

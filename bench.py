@@ -131,6 +131,7 @@ def main() -> None:
         "quota_sample",
         "resample_mixture",
         "chunk_documents",
+        "minhash_incremental",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

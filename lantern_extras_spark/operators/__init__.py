@@ -5,10 +5,12 @@ from lantern_extras_spark.operators.dedup import (  # noqa: F401
     dedup_paragraphs,
     embedding_neardup_pairs,
     exact_dedup,
+    band_keys,
     lsh_candidate_pairs,
     lsh_tune,
     minhash_signatures,
     minhash_dedup,
+    minhash_dedup_incremental,
     ngram_jaccard_pairs,
     simhash,
 )

@@ -144,6 +144,32 @@ def minhash_signatures(
     return base.mapInPandas(kernel, out_schema)
 
 
+def band_keys(
+    sigs: DataFrame, bands: int, id_col: str = "doc_id", n_hashes: int = 32
+) -> DataFrame:
+    """(id, band_idx, band_key) — the LSH banding of a signature table.
+    `band_key` is the '_'-joined run of n_hashes//bands signature values.
+    This IS the table a persistent dedup index stores: an incremental batch
+    joins its own band keys against it instead of re-banding the corpus."""
+    rows_per_band = n_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        sigs.select(id_col, band_structs.alias("bands"))
+        .select(id_col, F.explode("bands").alias("b"))
+        .select(id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     bands: int = 8,
@@ -164,23 +190,7 @@ def lsh_candidate_pairs(
     """
     if n_hashes is None:
         n_hashes = len(sigs.select("sig").first()[0])
-    rows_per_band = n_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat_ws("_", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(
-                    "band_key"
-                ),
-            )
-            for b in range(bands)
-        ]
-    )
-    exploded = (
-        sigs.select(id_col, band_structs.alias("bands"))
-        .select(id_col, F.explode("bands").alias("b"))
-        .select(id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
-    )
+    exploded = band_keys(sigs, bands, id_col, n_hashes)
     counted = exploded.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("band_idx", "band_key"))
     ).where(F.col("bucket_n") <= max_bucket)
@@ -1103,3 +1113,92 @@ def dedup_paragraphs(
     return df.join(rebuilt, id_col, "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.lit(""))
     ).withColumn("n_paras_dropped", F.coalesce(F.col("n_paras_dropped"), F.lit(0)))
+
+
+def minhash_dedup_incremental(
+    new_df: DataFrame,
+    corpus_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 8,
+    threshold: float = 0.8,
+    max_bucket: int = 500,
+    verify: str = "signature",
+) -> DataFrame:
+    """Incremental MinHash dedup: match a NEW batch of documents against an
+    already-signed corpus (plus within-batch), without touching corpus text.
+    The streaming-ingest shape — at 100 TB you sign each arriving batch once,
+    join its band keys against the persisted corpus signature store, and
+    append the survivors' signatures to the store; the corpus is never
+    re-shingled, never re-banded, never re-scanned as text.
+
+    `corpus_sigs` is a `minhash_signatures` output (or the persisted
+    (id, sig) store — the `shingles` column is only required for
+    verify="exact"; the default signature verify needs nothing but `sig`,
+    which is why it is the incremental default). Band parameters MUST match
+    the ones the store was built with.
+
+    Returns (id_a, id_b, jaccard, vs): vs='corpus' pairs have id_a = the
+    existing corpus doc and id_b = the new doc (the one keep-first drops);
+    vs='batch' pairs are within the new batch, id_a < id_b. `jaccard` is the
+    Broder position-agreement estimate under verify="signature" (std ≈
+    sqrt(J(1-J)/n_hashes)), exact under verify="exact".
+
+    Scale shape: the only corpus-sized work is one equi-join on
+    (band_idx, band_key) — pre-bucket the persisted store on band_key and
+    that join is shuffle-free on the corpus side. Skew guard: the
+    `max_bucket` cap applies to each side independently (corpus buckets are
+    capped once at store build, not per batch).
+    """
+    if verify not in ("exact", "signature"):
+        raise ValueError(f"unknown verify {verify!r} (exact/signature)")
+    if verify == "exact" and "shingles" not in corpus_sigs.columns:
+        raise ValueError(
+            "verify='exact' needs the corpus `shingles` column; the persisted "
+            "(id, sig) store supports verify='signature' only"
+        )
+    new_sigs = minhash_signatures(new_df, text_col, id_col, n_hashes, shingle_n).cache()
+
+    def capped_bands(sigs: DataFrame) -> DataFrame:
+        b = band_keys(sigs, bands, id_col, n_hashes)
+        return b.withColumn(
+            "bucket_n", F.count("*").over(Window.partitionBy("band_idx", "band_key"))
+        ).where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+
+    nb = capped_bands(new_sigs)
+    cb = capped_bands(corpus_sigs)
+    cross = (
+        cb.select("band_idx", "band_key", F.col(id_col).alias("id_a"))
+        .join(nb.select("band_idx", "band_key", F.col(id_col).alias("id_b")),
+              ["band_idx", "band_key"])
+        .select("id_a", "id_b")
+        .distinct()
+        .withColumn("vs", F.lit("corpus"))
+    )
+    batch = (
+        lsh_candidate_pairs(new_sigs, bands, id_col, max_bucket, n_hashes=n_hashes)
+        .withColumn("vs", F.lit("batch"))
+    )
+    cands = cross.unionByName(batch)
+
+    ver_col = "shingles" if verify == "exact" else "sig"
+    a_side = corpus_sigs.select(F.col(id_col).alias("id_a"), F.col(ver_col).alias("v_a")).unionByName(
+        new_sigs.select(F.col(id_col).alias("id_a"), F.col(ver_col).alias("v_a"))
+    )
+    b_side = new_sigs.select(F.col(id_col).alias("id_b"), F.col(ver_col).alias("v_b"))
+    joined = cands.join(a_side, "id_a").join(b_side, "id_b")
+    if verify == "exact":
+        est = jaccard(F.col("v_a"), F.col("v_b"))
+    else:
+        matches = F.size(
+            F.filter(F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x == y),
+                     lambda m: m)
+        )
+        est = matches.cast("double") / F.lit(float(n_hashes))
+    return (
+        joined.withColumn("jaccard", est)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard", "vs")
+    )

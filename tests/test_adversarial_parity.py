@@ -98,6 +98,7 @@ TEXT_AND_VECTOR_QUERIES = [
     "quota_sample",
     "resample_mixture",
     "chunk_documents",
+    "minhash_incremental",
 ]
 
 

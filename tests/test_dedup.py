@@ -435,3 +435,36 @@ def test_hash60_matches_md5_prefix(spark):
     got = [r["h"] for r in df.select(hash60("s").alias("h")).collect()]
     want = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in ("hello world", "", "café 123")]
     assert got == want
+
+
+def test_minhash_incremental_matches_full_run(spark):
+    texts = [
+        (i, f"document number {i} with a shared vocabulary of common words plus token{i}")
+        for i in range(8)
+    ]
+    # doc 10 in the new batch duplicates corpus doc 2; doc 11 duplicates new doc 12
+    texts += [
+        (10, texts[2][1]),
+        (11, "an entirely different new batch document body right here"),
+        (12, "an entirely different new batch document body right here"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    corpus, new = docs.where("doc_id < 10"), docs.where("doc_id >= 10")
+    store = D.minhash_signatures(corpus).select("doc_id", "sig")   # (id, sig) only
+    inc = D.minhash_dedup_incremental(new, store, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): (r["vs"], r["jaccard"]) for r in inc.collect()}
+    assert got[(2, 10)][0] == "corpus" and got[(2, 10)][1] == 1.0
+    assert got[(11, 12)][0] == "batch" and got[(11, 12)][1] == 1.0
+    # equivalent to the full-corpus run restricted to pairs involving new docs
+    full = D.minhash_dedup(docs, threshold=0.5, verify="signature")
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in full.collect()
+        if r["id_b"] >= 10
+    }
+    assert {k: v[1] for k, v in got.items()} == want
+    # the (id, sig) store cannot support exact verify
+    with pytest.raises(ValueError, match="shingles"):
+        D.minhash_dedup_incremental(new, store, verify="exact")
+    with pytest.raises(ValueError, match="verify"):
+        D.minhash_dedup_incremental(new, store, verify="nope")
