@@ -468,3 +468,22 @@ def test_minhash_incremental_matches_full_run(spark):
         D.minhash_dedup_incremental(new, store, verify="exact")
     with pytest.raises(ValueError, match="verify"):
         D.minhash_dedup_incremental(new, store, verify="nope")
+
+
+def test_minhash_incremental_store_roundtrip(spark, tmp_path):
+    """The (id, sig) store survives a parquet round-trip — the persisted-index
+    usage the docstring promises (sign once, join future batches against the
+    store read back from disk)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "totally unrelated content lives in this row"),
+         (10, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    store_path = str(tmp_path / "sig_store.parquet")
+    D.minhash_signatures(docs.where("doc_id < 10")).select("doc_id", "sig") \
+        .write.parquet(store_path)
+    store = spark.read.parquet(store_path)
+    got = D.minhash_dedup_incremental(docs.where("doc_id >= 10"), store,
+                                      threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"], r["vs"]) for r in got] == [(1, 10, 1.0, "corpus")]
