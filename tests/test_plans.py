@@ -93,3 +93,32 @@ def test_knn_filtered_pushes_label_predicate(spark):
     100 TB the filter prunes the read, not just the ranking."""
     df = E.q_knn_filtered(spark, SF)
     assert_filter_pushed(df, "EqualTo(label,3)")
+
+
+def test_chunk_documents_is_narrow(spark):
+    """Chunking is a pure projection — zero shuffles at any corpus size."""
+    df = E.q_chunk_documents(spark, SF)
+    s = plan_summary(df)
+    assert s.n_shuffles == 0, s.text
+
+
+def test_resample_mixture_broadcasts_weight_table(spark):
+    """The group-count-sized weight table must broadcast onto the scan; the
+    corpus side of the resample itself never shuffles."""
+    from lantern_extras_spark.operators import sampling as SMP
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = SMP.resample_mixture(docs, {"src0": 0.5, "src1": 0.5})
+    s = plan_summary(out)
+    assert s.n_broadcasts >= 1, s.text
+    # the only plain exchanges belong to the weight-table aggregation
+    # (group-count-sized), not the corpus scan: the final join is broadcast
+    assert "BroadcastHashJoin" in s.text or "BroadcastNestedLoopJoin" in s.text
+
+
+def test_vocab_coverage_window_after_limit(spark):
+    """The single-partition window must run on top-k rows, never the vocab:
+    the plan's global sort feeds a limit before the window."""
+    df = E.q_vocab_coverage(spark, SF)
+    s = plan_summary(df)
+    assert "TakeOrderedAndProject" in s.text or "GlobalLimit" in s.text, s.text
