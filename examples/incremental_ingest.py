@@ -1,0 +1,88 @@
+"""Incremental corpus ingestion — the batch → signature-store → next-batch loop.
+
+A 100 TB corpus is not deduped in one job: batches arrive (crawl snapshots,
+daily dumps), and each batch must be matched against everything already
+accepted WITHOUT re-reading the accepted corpus. The state that makes this
+possible is the MinHash signature store — (id, sig), ~256 bytes/doc at the
+default 32 hashes — persisted as parquet (pre-bucket it on band_key at real
+scale so the store side of the band join never shuffles).
+
+Per batch:
+  1. sign the batch once               minhash_signatures
+  2. match batch vs store + in-batch   minhash_dedup_incremental
+  3. drop keep-first losers            (id_b of every surviving pair)
+  4. append the survivors' sigs        store <- store ∪ new survivors
+
+Run: python examples/incremental_ingest.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from lantern_extras_spark import get_spark
+from lantern_extras_spark.operators import dedup as D
+
+BATCH_1 = [
+    (1, "the quick brown fox jumps over the lazy dog tonight"),
+    (2, "spark shuffles data between stages and caches hot sets"),
+    (3, "product quantization compresses vectors into byte codes"),
+]
+BATCH_2 = [
+    (10, "the quick brown fox jumps over the lazy dog tonight"),   # dup of 1
+    (11, "a genuinely new document about broadcast joins"),
+    (12, "a genuinely new document about broadcast joins"),        # in-batch dup of 11
+    (13, "spark shuffles data between stages and caches cold sets"),  # near-dup of 2 (true jaccard 0.56, sig estimate 0.66)
+]
+
+
+def ingest_batch(spark, store_path: str, batch, threshold: float = 0.35) -> dict:
+    """One ingestion step: returns {'accepted': [...], 'dropped': {id: reason}}."""
+    df = spark.createDataFrame(batch, "doc_id long, text string")
+    new_sigs = D.minhash_signatures(df).select("doc_id", "sig")
+    if os.path.exists(store_path):
+        store = spark.read.parquet(store_path)
+        pairs = D.minhash_dedup_incremental(df, store, threshold=threshold)
+        dropped = {
+            r["id_b"]: f"{r['vs']}:{r['id_a']}@{r['jaccard']:.2f}"
+            for r in pairs.collect()
+        }
+    else:
+        pairs = D.minhash_dedup(df, threshold=threshold, verify="signature")
+        dropped = {
+            r["id_b"]: f"batch:{r['id_a']}@{r['jaccard']:.2f}" for r in pairs.collect()
+        }
+    survivors = new_sigs.join(
+        spark.createDataFrame([(i,) for i in dropped], "doc_id long"),
+        "doc_id",
+        "left_anti",
+    ) if dropped else new_sigs
+    survivors.write.mode("append").parquet(store_path)
+    return {
+        "accepted": sorted(r["doc_id"] for r in survivors.select("doc_id").collect()),
+        "dropped": dropped,
+    }
+
+
+def main() -> dict:
+    spark = get_spark("incremental-ingest")
+    spark.sparkContext.setLogLevel("ERROR")
+    with tempfile.TemporaryDirectory() as tmp:
+        store = os.path.join(tmp, "sig_store.parquet")
+        out = {
+            "batch1": ingest_batch(spark, store, BATCH_1),
+            "batch2": ingest_batch(spark, store, BATCH_2),
+        }
+        out["store_size"] = spark.read.parquet(store).count()
+        return out
+
+
+if __name__ == "__main__":
+    for k, v in main().items():
+        print(f"{k}: {v}")

@@ -41,3 +41,19 @@ def test_training_data_pipeline(spark):
     seq_ids = [i for s in out["sequences"] for i in s[2]]
     assert sorted(seq_ids) == sorted(ids)
     assert all(s[4].strip() and s[3] > 0 for s in out["sequences"])
+
+
+def test_incremental_ingest_example(spark):
+    from incremental_ingest import main
+
+    out = main()
+    assert out["batch1"] == {"accepted": [1, 2, 3], "dropped": {}}
+    # batch 2: 10 duplicates corpus doc 1 (estimate 1.0), 12 duplicates
+    # in-batch doc 11, 13 is a near-dup of corpus doc 2 at estimate 0.66
+    assert out["batch2"]["accepted"] == [11]
+    d = out["batch2"]["dropped"]
+    assert d[10].startswith("corpus:1@1.00")
+    assert d[12].startswith("batch:11@1.00")
+    assert d[13].startswith("corpus:2@0.66")
+    # the store holds every accepted signature across batches
+    assert out["store_size"] == 4
