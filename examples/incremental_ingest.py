@@ -38,7 +38,7 @@ BATCH_2 = [
     (10, "the quick brown fox jumps over the lazy dog tonight"),   # dup of 1
     (11, "a genuinely new document about broadcast joins"),
     (12, "a genuinely new document about broadcast joins"),        # in-batch dup of 11
-    (13, "spark shuffles data between stages and caches cold sets"),  # near-dup of 2 (true jaccard 0.56, sig estimate 0.66)
+    (13, "spark shuffles data between stages and caches hot sets quickly"),  # near-dup of 2 (jaccard 7/8, sig estimate 0.97)
 ]
 
 

@@ -49,11 +49,11 @@ def test_incremental_ingest_example(spark):
     out = main()
     assert out["batch1"] == {"accepted": [1, 2, 3], "dropped": {}}
     # batch 2: 10 duplicates corpus doc 1 (estimate 1.0), 12 duplicates
-    # in-batch doc 11, 13 is a near-dup of corpus doc 2 at estimate 0.66
+    # in-batch doc 11, 13 is a near-dup of corpus doc 2 at estimate 0.97
     assert out["batch2"]["accepted"] == [11]
     d = out["batch2"]["dropped"]
     assert d[10].startswith("corpus:1@1.00")
     assert d[12].startswith("batch:11@1.00")
-    assert d[13].startswith("corpus:2@0.66")
+    assert d[13].startswith("corpus:2@0.97")
     # the store holds every accepted signature across batches
     assert out["store_size"] == 4
