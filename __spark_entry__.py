@@ -586,6 +586,23 @@ def q_pack_sequences_text(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+DS_PROLOGUE = "GLOBAL PROLOGUE SPAN TOKENS SHARED ACROSS EVERY DOCUMENT IN CORPUS"
+
+
+def q_dedup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring span dedup (operators/dedup.py:dedup_spans — Lee et
+    al. ExactSubstr semantics): a 10-token prologue injected into every doc
+    survives only in doc 0; full-doc exact dups lose everything; unique
+    bodies keep everything else. Hash-pins window hashing, canonical pick,
+    interval merging, and token-level excision."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    base = docs.select(
+        "doc_id", F.concat(F.lit(DS_PROLOGUE), F.lit(" "), F.col("text")).alias("text")
+    )
+    out = D.dedup_spans(base, span=8)
+    return out.select("doc_id", "text_dedup", "n_tokens_removed")
+
+
 def q_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental MinHash dedup (operators/dedup.py:minhash_dedup_incremental
     — the streaming-ingest shape): docs >= 300 arrive as a new batch and are
@@ -1256,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_mixture": q_resample_mixture,
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
+        "dedup_spans": q_dedup_spans,
     }
 
 
@@ -2381,6 +2399,53 @@ def _oracle_sql_raw() -> dict[str, str]:
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      / CAST(total AS DOUBLE), 8) AS coverage
         FROM top, tot
+    """
+    # exact-substring span dedup: window hashes at every start, canonical =
+    # first (doc_id, pos) per hash, non-canonical [p, p+8) token ranges
+    # excised; rebuilt text is the kept tokens space-joined
+    sql["dedup_spans"] = f"""
+        WITH w0 AS (
+            SELECT doc_id, concat('{DS_PROLOGUE}', ' ', text) AS t2
+            FROM documents WHERE doc_id < 100
+        ),
+        t AS (SELECT doc_id, {_sql_words("t2")} AS w FROM w0),
+        s AS (SELECT doc_id, w, len(w) AS n FROM t),
+        wins AS (
+            SELECT doc_id, w, unnest(range(1, greatest(n - 8 + 2, 1))) AS p
+            FROM s WHERE n >= 8
+        ),
+        wh AS (
+            SELECT doc_id, p,
+                   CAST(concat('0x', substr(md5(array_to_string(w[p:p+7], ' ')), 1, 15)) AS BIGINT) AS h
+            FROM wins
+        ),
+        rk AS (
+            SELECT doc_id, p,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id ASC, p ASC) AS rn
+            FROM wh
+        ),
+        fl AS (SELECT doc_id, p FROM rk WHERE rn > 1),
+        tok AS (
+            SELECT doc_id, n, unnest(range(1, n + 1)) AS tp, unnest(w) AS tv
+            FROM s
+        ),
+        rem AS (
+            SELECT DISTINCT t.doc_id, t.tp
+            FROM tok t JOIN fl ON t.doc_id = fl.doc_id
+                              AND t.tp >= fl.p AND t.tp < fl.p + 8
+        ),
+        kept AS (
+            SELECT tok.doc_id, tok.tp, tok.tv
+            FROM tok ANTI JOIN rem
+              ON tok.doc_id = rem.doc_id AND tok.tp = rem.tp
+        ),
+        agg AS (
+            SELECT doc_id, string_agg(tv, ' ' ORDER BY tp) AS td, count(*) AS nk
+            FROM kept GROUP BY doc_id
+        )
+        SELECT s.doc_id, coalesce(agg.td, '') AS text_dedup,
+               CAST(s.n - coalesce(agg.nk, 0) AS INTEGER) AS n_tokens_removed
+        FROM s LEFT JOIN agg USING (doc_id)
     """
     # incremental MinHash: same signature/banding CTEs as minhash_lsh_pairs,
     # but candidates are (corpus-band x new-band) plus (new x new), bucket

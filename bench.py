@@ -132,6 +132,7 @@ def main() -> None:
         "resample_mixture",
         "chunk_documents",
         "minhash_incremental",
+        "dedup_spans",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

@@ -3,6 +3,7 @@ from lantern_extras_spark.operators.dedup import (  # noqa: F401
     decontaminate,
     dedup_clusters,
     dedup_paragraphs,
+    dedup_spans,
     embedding_neardup_pairs,
     exact_dedup,
     band_keys,

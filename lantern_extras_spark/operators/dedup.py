@@ -1202,3 +1202,140 @@ def minhash_dedup_incremental(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard", "vs")
     )
+
+
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 50,
+    stride: int = 1,
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Exact-substring dedup (the ExactSubstr semantics of Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    `span`-token window that already occurred earlier in the corpus (smaller
+    (id, pos)) is REMOVED from the later occurrence — the duplicated span is
+    cut out, the rest of the document survives. This is the last dedup
+    granularity between paragraph-level (`dedup_paragraphs`) and near-dup
+    (`minhash_dedup`): it catches the quoted article inside an otherwise
+    unique page, which doc/paragraph/minhash all miss or over-kill.
+
+    Distributed formulation (suffix arrays don't shard): hash every window of
+    `span` tokens at starts 1, 1+stride, ... (60-bit portable md5 hash —
+    collision odds ~n²/2⁶¹ windows; the reference technique's single-machine
+    suffix array is exact but cannot scale out), pick the canonical
+    occurrence per window hash with a map-side-combining groupBy (no
+    single-reducer hotspot on mega-repeated windows), and excise every
+    non-canonical window's [pos, pos+span) token range. Overlapping flagged
+    ranges are interval-merged per doc BEFORE the per-token coverage test,
+    so a fully-duplicated doc costs O(tokens), not O(tokens · windows).
+
+    stride > 1 switches to CONTENT-DEFINED sampling: only windows whose hash
+    ≡ 0 (mod stride) ship to the shuffle. Content sampling is
+    alignment-independent — both occurrences of a duplicated region sample
+    exactly the same windows, unlike position-grid sampling (start at every
+    stride-th token), which silently misses duplicates whose occurrences sit
+    at different offsets mod stride. Shuffle volume drops stride×;
+    per-region miss probability is (1 - 1/stride)^(L - span + 1), negligible
+    for long duplicates (the targets of the scale config), and excision
+    covers the sampled windows' spans rather than the full region edge-to-
+    edge. stride=1 is exact for spans ≥ `span` and is what the driver
+    oracle replays.
+
+    Output: input columns + `out_col` (kept tokens re-joined with single
+    spaces — token-level surgery cannot preserve original whitespace) and
+    `n_tokens_removed`. Docs shorter than `span` tokens pass through.
+    """
+    if span < 2:
+        raise ValueError("span must be >= 2")
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    toks_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    id_type = toks_df.schema[id_col].dataType
+    win_schema = StructType(
+        [StructField(id_col, id_type), StructField("pos", LongType()),
+         StructField("whash", LongType())]
+    )
+
+    def window_kernel(batches):
+        for pdf in batches:
+            ids, poss, hashes = [], [], []
+            for rid, toks in zip(pdf[id_col], pdf["__toks"]):
+                if toks is None or len(toks) < span:
+                    continue
+                for s in range(0, len(toks) - span + 1):
+                    w = " ".join(toks[s:s + span])
+                    h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+                    if stride > 1 and h % stride != 0:
+                        continue  # content-defined sampling (see docstring)
+                    ids.append(rid)
+                    poss.append(s + 1)
+                    hashes.append(h)
+            yield pd.DataFrame({id_col: ids, "pos": poss, "whash": hashes})
+
+    wins = toks_df.mapInPandas(window_kernel, win_schema)
+    firsts = wins.groupBy("whash").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first")
+    )
+    flagged = (
+        wins.join(firsts, "whash")
+        .where(
+            (F.col(id_col) != F.col("first")[id_col])
+            | (F.col("pos") != F.col("first")["pos"])
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("__starts"))
+    )
+
+    # merge sorted starts into disjoint [s, e) intervals, then one coverage
+    # test per token against the merged list
+    def merged_intervals(starts):
+        return F.aggregate(
+            starts,
+            F.array().cast("array<struct<s:long,e:long>>"),
+            lambda acc, p: F.when(
+                (F.size(acc) > 0)
+                & (p <= F.element_at(acc, -1)["e"]),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(F.element_at(acc, -1)["e"], p + span).alias("e"),
+                    )),
+                ),
+            ).otherwise(
+                F.concat(acc, F.array(F.struct(p.alias("s"), (p + span).alias("e"))))
+            ),
+        )
+
+    rebuilt = (
+        toks_df.join(flagged, id_col, "left")
+        .withColumn("__iv", merged_intervals(F.coalesce(
+            F.col("__starts"), F.array().cast("array<long>")
+        )))
+        .withColumn(
+            "__kept",
+            F.filter(
+                F.col("__toks"),
+                lambda t, i: ~F.exists(
+                    F.col("__iv"),
+                    lambda iv: ((i + 1) >= iv["s"]) & ((i + 1) < iv["e"]),
+                ),
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", F.col("__kept")).alias(out_col),
+            (F.size("__toks") - F.size("__kept")).cast("int").alias("n_tokens_removed"),
+        )
+    )
+    return df.join(rebuilt, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(""))
+    ).withColumn("n_tokens_removed", F.coalesce(F.col("n_tokens_removed"), F.lit(0)))

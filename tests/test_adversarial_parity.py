@@ -99,6 +99,7 @@ TEXT_AND_VECTOR_QUERIES = [
     "resample_mixture",
     "chunk_documents",
     "minhash_incremental",
+    "dedup_spans",
 ]
 
 

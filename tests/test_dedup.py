@@ -487,3 +487,69 @@ def test_minhash_incremental_store_roundtrip(spark, tmp_path):
     got = D.minhash_dedup_incremental(docs.where("doc_id >= 10"), store,
                                       threshold=0.9).collect()
     assert [(r["id_a"], r["id_b"], r["jaccard"], r["vs"]) for r in got] == [(1, 10, 1.0, "corpus")]
+
+
+def test_dedup_spans_excises_only_the_copied_span(spark):
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} tail unique alpha"),
+            (2, f"head words here {shared} and more trailing content"),
+            (3, "completely different text with nothing shared at all"),
+            (4, shared),                                   # exact span-only doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.dedup_spans(docs, span=8).collect()}
+    assert out[1]["text_dedup"] == f"{shared} tail unique alpha"      # canonical keeps
+    assert out[2]["text_dedup"] == "head words here and more trailing content"
+    assert out[2]["n_tokens_removed"] == 8
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[4]["text_dedup"] == "" and out[4]["n_tokens_removed"] == 8
+
+
+def test_dedup_spans_merges_overlapping_windows(spark):
+    # a 12-token copied region -> 5 overlapping flagged windows at span=8;
+    # interval merge must remove exactly the 12 tokens, not 5x8
+    region = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 r11 r12"
+    docs = spark.createDataFrame(
+        [(1, f"{region} canonical suffix"), (2, f"prefix {region} suffix here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.dedup_spans(docs, span=8).collect()}
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[2]["text_dedup"] == "prefix suffix here"
+    assert out[2]["n_tokens_removed"] == 12
+
+
+def test_dedup_spans_self_repetition_within_doc(spark):
+    phrase = "p1 p2 p3 p4 p5 p6 p7 p8"
+    docs = spark.createDataFrame(
+        [(1, f"{phrase} middle words {phrase}")], "doc_id long, text string"
+    )
+    out = D.dedup_spans(docs, span=8).collect()[0]
+    # the SECOND occurrence inside the same doc is excised
+    assert out["text_dedup"] == f"{phrase} middle words"
+    assert out["n_tokens_removed"] == 8
+
+
+def test_dedup_spans_stride_content_sampling(spark):
+    # stride=2 samples windows by CONTENT (hash % stride == 0), so both
+    # occurrences of a region sample the same windows regardless of their
+    # offsets; a 40-token region has 33 windows -> P(all unsampled) = 2^-33,
+    # and the hashes are deterministic, so this pins forever once green
+    region = " ".join(f"s{i}" for i in range(1, 41))      # 40 tokens
+    docs = spark.createDataFrame(
+        [(1, f"{region} canon tail"), (2, f"a b c {region} z9 z8")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.dedup_spans(docs, span=8, stride=2).collect()}
+    assert out[1]["n_tokens_removed"] == 0                 # canonical untouched
+    assert out[2]["n_tokens_removed"] >= 8                 # sampled windows hit
+    # sampled removals are a subset of the exact (stride=1) removals
+    exact = {r["doc_id"]: r for r in D.dedup_spans(docs, span=8).collect()}
+    assert out[2]["n_tokens_removed"] <= exact[2]["n_tokens_removed"]
+    with pytest.raises(ValueError, match="span"):
+        D.dedup_spans(docs, span=1)
+    with pytest.raises(ValueError, match="stride"):
+        D.dedup_spans(docs, stride=0)
