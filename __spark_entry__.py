@@ -589,6 +589,14 @@ def q_pack_sequences_text(spark: SparkSession, sf: str) -> DataFrame:
 DS_PROLOGUE = "GLOBAL PROLOGUE SPAN TOKENS SHARED ACROSS EVERY DOCUMENT IN CORPUS"
 
 
+def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus health summary (operators/textstats.py:
+    corpus_report): volume, exact interpolated token percentiles, md5 dup
+    rate, blank fraction, mean composite quality — one scan, one agg."""
+    docs = _t(spark, sf, "documents")
+    return TS.corpus_report(docs)
+
+
 def q_dedup_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-substring span dedup (operators/dedup.py:dedup_spans — Lee et
     al. ExactSubstr semantics): a 10-token prologue injected into every doc
@@ -1274,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
         "dedup_spans": q_dedup_spans,
+        "corpus_report": q_corpus_report,
     }
 
 
@@ -2399,6 +2408,35 @@ def _oracle_sql_raw() -> dict[str, str]:
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      / CAST(total AS DOUBLE), 8) AS coverage
         FROM top, tot
+    """
+    # corpus health report: the quality_by_lang quality-score CTE grouped by
+    # source, plus exact interpolated percentiles / md5 dup rate / blank frac
+    sql["corpus_report"] = f"""
+        WITH t AS (SELECT source, text, {_sql_words()} AS w FROM documents),
+             m AS (
+                SELECT source, text,
+                       len(w) AS n_tokens,
+                       CASE WHEN len(w) = 0 THEN 0.0 ELSE len(list_distinct(w)) / CAST(len(w) AS DOUBLE) END AS uniq,
+                       CASE WHEN length(text) = 0 THEN 0.0
+                            ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / CAST(length(text) AS DOUBLE) END AS pr
+                FROM t
+             ),
+             q AS (
+                SELECT source, text, n_tokens,
+                       round(0.4 * uniq
+                             + 0.3 * (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+                             + 0.3 * (1.0 - least(pr * 5.0, 1.0)), 6) AS quality_score
+                FROM m
+             )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+               round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+               round(1 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+               round(avg(CASE WHEN trim(text) = '' THEN 1.0 ELSE 0.0 END), 6) AS blank_frac,
+               round(avg(quality_score), 6) AS avg_quality
+        FROM q GROUP BY source
     """
     # exact-substring span dedup: window hashes at every start, canonical =
     # first (doc_id, pos) per hash, non-canonical [p, p+8) token ranges

@@ -133,6 +133,7 @@ def main() -> None:
         "chunk_documents",
         "minhash_incremental",
         "dedup_spans",
+        "corpus_report",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

@@ -28,6 +28,7 @@ from lantern_extras_spark.operators.textstats import (  # noqa: F401
     language_id,
     quality_metrics,
     repetition_stats,
+    corpus_report,
     strip_boilerplate_lines,
     unigram_logprob_score,
     vocab_coverage,

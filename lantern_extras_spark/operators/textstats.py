@@ -632,3 +632,33 @@ def chunk_documents(
             F.concat_ws(" ", F.slice("__toks", F.col("__start"), window)).alias("chunk_text"),
         )
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """One-call corpus health summary per group — the first thing a data
+    engineer runs on a new snapshot: volume (docs/tokens), token-length
+    distribution (exact interpolated p50/p90), exact-dup rate (md5), blank
+    fraction, and mean composite quality. One narrow scan + one aggregation
+    shuffle of group-count rows; the md5 distinct-count shuffles 32-char
+    digests, never text — the whole report is a single job at any corpus
+    size.
+    """
+    qm = quality_metrics(df, text_col)
+    return qm.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        pround(F.percentile(F.col("n_tokens"), F.lit(0.5)), 4).alias("p50_tokens"),
+        pround(F.percentile(F.col("n_tokens"), F.lit(0.9)), 4).alias("p90_tokens"),
+        pround(
+            1 - F.countDistinct(F.md5(F.col(text_col))) / F.count("*").cast("double"), 6
+        ).alias("dup_rate"),
+        pround(
+            F.avg(F.when(F.trim(F.col(text_col)) == "", 1.0).otherwise(0.0)), 6
+        ).alias("blank_frac"),
+        pround(F.avg("quality_score"), 6).alias("avg_quality"),
+    )

@@ -100,6 +100,7 @@ TEXT_AND_VECTOR_QUERIES = [
     "chunk_documents",
     "minhash_incremental",
     "dedup_spans",
+    "corpus_report",
 ]
 
 

@@ -353,3 +353,21 @@ def test_chunk_documents(spark):
         TS.chunk_documents(df, window=8, overlap=8)
     with pytest.raises(ValueError, match="window"):
         TS.chunk_documents(df, window=0)
+
+
+def test_corpus_report(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "s0", "good readable document with several distinct words"),
+            (2, "s0", "good readable document with several distinct words"),  # exact dup
+            (3, "s0", ""),                                                    # blank
+            (4, "s1", "one two three four five six"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rep = {r["source"]: r for r in TS.corpus_report(df).collect()}
+    assert rep["s0"]["n_docs"] == 3 and rep["s1"]["n_docs"] == 1
+    assert rep["s0"]["dup_rate"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert rep["s0"]["blank_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert rep["s1"]["total_tokens"] == 6 and rep["s1"]["dup_rate"] == 0.0
+    assert 0.0 <= rep["s0"]["avg_quality"] <= 1.0
