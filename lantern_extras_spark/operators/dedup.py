@@ -1,20 +1,35 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Four families, all shuffle-frugal by construction:
+Every granularity a pre-training corpus needs, all shuffle-frugal by
+construction:
 
-- **exact**: group on md5(text). The shuffle key is the 32-char digest, never the
-  document body, so shuffled bytes are O(n · 32) regardless of document size.
-- **MinHash + LSH**: shingle → one portable 32-bit hash per distinct shingle →
-  `n_hashes` universal-hash permutations (one md5 per shingle, not per
-  (shingle × perm)) → banded LSH. Candidate generation is a self-join on
-  (band_index, band_hash) — the only shuffle is on the tiny band keys, and at
-  1000 executors it stays balanced because band hashes are uniform. Verification
-  recomputes exact Jaccard only for candidate pairs.
-- **SimHash**: 32-bit signature via per-bit majority vote of token hashes;
-  near-dup candidates join on any matching 8-bit band (hamming ≤ 4-ish classic
-  scheme), verified with `bit_count(xor)`.
+- **exact (document)**: group on md5(text). The shuffle key is the 32-char
+  digest, never the document body, so shuffled bytes are O(n · 32) regardless
+  of document size.
+- **paragraph / line (corpus-global)**: `dedup_paragraphs` — every repeated
+  unit keeps only its first (id, pos) occurrence; window keyed on the unit
+  string (collision-free), blank/short side salted against skew.
+- **span (exact-substring)**: `dedup_spans` — Lee et al. ExactSubstr
+  semantics; duplicated ≥span-token windows excised from later occurrences,
+  canonical pick via map-side-combining groupBy, content-defined sampling
+  (hash % stride) as the shuffle-volume lever.
+- **MinHash + LSH (near-dup)**: shingle → one portable 32-bit hash per
+  distinct shingle → `n_hashes` universal-hash permutations (one md5 per
+  shingle, not per (shingle × perm)) → banded LSH. Candidate generation is a
+  self-join on (band_index, band_hash) — the only shuffle is on the tiny band
+  keys, and at 1000 executors it stays balanced because band hashes are
+  uniform. Verification recomputes exact Jaccard only for candidate pairs (or
+  the Broder signature estimate). `minhash_dedup_incremental` matches an
+  arriving batch against a persisted (id, sig) store without re-reading the
+  corpus.
+- **SimHash**: signature via per-bit majority vote of token hashes; near-dup
+  candidates join on any matching band, verified with `bit_count(xor)`.
+  bits=32/band_bits=8 is the oracle config; bits=60/band_bits=15 the scale
+  config (128× lower candidate-bucket density).
 - **embedding cosine near-dup**: random-hyperplane LSH buckets over an embedding
   column, cosine verified within buckets.
+- **benchmark decontamination**: normalized-shingle containment against an
+  eval-set broadcast.
 
 Every hash is the engine-portable md5-based `hash32` so the DuckDB correctness
 oracle can recompute signatures bit-for-bit (see functions/hashing.py).
