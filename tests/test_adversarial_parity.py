@@ -27,7 +27,11 @@ NASTY_TEXTS = [
     "the the the the the the",            # degenerate repetition
     "mixed 123 numbers-and-punct!!! ???",
     "x " * 500,                           # long repetitive
-    "word"                                # single token
+    "word",                               # single token
+    "nbsp\u00a0inside\u00a0token here",   # U+00A0 is NOT \s in either engine
+    "y" * 2000,                           # one enormous token
+    "🙂🙃🙂 emoji run 🙂 with ünïcödé mixed in",
+    "\tleading tab", "trailing tab\t",    # phantom-empty-token split edges
 ] + [f"normal document number {i} with some shared words" for i in range(20)]
 
 
