@@ -589,6 +589,17 @@ def q_pack_sequences_text(spark: SparkSession, sf: str) -> DataFrame:
 DS_PROLOGUE = "GLOBAL PROLOGUE SPAN TOKENS SHARED ACROSS EVERY DOCUMENT IN CORPUS"
 
 
+def q_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated-bigram LM quality proxy (operators/textstats.py:
+    bigram_logprob_score): ln(0.7·P_bi + 0.3·P_uni) per transition, per-doc
+    mean — the word-salad detector a unigram score misses. Self-referenced
+    here (corpus = ref) so the whole chain is one deterministic job; the
+    oracle replays both vocab joins and the interpolation bit-for-bit."""
+    docs = _t(spark, sf, "documents")
+    out = TS.bigram_logprob_score(docs)
+    return out.select("doc_id", pround("lm2_logprob", 5).alias("lm2_logprob"))
+
+
 def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source corpus health summary (operators/textstats.py:
     corpus_report): volume, exact interpolated token percentiles, md5 dup
@@ -1283,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": q_minhash_incremental,
         "dedup_spans": q_dedup_spans,
         "corpus_report": q_corpus_report,
+        "bigram_logprob": q_bigram_logprob,
     }
 
 
@@ -2408,6 +2420,39 @@ def _oracle_sql_raw() -> dict[str, str]:
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      / CAST(total AS DOUBLE), 8) AS coverage
         FROM top, tot
+    """
+    # interpolated-bigram LM: P_bi = c(bi)/c(prev) (0 on unseen prev),
+    # P_uni = add-one unigram; literals written with Python repr so the
+    # 1.0 - 0.7 = 0.30000000000000004 double matches Spark's bit-for-bit
+    lam_r, one_minus_lam_r = repr(0.7), repr(1.0 - 0.7)
+    sql["bigram_logprob"] = f"""
+        WITH t AS (SELECT doc_id, {_sql_words('lower(text)')} AS w FROM documents),
+        tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
+        uni AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+        tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM uni),
+        bg AS (
+            SELECT doc_id,
+                   unnest([w[i] FOR i IN range(1, len(w))]) AS prev,
+                   unnest([w[i+1] FOR i IN range(1, len(w))]) AS cur,
+                   unnest([concat(w[i], ' ', w[i+1]) FOR i IN range(1, len(w))]) AS bi
+            FROM t WHERE len(w) >= 2
+        ),
+        bic AS (SELECT bi, count(*) AS cb FROM bg GROUP BY bi),
+        sc AS (
+            SELECT g.doc_id,
+                   ln({lam_r} * (CASE WHEN up.c IS NOT NULL AND up.c > 0
+                                 THEN coalesce(bic.cb, 0) / CAST(up.c AS DOUBLE)
+                                 ELSE 0.0 END)
+                      + {one_minus_lam_r} * ((coalesce(uc.c, 0) + 1.0) / (tot.n + 1.0 * (tot.v + 1.0)))) AS lp
+            FROM bg g
+            LEFT JOIN bic USING (bi)
+            LEFT JOIN uni up ON up.tk = g.prev
+            LEFT JOIN uni uc ON uc.tk = g.cur
+            CROSS JOIN tot
+        ),
+        per_doc AS (SELECT doc_id, avg(lp) AS m FROM sc GROUP BY doc_id)
+        SELECT d.doc_id, round(round(coalesce(per_doc.m, 0.0), 6), 5) AS lm2_logprob
+        FROM documents d LEFT JOIN per_doc USING (doc_id)
     """
     # corpus health report: the quality_by_lang quality-score CTE grouped by
     # source, plus exact interpolated percentiles / md5 dup rate / blank frac

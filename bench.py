@@ -134,6 +134,7 @@ def main() -> None:
         "minhash_incremental",
         "dedup_spans",
         "corpus_report",
+        "bigram_logprob",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

@@ -23,6 +23,7 @@ from lantern_extras_spark.operators.hnsw import (  # noqa: F401
     reindex_external_index,
 )
 from lantern_extras_spark.operators.textstats import (  # noqa: F401
+    bigram_logprob_score,
     chunk_documents,
     gopher_filter,
     language_id,

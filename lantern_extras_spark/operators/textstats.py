@@ -662,3 +662,93 @@ def corpus_report(
         ).alias("blank_frac"),
         pround(F.avg("quality_score"), 6).alias("avg_quality"),
     )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref: DataFrame | None = None,
+    alpha: float = 1.0,
+    lam: float = 0.7,
+    out_col: str = "lm2_logprob",
+) -> DataFrame:
+    """Interpolated-bigram LM quality score — the step up from
+    `unigram_logprob_score` toward CCNet's KenLM ranking: per-doc mean of
+    ln(λ·P_bi(wᵢ|wᵢ₋₁) + (1−λ)·P_uni(wᵢ)) over positions 2..n, where
+    P_bi = c(wᵢ₋₁wᵢ)/c(wᵢ₋₁) (MLE, 0 when the previous token is unseen) and
+    P_uni is the add-alpha unigram of the same `ref` (default: the corpus
+    itself). Word-salad with plausible unigrams but impossible transitions —
+    the classic spam/seo signature a unigram score misses — drops hard.
+    Docs with < 2 tokens get 0.0; `exp(-score)` reads as perplexity.
+
+    Scale shape: two count aggregations (unigram + bigram, both map-side
+    combining over the Zipf head), totals as a broadcast 1-row cross join,
+    scoring = one explode + three token-keyed joins + per-doc mean. Same
+    AQE-skew-join posture as the unigram operator; pass a trimmed external
+    `ref` to make both vocab sides broadcast-able in deployment.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    ref = df if ref is None else ref
+
+    def doc_tokens(frame):
+        return frame.select(
+            *( [F.col(id_col)] if id_col in frame.columns else [] ),
+            tokens(F.lower(F.col(text_col))).alias("__toks"),
+        )
+
+    def bigram_structs(toks):
+        n = F.size(toks)
+        return F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("prev"),
+                    F.element_at(toks, i + 1).alias("cur"),
+                    F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)).alias("bi"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<prev:string,cur:string,bi:string>>"))
+
+    ref_toks = doc_tokens(ref)
+    uni = (
+        ref_toks.select(F.explode("__toks").alias("__tok"))
+        .groupBy("__tok").agg(F.count("*").alias("__c"))
+    )
+    bi = (
+        ref_toks.select(F.explode(bigram_structs(F.col("__toks"))).alias("__b"))
+        .select(F.col("__b.bi").alias("__bi"))
+        .groupBy("__bi").agg(F.count("*").alias("__cb"))
+    )
+    tot = uni.agg(F.sum("__c").alias("__n"), F.count("*").alias("__v"))
+
+    d = doc_tokens(df).select(
+        F.col(id_col), F.explode(bigram_structs(F.col("__toks"))).alias("__b")
+    ).select(
+        F.col(id_col),
+        F.col("__b.prev").alias("__prev"),
+        F.col("__b.cur").alias("__cur"),
+        F.col("__b.bi").alias("__bi"),
+    )
+    joined = (
+        d.join(bi, "__bi", "left")
+        .join(uni.select(F.col("__tok").alias("__prev"), F.col("__c").alias("__cp")), "__prev", "left")
+        .join(uni.select(F.col("__tok").alias("__cur"), F.col("__c").alias("__cc")), "__cur", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    p_bi = F.when(
+        F.coalesce(F.col("__cp"), F.lit(0)) > 0,
+        F.coalesce(F.col("__cb"), F.lit(0)).cast("double") / F.col("__cp").cast("double"),
+    ).otherwise(F.lit(0.0))
+    p_uni = (
+        F.coalesce(F.col("__cc"), F.lit(0)).cast("double") + F.lit(float(alpha))
+    ) / (F.col("__n").cast("double") + F.lit(float(alpha)) * (F.col("__v").cast("double") + 1.0))
+    logp = F.log(F.lit(float(lam)) * p_bi + F.lit(1.0 - float(lam)) * p_uni)
+    per_doc = joined.groupBy(id_col).agg(F.avg(logp).alias(out_col))
+    return df.join(per_doc, id_col, "left").withColumn(
+        out_col, pround(F.coalesce(F.col(out_col), F.lit(0.0)), 6)
+    )

@@ -105,6 +105,7 @@ TEXT_AND_VECTOR_QUERIES = [
     "minhash_incremental",
     "dedup_spans",
     "corpus_report",
+    "bigram_logprob",
 ]
 
 

@@ -371,3 +371,37 @@ def test_corpus_report(spark):
     assert rep["s0"]["blank_frac"] == pytest.approx(1 / 3, abs=1e-6)
     assert rep["s1"]["total_tokens"] == 6 and rep["s1"]["dup_rate"] == 0.0
     assert 0.0 <= rep["s0"]["avg_quality"] <= 1.0
+
+
+def test_bigram_logprob_score(spark):
+    ref = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat while the dog sat on the rug"),
+            (101, "a cat and a dog sat on the mat in the sun"),
+            (102, "the dog and the cat sat on the rug all day"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog sat on the rug"),
+            (2, "cat the on sat mat the dog and rug the on sat"),  # shuffled salad
+            (3, "single"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lm2_logprob"]
+           for r in TS.bigram_logprob_score(docs, ref=ref).collect()}
+    # coherent transitions beat same-unigram word salad by a wide margin
+    assert out[1] > out[2] + 1.0
+    # < 2 tokens -> no transitions -> 0.0
+    assert out[3] == 0.0 and out[4] == 0.0
+    # lam=0 degenerates to the pure unigram interpolation term
+    uni_only = {r["doc_id"]: r["lm2_logprob"]
+                for r in TS.bigram_logprob_score(docs, ref=ref, lam=0.0).collect()}
+    assert uni_only[1] < 0.0
+    with pytest.raises(ValueError, match="lam"):
+        TS.bigram_logprob_score(docs, lam=1.5)
+    with pytest.raises(ValueError, match="alpha"):
+        TS.bigram_logprob_score(docs, alpha=0.0)
