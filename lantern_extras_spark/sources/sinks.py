@@ -56,3 +56,52 @@ def json_object_agg(df: DataFrame, key_col: str, val_col: str, out_col: str = "o
             F.map_from_entries(F.collect_list(F.struct(F.col(key_col), F.col(val_col))))
         ).alias(out_col)
     )
+
+
+def write_corpus_shards(
+    df: DataFrame,
+    path: str,
+    tokens_per_shard: int = 10_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fmt: str = "parquet",
+    salt: str = "shard",
+    mode: str = "overwrite",
+) -> int:
+    """Export the final corpus as token-balanced shards — the file layout a
+    tokenizer/training job actually wants: every output file holds
+    ~`tokens_per_shard` whitespace tokens, so downstream workers get even
+    work regardless of document-length skew (naive `repartition(n)` balances
+    ROWS; one shard full of books and one of tweets differ 100× in tokens).
+
+    Shard assignment reuses `pack_sequences`' deterministic contiguous-prefix
+    binning with ONE hash bucket (shard = global token-prefix // budget, doc
+    order seeded by hash — reproducible across runs), then writes one file
+    per shard via partitionBy("shard"). Returns the shard count.
+
+    Scale shape: one window cumsum for the assignment and one
+    shuffle-on-shard write; n_buckets=1 serializes the cumsum window, so for
+    100 TB exports raise `n_buckets` in a direct `pack_sequences` call and
+    treat (bucket, bin) as the shard key — this convenience wrapper keeps the
+    single-sequence layout small exports want.
+    """
+    if fmt not in ("parquet", "json", "text"):
+        raise ValueError(f"unknown fmt {fmt!r} (parquet/json/text)")
+    from lantern_extras_spark.operators.sampling import pack_sequences
+
+    asg = pack_sequences(
+        df, text_col=text_col, id_col=id_col,
+        max_tokens=tokens_per_shard, n_buckets=1, salt=salt,
+    ).select(F.col(id_col), F.col("bin").alias("shard"))
+    out = df.join(asg, id_col)
+    if fmt == "text":
+        # .text() takes exactly one value column; shard stays as the
+        # partition directory
+        out.select(F.col(text_col).alias("value"), "shard").write.mode(
+            mode
+        ).partitionBy("shard").text(path)
+    elif fmt == "json":
+        out.write.mode(mode).partitionBy("shard").json(path)
+    else:
+        out.write.mode(mode).partitionBy("shard").parquet(path)
+    return out.agg(F.countDistinct("shard")).first()[0]

@@ -62,3 +62,36 @@ def test_truncated_record_error(spark, tdir):
         f.write(struct.pack("<I", 10) + b"\x00" * 8)  # claims 10 floats, has 2
     with pytest.raises(Exception, match="truncated"):
         VS.read_fvecs(spark, path).collect()
+
+
+def test_write_corpus_shards_token_balance(spark, tmp_path):
+    from lantern_extras_spark.sources.sinks import write_corpus_shards
+
+    # 40 docs x 10 tokens = 400 tokens; 100-token shards -> 4 shards
+    docs = spark.createDataFrame(
+        [(i, "w " * 10) for i in range(40)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "shards")
+    n = write_corpus_shards(docs, path, tokens_per_shard=100)
+    assert n == 4
+    back = spark.read.parquet(path)
+    assert back.count() == 40
+    sizes = {r["shard"]: r["n"] for r in back.groupBy("shard").count()
+             .withColumnRenamed("count", "n").collect()}
+    assert set(sizes) == {0, 1, 2, 3}
+    # contiguous-prefix binning: every shard holds ~100 tokens = 10 docs
+    assert all(v == 10 for v in sizes.values())
+    # deterministic across runs (same seed -> same assignment)
+    path2 = str(tmp_path / "shards2")
+    write_corpus_shards(docs, path2, tokens_per_shard=100)
+    a = {(r["doc_id"], r["shard"]) for r in back.select("doc_id", "shard").collect()}
+    b = {(r["doc_id"], r["shard"]) for r in spark.read.parquet(path2)
+         .select("doc_id", "shard").collect()}
+    assert a == b
+    # text format writes one value column per doc
+    path3 = str(tmp_path / "shards_txt")
+    write_corpus_shards(docs, path3, tokens_per_shard=100, fmt="text")
+    assert spark.read.text(path3).count() == 40
+    import pytest as _pt
+    with _pt.raises(ValueError, match="fmt"):
+        write_corpus_shards(docs, path, tokens_per_shard=100, fmt="csvx")
