@@ -122,3 +122,19 @@ def test_vocab_coverage_window_after_limit(spark):
     df = E.q_vocab_coverage(spark, SF)
     s = plan_summary(df)
     assert "TakeOrderedAndProject" in s.text or "GlobalLimit" in s.text, s.text
+
+
+def test_dedup_spans_no_nested_loop_join(spark):
+    """Canonical-pick and excision must stay equi-joins — a BNL/cartesian
+    over the window table would be quadratic at scale."""
+    df = E.q_dedup_spans(spark, SF)
+    s = plan_summary(df)
+    assert "NestedLoop" not in s.text and "Cartesian" not in s.text, s.text
+
+
+def test_minhash_incremental_equi_band_join(spark):
+    """The batch-vs-store candidate join must be an equi-join on the band
+    key (hash/sort-merge), never a nested loop."""
+    df = E.q_minhash_incremental(spark, SF)
+    s = plan_summary(df)
+    assert "NestedLoop" not in s.text and "Cartesian" not in s.text, s.text

@@ -226,6 +226,15 @@ def main() -> None:
     results["simhash_pairs_scaled"] = measure(simhash_scaled)
     print(json.dumps({"simhash_pairs_scaled": results["simhash_pairs_scaled"]}), flush=True)
 
+    # span-dedup scale config: content-defined sampling (hash % stride) cuts
+    # the window shuffle stride x; full corpus (no doc_id cap), stride=8
+    def spans_scaled(sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        D.dedup_spans(docs, span=16, stride=8).foreach(lambda r: None)
+
+    results["dedup_spans_scaled"] = measure(spans_scaled)
+    print(json.dumps({"dedup_spans_scaled": results["dedup_spans_scaled"]}), flush=True)
+
     # MinHash verify-stage trade-off (VERDICT r5 #6): exact verify
     # re-materializes full shingle sets per candidate pair; signature verify
     # reuses the already-shuffled n_hashes-long signatures — measure both so
