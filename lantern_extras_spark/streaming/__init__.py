@@ -4,5 +4,6 @@ from lantern_extras_spark.streaming.stateful import (  # noqa: F401
     dedup_stream,
     near_dedup_band_flags,
     start_dedup_stream,
+    start_ingest_dedup_stream,
     start_near_dedup_stream,
 )

@@ -229,3 +229,71 @@ def start_dedup_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def start_ingest_dedup_stream(
+    spark,
+    source_dir: str,
+    source_schema,
+    output_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    available_now: bool = True,
+    trigger_seconds: int = 10,
+):
+    """The incremental-ingest loop (examples/incremental_ingest.py) as a
+    Structured Streaming query: each micro-batch signs its docs once, matches
+    them against the persisted MinHash signature store at `store_dir` (plus
+    within-batch), appends the keep-first SURVIVORS to both `output_dir`
+    (full rows) and the store (id, sig). Exactly-once per batch via the
+    checkpoint; the store is the only cross-batch state and lives as plain
+    parquet, so a cluster restart resumes with zero reprocessing.
+
+    Scale posture is the batch operator's (minhash_dedup_incremental):
+    corpus text is never re-read — each batch's work is its own signing plus
+    a band-key equi-join against the store.
+    """
+    import os
+
+    from lantern_extras_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+
+    stream = spark.readStream.schema(source_schema).parquet(source_dir)
+
+    def write_batch(bdf, epoch_id):
+        if bdf.isEmpty():
+            return
+        sigs = minhash_signatures(bdf, text_col, id_col, n_hashes).select(id_col, "sig")
+        if os.path.exists(os.path.join(store_dir, "_SUCCESS")) or any(
+            f.endswith(".parquet") for f in (os.listdir(store_dir) if os.path.isdir(store_dir) else [])
+        ):
+            store = bdf.sparkSession.read.parquet(store_dir)
+            pairs = minhash_dedup_incremental(
+                bdf, store, text_col, id_col, n_hashes, bands=bands, threshold=threshold
+            )
+        else:
+            pairs = minhash_dedup(
+                bdf, text_col, id_col, n_hashes, bands=bands,
+                threshold=threshold, verify="signature",
+            )
+        dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        survivors = bdf.join(dropped, id_col, "left_anti")
+        survivors.write.mode("append").parquet(output_dir)
+        sigs.join(dropped, id_col, "left_anti").write.mode("append").parquet(store_dir)
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("append")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -102,3 +102,42 @@ def test_near_dedup_band_collisions_do_not_drop_distinct_docs(spark, tmp_path):
     q.awaitTermination(180)
     survivors = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert survivors == list(range(48))
+
+
+def test_streaming_ingest_dedup_with_signature_store(spark, tmp_path):
+    """foreachBatch incremental MinHash ingest: survivors land in the output
+    AND their signatures in the store; a later batch is matched against the
+    store (cross-batch dup rejected) without re-reading accepted text."""
+    from lantern_extras_spark.streaming.stateful import start_ingest_dedup_stream
+
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    ckpt, store = str(tmp_path / "ckpt"), str(tmp_path / "store")
+
+    batch1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "spark shuffles data between stages and caches hot sets"),
+            (3, "the quick brown fox jumps over the lazy dog tonight"),  # in-batch dup
+        ],
+        "doc_id long, text string",
+    )
+    batch1.coalesce(1).write.mode("overwrite").parquet(src)
+    q = start_ingest_dedup_stream(spark, src, batch1.schema, out, ckpt, store,
+                                  threshold=0.9)
+    q.awaitTermination(120)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 2]
+    assert spark.read.parquet(store).count() == 2
+
+    batch2 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight"),  # store dup
+            (11, "a genuinely new document about broadcast joins today"),
+        ],
+        "doc_id long, text string",
+    )
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    q2 = start_ingest_dedup_stream(spark, src, batch1.schema, out, ckpt, store,
+                                   threshold=0.9)
+    q2.awaitTermination(120)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 2, 11]
+    assert spark.read.parquet(store).count() == 3
