@@ -1,1 +1,8 @@
 from lantern_extras_spark.sources.vecs import read_fvecs, read_ivecs, read_bvecs, write_fvecs  # noqa: F401
+from lantern_extras_spark.sources.sinks import (  # noqa: F401
+    export_embeddings_csv,
+    json_agg,
+    json_object_agg,
+    vector_to_pg_text,
+    write_corpus_shards,
+)
