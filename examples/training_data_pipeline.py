@@ -17,6 +17,7 @@ oracle via __spark_entry__):
   7. mixture + quota reports   mixture_weights / resample_mixture,
                                quota_sample, vocab_coverage
   8. split + sequence packing  hash_split, pack_sequences(_concat)
+  9. shard export              write_corpus_shards (token-balanced files)
 
 Run: python examples/training_data_pipeline.py
 """
@@ -166,6 +167,17 @@ def main() -> dict:
         (r["bucket"], r["bin"], r["doc_ids"], r["n_tokens"], r["text"])
         for r in sorted(seqs.collect(), key=lambda r: (r["bucket"], r["bin"]))
     ]
+
+    # 10. export the train shard as token-balanced files (the layout a
+    #     tokenizer job wants: ~equal tokens per file, not ~equal rows)
+    import tempfile
+
+    from lantern_extras_spark.sources.sinks import write_corpus_shards
+
+    with tempfile.TemporaryDirectory() as td:
+        out["n_shards"] = write_corpus_shards(
+            train, os.path.join(td, "shards"), tokens_per_shard=16
+        )
     return out
 
 

@@ -41,6 +41,8 @@ def test_training_data_pipeline(spark):
     seq_ids = [i for s in out["sequences"] for i in s[2]]
     assert sorted(seq_ids) == sorted(ids)
     assert all(s[4].strip() and s[3] > 0 for s in out["sequences"])
+    # the shard export bins the same train docs into >=1 token-balanced file
+    assert out["n_shards"] >= 1
 
 
 def test_incremental_ingest_example(spark):
