@@ -99,3 +99,95 @@ def test_dedup_spans_matches_reference(spark, docs_texts):
     want = ref_dedup_spans(docs_texts, span)
     for i, w in enumerate(want):
         assert got[i] == w, (i, docs_texts[i], got[i], w)
+
+
+def _py_hash32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _py_pround(x: float, n: int) -> float:
+    import math
+    s = float(10**n)
+    return math.floor(x * s + 0.5) / s
+
+
+@given(st.lists(st.lists(st.sampled_from(WORDS), min_size=0, max_size=20).map(" ".join),
+                min_size=1, max_size=5))
+@settings(max_examples=10, deadline=None)
+def test_chunk_documents_matches_reference(spark, texts):
+    from lantern_extras_spark.operators.textstats import chunk_documents
+
+    window, overlap, stride = 6, 2, 4
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, window=window, overlap=overlap).collect()
+    )
+    want = []
+    for d, t in enumerate(texts):
+        tk = pyre.split(r"\s+", t.strip()) if t.strip() else []
+        n = len(tk)
+        starts = [
+            s for s in range(1, max(n, 1) + 1, stride)
+            if s <= n and (s == 1 or s - stride + window - 1 < n)
+        ]
+        for idx, s in enumerate(starts, 1):
+            piece = tk[s - 1:s - 1 + window]
+            want.append((d, idx, len(piece), " ".join(piece)))
+    assert got == sorted(want)
+
+
+@given(st.lists(st.lists(st.sampled_from(WORDS), min_size=0, max_size=8).map(" ".join),
+                min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None)
+def test_quota_sample_matches_reference(spark, texts):
+    from lantern_extras_spark.operators.sampling import quota_sample
+
+    budget = 10
+    rows = [(i, t, f"s{i % 2}") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cum_tokens"], r["quota_rank"])
+        for r in quota_sample(df, token_budget=budget).collect()
+    }
+    want = {}
+    for src in {r[2] for r in rows}:
+        grp = [r for r in rows if r[2] == src]
+        grp.sort(key=lambda r: (_py_hash32(f"quota:{r[0]}"), r[0]))
+        prefix = 0
+        for rank, (i, t, _) in enumerate(grp, 1):
+            nt = len(pyre.split(r"\s+", t.strip())) if t.strip() else 0
+            if prefix < budget:
+                want[i] = (nt, prefix + nt, rank)
+            prefix += nt
+    assert got == want
+
+
+@given(st.lists(st.lists(st.sampled_from(WORDS), min_size=1, max_size=6).map(" ".join),
+                min_size=2, max_size=8))
+@settings(max_examples=10, deadline=None)
+def test_resample_mixture_matches_reference(spark, texts):
+    import math
+
+    from lantern_extras_spark.operators.sampling import resample_mixture
+
+    target = {"s0": 0.6, "s1": 0.4}
+    rows = [(i, t, f"s{i % 2}") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {}
+    for r in resample_mixture(df, target).collect():
+        got.setdefault(r["doc_id"], []).append(r["copy"])
+    tok = {i: len(pyre.split(r"\s+", t.strip())) for i, t, _ in rows}
+    grp_tokens = {}
+    for i, t, s in rows:
+        grp_tokens[s] = grp_tokens.get(s, 0) + tok[i]
+    total = sum(grp_tokens.values())
+    want = {}
+    for i, t, s in rows:
+        nt = grp_tokens[s]
+        w = 0.0 if nt == 0 else _py_pround(target.get(s, 0.0) * total / nt, 8)
+        u = _py_hash32(f"mix:{i}") / float(2**32)
+        n = int(math.floor(w)) + (1 if u < w - math.floor(w) else 0)
+        if n >= 1:
+            want[i] = list(range(1, n + 1))
+    assert {k: sorted(v) for k, v in got.items()} == want
