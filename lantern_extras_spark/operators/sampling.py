@@ -79,6 +79,7 @@ def pack_sequences(
     max_tokens: int = 512,
     n_buckets: int = 64,
     salt: str = "pack",
+    counter: str = "ws",
 ) -> DataFrame:
     """Deterministic sequence packing — assign documents to fixed-token-budget
     bins (the pre-training batch-construction step: concatenate docs until the
@@ -99,15 +100,21 @@ def pack_sequences(
     Scale shape: one projection (hash, token count), one shuffle on bucket,
     one window cumsum per bucket — bins never materialize as driver state,
     and bucket count sets the parallelism (use executors×4 at scale)."""
-    from lantern_extras_spark.functions.text import token_count
+    from lantern_extras_spark.functions.text import bpe_ish_token_count, token_count
 
     if max_tokens < 1:
         raise ValueError("max_tokens must be >= 1")
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
+    if counter not in ("ws", "bpe"):
+        raise ValueError(f"unknown counter {counter!r} (ws/bpe)")
+    # counter="bpe" budgets by BPE-ish pre-tokens — much closer to a real
+    # tokenizer's count than whitespace words (code/punct-heavy docs consume
+    # ~2-3x their word count in BPE tokens); "ws" stays the oracle default
+    count_fn = token_count if counter == "ws" else bpe_ish_token_count
     base = df.select(
         F.col(id_col),
-        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        count_fn(F.col(text_col)).cast("long").alias("n_tokens"),
         (hash32(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
          % n_buckets).cast("int").alias("bucket"),
         hash32(F.concat(F.lit(f"{salt}#"), F.col(id_col).cast("string"))).alias("__ord"),

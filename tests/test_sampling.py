@@ -157,3 +157,17 @@ def test_mixture_weights_and_resample(spark):
     assert sorted((r["doc_id"], r["copy"]) for r in rows) == again
     with pytest.raises(ValueError, match="non-empty"):
         SMP.mixture_weights(df, {})
+
+
+def test_pack_sequences_bpe_counter(spark):
+    df = spark.createDataFrame(
+        [(1, "plain words here"), (2, "a-b.c=d!e,f")],   # 3 ws tokens vs 11 bpe
+        "doc_id long, text string",
+    )
+    ws = {r["doc_id"]: r["n_tokens"] for r in SMP.pack_sequences(df, n_buckets=1).collect()}
+    bpe = {r["doc_id"]: r["n_tokens"]
+           for r in SMP.pack_sequences(df, n_buckets=1, counter="bpe").collect()}
+    assert ws[1] == 3 and ws[2] == 1
+    assert bpe[1] == 3 and bpe[2] == 11
+    with pytest.raises(ValueError, match="counter"):
+        SMP.pack_sequences(df, counter="chars")
