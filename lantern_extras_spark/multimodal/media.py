@@ -387,3 +387,69 @@ def frame_sample(
         idx, lambda i: F.substring(m, (i * F.greatest(n / n_frames, F.lit(1))).cast("int") + 1, 64)
     )
     return df.withColumn(out_col, F.when(m.isNotNull() & (n > 0), frames))
+
+
+def audio_frame_energy(
+    df: DataFrame,
+    media_col: str = "media",
+    out_col: str = "frame_energy",
+    frame_bytes: int = 1024,
+    max_frames: int = 64,
+    sample_width: int = 2,
+    max_bytes: int = 20 * 1024 * 1024,
+) -> DataFrame:
+    """Audio feature plumbing: per-frame RMS energy over raw PCM payloads —
+    the Spark shape of an audio feature extractor (one binary row in, a
+    bounded float array out), with the CODEC step (mp3/flac/ogg → PCM)
+    env-gated exactly like image decode. The energy kernel itself is real:
+    bytes are read as little-endian signed `sample_width`-byte PCM, framed at
+    `frame_bytes`, RMS per frame normalized to [0, 1]. Compressed inputs
+    therefore measure byte entropy, not sound — feed decoded PCM for real
+    audio (documented stub boundary, mirroring decode_image_features).
+
+    Failure semantics match the reference's media sentinel (U6): null /
+    oversized / unreadable rows yield `[-1.0]` (one sentinel element), never
+    null — row alignment is preserved.
+
+    Arrow-batched numpy kernel, no shuffle: a pure projection at any scale;
+    `max_frames` bounds output row width regardless of payload size.
+    """
+    if sample_width not in (1, 2, 4):
+        raise ValueError("sample_width must be 1, 2, or 4 bytes")
+    if frame_bytes < sample_width or frame_bytes % sample_width != 0:
+        raise ValueError("frame_bytes must be a positive multiple of sample_width")
+
+    import numpy as np
+
+    fields = df.schema.fields + [StructField(out_col, ArrayType(FloatType(), False))]
+    out_schema = StructType(fields)
+    cols = [f.name for f in df.schema.fields]
+    dtype = {1: np.int8, 2: np.int16, 4: np.int32}[sample_width]
+    full_scale = float(2 ** (8 * sample_width - 1))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for data in pdf[media_col]:
+                if data is None or len(data) < sample_width or len(data) > max_bytes:
+                    feats.append([SENTINEL_VALUE])
+                    continue
+                try:
+                    raw = bytes(data)
+                    usable = (len(raw) // sample_width) * sample_width
+                    pcm = np.frombuffer(raw[:usable], dtype=dtype).astype(np.float64)
+                    spf = frame_bytes // sample_width
+                    n = min(len(pcm) // spf or 1, max_frames)
+                    frames = pcm[: n * spf] if len(pcm) >= spf else pcm
+                    if len(pcm) >= spf:
+                        frames = frames.reshape(n, spf)
+                        rms = np.sqrt((frames ** 2).mean(axis=1)) / full_scale
+                    else:
+                        rms = np.array([np.sqrt((pcm ** 2).mean()) / full_scale])
+                    feats.append([float(min(v, 1.0)) for v in rms])
+                except Exception:
+                    feats.append([SENTINEL_VALUE])
+            pdf[out_col] = feats
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(extract, out_schema)

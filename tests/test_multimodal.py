@@ -352,3 +352,34 @@ def test_clip_preprocess_rejects_non_rgb():
 
     with pytest.raises(ValueError, match="H, W, 3"):
         clip_preprocess(np.zeros((5, 5), dtype=np.uint8))
+
+
+def test_audio_frame_energy_kernel_and_sentinels(spark):
+    import struct
+
+    from lantern_extras_spark.multimodal.media import audio_frame_energy
+
+    silence = struct.pack("<64h", *([0] * 64))                  # 128 bytes of 0
+    loud = struct.pack("<64h", *([20000, -20000] * 32))          # near full-scale
+    tiny = struct.pack("<h", 1000)                               # < one frame
+    rows = [(1, bytearray(silence)), (2, bytearray(loud)),
+            (3, bytearray(tiny)), (4, None), (5, bytearray(b""))]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    out = {r["id"]: r["frame_energy"]
+           for r in audio_frame_energy(df, frame_bytes=64).collect()}
+    # 128 bytes at 64-byte frames -> 2 frames each
+    assert out[1] == [0.0, 0.0]
+    assert len(out[2]) == 2 and all(v > 0.5 for v in out[2])
+    # sub-frame payload still yields one real frame
+    assert len(out[3]) == 1 and 0 < out[3][0] < 1
+    # null/empty -> sentinel, never null (row alignment preserved)
+    assert out[4] == [-1.0] and out[5] == [-1.0]
+    # deterministic
+    again = {r["id"]: r["frame_energy"]
+             for r in audio_frame_energy(df, frame_bytes=64).collect()}
+    assert again == out
+    import pytest as _pt
+    with _pt.raises(ValueError, match="sample_width"):
+        audio_frame_energy(df, sample_width=3)
+    with _pt.raises(ValueError, match="frame_bytes"):
+        audio_frame_energy(df, frame_bytes=3)
