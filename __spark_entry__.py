@@ -648,6 +648,14 @@ def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
 MIX_TARGET = {"src0": 0.3, "src1": 0.2, "src2": 0.1, "src3": 0.4}
 
 
+def q_bigram_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Top word-bigram report (operators/textstats.py:vocab_coverage with
+    ngram=2): ranked sliding-window bigram counts with cumulative coverage —
+    the merge-candidate statistic of tokenizer design."""
+    docs = _t(spark, sf, "documents")
+    return TS.vocab_coverage(docs, top_k=40, ngram=2)
+
+
 def q_quota_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source token-budget quota (operators/sampling.py:quota_sample):
     seeded-hash order, keep while the exclusive token prefix is under budget.
@@ -1295,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "corpus_report": q_corpus_report,
         "bigram_logprob": q_bigram_logprob,
+        "bigram_coverage": q_bigram_coverage,
     }
 
 
@@ -2406,6 +2415,24 @@ def _oracle_sql_raw() -> dict[str, str]:
         SELECT w.doc_id, coalesce(agg.td, '') AS text_dedup,
                CAST(coalesce(agg.nd, 0) AS INTEGER) AS n_paras_dropped
         FROM w LEFT JOIN agg USING (doc_id)
+    """
+    sql["bigram_coverage"] = f"""
+        WITH t AS (SELECT {_sql_words('lower(text)')} AS w FROM documents),
+        tok AS (
+            SELECT unnest([concat(w[i], ' ', w[i+1]) FOR i IN range(1, len(w))]) AS token
+            FROM t WHERE len(w) >= 2
+        ),
+        c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+        tot AS (SELECT sum(n) AS total FROM c),
+        top AS (SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 40)
+        SELECT row_number() OVER (ORDER BY n DESC, token ASC) AS rank,
+               token,
+               CAST(n AS BIGINT) AS n,
+               round(n / CAST(total AS DOUBLE), 8) AS freq,
+               round(sum(n) OVER (ORDER BY n DESC, token ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / CAST(total AS DOUBLE), 8) AS coverage
+        FROM top, tot
     """
     sql["vocab_coverage"] = f"""
         WITH tok AS (SELECT lower(unnest({_sql_words()})) AS token FROM documents),

@@ -135,6 +135,7 @@ def main() -> None:
         "dedup_spans",
         "corpus_report",
         "bigram_logprob",
+        "bigram_coverage",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

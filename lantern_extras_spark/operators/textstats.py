@@ -551,12 +551,16 @@ def vocab_coverage(
     text_col: str = "text",
     top_k: int = 1000,
     lowercase: bool = True,
+    ngram: int = 1,
 ) -> DataFrame:
     """Tokenizer-design vocabulary report: the `top_k` most frequent
-    whitespace tokens with rank, count, corpus frequency, and CUMULATIVE token
-    coverage — read off "what vocab size covers 95% of the corpus" directly.
-    Ties break lexicographically (deterministic across engines). Returns
-    `(rank, token, n, freq, coverage)` with rank 1 = most frequent.
+    whitespace tokens (or space-joined word `ngram`s) with rank, count,
+    corpus frequency, and CUMULATIVE token coverage — read off "what vocab
+    size covers 95% of the corpus" directly. Ties break lexicographically
+    (deterministic across engines). Returns `(rank, token, n, freq,
+    coverage)` with rank 1 = most frequent. `ngram` > 1 counts sliding
+    windows (a doc with fewer than `ngram` tokens contributes nothing) —
+    the merge-candidate / common-phrase statistic of tokenizer design.
 
     Scale shape: token counts partial-aggregate map-side (the shuffle carries
     one row per distinct token per partition, never per occurrence); the
@@ -567,9 +571,28 @@ def vocab_coverage(
     """
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
+    if ngram < 1:
+        raise ValueError("ngram must be >= 1")
     t = F.col(text_col)
-    tok = F.explode(tokens(F.lower(t) if lowercase else t)).alias("token")
-    counts = df.select(tok).groupBy("token").agg(F.count("*").alias("n"))
+    toks = tokens(F.lower(t) if lowercase else t)
+    if ngram == 1:
+        units = toks
+    else:
+        staged = F.col("__vc_toks")
+        units = F.when(
+            F.size(staged) >= ngram,
+            F.transform(
+                F.sequence(F.lit(1), F.size(staged) - (ngram - 1)),
+                lambda i: F.concat_ws(" ", F.slice(staged, i, ngram)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    if ngram == 1:
+        exploded = df.select(F.explode(units).alias("token"))
+    else:
+        exploded = df.withColumn("__vc_toks", toks).select(
+            F.explode(units).alias("token")
+        )
+    counts = exploded.groupBy("token").agg(F.count("*").alias("n"))
     total = counts.agg(F.sum("n").alias("__total"))
     top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(top_k)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())

@@ -106,6 +106,7 @@ TEXT_AND_VECTOR_QUERIES = [
     "dedup_spans",
     "corpus_report",
     "bigram_logprob",
+    "bigram_coverage",
 ]
 
 

@@ -405,3 +405,15 @@ def test_bigram_logprob_score(spark):
         TS.bigram_logprob_score(docs, lam=1.5)
     with pytest.raises(ValueError, match="alpha"):
         TS.bigram_logprob_score(docs, alpha=0.0)
+
+
+def test_vocab_coverage_ngram(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a"), (3, "")], "id long, text string"
+    )
+    # bigrams: "a b" x2, "b a" x2 (doc 2 and 3 contribute nothing)
+    out = TS.vocab_coverage(df, top_k=5, ngram=2).collect()
+    assert [(r["token"], r["n"]) for r in out] == [("a b", 2), ("b a", 2)]
+    assert out[-1]["coverage"] == pytest.approx(1.0)
+    with pytest.raises(ValueError, match="ngram"):
+        TS.vocab_coverage(df, ngram=0)
