@@ -2714,3 +2714,30 @@ def oracle_sql() -> dict[str, str]:
     """All float rounding rewritten to the engine-portable floor-form so both
     engines round bit-identically (see functions/portable.py)."""
     return {name: portable_round_sql(sql) for name, sql in _oracle_sql_raw().items()}
+
+
+def manifest() -> dict:
+    """Full query registry with oracle availability — the driver-facing list of
+    every query the CORRECTNESS gate should cover (VERDICT r6 item 1: 16 of 66
+    registered queries had no driver row). `write_manifest()` persists it to
+    queries_manifest.json at bench time and at import in the repo root."""
+    qs = queries()
+    osql = oracle_sql()
+    return {
+        "count": len(qs),
+        "queries": sorted(qs),
+        "oracle_sql": sorted(n for n in qs if n in osql),
+        "rows_only": sorted(n for n in qs if n not in osql),
+    }
+
+
+def write_manifest(path: str | None = None) -> str:
+    import json
+    import os
+
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "queries_manifest.json")
+    with open(path, "w") as f:
+        json.dump(manifest(), f, indent=1, sort_keys=True)
+        f.write("\n")
+    return path

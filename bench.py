@@ -29,6 +29,10 @@ def main() -> None:
     spark = get_spark("lantern-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Persist the full query registry so the driver's CORRECTNESS gate can see
+    # every name, not just the subset it checked last round (VERDICT r6 item 1).
+    E.write_manifest()
+
     # warm the JVM/session so query timings don't pay one-time startup costs
     spark.range(1000).select(F.sum("id")).collect()
 
