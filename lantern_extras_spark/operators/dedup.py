@@ -1141,6 +1141,8 @@ def minhash_dedup_incremental(
     threshold: float = 0.8,
     max_bucket: int = 500,
     verify: str = "signature",
+    new_sigs: DataFrame | None = None,
+    cap_corpus: bool = True,
 ) -> DataFrame:
     """Incremental MinHash dedup: match a NEW batch of documents against an
     already-signed corpus (plus within-batch), without touching corpus text.
@@ -1164,26 +1166,39 @@ def minhash_dedup_incremental(
     Scale shape: the only corpus-sized work is one equi-join on
     (band_idx, band_key) — pre-bucket the persisted store on band_key and
     that join is shuffle-free on the corpus side. Skew guard: the
-    `max_bucket` cap applies to each side independently (corpus buckets are
-    capped once at store build, not per batch).
+    `max_bucket` cap applies to the batch side always; pass
+    `cap_corpus=False` when the store was already capped at build time —
+    the default True recomputes a corpus-wide bucket-count window EVERY
+    call, which is a corpus-sized shuffle a per-batch ingest loop must not
+    pay (streaming/stateful.py passes False; its store holds only keep-first
+    survivors, so buckets stay bounded by construction).
+
+    Cache ownership: pass `new_sigs` (a `minhash_signatures` output for
+    `new_df` that YOU persist/unpersist) when calling in a loop — when it is
+    None, an internal `.cache()` is created whose blocks live until the
+    RDD is GC'd, which leaks executor memory across a long batch loop.
     """
     if verify not in ("exact", "signature"):
         raise ValueError(f"unknown verify {verify!r} (exact/signature)")
-    if verify == "exact" and "shingles" not in corpus_sigs.columns:
-        raise ValueError(
-            "verify='exact' needs the corpus `shingles` column; the persisted "
-            "(id, sig) store supports verify='signature' only"
-        )
-    new_sigs = minhash_signatures(new_df, text_col, id_col, n_hashes, shingle_n).cache()
+    for side, frame in (("corpus_sigs", corpus_sigs), ("new_sigs", new_sigs)):
+        if verify == "exact" and frame is not None and "shingles" not in frame.columns:
+            raise ValueError(
+                f"verify='exact' needs the `shingles` column on {side}; the "
+                "persisted (id, sig) store supports verify='signature' only"
+            )
+    if new_sigs is None:
+        new_sigs = minhash_signatures(new_df, text_col, id_col, n_hashes, shingle_n).cache()
 
-    def capped_bands(sigs: DataFrame) -> DataFrame:
+    def capped_bands(sigs: DataFrame, cap: bool = True) -> DataFrame:
         b = band_keys(sigs, bands, id_col, n_hashes)
+        if not cap:
+            return b
         return b.withColumn(
             "bucket_n", F.count("*").over(Window.partitionBy("band_idx", "band_key"))
         ).where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
 
     nb = capped_bands(new_sigs)
-    cb = capped_bands(corpus_sigs)
+    cb = capped_bands(corpus_sigs, cap_corpus)
     cross = (
         cb.select("band_idx", "band_key", F.col(id_col).alias("id_a"))
         .join(nb.select("band_idx", "band_key", F.col(id_col).alias("id_b")),

@@ -77,7 +77,11 @@ def write_corpus_shards(
     Shard assignment reuses `pack_sequences`' deterministic contiguous-prefix
     binning with ONE hash bucket (shard = global token-prefix // budget, doc
     order seeded by hash — reproducible across runs), then writes one file
-    per shard via partitionBy("shard"). Returns the shard count.
+    per shard: rows are repartitioned on `shard` before the
+    partitionBy("shard") write, so each shard's rows land in exactly one
+    task and therefore one file per shard directory. Returns the shard
+    count, computed from the cached assignment frame BEFORE the write (the
+    packing window runs once, not re-executed for the count).
 
     Scale shape: one window cumsum for the assignment and one
     shuffle-on-shard write; n_buckets=1 serializes the cumsum window, so for
@@ -92,8 +96,9 @@ def write_corpus_shards(
     asg = pack_sequences(
         df, text_col=text_col, id_col=id_col,
         max_tokens=tokens_per_shard, n_buckets=1, salt=salt,
-    ).select(F.col(id_col), F.col("bin").alias("shard"))
-    out = df.join(asg, id_col)
+    ).select(F.col(id_col), F.col("bin").alias("shard")).cache()
+    n_shards = asg.agg(F.countDistinct("shard")).first()[0]
+    out = df.join(asg, id_col).repartition("shard")
     if fmt == "text":
         # .text() takes exactly one value column; shard stays as the
         # partition directory
@@ -104,4 +109,5 @@ def write_corpus_shards(
         out.write.mode(mode).partitionBy("shard").json(path)
     else:
         out.write.mode(mode).partitionBy("shard").parquet(path)
-    return out.agg(F.countDistinct("shard")).first()[0]
+    asg.unpersist()
+    return n_shards

@@ -231,6 +231,66 @@ def start_dedup_stream(
     return writer.start()
 
 
+def ingest_dedup_batch(
+    bdf,
+    epoch_id: int,
+    output_dir: str,
+    store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> None:
+    """One micro-batch of the incremental-ingest dedup loop — module-level so
+    the idempotency contract is directly testable: re-running the SAME
+    (batch, epoch_id) overwrites its own `epoch=N` partition directories in
+    both sinks instead of appending duplicates, which is what upgrades
+    foreachBatch's at-least-once to effectively exactly-once."""
+    if bdf.isEmpty():
+        return
+    from lantern_extras_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+
+    sess = bdf.sparkSession
+    epoch = int(epoch_id)
+    sigs = minhash_signatures(bdf, text_col, id_col, n_hashes).select(id_col, "sig").cache()
+    try:
+        # read through the session's Hadoop FS (works on HDFS/S3/DBFS/local
+        # alike); a missing or still-empty store raises and routes to the
+        # batch-only branch
+        store = sess.read.parquet(store_dir)
+        # a RETRY of this epoch already wrote its own epoch=N store rows —
+        # excluding them (partition-pruned) keeps the retry from matching the
+        # batch against itself and dropping every survivor
+        if "epoch" in store.columns:
+            store = store.where(F.col("epoch") != epoch)
+        store = store.select(id_col, "sig")
+        store.first()
+    except Exception:
+        store = None
+    if store is not None:
+        pairs = minhash_dedup_incremental(
+            bdf, store, text_col, id_col, n_hashes, bands=bands,
+            threshold=threshold, new_sigs=sigs, cap_corpus=False,
+        )
+    else:
+        pairs = minhash_dedup(
+            bdf, text_col, id_col, n_hashes, bands=bands,
+            threshold=threshold, verify="signature",
+        )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = bdf.join(dropped, id_col, "left_anti")
+    survivors.write.mode("overwrite").parquet(f"{output_dir}/epoch={epoch}")
+    sigs.join(dropped, id_col, "left_anti").write.mode("overwrite").parquet(
+        f"{store_dir}/epoch={epoch}"
+    )
+    sigs.unpersist()
+
+
 def start_ingest_dedup_stream(
     spark,
     source_dir: str,
@@ -249,45 +309,33 @@ def start_ingest_dedup_stream(
     """The incremental-ingest loop (examples/incremental_ingest.py) as a
     Structured Streaming query: each micro-batch signs its docs once, matches
     them against the persisted MinHash signature store at `store_dir` (plus
-    within-batch), appends the keep-first SURVIVORS to both `output_dir`
-    (full rows) and the store (id, sig). Exactly-once per batch via the
-    checkpoint; the store is the only cross-batch state and lives as plain
-    parquet, so a cluster restart resumes with zero reprocessing.
+    within-batch), writes the keep-first SURVIVORS to both `output_dir`
+    (full rows) and the store (id, sig). The store is the only cross-batch
+    state and lives as plain parquet, so a cluster restart resumes with zero
+    reprocessing.
+
+    Delivery: effectively exactly-once. foreachBatch itself is
+    at-least-once, so both sinks write to epoch-keyed partition directories
+    (`.../epoch=N/`) with mode=overwrite — a retried or restarted batch
+    rewrites ITS OWN directory instead of appending duplicates. Readers see
+    the extra `epoch` int partition column on `spark.read.parquet(dir)`.
 
     Scale posture is the batch operator's (minhash_dedup_incremental):
     corpus text is never re-read — each batch's work is its own signing plus
-    a band-key equi-join against the store.
+    a band-key equi-join against the store (`cap_corpus=False`: the store
+    holds only keep-first survivors, so no per-batch corpus-wide bucket
+    recount is paid). Store presence is detected by reading it through
+    Spark's own Hadoop filesystem, so HDFS/S3/DBFS stores are found — not
+    just driver-local paths.
     """
-    import os
-
-    from lantern_extras_spark.operators.dedup import (
-        minhash_dedup,
-        minhash_dedup_incremental,
-        minhash_signatures,
-    )
-
     stream = spark.readStream.schema(source_schema).parquet(source_dir)
 
     def write_batch(bdf, epoch_id):
-        if bdf.isEmpty():
-            return
-        sigs = minhash_signatures(bdf, text_col, id_col, n_hashes).select(id_col, "sig")
-        if os.path.exists(os.path.join(store_dir, "_SUCCESS")) or any(
-            f.endswith(".parquet") for f in (os.listdir(store_dir) if os.path.isdir(store_dir) else [])
-        ):
-            store = bdf.sparkSession.read.parquet(store_dir)
-            pairs = minhash_dedup_incremental(
-                bdf, store, text_col, id_col, n_hashes, bands=bands, threshold=threshold
-            )
-        else:
-            pairs = minhash_dedup(
-                bdf, text_col, id_col, n_hashes, bands=bands,
-                threshold=threshold, verify="signature",
-            )
-        dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        survivors = bdf.join(dropped, id_col, "left_anti")
-        survivors.write.mode("append").parquet(output_dir)
-        sigs.join(dropped, id_col, "left_anti").write.mode("append").parquet(store_dir)
+        ingest_dedup_batch(
+            bdf, epoch_id, output_dir, store_dir,
+            text_col=text_col, id_col=id_col, n_hashes=n_hashes,
+            bands=bands, threshold=threshold,
+        )
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -470,6 +470,31 @@ def test_minhash_incremental_matches_full_run(spark):
         D.minhash_dedup_incremental(new, store, verify="nope")
 
 
+def test_minhash_incremental_precomputed_sigs_and_uncapped_store(spark):
+    """Passing caller-owned `new_sigs` (the loop shape that lets the caller
+    unpersist) and `cap_corpus=False` (pre-capped store — skips the per-batch
+    corpus-wide bucket-count window) returns the same pairs as the defaults."""
+    texts = [
+        (i, f"document number {i} with a shared vocabulary of common words plus token{i}")
+        for i in range(8)
+    ] + [(10, "document number 2 with a shared vocabulary of common words plus token2")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    corpus, new = docs.where("doc_id < 10"), docs.where("doc_id >= 10")
+    store = D.minhash_signatures(corpus).select("doc_id", "sig")
+    base = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+            D.minhash_dedup_incremental(new, store, threshold=0.5).collect()}
+    sigs = D.minhash_signatures(new).select("doc_id", "sig").cache()
+    got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+           D.minhash_dedup_incremental(new, store, threshold=0.5,
+                                       new_sigs=sigs, cap_corpus=False).collect()}
+    sigs.unpersist()
+    assert got == base and (2, 10, 1.0) in got
+    # a caller-supplied (id, sig) new_sigs cannot support exact verify either
+    with pytest.raises(ValueError, match="shingles"):
+        D.minhash_dedup_incremental(new, D.minhash_signatures(corpus),
+                                    verify="exact", new_sigs=sigs)
+
+
 def test_minhash_incremental_store_roundtrip(spark, tmp_path):
     """The (id, sig) store survives a parquet round-trip — the persisted-index
     usage the docstring promises (sign once, join future batches against the

@@ -88,6 +88,11 @@ def test_write_corpus_shards_token_balance(spark, tmp_path):
     b = {(r["doc_id"], r["shard"]) for r in spark.read.parquet(path2)
          .select("doc_id", "shard").collect()}
     assert a == b
+    # one FILE per shard, not just one directory (rows repartitioned on shard)
+    import glob
+    for s in range(4):
+        files = [f for f in glob.glob(f"{path}/shard={s}/*") if not f.endswith(".crc")]
+        assert len(files) == 1, files
     # text format writes one value column per doc
     path3 = str(tmp_path / "shards_txt")
     write_corpus_shards(docs, path3, tokens_per_shard=100, fmt="text")

@@ -104,6 +104,34 @@ def test_near_dedup_band_collisions_do_not_drop_distinct_docs(spark, tmp_path):
     assert survivors == list(range(48))
 
 
+def test_ingest_dedup_batch_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once; re-running the SAME (batch, epoch) must
+    overwrite its epoch=N directories, not append — output and store row
+    counts are unchanged after the retry."""
+    from lantern_extras_spark.streaming.stateful import ingest_dedup_batch
+
+    out, store = str(tmp_path / "out"), str(tmp_path / "store")
+    b0 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "spark shuffles data between stages and caches hot sets")],
+        "doc_id long, text string",
+    )
+    ingest_dedup_batch(b0, 0, out, store, threshold=0.9)
+    b1 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog tonight"),  # store dup
+         (11, "a genuinely new document about broadcast joins today")],
+        "doc_id long, text string",
+    )
+    ingest_dedup_batch(b1, 1, out, store, threshold=0.9)
+    survivors = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert survivors == [1, 2, 11]
+    assert spark.read.parquet(store).count() == 3
+    # retry of epoch 1 (same batch id): rewrites epoch=1, no duplicates
+    ingest_dedup_batch(b1, 1, out, store, threshold=0.9)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 2, 11]
+    assert spark.read.parquet(store).count() == 3
+
+
 def test_streaming_ingest_dedup_with_signature_store(spark, tmp_path):
     """foreachBatch incremental MinHash ingest: survivors land in the output
     AND their signatures in the store; a later batch is matched against the
