@@ -4,12 +4,19 @@ Reference analog: `image_embedding` (X3/U6, ort_runtime.rs:608-664,843-906) —
 fetch bytes, preprocess 224², CLIP-normalize, embed; failures map to a
 `[-1.0]*dims` sentinel vector, NOT null (ort_runtime.rs:956-960).
 
-This environment has no image/audio codecs, so the *decode step* is stubbed:
-- `decode_image_features(..., decoder="fake")` produces a deterministic
-  hash-derived feature vector (real Spark plumbing: schema, Arrow batching,
-  per-row error→sentinel semantics all exercised end to end).
-- `decoder="pil"` gates on a real PIL import and raises NotImplementedError
-  here (clearly-marked STUB), keeping the signature ready for a real cluster.
+Decode support is split by codec requirement:
+- CODEC-FREE formats decode for real, in-repo, with zero third-party
+  dependencies: PPM/PGM (P6/P5/P3, pure numpy), uncompressed BMP (24/32-bit
+  BI_RGB, pure numpy) and WAV PCM (stdlib `wave`). `decode_image_features(...,
+  decoder="numpy")` runs the FULL bytes → pixels → Catmull-Rom 224² CLIP
+  preprocess → pooled feature path end to end; `audio_frame_energy` sniffs
+  RIFF/WAVE and measures real sample energy at the container's own width.
+- COMPRESSED formats (jpeg/png/gif, mp3/flac/ogg) still need a codec library
+  this container lacks; those rows map to the per-row sentinel (decode
+  failure semantics, U6) and `decoder="pil"` stays an env-gated
+  NotImplementedError STUB for real clusters.
+- `decoder="fake"` remains: a deterministic hash-derived feature for
+  pipeline tests that want format-independent values.
 
 Scale notes: binary payloads ride the scan (parquet/binaryFile); feature
 extraction is `mapInPandas` so each Arrow batch holds only `batch_rows` images
@@ -291,6 +298,142 @@ def clip_pixel_batch(images, vision_size: int = CLIP_VISION_SIZE):
     return out
 
 
+def decode_ppm(data: bytes):
+    """Decode PPM/PGM bytes (P6 binary RGB, P5 binary gray, P3 ascii RGB —
+    maxval ≤ 255) into an (H, W, 3) uint8 array with pure numpy/stdlib.
+    Grayscale is replicated across the 3 channels so every decoded image
+    feeds `clip_preprocess` directly. Raises ValueError on malformed input."""
+    import numpy as np
+
+    if len(data) < 2 or data[:1] != b"P" or data[1:2] not in b"356":
+        raise ValueError("not a P3/P5/P6 netpbm payload")
+    magic = data[:2].decode()
+
+    # header tokenizer: whitespace-separated ints, '#' comments to end-of-line
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        if pos >= len(data):
+            raise ValueError("truncated netpbm header")
+        c = data[pos:pos + 1]
+        if c == b"#":
+            nl = data.find(b"\n", pos)
+            pos = len(data) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(data) and not data[end:end + 1].isspace() and data[end:end + 1] != b"#":
+                end += 1
+            tokens.append(int(data[pos:end]))
+            pos = end
+    width, height, maxval = tokens
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad netpbm dimensions {width}x{height}")
+    if not (0 < maxval <= 255):
+        raise ValueError(f"unsupported netpbm maxval {maxval} (expect 1..255)")
+
+    if magic == "P3":
+        vals = np.array(data[pos:].split(), dtype=np.int64)
+        if vals.size < width * height * 3:
+            raise ValueError("truncated P3 pixel data")
+        px = vals[: width * height * 3]
+    else:
+        pos += 1  # exactly one whitespace byte separates header from raster
+        nch = 3 if magic == "P6" else 1
+        need = width * height * nch
+        raster = data[pos:pos + need]
+        if len(raster) < need:
+            raise ValueError("truncated netpbm raster")
+        px = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+    if px.max(initial=0) > maxval:
+        raise ValueError("netpbm sample exceeds declared maxval")
+    if maxval != 255:
+        px = px * 255 // maxval
+    if magic == "P5":
+        img = px.reshape(height, width, 1).repeat(3, axis=2)
+    else:
+        img = px.reshape(height, width, 3)
+    return img.astype(np.uint8)
+
+
+def decode_bmp(data: bytes):
+    """Decode uncompressed BMP bytes (BITMAPINFOHEADER-family, BI_RGB,
+    24/32-bit) into (H, W, 3) uint8 with pure numpy/stdlib. Handles 4-byte
+    row padding, bottom-up (positive height) and top-down (negative height)
+    layouts, and drops the alpha byte of 32-bit pixels. Raises ValueError on
+    palette/compressed/malformed input."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not an uncompressed BMP payload")
+    pixel_offset = struct.unpack_from("<I", data, 10)[0]
+    header_size = struct.unpack_from("<I", data, 14)[0]
+    if header_size < 40:  # BITMAPCOREHEADER not supported
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    width, height = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if planes != 1 or compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"unsupported BMP (planes={planes}, bpp={bpp}, compression={compression}); "
+            "only uncompressed BI_RGB 24/32-bit is codec-free"
+        )
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height}")
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3  # rows pad to 4-byte boundaries
+    need = stride * height
+    raster = data[pixel_offset:pixel_offset + need]
+    if len(raster) < need:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(height, stride)
+    px = rows[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+    rgb = px[:, :, 2::-1]  # BGR(A) → RGB
+    if not top_down:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def decode_image_bytes(data: bytes):
+    """Magic-number dispatch to the codec-free decoders: netpbm (P3/P5/P6)
+    and uncompressed BMP decode for real; compressed formats raise
+    NotImplementedError (codec library env-gated — jpeg/png/gif need one),
+    anything else ValueError. Per-row callers map both to the sentinel."""
+    head = bytes(data[:4])
+    if head[:1] == b"P" and head[1:2] in b"356":
+        return decode_ppm(data)
+    if head[:2] == b"BM":
+        return decode_bmp(data)
+    if head[:3] == b"\xff\xd8\xff" or head == b"\x89PNG" or head[:3] == b"GIF":
+        raise NotImplementedError(
+            "compressed image decode (jpeg/png/gif) needs a codec library — "
+            "env-gated in this container; PPM/PGM/BMP decode codec-free"
+        )
+    raise ValueError(f"unrecognized image payload (head={head!r})")
+
+
+def clip_pooled_feature(img, dim: int, vision_size: int = CLIP_VISION_SIZE) -> list[float]:
+    """Decoded RGB array → `dim` floats: the full CLIP preprocess
+    (Catmull-Rom resize to vision_size², normalize, (C, W, H) layout) followed
+    by adaptive average pooling of the flattened tensor into `dim` contiguous
+    chunks. This is the codec-free stand-in for the ORT vision-model forward
+    pass — a real, deterministic function of every input pixel, so tests pin
+    bytes→feature end to end (the ORT runtime swaps in transparently where
+    onnxruntime exists)."""
+    import numpy as np
+
+    flat = clip_preprocess(img, vision_size).reshape(-1)
+    if not (0 < dim <= flat.size):
+        raise ValueError(f"dim must be in 1..{flat.size}, got {dim}")
+    bounds = np.linspace(0, flat.size, dim + 1, dtype=np.int64)
+    return [float(flat[a:b].mean()) for a, b in zip(bounds[:-1], bounds[1:])]
+
+
 def fake_image_feature(data: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for a decoded image feature: md5-seeded values in
     [-1, 1). Lets the full pipeline (schema, batching, sentinel handling) run
@@ -312,10 +455,16 @@ def decode_image_features(
 ) -> DataFrame:
     """Attach a feature vector per media row.
 
+    decoder="numpy" is the REAL, codec-free path: bytes → `decode_image_bytes`
+    (PPM/PGM/BMP in pure numpy) → `clip_pooled_feature` (full Catmull-Rom 224²
+    CLIP preprocess + adaptive average pooling). decoder="fake" keeps the
+    hash-derived stand-in; decoder="pil" stays env-gated for compressed
+    formats.
+
     Failure semantics match the reference exactly: any row that cannot be
     decoded (null bytes, oversized payload > `max_bytes` — the reference's
-    20 MB cap, decode error) yields the `[-1.0]*dim` sentinel, never null,
-    preserving row alignment (U6)."""
+    20 MB cap, decode error, codec-gated format) yields the `[-1.0]*dim`
+    sentinel, never null, preserving row alignment (U6)."""
     if decoder == "pil":  # pragma: no cover — environment dependent
         try:
             import PIL  # noqa: F401
@@ -331,13 +480,18 @@ def decode_image_features(
             "byte decode lands when codecs are available; feed decoded arrays "
             "to clip_preprocess for the (already implemented) CLIP stage"
         )
-    if decoder != "fake":
+    if decoder not in ("fake", "numpy"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     fields = df.schema.fields + [StructField(out_col, ArrayType(FloatType(), False))]
     out_schema = StructType(fields)
     cols = [f.name for f in df.schema.fields]
     sentinel = [SENTINEL_VALUE] * dim
+
+    def one_feature(data: bytes) -> list[float]:
+        if decoder == "numpy":
+            return clip_pooled_feature(decode_image_bytes(data), dim)
+        return fake_image_feature(data, dim)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -347,8 +501,8 @@ def decode_image_features(
                     feats.append(sentinel)
                     continue
                 try:
-                    feats.append(fake_image_feature(bytes(data), dim))
-                except Exception:  # decode failure → sentinel, never null
+                    feats.append(one_feature(bytes(data)))
+                except Exception:  # decode failure / gated codec → sentinel, never null
                     feats.append(sentinel)
             pdf[out_col] = feats
             yield pdf[cols + [out_col]]
@@ -389,6 +543,36 @@ def frame_sample(
     return df.withColumn(out_col, F.when(m.isNotNull() & (n > 0), frames))
 
 
+def decode_wav_pcm(data: bytes):
+    """Decode a WAV container with stdlib `wave` (zero third-party codecs):
+    returns (samples, sample_rate, sample_width) where `samples` is a mono
+    float64 array in native PCM units (channels mean-mixed). 8-bit WAV is
+    unsigned per the spec and is re-centred to signed. Raises on compressed
+    (non-PCM) WAV."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(bytes(data)), "rb") as w:
+        n_channels = w.getnchannels()
+        sample_width = w.getsampwidth()
+        sample_rate = w.getframerate()
+        frames = w.readframes(w.getnframes())
+    if sample_width == 1:
+        pcm = np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0
+    elif sample_width == 2:
+        pcm = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+    elif sample_width == 4:
+        pcm = np.frombuffer(frames, dtype="<i4").astype(np.float64)
+    else:
+        raise ValueError(f"unsupported WAV sample width {sample_width}")
+    if n_channels > 1:
+        usable = (len(pcm) // n_channels) * n_channels
+        pcm = pcm[:usable].reshape(-1, n_channels).mean(axis=1)
+    return pcm, sample_rate, sample_width
+
+
 def audio_frame_energy(
     df: DataFrame,
     media_col: str = "media",
@@ -398,14 +582,14 @@ def audio_frame_energy(
     sample_width: int = 2,
     max_bytes: int = 20 * 1024 * 1024,
 ) -> DataFrame:
-    """Audio feature plumbing: per-frame RMS energy over raw PCM payloads —
-    the Spark shape of an audio feature extractor (one binary row in, a
-    bounded float array out), with the CODEC step (mp3/flac/ogg → PCM)
-    env-gated exactly like image decode. The energy kernel itself is real:
-    bytes are read as little-endian signed `sample_width`-byte PCM, framed at
-    `frame_bytes`, RMS per frame normalized to [0, 1]. Compressed inputs
-    therefore measure byte entropy, not sound — feed decoded PCM for real
-    audio (documented stub boundary, mirroring decode_image_features).
+    """Audio features: per-frame RMS energy, one binary row in → bounded
+    float array out. WAV containers (RIFF....WAVE magic) decode FOR REAL via
+    stdlib `wave` — channels mean-mixed, the container's own sample width
+    used for full-scale — so bytes→energy needs no codec and no env gate.
+    Non-WAV payloads are treated as raw little-endian signed `sample_width`
+    PCM (frame at `frame_bytes`, RMS per frame normalized to [0, 1]);
+    compressed codecs (mp3/flac/ogg) therefore measure byte entropy, not
+    sound — that decode step stays env-gated, mirroring compressed images.
 
     Failure semantics match the reference's media sentinel (U6): null /
     oversized / unreadable rows yield `[-1.0]` (one sentinel element), never
@@ -425,7 +609,17 @@ def audio_frame_energy(
     out_schema = StructType(fields)
     cols = [f.name for f in df.schema.fields]
     dtype = {1: np.int8, 2: np.int16, 4: np.int32}[sample_width]
-    full_scale = float(2 ** (8 * sample_width - 1))
+
+    def frame_rms(pcm, width: int) -> list[float]:
+        scale = float(2 ** (8 * width - 1))
+        spf = max(frame_bytes // width, 1)
+        if len(pcm) >= spf:
+            n = min(len(pcm) // spf, max_frames)
+            frames = pcm[: n * spf].reshape(n, spf)
+            rms = np.sqrt((frames ** 2).mean(axis=1)) / scale
+        else:
+            rms = np.array([np.sqrt((pcm ** 2).mean()) / scale])
+        return [float(min(v, 1.0)) for v in rms]
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -436,17 +630,16 @@ def audio_frame_energy(
                     continue
                 try:
                     raw = bytes(data)
+                    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                        pcm, _rate, width = decode_wav_pcm(raw)
+                        if len(pcm) == 0:
+                            feats.append([SENTINEL_VALUE])
+                            continue
+                        feats.append(frame_rms(pcm, width))
+                        continue
                     usable = (len(raw) // sample_width) * sample_width
                     pcm = np.frombuffer(raw[:usable], dtype=dtype).astype(np.float64)
-                    spf = frame_bytes // sample_width
-                    n = min(len(pcm) // spf or 1, max_frames)
-                    frames = pcm[: n * spf] if len(pcm) >= spf else pcm
-                    if len(pcm) >= spf:
-                        frames = frames.reshape(n, spf)
-                        rms = np.sqrt((frames ** 2).mean(axis=1)) / full_scale
-                    else:
-                        rms = np.array([np.sqrt((pcm ** 2).mean()) / full_scale])
-                    feats.append([float(min(v, 1.0)) for v in rms])
+                    feats.append(frame_rms(pcm, sample_width))
                 except Exception:
                     feats.append([SENTINEL_VALUE])
             pdf[out_col] = feats

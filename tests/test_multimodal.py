@@ -383,3 +383,179 @@ def test_audio_frame_energy_kernel_and_sentinels(spark):
         audio_frame_energy(df, sample_width=3)
     with _pt.raises(ValueError, match="frame_bytes"):
         audio_frame_energy(df, frame_bytes=3)
+
+
+# ---------------------------------------------------------------------------
+# Codec-free decoders: PPM/PGM/BMP (pure numpy) and WAV PCM (stdlib wave) —
+# the formats that un-gate the bytes→feature path end to end (VERDICT r6 #2)
+# ---------------------------------------------------------------------------
+
+def _ppm_p6(img):
+    import numpy as np
+    arr = np.asarray(img, dtype=np.uint8)
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def _bmp24(img, top_down=False):
+    """Minimal uncompressed 24-bit BMP encoder (BITMAPINFOHEADER, BI_RGB)."""
+    import struct
+    import numpy as np
+    arr = np.asarray(img, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = arr if top_down else arr[::-1]
+    raster = b"".join(
+        rows[y, :, ::-1].tobytes() + b"\x00" * (stride - w * 3) for y in range(h)
+    )
+    height = -h if top_down else h
+    info = struct.pack("<IiiHHIIiiII", 40, w, height, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 14 + 40)
+    return file_header + info + raster
+
+
+def test_decode_ppm_p6_p3_p5_roundtrip():
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import decode_ppm
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(_ppm_p6(img)), img)
+    # P3 ascii with a header comment
+    flat = " ".join(str(v) for v in img.reshape(-1))
+    p3 = f"P3\n# comment\n4 5\n255\n{flat}\n".encode()
+    assert np.array_equal(decode_ppm(p3), img)
+    # P5 grayscale replicates across channels
+    gray = rng.integers(0, 256, size=(3, 2), dtype=np.uint8)
+    p5 = b"P5\n2 3\n255\n" + gray.tobytes()
+    got = decode_ppm(p5)
+    assert got.shape == (3, 2, 3) and np.array_equal(got[:, :, 0], gray)
+    assert np.array_equal(got[:, :, 1], got[:, :, 2])
+    # maxval rescaling: sample 50 of maxval 100 -> 127
+    one = b"P6\n1 1\n100\n" + bytes([50, 0, 100])
+    assert decode_ppm(one).tolist() == [[[127, 0, 255]]]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n4 5\n255\n" + img.tobytes()[:-1])
+    with _pt.raises(ValueError, match="netpbm"):
+        decode_ppm(b"P7\nnope")
+    with _pt.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
+
+
+def test_decode_bmp_24bit_padding_and_orientation():
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import decode_bmp
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)  # w=3 -> 9B row, 3B pad
+    assert np.array_equal(decode_bmp(_bmp24(img)), img)
+    assert np.array_equal(decode_bmp(_bmp24(img, top_down=True)), img)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unsupported BMP"):
+        bad = bytearray(_bmp24(img)); bad[28] = 8  # bpp=8 (palette)
+        decode_bmp(bytes(bad))
+    with _pt.raises(ValueError, match="truncated"):
+        decode_bmp(_bmp24(img)[:-4])
+
+
+def test_decode_image_bytes_dispatch():
+    import numpy as np
+    import pytest as _pt
+    from lantern_extras_spark.multimodal.media import decode_image_bytes
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    assert decode_image_bytes(_ppm_p6(img)).shape == (2, 2, 3)
+    assert decode_image_bytes(_bmp24(img)).shape == (2, 2, 3)
+    with _pt.raises(NotImplementedError, match="codec"):
+        decode_image_bytes(b"\xff\xd8\xff\xe0fakejpeg")
+    with _pt.raises(NotImplementedError, match="codec"):
+        decode_image_bytes(b"\x89PNG\r\n\x1a\nfakepng")
+    with _pt.raises(ValueError, match="unrecognized"):
+        decode_image_bytes(b"????junk")
+
+
+def test_clip_pooled_feature_golden():
+    """White image: preprocess yields per-channel constants (1-mean)/std in
+    (C, W, H) layout, so dim=3 pooling returns exactly those constants."""
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import (
+        CLIP_MEAN, CLIP_STD, clip_pooled_feature,
+    )
+
+    white = np.full((10, 8, 3), 255, dtype=np.uint8)
+    got = clip_pooled_feature(white, dim=3, vision_size=4)
+    want = [(1.0 - m) / s for m, s in zip(CLIP_MEAN, CLIP_STD)]
+    assert np.allclose(got, want, atol=1e-6)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="dim"):
+        clip_pooled_feature(white, dim=0)
+
+
+def test_decode_image_features_numpy_end_to_end(spark):
+    """The un-gated X3 path: bytes → decode (PPM/BMP) → CLIP preprocess →
+    pooled feature inside mapInPandas, gated codecs and junk → sentinel."""
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import (
+        clip_pooled_feature, decode_image_bytes, decode_image_features,
+    )
+
+    rng = np.random.default_rng(3)
+    ppm_img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    bmp_img = rng.integers(0, 256, size=(4, 7, 3), dtype=np.uint8)
+    rows = [(1, bytearray(_ppm_p6(ppm_img))), (2, bytearray(_bmp24(bmp_img))),
+            (3, bytearray(b"\xff\xd8\xff\xe0jpeg")), (4, None)]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    out = {r["media_id"]: r["feature"]
+           for r in decode_image_features(df, dim=8, decoder="numpy").collect()}
+    for mid, data in ((1, _ppm_p6(ppm_img)), (2, _bmp24(bmp_img))):
+        want = clip_pooled_feature(decode_image_bytes(data), dim=8)
+        assert np.allclose(out[mid], want, atol=1e-6), mid
+    assert out[3] == [-1.0] * 8        # jpeg needs a codec -> sentinel
+    assert out[4] == [-1.0] * 8        # null media -> sentinel
+
+
+def _wav_bytes(samples, width=2, channels=1, rate=8000):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 1:
+            w.writeframes(bytes(int(s) + 128 for s in samples))
+        else:
+            fmt = {2: "h", 4: "i"}[width]
+            w.writeframes(struct.pack(f"<{len(samples)}{fmt}", *[int(s) for s in samples]))
+    return buf.getvalue()
+
+
+def test_audio_frame_energy_decodes_wav_containers(spark):
+    import math
+    from lantern_extras_spark.multimodal.media import audio_frame_energy
+
+    const = _wav_bytes([16384] * 64)                       # 16-bit mono, half scale
+    stereo = _wav_bytes([12000, -12000] * 64, channels=2)  # L/R cancel on mixdown
+    eight = _wav_bytes([0] * 64, width=1)                  # 8-bit silence (unsigned 128s)
+    rows = [(1, bytearray(const)), (2, bytearray(stereo)), (3, bytearray(eight))]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    out = {r["id"]: r["frame_energy"]
+           for r in audio_frame_energy(df, frame_bytes=64).collect()}
+    # 64 samples at 32 samples/frame (frame_bytes=64, width=2) -> 2 frames of
+    # RMS 16384/32768 = 0.5 exactly
+    assert len(out[1]) == 2 and all(math.isclose(v, 0.5) for v in out[1])
+    # stereo mean-mixes to silence
+    assert all(v == 0.0 for v in out[2])
+    # 8-bit unsigned silence re-centres to 0
+    assert all(v == 0.0 for v in out[3])
+
+
+def test_decode_wav_pcm_rejects_compressed():
+    import pytest as _pt
+    from lantern_extras_spark.multimodal.media import decode_wav_pcm
+
+    with _pt.raises(Exception):
+        decode_wav_pcm(b"RIFF\x00\x00\x00\x00WAVEjunkchunk")
