@@ -1225,6 +1225,35 @@ def q_hnsw_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ivf_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus ANN join (operators/ivf.py:ivf_knn_join) — BOTH sides
+    distributed, neither collected: embedding-level decontamination shape
+    (eval vectors vs training corpus; the vector analog of `decontaminate`).
+    Deterministic coarse codebook (centroids = vectors of vec_id<4, the
+    q_ivf_search trick), queries = vec_id<10, corpus = vec_id≥10; every query
+    explodes into its 2 nearest cells, corpus rows assign natively, one
+    equi-join on cell + exact distances inside probed cells, top-5 per query.
+    The DuckDB oracle replays every stage (assign → probe → join → rank).
+    impl='native' here for bit-identical fold arithmetic; the pandas cogroup
+    kernel is pinned equal in tests/test_ivf.py and benched as the scale
+    path."""
+    emb = _t(spark, sf, "embeddings")
+    cents_rows = emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    centroids = [list(map(float, r["embedding"])) for r in cents_rows]
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    out = IVF.ivf_knn_join(
+        corpus, queries, k=5, nprobe=2, metric="l2sq", centroids=centroids,
+        id_col="vec_id", vec_col="embedding", impl="native", dist_scale=5,
+    )
+    return out.select(
+        "query_id", "vec_id", F.col("distance").alias("l2sq_distance"),
+        F.col("rank").cast("bigint").alias("rnk"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1304,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "bigram_logprob": q_bigram_logprob,
         "bigram_coverage": q_bigram_coverage,
+        "ivf_knn_join": q_ivf_knn_join,
     }
 
 
@@ -2002,6 +2032,44 @@ def _oracle_sql_raw() -> dict[str, str]:
             )
             SELECT vec_id, CAST(cell AS BIGINT) AS cell, round(dist, 5) AS l2sq_distance
             FROM scored ORDER BY dist ASC, vec_id ASC LIMIT 5
+        """,
+        "ivf_knn_join": """
+            WITH cents AS (
+                SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id < 4
+            ),
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 10),
+            d AS (SELECT vec_id, embedding::DOUBLE[] AS ev
+                  FROM embeddings WHERE vec_id >= 10),
+            assign AS (
+                SELECT d.vec_id, d.ev,
+                  (SELECT c.cid FROM cents c
+                     ORDER BY list_sum(list_transform(range(1, len(d.ev) + 1),
+                              i -> (d.ev[i] - c.cv[i]) * (d.ev[i] - c.cv[i]))) ASC,
+                              c.cid ASC LIMIT 1) AS cell
+                FROM d
+            ),
+            probes AS (
+                SELECT query_id, qv, cid AS cell,
+                       row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY list_sum(list_transform(range(1, len(qv) + 1),
+                                  i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) ASC,
+                                  cid ASC) AS pr
+                FROM q, cents
+                QUALIFY pr <= 2
+            ),
+            scored AS (
+                SELECT p.query_id, a.vec_id,
+                       round(list_sum(list_transform(range(1, len(a.ev) + 1),
+                             i -> (a.ev[i] - p.qv[i]) * (a.ev[i] - p.qv[i]))), 5) AS l2sq_distance
+                FROM probes p JOIN assign a ON a.cell = p.cell
+            )
+            SELECT query_id, vec_id, l2sq_distance,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY l2sq_distance ASC, vec_id ASC) AS rnk
+            FROM scored QUALIFY rnk <= 5
         """,
         "event_type_users": """
             SELECT event_type, count(*) AS n,

@@ -140,6 +140,7 @@ def main() -> None:
         "corpus_report",
         "bigram_logprob",
         "bigram_coverage",
+        "ivf_knn_join",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from lantern_extras_spark.operators.knn import distance_col
 from lantern_extras_spark.operators.pq import _kmeans_fit
@@ -221,6 +222,194 @@ def ivf_topk_batch(
         partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "distance", "rank")
+    )
+
+
+def probe_cells_df(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    qvec_col: str = "query_vec",
+    cell_col: str = "cell",
+    impl: str = "pandas",
+) -> DataFrame:
+    """Distributed multi-probe assignment: each query row explodes into its
+    `nprobe` nearest cells (ties broken by cell id — same contract as
+    `probe_cells`). This is the query-side half of `ivf_knn_join`: queries
+    never touch the driver, so the query frame can be as large as the corpus.
+
+    impl="pandas": one GEMM per Arrow batch. impl="native": pure Column
+    expressions with the exact left-fold (a−b)² summation the DuckDB oracles
+    replay — bit-identical cell choices across engines."""
+    if impl == "native":
+        v = F.col(qvec_col).cast("array<double>")
+        cents = F.array(*[F.lit([float(x) for x in c]).cast("array<double>") for c in centroids])
+        indexed = F.arrays_zip(
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)).alias("i"), cents.alias("c")
+        )
+        scored = F.transform(
+            indexed,
+            lambda x: F.struct(
+                F.aggregate(
+                    F.zip_with(v, x["c"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda s, e: s + e,
+                ).alias("d"),
+                x["i"].alias("i"),
+            ),
+        )
+        # struct array_sort orders by (d, i) — the (distance, cell) tie-break
+        probes = F.slice(F.array_sort(scored), 1, nprobe)
+        return queries.withColumn("__p", F.explode(probes)).withColumn(
+            cell_col, F.col("__p")["i"]
+        ).drop("__p")
+
+    if impl != "pandas":
+        raise ValueError(f"unknown impl {impl!r}")
+
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    nprobe = min(nprobe, len(centroids))
+    spark = queries.sparkSession
+    bC = spark.sparkContext.broadcast(C)
+    out_schema = StructType(queries.schema.fields + [StructField(cell_col, IntegerType())])
+    cols = [f.name for f in queries.schema.fields]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cm = bC.value
+        c2 = (Cm * Cm).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf[qvec_col].to_numpy()])
+            d = (X * X).sum(1)[:, None] + c2[None, :] - 2.0 * X @ Cm.T
+            # stable argsort on (distance, cell-id): cell-id IS the column order
+            near = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+            rep = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
+            rep[cell_col] = near.reshape(-1)
+            yield rep[cols + [cell_col]]
+
+    return queries.mapInPandas(kernel, out_schema)
+
+
+def ivf_knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    nlist: int = 16,
+    metric: str = "l2sq",
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+    impl: str = "pandas",
+    max_train_rows: int = 100_000,
+    seed: int = 42,
+    dist_scale: int | None = None,
+) -> DataFrame:
+    """Cross-corpus approximate kNN join — BOTH sides large and distributed.
+
+    `knn_join` collects/broadcasts the query side (capped at 100k rows); a
+    training pipeline's embedding-level decontamination is corpus-vs-corpus
+    (every eval-set vector against every training vector — the vector analog
+    of `decontaminate`; the reference's single-query shape is
+    index_autotune/mod.rs:196-203). The scale shape here:
+
+    1. fit `nlist` coarse centroids on a bounded corpus sample (skipped when
+       `centroids` is passed — reuse a persisted codebook),
+    2. assign every corpus row to its cell (narrow, no shuffle),
+    3. explode every query row into its `nprobe` nearest cells (narrow),
+    4. ONE shuffle of each side on `cell`, then a cogrouped per-cell GEMM
+       computes exact distances inside probed cells only and emits a
+       per-(cell, query) partial top-k — output ≤ |queries|·nprobe·k rows,
+    5. one window finishes the global per-query top-k.
+
+    No side is ever collected; skew is bounded by cell granularity (raise
+    `nlist` so cells fit executor memory — cells ≈ |corpus|/nlist rows).
+    With a cell-partitioned corpus table, pass its `cell` column through by
+    pre-assigning and calling with centroids=... to skip step 2 entirely.
+
+    impl="native" (steps 2-4 as pure Column expressions + an equi-join on
+    cell) exists for engine-parity harnesses; identical results, no Python
+    workers. Returns (qid_col, id_col, distance, rank ≤ k).
+    """
+    from lantern_extras_spark.operators.knn import METRICS, _np_distances, distance_col
+
+    if metric not in METRICS:
+        raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
+    if centroids is None:
+        _, centroids = build_ivf(corpus, vec_col=vec_col, nlist=nlist,
+                                 max_train_rows=max_train_rows, seed=seed)
+    nprobe = min(nprobe, len(centroids))
+
+    ccells = assign_cells(corpus.select(id_col, vec_col), centroids,
+                          vec_col=vec_col, impl=impl)
+    qprobes = probe_cells_df(queries.select(qid_col, qvec_col), centroids,
+                             nprobe, qvec_col=qvec_col, impl=impl)
+    w = Window.partitionBy(qid_col).orderBy(F.col("distance").asc(), F.col(id_col).asc())
+
+    if impl == "native":
+        d = distance_col(metric, F.col(vec_col), F.col(qvec_col))
+        if dist_scale is not None:
+            from lantern_extras_spark.functions.portable import pround
+
+            d = pround(d, dist_scale)
+        joined = ccells.join(qprobes, "cell").withColumn("distance", d)
+        return (
+            joined.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(qid_col, id_col, "distance", "rank")
+        )
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(qid_col, LongType()),
+            StructField(id_col, LongType()),
+            StructField("distance", DoubleType()),
+        ]
+    )
+
+    def per_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left = one cell's corpus rows, right = the queries probing it
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({qid_col: [], id_col: [], "distance": []}).astype(
+                {qid_col: "int64", id_col: "int64", "distance": "float64"}
+            )
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in left[vec_col].to_numpy()])
+        ids = left[id_col].to_numpy(dtype=np.int64)
+        Q = np.asarray([np.asarray(v, dtype=np.float64) for v in right[qvec_col].to_numpy()])
+        qids = right[qid_col].to_numpy(dtype=np.int64)
+        D = _np_distances(metric, X, Q)
+        if dist_scale is not None:
+            s = float(10**dist_scale)
+            D = np.floor(D * s + 0.5) / s  # portable rounding (matches pround)
+        kk = min(k, len(ids))
+        parts = []
+        for j in range(len(qids)):
+            order = np.lexsort((ids, D[:, j]))[:kk]
+            parts.append(pd.DataFrame(
+                {qid_col: np.full(kk, qids[j], dtype=np.int64),
+                 id_col: ids[order], "distance": D[order, j]}
+            ))
+        return pd.concat(parts, ignore_index=True)
+
+    partial = (
+        ccells.groupBy("cell")
+        .cogroup(qprobes.groupBy("cell"))
+        .applyInPandas(per_cell, out_schema)
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, "distance", "rank")
     )
 
 

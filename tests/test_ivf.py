@@ -140,3 +140,102 @@ def test_centroids_save_load_roundtrip(spark, clustered, tmp_path):
     a = [r["vec_id"] for r in IVF.ivf_topk(indexed, cents, q, k=5, nprobe=2).collect()]
     b = [r["vec_id"] for r in IVF.ivf_topk(indexed, loaded, q, k=5, nprobe=2).collect()]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus ANN join (ivf_knn_join) — both sides large, neither collected
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def join_sides(spark, clustered):
+    rows = clustered.collect()
+    corpus = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in rows if r["vec_id"] >= 20],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in rows if r["vec_id"] < 20],
+        "query_id long, query_vec array<float>",
+    )
+    return corpus, queries
+
+
+def test_probe_cells_df_matches_driver_side(spark, clustered, join_sides):
+    _, queries = join_sides
+    cents = [[float(x) for x in r["embedding"]] for r in clustered.orderBy("vec_id").limit(4).collect()]
+    got = {}
+    for r in IVF.probe_cells_df(queries, cents, nprobe=2).collect():
+        got.setdefault(r["query_id"], []).append(r["cell"])
+    for r in queries.collect():
+        want = IVF.probe_cells(cents, [float(x) for x in r["query_vec"]], 2)
+        assert sorted(got[r["query_id"]]) == sorted(want), r["query_id"]
+    # native impl picks the same cells
+    nat = {}
+    for r in IVF.probe_cells_df(queries, cents, nprobe=2, impl="native").collect():
+        nat.setdefault(r["query_id"], []).append(r["cell"])
+    assert {k: sorted(v) for k, v in nat.items()} == {k: sorted(v) for k, v in got.items()}
+
+
+def test_ivf_knn_join_full_probe_equals_exact(spark, join_sides):
+    """nprobe = nlist probes every cell, so the approximate join must return
+    exactly the brute-force kNN join."""
+    from lantern_extras_spark.operators import knn as K
+
+    corpus, queries = join_sides
+    exact = {(r["query_id"], r["rank"]): r["vec_id"] for r in
+             K.knn_join(corpus, queries, k=5, metric="l2sq",
+                        strategy="crossjoin", dist_scale=6).collect()}
+    approx = {(r["query_id"], r["rank"]): r["vec_id"] for r in
+              IVF.ivf_knn_join(corpus, queries, k=5, nprobe=4, nlist=4,
+                               metric="l2sq", dist_scale=6,
+                               max_train_rows=200).collect()}
+    assert approx == exact and len(exact) == 20 * 5
+
+
+def test_ivf_knn_join_native_equals_pandas(spark, join_sides):
+    corpus, queries = join_sides
+    cents = [[float(x) for x in r["embedding"]]
+             for r in corpus.orderBy("vec_id").limit(4).collect()]
+    a = {(r["query_id"], r["rank"]): (r["vec_id"], r["distance"]) for r in
+         IVF.ivf_knn_join(corpus, queries, k=5, nprobe=2, centroids=cents,
+                          dist_scale=5).collect()}
+    b = {(r["query_id"], r["rank"]): (r["vec_id"], r["distance"]) for r in
+         IVF.ivf_knn_join(corpus, queries, k=5, nprobe=2, centroids=cents,
+                          dist_scale=5, impl="native").collect()}
+    assert a == b and len(a) == 20 * 5
+
+
+def test_ivf_knn_join_partial_probe_recall(spark, join_sides):
+    """Clustered fixture, nprobe=1: neighbors share the query's cell, so
+    recall vs exact stays high while scanning 1/4 of the corpus."""
+    from lantern_extras_spark.operators import knn as K
+
+    corpus, queries = join_sides
+    exact, approx = {}, {}
+    for r in K.knn_join(corpus, queries, k=5, metric="l2sq",
+                        strategy="crossjoin").collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in IVF.ivf_knn_join(corpus, queries, k=5, nprobe=1, nlist=4,
+                              max_train_rows=200).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    rec = sum(len(exact[q] & approx.get(q, set())) for q in exact) / (len(exact) * 5)
+    assert rec >= 0.9, rec
+
+
+def test_ivf_knn_join_cosine_metric(spark, join_sides):
+    corpus, queries = join_sides
+    out = IVF.ivf_knn_join(corpus, queries, k=3, nprobe=4, nlist=4,
+                           metric="cos", max_train_rows=200).collect()
+    assert len(out) == 20 * 3
+    assert all(0.0 <= r["distance"] <= 2.0 for r in out)
+    with pytest.raises(ValueError, match="metric"):
+        IVF.ivf_knn_join(corpus, queries, metric="nope")
+
+
+def test_knn_join_partial_query_cap_fails_loud(spark, join_sides, monkeypatch):
+    from lantern_extras_spark.operators import knn as K
+
+    corpus, queries = join_sides
+    monkeypatch.setattr(K, "MAX_COLLECTED_QUERIES", 5)
+    with pytest.raises(ValueError, match="ivf_knn_join"):
+        K.knn_join(corpus, queries, k=3)  # 20 query rows > patched cap 5
