@@ -578,3 +578,34 @@ def test_dedup_spans_stride_content_sampling(spark):
         D.dedup_spans(docs, span=1)
     with pytest.raises(ValueError, match="stride"):
         D.dedup_spans(docs, stride=0)
+
+
+def test_dedup_spans_rolling_impl_matches_md5(spark):
+    """impl='rolling' (vectorized SipHash+polynomial window hash — the scale
+    kernel) produces the same DEDUP RESULT as the md5 oracle-parity kernel:
+    different hash values, identical canonical-pick/excision semantics."""
+    shared = "one two three four five six seven eight"
+    region = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 r11 r12"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} tail unique alpha"),
+            (2, f"head words here {shared} and more trailing content"),
+            (3, "completely different text with nothing shared at all"),
+            (4, shared),
+            (5, f"{region} canonical suffix"),
+            (6, f"prefix {region} suffix here"),
+            (7, ""),
+        ],
+        "doc_id long, text string",
+    )
+    md5 = {r["doc_id"]: (r["text_dedup"], r["n_tokens_removed"])
+           for r in D.dedup_spans(docs, span=8).collect()}
+    rolling = {r["doc_id"]: (r["text_dedup"], r["n_tokens_removed"])
+               for r in D.dedup_spans(docs, span=8, impl="rolling").collect()}
+    assert rolling == md5
+    # content-sampled stride also runs vectorized; removals stay a subset
+    sampled = {r["doc_id"]: r["n_tokens_removed"]
+               for r in D.dedup_spans(docs, span=8, stride=2, impl="rolling").collect()}
+    assert all(sampled[d] <= md5[d][1] for d in md5)
+    with pytest.raises(ValueError, match="impl"):
+        D.dedup_spans(docs, impl="nope")

@@ -177,6 +177,11 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_SF1_ONLY")
     names = [n.strip() for n in only.split(",")] if only else list(qs)
 
+    def want(name: str) -> bool:
+        # a SPARK_GRAFT_SF1_ONLY subset gates the extra scale-config sections
+        # too, so targeted re-measurements don't pay for the whole sweep
+        return only is None or name in names
+
     def measure(fn) -> dict:
         per_sf = {}
         for label, sf in (("sf0.1", SF01), ("sf1", SF1_DIR)):
@@ -192,6 +197,8 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for name in names:
+        if name not in qs:
+            continue  # an extra-section name (e.g. dedup_spans_scaled)
         results[name] = measure(
             lambda sf, n=name: qs[n](spark, sf).foreach(lambda r: None)
         )
@@ -211,8 +218,9 @@ def main() -> None:
             emb, threshold=0.9, n_planes=None, dim=64, impl="pandas"
         ).foreach(lambda r: None)
 
-    results["embedding_neardup_scaled"] = measure(neardup_scaled)
-    print(json.dumps({"embedding_neardup_scaled": results["embedding_neardup_scaled"]}), flush=True)
+    if want("embedding_neardup_scaled"):
+        results["embedding_neardup_scaled"] = measure(neardup_scaled)
+        print(json.dumps({"embedding_neardup_scaled": results["embedding_neardup_scaled"]}), flush=True)
 
     # simhash scale config: 60-bit signatures with 15-bit bands (32768 keys
     # per band vs the 32/8 oracle default's 256) — candidate-join bucket
@@ -223,17 +231,22 @@ def main() -> None:
         sims = D.simhash(docs, bits=60)
         D.simhash_pairs(sims, bits=60, band_bits=15, max_hamming=6).foreach(lambda r: None)
 
-    results["simhash_pairs_scaled"] = measure(simhash_scaled)
-    print(json.dumps({"simhash_pairs_scaled": results["simhash_pairs_scaled"]}), flush=True)
+    if want("simhash_pairs_scaled"):
+        results["simhash_pairs_scaled"] = measure(simhash_scaled)
+        print(json.dumps({"simhash_pairs_scaled": results["simhash_pairs_scaled"]}), flush=True)
 
     # span-dedup scale config: content-defined sampling (hash % stride) cuts
-    # the window shuffle stride x; full corpus (no doc_id cap), stride=8
+    # the window shuffle stride x; full corpus (no doc_id cap), stride=8.
+    # impl='rolling' (r7) replaces the per-window python md5 loop with one
+    # vectorized SipHash+polynomial pass per doc — the md5 kernel stays the
+    # oracle-parity config.
     def spans_scaled(sf):
         docs = spark.read.parquet(f"{sf}/documents.parquet")
-        D.dedup_spans(docs, span=16, stride=8).foreach(lambda r: None)
+        D.dedup_spans(docs, span=16, stride=8, impl="rolling").foreach(lambda r: None)
 
-    results["dedup_spans_scaled"] = measure(spans_scaled)
-    print(json.dumps({"dedup_spans_scaled": results["dedup_spans_scaled"]}), flush=True)
+    if want("dedup_spans_scaled"):
+        results["dedup_spans_scaled"] = measure(spans_scaled)
+        print(json.dumps({"dedup_spans_scaled": results["dedup_spans_scaled"]}), flush=True)
 
     # MinHash verify-stage trade-off (VERDICT r5 #6): exact verify
     # re-materializes full shingle sets per candidate pair; signature verify
@@ -248,8 +261,9 @@ def main() -> None:
 
     for mode in ("exact", "signature"):
         key = f"minhash_verify_{mode}"
-        results[key] = measure(minhash_verify(mode))
-        print(json.dumps({key: results[key]}), flush=True)
+        if want(key):
+            results[key] = measure(minhash_verify(mode))
+            print(json.dumps({key: results[key]}), flush=True)
 
     out = {
         "metric": "sf1_scaling",
@@ -278,6 +292,15 @@ def main() -> None:
                 "demo (O(points x intervals) by construction, both sides grow "
                 "with sf); error_burst_binned is the same query+oracle through "
                 "the binned equi-join scale path - compare their exponents"
+            ),
+            "dedup_spans_scaled": (
+                "r7 impl='rolling': batch-level SipHash + vectorized polynomial "
+                "window hash replaces the per-window python md5 loop. Kernel "
+                "itself measures 6x faster (1M-window microbench); end-to-end "
+                "sf1 4.35s (md5, r6) -> ~2.3s, exponent 0.069 -> ~0.01-0.2 "
+                "(noise band) - the data-dependent cost is now below Spark's "
+                "fixed per-query overhead at this scale. md5 stays the "
+                "oracle-parity config"
             ),
             "simhash_pairs": (
                 "driver-oracle config (32-bit sig, 8-bit bands): only 256 "
