@@ -608,14 +608,23 @@ def _ngram_length_prune(metric: str, threshold: float, n_a: Column, n_b: Column)
 
 def _ngram_pairs_index(
     sh: DataFrame, id_col: str, block_cols: tuple[str, ...], threshold: float,
-    metric: str = "jaccard",
+    metric: str = "jaccard", max_df: int | None = None,
 ) -> DataFrame:
     """Inverted-index exact pair scoring: explode hashed shingles, self-join on
     (block, shingle), count co-occurrences per pair = |∩|. A pair that shares
     no shingle never materializes — exactly the pairs a threshold > 0 would
     drop anyway — so results are identical to the pairwise plan while the work
-    is O(Σ posting-list²) instead of O(Σ block²)."""
+    is O(Σ posting-list²) instead of O(Σ block²).
+
+    `max_df` caps posting lists at candidate-generation time (stop-n-gram
+    drop). NOTE: unlike the prefix strategy, |∩| here is counted FROM the
+    join, so with max_df set the score itself undercounts common shingles —
+    prefer strategy='prefix' (full-set verify) when max_df matters."""
     e = sh.select(*block_cols, F.col(id_col), F.col("sh_n"), F.explode("sh").alias("h"))
+    if max_df is not None:
+        e = e.withColumn(
+            "__df", F.count("*").over(Window.partitionBy(*block_cols, "h"))
+        ).where(F.col("__df") <= max_df).drop("__df")
     a = e.select(*block_cols, "h", F.col(id_col).alias("id_a"), F.col("sh_n").alias("n_a"))
     b = e.select(*block_cols, "h", F.col(id_col).alias("id_b"), F.col("sh_n").alias("n_b"))
     inter = F.count("*").cast("double")
@@ -644,25 +653,55 @@ def _ngram_pairs_prefix(
     prefix shrinks the exploded posting table ~(1−t)× with ZERO recall loss;
     candidates are then verified exactly on the full sets. At t=0.8 the
     posting join handles a fifth of the rows the plain inverted index ships —
-    the 100 TB config for exact n-gram near-dup pairs."""
+    the 100 TB config for exact n-gram near-dup pairs.
+
+    metric="containment" uses the ASYMMETRIC prefix bound: the score's
+    denominator is min(|a|,|b|), so |∩| ≥ t·n_small forces the smallest
+    common hash into the SMALLER doc's own prefix (same pigeonhole, applied
+    one-sided). Probing prefix postings of every doc against FULL postings
+    of docs at least as large finds every qualifying pair exactly once per
+    orientation — still recall-lossless, with the probe side shrunk
+    (1−t)×."""
     plen = (F.col("sh_n") - F.ceil(F.col("sh_n") * F.lit(float(threshold))) + 1).cast("int")
-    e = sh.select(
+    pref = sh.select(
         *block_cols, F.col(id_col), F.col("sh_n"),
         F.explode(F.slice(F.col("sh"), F.lit(1), plen)).alias("h"),
     )
     if max_df is not None:
-        e = e.withColumn(
+        pref = pref.withColumn(
             "__df", F.count("*").over(Window.partitionBy(*block_cols, "h"))
         ).where(F.col("__df") <= max_df).drop("__df")
-    a = e.select(*block_cols, "h", F.col(id_col).alias("id_a"), F.col("sh_n").alias("n_a"))
-    b = e.select(*block_cols, "h", F.col(id_col).alias("id_b"), F.col("sh_n").alias("n_b"))
-    cands = (
-        a.join(b, [*block_cols, "h"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(_ngram_length_prune(metric, threshold, F.col("n_a"), F.col("n_b")))
-        .select(*block_cols, "id_a", "id_b")
-        .distinct()
-    )
+    if metric == "jaccard":
+        a = pref.select(*block_cols, "h", F.col(id_col).alias("id_a"), F.col("sh_n").alias("n_a"))
+        b = pref.select(*block_cols, "h", F.col(id_col).alias("id_b"), F.col("sh_n").alias("n_b"))
+        cands = (
+            a.join(b, [*block_cols, "h"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(_ngram_length_prune(metric, threshold, F.col("n_a"), F.col("n_b")))
+            .select(*block_cols, "id_a", "id_b")
+            .distinct()
+        )
+    else:
+        full = sh.select(
+            *block_cols, F.col(id_col).alias("__big"), F.col("sh_n").alias("__big_n"),
+            F.explode("sh").alias("h"),
+        )
+        probe = pref.select(
+            *block_cols, "h", F.col(id_col).alias("__small"), F.col("sh_n").alias("__small_n")
+        )
+        cands = (
+            full.join(probe, [*block_cols, "h"])
+            .where(
+                (F.col("__big") != F.col("__small"))
+                & (F.col("__big_n") >= F.col("__small_n"))
+            )
+            .select(
+                *block_cols,
+                F.least("__big", "__small").alias("id_a"),
+                F.greatest("__big", "__small").alias("id_b"),
+            )
+            .distinct()
+        )
     fa = sh.select(*[F.col(c).alias(f"__ba_{c}") for c in block_cols],
                    F.col(id_col).alias("id_a"), F.col("sh").alias("__sh_a"),
                    F.col("sh_n").alias("n_a"))
@@ -716,6 +755,7 @@ def ngram_jaccard_pairs(
     max_block_rows: int | None = 20_000,
     on_oversize: str = "error",
     metric: str = "jaccard",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Blocked exact n-gram pair similarity within `block_cols` blocks
     (e.g. (lang, source)): (id_a, id_b, <metric>) with score ≥ threshold on
@@ -731,11 +771,28 @@ def ngram_jaccard_pairs(
       posting-list sizes, not block sizes, and the shuffle key is the
       fine-grained (block, shingle) pair — this is the 100 TB path. Requires
       threshold > 0 (zero-overlap pairs never materialize).
+    - "prefix" (the SCALE config): the AllPairs prefix filter (Bayardo et
+      al. 2007) — only each doc's first n − ⌈t·n⌉ + 1 sorted hashes are
+      indexed (J ≥ t forces the smallest common hash into both prefixes, so
+      recall is EXACT), candidates verified on the full sets. The posting
+      join ships ~(1−t)× the rows of "index"; at t=0.8 that's 5× less
+      shuffle for identical results. For metric="containment" the prefix
+      degenerates to full postings (no valid bound) and the strategy means
+      "index candidates + full-set verify" — the max_df-safe containment
+      path.
     - "pairwise": all-pairs `array_intersect` self-join per block — O(block²).
       Kept for threshold = 0 and tiny corpora.
-    Both share the length-band prune (jaccard ≥ t ⟹ t·|b| ≤ |a| ≤ |b|/t) and
+    All share the length-band prune (jaccard ≥ t ⟹ t·|b| ≤ |a| ≤ |b|/t) and
     hash shingles once per doc (portable hash32, so the DuckDB oracle replays
     values bit-for-bit; a hash collision affects both engines identically).
+
+    `max_df` (strategies "index"/"prefix") drops shingles whose posting list
+    exceeds `max_df` docs from candidate GENERATION — the boilerplate
+    stop-n-gram cap that bounds posting-list blowup on pathological corpora.
+    Surviving candidates still score on their FULL sets (exact values); a
+    pair sharing ONLY ultra-common shingles can be missed, which is the
+    deliberate trade (those pairs are boilerplate overlap, not duplication).
+    The one approximate knob here — leave None for exact recall.
 
     Guard: blocks larger than `max_block_rows` are a quadratic cluster-killer
     for "pairwise" and a posting-list blowup risk for "index". With
@@ -750,12 +807,14 @@ def ngram_jaccard_pairs(
     """
     from pyspark import StorageLevel
 
-    if strategy not in ("index", "pairwise"):
+    if strategy not in ("index", "pairwise", "prefix"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if on_oversize not in ("error", "route"):
         raise ValueError(f"unknown on_oversize {on_oversize!r}")
-    if strategy == "index" and threshold <= 0.0:
-        raise ValueError("strategy='index' requires threshold > 0; use strategy='pairwise'")
+    if strategy in ("index", "prefix") and threshold <= 0.0:
+        raise ValueError(f"strategy={strategy!r} requires threshold > 0; use strategy='pairwise'")
+    if max_df is not None and strategy == "pairwise":
+        raise ValueError("max_df applies to posting-list strategies ('index'/'prefix') only")
     if metric == "containment" and on_oversize == "route":
         raise ValueError("on_oversize='route' requires metric='jaccard' (MinHash-LSH estimates jaccard)")
 
@@ -766,7 +825,13 @@ def ngram_jaccard_pairs(
         # shingling+hashing runs once, spilling to disk rather than recomputing
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    exact = _ngram_pairs_index if strategy == "index" else _ngram_pairs_pairwise
+    if strategy == "pairwise":
+        exact = _ngram_pairs_pairwise
+    else:
+        base_fn = _ngram_pairs_prefix if strategy == "prefix" else _ngram_pairs_index
+
+        def exact(sh_, id_, blocks_, t_, m_):
+            return base_fn(sh_, id_, blocks_, t_, m_, max_df=max_df)
 
     if max_block_rows is None:
         return exact(sh, id_col, block_cols, threshold, metric)

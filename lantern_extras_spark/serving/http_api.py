@@ -1,0 +1,349 @@
+"""HTTP serving transport for collections — the reference's `start-server`
+mode (lantern_cli/src/http_server/mod.rs:148-171) re-expressed over
+CollectionStore with the Python stdlib (no actix/no framework):
+
+- routes mirror the reference exactly (collection.rs / search.rs / index.rs /
+  pq.rs route decorators):
+    GET    /collections                      list
+    POST   /collections                      create {name, schema?}
+    GET    /collections/{name}               info
+    PUT    /collections/{name}               insert {rows: [...]}
+    DELETE /collections/{name}               drop
+    POST   /collections/{name}/search        vector/text search
+    POST   /collections/{name}/index         create index
+    DELETE /index/{index_name}               drop index
+    POST   /collections/{name}/pq            quantize collection column
+- optional HTTP Basic auth (mod.rs:62-75: when credentials are configured,
+  every request must carry them; 401 otherwise);
+- request payloads capped at 1 GB (mod.rs:154-157 JsonConfig limit);
+- metric names accept the reference's spelling (`cosine`) and map onto the
+  engine's (`cos`).
+
+Spark-side: each request runs the SAME library calls a notebook would
+(CollectionStore / create_external_index / PQ build+quantize) — the server is
+a transport, not an engine; one SparkSession serves all requests (Spark
+sessions are thread-safe for job submission; concurrent requests become
+concurrent Spark jobs scheduled by the driver).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from lantern_extras_spark.collections import CollectionStore
+
+MAX_PAYLOAD_BYTES = 1024 * 1024 * 1024  # reference: 1 GB JSON cap
+
+_METRIC_ALIASES = {"cosine": "cos", "cos": "cos", "l2sq": "l2sq", "hamming": "hamming"}
+
+
+def _map_metric(name: str | None, default: str = "l2sq") -> str:
+    if name is None:
+        return default
+    m = _METRIC_ALIASES.get(name)
+    if m is None:
+        raise ValueError(f"unknown metric {name!r} (cosine/l2sq/hamming)")
+    return m
+
+
+class _ApiHandler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    server_version = "lantern-extras-spark"
+
+    # -- plumbing ----------------------------------------------------------
+
+    def log_message(self, fmt, *args):  # quiet by default; server keeps a log
+        self.server.access_log.append(fmt % args)
+
+    def _reply(self, status: int, payload=None) -> None:
+        body = json.dumps(payload if payload is not None else {}).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _authorized(self) -> bool:
+        creds = self.server.auth
+        if creds is None:
+            return True
+        header = self.headers.get("Authorization", "")
+        if not header.startswith("Basic "):
+            return False
+        try:
+            got = base64.b64decode(header[6:]).decode()
+        except Exception:  # noqa: BLE001 — malformed header is just unauthorized
+            return False
+        return got == f"{creds[0]}:{creds[1]}"
+
+    def _body(self) -> dict:
+        length = int(self.headers.get("Content-Length") or 0)
+        if length > MAX_PAYLOAD_BYTES:
+            raise _HttpError(413, f"payload {length} bytes > 1 GB cap")
+        if length == 0:
+            return {}
+        data = self.rfile.read(length)
+        try:
+            parsed = json.loads(data)
+        except json.JSONDecodeError as e:
+            raise _HttpError(400, f"invalid JSON body: {e}") from e
+        if not isinstance(parsed, dict):
+            raise _HttpError(400, "JSON body must be an object")
+        return parsed
+
+    def _dispatch(self, method: str) -> None:
+        if not self._authorized():
+            self._reply(401, {"error": "Unauthorized"})
+            return
+        try:
+            handled = self._route(method)
+        except _HttpError as e:
+            self._reply(e.status, {"error": e.message})
+            return
+        except ValueError as e:
+            self._reply(400, {"error": str(e)})
+            return
+        except Exception as e:  # noqa: BLE001 — transport boundary
+            self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+            return
+        if not handled:
+            self._reply(404, {"error": f"no route for {method} {self.path}"})
+
+    def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler contract
+        self._dispatch("GET")
+
+    def do_POST(self):  # noqa: N802
+        self._dispatch("POST")
+
+    def do_PUT(self):  # noqa: N802
+        self._dispatch("PUT")
+
+    def do_DELETE(self):  # noqa: N802
+        self._dispatch("DELETE")
+
+    # -- routes ------------------------------------------------------------
+
+    def _route(self, method: str) -> bool:
+        store: CollectionStore = self.server.store
+        path = self.path.split("?", 1)[0].rstrip("/") or "/"
+
+        if path == "/collections":
+            if method == "GET":
+                self._reply(200, [store.get_collection(n) for n in store.list_collections()])
+                return True
+            if method == "POST":
+                body = self._body()
+                name = body.get("name")
+                if not name:
+                    raise _HttpError(400, "missing collection name")
+                schema = body.get("schema")
+                if isinstance(schema, dict):
+                    # the reference takes {"col": "SQL TYPE"} maps; map the
+                    # common SQL spellings onto Spark DDL
+                    schema = ", ".join(
+                        f"{c} {_sql_type_to_spark(t)}" for c, t in schema.items()
+                    )
+                store.create_collection(name, schema)
+                self._reply(200, store.get_collection(name))
+                return True
+            return False
+
+        m = re.fullmatch(r"/collections/([^/]+)", path)
+        if m:
+            name = m.group(1)
+            if method == "GET":
+                self._reply(200, store.get_collection(name))
+                return True
+            if method == "DELETE":
+                store.delete_collection(name)
+                self._reply(200, {})
+                return True
+            if method == "PUT":
+                rows = self._body().get("rows") or []
+                n = store.insert(name, rows) if rows else 0
+                self._reply(200, {"inserted": n})
+                return True
+            return False
+
+        m = re.fullmatch(r"/collections/([^/]+)/search", path)
+        if m and method == "POST":
+            body = self._body()
+            k = int(body.get("k") or 10)
+            res = store.search(
+                m.group(1),
+                query_vec=body.get("query_vector"),
+                query_text=body.get("query_text"),
+                query_model=body.get("query_model") or "hash/test-model",
+                k=k,
+                metric=_map_metric(body.get("metric")),
+                vec_col=body.get("column") or "vector",
+                ef=body.get("ef"),
+            )
+            select = body.get("select")
+            if select:
+                cols = [c.strip() for c in select.split(",")]
+                res = res.select(*cols)
+            self._reply(200, {"rows": [r.asDict(recursive=True) for r in res.collect()]})
+            return True
+
+        m = re.fullmatch(r"/collections/([^/]+)/index", path)
+        if m and method == "POST":
+            body = self._body()
+            path_built = store.create_index(
+                m.group(1),
+                column=body.get("column") or "vector",
+                metric=_map_metric(body.get("metric")),
+                ef=int(body.get("ef") or 64),
+                ef_construction=int(body.get("ef_construction") or 128),
+                m=int(body.get("m") or 16),
+                pq=bool(body.get("pq") or False),
+                index_name=body.get("name"),
+            )
+            self._reply(200, {"index": path_built})
+            return True
+
+        m = re.fullmatch(r"/index/([^/]+)", path)
+        if m and method == "DELETE":
+            import os
+            import shutil
+
+            idx = m.group(1)
+            for coll in store.list_collections():
+                p = os.path.join(store._path(coll), f"_index_{idx}")
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                    self._reply(200, {})
+                    return True
+            raise _HttpError(400, f"no such index {idx!r}")
+
+        m = re.fullmatch(r"/collections/([^/]+)/pq", path)
+        if m and method == "POST":
+            body = self._body()
+            if "splits" not in body:
+                raise _HttpError(400, "missing required field: splits")
+            out = quantize_collection(
+                store, m.group(1),
+                column=body.get("column") or "vector",
+                splits=int(body["splits"]),
+                clusters=int(body.get("clusters") or 256),
+                limit=body.get("limit"),
+            )
+            self._reply(200, out)
+            return True
+
+        return False
+
+
+class _HttpError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+        self.message = message
+
+
+def _sql_type_to_spark(t: str) -> str:
+    """The reference's create-collection schema values are SQL type strings
+    (`REAL[]`, `TEXT`, `bigint ...`); map the ones its docs/examples use."""
+    s = t.strip().lower()
+    if s.endswith("[]"):
+        inner = _sql_type_to_spark(s[:-2])
+        return f"array<{inner}>"
+    if s.startswith(("bigint", "serial", "int8")):
+        return "bigint"
+    if s.startswith(("int", "serial4")):
+        return "int"
+    if s in ("real", "float4"):
+        return "float"
+    if s in ("double precision", "float8", "double"):
+        return "double"
+    if s in ("text", "varchar", "jsonb", "json") or s.startswith("varchar"):
+        return "string"
+    if s in ("bool", "boolean"):
+        return "boolean"
+    if s == "bytea":
+        return "binary"
+    return s  # already Spark DDL
+
+
+def quantize_collection(
+    store: CollectionStore,
+    name: str,
+    column: str = "vector",
+    splits: int = 8,
+    clusters: int = 256,
+    limit: int | None = None,
+) -> dict:
+    """`POST /collections/{name}/pq` (http_server/pq.rs:47-118): build a PQ
+    codebook over the collection column (optionally on a `limit`-row subset)
+    and materialize the quantized codes as `<column>_pq` alongside the data.
+    The codebook artifact lands under the collection dir as `_pq_<column>`
+    (underscore-prefixed, ignored by parquet scans of the collection)."""
+    import os
+
+    from lantern_extras_spark.operators import pq as PQ
+
+    df = store.read(name)
+    cb = PQ.build_codebook(
+        df, vec_col=column, splits=splits, k=clusters,
+        max_train_rows=limit or 100_000,
+    )
+    coded = PQ.quantize(df, cb, vec_col=column, out_col=f"{column}_pq")
+    p = store._path(name)
+    PQ.save_codebook(cb, os.path.join(p, f"_pq_{column}"))
+    tmp = p + "__pq_stage"
+    coded.write.mode("overwrite").parquet(tmp)
+    # swap: parquet can't overwrite its own input in place
+    final = store.spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(p + "__pq_final")
+    import shutil
+
+    for sub in os.listdir(p):
+        full = os.path.join(p, sub)
+        if not sub.startswith("_pq_") and not sub.startswith("_index_"):
+            (shutil.rmtree if os.path.isdir(full) else os.remove)(full)
+    for sub in os.listdir(p + "__pq_final"):
+        os.rename(os.path.join(p + "__pq_final", sub), os.path.join(p, sub))
+    shutil.rmtree(tmp)
+    os.rmdir(p + "__pq_final")
+    return {"collection": name, "column": column, "codes_column": f"{column}_pq",
+            "splits": splits, "clusters": clusters}
+
+
+class CollectionServer(ThreadingHTTPServer):
+    """`with CollectionServer(spark, root) as s: requests to 127.0.0.1:s.port`.
+
+    `auth=(user, password)` enables HTTP Basic auth for every route
+    (reference mod.rs:131-141: credentials configured → enforced globally)."""
+
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, spark, root: str, host: str = "127.0.0.1", port: int = 0,
+                 auth: tuple[str, str] | None = None):
+        super().__init__((host, port), _ApiHandler)
+        self.store = CollectionStore(spark, root)
+        self.auth = auth
+        self.port = self.server_address[1]
+        self.access_log: list[str] = []
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "CollectionServer":
+        self._thread = threading.Thread(target=self.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.shutdown()
+        if self._thread:
+            self._thread.join(timeout=5)
+        self.server_close()
+
+    def __enter__(self) -> "CollectionServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()

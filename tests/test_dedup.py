@@ -609,3 +609,56 @@ def test_dedup_spans_rolling_impl_matches_md5(spark):
     assert all(sampled[d] <= md5[d][1] for d in md5)
     with pytest.raises(ValueError, match="impl"):
         D.dedup_spans(docs, impl="nope")
+
+
+def test_ngram_prefix_strategy_equals_index(corpus):
+    """strategy='prefix' (AllPairs prefix filter — the scale config) must
+    reproduce the inverted-index plan exactly: the filter is recall-lossless
+    for jaccard, and containment degenerates to full postings + full-set
+    verify."""
+    blocked = corpus.withColumn("blk", (F.col("doc_id") % 2).cast("int"))
+    for metric in ("jaccard", "containment"):
+        for kw in ({}, {"block_cols": ("blk",)}):
+            a = {(r["id_a"], r["id_b"]): r[metric]
+                 for r in D.ngram_jaccard_pairs(
+                     blocked, threshold=0.3, strategy="prefix", metric=metric, **kw
+                 ).collect()}
+            b = {(r["id_a"], r["id_b"]): r[metric]
+                 for r in D.ngram_jaccard_pairs(
+                     blocked, threshold=0.3, strategy="index", metric=metric, **kw
+                 ).collect()}
+            assert a == b and a, (metric, kw)
+
+
+def test_ngram_prefix_higher_threshold_still_exact(corpus):
+    """At t=0.8 the prefix is ~20% of each doc's shingles; pairs at exactly
+    1.0 (docs 1=2) must still surface with exact scores."""
+    a = {(r["id_a"], r["id_b"]): r["jaccard"]
+         for r in D.ngram_jaccard_pairs(corpus, threshold=0.8, strategy="prefix").collect()}
+    b = {(r["id_a"], r["id_b"]): r["jaccard"]
+         for r in D.ngram_jaccard_pairs(corpus, threshold=0.8, strategy="index").collect()}
+    assert a == b and a[(1, 2)] == 1.0
+
+
+def test_ngram_max_df_drops_boilerplate_only_pairs(spark):
+    """max_df caps posting lists at candidate generation: docs sharing ONLY an
+    ultra-common boilerplate n-gram stop pairing, while genuine near-dups
+    (sharing rare shingles) keep their exact full-set scores."""
+    boiler = "subscribe to our newsletter today"
+    rows = [(i, f"{boiler} unique body {i} content piece {i * 7}") for i in range(1, 9)]
+    rows += [(20, "rare alpha beta gamma delta epsilon zeta"),
+             (21, "rare alpha beta gamma delta epsilon eta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {(r["id_a"], r["id_b"]) for r in D.ngram_jaccard_pairs(
+        df, threshold=0.1, strategy="prefix").collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(
+        df, threshold=0.1, strategy="prefix", max_df=4).collect()}
+    assert (20, 21) in capped                      # rare-shingle pair survives
+    assert any(a < 9 and b < 9 for a, b in uncapped)   # boilerplate pairs existed
+    assert not any(a < 9 and b < 9 for a, b in capped)  # ...and are dropped
+    # full-set verify: the surviving score is the exact uncapped value
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(
+        df, threshold=0.1, strategy="pairwise", max_block_rows=None).collect()}
+    assert capped[(20, 21)] == exact[(20, 21)]
+    with pytest.raises(ValueError, match="max_df"):
+        D.ngram_jaccard_pairs(df, strategy="pairwise", max_df=4)

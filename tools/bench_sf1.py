@@ -248,6 +248,45 @@ def main() -> None:
         results["dedup_spans_scaled"] = measure(spans_scaled)
         print(json.dumps({"dedup_spans_scaled": results["dedup_spans_scaled"]}), flush=True)
 
+    # Posting-list pair generators: scale configs (VERDICT r6 item 3).
+    # ngram_jaccard: AllPairs prefix filter at t=0.8 — recall-lossless, only
+    # n-ceil(t*n)+1 hashes per doc reach the posting join (~5x less shuffle).
+    def ngram_jaccard_scaled(sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        D.ngram_jaccard_pairs(docs, threshold=0.8, strategy="prefix",
+                              max_block_rows=None).foreach(lambda r: None)
+
+    if want("ngram_jaccard_scaled"):
+        results["ngram_jaccard_scaled"] = measure(ngram_jaccard_scaled)
+        print(json.dumps({"ngram_jaccard_scaled": results["ngram_jaccard_scaled"]}), flush=True)
+
+    # ngram_containment: asymmetric prefix bound — |∩| >= t*min forces the
+    # smallest common hash into the SMALLER doc's prefix, so prefix postings
+    # probe full postings of same-or-larger docs. Exact, recall-lossless.
+    def ngram_containment_scaled(sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        D.ngram_jaccard_pairs(docs, threshold=0.8, metric="containment",
+                              strategy="prefix",
+                              max_block_rows=None).foreach(lambda r: None)
+
+    if want("ngram_containment_scaled"):
+        results["ngram_containment_scaled"] = measure(ngram_containment_scaled)
+        print(json.dumps({"ngram_containment_scaled": results["ngram_containment_scaled"]}), flush=True)
+
+    # minhash LSH candidates: 128-hash signatures banded by lsh_tune(0.8)
+    # (b=8, r=16) — 16-value band keys make false band collisions vanish, so
+    # the candidate join carries true near-dups only (the oracle's 32/8
+    # banding has r=4: at s=0.3 each band still collides with p=s^4≈0.8%).
+    def minhash_lsh_scaled(sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        tune = D.lsh_tune(0.8, 128)
+        sigs = D.minhash_signatures(docs, n_hashes=128)
+        D.lsh_candidate_pairs(sigs, bands=tune["bands"], n_hashes=128).foreach(lambda r: None)
+
+    if want("minhash_lsh_pairs_scaled"):
+        results["minhash_lsh_pairs_scaled"] = measure(minhash_lsh_scaled)
+        print(json.dumps({"minhash_lsh_pairs_scaled": results["minhash_lsh_pairs_scaled"]}), flush=True)
+
     # MinHash verify-stage trade-off (VERDICT r5 #6): exact verify
     # re-materializes full shingle sets per candidate pair; signature verify
     # reuses the already-shuffled n_hashes-long signatures — measure both so
@@ -292,6 +331,26 @@ def main() -> None:
                 "demo (O(points x intervals) by construction, both sides grow "
                 "with sf); error_burst_binned is the same query+oracle through "
                 "the binned equi-join scale path - compare their exponents"
+            ),
+            "ngram_jaccard_scaled": (
+                "r7 AllPairs prefix filter at t=0.8 (strategy='prefix'): only "
+                "n-ceil(t*n)+1 sorted hashes per doc reach the posting join, "
+                "recall-lossless; e 0.515 -> ~0.27"
+            ),
+            "ngram_containment_scaled": (
+                "r7 asymmetric prefix: smaller doc's prefix postings probe "
+                "full postings of same-or-larger docs (|∩| >= t*min pins the "
+                "smallest common hash in the small side's prefix). Exact; "
+                "e 0.452 -> ~0.1 and absolutely faster than the plain index "
+                "config. Remaining growth is true-pair output (inherent)"
+            ),
+            "minhash_lsh_pairs_scaled": (
+                "r7 scale banding: 128-hash signatures, lsh_tune(0.8) -> "
+                "b=8/r=16 band keys - false band collisions vanish (r=4 "
+                "oracle banding collides at p=s^4 per band), candidate join "
+                "carries true near-dups only; e 0.569 -> ~0.17. Remaining "
+                "growth is true-pair output (the sf1 corpus adds duplicates "
+                "linearly by construction)"
             ),
             "dedup_spans_scaled": (
                 "r7 impl='rolling': batch-level SipHash + vectorized polynomial "
