@@ -1,0 +1,300 @@
+"""`python -m lantern_extras_spark` — the reference's `lantern-cli` surface
+(lantern_cli/src/cli.rs:10-32, dispatch main.rs:19-94) mapped onto this
+engine's library calls, with parquet paths where the reference takes Postgres
+URIs:
+
+    create-index            external_index::create_usearch_index  → hnsw.create_external_index
+    create-embeddings       embeddings::create_embeddings_from_db → pipeline.create_embeddings
+    show-runtimes           embeddings::show_available_runtimes   → registry.get_available_runtimes
+    show-models             embeddings::show_available_models     → registry.get_available_models
+    measure-model-speed     measure_speed::start_speed_test       → speed.measure_model_speed
+    autotune-index          index_autotune::autotune_index        → autotune.autotune_*
+    pq-table                pq::quantize_table                    → pq.build_codebook + quantize
+    start-daemon            daemon::start                         → streaming.daemon.EmbeddingDaemon
+    start-server            http_server::start                    → serving.http_api.CollectionServer
+    start-indexing-server   external_index::server                → serving.index_server.IndexServer
+
+Every subcommand prints one JSON line per result so scripts can parse output;
+servers print a `{"listening": ..., "port": ...}` line once bound (port 0
+binds an ephemeral port — the line is how callers learn it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def _json(obj) -> None:
+    print(json.dumps(obj, default=str), flush=True)
+
+
+def _spark(app: str):
+    from lantern_extras_spark import get_spark
+
+    spark = get_spark(f"lantern-cli-{app}")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def cmd_show_runtimes(args) -> int:
+    from lantern_extras_spark.embeddings.registry import get_available_runtimes
+
+    _json(get_available_runtimes())
+    return 0
+
+
+def cmd_show_models(args) -> int:
+    from lantern_extras_spark.embeddings.registry import get_available_models
+
+    _json(get_available_models(args.runtime))
+    return 0
+
+
+def cmd_measure_model_speed(args) -> int:
+    from lantern_extras_spark.embeddings.speed import measure_model_speed
+
+    spark = _spark("speed")
+    rep = measure_model_speed(
+        spark, model=args.model, runtime=args.runtime, max_tokens=args.max_tokens
+    )
+    _json(dataclasses.asdict(rep))
+    spark.stop()
+    return 0
+
+
+def cmd_create_embeddings(args) -> int:
+    from lantern_extras_spark.embeddings.pipeline import create_embeddings
+
+    spark = _spark("embeddings")
+    df = spark.read.parquet(args.input)
+    out, usage = create_embeddings(
+        df, args.column, args.out_column, model=args.model, runtime=args.runtime,
+        filter_expr=args.filter, limit=args.limit, batch_size=args.batch_size,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    _json({"output": args.output, "rows": usage.rows, "tokens": usage.tokens})
+    spark.stop()
+    return 0
+
+
+def cmd_create_index(args) -> int:
+    from lantern_extras_spark.operators.hnsw import create_external_index
+
+    spark = _spark("index")
+    df = spark.read.parquet(args.input)
+    path = create_external_index(
+        df, column=args.column, table=args.input, metric_kind=args.metric_kind,
+        m=args.m, ef_construction=args.efc, ef=args.ef, pq=args.pq,
+        index_name=args.index_name or "", root=args.root, id_col=args.id_col,
+        n_shards=args.n_shards,
+    )
+    _json({"index": path})
+    spark.stop()
+    return 0
+
+
+def cmd_autotune_index(args) -> int:
+    from lantern_extras_spark.operators import autotune as AT
+
+    spark = _spark("autotune")
+    df = spark.read.parquet(args.input)
+    results = AT.AutotuneResults(spark, args.results_dir) if args.results_dir else None
+    kw = dict(vec_col=args.column, id_col=args.id_col, k=args.k,
+              n_queries=args.n_queries, target_recall=args.target_recall,
+              results=results)
+    fn = {"hnsw": AT.autotune_hnsw, "pq": AT.autotune_pq,
+          "ivf": AT.autotune_ivf, "ivfpq": AT.autotune_ivf_pq}[args.index_kind]
+    best, variants = fn(df, **kw)
+    _json({
+        "best": dataclasses.asdict(best) if best else None,
+        "variants": [dataclasses.asdict(v) for v in variants],
+    })
+    spark.stop()
+    return 0
+
+
+def cmd_pq_table(args) -> int:
+    from lantern_extras_spark.operators import pq as PQ
+
+    spark = _spark("pq")
+    df = spark.read.parquet(args.input)
+    cb = PQ.build_codebook(df, vec_col=args.column, splits=args.splits,
+                           k=args.clusters, max_train_rows=args.limit or 100_000)
+    coded = PQ.quantize(df, cb, vec_col=args.column, out_col=f"{args.column}_pq")
+    coded.write.mode("overwrite").parquet(args.output)
+    if args.codebook:
+        PQ.save_codebook(cb, args.codebook)
+    _json({"output": args.output, "codes_column": f"{args.column}_pq",
+           "splits": args.splits, "clusters": args.clusters,
+           "codebook": args.codebook})
+    spark.stop()
+    return 0
+
+
+def cmd_start_daemon(args) -> int:
+    from lantern_extras_spark.jobs.spec import JobStore
+    from lantern_extras_spark.streaming.daemon import EmbeddingDaemon
+
+    spark = _spark("daemon")
+    store = JobStore(spark, args.store)
+    sources = {}
+    for spec in args.table or []:
+        name, _, path = spec.partition("=")
+        if not path:
+            raise SystemExit(f"--table expects name=parquet_path, got {spec!r}")
+        sources[name] = spark.read.parquet(path)
+    daemon = EmbeddingDaemon(store, sources, label=args.label)
+    _json({"daemon": "started", "store": args.store, "tables": sorted(sources),
+           "label": args.label})
+    daemon.run_forever(poll_seconds=args.poll_seconds, max_cycles=args.max_cycles)
+    _json({"daemon": "stopped", "ran": sorted(daemon.results)})
+    spark.stop()
+    return 0
+
+
+def cmd_start_server(args) -> int:
+    from lantern_extras_spark.serving.http_api import CollectionServer
+
+    spark = _spark("http")
+    auth = (args.username, args.password) if args.username and args.password else None
+    with CollectionServer(spark, args.root, host=args.host, port=args.port,
+                          auth=auth) as srv:
+        _json({"listening": args.host, "port": srv.port, "root": args.root,
+               "auth": bool(auth)})
+        try:
+            srv._thread.join()
+        except KeyboardInterrupt:
+            pass
+    spark.stop()
+    return 0
+
+
+def cmd_start_indexing_server(args) -> int:
+    import ssl
+
+    from lantern_extras_spark.serving.index_server import IndexServer
+
+    ctx = None
+    if args.cert and args.key:
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(args.cert, args.key)
+    with IndexServer(host=args.host, port=args.port, ssl_context=ctx) as srv:
+        _json({"listening": args.host, "port": srv.port, "tls": ctx is not None})
+        try:
+            srv._thread.join()
+        except KeyboardInterrupt:
+            pass
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m lantern_extras_spark",
+        description="lantern-extras analytics engine on PySpark",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    ci = sub.add_parser("create-index", help="build a sharded HNSW index artifact")
+    ci.add_argument("--input", required=True, help="source parquet path")
+    ci.add_argument("--column", default="embedding")
+    ci.add_argument("--id-col", default="vec_id")
+    ci.add_argument("--metric-kind", default="l2sq",
+                    choices=["l2sq", "cos", "hamming", "dot"])
+    ci.add_argument("-m", type=int, default=16)
+    ci.add_argument("--efc", type=int, default=16, help="ef_construction")
+    ci.add_argument("--ef", type=int, default=16)
+    ci.add_argument("--pq", action="store_true")
+    ci.add_argument("--index-name", default=None)
+    ci.add_argument("--root", default=".")
+    ci.add_argument("--n-shards", type=int, default=4)
+    ci.set_defaults(fn=cmd_create_index)
+
+    ce = sub.add_parser("create-embeddings", help="embed a parquet column")
+    ce.add_argument("--input", required=True)
+    ce.add_argument("--column", required=True, help="source text column")
+    ce.add_argument("--out-column", default="embedding")
+    ce.add_argument("--output", required=True, help="destination parquet path")
+    ce.add_argument("--model", default="hash/test-model")
+    ce.add_argument("--runtime", default="hash")
+    ce.add_argument("--filter", default=None, help="SQL filter expression")
+    ce.add_argument("--limit", type=int, default=None)
+    ce.add_argument("--batch-size", type=int, default=None)
+    ce.set_defaults(fn=cmd_create_embeddings)
+
+    sub.add_parser("show-runtimes", help="list embedding runtimes") \
+        .set_defaults(fn=cmd_show_runtimes)
+
+    sm = sub.add_parser("show-models", help="list models for a runtime")
+    sm.add_argument("--runtime", default="ort")
+    sm.set_defaults(fn=cmd_show_models)
+
+    ms = sub.add_parser("measure-model-speed", help="embedding throughput probe")
+    ms.add_argument("--model", default="hash/test-model")
+    ms.add_argument("--runtime", default="hash")
+    ms.add_argument("--max-tokens", type=int, default=1000)
+    ms.set_defaults(fn=cmd_measure_model_speed)
+
+    at = sub.add_parser("autotune-index", help="sweep index variants to a recall target")
+    at.add_argument("--input", required=True)
+    at.add_argument("--column", default="embedding")
+    at.add_argument("--id-col", default="vec_id")
+    at.add_argument("--index-kind", default="hnsw",
+                    choices=["hnsw", "pq", "ivf", "ivfpq"])
+    at.add_argument("--k", type=int, default=10)
+    at.add_argument("--n-queries", type=int, default=10)
+    at.add_argument("--target-recall", type=float, default=99.9)
+    at.add_argument("--results-dir", default=None, help="N6 results cache dir")
+    at.set_defaults(fn=cmd_autotune_index)
+
+    pq = sub.add_parser("pq-table", help="product-quantize a vector column")
+    pq.add_argument("--input", required=True)
+    pq.add_argument("--column", default="embedding")
+    pq.add_argument("--output", required=True)
+    pq.add_argument("--splits", type=int, default=8)
+    pq.add_argument("--clusters", type=int, default=256)
+    pq.add_argument("--limit", type=int, default=None, help="PQ training subset")
+    pq.add_argument("--codebook", default=None, help="also save the codebook here")
+    pq.set_defaults(fn=cmd_pq_table)
+
+    sd = sub.add_parser("start-daemon", help="poll a job store and run embedding jobs")
+    sd.add_argument("--store", required=True, help="JobStore root dir")
+    sd.add_argument("--table", action="append",
+                    help="name=parquet_path source mapping (repeatable)")
+    sd.add_argument("--label", default=None)
+    sd.add_argument("--poll-seconds", type=int, default=10)
+    sd.add_argument("--max-cycles", type=int, default=None,
+                    help="exit after N cycles (default: run forever)")
+    sd.set_defaults(fn=cmd_start_daemon)
+
+    ss = sub.add_parser("start-server", help="HTTP collections API")
+    ss.add_argument("--root", required=True, help="collections root dir")
+    ss.add_argument("--host", default="127.0.0.1")
+    ss.add_argument("--port", type=int, default=8080)
+    ss.add_argument("--username", default=None)
+    ss.add_argument("--password", default=None)
+    ss.set_defaults(fn=cmd_start_server)
+
+    si = sub.add_parser("start-indexing-server", help="TCP index-build server")
+    si.add_argument("--host", default="127.0.0.1")
+    si.add_argument("--port", type=int, default=8998)
+    si.add_argument("--cert", default=None)
+    si.add_argument("--key", default=None)
+    si.set_defaults(fn=cmd_start_indexing_server)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except (ValueError, FileNotFoundError) as e:
+        _json({"error": str(e)})
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

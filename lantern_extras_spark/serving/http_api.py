@@ -283,6 +283,7 @@ def quantize_collection(
     The codebook artifact lands under the collection dir as `_pq_<column>`
     (underscore-prefixed, ignored by parquet scans of the collection)."""
     import os
+    import shutil
 
     from lantern_extras_spark.operators import pq as PQ
 
@@ -294,21 +295,16 @@ def quantize_collection(
     coded = PQ.quantize(df, cb, vec_col=column, out_col=f"{column}_pq")
     p = store._path(name)
     PQ.save_codebook(cb, os.path.join(p, f"_pq_{column}"))
+    # parquet can't overwrite its own input: stage once, then swap data files
     tmp = p + "__pq_stage"
     coded.write.mode("overwrite").parquet(tmp)
-    # swap: parquet can't overwrite its own input in place
-    final = store.spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(p + "__pq_final")
-    import shutil
-
     for sub in os.listdir(p):
         full = os.path.join(p, sub)
-        if not sub.startswith("_pq_") and not sub.startswith("_index_"):
+        if not sub.startswith(("_pq_", "_index_")):
             (shutil.rmtree if os.path.isdir(full) else os.remove)(full)
-    for sub in os.listdir(p + "__pq_final"):
-        os.rename(os.path.join(p + "__pq_final", sub), os.path.join(p, sub))
-    shutil.rmtree(tmp)
-    os.rmdir(p + "__pq_final")
+    for sub in os.listdir(tmp):
+        os.rename(os.path.join(tmp, sub), os.path.join(p, sub))
+    os.rmdir(tmp)
     return {"collection": name, "column": column, "codes_column": f"{column}_pq",
             "splits": splits, "clusters": clusters}
 

@@ -1,0 +1,145 @@
+"""CLI surface (`python -m lantern_extras_spark`) — one subprocess smoke test
+per reference subcommand (lantern_cli/src/cli.rs:10-32). Each test drives the
+real module entry point on tiny fixtures (sf0.001 testdata) and parses the
+JSON contract line the command prints."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+
+
+def _run(*args, timeout=240):
+    out = subprocess.run(
+        [sys.executable, "-m", "lantern_extras_spark", *args],
+        capture_output=True, text=True, timeout=timeout, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith(("{", "["))]
+    assert lines, out.stdout
+    return [json.loads(ln) for ln in lines]
+
+
+def _spawn(*args):
+    return subprocess.Popen(
+        [sys.executable, "-m", "lantern_extras_spark", *args],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, cwd=REPO,
+    )
+
+
+def _first_json_line(proc, timeout=120):
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout:
+        line = proc.stdout.readline()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise TimeoutError("server never printed its listening line")
+
+
+def test_cli_show_runtimes_and_models():
+    (runtimes,) = _run("show-runtimes")
+    assert "hash" in runtimes and "openai" in runtimes
+    (models,) = _run("show-models", "--runtime", "openai")
+    assert any("text-embedding" in m for m in models)
+
+
+def test_cli_measure_model_speed():
+    (rep,) = _run("measure-model-speed", "--max-tokens", "100")
+    assert rep["runtime"] == "hash" and rep["emb_per_sec_max"] > 0
+
+
+def test_cli_create_embeddings(tmp_path):
+    out = str(tmp_path / "emb.parquet")
+    (res,) = _run("create-embeddings", "--input", f"{SF}/documents.parquet",
+                  "--column", "text", "--output", out, "--limit", "40")
+    assert res["output"] == out and 0 < res["rows"] <= 40 and res["tokens"] > 0
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_cli_create_index(tmp_path):
+    (res,) = _run("create-index", "--input", f"{SF}/embeddings.parquet",
+                  "--root", str(tmp_path), "--index-name", "smoke",
+                  "-m", "4", "--efc", "16", "--ef", "16", "--n-shards", "2")
+    assert res["index"].endswith("smoke")
+    assert os.path.isfile(os.path.join(res["index"], "_lantern_catalog.json"))
+
+
+def test_cli_autotune_index(tmp_path):
+    (res,) = _run("autotune-index", "--input", f"{SF}/embeddings.parquet",
+                  "--index-kind", "ivf", "--k", "5", "--n-queries", "3",
+                  "--target-recall", "50", "--results-dir", str(tmp_path / "r"))
+    assert res["best"] is not None and res["variants"]
+    assert res["best"]["recall"] >= 50
+
+
+def test_cli_pq_table(tmp_path):
+    out = str(tmp_path / "coded.parquet")
+    cb = str(tmp_path / "codebook")
+    (res,) = _run("pq-table", "--input", f"{SF}/embeddings.parquet",
+                  "--output", out, "--splits", "4", "--clusters", "8",
+                  "--codebook", cb)
+    assert res["codes_column"] == "embedding_pq"
+    assert os.path.exists(os.path.join(out, "_SUCCESS")) and os.path.isdir(cb)
+
+
+def test_cli_start_daemon_exits_after_max_cycles(tmp_path):
+    lines = _run("start-daemon", "--store", str(tmp_path / "store"),
+                 "--table", f"documents={SF}/documents.parquet",
+                 "--poll-seconds", "0", "--max-cycles", "1")
+    assert lines[0]["daemon"] == "started" and lines[0]["tables"] == ["documents"]
+    assert lines[-1]["daemon"] == "stopped"
+
+
+def test_cli_start_server_serves_requests(tmp_path):
+    proc = _spawn("start-server", "--root", str(tmp_path / "cols"),
+                  "--port", "0", "--username", "u", "--password", "p")
+    try:
+        hello = _first_json_line(proc)
+        assert hello["auth"] is True
+        import base64
+        import urllib.request
+
+        req = urllib.request.Request(f"http://127.0.0.1:{hello['port']}/collections")
+        req.add_header("Authorization", "Basic " + base64.b64encode(b"u:p").decode())
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert resp.status == 200 and json.loads(resp.read()) == []
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=30)
+
+
+def test_cli_start_indexing_server_accepts_connections():
+    proc = _spawn("start-indexing-server", "--port", "0")
+    try:
+        hello = _first_json_line(proc)
+        import socket
+
+        with socket.create_connection(("127.0.0.1", hello["port"]), timeout=10):
+            pass  # the protocol handshake is covered by test_index_server.py
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=30)
+
+
+def test_cli_bad_input_fails_loud(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-m", "lantern_extras_spark", "create-embeddings",
+         "--input", "/no/such/file.parquet", "--column", "text",
+         "--output", str(tmp_path / "x")],
+        capture_output=True, text=True, timeout=240, cwd=REPO,
+    )
+    assert out.returncode != 0
+
+
+@pytest.mark.parametrize("args", [("show-models",), ("show-runtimes",)])
+def test_cli_sparkless_commands_are_fast(args):
+    t0 = time.monotonic()
+    _run(*args)
+    assert time.monotonic() - t0 < 30  # no SparkSession spin-up
