@@ -1254,6 +1254,29 @@ def q_ivf_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-level benchmark decontamination
+    (operators/dedup.py:decontaminate_embeddings) — the vector analog of
+    `decontaminate`: every training vector within cos distance 0.85 of any
+    benchmark vector (vec_id<10), found through a distance-THRESHOLD IVF
+    range join (ivf_range_join — not top-k, so no under-flagging when many
+    corpus rows crowd one bench item). Deterministic coarse codebook
+    (centroids = vectors of vec_id<4), 2-cell multi-probe; the DuckDB oracle
+    replays assign → probe → join → radius filter."""
+    emb = _t(spark, sf, "embeddings")
+    cents_rows = emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    centroids = [list(map(float, r["embedding"])) for r in cents_rows]
+    bench = emb.where(F.col("vec_id") < 10)
+    corpus = emb.where(F.col("vec_id") >= 10)
+    out = D.decontaminate_embeddings(
+        corpus, bench, max_distance=0.85, metric="cos", mode="flag",
+        nprobe=2, centroids=centroids, impl="native", dist_scale=6,
+    )
+    return out.select(
+        "vec_id", "bench_id", F.col("distance").alias("cos_distance")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1334,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "bigram_coverage": q_bigram_coverage,
         "ivf_knn_join": q_ivf_knn_join,
+        "embedding_decontaminate": q_embedding_decontaminate,
     }
 
 
@@ -2032,6 +2056,45 @@ def _oracle_sql_raw() -> dict[str, str]:
             )
             SELECT vec_id, CAST(cell AS BIGINT) AS cell, round(dist, 5) AS l2sq_distance
             FROM scored ORDER BY dist ASC, vec_id ASC LIMIT 5
+        """,
+        "embedding_decontaminate": """
+            WITH cents AS (
+                SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id < 4
+            ),
+            q AS (SELECT vec_id AS bench_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 10),
+            d AS (SELECT vec_id, embedding::DOUBLE[] AS ev
+                  FROM embeddings WHERE vec_id >= 10),
+            assign AS (
+                SELECT d.vec_id, d.ev,
+                  (SELECT c.cid FROM cents c
+                     ORDER BY list_sum(list_transform(range(1, len(d.ev) + 1),
+                              i -> (d.ev[i] - c.cv[i]) * (d.ev[i] - c.cv[i]))) ASC,
+                              c.cid ASC LIMIT 1) AS cell
+                FROM d
+            ),
+            probes AS (
+                SELECT bench_id, qv, cid AS cell,
+                       row_number() OVER (
+                         PARTITION BY bench_id
+                         ORDER BY list_sum(list_transform(range(1, len(qv) + 1),
+                                  i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) ASC,
+                                  cid ASC) AS pr
+                FROM q, cents
+                QUALIFY pr <= 2
+            ),
+            scored AS (
+                SELECT a.vec_id, p.bench_id,
+                       round(1.0 - CASE WHEN sqrt(list_sum(list_transform(a.ev, x->x*x))) * sqrt(list_sum(list_transform(p.qv, x->x*x))) = 0
+                             THEN 0.0
+                             ELSE list_sum(list_transform(range(1, len(a.ev)+1), i -> a.ev[i]*p.qv[i]))
+                                  / (sqrt(list_sum(list_transform(a.ev, x->x*x))) * sqrt(list_sum(list_transform(p.qv, x->x*x))))
+                       END, 6) AS cos_distance
+                FROM probes p JOIN assign a ON a.cell = p.cell
+            )
+            SELECT vec_id, bench_id, cos_distance
+            FROM scored WHERE cos_distance <= 0.85
         """,
         "ivf_knn_join": """
             WITH cents AS (

@@ -141,6 +141,7 @@ def main() -> None:
         "bigram_logprob",
         "bigram_coverage",
         "ivf_knn_join",
+        "embedding_decontaminate",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

@@ -970,6 +970,67 @@ def decontaminate(
     return docs.join(flags.select(id_col).distinct(), id_col, "left_anti")
 
 
+def decontaminate_embeddings(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    max_distance: float = 0.1,
+    metric: str = "cos",
+    mode: str = "flag",
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    impl: str = "pandas",
+    dist_scale: int | None = None,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination — the vector analog of
+    `decontaminate`: drop (or flag) every training vector within
+    `max_distance` of ANY benchmark vector (cos distance 0.1 ≈ similarity
+    0.9). Paraphrased test items that shingle-level `decontaminate` misses
+    still land near the original in embedding space, which is why modern
+    pipelines run both.
+
+    Built on `ivf_range_join` (a distance-THRESHOLD join, not top-k — a
+    per-bench kNN cap would silently under-flag when more than k training
+    rows sit inside one bench item's radius): both sides distributed through
+    shared IVF cells, benchmark rows multi-probe their `nprobe` nearest
+    cells, exact distances verified inside probed cells only. Recall is the
+    IVF probe recall — raise `nprobe` (or pass `centroids` from a finer
+    codebook) for stricter sweeps; `nprobe >= nlist` makes it exhaustive.
+
+    mode="flag": (id_col, bench_id, distance) pairs within the radius.
+    mode="drop": `corpus` minus every flagged row (left_anti).
+    """
+    from lantern_extras_spark.operators.ivf import ivf_range_join
+
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"unknown mode {mode!r} (flag/drop)")
+    pairs = ivf_range_join(
+        corpus.select(F.col(id_col), F.col(vec_col)),
+        benchmark.select(
+            F.col(bench_id_col).alias("__bench_id"),
+            F.col(bench_vec_col).alias("__bench_vec"),
+        ),
+        radius=max_distance,
+        nprobe=nprobe,
+        nlist=nlist,
+        metric=metric,
+        centroids=centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        qid_col="__bench_id",
+        qvec_col="__bench_vec",
+        impl=impl,
+        dist_scale=dist_scale,
+    ).select(F.col(id_col), F.col("__bench_id").alias("bench_id"), "distance")
+    if mode == "flag":
+        return pairs
+    return corpus.join(pairs.select(id_col).distinct(), id_col, "left_anti")
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -413,6 +413,99 @@ def ivf_knn_join(
     )
 
 
+def ivf_range_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    nprobe: int = 4,
+    nlist: int = 16,
+    metric: str = "l2sq",
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+    impl: str = "pandas",
+    max_train_rows: int = 100_000,
+    seed: int = 42,
+    dist_scale: int | None = None,
+) -> DataFrame:
+    """Distance-THRESHOLD similarity join through shared IVF cells — the
+    companion to `ivf_knn_join` when the contract is "every pair within
+    `radius`", not "k nearest". A top-k cap silently under-reports when more
+    than k corpus rows sit inside the radius of one query (exactly the
+    failure mode embedding-level decontamination cannot afford), so this
+    variant emits ALL qualifying pairs inside probed cells and needs no
+    finishing window at all: cell-route, per-cell GEMM, filter — one shuffle
+    per side, output bounded by the true pair count.
+
+    Returns (qid_col, id_col, distance). Same cell/probe machinery and the
+    same impl="native" engine-parity path as `ivf_knn_join`.
+    """
+    from lantern_extras_spark.operators.knn import METRICS, _np_distances, distance_col
+
+    if metric not in METRICS:
+        raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
+    if centroids is None:
+        _, centroids = build_ivf(corpus, vec_col=vec_col, nlist=nlist,
+                                 max_train_rows=max_train_rows, seed=seed)
+    nprobe = min(nprobe, len(centroids))
+    ccells = assign_cells(corpus.select(id_col, vec_col), centroids,
+                          vec_col=vec_col, impl=impl)
+    qprobes = probe_cells_df(queries.select(qid_col, qvec_col), centroids,
+                             nprobe, qvec_col=qvec_col, impl=impl)
+
+    if impl == "native":
+        d = distance_col(metric, F.col(vec_col), F.col(qvec_col))
+        if dist_scale is not None:
+            from lantern_extras_spark.functions.portable import pround
+
+            d = pround(d, dist_scale)
+        # no dedup needed: a corpus row lives in exactly one cell and a query
+        # probes each cell at most once, so a pair materializes at most once
+        return (
+            ccells.join(qprobes, "cell")
+            .withColumn("distance", d)
+            .where(F.col("distance") <= radius)
+            .select(qid_col, id_col, "distance")
+        )
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(qid_col, LongType()),
+            StructField(id_col, LongType()),
+            StructField("distance", DoubleType()),
+        ]
+    )
+
+    def per_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({qid_col: [], id_col: [], "distance": []}).astype(
+                {qid_col: "int64", id_col: "int64", "distance": "float64"}
+            )
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in left[vec_col].to_numpy()])
+        ids = left[id_col].to_numpy(dtype=np.int64)
+        Q = np.asarray([np.asarray(v, dtype=np.float64) for v in right[qvec_col].to_numpy()])
+        qids = right[qid_col].to_numpy(dtype=np.int64)
+        D = _np_distances(metric, X, Q)
+        if dist_scale is not None:
+            s = float(10**dist_scale)
+            D = np.floor(D * s + 0.5) / s
+        rows, cols = np.nonzero(D <= radius)
+        return pd.DataFrame(
+            {qid_col: qids[cols], id_col: ids[rows], "distance": D[rows, cols]}
+        )
+
+    return (
+        ccells.groupBy("cell")
+        .cogroup(qprobes.groupBy("cell"))
+        .applyInPandas(per_cell, out_schema)
+    )
+
+
 def ivf_recall_vs_exact(
     df: DataFrame,
     nlist: int = 16,

@@ -107,6 +107,9 @@ TEXT_AND_VECTOR_QUERIES = [
     "corpus_report",
     "bigram_logprob",
     "bigram_coverage",
+    # round-7: cross-corpus ANN join — the zero vector and the exact-duplicate
+    # triple force distance ties through assign/probe/rank on BOTH engines
+    "ivf_knn_join",
 ]
 
 

@@ -662,3 +662,34 @@ def test_ngram_max_df_drops_boilerplate_only_pairs(spark):
     assert capped[(20, 21)] == exact[(20, 21)]
     with pytest.raises(ValueError, match="max_df"):
         D.ngram_jaccard_pairs(df, strategy="pairwise", max_df=4)
+
+
+def test_decontaminate_embeddings_flag_and_drop(spark):
+    """Vector-level decontamination: corpus rows near ANY bench vector are
+    flagged (all of them — no top-k cap), drop mode removes exactly those."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    bench_vec = rng.randn(8)
+    # 5 contaminated corpus rows crowd ONE bench vector (k=1 top-k would miss 4)
+    corpus_rows = [(i, (bench_vec + rng.randn(8) * 0.01).tolist()) for i in range(5)]
+    corpus_rows += [(i, rng.randn(8).tolist()) for i in range(5, 30)]
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in corpus_rows],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [float(x) for x in bench_vec.tolist()])],
+        "vec_id long, embedding array<float>",
+    )
+    flags = D.decontaminate_embeddings(corpus, bench, max_distance=0.05,
+                                       metric="cos", nlist=2, nprobe=2).collect()
+    flagged = {r["vec_id"] for r in flags}
+    assert flagged == {0, 1, 2, 3, 4}
+    assert all(r["bench_id"] == 100 and r["distance"] <= 0.05 for r in flags)
+    kept = D.decontaminate_embeddings(corpus, bench, max_distance=0.05,
+                                      metric="cos", mode="drop",
+                                      nlist=2, nprobe=2)
+    assert sorted(r["vec_id"] for r in kept.collect()) == list(range(5, 30))
+    with pytest.raises(ValueError, match="mode"):
+        D.decontaminate_embeddings(corpus, bench, mode="nope")

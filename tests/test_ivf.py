@@ -239,3 +239,33 @@ def test_knn_join_partial_query_cap_fails_loud(spark, join_sides, monkeypatch):
     monkeypatch.setattr(K, "MAX_COLLECTED_QUERIES", 5)
     with pytest.raises(ValueError, match="ivf_knn_join"):
         K.knn_join(corpus, queries, k=3)  # 20 query rows > patched cap 5
+
+
+def test_ivf_range_join_full_probe_equals_bruteforce(spark, join_sides):
+    """nprobe = nlist: the range join returns exactly the brute-force pair set
+    within the radius, with no top-k under-reporting."""
+    import numpy as np
+
+    corpus, queries = join_sides
+    crows = corpus.collect()
+    qrows = queries.collect()
+    X = np.array([r["embedding"] for r in crows], dtype=np.float64)
+    Q = np.array([r["query_vec"] for r in qrows], dtype=np.float64)
+    D2 = ((X[:, None, :] - Q[None, :, :]) ** 2).sum(axis=2)
+    radius = float(np.percentile(D2, 5))  # ~5% of pairs qualify
+    want = {(qrows[j]["query_id"], crows[i]["vec_id"])
+            for i, j in zip(*np.nonzero(D2 <= radius))}
+    got_rows = IVF.ivf_range_join(corpus, queries, radius=radius, nprobe=4,
+                                  nlist=4, max_train_rows=200).collect()
+    got = {(r["query_id"], r["vec_id"]) for r in got_rows}
+    assert got == want and len(got_rows) == len(got)  # no duplicate pairs
+    # native impl agrees
+    cents = [[float(x) for x in r["embedding"]]
+             for r in corpus.orderBy("vec_id").limit(4).collect()]
+    nat = {(r["query_id"], r["vec_id"]) for r in
+           IVF.ivf_range_join(corpus, queries, radius=radius, nprobe=4,
+                              centroids=cents).collect()}
+    pnd = {(r["query_id"], r["vec_id"]) for r in
+           IVF.ivf_range_join(corpus, queries, radius=radius, nprobe=4,
+                              centroids=cents, impl="pandas").collect()}
+    assert nat == pnd
