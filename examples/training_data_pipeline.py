@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lantern_extras_spark import get_spark
+from lantern_extras_spark.embeddings.pipeline import hash_embedding
 from lantern_extras_spark.functions.text import clean_text, redact_pii
 from lantern_extras_spark.functions.url import canonicalize_url
 from lantern_extras_spark.operators import dedup as D
@@ -128,10 +129,25 @@ def main() -> dict:
     docs = docs.join(drop, "doc_id", "left_anti")
     out["after_dedup"] = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
 
-    # 5. benchmark decontamination against the eval set
+    # 5. benchmark decontamination against the eval set — shingle level first
+    #    (verbatim/near-verbatim leakage), then embedding level (paraphrased
+    #    leakage shingles miss: vectors of a reworded eval item still land
+    #    near the original)
     bench = spark.createDataFrame(EVAL_SET, "doc_id long, text string")
     docs = D.decontaminate(docs, bench, threshold=0.5, mode="drop")
     out["after_decontaminate"] = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+
+    doc_vecs = docs.select("doc_id", hash_embedding("text").alias("embedding"))
+    bench_vecs = bench.select("doc_id", hash_embedding("text").alias("embedding"))
+    clean_ids = D.decontaminate_embeddings(
+        doc_vecs, bench_vecs, max_distance=0.2, metric="cos",
+        nlist=2, nprobe=2, id_col="doc_id", bench_id_col="doc_id",
+        mode="drop",
+    ).select("doc_id")
+    docs = docs.join(clean_ids, "doc_id", "left_semi")
+    out["after_embedding_decontaminate"] = sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    )
 
     # 7. corpus-shaping reports: the source mixture (and what resampling to a
     #    50/50 token split would emit), a per-source token quota, and the

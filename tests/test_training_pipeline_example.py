@@ -24,6 +24,9 @@ def test_training_data_pipeline(spark):
     assert out["after_dedup"] == [1, 2, 4, 5, 6, 8, 9]
     # doc 4 embedded the eval item -> decontaminated
     assert out["after_decontaminate"] == [1, 2, 5, 6, 8, 9]
+    # embedding-level pass: deterministic hash vectors of the surviving docs
+    # sit far from the eval item (cos distance >> 0.2), so nothing else drops
+    assert out["after_embedding_decontaminate"] == [1, 2, 5, 6, 8, 9]
     # mixture report: shares sum to 1, under-represented siteB upweights
     shares = [v[1] for v in out["mixture"].values()]
     assert abs(sum(shares) - 1.0) < 1e-6
