@@ -1254,6 +1254,18 @@ def q_ivf_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe split (operators/sampling.py:leakage_safe_split): near-dup
+    clusters (MinHash-LSH pairs -> connected components) share one split key,
+    so no near-copy pair straddles the train/test boundary. The DuckDB oracle
+    recomputes the pair graph, resolves components with a recursive CTE, and
+    replays the hash32 bucket mapping per (cluster-or-self) key."""
+    docs = _t(spark, sf, "documents")
+    pairs = D.minhash_dedup(docs, n_hashes=32, bands=8, threshold=0.2)
+    out = SMP.leakage_safe_split(docs, pairs)
+    return out.select("doc_id", "split_key", "split")
+
+
 def q_embedding_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-level benchmark decontamination
     (operators/dedup.py:decontaminate_embeddings) — the vector analog of
@@ -1358,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_coverage": q_bigram_coverage,
         "ivf_knn_join": q_ivf_knn_join,
         "embedding_decontaminate": q_embedding_decontaminate,
+        "leakage_safe_split": q_leakage_safe_split,
     }
 
 
@@ -2181,6 +2194,29 @@ def _oracle_sql_raw() -> dict[str, str]:
              )
         SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         FROM reach GROUP BY id
+    """
+    sql["leakage_safe_split"] = f"""
+        WITH RECURSIVE pairs AS ({_minhash_lsh_pairs_sql()}),
+             edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                       UNION SELECT id_b, id_a FROM pairs),
+             reach(id, r) AS (
+                 SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                 UNION
+                 SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+             ),
+             clusters AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+                          FROM reach GROUP BY id),
+             keyed AS (SELECT d.doc_id,
+                              CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR) AS split_key
+                       FROM documents d LEFT JOIN clusters c USING (doc_id)),
+             b AS (SELECT doc_id, split_key,
+                          {_sql_hash32("concat('split', ':', split_key)")} % 10000 AS bucket
+                   FROM keyed)
+        SELECT doc_id, split_key,
+               CASE WHEN bucket < 9000 THEN 'train'
+                    WHEN bucket < 9500 THEN 'eval'
+                    ELSE 'test' END AS split
+        FROM b
     """
     sql["pq_adc_topk"] = _pq_adc_topk_sql(_ivf_qv_sql())
     sql["embedding_neardup"] = _embedding_neardup_sql()

@@ -142,6 +142,7 @@ def main() -> None:
         "bigram_coverage",
         "ivf_knn_join",
         "embedding_decontaminate",
+        "leakage_safe_split",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

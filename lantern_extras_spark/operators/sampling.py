@@ -29,18 +29,24 @@ def hash_split(
     splits: dict[str, float] | None = None,
     salt: str = "split",
     out_col: str = "split",
+    key_col: str | None = None,
 ) -> DataFrame:
-    """Assign a deterministic split label per row: bucket = hash32(salt:id) %
+    """Assign a deterministic split label per row: bucket = hash32(salt:key) %
     SPLIT_BUCKETS, mapped to labels by cumulative fraction (dict order).
     Fractions must sum to ≤ 1; any remainder falls into the LAST label.
 
     The salt namespaces independent splits of the same corpus (e.g. a second
-    experiment re-splits without correlation to the first).
+    experiment re-splits without correlation to the first). `key_col`
+    overrides the hashed key (default: the id) — rows sharing a key land in
+    the same split, which is how `leakage_safe_split` routes whole near-dup
+    clusters into one split.
     """
     splits = splits or {"train": 0.9, "eval": 0.05, "test": 0.05}
     if any(v < 0 for v in splits.values()) or sum(splits.values()) > 1.0 + 1e-9:
         raise ValueError(f"split fractions must be ≥ 0 and sum ≤ 1: {splits}")
-    bucket = hash32(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))) % SPLIT_BUCKETS
+    bucket = hash32(
+        F.concat_ws(":", F.lit(salt), F.col(key_col or id_col).cast("string"))
+    ) % SPLIT_BUCKETS
     labels = list(splits)
     cum = 0.0
     expr = None
@@ -50,6 +56,49 @@ def hash_split(
         cond = bucket < F.lit(hi)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return df.withColumn(out_col, expr.otherwise(F.lit(labels[-1])))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+    key_out_col: str = "split_key",
+) -> DataFrame:
+    """Leakage-safe train/eval/test split: near-duplicate CLUSTERS land in
+    exactly one split. A plain per-doc `hash_split` puts two near-copies of
+    the same page on opposite sides of the train/test boundary ~2·p·(1−p) of
+    the time — the eval set then scores memorization, the exact failure
+    train/test hygiene exists to prevent. Here the split key is the doc's
+    near-dup cluster id (connected components over `pairs`, min-id label —
+    `dedup_clusters`), falling back to the doc's own id for singletons, so
+    every member of a cluster hashes identically.
+
+    `pairs` is any (id_a, id_b) near-dup pair frame (minhash_dedup,
+    simhash_pairs, ngram_jaccard_pairs, embedding_neardup_pairs — or a union).
+    Adds `key_out_col` (the audited split key) and `out_col`.
+
+    Scale shape: dedup_clusters' O(diameter) label propagation over the pair
+    graph (pairs only — never corpus-sized), one equi-join back to the corpus
+    on id, then the same zero-shuffle hash bucketing as `hash_split`.
+    """
+    from lantern_extras_spark.operators.dedup import dedup_clusters
+
+    clusters = dedup_clusters(pairs).select(
+        F.col("id").alias(id_col), F.col("cluster_id")
+    )
+    keyed = (
+        df.join(clusters, id_col, "left")
+        .withColumn(
+            key_out_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("string"),
+        )
+        .drop("cluster_id")
+    )
+    return hash_split(keyed, id_col=id_col, splits=splits, salt=salt,
+                      out_col=out_col, key_col=key_out_col)
 
 
 def stratified_take(

@@ -171,3 +171,33 @@ def test_pack_sequences_bpe_counter(spark):
     assert bpe[1] == 3 and bpe[2] == 11
     with pytest.raises(ValueError, match="counter"):
         SMP.pack_sequences(df, counter="chars")
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """The invariant the operator exists for: every near-dup pair lands in ONE
+    split, while singletons still follow the hash fractions."""
+    from lantern_extras_spark.operators import dedup as D
+    from lantern_extras_spark.operators.sampling import hash_split, leakage_safe_split
+
+    base = "the quick brown fox jumps over the lazy dog tonight again"
+    rows = []
+    for i in range(0, 200, 2):          # 100 near-dup pairs (i, i+1)
+        rows.append((i, base + f" variant {i}"))
+        rows.append((i + 1, base + f" variant {i}"))
+    rows += [(1000 + i, f"unique document number {i} about topic {i*7}") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.minhash_dedup(docs, n_hashes=32, bands=8, threshold=0.8)
+    assert pairs.count() >= 100          # the constructed dups are found
+
+    out = leakage_safe_split(docs, pairs, splits={"train": 0.5, "test": 0.5})
+    sp = {r["doc_id"]: (r["split"], r["split_key"]) for r in out.collect()}
+    for r in pairs.collect():
+        assert sp[r["id_a"]] == sp[r["id_b"]], (r["id_a"], r["id_b"])
+    # contrast: the naive per-doc split DOES straddle some pair (p=0.5 each)
+    naive = {r["doc_id"]: r["split"] for r in
+             hash_split(docs, splits={"train": 0.5, "test": 0.5}).collect()}
+    assert any(naive[r["id_a"]] != naive[r["id_b"]] for r in pairs.collect())
+    # singletons keep their own id as key and spread across both splits
+    single = {k: v for k, v in sp.items() if k >= 1000}
+    assert {v[0] for v in single.values()} == {"train", "test"}
+    assert all(v[1] == str(k) for k, v in single.items())
