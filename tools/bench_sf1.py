@@ -287,6 +287,23 @@ def main() -> None:
         results["minhash_lsh_pairs_scaled"] = measure(minhash_lsh_scaled)
         print(json.dumps({"minhash_lsh_pairs_scaled": results["minhash_lsh_pairs_scaled"]}), flush=True)
 
+    # HNSW build at scale: the driver query pins n_shards=8 at BOTH scales, so
+    # per-shard size grows 10x and the O(n log n)-ish graph insert goes
+    # superlinear (e~0.4). The scale rule is shards ∝ corpus (constant rows
+    # per shard; shards build in parallel and searches stay one batched job) —
+    # measure it: 8 shards at sf0.1, 80 at sf1.
+    def hnsw_scaled(sf):
+        from lantern_extras_spark.operators import hnsw as H
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        n_shards = 8 if sf == SF01 else 80
+        H.hnsw_recall_vs_exact(emb, n_shards=n_shards, m=12, ef_construction=64,
+                               n_queries=5, k=10)
+
+    if want("hnsw_recall_scaled"):
+        results["hnsw_recall_scaled"] = measure(hnsw_scaled)
+        print(json.dumps({"hnsw_recall_scaled": results["hnsw_recall_scaled"]}), flush=True)
+
     # MinHash verify-stage trade-off (VERDICT r5 #6): exact verify
     # re-materializes full shingle sets per candidate pair; signature verify
     # reuses the already-shuffled n_hashes-long signatures — measure both so
@@ -331,6 +348,12 @@ def main() -> None:
                 "demo (O(points x intervals) by construction, both sides grow "
                 "with sf); error_burst_binned is the same query+oracle through "
                 "the binned equi-join scale path - compare their exponents"
+            ),
+            "hnsw_recall_scaled": (
+                "r7: n_shards ∝ corpus (8 at sf0.1, 80 at sf1 — constant "
+                "rows/shard, parallel builds, searches stay ONE batched job); "
+                "e 0.418 (fixed 8 shards) -> 0.161. The 100 TB rule: size "
+                "shards to executor memory, not a constant count"
             ),
             "ngram_jaccard_scaled": (
                 "r7 AllPairs prefix filter at t=0.8 (strategy='prefix'): only "
