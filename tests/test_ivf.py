@@ -269,3 +269,26 @@ def test_ivf_range_join_full_probe_equals_bruteforce(spark, join_sides):
            IVF.ivf_range_join(corpus, queries, radius=radius, nprobe=4,
                               centroids=cents, impl="pandas").collect()}
     assert nat == pnd
+
+
+def test_ivf_knn_join_plan_shape(spark, join_sides):
+    """100 TB guardrail: the cross-corpus join is never a cartesian product —
+    the pandas path cogroups on cell (one shuffle per side + the finishing
+    window), the native path equi-joins on cell."""
+    from lantern_extras_spark.plans.inspect import plan_summary
+
+    corpus, queries = join_sides
+    cents = [[float(x) for x in r["embedding"]]
+             for r in corpus.orderBy("vec_id").limit(4).collect()]
+    for impl in ("pandas", "native"):
+        out = IVF.ivf_knn_join(corpus, queries, k=5, nprobe=2,
+                               centroids=cents, impl=impl)
+        s = plan_summary(out)
+        assert "CartesianProduct" not in s.text and "BroadcastNestedLoop" not in s.text, impl
+        if impl == "native":
+            assert "cell" in s.text  # equi-join keyed on the cell id
+    rng = plan_summary(IVF.ivf_range_join(corpus, queries, radius=1.0,
+                                          nprobe=2, centroids=cents))
+    assert "CartesianProduct" not in rng.text
+    # the range join needs NO finishing window: no rank/window node at all
+    assert "Window" not in rng.text
