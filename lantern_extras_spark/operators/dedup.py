@@ -219,6 +219,38 @@ def lsh_candidate_pairs(
     )
 
 
+def save_band_store(
+    sigs: DataFrame,
+    table_name: str,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    n_buckets: int = 64,
+) -> None:
+    """Persist a corpus's LSH band keys as a BUCKETED table — the storage
+    layout that makes the incremental-dedup equi-join shuffle-free on the
+    corpus side. `minhash_dedup_incremental`'s docstring promises "pre-bucket
+    the persisted store on the band key and that join moves no corpus data";
+    this is that pre-bucketing, made concrete: `bucketBy(n_buckets, band_idx,
+    band_key)` + `sortBy` writes each bucket pre-hashed and pre-sorted, so a
+    join keyed on (band_idx, band_key) reads the store's buckets in place
+    (no Exchange on the stored side — pinned by
+    tests/test_dedup.py::test_band_store_join_is_shuffle_free_on_store_side)
+    and only the (small) incoming batch shuffles to match.
+
+    Size `n_buckets` to the cluster: each bucket becomes one join task's
+    input — corpus_rows·bands/n_buckets rows per task at 100 TB."""
+    band_keys(sigs, bands, id_col, n_hashes).write.bucketBy(
+        n_buckets, "band_idx", "band_key"
+    ).sortBy("band_idx", "band_key").mode("overwrite").format("parquet").saveAsTable(table_name)
+
+
+def load_band_store(spark, table_name: str) -> DataFrame:
+    """Read a `save_band_store` table; joins on (band_idx, band_key) consume
+    its bucketing (no shuffle on this side)."""
+    return spark.table(table_name)
+
+
 def hashed_shingles(
     df: DataFrame,
     text_col: str = "text",

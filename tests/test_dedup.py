@@ -693,3 +693,49 @@ def test_decontaminate_embeddings_flag_and_drop(spark):
     assert sorted(r["vec_id"] for r in kept.collect()) == list(range(5, 30))
     with pytest.raises(ValueError, match="mode"):
         D.decontaminate_embeddings(corpus, bench, mode="nope")
+
+
+def test_band_store_join_is_shuffle_free_on_store_side(spark, corpus, tmp_path):
+    """The 100 TB incremental-dedup claim made concrete: a band join against
+    the BUCKETED signature store plans NO Exchange above the store's scan —
+    only the incoming batch shuffles to match the bucketing."""
+    import re
+
+    from lantern_extras_spark.plans.inspect import plan_summary
+
+    sigs = D.minhash_signatures(corpus, n_hashes=32).select("doc_id", "sig")
+    D.save_band_store(sigs, "band_store_test", bands=8, n_buckets=4)
+    # disable broadcast so the plan must choose a shuffle join — broadcasting
+    # the tiny test batch would make the store side trivially shuffle-free
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        store = D.load_band_store(spark, "band_store_test")
+        batch = D.band_keys(
+            D.minhash_signatures(
+                spark.createDataFrame([(100, BASE)], "doc_id long, text string")
+            ).select("doc_id", "sig"),
+            bands=8,
+        )
+        joined = store.withColumnRenamed("doc_id", "id_a").join(
+            batch.withColumnRenamed("doc_id", "id_b"), ["band_idx", "band_key"]
+        )
+        s = plan_summary(joined)
+        # the join consumes the store's bucketing: at most ONE shuffle total
+        # (the batch side), and no Exchange between the store's FileScan and
+        # the SortMergeJoin
+        assert s.n_shuffles <= 1, s.text
+        # locate the store-scan subtree: everything between the join and the
+        # bucketed scan must be free of Exchange nodes
+        store_scan = re.search(r"(FileScan parquet[^\n]*band_store_test[^\n]*)", s.text)
+        assert store_scan, s.text
+        above_store = s.text[: store_scan.start()]
+        last_join = max(above_store.rfind("SortMergeJoin"), above_store.rfind("ShuffledHashJoin"))
+        assert last_join >= 0, s.text
+        assert "Exchange" not in s.text[last_join:store_scan.start()].replace(
+            "BroadcastExchange", ""), s.text[last_join:store_scan.start()]
+        # exact-duplicate content: the dup of doc 1/2 collides in every band
+        assert joined.where("id_a != id_b").count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS band_store_test")
