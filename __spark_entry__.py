@@ -1254,6 +1254,30 @@ def q_ivf_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic distinct-count sketch (textstats.kmv_distinct): per-source
+    distinct-token estimate from the k=64 minimum hash32 values — unlike HLL,
+    the KMV sketch over the portable hash is bit-identical across engines, so
+    the DuckDB oracle replays the estimate EXACTLY (and the true distinct
+    count rides along for the accuracy audit)."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select("source", F.explode(T.tokens(F.col("text"))).alias("token"))
+    est = TS.kmv_distinct(toks, "token", group_cols=("source",), k=64)
+    true = toks.groupBy("source").agg(
+        F.countDistinct("token").alias("distinct_true")
+    )
+    return (
+        est.join(true, "source")
+        .select(
+            "source",
+            F.col("n_rows").alias("n_tokens"),
+            F.col("n_kept_hashes").cast("bigint").alias("n_kept_hashes"),
+            "distinct_true",
+            pround("distinct_est", 4).alias("distinct_est"),
+        )
+    )
+
+
 def q_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
     """Leakage-safe split (operators/sampling.py:leakage_safe_split): near-dup
     clusters (MinHash-LSH pairs -> connected components) share one split key,
@@ -1371,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn_join": q_ivf_knn_join,
         "embedding_decontaminate": q_embedding_decontaminate,
         "leakage_safe_split": q_leakage_safe_split,
+        "kmv_distinct": q_kmv_distinct,
     }
 
 
@@ -2217,6 +2242,24 @@ def _oracle_sql_raw() -> dict[str, str]:
                     WHEN bucket < 9500 THEN 'eval'
                     ELSE 'test' END AS split
         FROM b
+    """
+    sql["kmv_distinct"] = f"""
+        WITH t AS (SELECT source, unnest({_sql_words()}) AS token FROM documents),
+             d AS (SELECT DISTINCT source, {_sql_hash32("token")} AS hv FROM t),
+             r AS (SELECT source, hv,
+                          row_number() OVER (PARTITION BY source ORDER BY hv ASC) AS rk
+                   FROM d),
+             kth AS (SELECT source, max(rk) AS nk, max_by(hv, rk) AS hk
+                     FROM r WHERE rk <= 64 GROUP BY source),
+             n AS (SELECT source, count(*) AS n_tokens,
+                          count(DISTINCT token) AS distinct_true
+                   FROM t GROUP BY source)
+        SELECT n.source, n.n_tokens, CAST(kth.nk AS BIGINT) AS n_kept_hashes,
+               n.distinct_true,
+               round(CASE WHEN kth.nk < 64 THEN CAST(kth.nk AS DOUBLE)
+                          ELSE 63.0 * 4294967296.0 / CAST(kth.hk AS DOUBLE)
+                     END, 4) AS distinct_est
+        FROM n JOIN kth USING (source)
     """
     sql["pq_adc_topk"] = _pq_adc_topk_sql(_ivf_qv_sql())
     sql["embedding_neardup"] = _embedding_neardup_sql()

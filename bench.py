@@ -143,6 +143,7 @@ def main() -> None:
         "ivf_knn_join",
         "embedding_decontaminate",
         "leakage_safe_split",
+        "kmv_distinct",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

@@ -170,6 +170,70 @@ def compression_ratio(
     return df.mapInPandas(kernel, out_schema)
 
 
+def kmv_distinct(
+    df: DataFrame,
+    value_col: Column | str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 256,
+    out_col: str = "distinct_est",
+) -> DataFrame:
+    """Deterministic distinct-count sketch: K-Minimum-Values (Bar-Yossef et
+    al. 2002) over the engine-portable `hash32`. If the k-th smallest of n
+    distinct uniform hashes in [0, 2³²) is h_k, the density estimate gives
+    n ≈ (k−1)·2³²/h_k — standard error ~1/√(k−2) (≈6% at k=256).
+
+    Why not HLL (`approx_count_distinct`)? Spark's and DuckDB's HLL
+    implementations hash differently, so HLL estimates can never
+    hash-compare across engines. KMV over md5-based hash32 is EXACTLY
+    reproducible anywhere: same data → same k-th minimum → same estimate,
+    bit for bit — the sketch stays inside the engine's cross-engine
+    determinism contract while costing one narrow projection + a per-group
+    top-k (no exact-distinct shuffle of the full value set).
+
+    Returns one row per group: (group_cols…, n_rows, `out_col`). Groups with
+    fewer than k distinct hashes report the EXACT distinct count (every
+    value's hash is present — no estimation needed or valid there).
+
+    Scale shape: the per-group k smallest hashes reduce via partial
+    aggregation (slice(array_sort) over a collect_set capped per group is
+    replaced by a window rank, which map-side-combines); the estimate is
+    O(groups·k) driver-free arithmetic.
+    """
+    if k < 3:
+        raise ValueError("k must be >= 3 (variance is undefined below)")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    h = hash32(v.cast("string"))
+    hashed = df.select(*group_cols, h.alias("__h"))
+    gb = list(group_cols)
+    # distinct hashes per group, ranked ascending; keep the k smallest
+    distinct_h = hashed.distinct()
+    w = Window.partitionBy(*gb).orderBy(F.col("__h").asc())
+    ranked = distinct_h.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= k)
+    est = (
+        ranked.groupBy(*gb)
+        .agg(
+            F.max("__r").alias("__nk"),
+            F.max(F.struct(F.col("__r"), F.col("__h"))).alias("__kth"),
+        )
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__nk") < k, F.col("__nk").cast("double")  # exact below k
+            ).otherwise(
+                (F.lit(float(k - 1)) * F.lit(4294967296.0))
+                / F.col("__kth")["__h"].cast("double")
+            ),
+        )
+        .select(*gb, F.col("__nk").alias("n_kept_hashes"), out_col)
+    )
+    n_rows = df.groupBy(*gb).agg(F.count("*").alias("n_rows")) if gb else (
+        df.agg(F.count("*").alias("n_rows"))
+    )
+    if gb:
+        return n_rows.join(est, gb)
+    return n_rows.crossJoin(est)
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",
