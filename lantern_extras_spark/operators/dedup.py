@@ -348,13 +348,14 @@ def minhash_dedup(
     id_col: str = "doc_id",
     n_hashes: int = 32,
     shingle_n: int = 3,
-    bands: int = 8,
+    bands: int | str = 8,
     threshold: float = 0.8,
     max_bucket: int = 500,
     verify: str = "exact",
 ) -> DataFrame:
     """End-to-end MinHash near-dup pairs: (id_a, id_b, jaccard) with Jaccard
-    ≥ threshold, candidates generated by banded LSH.
+    ≥ threshold, candidates generated by banded LSH. bands="auto" lets
+    `lsh_tune` pick the banding whose S-curve midpoint matches `threshold`.
 
     verify="exact" (default): recompute exact Jaccard on the full distinct
     shingle sets of each candidate pair — the parity path, zero estimator
@@ -375,6 +376,10 @@ def minhash_dedup(
     """
     if verify not in ("exact", "signature"):
         raise ValueError(f"unknown verify {verify!r} (exact/signature)")
+    if bands == "auto":
+        # pick the banding whose S-curve midpoint sits at the threshold (the
+        # Leskovec-Rajaraman-Ullman criterion) instead of folklore constants
+        bands = lsh_tune(threshold, n_hashes)["bands"]
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n).cache()
     cands = lsh_candidate_pairs(sigs, bands, id_col, max_bucket, n_hashes=n_hashes)
     ver_col = "shingles" if verify == "exact" else "sig"

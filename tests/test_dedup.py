@@ -739,3 +739,14 @@ def test_band_store_join_is_shuffle_free_on_store_side(spark, corpus, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS band_store_test")
+
+
+def test_minhash_dedup_auto_bands(corpus):
+    """bands='auto' routes through lsh_tune: same pairs as passing the tuned
+    band count explicitly."""
+    tuned = D.lsh_tune(0.5, 64)["bands"]
+    auto = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+            D.minhash_dedup(corpus, n_hashes=64, bands="auto", threshold=0.5).collect()}
+    explicit = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+                D.minhash_dedup(corpus, n_hashes=64, bands=tuned, threshold=0.5).collect()}
+    assert auto == explicit and (1, 2) in auto

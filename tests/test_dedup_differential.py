@@ -191,3 +191,47 @@ def test_resample_mixture_matches_reference(spark, texts):
         if n >= 1:
             want[i] = list(range(1, n + 1))
     assert {k: sorted(v) for k, v in got.items()} == want
+
+
+TEXT = st.lists(st.sampled_from(WORDS), min_size=0, max_size=12).map(" ".join)
+
+
+@given(st.lists(TEXT, min_size=2, max_size=10), st.sampled_from([0.2, 0.5, 0.8]))
+@settings(max_examples=10, deadline=None)
+def test_prefix_strategy_differential(spark, texts, threshold):
+    """AllPairs prefix filter vs the all-pairs plan on random corpora: the
+    filter's recall-losslessness (jaccard AND the asymmetric containment
+    bound) must hold on arbitrary inputs, not just the curated fixtures."""
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    for metric in ("jaccard", "containment"):
+        want = {(r["id_a"], r["id_b"]): r[metric]
+                for r in D.ngram_jaccard_pairs(
+                    docs, threshold=threshold, strategy="pairwise",
+                    metric=metric, max_block_rows=None, shingle_n=2).collect()}
+        got = {(r["id_a"], r["id_b"]): r[metric]
+               for r in D.ngram_jaccard_pairs(
+                   docs, threshold=threshold, strategy="prefix",
+                   metric=metric, max_block_rows=None, shingle_n=2).collect()}
+        assert got == want, (metric, threshold, texts)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=300),
+       st.sampled_from([4, 16]))
+@settings(max_examples=10, deadline=None)
+def test_kmv_distinct_differential(spark, values, k):
+    """KMV estimate vs an independent Python reference over the same hash32:
+    identical k-th minimum -> identical estimate, exact below k."""
+    import hashlib as hl
+
+    df = spark.createDataFrame([(f"v{v}",) for v in values], "val string")
+    got = {r["n_rows"]: r for r in
+           __import__("lantern_extras_spark.operators.textstats",
+                      fromlist=["kmv_distinct"]).kmv_distinct(df, "val", k=k).collect()}
+    row = list(got.values())[0]
+    hashes = sorted({int(hl.md5(f"v{v}".encode()).hexdigest()[:8], 16) for v in values})
+    if len(hashes) < k:
+        want = float(len(hashes))
+    else:
+        want = (k - 1) * 4294967296.0 / float(hashes[k - 1])
+    assert row["n_rows"] == len(values)
+    assert abs(row["distinct_est"] - want) < 1e-6, (row, want)
