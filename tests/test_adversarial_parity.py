@@ -110,6 +110,12 @@ TEXT_AND_VECTOR_QUERIES = [
     # round-7: cross-corpus ANN join — the zero vector and the exact-duplicate
     # triple force distance ties through assign/probe/rank on BOTH engines
     "ivf_knn_join",
+    # round-7 second batch: the radius join hits the zero-vector cos guard
+    # (distance exactly 1.0 by convention on both engines); the split and the
+    # sketch chew the empty/whitespace/emoji docs
+    "embedding_decontaminate",
+    "leakage_safe_split",
+    "kmv_distinct",
 ]
 
 
