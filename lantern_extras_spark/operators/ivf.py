@@ -347,8 +347,14 @@ def ivf_knn_join(
                                  max_train_rows=max_train_rows, seed=seed)
     nprobe = min(nprobe, len(centroids))
 
-    ccells = assign_cells(corpus.select(id_col, vec_col), centroids,
-                          vec_col=vec_col, impl=impl)
+    if "cell" in corpus.columns:
+        # pre-assigned corpus (e.g. read from a cell-partitioned table):
+        # skip the assignment kernel entirely — with partitioned storage the
+        # downstream cell filter/shuffle starts from pruned scans
+        ccells = corpus.select(id_col, vec_col, "cell")
+    else:
+        ccells = assign_cells(corpus.select(id_col, vec_col), centroids,
+                              vec_col=vec_col, impl=impl)
     qprobes = probe_cells_df(queries.select(qid_col, qvec_col), centroids,
                              nprobe, qvec_col=qvec_col, impl=impl)
     w = Window.partitionBy(qid_col).orderBy(F.col("distance").asc(), F.col(id_col).asc())
@@ -450,8 +456,14 @@ def ivf_range_join(
         _, centroids = build_ivf(corpus, vec_col=vec_col, nlist=nlist,
                                  max_train_rows=max_train_rows, seed=seed)
     nprobe = min(nprobe, len(centroids))
-    ccells = assign_cells(corpus.select(id_col, vec_col), centroids,
-                          vec_col=vec_col, impl=impl)
+    if "cell" in corpus.columns:
+        # pre-assigned corpus (e.g. read from a cell-partitioned table):
+        # skip the assignment kernel entirely — with partitioned storage the
+        # downstream cell filter/shuffle starts from pruned scans
+        ccells = corpus.select(id_col, vec_col, "cell")
+    else:
+        ccells = assign_cells(corpus.select(id_col, vec_col), centroids,
+                              vec_col=vec_col, impl=impl)
     qprobes = probe_cells_df(queries.select(qid_col, qvec_col), centroids,
                              nprobe, qvec_col=qvec_col, impl=impl)
 

@@ -292,3 +292,25 @@ def test_ivf_knn_join_plan_shape(spark, join_sides):
     assert "CartesianProduct" not in rng.text
     # the range join needs NO finishing window: no rank/window node at all
     assert "Window" not in rng.text
+
+
+def test_ivf_knn_join_accepts_preassigned_cells(spark, join_sides):
+    """A corpus already carrying a `cell` column (a cell-partitioned table)
+    skips the assignment kernel and returns identical results."""
+    corpus, queries = join_sides
+    cents = [[float(x) for x in r["embedding"]]
+             for r in corpus.orderBy("vec_id").limit(4).collect()]
+    pre = IVF.assign_cells(corpus, cents)
+    a = {(r["query_id"], r["rank"]): r["vec_id"] for r in
+         IVF.ivf_knn_join(pre, queries, k=5, nprobe=2, centroids=cents,
+                          dist_scale=5).collect()}
+    b = {(r["query_id"], r["rank"]): r["vec_id"] for r in
+         IVF.ivf_knn_join(corpus, queries, k=5, nprobe=2, centroids=cents,
+                          dist_scale=5).collect()}
+    assert a == b
+    # the range join honors it too
+    ra = {(r["query_id"], r["vec_id"]) for r in
+          IVF.ivf_range_join(pre, queries, radius=5.0, nprobe=2, centroids=cents).collect()}
+    rb = {(r["query_id"], r["vec_id"]) for r in
+          IVF.ivf_range_join(corpus, queries, radius=5.0, nprobe=2, centroids=cents).collect()}
+    assert ra == rb
