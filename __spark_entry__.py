@@ -622,6 +622,26 @@ def q_dedup_spans(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "text_dedup", "n_tokens_removed")
 
 
+def q_top_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-span provenance (operators/dedup.py:top_duplicate_spans —
+    the audit companion to dedup_spans): top-10 most-repeated 8-token windows
+    with occurrence/doc counts, canonical first occurrence, and the window
+    text rebuilt from it. The injected prologue's windows must dominate the
+    ranking; the oracle replays windowing, counting, ranking, and the text
+    slice."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    base = docs.select(
+        "doc_id", F.concat(F.lit(DS_PROLOGUE), F.lit(" "), F.col("text")).alias("text")
+    )
+    out = D.top_duplicate_spans(base, span=8, k=10)
+    return out.select(
+        "whash", "n_occurrences", "n_docs",
+        F.col("first_doc").cast("bigint").alias("first_doc"),
+        F.col("first_pos").cast("bigint").alias("first_pos"),
+        "span_text",
+    )
+
+
 def q_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental MinHash dedup (operators/dedup.py:minhash_dedup_incremental
     — the streaming-ingest shape): docs >= 300 arrive as a new batch and are
@@ -1396,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_decontaminate": q_embedding_decontaminate,
         "leakage_safe_split": q_leakage_safe_split,
         "kmv_distinct": q_kmv_distinct,
+        "top_duplicate_spans": q_top_duplicate_spans,
     }
 
 
@@ -2260,6 +2281,47 @@ def _oracle_sql_raw() -> dict[str, str]:
                           ELSE 63.0 * 4294967296.0 / CAST(kth.hk AS DOUBLE)
                      END, 4) AS distinct_est
         FROM n JOIN kth USING (source)
+    """
+    sql["top_duplicate_spans"] = f"""
+        WITH w0 AS (
+            SELECT doc_id, concat('{DS_PROLOGUE}', ' ', text) AS t2
+            FROM documents WHERE doc_id < 100
+        ),
+        t AS (SELECT doc_id, {_sql_words("t2")} AS w FROM w0),
+        s AS (SELECT doc_id, w, len(w) AS n FROM t),
+        wins AS (
+            SELECT doc_id, w, unnest(range(1, greatest(n - 8 + 2, 1))) AS p
+            FROM s WHERE n >= 8
+        ),
+        wh AS (
+            SELECT doc_id, p,
+                   CAST(concat('0x', substr(md5(array_to_string(w[p:p+7], ' ')), 1, 15)) AS BIGINT) AS h
+            FROM wins
+        ),
+        rk AS (
+            SELECT doc_id, p, h,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id ASC, p ASC) AS rn
+            FROM wh
+        ),
+        firsts AS (SELECT h AS whash, doc_id AS first_doc, p AS first_pos
+                   FROM rk WHERE rn = 1),
+        agg AS (
+            SELECT h AS whash, count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM wh GROUP BY h
+            HAVING count(*) >= 2
+        ),
+        top AS (
+            SELECT agg.whash, agg.n_occurrences, agg.n_docs,
+                   f.first_doc, f.first_pos
+            FROM agg JOIN firsts f ON f.whash = agg.whash
+            ORDER BY agg.n_occurrences DESC, agg.whash ASC LIMIT 10
+        )
+        SELECT top.whash, top.n_occurrences, top.n_docs,
+               CAST(top.first_doc AS BIGINT) AS first_doc,
+               CAST(top.first_pos AS BIGINT) AS first_pos,
+               array_to_string(s.w[top.first_pos:top.first_pos + 7], ' ') AS span_text
+        FROM top JOIN s ON s.doc_id = top.first_doc
     """
     sql["pq_adc_topk"] = _pq_adc_topk_sql(_ivf_qv_sql())
     sql["embedding_neardup"] = _embedding_neardup_sql()

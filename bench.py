@@ -144,6 +144,7 @@ def main() -> None:
         "embedding_decontaminate",
         "leakage_safe_split",
         "kmv_distinct",
+        "top_duplicate_spans",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

@@ -1448,60 +1448,18 @@ def minhash_dedup_incremental(
     )
 
 
-def dedup_spans(
+def _span_windows(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    span: int = 50,
-    stride: int = 1,
-    out_col: str = "text_dedup",
-    impl: str = "md5",
-) -> DataFrame:
-    """Exact-substring dedup (the ExactSubstr semantics of Lee et al. 2021,
-    "Deduplicating Training Data Makes Language Models Better"): any
-    `span`-token window that already occurred earlier in the corpus (smaller
-    (id, pos)) is REMOVED from the later occurrence — the duplicated span is
-    cut out, the rest of the document survives. This is the last dedup
-    granularity between paragraph-level (`dedup_paragraphs`) and near-dup
-    (`minhash_dedup`): it catches the quoted article inside an otherwise
-    unique page, which doc/paragraph/minhash all miss or over-kill.
-
-    Distributed formulation (suffix arrays don't shard): hash every window of
-    `span` tokens at starts 1, 1+stride, ... (60-bit portable md5 hash —
-    collision odds ~n²/2⁶¹ windows; the reference technique's single-machine
-    suffix array is exact but cannot scale out), pick the canonical
-    occurrence per window hash with a map-side-combining groupBy (no
-    single-reducer hotspot on mega-repeated windows), and excise every
-    non-canonical window's [pos, pos+span) token range. Overlapping flagged
-    ranges are interval-merged per doc BEFORE the per-token coverage test,
-    so a fully-duplicated doc costs O(tokens), not O(tokens · windows).
-
-    stride > 1 switches to CONTENT-DEFINED sampling: only windows whose hash
-    ≡ 0 (mod stride) ship to the shuffle. Content sampling is
-    alignment-independent — both occurrences of a duplicated region sample
-    exactly the same windows, unlike position-grid sampling (start at every
-    stride-th token), which silently misses duplicates whose occurrences sit
-    at different offsets mod stride. Shuffle volume drops stride×;
-    per-region miss probability is (1 - 1/stride)^(L - span + 1), negligible
-    for long duplicates (the targets of the scale config), and excision
-    covers the sampled windows' spans rather than the full region edge-to-
-    edge. stride=1 is exact for spans ≥ `span` and is what the driver
-    oracle replays.
-
-    impl="md5" is the DuckDB-parity contract (one md5 per window — the
-    oracle replays it bit for bit). impl="rolling" is the SCALE kernel
-    (VERDICT r6 item 5): tokens hash once per doc via pandas' SipHash
-    (`pandas.util.hash_array`, C speed), then every window hash is a
-    degree-(span−1) polynomial over the token hashes mod 2⁶⁴, computed for
-    ALL windows of a doc in one vectorized numpy pass — no per-window Python
-    loop, no per-window digest. Same dedup semantics (canonical-pick over
-    equal window hashes; 64-bit collision odds comparable to md5-60), but
-    different hash values, so only "md5" is SQL-replayable.
-
-    Output: input columns + `out_col` (kept tokens re-joined with single
-    spaces — token-level surgery cannot preserve original whitespace) and
-    `n_tokens_removed`. Docs shorter than `span` tokens pass through.
-    """
+    text_col: str,
+    id_col: str,
+    span: int,
+    stride: int,
+    impl: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared window-hash stage of the span family: returns (toks_df, wins)
+    where toks_df = (id, __toks) and wins = (id, pos 1-based, whash) for every
+    (content-sampled, if stride > 1) span-token window. `dedup_spans` consumes
+    it for excision; `top_duplicate_spans` for provenance reporting."""
     if span < 2:
         raise ValueError("span must be >= 2")
     if stride < 1:
@@ -1588,6 +1546,122 @@ def dedup_spans(
 
     kernel = rolling_kernel if impl == "rolling" else window_kernel
     wins = toks_df.mapInPandas(kernel, win_schema)
+    return toks_df, wins
+
+
+def top_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 8,
+    k: int = 20,
+    stride: int = 1,
+    impl: str = "md5",
+    with_text: bool = True,
+) -> DataFrame:
+    """Duplicate-span PROVENANCE report — the audit companion to
+    `dedup_spans`: the `k` most-repeated `span`-token windows across the
+    corpus, with occurrence counts, distinct-document counts, the canonical
+    first occurrence, and (with_text) the window's text reconstructed from
+    the first occurrence. This answers "WHAT is duplicated" before dedup
+    decides what to cut — the usual findings are licence blocks, navigation
+    chrome, and templated disclaimers, which often warrant a boilerplate
+    rule rather than span surgery.
+
+    Returns (whash, n_occurrences ≥ 2, n_docs, first_doc, first_pos
+    [, span_text]) ordered by (n_occurrences DESC, whash ASC), LIMIT k.
+
+    Scale shape: the same window stage as `dedup_spans` (use
+    impl="rolling" + stride > 1 at corpus scale) + one map-side-combining
+    groupBy on the window hash; the text join touches only the k winners
+    (broadcast)."""
+    toks_df, wins = _span_windows(df, text_col, id_col, span, stride, impl)
+    agg = (
+        wins.groupBy("whash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"),
+        )
+        .where(F.col("n_occurrences") >= 2)
+        .select(
+            "whash", "n_occurrences", "n_docs",
+            F.col("first")[id_col].alias("first_doc"),
+            F.col("first")["pos"].alias("first_pos"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("whash").asc())
+        .limit(k)
+    )
+    if not with_text:
+        return agg
+    first_docs = toks_df.withColumnRenamed(id_col, "first_doc")
+    return (
+        F.broadcast(agg)
+        .join(first_docs, "first_doc")
+        .withColumn(
+            "span_text",
+            F.concat_ws(" ", F.slice(F.col("__toks"), F.col("first_pos"), span)),
+        )
+        .select("whash", "n_occurrences", "n_docs", "first_doc", "first_pos", "span_text")
+        .orderBy(F.col("n_occurrences").desc(), F.col("whash").asc())
+    )
+
+
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 50,
+    stride: int = 1,
+    out_col: str = "text_dedup",
+    impl: str = "md5",
+) -> DataFrame:
+    """Exact-substring dedup (the ExactSubstr semantics of Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    `span`-token window that already occurred earlier in the corpus (smaller
+    (id, pos)) is REMOVED from the later occurrence — the duplicated span is
+    cut out, the rest of the document survives. This is the last dedup
+    granularity between paragraph-level (`dedup_paragraphs`) and near-dup
+    (`minhash_dedup`): it catches the quoted article inside an otherwise
+    unique page, which doc/paragraph/minhash all miss or over-kill.
+
+    Distributed formulation (suffix arrays don't shard): hash every window of
+    `span` tokens at starts 1, 1+stride, ... (60-bit portable md5 hash —
+    collision odds ~n²/2⁶¹ windows; the reference technique's single-machine
+    suffix array is exact but cannot scale out), pick the canonical
+    occurrence per window hash with a map-side-combining groupBy (no
+    single-reducer hotspot on mega-repeated windows), and excise every
+    non-canonical window's [pos, pos+span) token range. Overlapping flagged
+    ranges are interval-merged per doc BEFORE the per-token coverage test,
+    so a fully-duplicated doc costs O(tokens), not O(tokens · windows).
+
+    stride > 1 switches to CONTENT-DEFINED sampling: only windows whose hash
+    ≡ 0 (mod stride) ship to the shuffle. Content sampling is
+    alignment-independent — both occurrences of a duplicated region sample
+    exactly the same windows, unlike position-grid sampling (start at every
+    stride-th token), which silently misses duplicates whose occurrences sit
+    at different offsets mod stride. Shuffle volume drops stride×;
+    per-region miss probability is (1 - 1/stride)^(L - span + 1), negligible
+    for long duplicates (the targets of the scale config), and excision
+    covers the sampled windows' spans rather than the full region edge-to-
+    edge. stride=1 is exact for spans ≥ `span` and is what the driver
+    oracle replays.
+
+    impl="md5" is the DuckDB-parity contract (one md5 per window — the
+    oracle replays it bit for bit). impl="rolling" is the SCALE kernel
+    (VERDICT r6 item 5): tokens hash once per doc via pandas' SipHash
+    (`pandas.util.hash_array`, C speed), then every window hash is a
+    degree-(span−1) polynomial over the token hashes mod 2⁶⁴, computed for
+    ALL windows of a doc in one vectorized numpy pass — no per-window Python
+    loop, no per-window digest. Same dedup semantics (canonical-pick over
+    equal window hashes; 64-bit collision odds comparable to md5-60), but
+    different hash values, so only "md5" is SQL-replayable.
+
+    Output: input columns + `out_col` (kept tokens re-joined with single
+    spaces — token-level surgery cannot preserve original whitespace) and
+    `n_tokens_removed`. Docs shorter than `span` tokens pass through.
+    """
+    toks_df, wins = _span_windows(df, text_col, id_col, span, stride, impl)
     firsts = wins.groupBy("whash").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first")
     )

@@ -750,3 +750,26 @@ def test_minhash_dedup_auto_bands(corpus):
     explicit = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
                 D.minhash_dedup(corpus, n_hashes=64, bands=tuned, threshold=0.5).collect()}
     assert auto == explicit and (1, 2) in auto
+
+
+def test_top_duplicate_spans_provenance(spark):
+    """The audit report surfaces the most-repeated window with its counts,
+    canonical first occurrence, and reconstructed text."""
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(1, f"{shared} tail alpha"), (2, f"prefix {shared} more"),
+         (3, f"{shared} something else"), (4, "unrelated body of text here now")],
+        "doc_id long, text string",
+    )
+    out = D.top_duplicate_spans(docs, span=8, k=5).collect()
+    top = out[0]
+    assert top["n_occurrences"] == 3 and top["n_docs"] == 3
+    assert top["first_doc"] == 1 and top["first_pos"] == 1
+    assert top["span_text"] == shared
+    # with_text=False skips the reconstruction join
+    bare = D.top_duplicate_spans(docs, span=8, k=5, with_text=False).columns
+    assert "span_text" not in bare
+    # rolling impl ranks the same occurrences (hashes differ)
+    roll = D.top_duplicate_spans(docs, span=8, k=5, impl="rolling").collect()
+    assert (roll[0]["n_occurrences"], roll[0]["n_docs"], roll[0]["span_text"]) == \
+           (3, 3, shared)
