@@ -1310,6 +1310,24 @@ def q_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "split_key", "split")
 
 
+def q_decontaminate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Verbatim span-level decontamination (dedup.decontaminate_spans — Lee
+    et al. n-gram removal): benchmark = docs 0-9 with the shared prologue
+    injected, training = docs 10-99 with the SAME prologue injected, span=8 —
+    so every training doc loses exactly its prologue windows and keeps its
+    own body. The DuckDB oracle replays window hashing on both sides, the
+    semi-join, interval merge, and token excision."""
+    docs = _t(spark, sf, "documents")
+    train = docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 100)).select(
+        "doc_id", F.concat(F.lit(DS_PROLOGUE), F.lit(" "), F.col("text")).alias("text")
+    )
+    bench = docs.where(F.col("doc_id") < 10).select(
+        "doc_id", F.concat(F.lit(DS_PROLOGUE), F.lit(" "), F.col("text")).alias("text")
+    )
+    out = D.decontaminate_spans(train, bench, span=8)
+    return out.select("doc_id", "text_dedup", "n_tokens_removed")
+
+
 def q_embedding_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-level benchmark decontamination
     (operators/dedup.py:decontaminate_embeddings) — the vector analog of
@@ -1417,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "kmv_distinct": q_kmv_distinct,
         "top_duplicate_spans": q_top_duplicate_spans,
+        "decontaminate_spans": q_decontaminate_spans,
     }
 
 
@@ -2322,6 +2341,62 @@ def _oracle_sql_raw() -> dict[str, str]:
                CAST(top.first_pos AS BIGINT) AS first_pos,
                array_to_string(s.w[top.first_pos:top.first_pos + 7], ' ') AS span_text
         FROM top JOIN s ON s.doc_id = top.first_doc
+    """
+    sql["decontaminate_spans"] = f"""
+        WITH tr0 AS (
+            SELECT doc_id, concat('{DS_PROLOGUE}', ' ', text) AS t2
+            FROM documents WHERE doc_id >= 10 AND doc_id < 100
+        ),
+        be0 AS (
+            SELECT doc_id, concat('{DS_PROLOGUE}', ' ', text) AS t2
+            FROM documents WHERE doc_id < 10
+        ),
+        tt AS (SELECT doc_id, {_sql_words("t2")} AS w FROM tr0),
+        ts AS (SELECT doc_id, w, len(w) AS n FROM tt),
+        twins AS (
+            SELECT doc_id, w, unnest(range(1, greatest(n - 8 + 2, 1))) AS p
+            FROM ts WHERE n >= 8
+        ),
+        th AS (
+            SELECT doc_id, p,
+                   CAST(concat('0x', substr(md5(array_to_string(w[p:p+7], ' ')), 1, 15)) AS BIGINT) AS h
+            FROM twins
+        ),
+        bt AS (SELECT {_sql_words("t2")} AS w FROM be0),
+        bs AS (SELECT w, len(w) AS n FROM bt),
+        bwins AS (
+            SELECT w, unnest(range(1, greatest(n - 8 + 2, 1))) AS p
+            FROM bs WHERE n >= 8
+        ),
+        bh AS (
+            SELECT DISTINCT CAST(concat('0x', substr(md5(array_to_string(w[p:p+7], ' ')), 1, 15)) AS BIGINT) AS h
+            FROM bwins
+        ),
+        fl AS (SELECT th.doc_id, th.p FROM th SEMI JOIN bh ON th.h = bh.h),
+        tok AS (
+            SELECT doc_id, n, unnest(range(1, n + 1)) AS tp, unnest(w) AS tv
+            FROM ts
+        ),
+        rem AS (
+            SELECT DISTINCT t.doc_id, t.tp
+            FROM tok t JOIN fl ON t.doc_id = fl.doc_id
+                              AND t.tp >= fl.p AND t.tp < fl.p + 8
+        ),
+        kept AS (
+            SELECT tok.doc_id, tok.tp, tok.tv
+            FROM tok ANTI JOIN rem
+              ON tok.doc_id = rem.doc_id AND tok.tp = rem.tp
+        ),
+        built AS (
+            SELECT k.doc_id,
+                   array_to_string(list(k.tv ORDER BY k.tp), ' ') AS text_dedup,
+                   count(*) AS n_kept
+            FROM kept k GROUP BY k.doc_id
+        )
+        SELECT s.doc_id,
+               coalesce(b.text_dedup, '') AS text_dedup,
+               CAST(s.n - coalesce(b.n_kept, 0) AS INT) AS n_tokens_removed
+        FROM ts s LEFT JOIN built b ON b.doc_id = s.doc_id
     """
     sql["pq_adc_topk"] = _pq_adc_topk_sql(_ivf_qv_sql())
     sql["embedding_neardup"] = _embedding_neardup_sql()

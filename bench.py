@@ -145,6 +145,7 @@ def main() -> None:
         "leakage_safe_split",
         "kmv_distinct",
         "top_duplicate_spans",
+        "decontaminate_spans",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

@@ -1007,6 +1007,49 @@ def decontaminate(
     return docs.join(flags.select(id_col).distinct(), id_col, "left_anti")
 
 
+def decontaminate_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    span: int = 13,
+    stride: int = 1,
+    impl: str = "md5",
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Verbatim span-level decontamination — the third member of the
+    decontamination triple (shingle containment = `decontaminate`, embedding
+    radius = `decontaminate_embeddings`): EXCISE every `span`-token window of
+    a training doc that appears verbatim anywhere in the benchmark, keeping
+    the rest of the document. Lee et al.'s n-gram removal as practiced for
+    eval hygiene (the common default is 13-gram removal, hence span=13):
+    unlike the flag/drop modes, a long training page that quotes one eval
+    item loses only the quote.
+
+    Distributed shape: window-hash BOTH sides with the shared `_span_windows`
+    stage (use impl="rolling" + stride > 1 at corpus scale — content-defined
+    sampling hits the same windows on both sides by construction), left-semi
+    join training windows against the (distinct, typically small → broadcast)
+    benchmark hash set, then the shared interval-merge excision. The
+    benchmark text is never re-scanned per training row.
+
+    Returns docs + (`out_col`, n_tokens_removed), like `dedup_spans`.
+    """
+    toks_df, doc_wins = _span_windows(docs, text_col, id_col, span, stride, impl)
+    _, bench_wins = _span_windows(
+        benchmark, bench_text_col, bench_id_col, span, stride, impl
+    )
+    bench_hashes = bench_wins.select("whash").distinct()
+    flagged = (
+        doc_wins.join(F.broadcast(bench_hashes), "whash", "left_semi")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("__starts"))
+    )
+    return _excise_flagged_spans(docs, toks_df, flagged, id_col, out_col, span)
+
+
 def decontaminate_embeddings(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -1607,6 +1650,64 @@ def top_duplicate_spans(
     )
 
 
+def _excise_flagged_spans(
+    df: DataFrame,
+    toks_df: DataFrame,
+    flagged: DataFrame,
+    id_col: str,
+    out_col: str,
+    span: int,
+) -> DataFrame:
+    """Shared excision stage of the span family: `flagged` is
+    (id, __starts sorted array<long> of 1-based window starts); merge starts
+    into disjoint [s, e) intervals, drop every covered token, rebuild the
+    text. Used by `dedup_spans` (within-corpus) and `decontaminate_spans`
+    (vs a benchmark)."""
+    def merged_intervals(starts):
+        return F.aggregate(
+            starts,
+            F.array().cast("array<struct<s:long,e:long>>"),
+            lambda acc, p: F.when(
+                (F.size(acc) > 0)
+                & (p <= F.element_at(acc, -1)["e"]),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(F.element_at(acc, -1)["e"], p + span).alias("e"),
+                    )),
+                ),
+            ).otherwise(
+                F.concat(acc, F.array(F.struct(p.alias("s"), (p + span).alias("e"))))
+            ),
+        )
+
+    rebuilt = (
+        toks_df.join(flagged, id_col, "left")
+        .withColumn("__iv", merged_intervals(F.coalesce(
+            F.col("__starts"), F.array().cast("array<long>")
+        )))
+        .withColumn(
+            "__kept",
+            F.filter(
+                F.col("__toks"),
+                lambda t, i: ~F.exists(
+                    F.col("__iv"),
+                    lambda iv: ((i + 1) >= iv["s"]) & ((i + 1) < iv["e"]),
+                ),
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", F.col("__kept")).alias(out_col),
+            (F.size("__toks") - F.size("__kept")).cast("int").alias("n_tokens_removed"),
+        )
+    )
+    return df.join(rebuilt, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(""))
+    ).withColumn("n_tokens_removed", F.coalesce(F.col("n_tokens_removed"), F.lit(0)))
+
+
 def dedup_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -1675,48 +1776,4 @@ def dedup_spans(
         .agg(F.array_sort(F.collect_list("pos")).alias("__starts"))
     )
 
-    # merge sorted starts into disjoint [s, e) intervals, then one coverage
-    # test per token against the merged list
-    def merged_intervals(starts):
-        return F.aggregate(
-            starts,
-            F.array().cast("array<struct<s:long,e:long>>"),
-            lambda acc, p: F.when(
-                (F.size(acc) > 0)
-                & (p <= F.element_at(acc, -1)["e"]),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.struct(
-                        F.element_at(acc, -1)["s"].alias("s"),
-                        F.greatest(F.element_at(acc, -1)["e"], p + span).alias("e"),
-                    )),
-                ),
-            ).otherwise(
-                F.concat(acc, F.array(F.struct(p.alias("s"), (p + span).alias("e"))))
-            ),
-        )
-
-    rebuilt = (
-        toks_df.join(flagged, id_col, "left")
-        .withColumn("__iv", merged_intervals(F.coalesce(
-            F.col("__starts"), F.array().cast("array<long>")
-        )))
-        .withColumn(
-            "__kept",
-            F.filter(
-                F.col("__toks"),
-                lambda t, i: ~F.exists(
-                    F.col("__iv"),
-                    lambda iv: ((i + 1) >= iv["s"]) & ((i + 1) < iv["e"]),
-                ),
-            ),
-        )
-        .select(
-            F.col(id_col),
-            F.concat_ws(" ", F.col("__kept")).alias(out_col),
-            (F.size("__toks") - F.size("__kept")).cast("int").alias("n_tokens_removed"),
-        )
-    )
-    return df.join(rebuilt, id_col, "left").withColumn(
-        out_col, F.coalesce(F.col(out_col), F.lit(""))
-    ).withColumn("n_tokens_removed", F.coalesce(F.col("n_tokens_removed"), F.lit(0)))
+    return _excise_flagged_spans(df, toks_df, flagged, id_col, out_col, span)

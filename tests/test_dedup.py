@@ -773,3 +773,27 @@ def test_top_duplicate_spans_provenance(spark):
     roll = D.top_duplicate_spans(docs, span=8, k=5, impl="rolling").collect()
     assert (roll[0]["n_occurrences"], roll[0]["n_docs"], roll[0]["span_text"]) == \
            (3, 3, shared)
+
+
+def test_decontaminate_spans_excises_verbatim_benchmark_windows(spark):
+    """Verbatim eval n-grams are cut out of training docs; surrounding text
+    survives; docs without benchmark overlap are untouched; both kernels
+    agree."""
+    eval_item = "what is the capital of france answer paris"   # 8 tokens
+    train = spark.createDataFrame(
+        [(1, f"intro words {eval_item} and trailing content"),
+         (2, "a completely clean document with original words only"),
+         (3, eval_item)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"prefix {eval_item} suffix")], "doc_id long, text string"
+    )
+    for impl in ("md5", "rolling"):
+        out = {r["doc_id"]: r for r in
+               D.decontaminate_spans(train, bench, span=8, impl=impl).collect()}
+        assert out[1]["text_dedup"] == "intro words and trailing content", impl
+        assert out[1]["n_tokens_removed"] == 8
+        assert out[2]["n_tokens_removed"] == 0
+        assert out[2]["text_dedup"] == train.collect()[1]["text"]
+        assert out[3]["text_dedup"] == "" and out[3]["n_tokens_removed"] == 8
