@@ -952,6 +952,26 @@ def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select("id_a", "id_b", pround("cosine", 6).alias("cosine"))
 
 
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (dedup.semantic_dedup): coarse cells with
+    a deterministic codebook (centroids = vectors of vec_id<4 — the
+    q_ivf_search trick), within-cell cosine prune with the first-wins winner
+    rule. Hash-checked end to end: the oracle replays cell assignment
+    (argmin-l2sq, min-struct tie-break), the within-cell pair join, the
+    cosine, and the min-id winner pick. impl="native" is the replay config;
+    the k-means + GEMM pandas impl is the scale path (parity pinned in
+    tests/test_dedup.py)."""
+    emb = _t(spark, sf, "embeddings")
+    cents_rows = emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    centroids = [list(map(float, r["embedding"])) for r in cents_rows]
+    out = D.semantic_dedup(
+        emb, threshold=0.35, centroids=centroids, impl="native"
+    )
+    return out.select(
+        "dup_id", "cell", "dup_of", pround("cosine", 6).alias("cosine")
+    )
+
+
 def q_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     """ADC top-k with a deterministic slice codebook (centroids = vectors of
     vec_id<8, 4 subvectors — the q_pq_assign trick) so the LUT build + ADC scan
@@ -1401,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-stage pipelines (every one hash-checked — see oracle_sql()):
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "embedding_neardup": q_embedding_neardup,
+        "semantic_dedup": q_semantic_dedup,
         "pq_adc_topk": q_pq_adc_topk,
         "knn_partial_strategy": q_knn_partial_strategy,
         "ivf_pq_search": q_ivf_pq_search,
@@ -2400,6 +2421,37 @@ def _oracle_sql_raw() -> dict[str, str]:
     """
     sql["pq_adc_topk"] = _pq_adc_topk_sql(_ivf_qv_sql())
     sql["embedding_neardup"] = _embedding_neardup_sql()
+    # semantic_dedup: replay cell assignment (argmin-l2sq over the vec_id<4
+    # codebook, min-struct tie-break — same CTE shape as _ivf_pq_search_sql),
+    # the within-cell pair join, the cosine, and the min-id winner pick.
+    _sd_norms = ("sqrt(list_sum(list_transform(va, x->x*x))) * "
+                 "sqrt(list_sum(list_transform(vb, x->x*x)))")
+    _sd_cs = (f"CASE WHEN {_sd_norms} = 0 THEN 0.0 "
+              f"ELSE list_sum(list_transform(range(1, len(va)+1), i -> va[i]*vb[i]))"
+              f" / ({_sd_norms}) END")
+    sql["semantic_dedup"] = f"""
+        WITH coarse AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                        FROM embeddings WHERE vec_id < 4),
+             v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+             cellp AS (SELECT v.vec_id, c.cid,
+                              list_sum(list_transform(range(1, len(v.ev) + 1),
+                                  i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))) AS d
+                       FROM v CROSS JOIN coarse c),
+             cells AS (SELECT vec_id, min(struct_pack(d := d, c := cid)).c AS cell
+                       FROM cellp GROUP BY vec_id),
+             m AS (SELECT v.vec_id, cells.cell, v.ev
+                   FROM v JOIN cells ON cells.vec_id = v.vec_id),
+             pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS dup_id, a.cell,
+                              a.ev AS va, b.ev AS vb
+                       FROM m a JOIN m b
+                         ON a.cell = b.cell AND a.vec_id < b.vec_id),
+             scored AS (SELECT id_a, dup_id, cell, {_sd_cs} AS cs FROM pairs),
+             hits AS (SELECT * FROM scored WHERE cs >= 0.35)
+        SELECT dup_id, CAST(cell AS BIGINT) AS cell,
+               min(struct_pack(a := id_a, c := cs)).a AS dup_of,
+               round(min(struct_pack(a := id_a, c := cs)).c, 6) AS cosine
+        FROM hits GROUP BY dup_id, cell
+    """
     sql["ivf_pq_search"] = _ivf_pq_search_sql(_ivf_qv_sql())
     # normalize=True default: lowercase + collapse non-alphanumeric runs to a
     # single space BEFORE shingling (mirrors functions/text.py

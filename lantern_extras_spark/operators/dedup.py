@@ -1307,6 +1307,172 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    centroids: list[list[float]] | None = None,
+    mode: str = "flag",
+    impl: str = "pandas",
+    max_cell: int = 100_000,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then prune
+    near-identical vectors WITHIN each cluster — pairwise cosine is only ever
+    computed cell-locally, so the all-pairs O(n²) never materializes; cost is
+    Σ_cell |cell|², the same complexity contract as the paper's k-means
+    confinement.
+
+    Row b is a semantic duplicate iff some row a in the SAME cell has
+    id_a < id_b and cos(a, b) >= threshold — the deterministic first-wins
+    winner rule used by every dedup family here (no RNG, rerun-stable,
+    engine-replayable). Cross-cell near-dups are the documented recall
+    trade-off of the method itself (raise `nlist` resolution or run
+    `embedding_neardup_pairs` for LSH recall instead).
+
+    Clustering: pass `centroids` for a fixed coarse codebook (the replayable
+    oracle config, and the right call when a corpus-wide IVF codebook already
+    exists — one shared geometry for search AND dedup); otherwise a seeded
+    sample-bounded k-means fits `nlist` centroids (`ivf.build_ivf`, the scale
+    path). If `df` already carries `cell_col`, it is honored as-is (the
+    cell-partitioned-table convention of the IVF joins — assignment skipped).
+
+    mode="flag": one row per duplicate — (id, cell, dup_of, cosine), where
+    dup_of is the SMALLEST qualifying earlier id and cosine that exact pair's
+    similarity (struct-min tie-break, fully deterministic provenance).
+    mode="drop": `df` minus every flagged row (left_anti on id).
+
+    impl="native": pure Column expressions (cell self-join + interpreted
+    cosine) — what the DuckDB oracle replays bit-for-bit.
+    impl="pandas": one normalized X·Xᵀ GEMM per cell inside `applyInPandas` —
+    the 100 TB path (the interpreted cosine costs O(dim) per candidate pair;
+    BLAS is ~100× that throughput). Assignments are identical; both impls
+    share the same winner rule.
+
+    `max_cell` is a fail-loud guard, not a silent drop: applyInPandas
+    materializes one whole cell per worker, and a dedup that silently skips
+    an oversized cell ACCEPTS duplicates — so oversized cells raise with the
+    fix spelled out (raise `nlist`; cells shrink ~linearly with it).
+    """
+    import numpy as np
+
+    from lantern_extras_spark.functions.vector import cos_sim
+    from lantern_extras_spark.operators import ivf as IVF
+
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"unknown mode {mode!r} (flag/drop)")
+    if cell_col in df.columns:
+        assigned = df
+    elif centroids is not None:
+        assigned = IVF.assign_cells(
+            df, centroids, vec_col=vec_col, cell_col=cell_col,
+            impl="native" if impl == "native" else "pandas",
+        )
+    else:
+        assigned, _ = IVF.build_ivf(
+            df, vec_col=vec_col, nlist=nlist, seed=seed, cell_col=cell_col
+        )
+    base = assigned.select(F.col(id_col), F.col(vec_col), F.col(cell_col))
+
+    # fail-loud oversize guard (collects only violators — tiny by definition)
+    oversized = (
+        base.groupBy(cell_col).count().where(F.col("count") > max_cell).collect()
+    )
+    if oversized:
+        worst = ", ".join(f"cell {r[cell_col]}={r['count']}" for r in oversized[:5])
+        raise ValueError(
+            f"semantic_dedup: {len(oversized)} cell(s) exceed max_cell="
+            f"{max_cell} ({worst}). Raise nlist (finer clustering) or "
+            f"max_cell; a silently skipped cell would accept duplicates."
+        )
+
+    if impl == "pandas":
+        import pandas as pd
+
+        def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            empty = pd.DataFrame({
+                "dup_id": pd.Series(dtype="int64"),
+                "cell": pd.Series(dtype="int64"),
+                "dup_of": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            })
+            n = len(pdf)
+            if n < 2:
+                return empty
+            pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()]
+            )
+            ids = pdf[id_col].to_numpy()
+            norms = np.linalg.norm(X, axis=1)
+            denom = norms[:, None] * norms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(denom == 0.0, 0.0,
+                             (X @ X.T) / np.where(denom == 0.0, 1.0, denom))
+            hit = np.tril(S >= threshold, k=-1)  # row j vs earlier rows i<j
+            dup_rows = hit.any(axis=1)
+            if not dup_rows.any():
+                return empty
+            first_i = hit.argmax(axis=1)  # smallest i with hit (ids sorted asc)
+            j = np.nonzero(dup_rows)[0]
+            i = first_i[j]
+            return pd.DataFrame({
+                "dup_id": ids[j].astype("int64"),
+                "cell": pdf[cell_col].to_numpy()[j].astype("int64"),
+                "dup_of": ids[i].astype("int64"),
+                "cosine": S[j, i],
+            })
+
+        flagged = (
+            base.groupBy(cell_col)
+            .applyInPandas(kernel, "dup_id long, cell long, dup_of long, cosine double")
+        )
+    elif impl == "native":
+        # the self-join duplicates the assign_cells fold, and Spark's
+        # conflicting-attribute rewrite loses higher-order-function lambda
+        # bindings (ATTRIBUTE_NOT_FOUND at bind time; localCheckpoint's
+        # LogicalRDD dedup is unreliable too) — cache the assignment so both
+        # sides read one InMemoryRelation, whose self-join dedup is sound.
+        # Stays cached for the life of the returned plan (assignment is
+        # id+vec+cell, far smaller than the pair join it feeds).
+        if cell_col not in df.columns:
+            base = base.cache()
+            base.count()
+        a, b = base.alias("sd_a"), base.alias("sd_b")
+        flagged = (
+            a.join(b, F.col(f"sd_a.{cell_col}") == F.col(f"sd_b.{cell_col}"))
+            .where(F.col(f"sd_a.{id_col}") < F.col(f"sd_b.{id_col}"))
+            .select(
+                F.col(f"sd_a.{id_col}").alias("id_a"),
+                F.col(f"sd_b.{id_col}").alias("dup_id"),
+                F.col(f"sd_a.{cell_col}").alias("__cell"),
+                cos_sim(F.col(f"sd_a.{vec_col}"), F.col(f"sd_b.{vec_col}")).alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
+            .groupBy("dup_id")
+            .agg(
+                F.min(F.struct(F.col("id_a"), F.col("cosine"))).alias("w"),
+                F.first(F.col("__cell")).alias("cell"),
+            )
+            .select(
+                "dup_id", F.col("cell").cast("bigint").alias("cell"),
+                F.col("w.id_a").alias("dup_of"), F.col("w.cosine").alias("cosine"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
+
+    if mode == "flag":
+        return flagged
+    return df.join(
+        flagged.select(F.col("dup_id").alias(id_col)).distinct(), id_col, "left_anti"
+    )
+
+
 def dedup_paragraphs(
     df: DataFrame,
     text_col: str = "text",

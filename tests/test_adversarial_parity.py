@@ -116,6 +116,9 @@ TEXT_AND_VECTOR_QUERIES = [
     "embedding_decontaminate",
     "leakage_safe_split",
     "kmv_distinct",
+    # round-7 third batch: cell-confined cosine prune — the zero vector pins
+    # the cos=0.0 convention and the exact-duplicate triple the min-id winner
+    "semantic_dedup",
 ]
 
 

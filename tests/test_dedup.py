@@ -797,3 +797,57 @@ def test_decontaminate_spans_excises_verbatim_benchmark_windows(spark):
         assert out[2]["n_tokens_removed"] == 0
         assert out[2]["text_dedup"] == train.collect()[1]["text"]
         assert out[3]["text_dedup"] == "" and out[3]["n_tokens_removed"] == 8
+
+
+def _sd_fixture(spark, n=120, dim=32, seed=11):
+    """Random cloud plus planted near-identical pairs in distinct regions."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    X = rng.randn(n, dim)
+    # plant: 100≈101 (same direction, tiny jitter), 102≈103≈104 (triple)
+    X[101] = X[100] + 1e-3 * rng.randn(dim)
+    X[103] = X[102] + 1e-3 * rng.randn(dim)
+    X[104] = X[102] + 1e-3 * rng.randn(dim)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_pandas_impl_matches_native(spark):
+    df = _sd_fixture(spark)
+    cents = [r["embedding"] for r in df.where("vec_id < 4").orderBy("vec_id").collect()]
+    a = {r["dup_id"]: (r["cell"], r["dup_of"], round(r["cosine"], 9))
+         for r in D.semantic_dedup(df, threshold=0.9, centroids=cents,
+                                   impl="native").collect()}
+    b = {r["dup_id"]: (r["cell"], r["dup_of"], round(r["cosine"], 9))
+         for r in D.semantic_dedup(df, threshold=0.9, centroids=cents,
+                                   impl="pandas").collect()}
+    assert a == b and a
+    # planted near-identicals are flagged with min-id winners
+    assert a[101][1] == 100
+    assert a[103][1] == 102 and a[104][1] == 102
+
+
+def test_semantic_dedup_drop_mode_and_kmeans_path(spark):
+    df = _sd_fixture(spark)
+    flagged = D.semantic_dedup(df, threshold=0.9, nlist=4)  # k-means path
+    ids = {r["dup_id"] for r in flagged.collect()}
+    # the planted duplicates land in the same cell as their twin (identical
+    # direction ⇒ same nearest centroid) so they must be flagged
+    assert {101, 103, 104} <= ids
+    kept = D.semantic_dedup(df, threshold=0.9, nlist=4, mode="drop")
+    assert kept.count() == df.count() - len(ids)
+    assert kept.where(F.col("vec_id").isin(101, 103, 104)).count() == 0
+
+
+def test_semantic_dedup_honors_preassigned_cells_and_guard(spark):
+    df = _sd_fixture(spark)
+    with_cell = df.withColumn("cell", (F.col("vec_id") % 2).cast("int"))
+    out = D.semantic_dedup(with_cell, threshold=0.9, impl="native")
+    # 102/104 share cell 0; 103 is alone in cell 1 ⇒ only 104 flagged there
+    got = {r["dup_id"]: r["dup_of"] for r in out.collect()}
+    assert got.get(104) == 102 and 103 not in got and 101 not in got
+    with pytest.raises(ValueError, match="max_cell"):
+        D.semantic_dedup(df, threshold=0.9, nlist=1, max_cell=10)
+    with pytest.raises(ValueError, match="unknown mode"):
+        D.semantic_dedup(df, mode="nope")
