@@ -954,18 +954,19 @@ def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup-style semantic dedup (dedup.semantic_dedup): coarse cells with
-    a deterministic codebook (centroids = vectors of vec_id<4 — the
-    q_ivf_search trick), within-cell cosine prune with the first-wins winner
+    a deterministic codebook (centroids = vectors of vec_id<32 — the
+    q_ivf_search trick, 32 cells so the within-cell pair count stays
+    bench-friendly at sf0.1), within-cell cosine prune with the first-wins winner
     rule. Hash-checked end to end: the oracle replays cell assignment
     (argmin-l2sq, min-struct tie-break), the within-cell pair join, the
     cosine, and the min-id winner pick. impl="native" is the replay config;
     the k-means + GEMM pandas impl is the scale path (parity pinned in
     tests/test_dedup.py)."""
     emb = _t(spark, sf, "embeddings")
-    cents_rows = emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    cents_rows = emb.where(F.col("vec_id") < 32).orderBy("vec_id").collect()
     centroids = [list(map(float, r["embedding"])) for r in cents_rows]
     out = D.semantic_dedup(
-        emb, threshold=0.35, centroids=centroids, impl="native"
+        emb, threshold=0.3, centroids=centroids, impl="native"
     )
     return out.select(
         "dup_id", "cell", "dup_of", pround("cosine", 6).alias("cosine")
@@ -1318,6 +1319,16 @@ def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact φ-heavy-hitter tokens (textstats.heavy_hitters): per-partition
+    Misra-Gries candidate sketches, then an exact broadcast-filtered recount —
+    the sketch changes the execution shape (no full-vocabulary shuffle), never
+    the answer, so a plain GROUP BY + HAVING oracle replays the output
+    exactly."""
+    docs = _t(spark, sf, "documents")
+    return TS.heavy_hitters(docs, phi=0.001)
+
+
 def q_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
     """Leakage-safe split (operators/sampling.py:leakage_safe_split): near-dup
     clusters (MinHash-LSH pairs -> connected components) share one split key,
@@ -1455,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_decontaminate": q_embedding_decontaminate,
         "leakage_safe_split": q_leakage_safe_split,
         "kmv_distinct": q_kmv_distinct,
+        "heavy_hitters": q_heavy_hitters,
         "top_duplicate_spans": q_top_duplicate_spans,
         "decontaminate_spans": q_decontaminate_spans,
     }
@@ -2304,6 +2316,16 @@ def _oracle_sql_raw() -> dict[str, str]:
                     ELSE 'test' END AS split
         FROM b
     """
+    sql["heavy_hitters"] = f"""
+        WITH t AS (SELECT {_sql_words()} AS w FROM documents),
+             e AS (SELECT unnest(w) AS token FROM t),
+             tot AS (SELECT count(*) AS N FROM e),
+             c AS (SELECT token, count(*) AS n FROM e GROUP BY token)
+        SELECT token, n,
+               round(n / (SELECT CAST(N AS DOUBLE) FROM tot), 6) AS share
+        FROM c WHERE n > 0.001 * (SELECT N FROM tot)
+        ORDER BY n DESC, token ASC
+    """
     sql["kmv_distinct"] = f"""
         WITH t AS (SELECT source, unnest({_sql_words()}) AS token FROM documents),
              d AS (SELECT DISTINCT source, {_sql_hash32("token")} AS hv FROM t),
@@ -2431,7 +2453,7 @@ def _oracle_sql_raw() -> dict[str, str]:
               f" / ({_sd_norms}) END")
     sql["semantic_dedup"] = f"""
         WITH coarse AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-                        FROM embeddings WHERE vec_id < 4),
+                        FROM embeddings WHERE vec_id < 32),
              v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
              cellp AS (SELECT v.vec_id, c.cid,
                               list_sum(list_transform(range(1, len(v.ev) + 1),
@@ -2446,7 +2468,7 @@ def _oracle_sql_raw() -> dict[str, str]:
                        FROM m a JOIN m b
                          ON a.cell = b.cell AND a.vec_id < b.vec_id),
              scored AS (SELECT id_a, dup_id, cell, {_sd_cs} AS cs FROM pairs),
-             hits AS (SELECT * FROM scored WHERE cs >= 0.35)
+             hits AS (SELECT * FROM scored WHERE cs >= 0.3)
         SELECT dup_id, CAST(cell AS BIGINT) AS cell,
                min(struct_pack(a := id_a, c := cs)).a AS dup_of,
                round(min(struct_pack(a := id_a, c := cs)).c, 6) AS cosine

@@ -1310,7 +1310,7 @@ def embedding_neardup_pairs(
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.9,
-    nlist: int = 16,
+    nlist: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "cell",
@@ -1338,7 +1338,9 @@ def semantic_dedup(
     oracle config, and the right call when a corpus-wide IVF codebook already
     exists — one shared geometry for search AND dedup); otherwise a seeded
     sample-bounded k-means fits `nlist` centroids (`ivf.build_ivf`, the scale
-    path). If `df` already carries `cell_col`, it is honored as-is (the
+    path; `nlist=None` auto-scales to ~2000 rows/cell, keeping per-cell
+    pairwise work bounded as the corpus grows). If `df` already carries
+    `cell_col`, it is honored as-is (the
     cell-partitioned-table convention of the IVF joins — assignment skipped).
 
     mode="flag": one row per duplicate — (id, cell, dup_of, cosine), where
@@ -1360,7 +1362,6 @@ def semantic_dedup(
     """
     import numpy as np
 
-    from lantern_extras_spark.functions.vector import cos_sim
     from lantern_extras_spark.operators import ivf as IVF
 
     if mode not in ("flag", "drop"):
@@ -1373,8 +1374,16 @@ def semantic_dedup(
             impl="native" if impl == "native" else "pandas",
         )
     else:
+        total = df.count()
+        if nlist is None:
+            # auto-scale cells with the corpus (~2000 rows/cell): per-cell
+            # pairwise cost stays bounded as n grows — the fixed-nlist
+            # config goes quadratic past ~nlist*2000 rows (same lever as
+            # embedding_neardup_pairs' n_planes=None)
+            nlist = max(16, math.ceil(total / 2000))
         assigned, _ = IVF.build_ivf(
-            df, vec_col=vec_col, nlist=nlist, seed=seed, cell_col=cell_col
+            df, vec_col=vec_col, nlist=nlist, seed=seed, cell_col=cell_col,
+            total_rows=total,
         )
     base = assigned.select(F.col(id_col), F.col(vec_col), F.col(cell_col))
 
@@ -1439,10 +1448,22 @@ def semantic_dedup(
         # sides read one InMemoryRelation, whose self-join dedup is sound.
         # Stays cached for the life of the returned plan (assignment is
         # id+vec+cell, far smaller than the pair join it feeds).
-        if cell_col not in df.columns:
-            base = base.cache()
-            base.count()
+        from lantern_extras_spark.functions.vector import inner_product, vector_norm
+
+        # precompute per-row norms once (cached): each pair then evaluates
+        # only the dot-product fold — same expressions on the same data, so
+        # the cosine stays bit-identical to the inline cos_sim / SQL replay.
+        # (cache unconditionally: __nrm itself is a fold the self-join would
+        # otherwise duplicate, resurrecting the bind bug on the honored-cell
+        # path)
+        base = base.withColumn("__nrm", vector_norm(F.col(vec_col)))
+        base = base.cache()
+        base.count()
         a, b = base.alias("sd_a"), base.alias("sd_b")
+        denom = F.col("sd_a.__nrm") * F.col("sd_b.__nrm")
+        pair_cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+            inner_product(F.col(f"sd_a.{vec_col}"), F.col(f"sd_b.{vec_col}")) / denom
+        )
         flagged = (
             a.join(b, F.col(f"sd_a.{cell_col}") == F.col(f"sd_b.{cell_col}"))
             .where(F.col(f"sd_a.{id_col}") < F.col(f"sd_b.{id_col}"))
@@ -1450,7 +1471,7 @@ def semantic_dedup(
                 F.col(f"sd_a.{id_col}").alias("id_a"),
                 F.col(f"sd_b.{id_col}").alias("dup_id"),
                 F.col(f"sd_a.{cell_col}").alias("__cell"),
-                cos_sim(F.col(f"sd_a.{vec_col}"), F.col(f"sd_b.{vec_col}")).alias("cosine"),
+                pair_cos.alias("cosine"),
             )
             .where(F.col("cosine") >= threshold)
             .groupBy("dup_id")

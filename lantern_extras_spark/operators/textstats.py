@@ -8,6 +8,7 @@ scan — no shuffle, full whole-stage codegen.
 
 from __future__ import annotations
 
+import math
 import re
 
 from pyspark.sql import Column, DataFrame
@@ -232,6 +233,88 @@ def kmv_distinct(
     if gb:
         return n_rows.join(est, gb)
     return n_rows.crossJoin(est)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    phi: float = 0.001,
+    text_col: str = "text",
+    m: int | None = None,
+    out_order: bool = True,
+) -> DataFrame:
+    """Exact φ-heavy-hitter tokens via a two-pass Misra-Gries design: every
+    token whose global count exceeds φ·N (N = total token count), with EXACT
+    counts — the standard sketch shape for corpus-frequency questions at
+    100 TB, where a full `groupBy(token)` shuffles the entire vocabulary
+    (Zipf tail: mostly singletons) to answer a question about its head.
+
+    Pass 1 (candidates): one Misra-Gries summary of capacity `m` (default
+    ceil(1/φ)) per partition, built batch-wise — pandas `value_counts` per
+    Arrow batch (C speed), MG-merged into the running summary (add counters,
+    then subtract the (m+1)-th largest and drop ≤0 — the mergeable-summaries
+    reduction of Agarwal et al. 2013). Each partition emits ≤ m candidate
+    tokens, no shuffle. Guarantee: a token with global count > N/(m+1) must
+    exceed n_p/(m+1) in at least one partition (averaging argument), so with
+    m ≥ 1/φ the candidate set contains every φ-heavy token — no false
+    negatives, only false positives.
+
+    Pass 2 (exact): re-count ONLY candidate tokens — explode → broadcast
+    semi-join against the candidate set (≤ m·partitions rows, tiny) →
+    groupBy. The shuffle carries heavy-token occurrences only; the Zipf tail
+    never leaves the map side. N itself is a narrow sum of `size(tokens)`.
+
+    Output: (token, n, share) for n > φ·N, ordered n desc / token asc when
+    `out_order` (deterministic; exact counts make the output
+    engine-replayable by a plain GROUP BY + HAVING — the sketch changes the
+    execution shape, never the answer).
+    """
+    if not (0.0 < phi < 1.0):
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    if m is None:
+        m = math.ceil(1.0 / phi)
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+
+    from typing import Iterator
+
+    import pandas as pd
+
+    toks = df.select(tokens(text_col).alias("__toks"))
+
+    def mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[str, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            counts = pdf["__toks"].explode().dropna().value_counts()
+            for tok, c in counts.items():
+                state[tok] = state.get(tok, 0) + int(c)
+            if len(state) > m:
+                # MG merge-prune: subtract the (m+1)-th largest counter
+                cut = sorted(state.values(), reverse=True)[m]
+                state = {t: c - cut for t, c in state.items() if c > cut}
+        yield pd.DataFrame({"token": list(state.keys())})
+
+    candidates = (
+        toks.mapInPandas(mg_candidates, "token string").distinct()
+    )
+
+    exploded = df.select(F.explode(tokens(text_col)).alias("token"))
+    total = df.agg(F.sum(F.size(tokens(text_col))).alias("__N"))
+    counted = (
+        exploded.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n") > F.lit(phi) * F.col("__N"))
+        .select(
+            "token", "n",
+            pround(F.col("n") / F.col("__N"), 6).alias("share"),
+        )
+    )
+    if out_order:
+        counted = counted.orderBy(F.col("n").desc(), F.col("token").asc())
+    return counted
 
 
 def tfidf_top_terms(

@@ -119,6 +119,9 @@ TEXT_AND_VECTOR_QUERIES = [
     # round-7 third batch: cell-confined cosine prune — the zero vector pins
     # the cos=0.0 convention and the exact-duplicate triple the min-id winner
     "semantic_dedup",
+    # tokenizer edge cases (empty/whitespace/nbsp/emoji) through the
+    # MG-candidate + exact-recount path vs the plain GROUP BY oracle
+    "heavy_hitters",
 ]
 
 

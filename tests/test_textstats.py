@@ -1,4 +1,7 @@
+"""textstats sketch operators: KMV distinct-count, Misra-Gries heavy hitters."""
 
+import pytest
+from pyspark.sql import functions as F
 
 def test_kmv_distinct_estimate_accuracy(spark):
     """KMV sketch: exact below k, within ~4 standard errors above k, and
@@ -23,3 +26,61 @@ def test_kmv_distinct_estimate_accuracy(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="k must be"):
         kmv_distinct(df, "val", k=2)
+
+
+def test_heavy_hitters_matches_exact_groupby(spark):
+    """The MG candidate pass must never change the answer: sketch output ==
+    plain explode/groupBy/filter on a Zipf corpus, under a capacity small
+    enough that per-partition pruning really happens."""
+    import numpy as np
+
+    from lantern_extras_spark.functions.text import tokens
+    from lantern_extras_spark.operators.textstats import heavy_hitters
+
+    rng = np.random.RandomState(7)
+    vocab = [f"tok{i}" for i in range(2000)]
+    docs = []
+    for d in range(400):
+        draws = rng.zipf(1.3, size=60) % len(vocab)
+        docs.append((d, " ".join(vocab[i] for i in draws)))
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(8)
+
+    phi = 0.005
+    got = [(r["token"], r["n"], r["share"]) for r in
+           heavy_hitters(df, phi=phi).collect()]
+
+    exploded = df.select(F.explode(tokens("text")).alias("token"))
+    N = exploded.count()
+    exact = {r["token"]: r["n"] for r in
+             exploded.groupBy("token").agg(F.count("*").alias("n"))
+             .where(F.col("n") > phi * N).collect()}
+    assert dict((t, n) for t, n, _ in got) == exact and exact
+    # ordered n desc, token asc; shares consistent
+    assert got == sorted(got, key=lambda r: (-r[1], r[0]))
+    for t, n, share in got:
+        assert share == round(n / N, 6)
+
+
+def test_heavy_hitters_tiny_capacity_still_complete(spark):
+    """m = ceil(1/phi) is the theoretical floor — even at that floor, with
+    many partitions and heavy pruning, no phi-heavy token may be lost
+    (MG guarantees candidates; pass 2 removes the false positives)."""
+    from lantern_extras_spark.operators.textstats import heavy_hitters
+
+    # 3 genuinely heavy tokens buried in 500 distinct light ones
+    rows = []
+    rid = 0
+    for tok, reps in (("alpha", 300), ("beta", 200), ("gamma", 150)):
+        for _ in range(reps):
+            rows.append((rid, tok)); rid += 1
+    for i in range(500):
+        rows.append((rid, f"rare{i}")); rid += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+    phi = 0.1  # N=1150 -> threshold 115; m floor = 10
+    got = {r["token"]: r["n"] for r in heavy_hitters(df, phi=phi).collect()}
+    assert got == {"alpha": 300, "beta": 200, "gamma": 150}
+
+    with pytest.raises(ValueError, match="phi"):
+        heavy_hitters(df, phi=0.0)
+    with pytest.raises(ValueError, match="m must be"):
+        heavy_hitters(df, phi=0.5, m=0)
