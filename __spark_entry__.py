@@ -1092,6 +1092,19 @@ def q_value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sampled_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic sampled-quantile sketch (sampling.sampled_percentiles):
+    hash32-keyed uniform row sample (k=512) + discrete lower quantile at rank
+    ceil(q·m) — the DuckDB oracle replays the sample membership AND the rank
+    pick bit-for-bit, which no RNG sample can. Contrast q_value_percentiles:
+    exact full-column percentiles; this is the sketch the 100 TB corpus runs
+    (one narrow hash filter instead of a full aggregation buffer)."""
+    ev = _events(spark, sf)
+    return SMP.sampled_percentiles(
+        ev, "value", probs=(0.5, 0.9, 0.99), id_col="event_id", k=512
+    ).select("prob", pround("estimate", 6).alias("estimate"), "n_sample", "n_rows")
+
+
 def q_event_type_users(spark: SparkSession, sf: str) -> DataFrame:
     """Distinct aggregation: per event type, exact distinct users + totals."""
     ev = _events(spark, sf)
@@ -1424,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_burst_binned": q_error_burst_binned,
         "sales_rollup": q_sales_rollup,
         "value_percentiles": q_value_percentiles,
+        "sampled_percentiles": q_sampled_percentiles,
         "ivf_search": q_ivf_search,
         "event_type_users": q_event_type_users,
         "purchasers_no_errors": q_purchasers_no_errors,
@@ -2137,6 +2151,20 @@ def _oracle_sql_raw() -> dict[str, str]:
                    round(quantile_cont(value, 0.9), 4) AS p90,
                    round(quantile_cont(value, 0.99), 4) AS p99
             FROM events GROUP BY event_type
+        """,
+        "sampled_percentiles": f"""
+            WITH n AS (SELECT count(*) AS n FROM events),
+                 s AS (SELECT value AS v, event_id AS id FROM events
+                       WHERE CAST({_sql_hash32("concat('qsample', ':', CAST(event_id AS VARCHAR))")} AS DOUBLE)
+                             < least(1.0, 512.0 / (SELECT n FROM n)) * 4294967296.0),
+                 r AS (SELECT v, id, row_number() OVER (ORDER BY v ASC, id ASC) AS rn FROM s),
+                 m AS (SELECT count(*) AS m FROM s),
+                 q AS (SELECT unnest([0.5, 0.9, 0.99]) AS prob)
+            SELECT q.prob, round(r.v, 6) AS estimate,
+                   (SELECT m FROM m) AS n_sample,
+                   (SELECT n FROM n) AS n_rows
+            FROM q JOIN r ON r.rn = greatest(1, CAST(ceil(q.prob * (SELECT m FROM m)) AS BIGINT))
+            ORDER BY q.prob
         """,
         "ivf_search": f"""
             WITH cents AS (

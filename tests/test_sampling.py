@@ -201,3 +201,47 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
     single = {k: v for k, v in sp.items() if k >= 1000}
     assert {v[0] for v in single.values()} == {"train", "test"}
     assert all(v[1] == str(k) for k, v in single.items())
+
+
+def test_sampled_percentiles_exact_below_k(spark):
+    """n <= k: the sample IS the corpus, so estimates equal exact discrete
+    quantiles (value at rank ceil(q*n) of the sorted values)."""
+    import math
+
+    vals = [(i, float((i * 37) % 100)) for i in range(200)]
+    df = spark.createDataFrame(vals, "doc_id long, v double")
+    out = {r["prob"]: r for r in
+           SMP.sampled_percentiles(df, "v", probs=(0.25, 0.5, 0.99),
+                                   id_col="doc_id", k=4096).collect()}
+    s = sorted(v for _, v in vals)
+    for q in (0.25, 0.5, 0.99):
+        assert out[q]["estimate"] == s[max(1, math.ceil(q * len(s))) - 1]
+        assert out[q]["n_sample"] == 200 and out[q]["n_rows"] == 200
+
+
+def test_sampled_percentiles_accuracy_and_determinism(spark):
+    """Past the budget: rank error of the estimate stays within ~4 sigma of
+    sqrt(q(1-q)/m); two runs return identical rows (hash sample, no RNG)."""
+    import bisect
+    import math
+
+    n, k = 20000, 512
+    vals = [(i, float((i * 2654435761) % 1000003)) for i in range(n)]
+    df = spark.createDataFrame(vals, "doc_id long, v double").repartition(8)
+    rows = SMP.sampled_percentiles(df, "v", probs=(0.5, 0.9), id_col="doc_id",
+                                   k=k).collect()
+    s = sorted(v for _, v in vals)
+    out = {r["prob"]: r for r in rows}
+    m = out[0.5]["n_sample"]
+    assert 0.5 * k < m < 2 * k          # sample size near budget
+    for q in (0.5, 0.9):
+        rank = bisect.bisect_right(s, out[q]["estimate"]) / n
+        assert abs(rank - q) < 4 * math.sqrt(q * (1 - q) / m), (q, rank, m)
+    again = SMP.sampled_percentiles(df, "v", probs=(0.5, 0.9),
+                                    id_col="doc_id", k=k).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+    with pytest.raises(ValueError, match="probs"):
+        SMP.sampled_percentiles(df, "v", probs=(0.0,))
+    with pytest.raises(ValueError, match="k must be"):
+        SMP.sampled_percentiles(df, "v", k=4)
