@@ -30,6 +30,7 @@ from lantern_extras_spark.operators import textstats as TS
 from lantern_extras_spark.operators import ivf as IVF
 from lantern_extras_spark.operators import sampling as SMP
 from lantern_extras_spark.operators import temporal as TMP
+from lantern_extras_spark.operators import versioning as VER
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -1332,6 +1333,30 @@ def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_corpus_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot diff (versioning.corpus_diff): the 'new' snapshot is derived
+    deterministically from documents — doc_id%13==0 dropped (removed),
+    %11==0 re-identified +1e6 (moved), %7==0 gets an appended revision note
+    (edited), rest untouched — so every status arm executes and the DuckDB
+    oracle replays construction + full-outer id join + content-hash map +
+    edited-shingle containment exactly."""
+    docs = _t(spark, sf, "documents")
+    new = docs.where(F.col("doc_id") % 13 != 0).select(
+        F.when(F.col("doc_id") % 11 == 0, F.col("doc_id") + 1000000)
+        .otherwise(F.col("doc_id")).alias("doc_id"),
+        F.when(
+            (F.col("doc_id") % 11 != 0) & (F.col("doc_id") % 7 == 0),
+            F.concat(F.col("text"), F.lit(" snapshot revision note")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = VER.corpus_diff(docs, new)
+    return out.select(
+        "doc_id", "status",
+        pround("containment", 5).alias("containment"),
+        "matched_old_id",
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     """Exact φ-heavy-hitter tokens (textstats.heavy_hitters): per-partition
     Misra-Gries candidate sketches, then an exact broadcast-filtered recount —
@@ -1481,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "kmv_distinct": q_kmv_distinct,
         "heavy_hitters": q_heavy_hitters,
+        "corpus_diff": q_corpus_diff,
         "top_duplicate_spans": q_top_duplicate_spans,
         "decontaminate_spans": q_decontaminate_spans,
     }
@@ -2343,6 +2369,53 @@ def _oracle_sql_raw() -> dict[str, str]:
                     WHEN bucket < 9500 THEN 'eval'
                     ELSE 'test' END AS split
         FROM b
+    """
+    # corpus_diff: construction + full-outer id join + content-hash map +
+    # edited-only shingle containment, mirroring versioning.corpus_diff.
+    _cd_sh = f"list_distinct(list_transform({_sql_shingles3('w')}, x -> {_sql_hash32('x')}))"
+    sql["corpus_diff"] = f"""
+        WITH oldc AS (SELECT doc_id, text FROM documents),
+             newc AS (SELECT CASE WHEN doc_id % 11 = 0 THEN doc_id + 1000000
+                                  ELSE doc_id END AS doc_id,
+                             CASE WHEN doc_id % 11 <> 0 AND doc_id % 7 = 0
+                                  THEN text || ' snapshot revision note'
+                                  ELSE text END AS text
+                      FROM documents WHERE doc_id % 13 <> 0),
+             o AS (SELECT doc_id AS o_id, text AS o_text, md5(text) AS o_md5 FROM oldc),
+             n AS (SELECT doc_id AS n_id, text AS n_text, md5(text) AS n_md5 FROM newc),
+             cmap AS (SELECT o_md5 AS c_md5, min(o_id) AS c_old_id FROM o GROUP BY o_md5),
+             j AS (SELECT n_id, n_text, n_md5, o_id, o_text, o_md5
+                   FROM n FULL OUTER JOIN o ON n.n_id = o.o_id),
+             j2 AS (SELECT j.*, cmap.c_old_id FROM j
+                    LEFT JOIN cmap ON j.n_md5 = cmap.c_md5),
+             st AS (SELECT *,
+                      CASE WHEN n_id IS NOT NULL AND o_id IS NOT NULL AND n_md5 = o_md5
+                                THEN 'unchanged'
+                           WHEN n_id IS NOT NULL AND o_id IS NOT NULL THEN 'edited'
+                           WHEN o_id IS NOT NULL THEN 'removed'
+                           WHEN c_old_id IS NOT NULL THEN 'moved'
+                           ELSE 'added' END AS status
+                    FROM j2),
+             sh AS (SELECT st.*,
+                      CASE WHEN status = 'edited' THEN
+                        (SELECT sh FROM (SELECT {_cd_sh} AS sh
+                                         FROM (SELECT {_sql_words('n_text')} AS w)))
+                      END AS nsh,
+                      CASE WHEN status = 'edited' THEN
+                        (SELECT sh FROM (SELECT {_cd_sh} AS sh
+                                         FROM (SELECT {_sql_words('o_text')} AS w)))
+                      END AS osh
+                    FROM st)
+        SELECT coalesce(n_id, o_id) AS doc_id, status,
+               round(CASE WHEN status IN ('unchanged', 'moved') THEN 1.0
+                          WHEN status = 'edited' THEN
+                            CASE WHEN len(nsh) = 0 THEN 0.0
+                                 ELSE len(list_intersect(nsh, osh))
+                                      / CAST(len(nsh) AS DOUBLE) END
+                     END, 5) AS containment,
+               CASE WHEN status IN ('unchanged', 'edited') THEN o_id
+                    WHEN status = 'moved' THEN c_old_id END AS matched_old_id
+        FROM sh
     """
     sql["heavy_hitters"] = f"""
         WITH t AS (SELECT {_sql_words()} AS w FROM documents),

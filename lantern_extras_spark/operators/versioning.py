@@ -1,0 +1,129 @@
+"""Corpus snapshot versioning — what changed between two dataset versions.
+
+A 100 TB training corpus is rebuilt, re-crawled, and re-filtered across
+releases; before training on version N+1 a pipeline wants the diff against
+version N: what was added, what disappeared, what was edited in place, and
+what merely moved (same bytes under a new id — re-partitioned crawls do this
+constantly, and counting moves as add+remove wildly overstates churn).
+
+`corpus_diff` computes that per-document provenance with joins only — no
+sketches, no RNG — so the result is exact, deterministic, and replayable by
+the DuckDB oracle:
+
+- join on id for in-place comparison (md5 equality → unchanged/edited; the
+  shuffle key is the id, never the body);
+- for edited docs, word-3-gram shingle containment (share of the new
+  version's shingles already present in the old version) quantifies HOW
+  MUCH survived the edit — the same shingle machinery as `decontaminate`;
+- ids only in the new snapshot join the OLD snapshot's content-hash map
+  (md5 → min old id) to split true additions from moves.
+
+Scale shape: two hash joins (id, md5 digest) plus a shingle intersect
+evaluated ONLY on rows whose md5 already differs — unchanged docs (the bulk
+of any real diff) never materialize a shingle array.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lantern_extras_spark.functions.hashing import hash32
+from lantern_extras_spark.functions.text import tokens, word_ngrams_of
+
+
+def _prepared(df: DataFrame, id_col: str, text_col: str, prefix: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        F.col(text_col).alias(f"{prefix}_text"),
+        F.md5(F.col(text_col).cast("string")).alias(f"{prefix}_md5"),
+    )
+
+
+def _shingle_set(text_col: str) -> F.Column:
+    return F.array_distinct(
+        F.transform(word_ngrams_of(tokens(F.col(text_col)), 3), lambda s: hash32(s))
+    )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document diff of two corpus snapshots.
+
+    Returns one row per document involved in the diff:
+    (doc_id, status, containment, matched_old_id) with status one of
+
+    - ``unchanged``: same id, byte-identical text (md5). containment 1.0,
+      matched_old_id = the id.
+    - ``edited``: same id, different text. containment = |new ∩ old| / |new|
+      over distinct word-3-gram shingle hashes (0.0 when the new version has
+      no shingles — nothing measurable survived), matched_old_id = the id.
+    - ``moved``: id only in `new`, but the exact text existed in `old` under
+      another id. containment 1.0, matched_old_id = the SMALLEST old id with
+      that content (deterministic canonical pick).
+    - ``added``: id only in `new`, content genuinely novel. containment and
+      matched_old_id null.
+    - ``removed``: id only in `old`. containment and matched_old_id null.
+
+    Both statuses of a move are reported (the vacated old id shows as
+    ``removed``) so the row multiset always reconciles: every old id and
+    every new id appears exactly once.
+    """
+    o = _prepared(old, id_col, text_col, "o")
+    n = _prepared(new, id_col, text_col, "n")
+
+    j = n.join(o, n["n_id"] == o["o_id"], "full_outer")
+
+    # content-hash map of the old snapshot: md5 -> smallest old id
+    cmap = o.groupBy(F.col("o_md5").alias("c_md5")).agg(
+        F.min("o_id").alias("c_old_id")
+    )
+    j = j.join(cmap, j["n_md5"] == cmap["c_md5"], "left")
+
+    in_both = F.col("n_id").isNotNull() & F.col("o_id").isNotNull()
+    same = F.col("n_md5") == F.col("o_md5")
+    status = (
+        F.when(in_both & same, F.lit("unchanged"))
+        .when(in_both, F.lit("edited"))
+        .when(F.col("o_id").isNotNull(), F.lit("removed"))
+        .when(F.col("c_old_id").isNotNull(), F.lit("moved"))
+        .otherwise(F.lit("added"))
+    )
+    n_sh = _shingle_set("n_text")
+    o_sh = _shingle_set("o_text")
+    edited_containment = F.when(F.size(n_sh) == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_intersect(n_sh, o_sh)).cast("double")
+        / F.size(n_sh).cast("double")
+    )
+    containment = (
+        F.when(status == "unchanged", F.lit(1.0))
+        .when(status == "moved", F.lit(1.0))
+        .when(status == "edited", edited_containment)
+        .otherwise(F.lit(None).cast("double"))
+    )
+    matched = (
+        F.when(status.isin("unchanged", "edited"), F.col("o_id"))
+        .when(status == "moved", F.col("c_old_id"))
+        .otherwise(F.lit(None).cast(o.schema["o_id"].dataType))
+    )
+    return j.select(
+        F.coalesce(F.col("n_id"), F.col("o_id")).alias(id_col),
+        status.alias("status"),
+        containment.alias("containment"),
+        matched.alias("matched_old_id"),
+    )
+
+
+def diff_summary(diff: DataFrame) -> DataFrame:
+    """Roll a `corpus_diff` result up to one row per status: document count
+    and mean containment (null for statuses without one). The release-gate
+    view: alert when `added`+`removed` churn or low edited-containment mass
+    crosses a budget."""
+    return diff.groupBy("status").agg(
+        F.count("*").alias("n_docs"),
+        F.avg("containment").alias("mean_containment"),
+    )

@@ -122,6 +122,9 @@ TEXT_AND_VECTOR_QUERIES = [
     # tokenizer edge cases (empty/whitespace/nbsp/emoji) through the
     # MG-candidate + exact-recount path vs the plain GROUP BY oracle
     "heavy_hitters",
+    # snapshot diff: empty/whitespace/unicode texts through md5 equality,
+    # the content-hash move map, and edited-shingle containment
+    "corpus_diff",
 ]
 
 

@@ -1,0 +1,89 @@
+"""corpus_diff snapshot provenance on constructed old/new corpora."""
+
+from pyspark.sql import functions as F
+
+from lantern_extras_spark.operators import versioning as VER
+
+
+def _corpora(spark):
+    old = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven eight"),
+            (3, "this document will be deleted in the new snapshot"),
+            (4, "content that moves to a brand new identifier unchanged"),
+            (5, "totally replaced text in the next version"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),          # unchanged
+            (2, "one two three four five six revised ending"),   # edited, partial
+            (99, "content that moves to a brand new identifier unchanged"),  # moved from 4
+            (5, "entirely different words now live here instead"),  # edited, no overlap
+            (100, "genuinely novel document appearing for the first time"),  # added
+        ],
+        "doc_id long, text string",
+    )
+    return old, new
+
+
+def test_corpus_diff_statuses_and_containment(spark):
+    old, new = _corpora(spark)
+    rows = {r["doc_id"]: r for r in VER.corpus_diff(old, new).collect()}
+
+    assert rows[1]["status"] == "unchanged"
+    assert rows[1]["containment"] == 1.0 and rows[1]["matched_old_id"] == 1
+
+    assert rows[2]["status"] == "edited" and rows[2]["matched_old_id"] == 2
+    assert 0.0 < rows[2]["containment"] < 1.0  # shared prefix shingles survive
+
+    assert rows[5]["status"] == "edited"
+    assert rows[5]["containment"] == 0.0       # nothing survived the rewrite
+
+    assert rows[99]["status"] == "moved"
+    assert rows[99]["containment"] == 1.0 and rows[99]["matched_old_id"] == 4
+    assert rows[4]["status"] == "removed"      # the vacated id reconciles
+    assert rows[3]["status"] == "removed"
+
+    assert rows[100]["status"] == "added"
+    assert rows[100]["containment"] is None
+    assert rows[100]["matched_old_id"] is None
+
+    # reconciliation: every old id and every new id appears exactly once
+    old_ids = {r[0] for r in old.select("doc_id").collect()}
+    new_ids = {r[0] for r in new.select("doc_id").collect()}
+    assert set(rows) == old_ids | new_ids
+    assert len(rows) == len(old_ids | new_ids)
+
+
+def test_corpus_diff_summary(spark):
+    old, new = _corpora(spark)
+    summ = {r["status"]: r for r in
+            VER.diff_summary(VER.corpus_diff(old, new)).collect()}
+    assert summ["unchanged"]["n_docs"] == 1
+    assert summ["edited"]["n_docs"] == 2
+    assert summ["removed"]["n_docs"] == 2
+    assert summ["moved"]["n_docs"] == 1
+    assert summ["added"]["n_docs"] == 1
+    assert summ["added"]["mean_containment"] is None
+    assert summ["moved"]["mean_containment"] == 1.0
+
+
+def test_corpus_diff_duplicate_content_canonical_move(spark):
+    """A moved doc whose content existed under SEVERAL old ids matches the
+    smallest (deterministic canonical pick); short docs (< 3 words) still
+    diff via the whole-text shingle."""
+    old = spark.createDataFrame(
+        [(7, "dup text"), (3, "dup text"), (9, "tiny")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(50, "dup text"), (9, "tiny bit longer")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in VER.corpus_diff(old, new).collect()}
+    assert rows[50]["status"] == "moved" and rows[50]["matched_old_id"] == 3
+    assert rows[9]["status"] == "edited" and rows[9]["containment"] == 0.0
+    assert rows[7]["status"] == "removed" and rows[3]["status"] == "removed"
