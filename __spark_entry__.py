@@ -1357,6 +1357,31 @@ def q_corpus_diff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector-side snapshot drift (versioning.embedding_drift): the 'new'
+    snapshot is a deterministic affine perturbation (drop vec_id%3==0, each
+    element x -> 1.1x + 0.05), so per-dimension mean/variance shifts are
+    nonzero and fully replayable — the oracle recomputes both snapshots'
+    exact moments per dimension."""
+    emb = _t(spark, sf, "embeddings")
+    old = emb.select(F.col("embedding").cast("array<double>").alias("embedding"))
+    new = emb.where(F.col("vec_id") % 3 != 0).select(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x * F.lit(1.1) + F.lit(0.05),
+        ).alias("embedding")
+    )
+    out = VER.embedding_drift(old, new)
+    return out.select(
+        "dim",
+        pround("mean_old", 6).alias("mean_old"),
+        pround("mean_new", 6).alias("mean_new"),
+        pround("mean_delta", 6).alias("mean_delta"),
+        pround("var_old", 6).alias("var_old"),
+        pround("var_new", 6).alias("var_new"),
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     """Exact φ-heavy-hitter tokens (textstats.heavy_hitters): per-partition
     Misra-Gries candidate sketches, then an exact broadcast-filtered recount —
@@ -1507,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "heavy_hitters": q_heavy_hitters,
         "corpus_diff": q_corpus_diff,
+        "embedding_drift": q_embedding_drift,
         "top_duplicate_spans": q_top_duplicate_spans,
         "decontaminate_spans": q_decontaminate_spans,
     }
@@ -2416,6 +2442,22 @@ def _oracle_sql_raw() -> dict[str, str]:
                CASE WHEN status IN ('unchanged', 'edited') THEN o_id
                     WHEN status = 'moved' THEN c_old_id END AS matched_old_id
         FROM sh
+    """
+    sql["embedding_drift"] = """
+        WITH o AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings),
+             n AS (SELECT list_transform(embedding::DOUBLE[], x -> x * 1.1 + 0.05) AS ev
+                   FROM embeddings WHERE vec_id % 3 <> 0),
+             oe AS (SELECT unnest(range(1, len(ev) + 1)) AS i, unnest(ev) AS v FROM o),
+             ne AS (SELECT unnest(range(1, len(ev) + 1)) AS i, unnest(ev) AS v FROM n),
+             od AS (SELECT i - 1 AS dim, avg(v) AS mean_old, var_pop(v) AS var_old
+                    FROM oe GROUP BY i),
+             nd AS (SELECT i - 1 AS dim, avg(v) AS mean_new, var_pop(v) AS var_new
+                    FROM ne GROUP BY i)
+        SELECT od.dim, round(mean_old, 6) AS mean_old, round(mean_new, 6) AS mean_new,
+               round(mean_new - mean_old, 6) AS mean_delta,
+               round(var_old, 6) AS var_old, round(var_new, 6) AS var_new
+        FROM od JOIN nd ON od.dim = nd.dim
+        ORDER BY od.dim
     """
     sql["heavy_hitters"] = f"""
         WITH t AS (SELECT {_sql_words()} AS w FROM documents),

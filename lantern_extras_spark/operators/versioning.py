@@ -118,6 +118,49 @@ def corpus_diff(
     )
 
 
+def embedding_drift(
+    old: DataFrame,
+    new: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension embedding-distribution drift between two snapshots —
+    the vector-side release gate next to `corpus_diff`'s text side: a new
+    crawl, a re-filtered corpus, or a re-run embedding model shifts the
+    embedding distribution, and downstream consumers (ANN indexes trained on
+    version-N centroids, quality thresholds tuned on version-N cosines) go
+    quietly stale. Comparing per-dimension moments is the standard cheap
+    drift monitor; a centroid re-fit is warranted when it fires.
+
+    Returns one row per dimension: (dim, mean_old, mean_new, mean_delta,
+    var_old, var_new) — exact population moments, no sketching.
+
+    Scale shape: posexplode is a narrow JVM projection and groupBy(dim)
+    partial-aggregates map-side, so the shuffle carries partitions×dim
+    partial rows, never n×dim elements. No Python workers.
+    """
+
+    def moments(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.select(F.posexplode(F.col(vec_col)).alias("dim", "__v"))
+            .groupBy("dim")
+            .agg(
+                F.avg("__v").alias(f"mean_{tag}"),
+                F.var_pop("__v").alias(f"var_{tag}"),
+            )
+        )
+
+    o, n = moments(old, "old"), moments(new, "new")
+    return (
+        o.join(n, "dim")
+        .select(
+            "dim", "mean_old", "mean_new",
+            (F.col("mean_new") - F.col("mean_old")).alias("mean_delta"),
+            "var_old", "var_new",
+        )
+        .orderBy("dim")
+    )
+
+
 def diff_summary(diff: DataFrame) -> DataFrame:
     """Roll a `corpus_diff` result up to one row per status: document count
     and mean containment (null for statuses without one). The release-gate

@@ -87,3 +87,25 @@ def test_corpus_diff_duplicate_content_canonical_move(spark):
     assert rows[50]["status"] == "moved" and rows[50]["matched_old_id"] == 3
     assert rows[9]["status"] == "edited" and rows[9]["containment"] == 0.0
     assert rows[7]["status"] == "removed" and rows[3]["status"] == "removed"
+
+
+def test_embedding_drift_affine_shift(spark):
+    """new = 2x + 1 elementwise over the same rows: per-dim means obey the
+    exact affine identity and variances scale by 4 (population moments)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(300, 6)
+    old = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    new = old.select(
+        F.transform("embedding", lambda x: x * 2.0 + 1.0).alias("embedding")
+    )
+    rows = VER.embedding_drift(old, new).collect()
+    assert [r["dim"] for r in rows] == list(range(6))
+    for r in rows:
+        assert abs(r["mean_new"] - (2.0 * r["mean_old"] + 1.0)) < 1e-9
+        assert abs(r["mean_delta"] - (r["mean_new"] - r["mean_old"])) < 1e-12
+        assert abs(r["var_new"] - 4.0 * r["var_old"]) < 1e-9
