@@ -1333,6 +1333,21 @@ def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+MIXTURE_ORDER_W = {"src0": 3.0, "src1": 1.0, "src2": 0.5}
+
+
+def q_mixture_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture-interleaved training order (sampling.mixture_order): key =
+    hash32(salt:id)/2^32 / weight, zero-weight sources dropped. The oracle
+    replays the hash draw and the division bit-for-bit; interleaving quality
+    (prefix proportions) is pinned by pytest."""
+    docs = _t(spark, sf, "documents")
+    out = SMP.mixture_order(docs, MIXTURE_ORDER_W)
+    return out.select(
+        "doc_id", "source", pround("order_key", 8).alias("order_key")
+    )
+
+
 def q_corpus_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Snapshot diff (versioning.corpus_diff): the 'new' snapshot is derived
     deterministically from documents — doc_id%13==0 dropped (removed),
@@ -1533,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "corpus_diff": q_corpus_diff,
         "embedding_drift": q_embedding_drift,
+        "mixture_order": q_mixture_order,
         "top_duplicate_spans": q_top_duplicate_spans,
         "decontaminate_spans": q_decontaminate_spans,
     }
@@ -2442,6 +2458,16 @@ def _oracle_sql_raw() -> dict[str, str]:
                CASE WHEN status IN ('unchanged', 'edited') THEN o_id
                     WHEN status = 'moved' THEN c_old_id END AS matched_old_id
         FROM sh
+    """
+    _mo_w = " ".join(
+        f"WHEN '{s}' THEN {w!r}" for s, w in MIXTURE_ORDER_W.items()
+    )
+    sql["mixture_order"] = f"""
+        SELECT doc_id, source,
+               round(({_sql_hash32("concat('order', ':', CAST(doc_id AS VARCHAR))")} / 4294967296.0)
+                     / (CASE source {_mo_w} ELSE 0.0 END), 8) AS order_key
+        FROM documents
+        WHERE (CASE source {_mo_w} ELSE 0.0 END) > 0
     """
     sql["embedding_drift"] = """
         WITH o AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings),

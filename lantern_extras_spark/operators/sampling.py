@@ -342,6 +342,48 @@ def sampled_percentiles(
     )
 
 
+def mixture_order(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "order",
+    out_col: str = "order_key",
+) -> DataFrame:
+    """Deterministic mixture-interleaved training order: attach a sort key
+    such that EVERY prefix of the key-sorted stream carries the sources in
+    proportion to `n_s·w_s` — the batch-level data-mixing primitive that
+    turns `mixture_weights`' per-source weights into an actual training
+    stream (a per-source shuffle followed by concatenation would feed the
+    model one domain at a time; interleaving is what mixtures mean).
+
+    Key = u / w_s where u = hash32(salt:id)/2³² is the row's deterministic
+    uniform draw and w_s the row's source weight: P(key ≤ t) = min(1, t·w_s),
+    so any key-prefix holds each source in proportion to n_s·w_s — the
+    low-discrepancy interleave falls out of the hash with no global rank, no
+    RNG, and no coordination. Rows whose source has weight ≤ 0 (or no entry)
+    are dropped, mirroring `resample_mixture`.
+
+    No shuffle happens here at all — the ORDER is the key column; writers
+    realize it with `repartitionByRange(out_col)` +
+    `sortWithinPartitions(out_col)` (one range shuffle, the distributed way
+    to materialize a global order — a driver-side row_number would be the
+    anti-pattern). Rerun-stable and engine-replayable like every sampler in
+    this module.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty {group: weight} dict")
+    if any(v < 0 for v in weights.values()):
+        raise ValueError("weights must be >= 0")
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    w = F.coalesce(wmap[F.col(group_col)], F.lit(0.0))
+    u = (
+        hash32(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))).cast("double")
+        / F.lit(4294967296.0)
+    )
+    return df.where(w > 0).withColumn(out_col, u / w)
+
+
 def mixture_weights(
     df: DataFrame,
     target: dict[str, float],

@@ -245,3 +245,27 @@ def test_sampled_percentiles_accuracy_and_determinism(spark):
         SMP.sampled_percentiles(df, "v", probs=(0.0,))
     with pytest.raises(ValueError, match="k must be"):
         SMP.sampled_percentiles(df, "v", k=4)
+
+
+def test_mixture_order_prefix_proportions(spark):
+    """Sorting by order_key interleaves sources: every reasonably sized
+    prefix of the stream carries sources near n_s*w_s proportions (the
+    property a per-source shuffle + concat fails catastrophically)."""
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = SMP.mixture_order(df, {"a": 3.0, "b": 1.0}, id_col="doc_id")
+    ordered = [r["source"] for r in out.orderBy("order_key").collect()]
+    # expected share of 'a' among emitted rows: 3/(3+1) while 'a' lasts
+    for frac in (0.1, 0.25, 0.5):
+        k = int(len(ordered) * frac)
+        share_a = ordered[:k].count("a") / k
+        assert abs(share_a - 0.75) < 0.07, (frac, share_a)
+    # determinism + zero-weight drop
+    again = [r["source"] for r in out.orderBy("order_key").collect()]
+    assert again == ordered
+    only_a = SMP.mixture_order(df, {"a": 1.0}, id_col="doc_id")
+    assert only_a.where("source = 'b'").count() == 0
+    with pytest.raises(ValueError, match="weights"):
+        SMP.mixture_order(df, {})
+    with pytest.raises(ValueError, match="weights"):
+        SMP.mixture_order(df, {"a": -1.0})
