@@ -974,6 +974,28 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_semantic_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental SemDeDup ingest (dedup.semantic_dedup_incremental): batch
+    = vec_id<100 matched against corpus store = vec_id>=100 through shared
+    vec_id<32 cells; corpus matches outrank batch matches, then smallest id
+    (corpus ids are LARGER here, so a hash mismatch would expose any
+    id-before-rank ordering bug). Oracle replays cells, the batch-only pair
+    restriction, the cosine, and the (rank, id) winner pick."""
+    emb = _t(spark, sf, "embeddings")
+    cents_rows = emb.where(F.col("vec_id") < 32).orderBy("vec_id").collect()
+    centroids = [list(map(float, r["embedding"])) for r in cents_rows]
+    out = D.semantic_dedup_incremental(
+        emb.where(F.col("vec_id") < 100),
+        emb.where(F.col("vec_id") >= 100),
+        centroids=centroids,
+        threshold=0.3,
+        impl="native",
+    )
+    return out.select(
+        "dup_id", "cell", "dup_of", pround("cosine", 6).alias("cosine"), "vs"
+    )
+
+
 def q_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     """ADC top-k with a deterministic slice codebook (centroids = vectors of
     vec_id<8, 4 subvectors — the q_pq_assign trick) so the LUT build + ADC scan
@@ -1512,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "embedding_neardup": q_embedding_neardup,
         "semantic_dedup": q_semantic_dedup,
+        "semantic_incremental": q_semantic_incremental,
         "pq_adc_topk": q_pq_adc_topk,
         "knn_partial_strategy": q_knn_partial_strategy,
         "ivf_pq_search": q_ivf_pq_search,
@@ -2641,6 +2664,37 @@ def _oracle_sql_raw() -> dict[str, str]:
         SELECT dup_id, CAST(cell AS BIGINT) AS cell,
                min(struct_pack(a := id_a, c := cs)).a AS dup_of,
                round(min(struct_pack(a := id_a, c := cs)).c, 6) AS cosine
+        FROM hits GROUP BY dup_id, cell
+    """
+    # semantic_incremental: same cell replay, batch-only flagging, winner =
+    # min (rank, id) — corpus (rank 0) outranks batch even with larger ids
+    sql["semantic_incremental"] = f"""
+        WITH coarse AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                        FROM embeddings WHERE vec_id < 32),
+             v AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
+                          CASE WHEN vec_id >= 100 THEN 0 ELSE 1 END AS rnk
+                   FROM embeddings),
+             cellp AS (SELECT v.vec_id, c.cid,
+                              list_sum(list_transform(range(1, len(v.ev) + 1),
+                                  i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))) AS d
+                       FROM v CROSS JOIN coarse c),
+             cells AS (SELECT vec_id, min(struct_pack(d := d, c := cid)).c AS cell
+                       FROM cellp GROUP BY vec_id),
+             m AS (SELECT v.vec_id, v.rnk, cells.cell, v.ev
+                   FROM v JOIN cells ON cells.vec_id = v.vec_id),
+             pairs AS (SELECT a.rnk AS rank_a, a.vec_id AS id_a,
+                              b.vec_id AS dup_id, a.cell,
+                              a.ev AS va, b.ev AS vb
+                       FROM m a JOIN m b
+                         ON a.cell = b.cell AND b.rnk = 1
+                        AND (a.rnk = 0 OR a.vec_id < b.vec_id)),
+             scored AS (SELECT rank_a, id_a, dup_id, cell, {_sd_cs} AS cs FROM pairs),
+             hits AS (SELECT * FROM scored WHERE cs >= 0.3)
+        SELECT dup_id, CAST(cell AS BIGINT) AS cell,
+               min(struct_pack(r := rank_a, a := id_a, c := cs)).a AS dup_of,
+               round(min(struct_pack(r := rank_a, a := id_a, c := cs)).c, 6) AS cosine,
+               CASE WHEN min(struct_pack(r := rank_a, a := id_a, c := cs)).r = 0
+                    THEN 'corpus' ELSE 'batch' END AS vs
         FROM hits GROUP BY dup_id, cell
     """
     sql["ivf_pq_search"] = _ivf_pq_search_sql(_ivf_qv_sql())

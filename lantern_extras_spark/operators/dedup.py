@@ -1494,6 +1494,155 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_incremental(
+    new_df: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    impl: str = "pandas",
+    max_cell: int = 100_000,
+) -> DataFrame:
+    """Incremental SemDeDup: match a NEW batch of embeddings against an
+    already-clustered corpus store (plus within-batch), without re-scanning
+    corpus vectors outside the batch's cells — the embedding-modality twin of
+    `minhash_dedup_incremental`'s ingest loop. At 100 TB the corpus store is
+    written `partitionBy(cell)` once; each arriving batch assigns its own
+    cells with the SAME `centroids` (the shared geometry — never refit per
+    batch, or cells drift and the store is unjoinable) and only the touched
+    cells are read back.
+
+    A `cell_col` already present on either frame is honored (the
+    cell-partitioned-store convention); otherwise cells are assigned from
+    `centroids`.
+
+    Returns one row per flagged NEW row: (dup_id, cell, dup_of, cosine, vs)
+    — vs='corpus' when the winner is a store row, 'batch' when it is an
+    earlier (smaller-id) batch row. Winner rule is deterministic and
+    total: corpus matches outrank batch matches, then smallest id — so a
+    batch row near both a store vector and a batch sibling always reports
+    the store provenance (the ingest decision that matters: "this was
+    already in the corpus").
+
+    impl="native" is the DuckDB-replay config; impl="pandas" runs one GEMM
+    per cell over (store rows in cell + batch rows in cell). `max_cell`
+    fail-louds exactly like `semantic_dedup`.
+    """
+    from lantern_extras_spark.functions.vector import inner_product, vector_norm
+    from lantern_extras_spark.operators import ivf as IVF
+
+    def side(df: DataFrame, rank: int) -> DataFrame:
+        s = df
+        if cell_col not in s.columns:
+            s = IVF.assign_cells(
+                s, centroids, vec_col=vec_col, cell_col=cell_col,
+                impl="native" if impl == "native" else "pandas",
+            )
+        return s.select(
+            F.col(id_col), F.col(vec_col), F.col(cell_col),
+            F.lit(rank).alias("__rank"),
+        )
+
+    tagged = side(corpus, 0).unionByName(side(new_df, 1))
+
+    oversized = (
+        tagged.groupBy(cell_col).count().where(F.col("count") > max_cell).collect()
+    )
+    if oversized:
+        worst = ", ".join(f"cell {r[cell_col]}={r['count']}" for r in oversized[:5])
+        raise ValueError(
+            f"semantic_dedup_incremental: {len(oversized)} cell(s) exceed "
+            f"max_cell={max_cell} ({worst}). Use finer centroids or raise "
+            f"max_cell; a silently skipped cell would accept duplicates."
+        )
+
+    if impl == "pandas":
+        import numpy as np
+        import pandas as pd
+
+        def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            empty = pd.DataFrame({
+                "dup_id": pd.Series(dtype="int64"),
+                "cell": pd.Series(dtype="int64"),
+                "dup_of": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+                "vs": pd.Series(dtype="object"),
+            })
+            if len(pdf) < 2 or not (pdf["__rank"] == 1).any():
+                return empty
+            # rows ordered (corpus by id, then batch by id): for batch row j,
+            # the first earlier hit IS the min(rank, id) winner
+            pdf = pdf.sort_values(["__rank", id_col], kind="mergesort").reset_index(drop=True)
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()]
+            )
+            norms = np.linalg.norm(X, axis=1)
+            denom = norms[:, None] * norms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(denom == 0.0, 0.0,
+                             (X @ X.T) / np.where(denom == 0.0, 1.0, denom))
+            is_batch = (pdf["__rank"] == 1).to_numpy()
+            hit = np.tril(S >= threshold, k=-1)
+            hit[~is_batch] = False  # only batch rows can be flagged
+            dup_rows = hit.any(axis=1)
+            if not dup_rows.any():
+                return empty
+            first_i = hit.argmax(axis=1)
+            j = np.nonzero(dup_rows)[0]
+            i = first_i[j]
+            ids = pdf[id_col].to_numpy()
+            return pd.DataFrame({
+                "dup_id": ids[j].astype("int64"),
+                "cell": pdf[cell_col].to_numpy()[j].astype("int64"),
+                "dup_of": ids[i].astype("int64"),
+                "cosine": S[j, i],
+                "vs": np.where(is_batch[i], "batch", "corpus"),
+            })
+
+        return tagged.groupBy(cell_col).applyInPandas(
+            kernel, "dup_id long, cell long, dup_of long, cosine double, vs string"
+        )
+    if impl != "native":
+        raise ValueError(f"unknown impl {impl!r}")
+
+    tagged = tagged.withColumn("__nrm", vector_norm(F.col(vec_col)))
+    tagged = tagged.cache()  # one InMemoryRelation for the self-join (see semantic_dedup)
+    tagged.count()
+    a, b = tagged.alias("si_a"), tagged.alias("si_b")
+    denom = F.col("si_a.__nrm") * F.col("si_b.__nrm")
+    pair_cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        inner_product(F.col(f"si_a.{vec_col}"), F.col(f"si_b.{vec_col}")) / denom
+    )
+    earlier = (F.col("si_a.__rank") == 0) | (
+        F.col(f"si_a.{id_col}") < F.col(f"si_b.{id_col}")
+    )
+    return (
+        a.join(b, F.col(f"si_a.{cell_col}") == F.col(f"si_b.{cell_col}"))
+        .where((F.col("si_b.__rank") == 1) & earlier)
+        .select(
+            F.col("si_a.__rank").alias("rank_a"),
+            F.col(f"si_a.{id_col}").alias("id_a"),
+            F.col(f"si_b.{id_col}").alias("dup_id"),
+            F.col(f"si_a.{cell_col}").alias("__cell"),
+            pair_cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .groupBy("dup_id")
+        .agg(
+            F.min(F.struct(F.col("rank_a"), F.col("id_a"), F.col("cosine"))).alias("w"),
+            F.first(F.col("__cell")).alias("cell"),
+        )
+        .select(
+            "dup_id", F.col("cell").cast("bigint").alias("cell"),
+            F.col("w.id_a").alias("dup_of"), F.col("w.cosine").alias("cosine"),
+            F.when(F.col("w.rank_a") == 0, F.lit("corpus"))
+            .otherwise(F.lit("batch")).alias("vs"),
+        )
+    )
+
+
 def dedup_paragraphs(
     df: DataFrame,
     text_col: str = "text",

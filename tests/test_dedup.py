@@ -851,3 +851,46 @@ def test_semantic_dedup_honors_preassigned_cells_and_guard(spark):
         D.semantic_dedup(df, threshold=0.9, nlist=1, max_cell=10)
     with pytest.raises(ValueError, match="unknown mode"):
         D.semantic_dedup(df, mode="nope")
+
+
+def test_semantic_incremental_corpus_priority_and_parity(spark):
+    """Batch rows near BOTH a store vector and a batch sibling report the
+    store provenance (corpus outranks batch even at larger ids); both impls
+    agree; store rows are never flagged."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    X = rng.randn(120, 32)
+    # batch ids 0..49, corpus ids 100..169
+    X_corpus = rng.randn(70, 32)
+    X[10] = X_corpus[5] + 1e-3 * rng.randn(32)    # batch 10 ~ corpus 105
+    X[11] = X[10] + 1e-3 * rng.randn(32)          # batch 11 ~ batch 10 AND corpus 105
+    X[20] = X[21] + 1e-3 * rng.randn(32)          # batch 20 ~ batch 21 only
+    X[20] = X[21].copy()
+    batch = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(100 + i, [float(v) for v in X_corpus[i]]) for i in range(70)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[float(v) for v in X_corpus[i]] for i in range(4)]
+    res = {}
+    for impl in ("native", "pandas"):
+        rows = D.semantic_dedup_incremental(
+            batch, corpus, centroids=cents, threshold=0.9, impl=impl
+        ).collect()
+        res[impl] = {r["dup_id"]: (r["cell"], r["dup_of"], round(r["cosine"], 9), r["vs"])
+                     for r in rows}
+    assert res["native"] == res["pandas"] and res["native"]
+    got = res["native"]
+    assert got[10][1] == 105 and got[10][3] == "corpus"
+    assert got[11][1] == 105 and got[11][3] == "corpus"   # corpus beats batch 10
+    assert got[21][1] == 20 and got[21][3] == "batch"     # within-batch min-id
+    assert all(d < 100 for d in got)                      # only batch rows flagged
+
+    with pytest.raises(ValueError, match="max_cell"):
+        D.semantic_dedup_incremental(batch, corpus, centroids=cents, max_cell=5)
+    with pytest.raises(ValueError, match="unknown impl"):
+        D.semantic_dedup_incremental(batch, corpus, centroids=cents, impl="x")
