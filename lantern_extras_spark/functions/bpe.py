@@ -168,3 +168,51 @@ def bpe_token_count_col(col):
         return s.map(lambda t: enc.count(t) if t is not None else None)
 
     return _count(col)
+
+
+def train_bpe_on_corpus(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 500,
+    sample_docs: int = 10_000,
+    salt: str = "bpe",
+    n_rows: int | None = None,
+) -> list[tuple[int, int]]:
+    """Train a BPE merge table on a DataFrame corpus via a deterministic
+    hash sample — the distributed bridge to `train_bpe`.
+
+    Tokenizer training is the one corpus-wide step real pipelines run on a
+    SAMPLE by design: merge statistics converge long before corpus scale
+    (GPT-2's vocab came from ~40 GB; a 100 TB corpus adds nothing but cost),
+    so the scale-correct shape is "bounded deterministic sample → exact
+    driver-side training", not an n_merges-round distributed pair-count loop.
+
+    Determinism end to end: rows are kept where hash32(salt:id) < p·2³²
+    (same keyed-sample contract as `sampled_percentiles` — rerun-stable,
+    partitioning-independent), and `train_bpe`'s word-frequency accumulation
+    is order-insensitive with total tie-breaking, so the SAME corpus always
+    yields the SAME merge list on any cluster layout. Collect volume is
+    bounded by `sample_docs` documents.
+
+    Returns the merge list for `Bpe(merges)`; persist with `save_merges`.
+    """
+    from pyspark.sql import functions as F
+
+    from lantern_extras_spark.functions.hashing import hash32
+
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    if sample_docs < 1:
+        raise ValueError("sample_docs must be >= 1")
+    n = n_rows if n_rows is not None else df.count()
+    thresh = min(1.0, float(sample_docs) / max(n, 1)) * 4294967296.0
+    h = hash32(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    texts = [
+        r[0]
+        for r in df.where(h.cast("double") < F.lit(thresh))
+        .select(F.col(text_col))
+        .collect()
+        if r[0]
+    ]
+    return train_bpe(texts, n_merges)

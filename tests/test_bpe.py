@@ -93,3 +93,26 @@ def test_token_count_col_matches_python(spark):
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
     got = {r["id"]: r["n"] for r in df.select("id", B.bpe_token_count_col("t").alias("n")).collect()}
     assert got == {i: B.bpe_token_count(t) for i, t in enumerate(texts)}
+
+
+def test_train_bpe_on_corpus_deterministic_and_effective(spark):
+    """Sampled corpus training: identical merges across runs AND across
+    partitionings (the keyed-sample + order-insensitive-training contract);
+    the learned tokenizer compresses the corpus it was trained on."""
+    from lantern_extras_spark.functions.bpe import Bpe, train_bpe_on_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m1 = train_bpe_on_corpus(docs, n_merges=64, sample_docs=200)
+    m2 = train_bpe_on_corpus(docs.repartition(13), n_merges=64, sample_docs=200)
+    assert m1 == m2 and len(m1) == 64
+    enc = Bpe(m1)
+    sample = [r[0] for r in docs.select("text").limit(20).collect()]
+    n_bpe = sum(enc.count(t) for t in sample)
+    n_bytes = sum(len(t.encode()) for t in sample)
+    assert n_bpe < 0.7 * n_bytes  # merges actually compress
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_merges"):
+        train_bpe_on_corpus(docs, n_merges=0)
+    with _pt.raises(ValueError, match="sample_docs"):
+        train_bpe_on_corpus(docs, sample_docs=0)
