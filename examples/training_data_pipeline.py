@@ -18,6 +18,7 @@ oracle via __spark_entry__):
                                quota_sample, vocab_coverage
   8. split + sequence packing  hash_split, pack_sequences(_concat)
   9. shard export              write_corpus_shards (token-balanced files)
+ 10. release gate             corpus_diff/diff_summary (what this run did)
 
 Run: python examples/training_data_pipeline.py
 """
@@ -149,6 +150,18 @@ def main() -> dict:
         r["doc_id"] for r in docs.select("doc_id").collect()
     )
 
+    # 6b. semantic dedup (SemDeDup): paraphrased near-copies that shingle
+    #     dedup missed — cluster the embedding space, prune within cells
+    doc_vecs = docs.select("doc_id", hash_embedding("text").alias("embedding"))
+    sem_dupes = D.semantic_dedup(
+        doc_vecs, threshold=0.95, nlist=2, id_col="doc_id", mode="flag"
+    )
+    docs = docs.join(sem_dupes.select(F.col("dup_id").alias("doc_id")),
+                     "doc_id", "left_anti")
+    out["after_semantic_dedup"] = sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    )
+
     # 7. corpus-shaping reports: the source mixture (and what resampling to a
     #    50/50 token split would emit), a per-source token quota, and the
     #    vocabulary coverage curve
@@ -194,6 +207,16 @@ def main() -> dict:
         out["n_shards"] = write_corpus_shards(
             train, os.path.join(td, "shards"), tokens_per_shard=16
         )
+
+    # 11. release gate: what did this pipeline run actually do to the corpus?
+    #     corpus_diff(raw, final) gives the per-doc provenance a dataset
+    #     release ships with (here: everything surviving was edited in place
+    #     by the cleanup stages; the rest was removed by a dedup/filter)
+    from lantern_extras_spark.operators.versioning import corpus_diff, diff_summary
+
+    raw0 = spark.createDataFrame(RAW_DOCS, "doc_id long, source string, text string")
+    summ = diff_summary(corpus_diff(raw0, docs)).collect()
+    out["release_diff"] = {r["status"]: r["n_docs"] for r in summ}
     return out
 
 
