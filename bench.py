@@ -146,6 +146,17 @@ def main() -> None:
         "kmv_distinct",
         "top_duplicate_spans",
         "decontaminate_spans",
+        # round-7 fourth batch. semantic_dedup / semantic_incremental run
+        # their native DuckDB-replay configs (interpreted per-pair cosine) —
+        # the honest oracle-parity cost; the GEMM scale path is measured in
+        # SCALE_SF1.json (semantic_dedup dense e=0.166, scaled e~0.26-0.32)
+        "semantic_dedup",
+        "semantic_incremental",
+        "heavy_hitters",
+        "sampled_percentiles",
+        "mixture_order",
+        "corpus_diff",
+        "embedding_drift",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))
