@@ -138,3 +138,58 @@ def test_minhash_incremental_equi_band_join(spark):
     df = E.q_minhash_incremental(spark, SF)
     s = plan_summary(df)
     assert "NestedLoop" not in s.text and "Cartesian" not in s.text, s.text
+
+
+def test_heavy_hitters_broadcasts_candidates(spark):
+    """The exact recount must semi-join the (tiny) MG candidate set via
+    broadcast — a shuffled semi-join would move the whole exploded corpus."""
+    df = E.q_heavy_hitters(spark, SF)
+    s = plan_summary(df)
+    assert s.n_broadcasts >= 1, s.text
+    assert "BroadcastHashJoin" in s.text, s.text
+
+
+def test_mixture_order_is_narrow(spark):
+    """The interleave key is a projection — zero shuffles; ordering is the
+    writer's range partition, not this operator's."""
+    from lantern_extras_spark.operators import sampling as SMP
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = SMP.mixture_order(docs, {"src0": 2.0, "src1": 1.0})
+    s = plan_summary(out)
+    assert s.n_shuffles == 0, s.text
+
+
+def test_sampled_percentiles_window_on_sample_only(spark):
+    """The global-order window must sit above the hash-sample filter (the
+    ~k-row side), never above the raw corpus scan: the filter appears below
+    the sort in the plan, and the corpus side carries no aggregation buffer."""
+    df = E.q_sampled_percentiles(spark, SF)
+    s = plan_summary(df)
+    t = s.text
+    # the sample filter is pushed into / sits directly on the scan
+    assert "4294967296" in t or "Filter" in t, t
+    # the plan prints root-first, so "window above the filter" means Window
+    # appears EARLIER in the text than the sample filter it consumes
+    assert t.index("Window") < t.index("Filter"), t
+
+
+def test_corpus_diff_no_cartesian(spark):
+    """id join, content-hash map join, and the summary must all stay
+    hash/broadcast joins — a cartesian over two snapshots is quadratic."""
+    df = E.q_corpus_diff(spark, SF)
+    s = plan_summary(df)
+    assert "Cartesian" not in s.text and "NestedLoop" not in s.text, s.text
+
+
+def test_embedding_drift_partial_aggregation(spark):
+    """posexplode + groupBy(dim) must partial-aggregate (map-side combine):
+    the exchange carries HashAggregate output, not raw exploded elements."""
+    df = E.q_embedding_drift(spark, SF)
+    s = plan_summary(df)
+    t = s.text
+    assert "HashAggregate" in t, t
+    # partial agg before the exchange: first HashAggregate occurs below
+    # (later in text than) the last Exchange? Text order: plan prints root
+    # first, so a partial agg must appear AFTER some Exchange line.
+    assert t.count("HashAggregate") >= 2, t  # partial + final per side
