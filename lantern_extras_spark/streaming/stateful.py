@@ -345,3 +345,96 @@ def start_ingest_dedup_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def ingest_semantic_batch(
+    bdf,
+    epoch_id: int,
+    output_dir: str,
+    store_dir: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> None:
+    """One micro-batch of the EMBEDDING-side ingest dedup loop — the
+    SemDeDup twin of `ingest_dedup_batch`, same idempotency contract:
+    both sinks write epoch-keyed partition directories with overwrite, so a
+    foreachBatch retry rewrites its own `epoch=N` instead of appending.
+
+    The store holds (id, embedding, cell) survivors; `centroids` is the
+    FIXED shared geometry (never refit per batch — cells must agree with
+    the store's). A batch assigns its own cells, matches against store +
+    within-batch via `semantic_dedup_incremental` (corpus-beats-batch
+    winner), and appends surviving rows with their cells — so the store is
+    readable as a cell-partitioned corpus for search and later batches.
+    """
+    if bdf.isEmpty():
+        return
+    from lantern_extras_spark.operators.dedup import semantic_dedup_incremental
+    from lantern_extras_spark.operators.ivf import assign_cells
+
+    sess = bdf.sparkSession
+    epoch = int(epoch_id)
+    batch = assign_cells(bdf.select(id_col, vec_col), centroids, vec_col=vec_col)
+    batch = batch.cache()
+    try:
+        store = sess.read.parquet(store_dir)
+        if "epoch" in store.columns:
+            store = store.where(F.col("epoch") != epoch)  # retry self-match guard
+        store = store.select(id_col, vec_col, "cell")
+        store.first()
+    except Exception:
+        store = None
+    if store is not None:
+        flagged = semantic_dedup_incremental(
+            batch, store, centroids=centroids, threshold=threshold,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        from lantern_extras_spark.operators.dedup import semantic_dedup
+
+        flagged = semantic_dedup(
+            batch, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        )
+        flagged = flagged.withColumn("vs", F.lit("batch"))
+    dropped = flagged.select(F.col("dup_id").alias(id_col)).distinct()
+    survivors = batch.join(dropped, id_col, "left_anti")
+    survivors.write.mode("overwrite").parquet(f"{output_dir}/epoch={epoch}")
+    survivors.write.mode("overwrite").parquet(f"{store_dir}/epoch={epoch}")
+    batch.unpersist()
+
+
+def start_semantic_ingest_stream(
+    spark,
+    source_dir: str,
+    source_schema,
+    output_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    available_now: bool = True,
+    trigger_seconds: int = 10,
+):
+    """Structured-Streaming wrapper over `ingest_semantic_batch` — identical
+    delivery/restart semantics to `start_ingest_dedup_stream` (epoch-keyed
+    overwrite sinks, plain-parquet store as the only cross-batch state)."""
+    stream = spark.readStream.schema(source_schema).parquet(source_dir)
+
+    def write_batch(bdf, epoch_id):
+        ingest_semantic_batch(
+            bdf, epoch_id, output_dir, store_dir, centroids,
+            id_col=id_col, vec_col=vec_col, threshold=threshold,
+        )
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("append")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

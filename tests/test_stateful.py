@@ -169,3 +169,63 @@ def test_streaming_ingest_dedup_with_signature_store(spark, tmp_path):
     q2.awaitTermination(120)
     assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 2, 11]
     assert spark.read.parquet(store).count() == 3
+
+
+def test_ingest_semantic_batch_store_match_and_retry(spark, tmp_path):
+    """Embedding-side ingest loop: batch-0 near-dup collapses within batch;
+    batch-1 vector near a batch-0 SURVIVOR is rejected against the store
+    (corpus provenance, no re-embedding); an epoch retry is idempotent."""
+    import numpy as np
+
+    from lantern_extras_spark.streaming.stateful import ingest_semantic_batch
+
+    rng = np.random.RandomState(9)
+    base = rng.randn(4, 16)
+    cents = [[float(v) for v in base[i]] for i in range(2)]
+    out, store = str(tmp_path / "sout"), str(tmp_path / "sstore")
+
+    def df(rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    v = lambda a: [float(x) for x in a]
+    b0 = df([(1, v(base[2])), (2, v(base[2] + 1e-3 * rng.randn(16))),  # near-dup of 1
+             (3, v(base[3]))])
+    ingest_semantic_batch(b0, 0, out, store, cents, threshold=0.95)
+    assert sorted(r["vec_id"] for r in spark.read.parquet(out).collect()) == [1, 3]
+    st = spark.read.parquet(store)
+    assert sorted(r["vec_id"] for r in st.collect()) == [1, 3]
+    assert "cell" in st.columns  # store is cell-partitioned-corpus shaped
+
+    b1 = df([(10, v(base[2] + 1e-3 * rng.randn(16))),  # dup of stored 1
+             (11, v(rng.randn(16)))])
+    ingest_semantic_batch(b1, 1, out, store, cents, threshold=0.95)
+    assert sorted(r["vec_id"] for r in spark.read.parquet(out).collect()) == [1, 3, 11]
+    assert spark.read.parquet(store).count() == 3
+    # retry epoch 1: rewrites its own partition, nothing duplicated
+    ingest_semantic_batch(b1, 1, out, store, cents, threshold=0.95)
+    assert sorted(r["vec_id"] for r in spark.read.parquet(out).collect()) == [1, 3, 11]
+    assert spark.read.parquet(store).count() == 3
+
+
+def test_streaming_semantic_ingest_end_to_end(spark, tmp_path):
+    """start_semantic_ingest_stream drains a source directory with
+    availableNow and rejects cross-batch embedding dups via the store."""
+    import numpy as np
+
+    from lantern_extras_spark.streaming.stateful import start_semantic_ingest_stream
+
+    rng = np.random.RandomState(17)
+    base = rng.randn(6, 16)
+    cents = [[float(v) for v in base[i]] for i in range(2)]
+    rows = [(i, [float(x) for x in base[2 + (i % 3)] + 1e-3 * rng.randn(16)])
+            for i in range(12)]  # 12 rows, only 3 distinct directions
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    q = start_semantic_ingest_stream(
+        spark, src, df.schema, str(tmp_path / "o"), str(tmp_path / "c"),
+        str(tmp_path / "s"), cents, threshold=0.95,
+    )
+    q.awaitTermination(180)
+    kept = sorted(r["vec_id"] for r in spark.read.parquet(str(tmp_path / "o")).collect())
+    assert kept == [0, 1, 2]  # one survivor per direction, min-id winners
