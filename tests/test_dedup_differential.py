@@ -235,3 +235,56 @@ def test_kmv_distinct_differential(spark, values, k):
         want = (k - 1) * 4294967296.0 / float(hashes[k - 1])
     assert row["n_rows"] == len(values)
     assert abs(row["distinct_est"] - want) < 1e-6, (row, want)
+
+
+def ref_semantic_dedup(vecs, centroids, threshold):
+    """Spec: nearest-centroid cell (l2sq argmin, first-wins tie); row b is a
+    dup iff some same-cell a with id_a < id_b has cos(a,b) >= threshold;
+    winner = smallest such id_a."""
+    import numpy as np
+
+    X = np.asarray(vecs, dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    cells = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    norms = np.linalg.norm(X, axis=1)
+    out = {}
+    for j in range(len(X)):
+        for i in range(j):
+            if cells[i] != cells[j]:
+                continue
+            d = norms[i] * norms[j]
+            cs = 0.0 if d == 0 else float(X[i] @ X[j]) / d
+            if cs >= threshold:
+                out[j] = (int(cells[j]), i, cs)
+                break  # smallest i wins
+    return out
+
+
+@pytest.mark.parametrize("impl", ["native", "pandas"])
+@given(data=st.data())
+@settings(max_examples=5, deadline=None)
+def test_semantic_dedup_matches_bruteforce(spark, impl, data):
+    import numpy as np
+
+    n = data.draw(st.integers(min_value=6, max_value=40))
+    dim = data.draw(st.sampled_from([4, 8]))
+    seed = data.draw(st.integers(min_value=0, max_value=2**16))
+    rng = np.random.RandomState(seed)
+    X = rng.randn(n, dim)
+    # plant a couple of near-identical rows so hits exist at high thresholds
+    if n >= 4:
+        X[n - 1] = X[0] + 1e-4 * rng.randn(dim)
+        X[n - 2] = X[1] + 1e-4 * rng.randn(dim)
+    cents = [[float(v) for v in X[i]] for i in range(min(3, n))]
+    thr = data.draw(st.sampled_from([0.3, 0.6, 0.9]))
+
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["dup_id"]: (r["cell"], r["dup_of"], round(r["cosine"], 8))
+           for r in D.semantic_dedup(df, threshold=thr, centroids=cents,
+                                     impl=impl).collect()}
+    ref = {j: (c, i, round(cs, 8))
+           for j, (c, i, cs) in ref_semantic_dedup(X, cents, thr).items()}
+    assert got == ref
