@@ -974,6 +974,20 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_semantic_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Cell-confinement recall audit (dedup.semantic_dedup_recall): on a
+    deterministic ~256-row hash sample, ALL cos>=0.3 pairs vs the subset
+    sharing a vec_id<32 cell. The oracle replays sample membership, cell
+    assignment, the brute-force pair scan, and the recall ratio."""
+    emb = _t(spark, sf, "embeddings")
+    cents_rows = emb.where(F.col("vec_id") < 32).orderBy("vec_id").collect()
+    centroids = [list(map(float, r["embedding"])) for r in cents_rows]
+    out = D.semantic_dedup_recall(emb, centroids, threshold=0.3, sample_k=256)
+    return out.select(
+        "n_sample", "n_true_pairs", "n_captured", pround("recall", 6).alias("recall")
+    )
+
+
 def q_semantic_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental SemDeDup ingest (dedup.semantic_dedup_incremental): batch
     = vec_id<100 matched against corpus store = vec_id>=100 through shared
@@ -1535,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "semantic_dedup": q_semantic_dedup,
         "semantic_incremental": q_semantic_incremental,
+        "semantic_recall": q_semantic_recall,
         "pq_adc_topk": q_pq_adc_topk,
         "knn_partial_strategy": q_knn_partial_strategy,
         "ivf_pq_search": q_ivf_pq_search,
@@ -2665,6 +2680,36 @@ def _oracle_sql_raw() -> dict[str, str]:
                min(struct_pack(a := id_a, c := cs)).a AS dup_of,
                round(min(struct_pack(a := id_a, c := cs)).c, 6) AS cosine
         FROM hits GROUP BY dup_id, cell
+    """
+    # semantic_recall: keyed-sample membership + cell replay + brute-force
+    # pair scan + the captured/true ratio, one output row
+    sql["semantic_recall"] = f"""
+        WITH nn AS (SELECT count(*) AS n FROM embeddings),
+             s AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+                   WHERE CAST({_sql_hash32("concat('sdrecall', ':', CAST(vec_id AS VARCHAR))")} AS DOUBLE)
+                         < least(1.0, 256.0 / (SELECT n FROM nn)) * 4294967296.0),
+             coarse AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                        FROM embeddings WHERE vec_id < 32),
+             cellp AS (SELECT s.vec_id, c.cid,
+                              list_sum(list_transform(range(1, len(s.ev) + 1),
+                                  i -> (s.ev[i] - c.cv[i]) * (s.ev[i] - c.cv[i]))) AS d
+                       FROM s CROSS JOIN coarse c),
+             cells AS (SELECT vec_id, min(struct_pack(d := d, c := cid)).c AS cell
+                       FROM cellp GROUP BY vec_id),
+             m AS (SELECT s.vec_id, cells.cell, s.ev
+                   FROM s JOIN cells ON cells.vec_id = s.vec_id),
+             pairs AS (SELECT a.cell = b.cell AS same_cell,
+                              a.ev AS va, b.ev AS vb
+                       FROM m a JOIN m b ON a.vec_id < b.vec_id),
+             scored AS (SELECT same_cell, {_sd_cs} AS cs FROM pairs),
+             hits AS (SELECT * FROM scored WHERE cs >= 0.3)
+        SELECT (SELECT count(*) FROM s) AS n_sample,
+               count(*) AS n_true_pairs,
+               CAST(coalesce(sum(CASE WHEN same_cell THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_captured,
+               round(CASE WHEN count(*) = 0 THEN 1.0
+                          ELSE coalesce(sum(CASE WHEN same_cell THEN 1 ELSE 0 END), 0)
+                               / CAST(count(*) AS DOUBLE) END, 6) AS recall
+        FROM hits
     """
     # semantic_incremental: same cell replay, batch-only flagging, winner =
     # min (rank, id) — corpus (rank 0) outranks batch even with larger ids

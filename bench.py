@@ -157,6 +157,7 @@ def main() -> None:
         "mixture_order",
         "corpus_diff",
         "embedding_drift",
+        "semantic_recall",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

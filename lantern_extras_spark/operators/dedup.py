@@ -1494,6 +1494,73 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_recall(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_k: int = 512,
+    salt: str = "sdrecall",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Measure the recall cost of SemDeDup's cell confinement — the method's
+    documented trade-off (a near-dup pair split across two cells is never
+    compared) turned into a number instead of a caveat, the same honesty
+    dial `ivf_recall_vs_exact` gives the IVF search path.
+
+    On a deterministic hash sample (~`sample_k` rows, the engine's keyed-
+    sample contract — rerun-stable, engine-replayable), compute ALL pairs
+    with cos ≥ threshold (brute force is affordable on the sample: ≤ ~k²/2
+    pairs) and the subset sharing a nearest-centroid cell under `centroids`.
+
+    Returns ONE row: (n_sample, n_true_pairs, n_captured, recall) with
+    recall = captured/true (1.0 when no true pairs — nothing was missable).
+    Low recall ⇒ raise `nlist` resolution, or route through
+    `embedding_neardup_pairs` (LSH recall is tunable via n_tables).
+    """
+    from lantern_extras_spark.functions.vector import inner_product, vector_norm
+    from lantern_extras_spark.operators import ivf as IVF
+
+    if sample_k < 8:
+        raise ValueError(f"sample_k must be >= 8, got {sample_k}")
+    n = n_rows if n_rows is not None else df.count()
+    thresh = min(1.0, float(sample_k) / max(n, 1)) * 4294967296.0
+    h = hash32(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    sample = df.where(h.cast("double") < F.lit(thresh)).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    base = IVF.assign_cells(sample, centroids, vec_col=vec_col, impl="native")
+    base = base.withColumn("__nrm", vector_norm(F.col(vec_col)))
+    base = base.cache()  # sound self-join dedup (see semantic_dedup)
+    n_sample = base.count()
+    a, b = base.alias("sr_a"), base.alias("sr_b")
+    denom = F.col("sr_a.__nrm") * F.col("sr_b.__nrm")
+    pair_cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        inner_product(F.col(f"sr_a.{vec_col}"), F.col(f"sr_b.{vec_col}")) / denom
+    )
+    pairs = (
+        a.join(b, F.col(f"sr_a.{id_col}") < F.col(f"sr_b.{id_col}"))
+        .select(
+            (F.col("sr_a.cell") == F.col("sr_b.cell")).alias("__same_cell"),
+            pair_cos.alias("__cos"),
+        )
+        .where(F.col("__cos") >= threshold)
+    )
+    agg = pairs.agg(
+        F.count("*").alias("n_true_pairs"),
+        F.sum(F.when(F.col("__same_cell"), 1).otherwise(0)).alias("n_captured"),
+    )
+    return agg.select(
+        F.lit(n_sample).cast("bigint").alias("n_sample"),
+        F.col("n_true_pairs").cast("bigint").alias("n_true_pairs"),
+        F.coalesce(F.col("n_captured"), F.lit(0)).cast("bigint").alias("n_captured"),
+        F.when(F.col("n_true_pairs") == 0, F.lit(1.0))
+        .otherwise(F.col("n_captured").cast("double") / F.col("n_true_pairs").cast("double"))
+        .alias("recall"),
+    )
+
+
 def semantic_dedup_incremental(
     new_df: DataFrame,
     corpus: DataFrame,

@@ -894,3 +894,27 @@ def test_semantic_incremental_corpus_priority_and_parity(spark):
         D.semantic_dedup_incremental(batch, corpus, centroids=cents, max_cell=5)
     with pytest.raises(ValueError, match="unknown impl"):
         D.semantic_dedup_incremental(batch, corpus, centroids=cents, impl="x")
+
+
+def test_semantic_dedup_recall_detects_cell_split(spark):
+    """A near-identical pair straddling a cell boundary is exactly what the
+    audit must count as missed: planted pairs — one inside a cell (captured),
+    one split across the c0/c1 boundary (missed) — give recall 0.5."""
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    rows = [
+        (1, [0.90, 0.00, 0.10, 0.0]),   # cell 0
+        (2, [0.90, 0.00, 0.11, 0.0]),   # cell 0, ~dup of 1 -> captured
+        (3, [0.70, 0.71, 0.00, 0.0]),   # cell 1 (nearer c1)
+        (4, [0.71, 0.70, 0.00, 0.0]),   # cell 0 (nearer c0), ~dup of 3 -> missed
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = D.semantic_dedup_recall(df, cents, threshold=0.95, sample_k=64).first()
+    assert r["n_sample"] == 4
+    assert r["n_true_pairs"] == 2 and r["n_captured"] == 1
+    assert r["recall"] == 0.5
+    # no true pairs -> recall defined as 1.0 (nothing was missable)
+    lonely = spark.createDataFrame(rows[:1] + rows[2:3], "vec_id long, embedding array<double>")
+    r2 = D.semantic_dedup_recall(lonely, cents, threshold=0.95, sample_k=64).first()
+    assert r2["n_true_pairs"] == 0 and r2["recall"] == 1.0
+    with pytest.raises(ValueError, match="sample_k"):
+        D.semantic_dedup_recall(df, cents, sample_k=4)
