@@ -1408,6 +1408,29 @@ def q_corpus_diff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_near_moves(spark: SparkSession, sf: str) -> DataFrame:
+    """Re-identified-AND-edited recovery (versioning.near_moves over
+    dedup.ngram_jaccard_join): docs with doc_id%9==0 get a new id (+2e6) AND
+    an appended note, so corpus_diff can only call them added+removed; the
+    cross-corpus shingle-Jaccard join re-links each to its predecessor. The
+    oracle replays the diff residue, the pairwise jaccard, and the
+    (max jaccard, min old id) winner pick."""
+    docs = _t(spark, sf, "documents")
+    new = docs.select(
+        F.when(F.col("doc_id") % 9 == 0, F.col("doc_id") + 2000000)
+        .otherwise(F.col("doc_id")).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), F.lit(" lightly edited note")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    diff = VER.corpus_diff(docs, new)
+    out = VER.near_moves(docs, new, diff, threshold=0.3)
+    return out.select(
+        "doc_id", "matched_old_id", pround("jaccard", 6).alias("jaccard")
+    )
+
+
 def q_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Vector-side snapshot drift (versioning.embedding_drift): the 'new'
     snapshot is a deterministic affine perturbation (drop vec_id%3==0, each
@@ -1585,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "heavy_hitters": q_heavy_hitters,
         "corpus_diff": q_corpus_diff,
+        "near_moves": q_near_moves,
         "embedding_drift": q_embedding_drift,
         "mixture_order": q_mixture_order,
         "top_duplicate_spans": q_top_duplicate_spans,
@@ -2506,6 +2530,44 @@ def _oracle_sql_raw() -> dict[str, str]:
                      / (CASE source {_mo_w} ELSE 0.0 END), 8) AS order_key
         FROM documents
         WHERE (CASE source {_mo_w} ELSE 0.0 END) > 0
+    """
+    # near_moves: diff residue (added/removed) + cross-corpus shingle jaccard
+    sql["near_moves"] = f"""
+        WITH oldc AS (SELECT doc_id, text FROM documents),
+             newc AS (SELECT CASE WHEN doc_id % 9 = 0 THEN doc_id + 2000000
+                                  ELSE doc_id END AS doc_id,
+                             CASE WHEN doc_id % 9 = 0
+                                  THEN text || ' lightly edited note'
+                                  ELSE text END AS text
+                      FROM documents),
+             o_md5 AS (SELECT doc_id, md5(text) AS h, text FROM oldc),
+             n_md5 AS (SELECT doc_id, md5(text) AS h, text FROM newc),
+             added AS (SELECT n.doc_id, n.text FROM n_md5 n
+                       LEFT JOIN o_md5 o ON o.doc_id = n.doc_id
+                       LEFT JOIN (SELECT DISTINCT h FROM o_md5) c ON c.h = n.h
+                       WHERE o.doc_id IS NULL AND c.h IS NULL),
+             removedc AS (SELECT o.doc_id, o.text FROM o_md5 o
+                          LEFT JOIN n_md5 n ON n.doc_id = o.doc_id
+                          WHERE n.doc_id IS NULL),
+             ash AS (SELECT doc_id,
+                            list_distinct(list_transform({_sql_shingles3('w')}, x -> {_sql_hash32('x')})) AS sh
+                     FROM (SELECT doc_id, {_sql_words('text')} AS w FROM removedc)),
+             bsh AS (SELECT doc_id,
+                            list_distinct(list_transform({_sql_shingles3('w')}, x -> {_sql_hash32('x')})) AS sh
+                     FROM (SELECT doc_id, {_sql_words('text')} AS w FROM added)),
+             pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                              len(list_intersect(a.sh, b.sh)) AS inter,
+                              len(a.sh) AS na, len(b.sh) AS nb
+                       FROM ash a, bsh b),
+             scored AS (SELECT id_a, id_b,
+                               CASE WHEN na + nb - inter = 0 THEN 0.0
+                                    ELSE inter / CAST(na + nb - inter AS DOUBLE) END AS j
+                        FROM pairs),
+             hits AS (SELECT * FROM scored WHERE j >= 0.3)
+        SELECT id_b AS doc_id,
+               CAST(max(struct_pack(j := j, n := -id_a)).n * -1 AS BIGINT) AS matched_old_id,
+               round(max(struct_pack(j := j, n := -id_a)).j, 6) AS jaccard
+        FROM hits GROUP BY id_b
     """
     sql["embedding_drift"] = """
         WITH o AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings),

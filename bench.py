@@ -158,6 +158,7 @@ def main() -> None:
         "corpus_diff",
         "embedding_drift",
         "semantic_recall",
+        "near_moves",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

@@ -759,6 +759,75 @@ def _ngram_pairs_prefix(
     )
 
 
+def ngram_jaccard_join(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cross-corpus exact n-gram Jaccard join — the text analog of
+    `ivf_knn_join`: pairs (one doc from `a`, one from `b`) with distinct-
+    word-n-gram Jaccard ≥ threshold. The cross-corpus shape self-join dedup
+    can't express: snapshot-to-snapshot matching (`versioning.near_moves`),
+    crawl-vs-crawl overlap, corpus-vs-benchmark similarity beyond
+    containment.
+
+    Same plan posture as `ngram_jaccard_pairs`' index strategy: each side's
+    hashed shingle sets explode into postings, the ONLY corpus-sized shuffle
+    is the equi-join on the shingle hash (posting-list cost, never |a|·|b|),
+    the length-band prune (J ≥ t ⟹ t·n_b ≤ n_a ≤ n_b/t) drops hopeless
+    candidates before verification, and exact Jaccard is recomputed on the
+    full sets per surviving pair. Requires threshold > 0 (zero-overlap pairs
+    never materialize — there is no all-pairs fallback across corpora by
+    design). `max_df` drops shingles whose COMBINED posting count exceeds it
+    (boilerplate guard — the standard recall trade-off, applied identically
+    to both sides so no pair is half-pruned).
+
+    Returns (id_a, id_b, jaccard): id_a from `a`, id_b from `b` — no
+    ordering relation between them (different id spaces).
+    """
+    if threshold <= 0.0:
+        raise ValueError("ngram_jaccard_join requires threshold > 0")
+    sha = hashed_shingles(a, text_col, id_col, shingle_n).select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
+        F.size("sh").alias("n_a"),
+    )
+    shb = hashed_shingles(b, text_col, id_col, shingle_n).select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
+        F.size("sh").alias("n_b"),
+    )
+    pa = sha.select("id_a", "n_a", F.explode("sh_a").alias("h"))
+    pb = shb.select("id_b", "n_b", F.explode("sh_b").alias("h"))
+    if max_df is not None:
+        df_counts = (
+            pa.select("h").unionAll(pb.select("h"))
+            .groupBy("h").count().where(F.col("count") > max_df).select("h")
+        )
+        pa = pa.join(F.broadcast(df_counts), "h", "left_anti")
+        pb = pb.join(F.broadcast(df_counts), "h", "left_anti")
+    cands = (
+        pa.join(pb, "h")
+        .where(
+            (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
+            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    joined = cands.join(sha, "id_a").join(shb, "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.col("n_a") + F.col("n_b") - inter
+    jac = F.when(union == 0.0, F.lit(0.0)).otherwise(inter / union)
+    return (
+        joined.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def _ngram_pairs_pairwise(
     sh: DataFrame, id_col: str, block_cols: tuple[str, ...], threshold: float,
     metric: str = "jaccard",

@@ -118,6 +118,50 @@ def corpus_diff(
     )
 
 
+def near_moves(
+    old: DataFrame,
+    new: DataFrame,
+    diff: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Recover re-identified AND lightly edited documents that `corpus_diff`
+    can only report as added + removed: a re-crawled page whose id changed
+    and whose text shifted a little shares no content hash with any old row,
+    but its shingle set still overlaps its predecessor's. Counting those as
+    churn overstates a release's novelty exactly where it matters.
+
+    Runs `ngram_jaccard_join` between the diff's `removed` docs (old side)
+    and `added` docs (new side) only — both sets are the diff's residue, not
+    the corpus, so the posting join is small by construction. Winner per
+    added doc: highest jaccard, then smallest old id (deterministic).
+
+    Returns (doc_id, matched_old_id, jaccard) — one row per added doc with a
+    near-match; callers subtract these from the added/removed churn counts.
+    """
+    from lantern_extras_spark.operators.dedup import ngram_jaccard_join
+
+    added = diff.where(F.col("status") == "added").select(id_col)
+    removed = diff.where(F.col("status") == "removed").select(id_col)
+    pairs = ngram_jaccard_join(
+        old.join(removed, id_col, "left_semi"),
+        new.join(added, id_col, "left_semi"),
+        text_col=text_col, id_col=id_col,
+        shingle_n=shingle_n, threshold=threshold,
+    )
+    return (
+        pairs.groupBy("id_b")
+        .agg(F.max(F.struct(F.col("jaccard"), (-F.col("id_a")).alias("neg"))).alias("w"))
+        .select(
+            F.col("id_b").alias(id_col),
+            (-F.col("w.neg")).alias("matched_old_id"),
+            F.col("w.jaccard").alias("jaccard"),
+        )
+    )
+
+
 def embedding_drift(
     old: DataFrame,
     new: DataFrame,

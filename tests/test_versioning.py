@@ -109,3 +109,57 @@ def test_embedding_drift_affine_shift(spark):
         assert abs(r["mean_new"] - (2.0 * r["mean_old"] + 1.0)) < 1e-9
         assert abs(r["mean_delta"] - (r["mean_new"] - r["mean_old"])) < 1e-12
         assert abs(r["var_new"] - 4.0 * r["var_old"]) < 1e-9
+
+
+def test_near_moves_recovers_reid_edits(spark):
+    """A doc re-identified AND edited (added+removed in the diff) re-links to
+    its predecessor; truly novel additions stay unlinked; the winner is the
+    highest-jaccard old doc."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    old = spark.createDataFrame(
+        [(1, base),
+         (2, "one two three four five six seven eight nine ten"),
+         (3, base + " lambda")],  # near-twin of 1 (closer to 900's text)
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "one two three four five six seven eight nine ten"),  # unchanged
+         (900, base + " lambda mu"),   # re-id of 3 (and near 1) + small edit
+         (901, "completely unrelated novel content about something else")],
+        "doc_id long, text string",
+    )
+    diff = VER.corpus_diff(old, new)
+    st = {r["doc_id"]: r["status"] for r in diff.collect()}
+    assert st[900] == "added" and st[901] == "added"
+    assert st[1] == "removed" and st[3] == "removed"
+
+    nm = {r["doc_id"]: r for r in
+          VER.near_moves(old, new, diff, threshold=0.3).collect()}
+    assert set(nm) == {900}                       # 901 is genuinely novel
+    assert nm[900]["matched_old_id"] == 3         # highest jaccard wins over 1
+    assert 0.3 <= nm[900]["jaccard"] < 1.0
+
+
+def test_ngram_jaccard_join_cross_corpus_only(spark):
+    """Pairs span the two corpora (a-side id x b-side id) and never within
+    one side; threshold 0 is rejected (no all-pairs fallback across
+    corpora)."""
+    from lantern_extras_spark.operators.dedup import ngram_jaccard_join
+
+    a = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog")],  # dup WITHIN a
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog tonight"),
+         (11, "entirely different words about query planners")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_join(a, b, threshold=0.3).collect()}
+    assert set(pairs) == {(1, 10), (2, 10)}       # cross pairs only
+    assert all(0.3 <= j < 1.0 for j in pairs.values())
+    import pytest as _pt
+    with _pt.raises(ValueError, match="threshold"):
+        ngram_jaccard_join(a, b, threshold=0.0)
