@@ -125,6 +125,9 @@ TEXT_AND_VECTOR_QUERIES = [
     # snapshot diff: empty/whitespace/unicode texts through md5 equality,
     # the content-hash move map, and edited-shingle containment
     "corpus_diff",
+    # re-id+edit recovery: empty/short docs produce whole-text shingles and
+    # the cross-corpus jaccard + winner pick must agree on them
+    "near_moves",
 ]
 
 
