@@ -28,6 +28,13 @@ construction:
   config (128× lower candidate-bucket density).
 - **embedding cosine near-dup**: random-hyperplane LSH buckets over an embedding
   column, cosine verified within buckets.
+- **semantic (SemDeDup)**: cosine pruning confined to coarse k-means cells —
+  Σ|cell|² work, never all-pairs; incremental twin matches batches against a
+  cell-partitioned store; `semantic_dedup_recall` audits the cell-split
+  recall trade-off on a deterministic sample.
+- **cross-corpus n-gram join**: `ngram_jaccard_join` — exact shingle Jaccard
+  BETWEEN two corpora (posting-list equi-join, length prune, full-set
+  verify); powers snapshot near-move recovery (operators/versioning.py).
 - **benchmark decontamination**: normalized-shingle containment against an
   eval-set broadcast.
 
