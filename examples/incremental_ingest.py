@@ -70,6 +70,36 @@ def ingest_batch(spark, store_path: str, batch, threshold: float = 0.35) -> dict
     }
 
 
+def ingest_semantic(spark, store_path: str, batch, centroids, threshold=0.95) -> dict:
+    """The EMBEDDING-side twin of `ingest_batch` (dedup.semantic_dedup_incremental):
+    the store holds (id, embedding, cell) survivors under ONE fixed centroid
+    geometry — a batch assigns its own cells and only same-cell store rows are
+    ever compared. Dropped reasons carry corpus/batch provenance."""
+    from lantern_extras_spark.operators.ivf import assign_cells
+
+    df = assign_cells(
+        spark.createDataFrame(batch, "vec_id long, embedding array<double>"),
+        centroids,
+    )
+    if os.path.exists(store_path):
+        store = spark.read.parquet(store_path)
+        flagged = D.semantic_dedup_incremental(df, store, centroids, threshold=threshold)
+    else:
+        flagged = D.semantic_dedup(df, threshold=threshold).withColumn("vs", F.lit("batch"))
+    dropped = {
+        r["dup_id"]: f"{r['vs']}:{r['dup_of']}@{r['cosine']:.2f}"
+        for r in flagged.collect()
+    }
+    survivors = df.join(
+        spark.createDataFrame([(i,) for i in dropped], "vec_id long"), "vec_id", "left_anti"
+    ) if dropped else df
+    survivors.write.mode("append").parquet(store_path)
+    return {
+        "accepted": sorted(r["vec_id"] for r in survivors.select("vec_id").collect()),
+        "dropped": dropped,
+    }
+
+
 def main() -> dict:
     spark = get_spark("incremental-ingest")
     spark.sparkContext.setLogLevel("ERROR")
@@ -80,6 +110,25 @@ def main() -> dict:
             "batch2": ingest_batch(spark, store, BATCH_2),
         }
         out["store_size"] = spark.read.parquet(store).count()
+
+        # the same loop at the embedding level (paraphrases shingles miss)
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        X = rng.randn(4, 8)
+        cents = [[float(v) for v in X[i]] for i in range(2)]
+        v = lambda a: [float(x) for x in a]
+        vstore = os.path.join(tmp, "vec_store.parquet")
+        out["vec_batch1"] = ingest_semantic(
+            spark, vstore,
+            [(1, v(X[2])), (2, v(X[2] + 1e-3 * rng.randn(8))), (3, v(X[3]))],
+            cents,
+        )
+        out["vec_batch2"] = ingest_semantic(
+            spark, vstore,
+            [(10, v(X[2] + 1e-3 * rng.randn(8))), (11, v(rng.randn(8)))],
+            cents,
+        )
         return out
 
 

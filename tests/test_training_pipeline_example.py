@@ -62,3 +62,14 @@ def test_incremental_ingest_example(spark):
     assert d[13].startswith("corpus:2@0.97")
     # the store holds every accepted signature across batches
     assert out["store_size"] == 4
+
+
+def test_incremental_ingest_semantic_section(spark):
+    from incremental_ingest import main
+
+    out = main()
+    assert out["vec_batch1"]["accepted"] == [1, 3]
+    assert list(out["vec_batch1"]["dropped"]) == [2]          # in-batch near-dup
+    assert out["vec_batch1"]["dropped"][2].startswith("batch:1@")
+    assert out["vec_batch2"]["accepted"] == [11]
+    assert out["vec_batch2"]["dropped"][10].startswith("corpus:1@")  # store match
