@@ -73,18 +73,28 @@ def assign_cells(
     if impl == "native":
         cents = F.array(*[F.lit([float(x) for x in c]).cast("array<double>") for c in centroids])
         v = F.col(vec_col).cast("array<double>")
-        # fold over (index, centroid) keeping (best_dist, best_idx)
-        indexed = F.arrays_zip(F.sequence(F.lit(0), F.lit(len(centroids) - 1)).alias("i"), cents.alias("c"))
+        # stage 1: distances array (each l2sq evaluated once per centroid);
+        # stage 2: scalar argmin fold over (index, distance), first-wins
+        # ties. Identical values/assignments to folding the distance
+        # expression directly (same summation order); measured equal cost —
+        # the conditional in the direct fold short-circuits its second
+        # distance evaluation — kept for the plainer two-stage shape.
+        dists = F.transform(
+            cents,
+            lambda c: F.aggregate(
+                F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda s, e: s + e,
+            ),
+        )
+        indexed = F.arrays_zip(
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)).alias("i"),
+            dists.alias("d"),
+        )
         best = F.aggregate(
             indexed,
             F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")),
             lambda acc, x: F.when(
-                F.aggregate(F.zip_with(v, x["c"], lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda s, e: s + e)
-                < acc["d"],
-                F.struct(
-                    F.aggregate(F.zip_with(v, x["c"], lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda s, e: s + e).alias("d"),
-                    x["i"].alias("i"),
-                ),
+                x["d"] < acc["d"], F.struct(x["d"].alias("d"), x["i"].alias("i"))
             ).otherwise(acc),
         )
         return df.withColumn(cell_col, best["i"])
