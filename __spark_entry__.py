@@ -974,6 +974,19 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_duplication_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc duplication share (dedup.doc_duplication_share): fraction of
+    each doc's distinct 3-gram shingles appearing in >=2 docs. The oracle
+    replays shingling, the doc-frequency aggregation, and the per-doc
+    ratio."""
+    docs = _t(spark, sf, "documents")
+    out = D.doc_duplication_share(docs)
+    return out.select(
+        "doc_id", "n_shingles", "n_dup_shingles",
+        pround("dup_share", 6).alias("dup_share"),
+    )
+
+
 def q_semantic_recall(spark: SparkSession, sf: str) -> DataFrame:
     """Cell-confinement recall audit (dedup.semantic_dedup_recall): on a
     deterministic ~256-row hash sample, ALL cos>=0.3 pairs vs the subset
@@ -1573,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "semantic_incremental": q_semantic_incremental,
         "semantic_recall": q_semantic_recall,
+        "duplication_share": q_duplication_share,
         "pq_adc_topk": q_pq_adc_topk,
         "knn_partial_strategy": q_knn_partial_strategy,
         "ivf_pq_search": q_ivf_pq_search,
@@ -2742,6 +2756,25 @@ def _oracle_sql_raw() -> dict[str, str]:
                min(struct_pack(a := id_a, c := cs)).a AS dup_of,
                round(min(struct_pack(a := id_a, c := cs)).c, 6) AS cosine
         FROM hits GROUP BY dup_id, cell
+    """
+    # duplication_share: shingle doc-frequency + per-doc repeated fraction
+    sql["duplication_share"] = f"""
+        WITH t AS (SELECT doc_id, {_sql_words()} AS w FROM documents),
+             s AS (SELECT doc_id,
+                          list_distinct(list_transform({_sql_shingles3('w')}, x -> {_sql_hash32('x')})) AS sh
+                   FROM t),
+             posts AS (SELECT doc_id, unnest(sh) AS h FROM s),
+             dup_h AS (SELECT h FROM posts GROUP BY h HAVING count(*) >= 2),
+             per_doc AS (SELECT p.doc_id, count(*) AS n_dup
+                         FROM posts p JOIN dup_h d ON d.h = p.h
+                         GROUP BY p.doc_id)
+        SELECT s.doc_id,
+               CAST(len(s.sh) AS BIGINT) AS n_shingles,
+               CAST(coalesce(per_doc.n_dup, 0) AS BIGINT) AS n_dup_shingles,
+               round(CASE WHEN len(s.sh) = 0 THEN 0.0
+                          ELSE coalesce(per_doc.n_dup, 0) / CAST(len(s.sh) AS DOUBLE) END, 6)
+                   AS dup_share
+        FROM s LEFT JOIN per_doc ON per_doc.doc_id = s.doc_id
     """
     # semantic_recall: keyed-sample membership + cell replay + brute-force
     # pair scan + the captured/true ratio, one output row

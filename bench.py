@@ -159,6 +159,7 @@ def main() -> None:
         "embedding_drift",
         "semantic_recall",
         "near_moves",
+        "duplication_share",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

@@ -1570,6 +1570,65 @@ def semantic_dedup(
     )
 
 
+def doc_duplication_share(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplication share: the fraction of a doc's DISTINCT word
+    n-gram shingles that appear in at least `min_docs` documents — the
+    doc-granular duplication diagnostic corpus reports ship with (how much
+    of each document is corpus-repeated content): pair-level dedup says WHO
+    matches whom; this says how boilerplate-laden each individual doc is,
+    including docs whose repeats are spread over many partners that no
+    single pair crosses a threshold for. High-share docs are memorization
+    risks and prime removal candidates even when no near-dup pair fires.
+
+    Returns (id, n_shingles, n_dup_shingles, dup_share) for every input doc
+    (0.0 share for shingle-less docs — nothing measurable repeats).
+
+    Scale shape: one shingling pass, one count-only window on the shingle
+    hash (each doc's shingles are pre-distinct, so the partition count IS
+    the doc frequency; linear even on a boilerplate shingle's giant
+    partition), one per-doc aggregation. No pairs ever materialize, so cost
+    is posting-list linear even on a corpus where everything matches
+    everything.
+    """
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (1 would mark every shingle)")
+    # ONE shingling pass, one window on the shingle hash (count-only — linear
+    # even on a boilerplate shingle's giant partition), one per-doc groupBy.
+    # n_shingles per doc is the posting count (shingle sets are pre-distinct);
+    # shingle-less docs re-enter via the cheap id-projection outer join.
+    posts = hashed_shingles(df, text_col, id_col, shingle_n).select(
+        F.col(id_col), F.explode("sh").alias("h")
+    )
+    marked = posts.withColumn(
+        "__dup", F.count("*").over(Window.partitionBy("h")) >= min_docs
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.when(F.col("__dup"), 1).otherwise(0)).alias("n_dup_shingles"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce(F.col("n_dup_shingles"), F.lit(0)).cast("bigint").alias("n_dup_shingles"),
+            F.when(F.coalesce(F.col("n_shingles"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce(F.col("n_dup_shingles"), F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double")
+            )
+            .alias("dup_share"),
+        )
+    )
+
+
 def semantic_dedup_recall(
     df: DataFrame,
     centroids: list[list[float]],

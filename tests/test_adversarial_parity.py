@@ -128,6 +128,8 @@ TEXT_AND_VECTOR_QUERIES = [
     # re-id+edit recovery: empty/short docs produce whole-text shingles and
     # the cross-corpus jaccard + winner pick must agree on them
     "near_moves",
+    # per-doc repeated-shingle fraction over the same edge-case texts
+    "duplication_share",
 ]
 
 

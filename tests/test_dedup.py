@@ -918,3 +918,30 @@ def test_semantic_dedup_recall_detects_cell_split(spark):
     assert r2["n_true_pairs"] == 0 and r2["recall"] == 1.0
     with pytest.raises(ValueError, match="sample_k"):
         D.semantic_dedup_recall(df, cents, sample_k=4)
+
+
+def test_doc_duplication_share(spark):
+    """Exact per-doc repeated-shingle fractions: identical docs are fully
+    duplicated, partial overlap yields the exact shingle ratio, unique and
+    shingle-less docs report 0.0."""
+    docs = spark.createDataFrame(
+        [
+            (1, "completely unique words never repeated anywhere else"),
+            (2, "the quick brown fox jumps tonight"),
+            (3, "the quick brown fox jumps tonight"),   # exact dup of 2
+            (4, "x y z q r s"),                         # shares xyz,yzq with 5
+            (5, "x y z q aa bb"),
+            (6, ""),                                    # shingle-less
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.doc_duplication_share(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert out[1]["dup_share"] == 0.0
+    assert out[2]["dup_share"] == 1.0 and out[3]["dup_share"] == 1.0
+    assert out[4]["n_shingles"] == 4 and out[4]["n_dup_shingles"] == 2
+    assert out[4]["dup_share"] == 0.5
+    assert out[5]["dup_share"] == 0.5
+    assert out[6]["n_shingles"] == 0 and out[6]["dup_share"] == 0.0
+    with pytest.raises(ValueError, match="min_docs"):
+        D.doc_duplication_share(docs, min_docs=1)
