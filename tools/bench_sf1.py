@@ -376,6 +376,12 @@ def main() -> None:
                 "only and is O(n^2/cells) interpreted ops). Exponent tracks "
                 "cell density growing with n - a config artifact"
             ),
+            "near_moves": (
+                "cost tracks the diff residue (added x removed posting join) "
+                "and true-match output, both of which grow with sf in this "
+                "construction (every 9th doc is a near-move) - real release "
+                "diffs have residues orders of magnitude below corpus size"
+            ),
             "semantic_dedup_scaled": (
                 "scale config: nlist=None auto-scales k-means cells to ~2000 "
                 "rows/cell, bounding per-cell pairwise work as the corpus "
