@@ -130,6 +130,16 @@ TEXT_AND_VECTOR_QUERIES = [
     "near_moves",
     # per-doc repeated-shingle fraction over the same edge-case texts
     "duplication_share",
+    # remaining fourth-batch queries: the zero vector and duplicate triple
+    # push cos=0.0 and rank/id tie-breaks through the incremental winner and
+    # the recall audit (corpus side is EMPTY here — vec_id>=100 doesn't
+    # exist in this fixture, pinning the empty-store edge); the sketches and
+    # the drift/mixture projections chew the same nasty tables
+    "semantic_incremental",
+    "semantic_recall",
+    "sampled_percentiles",
+    "mixture_order",
+    "embedding_drift",
 ]
 
 
