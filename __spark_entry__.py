@@ -1397,6 +1397,15 @@ def q_mixture_order(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped φ-heavy hitters (textstats.heavy_hitters group_col='lang'):
+    per-language token heads against each language's OWN total — per-group MG
+    summaries in pass 1, exact per-group recount in pass 2. Oracle = GROUP BY
+    (lang, token) HAVING n > φ·N_lang."""
+    docs = _t(spark, sf, "documents")
+    return TS.heavy_hitters(docs, phi=0.002, group_col="lang")
+
+
 def q_corpus_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Snapshot diff (versioning.corpus_diff): the 'new' snapshot is derived
     deterministically from documents — doc_id%13==0 dropped (removed),
@@ -1621,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "kmv_distinct": q_kmv_distinct,
         "heavy_hitters": q_heavy_hitters,
+        "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
         "corpus_diff": q_corpus_diff,
         "near_moves": q_near_moves,
         "embedding_drift": q_embedding_drift,
@@ -2608,6 +2618,17 @@ def _oracle_sql_raw() -> dict[str, str]:
                round(n / (SELECT CAST(N AS DOUBLE) FROM tot), 6) AS share
         FROM c WHERE n > 0.001 * (SELECT N FROM tot)
         ORDER BY n DESC, token ASC
+    """
+    sql["heavy_hitters_by_lang"] = f"""
+        WITH t AS (SELECT lang, {_sql_words()} AS w FROM documents),
+             e AS (SELECT lang, unnest(w) AS token FROM t),
+             tot AS (SELECT lang, count(*) AS N FROM e GROUP BY lang),
+             c AS (SELECT lang, token, count(*) AS n FROM e GROUP BY lang, token)
+        SELECT c.lang, c.token, c.n,
+               round(c.n / CAST(tot.N AS DOUBLE), 6) AS share
+        FROM c JOIN tot ON tot.lang = c.lang
+        WHERE c.n > 0.002 * tot.N
+        ORDER BY c.lang ASC, c.n DESC, c.token ASC
     """
     sql["kmv_distinct"] = f"""
         WITH t AS (SELECT source, unnest({_sql_words()}) AS token FROM documents),

@@ -160,6 +160,7 @@ def main() -> None:
         "semantic_recall",
         "near_moves",
         "duplication_share",
+        "heavy_hitters_by_lang",
     ]
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))

@@ -241,6 +241,7 @@ def heavy_hitters(
     text_col: str = "text",
     m: int | None = None,
     out_order: bool = True,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Exact φ-heavy-hitter tokens via a two-pass Misra-Gries design: every
     token whose global count exceeds φ·N (N = total token count), with EXACT
@@ -267,6 +268,13 @@ def heavy_hitters(
     `out_order` (deterministic; exact counts make the output
     engine-replayable by a plain GROUP BY + HAVING — the sketch changes the
     execution shape, never the answer).
+
+    `group_col` (e.g. "lang"): φ-heavy hitters PER GROUP against that
+    group's own token total — per-language stopword discovery, per-source
+    boilerplate heads. Pass 1 keeps one independent MG summary per group
+    within each partition (per-group capacity, per-group guarantee — the
+    averaging argument applies group-wise since totals are group-wise);
+    output gains the group column, ordered (group, n desc, token).
     """
     if not (0.0 < phi < 1.0):
         raise ValueError(f"phi must be in (0, 1), got {phi}")
@@ -279,41 +287,86 @@ def heavy_hitters(
 
     import pandas as pd
 
-    toks = df.select(tokens(text_col).alias("__toks"))
+    def prune(state: dict, cap: int) -> dict:
+        if len(state) <= cap:
+            return state
+        cut = sorted(state.values(), reverse=True)[cap]
+        return {t: c - cut for t, c in state.items() if c > cut}
 
-    def mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        state: dict[str, int] = {}
+    if group_col is None:
+        toks = df.select(tokens(text_col).alias("__toks"))
+
+        def mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            state: dict[str, int] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                counts = pdf["__toks"].explode().dropna().value_counts()
+                for tok, c in counts.items():
+                    state[tok] = state.get(tok, 0) + int(c)
+                state = prune(state, m)
+            yield pd.DataFrame({"token": list(state.keys())})
+
+        candidates = toks.mapInPandas(mg_candidates, "token string").distinct()
+        exploded = df.select(F.explode(tokens(text_col)).alias("token"))
+        total = df.agg(F.sum(F.size(tokens(text_col))).alias("__N"))
+        counted = (
+            exploded.join(F.broadcast(candidates), "token", "left_semi")
+            .groupBy("token")
+            .agg(F.count("*").alias("n"))
+            .crossJoin(F.broadcast(total))
+            .where(F.col("n") > F.lit(phi) * F.col("__N"))
+            .select(
+                "token", "n",
+                pround(F.col("n") / F.col("__N"), 6).alias("share"),
+            )
+        )
+        if out_order:
+            counted = counted.orderBy(F.col("n").desc(), F.col("token").asc())
+        return counted
+
+    toks = df.select(F.col(group_col).cast("string").alias("__g"), tokens(text_col).alias("__toks"))
+
+    def mg_by_group(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states: dict[str, dict[str, int]] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            counts = pdf["__toks"].explode().dropna().value_counts()
-            for tok, c in counts.items():
-                state[tok] = state.get(tok, 0) + int(c)
-            if len(state) > m:
-                # MG merge-prune: subtract the (m+1)-th largest counter
-                cut = sorted(state.values(), reverse=True)[m]
-                state = {t: c - cut for t, c in state.items() if c > cut}
-        yield pd.DataFrame({"token": list(state.keys())})
+            ex = pdf[["__g", "__toks"]].explode("__toks").dropna()
+            if len(ex) == 0:
+                continue
+            for (g, tok), c in ex.groupby(["__g", "__toks"]).size().items():
+                st = states.setdefault(g, {})
+                st[tok] = st.get(tok, 0) + int(c)
+            states = {g: prune(st, m) for g, st in states.items()}
+        yield pd.DataFrame(
+            {"__g": [g for g, st in states.items() for _ in st],
+             "token": [t for st in states.values() for t in st]}
+        )
 
-    candidates = (
-        toks.mapInPandas(mg_candidates, "token string").distinct()
+    candidates = toks.mapInPandas(mg_by_group, "__g string, token string").distinct()
+    exploded = df.select(
+        F.col(group_col).cast("string").alias("__g"),
+        F.explode(tokens(text_col)).alias("token"),
     )
-
-    exploded = df.select(F.explode(tokens(text_col)).alias("token"))
-    total = df.agg(F.sum(F.size(tokens(text_col))).alias("__N"))
+    totals = df.groupBy(F.col(group_col).cast("string").alias("__g")).agg(
+        F.sum(F.size(tokens(text_col))).alias("__N")
+    )
     counted = (
-        exploded.join(F.broadcast(candidates), "token", "left_semi")
-        .groupBy("token")
+        exploded.join(F.broadcast(candidates), ["__g", "token"], "left_semi")
+        .groupBy("__g", "token")
         .agg(F.count("*").alias("n"))
-        .crossJoin(F.broadcast(total))
+        .join(F.broadcast(totals), "__g")
         .where(F.col("n") > F.lit(phi) * F.col("__N"))
         .select(
-            "token", "n",
+            F.col("__g").alias(group_col), "token", "n",
             pround(F.col("n") / F.col("__N"), 6).alias("share"),
         )
     )
     if out_order:
-        counted = counted.orderBy(F.col("n").desc(), F.col("token").asc())
+        counted = counted.orderBy(
+            F.col(group_col).asc(), F.col("n").desc(), F.col("token").asc()
+        )
     return counted
 
 

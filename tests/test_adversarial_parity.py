@@ -140,6 +140,7 @@ TEXT_AND_VECTOR_QUERIES = [
     "sampled_percentiles",
     "mixture_order",
     "embedding_drift",
+    "heavy_hitters_by_lang",
 ]
 
 

@@ -84,3 +84,35 @@ def test_heavy_hitters_tiny_capacity_still_complete(spark):
         heavy_hitters(df, phi=0.0)
     with pytest.raises(ValueError, match="m must be"):
         heavy_hitters(df, phi=0.5, m=0)
+
+
+def test_heavy_hitters_grouped_matches_exact(spark):
+    """group_col: per-group MG summaries + per-group exact recount equals the
+    plain per-group groupBy/filter, against each group's OWN total."""
+    import numpy as np
+
+    from lantern_extras_spark.functions.text import tokens
+    from lantern_extras_spark.operators.textstats import heavy_hitters
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    for d in range(300):
+        g = "a" if d % 3 else "b"  # unbalanced groups
+        draws = rng.zipf(1.4, size=40) % len(vocab)
+        rows.append((d, g, " ".join(vocab[i] for i in draws)))
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string").repartition(8)
+
+    phi = 0.01
+    got = {(r["grp"], r["token"]): r["n"] for r in
+           heavy_hitters(df, phi=phi, group_col="grp").collect()}
+
+    ex = df.select(F.col("grp"), F.explode(tokens("text")).alias("token"))
+    totals = {r["grp"]: r["N"] for r in
+              ex.groupBy("grp").agg(F.count("*").alias("N")).collect()}
+    exact = {(r["grp"], r["token"]): r["n"] for r in
+             ex.groupBy("grp", "token").agg(F.count("*").alias("n")).collect()
+             if r["n"] > phi * totals[r["grp"]]}
+    assert got == exact and exact
+    # groups with different totals -> same token can be heavy in one group only
+    assert len({g for g, _ in exact}) == 2
