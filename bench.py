@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
@@ -114,6 +115,7 @@ def main() -> None:
         "ngram_containment",
         "tfidf_top_terms",
         "knn_dot",
+        "knn_l2",
         "knn_filtered",
         "error_burst_binned",
         "hash_split",
@@ -162,6 +164,14 @@ def main() -> None:
         "duplication_share",
         "heavy_hitters_by_lang",
     ]
+    # self-healing coverage: any registry query missing from the hard-coded
+    # list is appended (and flagged) so the committed bench can never again
+    # silently under-cover the manifest (r7 verdict item 3: knn_l2 was absent)
+    missing = sorted(set(qs) - set(bench_set))
+    if missing:
+        print(f"bench_set auto-appended {len(missing)} manifest queries: {missing}",
+              file=sys.stderr, flush=True)
+        bench_set += missing
     for name in bench_set:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).foreach(lambda r: None))
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,9 +36,26 @@ class CollectionStore:
         self.root = root
         os.makedirs(root, exist_ok=True)
 
+    _NAME_RE = re.compile(r"^[A-Za-z0-9_.-]+$")
+
     def _path(self, name: str) -> str:
-        safe = name.replace("/", "_")
-        return os.path.join(self.root, safe)
+        """Resolve a collection name to its directory, rejecting anything
+        that could escape the store root: names are restricted to
+        `[A-Za-z0-9_.-]+`, dot-only names (`.`, `..`, `...`) are refused, and
+        the resolved path is realpath-asserted to live strictly inside
+        `self.root` — so `DELETE /collections/..` can never rmtree the
+        parent of the collections root (defense in depth: both checks must
+        pass)."""
+        if not self._NAME_RE.fullmatch(name) or set(name) == {"."}:
+            raise ValueError(
+                f"invalid collection name {name!r} (allowed: [A-Za-z0-9_.-]+, "
+                "not dot-only)"
+            )
+        root = os.path.realpath(self.root)
+        p = os.path.realpath(os.path.join(root, name))
+        if os.path.dirname(p) != root:
+            raise ValueError(f"collection name {name!r} escapes the store root")
+        return p
 
     # -- H2: create ------------------------------------------------------
 

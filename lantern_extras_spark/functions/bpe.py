@@ -158,13 +158,28 @@ def bpe_token_count(text: str) -> int:
     return default_bpe().count(text)
 
 
-def bpe_token_count_col(col):
-    """Arrow-batched pandas UDF: exact BPE token count of a string column."""
+@lru_cache(maxsize=8)
+def _bpe_for(merges_key: tuple[tuple[int, int], ...]) -> "Bpe":
+    """Per-process encoder cache for trained merge tables: one Bpe instance
+    per distinct vocab per executor, however many Arrow batches flow through."""
+    return Bpe(list(merges_key))
+
+
+def bpe_token_count_col(col, merges: list[tuple[int, int]] | None = None):
+    """Arrow-batched pandas UDF: exact BPE token count of a string column.
+
+    With `merges=None` counts under the committed mini-vocab; pass a merge
+    table from `train_bpe_on_corpus` to count under a corpus-trained vocab —
+    the exact-token bridge `pack_sequences(counter="exact")` budgets with
+    (reference posture: exact cl100k/HF counts drive request packing,
+    text_embedding_test.rs:88)."""
     from pyspark.sql.functions import pandas_udf
+
+    merges_key = tuple((int(a), int(b)) for a, b in merges) if merges is not None else None
 
     @pandas_udf("int")
     def _count(s):
-        enc = default_bpe()
+        enc = default_bpe() if merges_key is None else _bpe_for(merges_key)
         return s.map(lambda t: enc.count(t) if t is not None else None)
 
     return _count(col)

@@ -127,6 +127,37 @@ def assign_cells(
     return df.mapInPandas(kernel, out_schema)
 
 
+def _auto_nlist(total: int, rows_per_cell: int = 2000) -> int:
+    """`nlist=None` auto-scale: ~`rows_per_cell` corpus rows per cell, floor
+    16 — the same lever as `semantic_dedup`'s, keeping per-cell work bounded
+    as the corpus grows instead of going quadratic past nlist·rows_per_cell."""
+    import math
+
+    return max(16, math.ceil(max(total, 1) / rows_per_cell))
+
+
+def _check_max_cell(
+    cells_df: DataFrame, cell_col: str, max_cell: int, op: str, side: str
+) -> None:
+    """Fail-loud hot-cell guard (mirrors `semantic_dedup`'s max_cell,
+    dedup.py): the cogrouped per-cell GEMM materializes one whole cell — plus
+    everything probing it — in a single worker's memory, so a cell that
+    outgrew `max_cell` must raise with the remedy spelled out rather than
+    OOM an executor mid-join at scale. Collects only violators (tiny by
+    definition)."""
+    oversized = (
+        cells_df.groupBy(cell_col).count().where(F.col("count") > max_cell).collect()
+    )
+    if oversized:
+        worst = ", ".join(f"cell {r[cell_col]}={r['count']}" for r in oversized[:5])
+        raise ValueError(
+            f"{op}: {len(oversized)} {side} cell(s) exceed max_cell="
+            f"{max_cell} ({worst}). Raise nlist (finer clustering; cells "
+            f"shrink ~linearly) or max_cell — a cell this hot would OOM the "
+            f"per-cell kernel on a real executor."
+        )
+
+
 def probe_cells(centroids: list[list[float]], query_vec: list[float], nprobe: int) -> list[int]:
     """Driver-side centroid ranking (nlist is tiny)."""
     C = np.asarray(centroids, dtype=np.float64)
@@ -310,7 +341,7 @@ def ivf_knn_join(
     queries: DataFrame,
     k: int = 10,
     nprobe: int = 4,
-    nlist: int = 16,
+    nlist: int | None = 16,
     metric: str = "l2sq",
     centroids: list[list[float]] | None = None,
     id_col: str = "vec_id",
@@ -321,6 +352,7 @@ def ivf_knn_join(
     max_train_rows: int = 100_000,
     seed: int = 42,
     dist_scale: int | None = None,
+    max_cell: int = 100_000,
 ) -> DataFrame:
     """Cross-corpus approximate kNN join — BOTH sides large and distributed.
 
@@ -344,6 +376,15 @@ def ivf_knn_join(
     With a cell-partitioned corpus table, pass its `cell` column through by
     pre-assigning and calling with centroids=... to skip step 2 entirely.
 
+    `nlist=None` auto-scales to ~2000 corpus rows/cell (ignored when
+    `centroids` is passed). `max_cell` is the fail-loud hot-cell guard for
+    the cogrouped kernel (impl="pandas"): a skewed corpus — one dense
+    cluster holding most rows — would otherwise OOM the executor that
+    receives that cell; instead the join refuses up-front with the remedy
+    (raise nlist) spelled out. Both the corpus side and the query-probe
+    side are checked. The native path streams through an equi-join and
+    never materializes a cell, so it skips the guard.
+
     impl="native" (steps 2-4 as pure Column expressions + an equi-join on
     cell) exists for engine-parity harnesses; identical results, no Python
     workers. Returns (qid_col, id_col, distance, rank ≤ k).
@@ -353,8 +394,12 @@ def ivf_knn_join(
     if metric not in METRICS:
         raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
     if centroids is None:
+        total = corpus.count()
+        if nlist is None:
+            nlist = _auto_nlist(total)
         _, centroids = build_ivf(corpus, vec_col=vec_col, nlist=nlist,
-                                 max_train_rows=max_train_rows, seed=seed)
+                                 max_train_rows=max_train_rows, seed=seed,
+                                 total_rows=total)
     nprobe = min(nprobe, len(centroids))
 
     if "cell" in corpus.columns:
@@ -417,6 +462,8 @@ def ivf_knn_join(
             ))
         return pd.concat(parts, ignore_index=True)
 
+    _check_max_cell(ccells, "cell", max_cell, "ivf_knn_join", "corpus")
+    _check_max_cell(qprobes, "cell", max_cell, "ivf_knn_join", "query-probe")
     partial = (
         ccells.groupBy("cell")
         .cogroup(qprobes.groupBy("cell"))
@@ -434,7 +481,7 @@ def ivf_range_join(
     queries: DataFrame,
     radius: float,
     nprobe: int = 4,
-    nlist: int = 16,
+    nlist: int | None = 16,
     metric: str = "l2sq",
     centroids: list[list[float]] | None = None,
     id_col: str = "vec_id",
@@ -445,6 +492,7 @@ def ivf_range_join(
     max_train_rows: int = 100_000,
     seed: int = 42,
     dist_scale: int | None = None,
+    max_cell: int = 100_000,
 ) -> DataFrame:
     """Distance-THRESHOLD similarity join through shared IVF cells — the
     companion to `ivf_knn_join` when the contract is "every pair within
@@ -455,16 +503,21 @@ def ivf_range_join(
     finishing window at all: cell-route, per-cell GEMM, filter — one shuffle
     per side, output bounded by the true pair count.
 
-    Returns (qid_col, id_col, distance). Same cell/probe machinery and the
-    same impl="native" engine-parity path as `ivf_knn_join`.
+    Returns (qid_col, id_col, distance). Same cell/probe machinery, the same
+    impl="native" engine-parity path, and the same `nlist=None` auto-scale +
+    fail-loud `max_cell` hot-cell guard as `ivf_knn_join`.
     """
     from lantern_extras_spark.operators.knn import METRICS, _np_distances, distance_col
 
     if metric not in METRICS:
         raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
     if centroids is None:
+        total = corpus.count()
+        if nlist is None:
+            nlist = _auto_nlist(total)
         _, centroids = build_ivf(corpus, vec_col=vec_col, nlist=nlist,
-                                 max_train_rows=max_train_rows, seed=seed)
+                                 max_train_rows=max_train_rows, seed=seed,
+                                 total_rows=total)
     nprobe = min(nprobe, len(centroids))
     if "cell" in corpus.columns:
         # pre-assigned corpus (e.g. read from a cell-partitioned table):
@@ -521,6 +574,8 @@ def ivf_range_join(
             {qid_col: qids[cols], id_col: ids[rows], "distance": D[rows, cols]}
         )
 
+    _check_max_cell(ccells, "cell", max_cell, "ivf_range_join", "corpus")
+    _check_max_cell(qprobes, "cell", max_cell, "ivf_range_join", "query-probe")
     return (
         ccells.groupBy("cell")
         .cogroup(qprobes.groupBy("cell"))

@@ -195,10 +195,23 @@ def kmv_distinct(
     fewer than k distinct hashes report the EXACT distinct count (every
     value's hash is present — no estimation needed or valid there).
 
-    Scale shape: the per-group k smallest hashes reduce via partial
-    aggregation (slice(array_sort) over a collect_set capped per group is
-    replaced by a window rank, which map-side-combines); the estimate is
-    O(groups·k) driver-free arithmetic.
+    Scale shape — two-phase k-min, NO global ranking window: a ranking
+    window over an empty partition spec would move EVERY distinct hash
+    (billions of rows for a URL/id-like column at 100 TB) through one
+    reducer; ranking windows do not map-side-combine. Instead:
+
+    1. one shuffle for `distinct()` (hash-partitioned, map-side combined),
+    2. per-PARTITION bounded k-min state inside `mapInPandas` — memory
+       O(groups·k) per worker, emitting ≤ groups·k survivor rows per
+       partition, never a sort of the partition,
+    3. final per-group k smallest of the ≤ k·P survivors via
+       slice(array_sort(collect_list)) — the collect_list input is bounded
+       by k·P rows per group by construction.
+
+    Any hash in the global k minimum of its group is in the k minimum of
+    its own partition (partials are disjoint subsets of the distinct set),
+    so phase 3 sees every global winner — answers are IDENTICAL to a full
+    rank, and the estimate stays O(groups·k) driver-free arithmetic.
     """
     if k < 3:
         raise ValueError("k must be >= 3 (variance is undefined below)")
@@ -206,23 +219,43 @@ def kmv_distinct(
     h = hash32(v.cast("string"))
     hashed = df.select(*group_cols, h.alias("__h"))
     gb = list(group_cols)
-    # distinct hashes per group, ranked ascending; keep the k smallest
     distinct_h = hashed.distinct()
-    w = Window.partitionBy(*gb).orderBy(F.col("__h").asc())
-    ranked = distinct_h.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= k)
+
+    import pandas as pd
+
+    def kmin_partial(batches):
+        # bounded running state: the k smallest distinct hashes per group
+        # seen so far in THIS partition (≤ groups·k rows at all times)
+        state: "pd.DataFrame | None" = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            both = pd.concat([state, pdf], ignore_index=True) if state is not None else pdf
+            if gb:
+                state = (
+                    both.sort_values("__h", kind="mergesort")
+                    .groupby(gb, dropna=False, sort=False)
+                    .head(k)
+                )
+            else:
+                state = both.nsmallest(k, "__h")
+        if state is not None and len(state):
+            yield state
+
+    survivors = distinct_h.mapInPandas(kmin_partial, distinct_h.schema)
+    mins = F.slice(F.array_sort(F.collect_list("__h")), 1, k)
     est = (
-        ranked.groupBy(*gb)
-        .agg(
-            F.max("__r").alias("__nk"),
-            F.max(F.struct(F.col("__r"), F.col("__h"))).alias("__kth"),
-        )
+        survivors.groupBy(*gb)
+        .agg(mins.alias("__mins"))
+        .withColumn("__nk", F.size("__mins"))
+        .where(F.col("__nk") > 0)
         .withColumn(
             out_col,
             F.when(
                 F.col("__nk") < k, F.col("__nk").cast("double")  # exact below k
             ).otherwise(
                 (F.lit(float(k - 1)) * F.lit(4294967296.0))
-                / F.col("__kth")["__h"].cast("double")
+                / F.element_at(F.col("__mins"), F.col("__nk")).cast("double")
             ),
         )
         .select(*gb, F.col("__nk").alias("n_kept_hashes"), out_col)
@@ -294,7 +327,10 @@ def heavy_hitters(
         return {t: c - cut for t, c in state.items() if c > cut}
 
     if group_col is None:
-        toks = df.select(tokens(text_col).alias("__toks"))
+        # tokenize ONCE: candidates (pass 1), the exact recount explode and
+        # the token total (pass 2) all read this cached projection — one
+        # tokenize + one source scan instead of three (r7 verdict, minor)
+        toks = df.select(tokens(text_col).alias("__toks")).cache()
 
         def mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             state: dict[str, int] = {}
@@ -308,8 +344,8 @@ def heavy_hitters(
             yield pd.DataFrame({"token": list(state.keys())})
 
         candidates = toks.mapInPandas(mg_candidates, "token string").distinct()
-        exploded = df.select(F.explode(tokens(text_col)).alias("token"))
-        total = df.agg(F.sum(F.size(tokens(text_col))).alias("__N"))
+        exploded = toks.select(F.explode("__toks").alias("token"))
+        total = toks.agg(F.sum(F.size("__toks")).alias("__N"))
         counted = (
             exploded.join(F.broadcast(candidates), "token", "left_semi")
             .groupBy("token")
@@ -325,7 +361,11 @@ def heavy_hitters(
             counted = counted.orderBy(F.col("n").desc(), F.col("token").asc())
         return counted
 
-    toks = df.select(F.col(group_col).cast("string").alias("__g"), tokens(text_col).alias("__toks"))
+    # grouped variant: same single-scan shape — one cached (group, tokens)
+    # projection feeds candidates, the exact recount and per-group totals
+    toks = df.select(
+        F.col(group_col).cast("string").alias("__g"), tokens(text_col).alias("__toks")
+    ).cache()
 
     def mg_by_group(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         states: dict[str, dict[str, int]] = {}
@@ -345,13 +385,8 @@ def heavy_hitters(
         )
 
     candidates = toks.mapInPandas(mg_by_group, "__g string, token string").distinct()
-    exploded = df.select(
-        F.col(group_col).cast("string").alias("__g"),
-        F.explode(tokens(text_col)).alias("token"),
-    )
-    totals = df.groupBy(F.col(group_col).cast("string").alias("__g")).agg(
-        F.sum(F.size(tokens(text_col))).alias("__N")
-    )
+    exploded = toks.select("__g", F.explode("__toks").alias("token"))
+    totals = toks.groupBy("__g").agg(F.sum(F.size("__toks")).alias("__N"))
     counted = (
         exploded.join(F.broadcast(candidates), ["__g", "token"], "left_semi")
         .groupBy("__g", "token")

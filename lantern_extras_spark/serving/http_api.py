@@ -29,6 +29,7 @@ concurrent Spark jobs scheduled by the driver).
 from __future__ import annotations
 
 import base64
+import hmac
 import json
 import re
 import threading
@@ -78,7 +79,11 @@ class _ApiHandler(BaseHTTPRequestHandler):
             got = base64.b64decode(header[6:]).decode()
         except Exception:  # noqa: BLE001 — malformed header is just unauthorized
             return False
-        return got == f"{creds[0]}:{creds[1]}"
+        # constant-time compare: a == check leaks a prefix-length timing
+        # side channel an attacker can use to recover credentials byte-wise
+        return hmac.compare_digest(
+            got.encode(), f"{creds[0]}:{creds[1]}".encode()
+        )
 
     def _body(self) -> dict:
         length = int(self.headers.get("Content-Length") or 0)
@@ -97,6 +102,23 @@ class _ApiHandler(BaseHTTPRequestHandler):
 
     def _dispatch(self, method: str) -> None:
         if not self._authorized():
+            # drain any request body before replying: an unread body left on
+            # the socket desyncs HTTP/1.1 keep-alive (the next request would
+            # be parsed starting mid-body)
+            try:
+                length = int(self.headers.get("Content-Length") or 0)
+            except ValueError:
+                length = 0
+            if length > 0:
+                if length > MAX_PAYLOAD_BYTES:
+                    self.close_connection = True
+                else:
+                    remaining = length
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(remaining, 1 << 20))
+                        if not chunk:
+                            break
+                        remaining -= len(chunk)
             self._reply(401, {"error": "Unauthorized"})
             return
         try:

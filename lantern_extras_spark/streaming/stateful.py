@@ -24,6 +24,35 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
 
+def _read_store_or_none(sess, store_dir: str, columns: list[str] | None = None):
+    """Read a cross-batch parquet store, returning None ONLY when the store
+    legitimately doesn't exist yet (first batch: path absent, or directory
+    present but holding no parquet footers → UNABLE_TO_INFER_SCHEMA).
+
+    Any OTHER read failure — S3 hiccup, permission denial, corrupt footer —
+    re-raises so the micro-batch fails and foreachBatch retries: silently
+    routing a transient failure to the batch-only branch would skip
+    cross-batch matching and admit duplicates into both output and store
+    (ADVICE r7, medium)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        store = sess.read.parquet(store_dir)
+        if columns:
+            store.select(*columns)  # schema check up-front, not at action time
+        return store
+    except AnalysisException as e:
+        cond = ""
+        try:
+            cond = e.getErrorClass() or ""
+        except Exception:  # noqa: BLE001 — older pyspark without error classes
+            pass
+        msg = f"{cond} {e}"
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return None
+        raise
+
+
 def dedup_stream(
     stream: DataFrame,
     text_col: str = "text",
@@ -258,20 +287,17 @@ def ingest_dedup_batch(
     sess = bdf.sparkSession
     epoch = int(epoch_id)
     sigs = minhash_signatures(bdf, text_col, id_col, n_hashes).select(id_col, "sig").cache()
-    try:
-        # read through the session's Hadoop FS (works on HDFS/S3/DBFS/local
-        # alike); a missing or still-empty store raises and routes to the
-        # batch-only branch
-        store = sess.read.parquet(store_dir)
+    # read through the session's Hadoop FS (works on HDFS/S3/DBFS/local
+    # alike); ONLY a genuinely-missing store (first batch) routes to the
+    # batch-only branch — transient read failures re-raise and retry
+    store = _read_store_or_none(sess, store_dir, [id_col, "sig"])
+    if store is not None:
         # a RETRY of this epoch already wrote its own epoch=N store rows —
         # excluding them (partition-pruned) keeps the retry from matching the
         # batch against itself and dropping every survivor
         if "epoch" in store.columns:
             store = store.where(F.col("epoch") != epoch)
         store = store.select(id_col, "sig")
-        store.first()
-    except Exception:
-        store = None
     if store is not None:
         pairs = minhash_dedup_incremental(
             bdf, store, text_col, id_col, n_hashes, bands=bands,
@@ -378,14 +404,11 @@ def ingest_semantic_batch(
     epoch = int(epoch_id)
     batch = assign_cells(bdf.select(id_col, vec_col), centroids, vec_col=vec_col)
     batch = batch.cache()
-    try:
-        store = sess.read.parquet(store_dir)
+    store = _read_store_or_none(sess, store_dir, [id_col, vec_col, "cell"])
+    if store is not None:
         if "epoch" in store.columns:
             store = store.where(F.col("epoch") != epoch)  # retry self-match guard
         store = store.select(id_col, vec_col, "cell")
-        store.first()
-    except Exception:
-        store = None
     if store is not None:
         flagged = semantic_dedup_incremental(
             batch, store, centroids=centroids, threshold=threshold,

@@ -128,3 +128,29 @@ def test_daemon_label_routing_and_retry(spark, tmp_path):
     rep3 = d_fixed.run_once()
     assert j_bad in rep3.ran
     assert jstore.get_embedding_job_status(j_bad)["status"] == "enabled"
+
+
+def test_collection_name_traversal_rejected(store):
+    """ADVICE r7 (high): '.'/'..'/separator names must be refused at _path —
+    otherwise DELETE /collections/.. rmtrees the PARENT of the store root."""
+    for bad in ("..", ".", "...", "a/b", "a\\b", "", "a b", "a:b", "../x"):
+        with pytest.raises(ValueError, match="invalid collection name|escapes"):
+            store._path(bad)
+    # benign names (incl. dots inside) still resolve
+    for ok in ("docs", "my-coll_2", "v1.2"):
+        assert store._path(ok).endswith(ok)
+
+
+def test_delete_traversal_cannot_escape_root(spark, tmp_path):
+    import os
+
+    from lantern_extras_spark.collections import CollectionStore
+
+    parent = tmp_path / "outer"
+    root = parent / "colls"
+    store = CollectionStore(spark, str(root))
+    sentinel = parent / "precious.txt"
+    sentinel.write_text("keep me")
+    with pytest.raises(ValueError):
+        store.delete_collection("..")
+    assert sentinel.exists() and parent.exists()

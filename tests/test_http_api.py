@@ -121,3 +121,46 @@ def test_basic_auth_enforced(spark, tmp_path):
             _req(srv.port, "GET", "/collections", auth=("u", "wrong"))
         assert e.value.code == 401
         assert _req(srv.port, "GET", "/collections", auth=("u", "p")) == (200, [])
+
+
+def test_traversal_names_rejected_over_http(server):
+    """ADVICE r7 (high): dot-only names 400 instead of resolving outside the
+    collections root (sent over a raw socket — urllib would not preserve
+    the dot segment)."""
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", server.port)
+    try:
+        conn.request("DELETE", "/collections/..")
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+    finally:
+        conn.close()
+
+
+def test_unauthorized_body_drained_keepalive(spark, tmp_path):
+    """ADVICE r7 (low): a 401 reply must consume the request body first —
+    an unread body desyncs HTTP/1.1 keep-alive (the follow-up request on
+    the same socket would be parsed starting mid-body)."""
+    import http.client
+
+    with CollectionServer(spark, str(tmp_path / "c"), auth=("u", "p")) as srv:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port)
+        try:
+            body = json.dumps({"rows": [{"data": "x" * 4096}]})
+            conn.request("PUT", "/collections/any", body=body,
+                         headers={"Content-Type": "application/json"})
+            r1 = conn.getresponse()
+            assert r1.status == 401
+            r1.read()
+            # same socket: must parse as a fresh request, not mid-body bytes
+            import base64
+
+            conn.request("GET", "/collections", headers={
+                "Authorization": "Basic " + base64.b64encode(b"u:p").decode()})
+            r2 = conn.getresponse()
+            assert r2.status == 200
+            assert json.loads(r2.read()) == []
+        finally:
+            conn.close()

@@ -314,3 +314,33 @@ def test_ivf_knn_join_accepts_preassigned_cells(spark, join_sides):
     rb = {(r["query_id"], r["vec_id"]) for r in
           IVF.ivf_range_join(corpus, queries, radius=5.0, nprobe=2, centroids=cents).collect()}
     assert ra == rb
+
+
+def test_ivf_knn_join_hot_cell_fails_loud(spark, join_sides):
+    """A skewed corpus (every row in one dense cluster → one hot cell) must
+    REFUSE with the remedy named, not OOM the executor that receives the
+    cell (r7 verdict item 2 — the semantic_dedup max_cell contract ported)."""
+    corpus, queries = join_sides
+    cents = [[float(x) for x in r["embedding"]]
+             for r in corpus.orderBy("vec_id").limit(4).collect()]
+    with pytest.raises(ValueError, match="max_cell.*[Rr]aise nlist"):
+        IVF.ivf_knn_join(corpus, queries, k=3, nprobe=2, centroids=cents,
+                         max_cell=5).count()
+    with pytest.raises(ValueError, match="ivf_range_join.*max_cell"):
+        IVF.ivf_range_join(corpus, queries, radius=9.0, nprobe=2,
+                           centroids=cents, max_cell=5).count()
+    # the native path streams an equi-join (no per-cell materialization):
+    # it must NOT trip the guard
+    IVF.ivf_knn_join(corpus, queries, k=3, nprobe=2, centroids=cents,
+                     impl="native", max_cell=5).count()
+
+
+def test_ivf_knn_join_auto_nlist(spark, join_sides):
+    """nlist=None scales cells with the corpus (floor 16) and the join still
+    returns k rows per query."""
+    corpus, queries = join_sides
+    assert IVF._auto_nlist(100) == 16
+    assert IVF._auto_nlist(1_000_000) == 500
+    out = IVF.ivf_knn_join(corpus, queries, k=3, nprobe=16, nlist=None)
+    counts = {r["query_id"]: r["rank"] for r in out.collect()}
+    assert counts and all(v <= 3 for v in counts.values())

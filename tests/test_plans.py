@@ -193,3 +193,14 @@ def test_embedding_drift_partial_aggregation(spark):
     # (later in text than) the last Exchange? Text order: plan prints root
     # first, so a partial agg must appear AFTER some Exchange line.
     assert t.count("HashAggregate") >= 2, t  # partial + final per side
+
+
+def test_kmv_distinct_no_global_ranking_window(spark):
+    """KMV's k-min must be the two-phase partial (per-partition bounded heap
+    → per-group slice of ≤ k·P survivors), never a ranking window: a
+    row_number over an empty partition spec moves EVERY distinct hash
+    through one reducer (r7 verdict item 1)."""
+    df = E.q_kmv_distinct(spark, SF)
+    s = plan_summary(df)
+    assert "Window" not in s.text, s.text
+    assert "Exchange SinglePartition" not in s.text, s.text

@@ -229,3 +229,42 @@ def test_streaming_semantic_ingest_end_to_end(spark, tmp_path):
     q.awaitTermination(180)
     kept = sorted(r["vec_id"] for r in spark.read.parquet(str(tmp_path / "o")).collect())
     assert kept == [0, 1, 2]  # one survivor per direction, min-id winners
+
+
+def test_store_read_failure_routing(spark, tmp_path):
+    """ADVICE r7 (medium): only a genuinely-missing store (first batch)
+    routes to the batch-only branch; any OTHER store read failure re-raises
+    so the micro-batch retries instead of silently skipping cross-batch
+    dedup and admitting duplicates."""
+    import pyspark.sql.functions as F
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from lantern_extras_spark.streaming.stateful import _read_store_or_none
+
+    # absent path -> first-batch branch
+    assert _read_store_or_none(spark, str(tmp_path / "nope")) is None
+    # present but still-empty dir (no files yet) -> still first-batch
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert _read_store_or_none(spark, str(empty)) is None
+    # dir holding a CORRUPT/non-parquet file: that store exists but is
+    # broken — must raise (Spark surfaces it as a footer-read failure)
+    corrupt = tmp_path / "corrupt"
+    corrupt.mkdir()
+    (corrupt / "part-0000.parquet").write_text("not parquet")
+    with pytest.raises(Exception, match="[Pp]arquet|FOOTER|corrupt"):
+        df = _read_store_or_none(spark, str(corrupt))
+        if df is not None:  # pragma: no cover — read may defer to action time
+            df.count()
+    # store exists but is INCOMPATIBLE (required columns missing): that is a
+    # real failure — must raise, not silently route to batch-only
+    bad = str(tmp_path / "bad")
+    spark.range(3).write.parquet(bad)
+    with pytest.raises(AnalysisException):
+        _read_store_or_none(spark, bad, ["doc_id", "sig"])
+    # compatible store round-trips
+    good = str(tmp_path / "good")
+    spark.range(3).select(F.col("id").alias("doc_id"),
+                          F.lit("s").alias("sig")).write.parquet(good)
+    assert _read_store_or_none(spark, good, ["doc_id", "sig"]).count() == 3
