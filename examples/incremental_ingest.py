@@ -129,6 +129,40 @@ def main() -> dict:
             [(10, v(X[2] + 1e-3 * rng.randn(8))), (11, v(rng.randn(8)))],
             cents,
         )
+
+        # --- centroid-refresh loop: drift monitor -> re-cluster ------------
+        # The epoch-keyed ingest loop (streaming/stateful.ingest_semantic_batch)
+        # pins ONE centroid geometry; when the embedding distribution drifts
+        # (new crawl, re-run model), `semantic_store_drift` fires and
+        # `refresh_semantic_store` re-fits + re-assigns the store, returning
+        # the new centroids to restart the stream with.
+        from lantern_extras_spark.streaming.stateful import (
+            ingest_semantic_batch,
+            refresh_semantic_store,
+            semantic_store_drift,
+        )
+
+        estore = os.path.join(tmp, "epoch_store")
+        eout = os.path.join(tmp, "epoch_out")
+        base = spark.createDataFrame(
+            [(i, v(X[i % 2] + 1e-2 * rng.randn(8))) for i in range(6)],
+            "vec_id long, embedding array<double>",
+        )
+        ingest_semantic_batch(base, 0, eout, estore, cents)
+        drifted = spark.createDataFrame(
+            [(100 + i, v(X[3] * 5 + 1e-2 * rng.randn(8))) for i in range(6)],
+            "vec_id long, embedding array<double>",
+        )
+        ingest_semantic_batch(drifted, 1, eout, estore, cents)
+        drift = semantic_store_drift(spark, estore, split_epoch=0).first()
+        out["drift"] = round(float(drift["max_abs_mean_delta"]), 3)
+        if drift["max_abs_mean_delta"] > 0.5:  # tolerance sized to the scale
+            new_cents = refresh_semantic_store(spark, estore, nlist=3)
+            out["refreshed_nlist"] = len(new_cents)
+            out["refreshed_epochs"] = sorted(
+                r["epoch"] for r in
+                spark.read.parquet(estore).select("epoch").distinct().collect()
+            )
         return out
 
 

@@ -129,6 +129,7 @@ def pack_sequences(
     n_buckets: int = 64,
     salt: str = "pack",
     counter: str = "ws",
+    merges: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Deterministic sequence packing — assign documents to fixed-token-budget
     bins (the pre-training batch-construction step: concatenate docs until the
@@ -155,12 +156,25 @@ def pack_sequences(
         raise ValueError("max_tokens must be >= 1")
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
-    if counter not in ("ws", "bpe"):
-        raise ValueError(f"unknown counter {counter!r} (ws/bpe)")
+    if counter not in ("ws", "bpe", "exact"):
+        raise ValueError(f"unknown counter {counter!r} (ws/bpe/exact)")
     # counter="bpe" budgets by BPE-ish pre-tokens — much closer to a real
     # tokenizer's count than whitespace words (code/punct-heavy docs consume
-    # ~2-3x their word count in BPE tokens); "ws" stays the oracle default
-    count_fn = token_count if counter == "ws" else bpe_ish_token_count
+    # ~2-3x their word count in BPE tokens); "ws" stays the oracle default.
+    # counter="exact" budgets by TRUE byte-level BPE token counts under a
+    # merge table (pass `merges` from functions.bpe.train_bpe_on_corpus for
+    # a corpus-trained vocab; None = the committed mini-vocab) — the
+    # reference's exact-token accounting posture (text_embedding_test.rs:88)
+    # carried into packing: every bin budget is the count the tokenizer
+    # will actually produce. Arrow-batched pandas UDF, one encoder instance
+    # per vocab per executor.
+    if counter == "exact":
+        from lantern_extras_spark.functions.bpe import bpe_token_count_col
+
+        def count_fn(c):
+            return bpe_token_count_col(c, merges=merges)
+    else:
+        count_fn = token_count if counter == "ws" else bpe_ish_token_count
     base = df.select(
         F.col(id_col),
         count_fn(F.col(text_col)).cast("long").alias("n_tokens"),
@@ -188,6 +202,8 @@ def pack_sequences_concat(
     n_buckets: int = 64,
     salt: str = "pack",
     sep: str = " ",
+    counter: str = "ws",
+    merges: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Materialize the packed training sequences as DATA (the last pipeline
     stage `pack_sequences` leaves as metadata): one row per (bucket, bin) with
@@ -206,7 +222,8 @@ def pack_sequences_concat(
     size; order inside the group is restored with `array_sort` on
     (pos, …) structs — no window, no driver involvement, parallelism =
     number of (bucket, bin) groups."""
-    asg = pack_sequences(df, text_col, id_col, max_tokens, n_buckets, salt)
+    asg = pack_sequences(df, text_col, id_col, max_tokens, n_buckets, salt,
+                         counter=counter, merges=merges)
     joined = asg.join(df.select(F.col(id_col), F.col(text_col)), id_col)
     # pos is unique within (bucket, bin), so struct sort order == pack order
     docs = F.array_sort(

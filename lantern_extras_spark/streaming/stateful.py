@@ -461,3 +461,100 @@ def start_semantic_ingest_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+def semantic_store_drift(
+    spark,
+    store_dir: str,
+    split_epoch: int,
+    vec_col: str = "embedding",
+):
+    """Drift check for the incremental SemDeDup store — the trigger signal
+    for `refresh_semantic_store` (r7 verdict item 6): the ingest loop pins
+    its coarse centroids forever (cells must agree with the store's), so
+    under embedding drift new batches land in cells fitted to an old
+    distribution and cell-confined recall silently decays.
+
+    Splits the store at `split_epoch` (old: epoch <= split, roughly what
+    the current centroids were fitted on; new: epoch > split) and runs
+    `versioning.embedding_drift`'s exact per-dimension moments across the
+    split. Returns ONE row: (n_dims, max_abs_mean_delta, mean_abs_mean_delta,
+    max_var_ratio) — compare max_abs_mean_delta against a tolerance sized to
+    the embedding scale (e.g. 0.25·std) to decide a refresh.
+
+    Scale: two narrow posexplode scans of the store + a dim-sized join —
+    the same partitions×dim shuffle contract as `embedding_drift`.
+    """
+    from lantern_extras_spark.operators.versioning import embedding_drift
+
+    store = spark.read.parquet(store_dir)
+    if "epoch" not in store.columns:
+        raise ValueError(
+            f"store at {store_dir} has no epoch partition column — drift "
+            "needs the ingest loop's epoch-keyed layout to split old vs new"
+        )
+    old = store.where(F.col("epoch") <= split_epoch)
+    new = store.where(F.col("epoch") > split_epoch)
+    d = embedding_drift(old, new, vec_col=vec_col)
+    var_ratio = F.when(
+        F.col("var_old") > 0, F.col("var_new") / F.col("var_old")
+    ).otherwise(F.lit(1.0))
+    return d.agg(
+        F.count("*").cast("bigint").alias("n_dims"),
+        F.max(F.abs(F.col("mean_delta"))).alias("max_abs_mean_delta"),
+        F.avg(F.abs(F.col("mean_delta"))).alias("mean_abs_mean_delta"),
+        F.max(var_ratio).alias("max_var_ratio"),
+    )
+
+
+def refresh_semantic_store(
+    spark,
+    store_dir: str,
+    nlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+) -> list[list[float]]:
+    """Centroid refresh for the incremental SemDeDup store: read every
+    accepted row, re-fit coarse centroids on the CURRENT distribution
+    (`ivf.build_ivf`, `nlist=None` auto-scales ~2000 rows/cell), re-assign
+    every row's cell, and atomically rewrite the store as a single
+    consolidated `epoch=-1` partition (-1 is never a foreachBatch batch id,
+    so the ingest loop's retry self-match guard `epoch != N` can never
+    exclude refreshed corpus rows).
+
+    Returns the NEW centroids — restart the ingest stream with them (the
+    shared-geometry contract: batch cells must agree with store cells).
+    Pause the ingest stream across the refresh; the swap (write temp →
+    delete old → rename) goes through Hadoop's FileSystem so it works on
+    HDFS/S3A/local alike, but it is not transactional against a concurrent
+    writer.
+
+    Wire `semantic_store_drift` as the trigger: refresh when
+    max_abs_mean_delta exceeds the tolerance, not on a timer — re-fitting
+    is one bounded-sample k-means plus ONE narrow re-assignment pass over
+    the store, cheap enough to run whenever the monitor fires.
+    """
+    from lantern_extras_spark.operators.ivf import _auto_nlist, build_ivf
+
+    base = spark.read.parquet(store_dir).select(id_col, vec_col)
+    total = base.count()
+    if total == 0:
+        raise ValueError(f"store at {store_dir} is empty — nothing to refresh")
+    if nlist is None:
+        nlist = _auto_nlist(total)
+    assigned, centroids = build_ivf(
+        base, vec_col=vec_col, nlist=nlist, seed=seed, cell_col=cell_col,
+        max_train_rows=max_train_rows, total_rows=total,
+    )
+    tmp = store_dir.rstrip("/") + "__refresh"
+    assigned.write.mode("overwrite").parquet(f"{tmp}/epoch=-1")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(store_dir).getFileSystem(hconf)
+    fs.delete(HPath(store_dir), True)
+    if not fs.rename(HPath(tmp), HPath(store_dir)):
+        raise IOError(f"refresh swap failed: could not rename {tmp} -> {store_dir}")
+    return centroids

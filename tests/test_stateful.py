@@ -268,3 +268,78 @@ def test_store_read_failure_routing(spark, tmp_path):
     spark.range(3).select(F.col("id").alias("doc_id"),
                           F.lit("s").alias("sig")).write.parquet(good)
     assert _read_store_or_none(spark, good, ["doc_id", "sig"]).count() == 3
+
+
+def test_semantic_store_refresh_restores_recall(spark, tmp_path):
+    """r7 verdict item 6: the ingest loop pins centroids forever; under
+    embedding drift, near-dup pairs straddle cell boundaries fitted to the
+    OLD distribution and cell-confined recall decays. The drift monitor
+    fires, `refresh_semantic_store` re-clusters + re-assigns, and recall
+    is restored."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lantern_extras_spark.operators.dedup import semantic_dedup_recall
+    from lantern_extras_spark.streaming.stateful import (
+        ingest_semantic_batch,
+        refresh_semantic_store,
+        semantic_store_drift,
+    )
+
+    dim = 32
+    rng = np.random.RandomState(7)
+
+    def vec(base, jitter=0.0):
+        v = np.zeros(dim)
+        v[base[0]] = base[1]
+        if jitter:
+            v = v + rng.randn(dim) * jitter
+        return [float(x) for x in v]
+
+    # old geometry: four well-separated centroids on axes e0/e1
+    old_cents = [vec((0, 10.0)), vec((0, -10.0)), vec((1, 10.0)), vec((1, -10.0))]
+    base_rows = [(i, vec((i % 4 // 2, 10.0 if i % 2 == 0 else -10.0), 0.02))
+                 for i in range(8)]
+    out_dir, store_dir = str(tmp_path / "out"), str(tmp_path / "store")
+    bdf = spark.createDataFrame(base_rows, "vec_id long, embedding array<double>")
+    ingest_semantic_batch(bdf, 0, out_dir, store_dir, old_cents, threshold=0.999)
+
+    # DRIFTED region at 10*e2: near-dup pairs split by the old e0 boundary
+    # (x has a tiny +e0 component, y a tiny -e0 one -> different old cells)
+    drift_rows = []
+    for p in range(6):
+        v = np.zeros(dim)
+        v[2] = 10.0
+        v[3] = 3.0 * p  # spread PAIRS far apart (cos < 0.999 across pairs)
+        x, y = v.copy(), v.copy()
+        x[0], y[0] = 0.05, -0.05
+        drift_rows.append((100 + 2 * p, [float(t) for t in x]))
+        drift_rows.append((101 + 2 * p, [float(t) for t in y]))
+    ddf = spark.createDataFrame(drift_rows, "vec_id long, embedding array<double>")
+    ingest_semantic_batch(ddf, 1, out_dir, store_dir, old_cents, threshold=0.999)
+
+    # every drifted pair survived ingest (cell-split -> never compared)
+    store = spark.read.parquet(store_dir)
+    assert store.where(F.col("vec_id") >= 100).count() == 12
+
+    # the drift monitor fires across the epoch split
+    drift = semantic_store_drift(spark, store_dir, split_epoch=0).first()
+    assert drift["max_abs_mean_delta"] > 1.0, drift
+
+    # recall under OLD centroids: the drifted pairs are missed
+    rows = store.select("vec_id", "embedding")
+    r_old = semantic_dedup_recall(rows, old_cents, threshold=0.999,
+                                  sample_k=10_000).first()
+    assert r_old["n_true_pairs"] >= 6
+    assert r_old["recall"] < 0.5, r_old
+
+    # refresh: re-fit on the CURRENT distribution, re-assign, epoch=-1 rewrite
+    n_before = store.count()
+    new_cents = refresh_semantic_store(spark, store_dir, nlist=5)
+    refreshed = spark.read.parquet(store_dir)
+    assert refreshed.count() == n_before
+    assert set(refreshed.select("epoch").distinct().toPandas()["epoch"]) == {-1}
+    r_new = semantic_dedup_recall(refreshed.select("vec_id", "embedding"),
+                                  new_cents, threshold=0.999,
+                                  sample_k=10_000).first()
+    assert r_new["recall"] >= 0.9, (r_old["recall"], r_new["recall"])
