@@ -1382,6 +1382,21 @@ def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_kmv_distinct_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """Ungrouped KMV sketch over a HIGH-CARDINALITY column (doc_id — every
+    value distinct): the configuration that kills a ranking-window k-min at
+    scale (all n distinct hashes through one reducer) and the one the
+    two-phase per-partition k-min keeps flat — the sf1 scaling witness for
+    the r8 kmv_distinct restructure."""
+    docs = _t(spark, sf, "documents")
+    est = TS.kmv_distinct(docs, "doc_id", k=128)
+    return est.select(
+        F.col("n_rows").alias("n_docs"),
+        F.col("n_kept_hashes").cast("bigint").alias("n_kept_hashes"),
+        pround("distinct_est", 4).alias("distinct_est"),
+    )
+
+
 MIXTURE_ORDER_W = {"src0": 3.0, "src1": 1.0, "src2": 0.5}
 
 
@@ -1629,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_decontaminate": q_embedding_decontaminate,
         "leakage_safe_split": q_leakage_safe_split,
         "kmv_distinct": q_kmv_distinct,
+        "kmv_distinct_ids": q_kmv_distinct_ids,
         "heavy_hitters": q_heavy_hitters,
         "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
         "corpus_diff": q_corpus_diff,
@@ -2647,6 +2663,19 @@ def _oracle_sql_raw() -> dict[str, str]:
                           ELSE 63.0 * 4294967296.0 / CAST(kth.hk AS DOUBLE)
                      END, 4) AS distinct_est
         FROM n JOIN kth USING (source)
+    """
+    sql["kmv_distinct_ids"] = f"""
+        WITH d AS (SELECT DISTINCT {_sql_hash32("CAST(doc_id AS VARCHAR)")} AS hv
+                   FROM documents),
+             r AS (SELECT hv, row_number() OVER (ORDER BY hv ASC) AS rk FROM d),
+             kth AS (SELECT max(rk) AS nk, max_by(hv, rk) AS hk
+                     FROM r WHERE rk <= 128),
+             n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT n.n_docs, CAST(kth.nk AS BIGINT) AS n_kept_hashes,
+               round(CASE WHEN kth.nk < 128 THEN CAST(kth.nk AS DOUBLE)
+                          ELSE 127.0 * 4294967296.0 / CAST(kth.hk AS DOUBLE)
+                     END, 4) AS distinct_est
+        FROM n CROSS JOIN kth
     """
     sql["top_duplicate_spans"] = f"""
         WITH w0 AS (

@@ -146,6 +146,7 @@ def main() -> None:
         "embedding_decontaminate",
         "leakage_safe_split",
         "kmv_distinct",
+        "kmv_distinct_ids",
         "top_duplicate_spans",
         "decontaminate_spans",
         # round-7 fourth batch. semantic_dedup / semantic_incremental run

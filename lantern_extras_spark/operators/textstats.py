@@ -217,7 +217,10 @@ def kmv_distinct(
         raise ValueError("k must be >= 3 (variance is undefined below)")
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     h = hash32(v.cast("string"))
-    hashed = df.select(*group_cols, h.alias("__h"))
+    # null values contribute nothing (COUNT(DISTINCT) semantics — also keeps
+    # the pandas k-min free of NaN ordering divergence: Spark sorts nulls
+    # first ASC, pandas/DuckDB last)
+    hashed = df.select(*group_cols, h.alias("__h")).where(F.col("__h").isNotNull())
     gb = list(group_cols)
     distinct_h = hashed.distinct()
 

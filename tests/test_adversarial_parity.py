@@ -141,6 +141,9 @@ TEXT_AND_VECTOR_QUERIES = [
     "mixture_order",
     "embedding_drift",
     "heavy_hitters_by_lang",
+    # round-8: the ungrouped two-phase k-min over a high-cardinality column
+    # (every doc_id distinct, n < k here so the EXACT-count branch is pinned)
+    "kmv_distinct_ids",
 ]
 
 

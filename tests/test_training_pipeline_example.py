@@ -48,10 +48,20 @@ def test_training_data_pipeline(spark):
     assert out["n_shards"] >= 1
 
 
-def test_incremental_ingest_example(spark):
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ingest_out(spark):
+    """One shared run of examples/incremental_ingest.main — four tests assert
+    on disjoint sections of its output; re-running the whole example per test
+    tripled the file's wall-clock for no extra coverage."""
     from incremental_ingest import main
 
-    out = main()
+    return main()
+
+def test_incremental_ingest_example(ingest_out):
+    out = ingest_out
     assert out["batch1"] == {"accepted": [1, 2, 3], "dropped": {}}
     # batch 2: 10 duplicates corpus doc 1 (estimate 1.0), 12 duplicates
     # in-batch doc 11, 13 is a near-dup of corpus doc 2 at estimate 0.97
@@ -64,12 +74,18 @@ def test_incremental_ingest_example(spark):
     assert out["store_size"] == 4
 
 
-def test_incremental_ingest_semantic_section(spark):
-    from incremental_ingest import main
-
-    out = main()
+def test_incremental_ingest_semantic_section(ingest_out):
+    out = ingest_out
     assert out["vec_batch1"]["accepted"] == [1, 3]
     assert list(out["vec_batch1"]["dropped"]) == [2]          # in-batch near-dup
     assert out["vec_batch1"]["dropped"][2].startswith("batch:1@")
     assert out["vec_batch2"]["accepted"] == [11]
     assert out["vec_batch2"]["dropped"][10].startswith("corpus:1@")  # store match
+
+
+def test_incremental_ingest_refresh_section(ingest_out):
+    out = ingest_out
+    # the drifted epoch fires the monitor and triggers the refresh
+    assert out["drift"] > 0.5
+    assert out["refreshed_nlist"] == 3
+    assert out["refreshed_epochs"] == [-1]  # consolidated refresh partition
