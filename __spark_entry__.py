@@ -1397,6 +1397,21 @@ def q_kmv_distinct_ids(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet head/middle/tail triage (textstats.perplexity_buckets): per-
+    language quantile cutoffs of the unigram LM score from the deterministic
+    keyed sample, docs bucketed by how many cutoffs their 6-dp score
+    exceeds. No corpus-wide sort — the ranking window runs over the ≤k
+    sample only; DuckDB replays score → sample → cutoffs → assignment."""
+    docs = _t(spark, sf, "documents")
+    out = TS.perplexity_buckets(docs, group_col="lang", k=512)
+    return out.select(
+        "doc_id", "lang",
+        pround("lm_logprob", 5).alias("lm_logprob"),
+        "ppl_bucket",
+    )
+
+
 MIXTURE_ORDER_W = {"src0": 3.0, "src1": 1.0, "src2": 0.5}
 
 
@@ -1645,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "kmv_distinct": q_kmv_distinct,
         "kmv_distinct_ids": q_kmv_distinct_ids,
+        "perplexity_buckets": q_perplexity_buckets,
         "heavy_hitters": q_heavy_hitters,
         "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
         "corpus_diff": q_corpus_diff,
@@ -2663,6 +2679,49 @@ def _oracle_sql_raw() -> dict[str, str]:
                           ELSE 63.0 * 4294967296.0 / CAST(kth.hk AS DOUBLE)
                      END, 4) AS distinct_est
         FROM n JOIN kth USING (source)
+    """
+    sql["perplexity_buckets"] = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_sql_words('lower(text)')}) AS w FROM documents
+        ),
+        vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM vocab),
+        lp AS (
+            SELECT t.doc_id, ln((vocab.c + 1.0) / (tot.n + 1.0 * (tot.v + 1.0))) AS lp
+            FROM tok t JOIN vocab USING (w) CROSS JOIN tot
+        ),
+        per_doc AS (SELECT doc_id, avg(lp) AS m FROM lp GROUP BY doc_id),
+        scored AS (
+            SELECT d.doc_id, d.lang, round(coalesce(per_doc.m, 0.0), 6) AS s
+            FROM documents d LEFT JOIN per_doc USING (doc_id)
+        ),
+        nn AS (SELECT count(*) AS n FROM documents),
+        samp AS (
+            SELECT lang, s, doc_id FROM scored
+            WHERE CAST({_sql_hash32("concat('ppl', ':', CAST(doc_id AS VARCHAR))")} AS DOUBLE)
+                  < least(1.0, 512.0 / (SELECT n FROM nn)) * 4294967296.0
+        ),
+        r AS (SELECT lang, s, doc_id,
+                     row_number() OVER (PARTITION BY lang ORDER BY s ASC, doc_id ASC) AS rn
+              FROM samp),
+        mm AS (SELECT lang, count(*) AS m FROM samp GROUP BY lang),
+        q AS (SELECT unnest([1.0/3, 2.0/3]) AS prob),
+        cut AS (
+            SELECT r.lang, q.prob, r.s AS c
+            FROM r JOIN mm USING (lang) JOIN q
+              ON r.rn = greatest(1, CAST(ceil(q.prob * mm.m) AS BIGINT))
+        ),
+        assigned AS (
+            SELECT sc.doc_id, sc.lang, sc.s,
+                   (SELECT count(*) FROM cut WHERE cut.lang = sc.lang AND sc.s > cut.c) AS idx,
+                   (SELECT count(*) FROM cut WHERE cut.lang = sc.lang) AS ncuts
+            FROM scored sc
+        )
+        SELECT doc_id, lang, round(s, 5) AS lm_logprob,
+               CASE WHEN ncuts = 2 THEN
+                    (CASE idx WHEN 0 THEN 'tail' WHEN 1 THEN 'middle' ELSE 'head' END)
+               END AS ppl_bucket
+        FROM assigned
     """
     sql["kmv_distinct_ids"] = f"""
         WITH d AS (SELECT DISTINCT {_sql_hash32("CAST(doc_id AS VARCHAR)")} AS hv

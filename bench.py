@@ -147,6 +147,7 @@ def main() -> None:
         "leakage_safe_split",
         "kmv_distinct",
         "kmv_distinct_ids",
+        "perplexity_buckets",
         "top_duplicate_spans",
         "decontaminate_spans",
         # round-7 fourth batch. semantic_dedup / semantic_incremental run

@@ -715,6 +715,109 @@ def unigram_logprob_score(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    probs: tuple[float, ...] = (1.0 / 3, 2.0 / 3),
+    labels: tuple[str, ...] = ("tail", "middle", "head"),
+    ref: DataFrame | None = None,
+    alpha: float = 1.0,
+    k: int = 4096,
+    salt: str = "ppl",
+    score_col: str = "lm_logprob",
+    out_col: str = "ppl_bucket",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): split the corpus into head/middle/tail by
+    language-model quality — the canonical pre-training data triage (CCNet
+    keeps the low-perplexity "head" per language; the buckets are also the
+    standard sampling strata for mixing web data). Score = per-doc mean
+    unigram log-probability (`unigram_logprob_score`, exp(-score) is
+    perplexity — so the HIGHEST scores are the lowest-perplexity head), and
+    bucket cutoffs are per-`group_col` (CCNet: per language) quantiles of
+    that score.
+
+    Deterministic end to end, same contract as `sampled_percentiles`:
+    cutoffs come from the keyed hash sample (hash32(salt:id) < (k/n)·2³²),
+    ranked (score, id) inside each group — same data ⇒ same cutoffs on any
+    engine/partitioning/rerun, so DuckDB replays the whole operator. Each
+    group's cutoff_j is the sample value at rank max(1, ceil(prob_j·m_g));
+    a doc's bucket index is the number of cutoffs its score strictly
+    exceeds — labels[0] (default "tail") for score ≤ first cutoff,
+    labels[-1] ("head") above the last. Comparisons use the 6-dp-rounded
+    score the scorer emits, so cross-engine ulp noise in ln/avg cannot flip
+    a boundary doc. Groups too small to land any sample rows get NULL
+    buckets (no estimate — honest, and impossible for real language-sized
+    groups).
+
+    Returns df + score_col + out_col (id-preserving join).
+
+    Scale shape: scoring is `unigram_logprob_score`'s (vocab agg + explode
+    join + per-doc mean); the sample is ONE narrow hash filter; the ranking
+    window runs over the ≤~k sample only (per-group partitions); cutoffs
+    (groups × probs rows) broadcast back onto the scored frame. No
+    full-corpus sort anywhere — the difference between this and a naive
+    per-language ntile() window, which would shuffle-sort the entire corpus.
+    """
+    if len(labels) != len(probs) + 1:
+        raise ValueError(
+            f"need len(probs)+1 labels, got {len(labels)} labels for {len(probs)} cutpoints"
+        )
+    ps = list(probs)
+    if ps != sorted(ps) or len(set(ps)) != len(ps) or any(not (0.0 < p < 1.0) for p in ps):
+        raise ValueError(f"probs must be strictly increasing in (0, 1): {probs}")
+    if k < 8:
+        raise ValueError(f"k must be >= 8, got {k}")
+
+    scored = unigram_logprob_score(df, text_col, id_col, ref=ref, alpha=alpha,
+                                   out_col=score_col)
+    gb = [group_col] if group_col else []
+    n = n_rows if n_rows is not None else df.count()
+    thresh = min(1.0, float(k) / max(n, 1)) * 4294967296.0
+    h = hash32(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    sample = scored.where(h.cast("double") < F.lit(thresh)).select(
+        *gb, F.col(score_col).alias("__v"), F.col(id_col).alias("__id")
+    )
+    w = Window.partitionBy(*gb).orderBy(F.col("__v").asc(), F.col("__id").asc())
+    ranked = sample.withColumn("__rn", F.row_number().over(w))
+    m = sample.groupBy(*gb).agg(F.count("*").alias("__m")) if gb else (
+        sample.agg(F.count("*").alias("__m"))
+    )
+    qdf = df.sparkSession.createDataFrame([(float(p),) for p in ps], "prob double")
+    joined = ranked.join(F.broadcast(m), gb) if gb else ranked.crossJoin(F.broadcast(m))
+    cutoffs = joined.join(
+        F.broadcast(qdf),
+        F.col("__rn") == F.greatest(F.lit(1), F.ceil(F.col("prob") * F.col("__m"))),
+    )
+    cuts = cutoffs.groupBy(*gb).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("prob"), F.col("__v")))),
+            lambda s: s["__v"],
+        ).alias("__cuts")
+    )
+    if not gb:
+        # constant-key LEFT join (not a crossJoin: an empty-sample cuts frame
+        # must yield NULL buckets, never an empty result)
+        scored = scored.withColumn("__g1", F.lit(1))
+        cuts = cuts.withColumn("__g1", F.lit(1))
+        gb = ["__g1"]
+        with_cuts = scored.join(F.broadcast(cuts), gb, "left").drop("__g1")
+    else:
+        with_cuts = scored.join(F.broadcast(cuts), gb, "left")
+    idx = F.size(F.filter(F.col("__cuts"), lambda c: F.col(score_col) > c))
+    label_arr = F.array(*[F.lit(l) for l in labels])
+    # a full cutoff set is required (the ungrouped global agg emits one row
+    # with an EMPTY array when the sample is empty — that must be NULL
+    # buckets, not everything-in-labels[0])
+    return with_cuts.withColumn(
+        out_col,
+        F.when(F.size(F.col("__cuts")) == len(ps), F.element_at(label_arr, idx + 1)),
+    ).drop("__cuts")
+
+
 def strip_boilerplate_lines(
     df: DataFrame,
     text_col: str = "text",

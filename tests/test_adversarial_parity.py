@@ -144,6 +144,9 @@ TEXT_AND_VECTOR_QUERIES = [
     # round-8: the ungrouped two-phase k-min over a high-cardinality column
     # (every doc_id distinct, n < k here so the EXACT-count branch is pinned)
     "kmv_distinct_ids",
+    # round-8: CCNet bucketing — empty/whitespace docs score exactly 0.0
+    # (ties through sample ranking AND cutoff comparison on both engines)
+    "perplexity_buckets",
 ]
 
 

@@ -204,3 +204,23 @@ def test_kmv_distinct_no_global_ranking_window(spark):
     s = plan_summary(df)
     assert "Window" not in s.text, s.text
     assert "Exchange SinglePartition" not in s.text, s.text
+
+
+def test_perplexity_buckets_window_on_sample_only(spark):
+    """The per-language ranking window must consume the keyed hash sample
+    (≤k rows), never the raw corpus — the difference between this plan and
+    a per-language ntile() that shuffle-sorts everything. Root-first text:
+    Window appears EARLIER than the sample filter it consumes, and the
+    cutoffs reach the scored frame via broadcast."""
+    import re
+
+    df = E.q_perplexity_buckets(spark, SF)
+    s = plan_summary(df)
+    t = s.text
+    # the ranking window is per-language (non-empty partition spec), and the
+    # only md5 in the plan is the keyed sample filter, which sits BELOW the
+    # window (root-first text: Window earlier than md5)
+    wline = next(l for l in t.splitlines() if re.search(r"\bWindow\b", l))
+    assert re.search(r"\[lang#\d+", wline), wline
+    assert t.index("Window") < t.index("md5"), t
+    assert s.n_broadcasts >= 2, t  # per-doc score join + cutoffs both broadcast

@@ -116,3 +116,47 @@ def test_heavy_hitters_grouped_matches_exact(spark):
     assert got == exact and exact
     # groups with different totals -> same token can be heavy in one group only
     assert len({g for g, _ in exact}) == 2
+
+
+def test_perplexity_buckets_ordering_and_shares(spark):
+    """CCNet bucketing: within each language, every head score >= every
+    middle score >= every tail score (cutoffs are order statistics of the
+    same score), shares land near thirds, and the operator is id-preserving."""
+    from lantern_extras_spark.operators.textstats import perplexity_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = perplexity_buckets(docs, group_col="lang", k=256).cache()
+    assert out.count() == docs.count()
+    pdf = out.select("lang", "lm_logprob", "ppl_bucket").toPandas()
+    assert set(pdf["ppl_bucket"].unique()) == {"head", "middle", "tail"}
+    for lang, g in pdf.groupby("lang"):
+        h = g[g.ppl_bucket == "head"]["lm_logprob"]
+        m = g[g.ppl_bucket == "middle"]["lm_logprob"]
+        t = g[g.ppl_bucket == "tail"]["lm_logprob"]
+        if len(h) and len(m):
+            assert h.min() >= m.max(), lang
+        if len(m) and len(t):
+            assert m.min() >= t.max(), lang
+        # sampled cutoffs: each bucket within [15%, 55%] of the group
+        for part in (h, m, t):
+            assert 0.15 <= len(part) / len(g) <= 0.55, (lang, len(part), len(g))
+    out.unpersist()
+
+
+def test_perplexity_buckets_validation_and_empty_sample(spark):
+    import pyspark.sql.functions as F
+
+    from lantern_extras_spark.operators.textstats import perplexity_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    with pytest.raises(ValueError, match="labels"):
+        perplexity_buckets(docs, probs=(0.5,), labels=("a", "b", "c"))
+    with pytest.raises(ValueError, match="strictly increasing"):
+        perplexity_buckets(docs, probs=(0.7, 0.3), labels=("a", "b", "c"))
+    with pytest.raises(ValueError, match="k must be"):
+        perplexity_buckets(docs, k=4)
+    # an empty sample (threshold ~0 via a huge claimed n) -> NULL buckets,
+    # never an empty frame and never everything-in-tail
+    z = perplexity_buckets(docs, k=8, n_rows=10**9)
+    assert z.count() == 20
+    assert z.where(F.col("ppl_bucket").isNull()).count() == 20
