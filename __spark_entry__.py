@@ -1397,6 +1397,23 @@ def q_kmv_distinct_ids(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_split_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-leakage audit (sampling.split_contamination_report): the NAIVE
+    per-doc hash_split deliberately scatters near-dup pairs across the
+    train/eval/test boundary; the report lists every crossing pair — the
+    release gate that returns zero rows for `leakage_safe_split` (pinned by
+    pytest) and non-zero here. Cost follows the pair count (two id
+    equi-joins), never corpus²."""
+    docs = _t(spark, sf, "documents")
+    pairs = D.minhash_dedup(docs, n_hashes=32, bands=8, threshold=0.2)
+    labeled = SMP.hash_split(docs)
+    out = SMP.split_contamination_report(labeled, pairs)
+    return out.select(
+        "id_a", "split_a", "id_b", "split_b",
+        pround("jaccard", 5).alias("jaccard"),
+    )
+
+
 def q_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet head/middle/tail triage (textstats.perplexity_buckets): per-
     language quantile cutoffs of the unigram LM score from the deterministic
@@ -1661,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "kmv_distinct_ids": q_kmv_distinct_ids,
         "perplexity_buckets": q_perplexity_buckets,
+        "split_contamination": q_split_contamination,
         "heavy_hitters": q_heavy_hitters,
         "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
         "corpus_diff": q_corpus_diff,
@@ -2679,6 +2697,25 @@ def _oracle_sql_raw() -> dict[str, str]:
                           ELSE 63.0 * 4294967296.0 / CAST(kth.hk AS DOUBLE)
                      END, 4) AS distinct_est
         FROM n JOIN kth USING (source)
+    """
+    sql["split_contamination"] = f"""
+        WITH pairs AS (
+            SELECT * FROM ({_minhash_lsh_pairs_sql()})
+        ),
+        sp AS (
+            SELECT doc_id,
+                   CASE WHEN {_sql_hash32("concat('split', ':', CAST(doc_id AS VARCHAR))")} % 10000 < 9000 THEN 'train'
+                        WHEN {_sql_hash32("concat('split', ':', CAST(doc_id AS VARCHAR))")} % 10000 < 9500 THEN 'eval'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT p.id_a, sa.split AS split_a, p.id_b, sb.split AS split_b,
+               round(p.jaccard, 5) AS jaccard
+        FROM pairs p
+        JOIN sp sa ON sa.doc_id = p.id_a
+        JOIN sp sb ON sb.doc_id = p.id_b
+        WHERE sa.split <> sb.split
+        ORDER BY p.id_a, p.id_b
     """
     sql["perplexity_buckets"] = f"""
         WITH tok AS (

@@ -148,6 +148,7 @@ def main() -> None:
         "kmv_distinct",
         "kmv_distinct_ids",
         "perplexity_buckets",
+        "split_contamination",
         "top_duplicate_spans",
         "decontaminate_spans",
         # round-7 fourth batch. semantic_dedup / semantic_incremental run

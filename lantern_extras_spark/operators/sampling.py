@@ -101,6 +101,52 @@ def leakage_safe_split(
                       out_col=out_col, key_col=key_out_col)
 
 
+def split_contamination_report(
+    df: DataFrame,
+    pairs: DataFrame,
+    split_col: str = "split",
+    id_col: str = "doc_id",
+    summary: bool = False,
+) -> DataFrame:
+    """Audit a train/eval/test split for near-duplicate leakage — the
+    verification twin of `leakage_safe_split`: given the split-labeled
+    corpus (`df` carries `split_col`) and a near-dup pair set
+    (id_a, id_b, jaccard) from any dedup family, report every pair whose
+    endpoints landed in DIFFERENT splits. A naive per-doc `hash_split`
+    scatters near-copies across the boundary (test answers leak into
+    train); `leakage_safe_split` routes whole clusters together, and this
+    report returning ZERO rows is the checkable proof — run it as the
+    release gate before shipping a split.
+
+    Returns (id_a, split_a, id_b, split_b, jaccard) ordered (id_a, id_b);
+    `summary=True` aggregates to one row per (split_a, split_b) crossing:
+    (split_a, split_b, n_pairs, max_jaccard).
+
+    Scale shape: two id equi-joins of the pair set against a narrow
+    (id, split) projection — cost follows the PAIR count, never corpus²;
+    the corpus side is scanned once per side with only two columns read.
+    """
+    sa = df.select(F.col(id_col).alias("id_a"), F.col(split_col).alias("split_a"))
+    sb = df.select(F.col(id_col).alias("id_b"), F.col(split_col).alias("split_b"))
+    crossing = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+    )
+    if summary:
+        return (
+            crossing.groupBy("split_a", "split_b")
+            .agg(
+                F.count("*").cast("bigint").alias("n_pairs"),
+                F.max("jaccard").alias("max_jaccard"),
+            )
+            .orderBy("split_a", "split_b")
+        )
+    return crossing.select("id_a", "split_a", "id_b", "split_b", "jaccard").orderBy(
+        "id_a", "id_b"
+    )
+
+
 def stratified_take(
     df: DataFrame,
     group_cols: tuple[str, ...],

@@ -147,6 +147,9 @@ TEXT_AND_VECTOR_QUERIES = [
     # round-8: CCNet bucketing — empty/whitespace docs score exactly 0.0
     # (ties through sample ranking AND cutoff comparison on both engines)
     "perplexity_buckets",
+    # round-8: split-leakage audit — the empty/whitespace/near-identical
+    # fixture docs exercise pair-finding + split hashing + crossing filter
+    "split_contamination",
 ]
 
 

@@ -313,3 +313,36 @@ def test_pack_sequences_exact_bpe_counts(spark):
     for s in seqs:
         member_total = sum(enc.count(texts[i]) for i in s["doc_ids"])
         assert s["n_tokens"] == member_total
+
+
+def test_split_contamination_report_gates_leakage(spark):
+    """The audit's contract: a naive per-doc hash_split leaks planted
+    near-dup pairs across the boundary (report non-empty); the
+    leakage-safe cluster-keyed split yields a ZERO-row report — the
+    checkable release gate."""
+    from lantern_extras_spark.operators.dedup import minhash_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog while rain falls "
+            "on the quiet grey town and the trains hum through the night")
+    rows = []
+    for i in range(40):
+        # pairs (2i, 2i+1): near-duplicates with a one-word edit + unique tail
+        a = base + f" unique tail marker number {i}"
+        b = base.replace("quick", "swift") + f" unique tail marker number {i}"
+        rows.append((2 * i, a))
+        rows.append((2 * i + 1, b))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_dedup(docs, threshold=0.5)
+    assert pairs.count() >= 20  # the planted pairs are found
+
+    naive = SMP.hash_split(docs, splits={"train": 0.5, "test": 0.5})
+    leaky = SMP.split_contamination_report(naive, pairs)
+    assert leaky.count() > 0  # ~half the pairs straddle a 50/50 id-hash split
+
+    safe = SMP.leakage_safe_split(docs, pairs, splits={"train": 0.5, "test": 0.5})
+    clean = SMP.split_contamination_report(safe, pairs)
+    assert clean.count() == 0
+    # summary mode aggregates crossings per (split_a, split_b)
+    summ = SMP.split_contamination_report(naive, pairs, summary=True).collect()
+    assert sum(r["n_pairs"] for r in summ) == leaky.count()
+    assert all(r["max_jaccard"] >= 0.5 for r in summ)
