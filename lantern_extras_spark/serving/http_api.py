@@ -153,6 +153,20 @@ class _ApiHandler(BaseHTTPRequestHandler):
         store: CollectionStore = self.server.store
         path = self.path.split("?", 1)[0].rstrip("/") or "/"
 
+        # API documentation (reference mod.rs:158-161: utoipa swagger at
+        # /swagger-ui/ + /api-docs/openapi.json, behind the same auth wrap)
+        if path == "/api-docs/openapi.json" and method == "GET":
+            self._reply(200, _openapi_spec())
+            return True
+        if path in ("/swagger-ui", "/swagger-ui/index.html") and method == "GET":
+            body = _swagger_html().encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return True
+
         if path == "/collections":
             if method == "GET":
                 self._reply(200, [store.get_collection(n) for n in store.list_collections()])
@@ -258,6 +272,144 @@ class _ApiHandler(BaseHTTPRequestHandler):
             return True
 
         return False
+
+
+def _openapi_spec() -> dict:
+    """OpenAPI 3.0 document for the collections API — the reference exposes
+    the same via utoipa (`#[openapi(...)]`, http_server/mod.rs:78) at
+    /api-docs/openapi.json; every route this server implements is listed with
+    its request/response shapes, so standard tooling (swagger-ui, codegen,
+    contract tests) works against this engine unchanged."""
+    coll = {"type": "object", "properties": {
+        "name": {"type": "string"},
+        "schema": {"type": "object", "additionalProperties": {"type": "string"}},
+        "rows": {"type": "integer"},
+    }}
+    err = {"type": "object", "properties": {"error": {"type": "string"}}}
+
+    def op(summary, req=None, resp=None, params=None):
+        o = {"summary": summary, "responses": {
+            "200": {"description": "OK", "content": {"application/json": {
+                "schema": resp or {"type": "object"}}}},
+            "400": {"description": "Bad request", "content": {"application/json": {
+                "schema": err}}},
+        }}
+        if req is not None:
+            o["requestBody"] = {"required": True, "content": {
+                "application/json": {"schema": req}}}
+        if params:
+            o["parameters"] = params
+        return o
+
+    name_param = [{"name": "name", "in": "path", "required": True,
+                   "schema": {"type": "string", "pattern": "^[A-Za-z0-9_.-]+$"}}]
+    vec = {"type": "array", "items": {"type": "number", "format": "float"}}
+    return {
+        "openapi": "3.0.3",
+        "info": {"title": "lantern-extras-spark collections API",
+                 "description": "Spark-backed re-expression of the reference's "
+                                "start-server HTTP surface (collection CRUD, "
+                                "vector/text search, index build, PQ).",
+                 "version": "1.0.0"},
+        "components": {"securitySchemes": {"basic": {"type": "http", "scheme": "basic"}},
+                       "schemas": {"Collection": coll, "Error": err}},
+        "security": [{"basic": []}],
+        "paths": {
+            "/collections": {
+                "get": op("List collections",
+                          resp={"type": "array", "items": coll}),
+                "post": op("Create a collection",
+                           req={"type": "object", "required": ["name"],
+                                "properties": {"name": {"type": "string"},
+                                               "schema": {"type": "object",
+                                                          "additionalProperties": {"type": "string"}}}},
+                           resp=coll),
+            },
+            "/collections/{name}": {
+                "get": op("Collection info", resp=coll, params=name_param),
+                "put": op("Insert rows",
+                          req={"type": "object", "properties": {
+                              "rows": {"type": "array", "items": {"type": "object"}}}},
+                          resp={"type": "object", "properties": {
+                              "inserted": {"type": "integer"}}},
+                          params=name_param),
+                "delete": op("Drop collection", params=name_param),
+            },
+            "/collections/{name}/search": {
+                "post": op("Vector / text top-k search",
+                           req={"type": "object", "properties": {
+                               "query_vector": vec,
+                               "query_text": {"type": "string"},
+                               "query_model": {"type": "string"},
+                               "k": {"type": "integer", "default": 10},
+                               "metric": {"type": "string",
+                                          "enum": ["cosine", "l2sq", "hamming"]},
+                               "column": {"type": "string", "default": "vector"},
+                               "ef": {"type": "integer"},
+                               "select": {"type": "string"}}},
+                           resp={"type": "object", "properties": {
+                               "rows": {"type": "array", "items": {"type": "object"}}}},
+                           params=name_param),
+            },
+            "/collections/{name}/index": {
+                "post": op("Create vector index",
+                           req={"type": "object", "properties": {
+                               "column": {"type": "string", "default": "vector"},
+                               "metric": {"type": "string",
+                                          "enum": ["cosine", "l2sq", "hamming"]},
+                               "ef": {"type": "integer", "default": 64},
+                               "ef_construction": {"type": "integer", "default": 128},
+                               "m": {"type": "integer", "default": 16},
+                               "pq": {"type": "boolean", "default": False},
+                               "name": {"type": "string"}}},
+                           resp={"type": "object", "properties": {
+                               "index": {"type": "string"}}},
+                           params=name_param),
+            },
+            "/index/{index_name}": {
+                "delete": op("Drop index", params=[
+                    {"name": "index_name", "in": "path", "required": True,
+                     "schema": {"type": "string"}}]),
+            },
+            "/collections/{name}/pq": {
+                "post": op("Product-quantize a collection column",
+                           req={"type": "object", "required": ["splits"],
+                                "properties": {
+                                    "column": {"type": "string", "default": "vector"},
+                                    "splits": {"type": "integer"},
+                                    "clusters": {"type": "integer", "default": 256},
+                                    "limit": {"type": "integer"}}},
+                           params=name_param),
+            },
+        },
+    }
+
+
+def _swagger_html() -> str:
+    """Self-contained docs page (no CDN/network dependency — the sandbox and
+    air-gapped deployments alike can read it): renders the OpenAPI spec's
+    routes inline from /api-docs/openapi.json."""
+    return """<!doctype html><html><head><meta charset="utf-8">
+<title>lantern-extras-spark API</title>
+<style>body{font-family:sans-serif;margin:2em;max-width:60em}
+code{background:#f0f0f0;padding:1px 4px;border-radius:3px}
+.m{display:inline-block;width:4.5em;font-weight:bold}</style></head><body>
+<h1>lantern-extras-spark collections API</h1>
+<p>Spec: <a href="/api-docs/openapi.json">/api-docs/openapi.json</a> (OpenAPI 3.0
+&mdash; point any swagger-ui / codegen tool at it).</p>
+<div id="routes">loading&hellip;</div>
+<script>
+fetch('/api-docs/openapi.json').then(r=>r.json()).then(s=>{
+  const el=document.getElementById('routes'); el.innerHTML='';
+  for (const [p,ops] of Object.entries(s.paths))
+    for (const [m,o] of Object.entries(ops)) {
+      const d=document.createElement('div');
+      d.innerHTML='<span class="m">'+m.toUpperCase()+'</span> <code>'+p+
+                  '</code> &mdash; '+o.summary;
+      el.appendChild(d);
+    }
+}).catch(e=>{document.getElementById('routes').textContent='spec fetch failed: '+e});
+</script></body></html>"""
 
 
 class _HttpError(Exception):
