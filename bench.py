@@ -149,6 +149,7 @@ def main() -> None:
         "kmv_distinct_ids",
         "perplexity_buckets",
         "split_contamination",
+        "sq8_search",
         "top_duplicate_spans",
         "decontaminate_spans",
         # round-7 fourth batch. semantic_dedup / semantic_incremental run

@@ -150,6 +150,10 @@ TEXT_AND_VECTOR_QUERIES = [
     # round-8: split-leakage audit — the empty/whitespace/near-identical
     # fixture docs exercise pair-finding + split hashing + crossing filter
     "split_contamination",
+    # round-8: SQ8 compressed kNN — the zero vector and the exact-duplicate
+    # triple push clamp/dequant arithmetic and distance ties through both
+    # engines' bounds -> codes -> rank pipeline
+    "sq8_search",
 ]
 
 
