@@ -1398,6 +1398,17 @@ def q_kmv_distinct_ids(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc out-of-vocabulary rate vs the corpus top-200 vocab
+    (textstats.oov_rate): deterministic (count desc, token asc) top-k vocab,
+    broadcast membership join, per-doc mean — the counting cousin of the
+    unigram LM score. The DuckDB oracle replays vocab -> membership ->
+    rate."""
+    docs = _t(spark, sf, "documents")
+    out = TS.oov_rate(docs, top_v=200)
+    return out.select("doc_id", "lang", F.col("oov_rate"))
+
+
 def q_sq8_search(spark: SparkSession, sf: str) -> DataFrame:
     """SQ8 compressed kNN (operators/sq.py): per-dim int8 affine codes over
     the corpus side, top-10 per query on DEQUANTIZED distances — ~4× less
@@ -1703,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "split_contamination": q_split_contamination,
         "sq8_search": q_sq8_search,
+        "oov_rate": q_oov_rate,
         "heavy_hitters": q_heavy_hitters,
         "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
         "corpus_diff": q_corpus_diff,
@@ -2721,6 +2733,25 @@ def _oracle_sql_raw() -> dict[str, str]:
                           ELSE 63.0 * 4294967296.0 / CAST(kth.hk AS DOUBLE)
                      END, 4) AS distinct_est
         FROM n JOIN kth USING (source)
+    """
+    sql["oov_rate"] = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_sql_words('lower(text)')}) AS w FROM documents
+        ),
+        counts AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        vocab AS (
+            SELECT w FROM counts
+            ORDER BY c DESC, w ASC
+            LIMIT 200
+        ),
+        per_doc AS (
+            SELECT t.doc_id,
+                   avg(CASE WHEN v.w IS NULL THEN 1.0 ELSE 0.0 END) AS r
+            FROM tok t LEFT JOIN vocab v ON v.w = t.w
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id, d.lang, round(coalesce(per_doc.r, 0.0), 6) AS oov_rate
+        FROM documents d LEFT JOIN per_doc USING (doc_id)
     """
     sql["sq8_search"] = """
         WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),

@@ -150,6 +150,7 @@ def main() -> None:
         "perplexity_buckets",
         "split_contamination",
         "sq8_search",
+        "oov_rate",
         "top_duplicate_spans",
         "decontaminate_spans",
         # round-7 fourth batch. semantic_dedup / semantic_incremental run

@@ -715,6 +715,54 @@ def unigram_logprob_score(
     )
 
 
+def oov_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_v: int = 1000,
+    ref: DataFrame | None = None,
+    out_col: str = "oov_rate",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate: the fraction of a doc's
+    (lowercased, whitespace) tokens that fall OUTSIDE the top-`top_v`
+    token vocabulary of `ref` (default: the corpus itself) — the robust
+    counting cousin of `unigram_logprob_score` (gibberish, boilerplate
+    keyboard-mash, and wrong-language docs are mostly tail tokens; a mean
+    log-prob can be dragged by a few extreme tokens, a rate cannot).
+    Token-less docs report 0.0 (nothing out of vocabulary).
+
+    Deterministic vocab: top-`top_v` by (count desc, token asc) — the same
+    total order every engine replays. Returns df + out_col (id-preserving).
+
+    Scale shape: the vocab is one token-count aggregation finished by a
+    bounded top-k (`orderBy().limit()` → TakeOrderedAndProject, never a
+    global sort kept around); membership is a BROADCAST left-semi-style
+    join of the exploded doc tokens against ≤ top_v rows; the per-doc rate
+    is one groupBy(id) mean. The Zipf tail never shuffles anywhere."""
+    if top_v < 1:
+        raise ValueError(f"top_v must be >= 1, got {top_v}")
+    ref = df if ref is None else ref
+    vocab = (
+        ref.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count("*").alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("__tok").asc())
+        .limit(top_v)
+        .select("__tok", F.lit(True).alias("__in_v"))
+    )
+    doc_toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok")
+    )
+    per_doc = (
+        doc_toks.join(F.broadcast(vocab), "__tok", "left")
+        .groupBy(id_col)
+        .agg(F.avg(F.when(F.col("__in_v").isNull(), 1.0).otherwise(0.0)).alias(out_col))
+    )
+    return df.join(per_doc, id_col, "left").withColumn(
+        out_col, pround(F.coalesce(F.col(out_col), F.lit(0.0)), 6)
+    )
+
+
 def perplexity_buckets(
     df: DataFrame,
     text_col: str = "text",

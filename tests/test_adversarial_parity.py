@@ -154,6 +154,9 @@ TEXT_AND_VECTOR_QUERIES = [
     # triple push clamp/dequant arithmetic and distance ties through both
     # engines' bounds -> codes -> rank pipeline
     "sq8_search",
+    # round-8: per-doc OOV rate — empty docs pin the 0.0 convention and the
+    # tie-broken top-V vocab boundary must agree across engines
+    "oov_rate",
 ]
 
 

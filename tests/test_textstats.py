@@ -160,3 +160,21 @@ def test_perplexity_buckets_validation_and_empty_sample(spark):
     z = perplexity_buckets(docs, k=8, n_rows=10**9)
     assert z.count() == 20
     assert z.where(F.col("ppl_bucket").isNull()).count() == 20
+
+
+def test_oov_rate_semantics(spark):
+    """Known-vocab fixture: docs made of common tokens rate 0.0, pure-tail
+    docs 1.0, mixed docs the exact fraction; empty docs report 0.0."""
+    from lantern_extras_spark.operators.textstats import oov_rate
+
+    common = "alpha beta gamma"
+    rows = [(i, common) for i in range(20)]           # make alpha/beta/gamma the head
+    rows += [(100, "alpha beta"), (101, "zz1 zz2"), (102, "alpha zz3"), (103, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["oov_rate"] for r in oov_rate(df, top_v=3).collect()}
+    assert out[100] == 0.0
+    assert out[101] == 1.0
+    assert out[102] == 0.5
+    assert out[103] == 0.0
+    with pytest.raises(ValueError, match="top_v"):
+        oov_rate(df, top_v=0)
