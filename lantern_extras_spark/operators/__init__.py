@@ -47,3 +47,12 @@ from lantern_extras_spark.operators.pq import build_codebook, quantize, adc_topk
 from lantern_extras_spark.operators.autotune import autotune_pq, AutotuneResults, select_best  # noqa: F401
 from lantern_extras_spark.operators.ivf import build_ivf, ivf_topk, assign_cells  # noqa: F401
 from lantern_extras_spark.operators.temporal import asof_join, range_join  # noqa: F401
+from lantern_extras_spark.operators.sq import (  # noqa: F401
+    sq8_encode,
+    sq8_knn_join,
+    sq8_pack,
+    sq8_recall_vs_exact,
+    sq8_topk,
+    sq8_train,
+    sq8_unpack,
+)

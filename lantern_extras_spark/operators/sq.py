@@ -210,3 +210,21 @@ def sq8_recall_vs_exact(
     rec = recall(truth_df, res, k)
     coded.unpersist()
     return rec
+
+
+def sq8_pack(df: DataFrame, code_col: str = "sq8", out_col: str | None = None) -> DataFrame:
+    """Storage form: shift codes 0–255 to −128..127 and cast to
+    `array<tinyint>` — one byte per dimension on disk (parquet stores
+    tinyint as INT32 logical-annotated int8; columnar encoding + dictionary
+    keeps it at byte scale), the honest ¼-of-float32 footprint the module
+    docstring claims. `sq8_unpack` restores search-form codes exactly."""
+    c = out_col or code_col
+    packed = F.transform(F.col(code_col), lambda x: (x - 128).cast("byte"))
+    return df.withColumn(c, packed)
+
+
+def sq8_unpack(df: DataFrame, code_col: str = "sq8", out_col: str | None = None) -> DataFrame:
+    """Inverse of `sq8_pack`: bytes −128..127 back to search-form 0–255."""
+    c = out_col or code_col
+    codes = F.transform(F.col(code_col), lambda x: (x.cast("smallint") + 128).cast("smallint"))
+    return df.withColumn(c, codes)

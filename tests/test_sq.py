@@ -86,3 +86,23 @@ def test_sq8_topk_plan_is_partial_topk(spark, emb):
     coded = SQ.sq8_encode(emb, mins, maxs)
     s = plan_summary(SQ.sq8_topk(coded, mins, maxs, [0.0] * len(mins)))
     assert "TakeOrderedAndProject" in s.text, s.text
+
+
+def test_sq8_pack_parquet_roundtrip(spark, emb, tmp_path):
+    """Byte storage form round-trips through parquet exactly: pack (−128
+    shift, tinyint), write, read, unpack — identical codes and identical
+    top-k results."""
+    mins, maxs = SQ.sq8_train(emb)
+    coded = SQ.sq8_encode(emb, mins, maxs)
+    p = str(tmp_path / "sq8.parquet")
+    SQ.sq8_pack(coded).write.parquet(p)
+    back = spark.read.parquet(p)
+    assert dict(back.schema["sq8"].dataType.jsonValue(),)["elementType"] == "byte"
+    restored = SQ.sq8_unpack(back)
+    a = {r["vec_id"]: list(r["sq8"]) for r in coded.collect()}
+    b = {r["vec_id"]: list(r["sq8"]) for r in restored.collect()}
+    assert a == b
+    q = [0.0] * len(mins)
+    t1 = [(r["vec_id"], round(r["distance"], 9)) for r in SQ.sq8_topk(coded, mins, maxs, q, k=5).collect()]
+    t2 = [(r["vec_id"], round(r["distance"], 9)) for r in SQ.sq8_topk(restored, mins, maxs, q, k=5).collect()]
+    assert t1 == t2
