@@ -29,6 +29,7 @@ from lantern_extras_spark.operators import pq as PQ
 from lantern_extras_spark.operators import textstats as TS
 from lantern_extras_spark.operators import ivf as IVF
 from lantern_extras_spark.operators import sampling as SMP
+from lantern_extras_spark.operators import retrieval as RET
 from lantern_extras_spark.operators import sq as SQ
 from lantern_extras_spark.operators import temporal as TMP
 from lantern_extras_spark.operators import versioning as VER
@@ -1626,6 +1627,86 @@ def q_embedding_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 # Contract functions
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Retrieval: BM25 lexical ranking, hybrid RRF fusion, late interaction, MMR
+# ---------------------------------------------------------------------------
+
+MAXSIM_QUERY_B = "sort table hash value scan"
+
+
+def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-10 for the flagship query terms — the lexical ranker paired
+    with the reference's vector search (http_server/search.rs top-k shape).
+    Stats pass = exact-integer aggregate; scoring pass = narrow no-shuffle
+    projection; top-k via TakeOrderedAndProject."""
+    docs = _t(spark, sf, "documents")
+    out = RET.bm25_topk(docs, QUERY_TEXT.split(), k=10, round_dp=6)
+    return out.select("doc_id", "score", "rnk")
+
+
+def _vec_topk(spark: SparkSession, sf: str, n: int) -> DataFrame:
+    """Cosine top-n over hash embeddings (the doc_search plan, parameterized)."""
+    docs = _t(spark, sf, "documents")
+    qv = _hash_embed_py(QUERY_TEXT)
+    corpus = docs.where(ignore_filter("text")).select(
+        "doc_id", hash_embedding("text").alias("emb")
+    )
+    qcol = F.lit(qv).cast("array<double>")
+    scored = corpus.select(
+        "doc_id", pround(V.cos_sim(F.col("emb"), qcol), 6).alias("cosine")
+    )
+    top = scored.orderBy(F.col("cosine").desc(), F.col("doc_id").asc()).limit(n)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+
+
+def q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid lexical+vector search: BM25 top-30 and cosine top-30 fused with
+    reciprocal-rank fusion (k0=60), final top-10. Each system's list is
+    bounded, so the fusion join is a few dozen rows at any corpus scale."""
+    docs = _t(spark, sf, "documents")
+    bm = RET.bm25_topk(docs, QUERY_TEXT.split(), k=30, round_dp=6).select("doc_id", "rnk")
+    vec = _vec_topk(spark, sf, 30).select("doc_id", "rnk")
+    return RET.rrf_fuse([bm, vec], k=10).select("doc_id", "rrf", "rnk")
+
+
+def q_maxsim_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Late-interaction (ColBERT maxsim) retrieval: chunk documents, embed the
+    chunks, score(doc) = Σ over two query vectors of the max chunk cosine.
+    Max aggregates are order-insensitive → engine-deterministic."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    chunks = TS.chunk_documents(docs, window=16, overlap=4)
+    ce = chunks.select("doc_id", hash_embedding("chunk_text").alias("emb"))
+    qa = _hash_embed_py(QUERY_TEXT)
+    qb = _hash_embed_py(MAXSIM_QUERY_B)
+    out = RET.maxsim_topk(ce, [qa, qb], k=10)
+    return out.select("doc_id", "m_0", "m_1", "score", "rnk")
+
+
+def q_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """MMR-diversified top-5 from the cosine top-20 candidates (λ=0.7). All
+    similarity arithmetic stays in Column expressions (pround 6); only the
+    greedy argmax runs in applyInPandas over the 20-row candidate group."""
+    docs = _t(spark, sf, "documents")
+    qv = _hash_embed_py(QUERY_TEXT)
+    corpus = docs.where(ignore_filter("text")).select(
+        "doc_id", hash_embedding("text").alias("emb")
+    )
+    qcol = F.lit(qv).cast("array<double>")
+    scored = corpus.select(
+        "doc_id", "emb", pround(V.cos_sim(F.col("emb"), qcol), 6).alias("simq")
+    )
+    cand = scored.orderBy(F.col("simq").desc(), F.col("doc_id").asc()).limit(20)
+    # cache-before-self-join: the candidate plan carries HOF folds (cos_sim);
+    # Spark's conflicting-attribute rewrite on a HOF self-join loses lambda
+    # bindings (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) — InMemoryRelation dedup
+    # is the sound workaround (same as semantic_dedup's native branch).
+    cand = cand.cache()
+    cand.count()
+    out = RET.mmr_rerank(cand, k=5, lam=0.7)
+    return out.select("rnk", "doc_id", "mmr")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: semantic document search via
     deterministic embeddings (embed corpus + query, cosine top-10)."""
@@ -1715,6 +1796,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_contamination": q_split_contamination,
         "sq8_search": q_sq8_search,
         "oov_rate": q_oov_rate,
+        "bm25_search": q_bm25_search,
+        "hybrid_rrf": q_hybrid_rrf,
+        "maxsim_search": q_maxsim_search,
+        "mmr_rerank": q_mmr_rerank,
         "heavy_hitters": q_heavy_hitters,
         "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
         "corpus_diff": q_corpus_diff,
@@ -2804,6 +2889,123 @@ def _oracle_sql_raw() -> dict[str, str]:
         JOIN sp sb ON sb.doc_id = p.id_b
         WHERE sa.split <> sb.split
         ORDER BY p.id_a, p.id_b
+    """
+    # --- retrieval: BM25 / hybrid RRF / maxsim / MMR -----------------------
+    def _sql_cos(e: str, q: str) -> str:
+        """Mirror of V.cos_sim (zero-norm guard, same fold order) — the
+        doc_search oracle's cosine, factored for reuse."""
+        na = f"sqrt(list_sum(list_transform({e}, x->x*x)))"
+        nb = f"sqrt(list_sum(list_transform({q}, x->x*x)))"
+        dot = f"list_sum(list_transform(range(1, len({e})+1), i -> ({e})[i] * ({q})[i]))"
+        return f"CASE WHEN {na} * {nb} = 0 THEN 0.0 ELSE {dot} / ({na} * {nb}) END"
+
+    bm25_terms = QUERY_TEXT.split()
+    bm25_body = RET.bm25_sql(bm25_terms, round_dp=6)
+    sql["bm25_search"] = f"""
+        WITH bm AS (SELECT * FROM ({bm25_body}))
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM bm
+        QUALIFY rnk <= 10
+    """
+    sql["hybrid_rrf"] = f"""
+        WITH bm AS (SELECT * FROM ({bm25_body})),
+             bmtop AS (
+                SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+                FROM bm QUALIFY rnk <= 30
+             ),
+             corpus AS (
+                SELECT doc_id, {emb_list_sql} AS emb
+                FROM documents WHERE {_sql_ignore_filter()}
+             ),
+             cs AS (SELECT doc_id, round({_sql_cos('emb', qv_sql)}, 6) AS cosine FROM corpus),
+             vtop AS (
+                SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rnk
+                FROM cs QUALIFY rnk <= 30
+             ),
+             fused AS (
+                SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+                       round(coalesce(1.0 / (60.0 + CAST(b.rnk AS DOUBLE)), 0.0)
+                             + coalesce(1.0 / (60.0 + CAST(v.rnk AS DOUBLE)), 0.0), 6) AS rrf
+                FROM bmtop b FULL OUTER JOIN vtop v ON b.doc_id = v.doc_id
+             )
+        SELECT doc_id, rrf,
+               row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rnk
+        FROM fused
+        QUALIFY rnk <= 10
+    """
+    qb_vec = _hash_embed_py(MAXSIM_QUERY_B)
+    qb_sql = "[" + ", ".join(repr(x) for x in qb_vec) + "]::DOUBLE[]"
+    chunk_emb16 = [_sql_embed_elem(i, col="chunk_text") for i in range(16)]
+    chunk_emb_sql = "[" + ", ".join(chunk_emb16) + "]::DOUBLE[]"
+    sql["maxsim_search"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_sql_words()} AS w FROM documents WHERE doc_id < 200
+        ),
+        s AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+        st AS (
+            SELECT doc_id, w, n,
+                   unnest([x FOR x IN range(1, greatest(n, 1) + 1, 12)
+                           IF x <= n AND (x = 1 OR x - 12 + 16 - 1 < n)]) AS start
+            FROM s
+        ),
+        ch AS (SELECT doc_id, array_to_string(w[start:start + 15], ' ') AS chunk_text FROM st),
+        ce AS (SELECT doc_id, {chunk_emb_sql} AS emb FROM ch),
+        sc AS (
+            SELECT doc_id,
+                   round({_sql_cos('emb', qv_sql)}, 6) AS c0,
+                   round({_sql_cos('emb', qb_sql)}, 6) AS c1
+            FROM ce
+        ),
+        pd AS (SELECT doc_id, max(c0) AS m_0, max(c1) AS m_1 FROM sc GROUP BY doc_id),
+        fin AS (SELECT doc_id, m_0, m_1, 0.0 + m_0 + m_1 AS score FROM pd)
+        SELECT doc_id, m_0, m_1, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM fin
+        QUALIFY rnk <= 10
+    """
+    # MMR: 5 unrolled greedy steps; float literals in e0-notation so DuckDB
+    # computes (1.0 − 0.7) in IEEE doubles (bare literals are DECIMAL and
+    # would yield exact 0.3 instead of Spark's 0.30000000000000004)
+    mmr_steps = []
+    prev_sel: list[str] = []
+    for step in range(1, 6):
+        if not prev_sel:
+            expr = "0.7e0 * c.simq - (1.0e0 - 0.7e0) * 0.0e0"
+            where = ""
+        else:
+            sel_union = " UNION ALL ".join(f"SELECT doc_id FROM p{j}" for j in prev_sel)
+            expr = (
+                "0.7e0 * c.simq - (1.0e0 - 0.7e0) * "
+                f"(SELECT max(p.s) FROM pair p WHERE p.ia = c.doc_id "
+                f"AND p.ib IN ({sel_union}))"
+            )
+            where = f"WHERE c.doc_id NOT IN ({sel_union})"
+        mmr_steps.append(
+            f"p{step} AS (SELECT c.doc_id, {expr} AS mmr FROM cand c {where} "
+            f"ORDER BY mmr DESC, c.doc_id ASC LIMIT 1)"
+        )
+        prev_sel.append(str(step))
+    mmr_out = " UNION ALL ".join(
+        f"SELECT CAST({j} AS BIGINT) AS rnk, doc_id, round(mmr, 6) AS mmr FROM p{j}"
+        for j in range(1, 6)
+    )
+    sql["mmr_rerank"] = f"""
+        WITH corpus AS (
+            SELECT doc_id, {emb_list_sql} AS emb
+            FROM documents WHERE {_sql_ignore_filter()}
+        ),
+        sc AS (SELECT doc_id, emb, round({_sql_cos('emb', qv_sql)}, 6) AS simq FROM corpus),
+        cand AS (
+            SELECT * FROM sc
+            QUALIFY row_number() OVER (ORDER BY simq DESC, doc_id ASC) <= 20
+        ),
+        pair AS (
+            SELECT a.doc_id AS ia, b.doc_id AS ib, round({_sql_cos('a.emb', 'b.emb')}, 6) AS s
+            FROM cand a JOIN cand b ON a.doc_id != b.doc_id
+        ),
+        {', '.join(mmr_steps)}
+        {mmr_out}
     """
     sql["perplexity_buckets"] = f"""
         WITH tok AS (

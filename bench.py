@@ -151,6 +151,10 @@ def main() -> None:
         "split_contamination",
         "sq8_search",
         "oov_rate",
+        "bm25_search",
+        "hybrid_rrf",
+        "maxsim_search",
+        "mmr_rerank",
         "top_duplicate_spans",
         "decontaminate_spans",
         # round-7 fourth batch. semantic_dedup / semantic_incremental run

@@ -157,6 +157,15 @@ TEXT_AND_VECTOR_QUERIES = [
     # round-8: per-doc OOV rate — empty docs pin the 0.0 convention and the
     # tie-broken top-V vocab boundary must agree across engines
     "oov_rate",
+    # round-8 retrieval batch: BM25's idf/tf arithmetic over empty and
+    # degenerate-repetition docs (df_t = 0 terms pin the ln(1 + (N+0.5)/0.5)
+    # branch), RRF's missing-rank coalesce and massive score ties through
+    # id tie-break, maxsim's empty-chunk exclusion, and MMR's greedy argmax
+    # over near-identical candidates (exact-duplicate texts -> sim ties)
+    "bm25_search",
+    "hybrid_rrf",
+    "maxsim_search",
+    "mmr_rerank",
 ]
 
 
