@@ -29,6 +29,7 @@ from lantern_extras_spark.operators import pq as PQ
 from lantern_extras_spark.operators import textstats as TS
 from lantern_extras_spark.operators import ivf as IVF
 from lantern_extras_spark.operators import sampling as SMP
+from lantern_extras_spark.operators import bq as BQ
 from lantern_extras_spark.operators import retrieval as RET
 from lantern_extras_spark.operators import sq as SQ
 from lantern_extras_spark.operators import temporal as TMP
@@ -1707,6 +1708,22 @@ def q_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("rnk", "doc_id", "mmr")
 
 
+def q_bq_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-quantization two-stage search (compressed kNN family #4, the
+    storage twin of the index server's B1 wire frames): midrange-threshold
+    1-bit codes, Hamming top-40 candidate prune (integer bit_count(xor) over
+    packed words), exact l2sq rerank to top-10."""
+    emb = _t(spark, sf, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in qrow["embedding"]]
+    out = BQ.bq_search(corpus, qv, k=10, oversample=4, dist_scale=5)
+    return out.select(
+        "vec_id", F.col("hamming").cast("bigint").alias("hamming"),
+        "l2sq_distance", "rnk",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: semantic document search via
     deterministic embeddings (embed corpus + query, cosine top-10)."""
@@ -1797,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_search": q_sq8_search,
         "oov_rate": q_oov_rate,
         "bm25_search": q_bm25_search,
+        "bq_search": q_bq_search,
         "hybrid_rrf": q_hybrid_rrf,
         "maxsim_search": q_maxsim_search,
         "mmr_rerank": q_mmr_rerank,
@@ -2869,6 +2887,48 @@ def _oracle_sql_raw() -> dict[str, str]:
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY sq8_distance ASC, vec_id ASC) AS rnk
         FROM scored
+        QUALIFY rnk <= 10
+    """
+    # BQ two-stage search: midrange thresholds -> unpacked bits -> Hamming as
+    # Σ bit differences (== popcount of the packed xor, pinned by pytest) ->
+    # candidate prune -> exact l2sq rerank. Dimension-agnostic.
+    sql["bq_search"] = """
+        WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings WHERE vec_id >= 5),
+             q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+             e AS (SELECT unnest(dv) AS x, generate_subscripts(dv, 1) AS d FROM corpus),
+             md AS (SELECT d, (min(x) + max(x)) / 2.0e0 AS m FROM e GROUP BY d),
+             ml AS (SELECT list(m ORDER BY d) AS ms FROM md),
+             cb AS (
+                SELECT c.vec_id, c.dv,
+                       list_transform(range(1, len(c.dv) + 1),
+                           j -> CASE WHEN c.dv[j] > ml.ms[j] THEN 1 ELSE 0 END) AS bits
+                FROM corpus c CROSS JOIN ml
+             ),
+             qb AS (
+                SELECT q.qv,
+                       list_transform(range(1, len(q.qv) + 1),
+                           j -> CASE WHEN q.qv[j] > ml.ms[j] THEN 1 ELSE 0 END) AS bits
+                FROM q CROSS JOIN ml
+             ),
+             ham AS (
+                SELECT c.vec_id, c.dv,
+                       CAST(len(list_filter(range(1, len(c.bits) + 1),
+                                j -> c.bits[j] != qb.bits[j])) AS BIGINT) AS hamming
+                FROM cb c CROSS JOIN qb
+             ),
+             cand AS (
+                SELECT * FROM ham
+                QUALIFY row_number() OVER (ORDER BY hamming ASC, vec_id ASC) <= 40
+             ),
+             rr AS (
+                SELECT c.vec_id, c.hamming,
+                       round(list_sum(list_transform(range(1, len(c.dv) + 1),
+                             i -> (c.dv[i] - qb.qv[i]) * (c.dv[i] - qb.qv[i]))), 5) AS l2sq_distance
+                FROM cand c CROSS JOIN qb
+             )
+        SELECT vec_id, hamming, l2sq_distance,
+               row_number() OVER (ORDER BY l2sq_distance ASC, vec_id ASC) AS rnk
+        FROM rr
         QUALIFY rnk <= 10
     """
     sql["split_contamination"] = f"""

@@ -152,6 +152,7 @@ def main() -> None:
         "sq8_search",
         "oov_rate",
         "bm25_search",
+        "bq_search",
         "hybrid_rrf",
         "maxsim_search",
         "mmr_rerank",

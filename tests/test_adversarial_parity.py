@@ -166,6 +166,10 @@ TEXT_AND_VECTOR_QUERIES = [
     "hybrid_rrf",
     "maxsim_search",
     "mmr_rerank",
+    # round-8: BQ two-stage search — the zero vector and the exact-duplicate
+    # triple force Hamming ties (identical codes) and rerank distance ties
+    # through id tie-break on both engines; dim-8 pins the short-word packing
+    "bq_search",
 ]
 
 
