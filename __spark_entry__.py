@@ -29,6 +29,7 @@ from lantern_extras_spark.operators import pq as PQ
 from lantern_extras_spark.operators import textstats as TS
 from lantern_extras_spark.operators import ivf as IVF
 from lantern_extras_spark.operators import sampling as SMP
+from lantern_extras_spark.operators import bloom as BL
 from lantern_extras_spark.operators import bq as BQ
 from lantern_extras_spark.operators import retrieval as RET
 from lantern_extras_spark.operators import sq as SQ
@@ -1724,6 +1725,29 @@ def q_bq_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bloom_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-prefiltered semi join (exact): lineitem pruned during its scan
+    by a filter built from the selective orders subset, false positives
+    removed by the left_semi join over the surviving sliver — result is
+    bit-identical to a plain EXISTS (the oracle). At 100 TB the shuffle
+    carries ~1% of the big side instead of all of it."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    keys = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    ).select("o_orderkey")
+    sj = BL.bloom_semi_join(li, keys, big_col="l_orderkey", key_col="o_orderkey")
+    return (
+        sj.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: semantic document search via
     deterministic embeddings (embed corpus + query, cosine top-10)."""
@@ -1813,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_contamination": q_split_contamination,
         "sq8_search": q_sq8_search,
         "oov_rate": q_oov_rate,
+        "bloom_semi_join": q_bloom_semi_join,
         "bm25_search": q_bm25_search,
         "bq_search": q_bq_search,
         "hybrid_rrf": q_hybrid_rrf,
@@ -2888,6 +2913,21 @@ def _oracle_sql_raw() -> dict[str, str]:
                                   ORDER BY sq8_distance ASC, vec_id ASC) AS rnk
         FROM scored
         QUALIFY rnk <= 10
+    """
+    # Bloom-prefiltered semi join is EXACT (confirm join removes the FPs), so
+    # the oracle is the plain EXISTS it must equal
+    sql["bloom_semi_join"] = """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM lineitem l
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_orderkey = l.l_orderkey
+              AND o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 150000
+        )
+        GROUP BY l_returnflag
     """
     # BQ two-stage search: midrange thresholds -> unpacked bits -> Hamming as
     # Σ bit differences (== popcount of the packed xor, pinned by pytest) ->

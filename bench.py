@@ -151,6 +151,7 @@ def main() -> None:
         "split_contamination",
         "sq8_search",
         "oov_rate",
+        "bloom_semi_join",
         "bm25_search",
         "bq_search",
         "hybrid_rrf",

@@ -1,0 +1,87 @@
+"""Unit tests for operators/bloom.py: exactness of the prefiltered joins
+against plain semi/anti joins (both membership modes), no-false-negatives,
+false-positive-rate sanity, driver/engine membership parity, and edge cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lantern_extras_spark.operators import bloom as BL
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    big = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    ).cache()
+    keys = spark.range(0, 5000, 13).select(F.col("id").alias("k")).cache()
+    big.count(), keys.count()
+    return big, keys
+
+
+def test_semi_exact_both_modes(spark, frames):
+    big, keys = frames
+    want = sorted(r["k"] for r in big.join(keys, "k", "left_semi").collect())
+    for mode in ("literal", "broadcast"):
+        got = sorted(
+            r["k"] for r in BL.bloom_semi_join(big, keys, "k", mode=mode).collect()
+        )
+        assert got == want, mode
+
+
+def test_anti_exact_and_partition(spark, frames):
+    big, keys = frames
+    want = sorted(r["k"] for r in big.join(keys, "k", "left_anti").collect())
+    got_df = BL.bloom_anti_join(big, keys, "k")
+    got = sorted(r["k"] for r in got_df.collect())
+    assert got == want
+    # anti + semi partition the big side
+    n_semi = BL.bloom_semi_join(big, keys, "k").count()
+    assert n_semi + got_df.count() == big.count()
+
+
+def test_no_false_negatives_and_fp_rate(spark, frames):
+    big, keys = frames
+    bf = BL.bloom_build(keys, "k")
+    # every true member must pass the prefilter
+    members = keys.withColumnRenamed("k", "kk")
+    passed = members.where(BL.bloom_might_contain(bf, "kk", mode="literal")).count()
+    assert passed == keys.count()
+    # measured FP rate on disjoint keys is near theory (theory ~1% at 10 b/k)
+    outside = spark.range(1_000_000, 1_020_000).select(F.col("id").alias("kk"))
+    fp = outside.where(BL.bloom_might_contain(bf, "kk", mode="literal")).count()
+    assert fp / 20_000 < max(0.05, 5 * bf.fp_rate_estimate)
+
+
+def test_driver_engine_membership_parity(spark, frames):
+    _, keys = frames
+    bf = BL.bloom_build(keys, "k")
+    sample = [r["k"] for r in keys.limit(20).collect()] + [999983, 999979]
+    df = spark.createDataFrame([(v,) for v in sample], "kk long")
+    eng = {
+        r["kk"]: r["m"]
+        for r in df.select(
+            "kk", BL.bloom_might_contain(bf, "kk", mode="literal").alias("m")
+        ).collect()
+    }
+    for v in sample:
+        assert bf.contains_py(str(v)) == eng[v], v
+
+
+def test_inexact_mode_is_superset(spark, frames):
+    big, keys = frames
+    exact = {r["k"] for r in BL.bloom_semi_join(big, keys, "k").collect()}
+    loose = {r["k"] for r in BL.bloom_semi_join(big, keys, "k", exact=False).collect()}
+    assert exact <= loose
+
+
+def test_empty_keys(spark, frames):
+    big, _ = frames
+    empty = big.sparkSession.range(0).select(F.col("id").alias("k"))
+    assert BL.bloom_semi_join(big, empty, "k").count() == 0
+    assert BL.bloom_anti_join(big, empty, "k").count() == big.count()
+
+
+def test_bad_geometry_raises(spark, frames):
+    _, keys = frames
+    with pytest.raises(ValueError, match="power of two"):
+        BL.bloom_build(keys, "k", m_bits=1000)
