@@ -1725,6 +1725,15 @@ def q_bq_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf rank-frequency power-law fit over the corpus vocabulary — the
+    one-row corpus-health gauge (natural text ≈ slope −1; templated text
+    flattens). All float sums are rank-ordered sequential folds, so the
+    fitted coefficients agree bit-for-bit across engines."""
+    docs = _t(spark, sf, "documents")
+    return TS.zipf_fit(docs, top_k=100, round_dp=6)
+
+
 def q_bloom_semi_join(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom-prefiltered semi join (exact): lineitem pruned during its scan
     by a filter built from the selective orders subset, false positives
@@ -1838,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_search": q_sq8_search,
         "oov_rate": q_oov_rate,
         "bloom_semi_join": q_bloom_semi_join,
+        "zipf_slope": q_zipf_slope,
         "bm25_search": q_bm25_search,
         "bq_search": q_bq_search,
         "hybrid_rrf": q_hybrid_rrf,
@@ -2913,6 +2923,32 @@ def _oracle_sql_raw() -> dict[str, str]:
                                   ORDER BY sq8_distance ASC, vec_id ASC) AS rnk
         FROM scored
         QUALIFY rnk <= 10
+    """
+    # Zipf fit: exact integer counts, lexicographic rank tie-break, and every
+    # float sum a rank-ordered sequential fold (list ORDER BY + list_sum vs
+    # array_sort + F.aggregate) — coefficients agree before rounding
+    sql["zipf_slope"] = f"""
+        WITH t AS (SELECT {_sql_words()} AS w FROM documents),
+             tok AS (SELECT unnest(w) AS tkn FROM t),
+             cnt AS (SELECT tkn, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tkn),
+             top AS (SELECT tkn, c, row_number() OVER (ORDER BY c DESC, tkn ASC) AS r
+                     FROM cnt QUALIFY r <= 100),
+             arr AS (SELECT list(struct_pack(x := ln(CAST(r AS DOUBLE)),
+                                             y := ln(CAST(c AS DOUBLE))) ORDER BY r) AS a,
+                            CAST(count(*) AS BIGINT) AS n_terms FROM top),
+             s AS (SELECT n_terms,
+                          list_sum(list_transform(a, e -> e.x)) AS sx,
+                          list_sum(list_transform(a, e -> e.y)) AS sy,
+                          list_sum(list_transform(a, e -> e.x * e.y)) AS sxy,
+                          list_sum(list_transform(a, e -> e.x * e.x)) AS sxx
+                   FROM arr)
+        SELECT n_terms,
+               round((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+               round((sy - ((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                            / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) * sx)
+                     / CAST(n_terms AS DOUBLE), 6) AS intercept
+        FROM s
     """
     # Bloom-prefiltered semi join is EXACT (confirm join removes the FPs), so
     # the oracle is the plain EXISTS it must equal

@@ -152,6 +152,7 @@ def main() -> None:
         "sq8_search",
         "oov_rate",
         "bloom_semi_join",
+        "zipf_slope",
         "bm25_search",
         "bq_search",
         "hybrid_rrf",

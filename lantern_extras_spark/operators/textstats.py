@@ -1164,3 +1164,69 @@ def bigram_logprob_score(
     return df.join(per_doc, id_col, "left").withColumn(
         out_col, pround(F.coalesce(F.col(out_col), F.lit(0.0)), 6)
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Zipf power-law fit over the token rank-frequency curve: least-squares
+    slope and intercept of ln(count) vs ln(rank) for the `top_k` most
+    frequent tokens. Healthy natural-language corpora sit near slope −1;
+    a flat slope flags synthetic/templated text, a cliff flags boilerplate
+    domination — a one-row corpus-health gauge for a training-data pipeline.
+
+    Determinism: counts are exact integers; ranks tie-break lexicographically;
+    ALL floating-point sums run as sequential folds over the rank-ordered
+    array (array_sort + F.aggregate here, list(... ORDER BY) + list_sum in
+    the oracle), so both engines add in the same order and the fitted
+    coefficients agree bit-for-bit before rounding.
+
+    Scale shape: one map-side-combined token-count shuffle, top-k via
+    orderBy().limit() → TakeOrderedAndProject, then every remaining op runs
+    over ≤ top_k rows collapsed to a single array row. Returns
+    (n_terms, slope, intercept).
+    """
+    if top_k < 2:
+        raise ValueError("top_k must be >= 2 (a line needs two points)")
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+    counts = toks.groupBy("t").agg(F.count("*").alias("c"))
+    top = counts.orderBy(F.col("c").desc(), F.col("t").asc()).limit(top_k)
+    w = Window.orderBy(F.col("c").desc(), F.col("t").asc())
+    ranked = top.withColumn("r", F.row_number().over(w))
+    arr = ranked.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("r"),
+                    F.log(F.col("r").cast("double")).alias("x"),
+                    F.log(F.col("c").cast("double")).alias("y"),
+                )
+            )
+        ).alias("a"),
+        F.count("*").cast("bigint").alias("n_terms"),
+    )
+
+    def _fold(expr):
+        return F.aggregate(F.col("a"), F.lit(0.0), lambda acc, e: acc + expr(e))
+
+    staged = arr.select(
+        "n_terms",
+        _fold(lambda e: e["x"]).alias("sx"),
+        _fold(lambda e: e["y"]).alias("sy"),
+        _fold(lambda e: e["x"] * e["y"]).alias("sxy"),
+        _fold(lambda e: e["x"] * e["x"]).alias("sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    if round_dp is not None:
+        slope = pround(slope, round_dp)
+        intercept = pround(intercept, round_dp)
+    return staged.select(
+        "n_terms", slope.alias("slope"), intercept.alias("intercept")
+    )

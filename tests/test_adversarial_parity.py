@@ -170,6 +170,9 @@ TEXT_AND_VECTOR_QUERIES = [
     # triple force Hamming ties (identical codes) and rerank distance ties
     # through id tie-break on both engines; dim-8 pins the short-word packing
     "bq_search",
+    # round-8: Zipf fit — empty/whitespace/emoji docs through tokenize,
+    # exact counts, lexicographic rank ties, and rank-ordered float folds
+    "zipf_slope",
 ]
 
 

@@ -137,3 +137,28 @@ def test_mmr_tie_breaks_by_id(spark):
     df.count()
     rows = RET.mmr_rerank(df, k=2, lam=0.7).orderBy("rnk").collect()
     assert rows[0]["doc_id"] == 0  # identical scores -> smallest id first
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    """A corpus whose token counts follow count(r) = C·r^s must fit slope≈s."""
+    from lantern_extras_spark.operators import textstats as TS
+
+    s_true = -1.0
+    words = []
+    for r in range(1, 41):
+        n = max(1, round(2000 * r ** s_true))
+        words += [f"tok{r:03d}"] * n
+    # spread across a few docs
+    docs = [(i, " ".join(words[i::5])) for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    row = TS.zipf_fit(df, top_k=40, round_dp=None).collect()[0]
+    assert row["n_terms"] == 40
+    assert row["slope"] == pytest.approx(s_true, abs=0.05)
+
+
+def test_zipf_fit_guard(spark):
+    from lantern_extras_spark.operators import textstats as TS
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="top_k"):
+        TS.zipf_fit(df, top_k=1)
