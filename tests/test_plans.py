@@ -224,3 +224,65 @@ def test_perplexity_buckets_window_on_sample_only(spark):
     assert re.search(r"\[lang#\d+", wline), wline
     assert t.index("Window") < t.index("md5"), t
     assert s.n_broadcasts >= 2, t  # per-doc score join + cutoffs both broadcast
+
+
+def test_bm25_narrow_scoring_and_take_ordered(spark):
+    """BM25's scoring pass must be a narrow projection fed by ONE broadcast
+    1-row stats frame (no per-term shuffles), with the top-k as
+    TakeOrderedAndProject and the rank window running only on its k-row
+    output (root-first: Window above TakeOrderedAndProject)."""
+    df = E.q_bm25_search(spark, SF)
+    s = plan_summary(df)
+    assert "TakeOrderedAndProject" in s.text
+    assert s.text.index("Window") < s.text.index("TakeOrderedAndProject")
+    assert s.n_broadcasts >= 1  # the stats row
+    # the only shuffle is inside the stats aggregate (1-row partial->final);
+    # scoring itself adds none
+    assert s.n_shuffles <= 1, s.text
+
+
+def test_bq_search_take_ordered_both_stages(spark):
+    """Both BQ stages (Hamming prune, exact rerank) must be
+    orderBy().limit() -> TakeOrderedAndProject — never a ranking window over
+    the corpus. The rank window may only consume the final 10 rows."""
+    df = E.q_bq_search(spark, SF)
+    s = plan_summary(df)
+    assert s.text.count("TakeOrderedAndProject") >= 2, s.text
+    assert s.text.index("Window") < s.text.index("TakeOrderedAndProject")
+    assert s.n_shuffles == 0, s.text  # both stages are narrow scans
+
+
+def test_bloom_semi_join_prefilters_before_join(spark):
+    """The bloom membership test (getbit over the literal word array) must
+    run in a Filter BELOW the exact semi join, so the join's shuffle/probe
+    sees only the pruned sliver (root-first: join text earlier than getbit).
+    The confirm join broadcasts the small key side."""
+    df = E.q_bloom_semi_join(spark, SF)
+    s = plan_summary(df)
+    t = s.text
+    assert "getbit" in t, t  # literal-mode codegen membership test
+    assert "LeftSemi" in t, t
+    assert t.index("LeftSemi") < t.index("getbit"), t
+    assert s.n_broadcasts >= 1, t
+
+
+def test_maxsim_single_shuffle(spark):
+    """Chunking + per-chunk cosines are narrow; the only shuffle is the
+    per-doc max aggregate (map-side partial max), and the top-k is
+    TakeOrderedAndProject."""
+    df = E.q_maxsim_search(spark, SF)
+    s = plan_summary(df)
+    assert "TakeOrderedAndProject" in s.text
+    assert s.n_shuffles <= 1, s.text
+    assert "partial_max" in s.text, s.text
+
+
+def test_zipf_window_and_folds_after_limit(spark):
+    """The rank window and the regression folds run only downstream of the
+    top-k limit (TakeOrderedAndProject); the corpus-side work is one
+    map-side-combined count shuffle."""
+    df = E.q_zipf_slope(spark, SF)
+    s = plan_summary(df)
+    assert "TakeOrderedAndProject" in s.text
+    assert s.text.index("Window") < s.text.index("TakeOrderedAndProject")
+    assert "partial_count" in s.text, s.text
