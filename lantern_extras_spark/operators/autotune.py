@@ -58,6 +58,11 @@ HNSW_RESULTS_SCHEMA = (
     "latency double, build_time double, k int, n_queries int, created_at timestamp"
 )
 
+BQ_RESULTS_SCHEMA = (
+    "experiment_id string, oversample int, recall double, "
+    "latency double, build_time double, k int, n_queries int, created_at timestamp"
+)
+
 
 @dataclass
 class VariantResult:
@@ -207,6 +212,52 @@ class AutotuneResults:
         df.coalesce(1).write.mode("append").parquet(
             os.path.join(self.path, "autotune_results_hnsw")
         )
+
+    def load_bq(self) -> DataFrame:
+        p = os.path.join(self.path, "autotune_results_bq")
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            return self.spark.createDataFrame([], BQ_RESULTS_SCHEMA)
+        return self.spark.read.schema(BQ_RESULTS_SCHEMA).parquet(p)
+
+    def lookup_bq(self, experiment_id: str, k: int, n_queries: int) -> list["BqVariant"]:
+        rows = (
+            self.load_bq()
+            .where(
+                (F.col("experiment_id") == experiment_id)
+                & (F.col("k") >= k)
+                & (F.col("n_queries") >= n_queries)
+            )
+            .collect()
+        )
+        return [
+            BqVariant(r["oversample"], r["recall"], r["latency"], r["build_time"])
+            for r in rows
+        ]
+
+    def append_bq(self, experiment_id: str, k: int, n_queries: int,
+                  results: list["BqVariant"]) -> None:
+        now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        rows = [
+            (experiment_id, r.oversample, r.recall, r.latency, r.build_time, k, n_queries, now)
+            for r in results
+        ]
+        df = self.spark.createDataFrame(rows, BQ_RESULTS_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(
+            os.path.join(self.path, "autotune_results_bq")
+        )
+
+
+@dataclass
+class BqVariant:
+    """One binary-quantization sweep point: the candidate oversample factor
+    of the two-stage Hamming-prune + exact-rerank search (operators/bq.py).
+    `select_best` only touches recall/latency/build_time, so W2 selection is
+    shared with the PQ/IVF/HNSW sweeps."""
+
+    oversample: int
+    recall: float
+    latency: float
+    build_time: float
 
 
 def select_best(results: list[VariantResult], target_recall: float) -> VariantResult | None:
@@ -537,3 +588,178 @@ def autotune_hnsw(
     if results is not None:
         results.append_hnsw(exp, k, n_queries, out)
     return select_best(out, target_recall), out
+
+
+DEFAULT_BQ_OVERSAMPLES: tuple[int, ...] = (2, 4, 8, 16)
+
+
+def autotune_bq(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_queries: int = 10,
+    target_recall: float = 99.9,
+    oversamples: tuple[int, ...] = DEFAULT_BQ_OVERSAMPLES,
+    results: AutotuneResults | None = None,
+    experiment_id: str | None = None,
+    seed: int = 42,
+) -> tuple[BqVariant | None, list[BqVariant]]:
+    """Sweep BQ candidate-oversample factors against exact ground truth with
+    the N5 early-stop contract. The expensive stages — midrange training and
+    code packing — run ONCE; each sweep point re-runs only the (cheap)
+    two-stage query job, mirroring `autotune_ivf`'s probe-only reuse.
+
+    Returns (best, all_results); with a `results` store the (k≥, n≥) cache
+    rule short-circuits the sweep (N6)."""
+    from lantern_extras_spark.operators import bq as BQ
+
+    exp = experiment_id or f"bq:{vec_col}"
+    if results is not None:
+        cached = results.lookup_bq(exp, k, n_queries)
+        if cached:
+            return select_best(cached, target_recall), cached
+
+    truth = ground_truth(
+        df, n_queries=n_queries, k=k, metric="l2sq", id_col=id_col, vec_col=vec_col, seed=seed
+    ).collect()
+    spark = df.sparkSession
+    truth_df = spark.createDataFrame(
+        [(r["id"], [int(x) for x in r["neighbors"]]) for r in truth],
+        "id long, neighbors array<long>",
+    )
+    queries = spark.createDataFrame(
+        [(int(r["id"]), [float(x) for x in r["v"]]) for r in truth],
+        "query_id long, query_vec array<double>",
+    )
+
+    t0 = time.monotonic()
+    mids = BQ.bq_train(df, vec_col)
+    coded = BQ.bq_encode(df, mids, vec_col=vec_col, out_col="bq").cache()
+    coded.count()
+    build_time = round(time.monotonic() - t0, 4)
+
+    out: list[BqVariant] = []
+    for ov in oversamples:
+        t1 = time.monotonic()
+        res_df = collect_neighbors(
+            BQ.bq_knn_join(coded, queries, mids, k=k, oversample=ov,
+                           id_col=id_col, vec_col=vec_col)
+            .withColumnRenamed("rnk", "rank"),
+            qid_col="query_id", id_col=id_col,
+        ).cache()
+        res_df.count()
+        latency = (time.monotonic() - t1) / max(n_queries, 1)
+        rec = recall(truth_df, res_df, k)
+        res_df.unpersist()
+        out.append(BqVariant(ov, rec, round(latency, 4), build_time))
+        if rec >= target_recall:  # early stop (mod.rs:476-478)
+            break
+    coded.unpersist()
+
+    if results is not None:
+        results.append_bq(exp, k, n_queries, out)
+    return select_best(out, target_recall), out
+
+
+def compare_compressed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_queries: int = 10,
+    pq_variant: tuple[int, int] = (8, 32),
+    bq_oversample: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """One-call deployment report across the compressed-search family: exact
+    float scan (the recall=100 baseline), SQ8 dequantized scan, BQ two-stage,
+    and PQ ADC, each measured against the SAME ground truth. Returns a
+    DataFrame (family, config, recall, latency_s, build_s, bytes_per_vec) —
+    the 'which compression do I deploy' answer the four separate autotune
+    sweeps leave to the reader.
+
+    bytes_per_vec is the storage-form footprint (float32=4d; SQ8=d;
+    BQ=d/8; PQ=splits bytes)."""
+    from lantern_extras_spark.operators import bq as BQ
+    from lantern_extras_spark.operators import sq as SQ8
+
+    truth = ground_truth(
+        df, n_queries=n_queries, k=k, metric="l2sq", id_col=id_col, vec_col=vec_col, seed=seed
+    ).collect()
+    spark = df.sparkSession
+    truth_df = spark.createDataFrame(
+        [(r["id"], [int(x) for x in r["neighbors"]]) for r in truth],
+        "id long, neighbors array<long>",
+    )
+    queries_df = spark.createDataFrame(
+        [(int(r["id"]), [float(x) for x in r["v"]]) for r in truth],
+        "query_id long, query_vec array<double>",
+    )
+    queries = [(int(r["id"]), [float(x) for x in r["v"]]) for r in truth]
+    dim = len(queries[0][1])
+    total_rows = df.count()
+    rows = []
+
+    def _measure(res_df):
+        t1 = time.monotonic()
+        r = collect_neighbors(res_df, qid_col="query_id", id_col=id_col).cache()
+        r.count()
+        lat = (time.monotonic() - t1) / max(n_queries, 1)
+        rec = recall(truth_df, r, k)
+        r.unpersist()
+        return rec, round(lat, 4)
+
+    # exact float baseline
+    from lantern_extras_spark.operators.knn import knn_join
+
+    rec, lat = _measure(
+        knn_join(df.select(F.col(id_col), F.col(vec_col).alias("embedding")),
+                 queries_df, k=k, metric="l2sq")
+    )
+    rows.append(("float32", "exact scan", rec, lat, 0.0, 4 * dim))
+
+    # SQ8
+    t0 = time.monotonic()
+    mins, maxs = SQ8.sq8_train(df, vec_col)
+    sq_coded = SQ8.sq8_encode(df, mins, maxs, vec_col=vec_col, drop_vec=False).cache()
+    sq_coded.count()
+    sq_build = round(time.monotonic() - t0, 4)
+    rec, lat = _measure(
+        SQ8.sq8_knn_join(sq_coded, queries_df, mins, maxs, k=k, id_col=id_col)
+        .withColumnRenamed("rank", "rank")
+    )
+    sq_coded.unpersist()
+    rows.append(("sq8", "dequantized scan", rec, lat, sq_build, dim))
+
+    # BQ
+    t0 = time.monotonic()
+    mids = BQ.bq_train(df, vec_col)
+    bq_coded = BQ.bq_encode(df, mids, vec_col=vec_col, out_col="bq").cache()
+    bq_coded.count()
+    bq_build = round(time.monotonic() - t0, 4)
+    rec, lat = _measure(
+        BQ.bq_knn_join(bq_coded, queries_df, mids, k=k, oversample=bq_oversample,
+                       id_col=id_col, vec_col=vec_col)
+        .withColumnRenamed("rnk", "rank")
+    )
+    bq_coded.unpersist()
+    rows.append(("bq", f"hamming x{bq_oversample} + rerank", rec, lat, bq_build, max(1, dim // 8)))
+
+    # PQ ADC
+    splits, clusters = pq_variant
+    t0 = time.monotonic()
+    cb = PQ.build_codebook(df, vec_col=vec_col, splits=splits, k=clusters,
+                           seed=seed, total_rows=total_rows)
+    pq_coded = PQ.quantize(df, cb, vec_col=vec_col, dim=dim).cache()
+    pq_coded.count()
+    pq_build = round(time.monotonic() - t0, 4)
+    rec, lat = _measure(PQ.adc_topk_batch(pq_coded, cb, queries, k=k, id_col=id_col))
+    pq_coded.unpersist()
+    rows.append(("pq", f"adc {splits}x{clusters}", rec, lat, pq_build, splits))
+
+    return spark.createDataFrame(
+        rows,
+        "family string, config string, recall double, latency_s double, "
+        "build_s double, bytes_per_vec int",
+    )

@@ -152,3 +152,55 @@ def test_ivf_pq_topk_batch_matches_single(spark, clustered):
         for rank, r in enumerate(single, start=1):
             assert got[(qid, rank)] == (r["vec_id"], round(r["adc_distance"], 9))
     coded.unpersist()
+
+
+def test_autotune_bq_sweep_and_cache(spark, clustered, tmp_path):
+    from lantern_extras_spark.operators.autotune import AutotuneResults, autotune_bq
+
+    store = AutotuneResults(spark, str(tmp_path / "bq_results"))
+    best, allr = autotune_bq(
+        clustered, k=5, n_queries=4, target_recall=99.9,
+        oversamples=(2, 8, 60), results=store,
+    )
+    assert allr, "sweep produced no results"
+    # oversample=60 covers the 300-row corpus -> exact -> early stop before
+    # any further variants would run; recall monotone non-decreasing
+    recs = [r.recall for r in allr]
+    assert recs == sorted(recs) or max(recs) == 100.0
+    assert allr[-1].recall == 100.0
+    assert best is not None and best.recall >= 99.9
+    # N6 cache round-trip: second call short-circuits to the stored rows
+    best2, allr2 = autotune_bq(
+        clustered, k=5, n_queries=4, target_recall=99.9,
+        oversamples=(2, 8, 60), results=store,
+    )
+    assert {(r.oversample, r.recall) for r in allr2} == {
+        (r.oversample, r.recall) for r in allr
+    }
+
+
+def test_compare_compressed_report(spark):
+    """Uniform vectors (fixed seed): sq8's 255-level grid resolves typical
+    distances (recall 100 here); on the tightly `clustered` fixture sq8
+    recall drops to ~45 because intra-cluster distances sit BELOW the
+    quantization step for the full data range — a documented characteristic,
+    which is exactly what this report exists to surface."""
+    from lantern_extras_spark.operators.autotune import compare_compressed
+
+    rng = np.random.RandomState(0)
+    rows = [(i, rng.randn(32).astype("float32").tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    rep = {r["family"]: r for r in compare_compressed(
+        df, k=5, n_queries=4, pq_variant=(8, 32), bq_oversample=8,
+    ).collect()}
+    assert set(rep) == {"float32", "sq8", "bq", "pq"}
+    assert rep["float32"]["recall"] == 100.0
+    # measured on this seed: sq8=100, bq=75, pq=60 — bounds left loose
+    assert rep["sq8"]["recall"] >= 95.0, rep["sq8"]
+    assert rep["bq"]["recall"] >= 50.0, rep["bq"]
+    assert rep["pq"]["recall"] >= 30.0, rep["pq"]
+    # storage ladder: float32 > sq8 > bq; pq = splits bytes
+    assert rep["float32"]["bytes_per_vec"] == 128
+    assert rep["sq8"]["bytes_per_vec"] == 32
+    assert rep["bq"]["bytes_per_vec"] == 4
+    assert rep["pq"]["bytes_per_vec"] == 8
