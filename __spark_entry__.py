@@ -30,6 +30,7 @@ from lantern_extras_spark.operators import textstats as TS
 from lantern_extras_spark.operators import ivf as IVF
 from lantern_extras_spark.operators import sampling as SMP
 from lantern_extras_spark.operators import bloom as BL
+from lantern_extras_spark.operators import mrl as MRL
 from lantern_extras_spark.operators import bq as BQ
 from lantern_extras_spark.operators import retrieval as RET
 from lantern_extras_spark.operators import sq as SQ
@@ -1725,6 +1726,21 @@ def q_bq_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mrl_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka truncated-dimension search (compressed kNN family #5):
+    prefix-l2sq over the first 16 of 64 dims prunes to 40 candidates
+    (TakeOrderedAndProject, ¼ of the float bytes), full-dim rerank to
+    top-10. No training step — truncation IS the compression."""
+    emb = _t(spark, sf, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in qrow["embedding"]]
+    d_prefix = max(1, len(qv) // 4)
+    out = MRL.mrl_search(corpus, qv, d_prefix=d_prefix, k=10, oversample=4,
+                         dist_scale=5)
+    return out.select("vec_id", "prefix_distance", "l2sq_distance", "rnk")
+
+
 def q_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
     """Zipf rank-frequency power-law fit over the corpus vocabulary — the
     one-row corpus-health gauge (natural text ≈ slope −1; templated text
@@ -1847,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_search": q_sq8_search,
         "oov_rate": q_oov_rate,
         "bloom_semi_join": q_bloom_semi_join,
+        "mrl_search": q_mrl_search,
         "zipf_slope": q_zipf_slope,
         "bm25_search": q_bm25_search,
         "bq_search": q_bq_search,
@@ -2922,6 +2939,34 @@ def _oracle_sql_raw() -> dict[str, str]:
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY sq8_distance ASC, vec_id ASC) AS rnk
         FROM scored
+        QUALIFY rnk <= 10
+    """
+    # MRL truncated-prefix search: both stages replay with the knn_l2 fold
+    # arithmetic; dimension-agnostic (d_prefix = max(1, dim/4) in both engines)
+    sql["mrl_search"] = """
+        WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings WHERE vec_id >= 5),
+             q AS (SELECT embedding::DOUBLE[] AS qv,
+                          greatest(1, CAST(floor(len(embedding) / 4) AS BIGINT)) AS p
+                   FROM embeddings WHERE vec_id = 0),
+             pre AS (
+                SELECT c.vec_id, c.dv,
+                       round(list_sum(list_transform(range(1, q.p + 1),
+                            i -> (c.dv[i] - q.qv[i]) * (c.dv[i] - q.qv[i]))), 5) AS prefix_distance
+                FROM corpus c CROSS JOIN q
+             ),
+             cand AS (
+                SELECT * FROM pre
+                QUALIFY row_number() OVER (ORDER BY prefix_distance ASC, vec_id ASC) <= 40
+             ),
+             rr AS (
+                SELECT c.vec_id, c.prefix_distance,
+                       round(list_sum(list_transform(range(1, len(c.dv) + 1),
+                            i -> (c.dv[i] - q.qv[i]) * (c.dv[i] - q.qv[i]))), 5) AS l2sq_distance
+                FROM cand c CROSS JOIN q
+             )
+        SELECT vec_id, prefix_distance, l2sq_distance,
+               row_number() OVER (ORDER BY l2sq_distance ASC, vec_id ASC) AS rnk
+        FROM rr
         QUALIFY rnk <= 10
     """
     # Zipf fit: exact integer counts, lexicographic rank tie-break, and every

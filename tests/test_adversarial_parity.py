@@ -173,6 +173,9 @@ TEXT_AND_VECTOR_QUERIES = [
     # round-8: Zipf fit — empty/whitespace/emoji docs through tokenize,
     # exact counts, lexicographic rank ties, and rank-ordered float folds
     "zipf_slope",
+    # round-8: MRL truncated-prefix search — dim-8 pins d_prefix=2; the zero
+    # vector and duplicate triple force prefix AND rerank distance ties
+    "mrl_search",
 ]
 
 

@@ -91,3 +91,65 @@ def test_guards(spark, emb_df):
     )
     with pytest.raises(ValueError, match="ragged"):
         BQ.bq_train(ragged)
+
+
+# --- MRL (operators/mrl.py) — shares the fixture and invariants shape ------
+
+def test_mrl_full_prefix_is_exact(spark, emb_df):
+    """d_prefix = dim makes stage one the exact distance, so the two-stage
+    result must equal exact top-k regardless of oversample."""
+    from lantern_extras_spark.functions.vector import l2sq_dist
+    from lantern_extras_spark.operators import mrl as MRL
+
+    qv = [float(x) for x in np.random.RandomState(5).randn(DIM)]
+    got = MRL.mrl_search(emb_df, qv, d_prefix=DIM, k=10, oversample=1,
+                         dist_scale=None).collect()
+    qcol = F.lit(qv).cast("array<double>")
+    exact = (
+        emb_df.select("vec_id", l2sq_dist(F.col("embedding"), qcol).alias("d"))
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    )
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
+
+
+def test_mrl_full_oversample_is_exact(spark, emb_df):
+    """Even a 1-dim prefix is exact when k*oversample covers the corpus."""
+    from lantern_extras_spark.functions.vector import l2sq_dist
+    from lantern_extras_spark.operators import mrl as MRL
+
+    qv = [float(x) for x in np.random.RandomState(6).randn(DIM)]
+    got = MRL.mrl_search(emb_df, qv, d_prefix=1, k=10, oversample=12,
+                         dist_scale=None).collect()
+    qcol = F.lit(qv).cast("array<double>")
+    exact = (
+        emb_df.select("vec_id", l2sq_dist(F.col("embedding"), qcol).alias("d"))
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    )
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
+
+
+def test_mrl_join_matches_single_and_recall(spark, emb_df):
+    from lantern_extras_spark.operators import mrl as MRL
+
+    qv = [float(x) for x in np.random.RandomState(5).randn(DIM)]
+    single = MRL.mrl_search(emb_df, qv, d_prefix=12, k=5, oversample=4).collect()
+    queries = spark.createDataFrame([(0, qv)], "query_id long, query_vec array<double>")
+    multi = MRL.mrl_knn_join(emb_df, queries, d_prefix=12, k=5, oversample=4).collect()
+    assert [(r["vec_id"], r["prefix_distance"], r["l2sq_distance"]) for r in single] == [
+        (r["vec_id"], r["prefix_distance"], r["l2sq_distance"]) for r in multi
+    ]
+    rec = MRL.mrl_recall_vs_exact(emb_df, d_prefix=DIM, n_queries=4, k=5, oversample=1)
+    assert rec == 100.0  # full prefix -> exact
+
+
+def test_mrl_guard(spark, emb_df):
+    from lantern_extras_spark.operators import mrl as MRL
+
+    with pytest.raises(ValueError, match="d_prefix"):
+        MRL.mrl_search(emb_df, [0.0] * DIM, d_prefix=0)
+    with pytest.raises(ValueError, match="d_prefix"):
+        MRL.mrl_search(emb_df, [0.0] * DIM, d_prefix=DIM + 1)

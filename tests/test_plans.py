@@ -286,3 +286,13 @@ def test_zipf_window_and_folds_after_limit(spark):
     assert "TakeOrderedAndProject" in s.text
     assert s.text.index("Window") < s.text.index("TakeOrderedAndProject")
     assert "partial_count" in s.text, s.text
+
+
+def test_mrl_search_take_ordered_both_stages(spark):
+    """Both MRL stages (prefix prune, full-dim rerank) must be
+    orderBy().limit() -> TakeOrderedAndProject, zero shuffles."""
+    df = E.q_mrl_search(spark, SF)
+    s = plan_summary(df)
+    assert s.text.count("TakeOrderedAndProject") >= 2, s.text
+    assert s.text.index("Window") < s.text.index("TakeOrderedAndProject")
+    assert s.n_shuffles == 0, s.text
