@@ -106,12 +106,66 @@ def cmd_autotune_index(args) -> int:
               n_queries=args.n_queries, target_recall=args.target_recall,
               results=results)
     fn = {"hnsw": AT.autotune_hnsw, "pq": AT.autotune_pq,
-          "ivf": AT.autotune_ivf, "ivfpq": AT.autotune_ivf_pq}[args.index_kind]
+          "ivf": AT.autotune_ivf, "ivfpq": AT.autotune_ivf_pq,
+          "bq": AT.autotune_bq}[args.index_kind]
     best, variants = fn(df, **kw)
     _json({
         "best": dataclasses.asdict(best) if best else None,
         "variants": [dataclasses.asdict(v) for v in variants],
     })
+    spark.stop()
+    return 0
+
+
+def cmd_compare_compressed(args) -> int:
+    from lantern_extras_spark.operators.autotune import compare_compressed
+
+    spark = _spark("compare-compressed")
+    df = spark.read.parquet(args.input)
+    rep = compare_compressed(
+        df, vec_col=args.column, id_col=args.id_col, k=args.k,
+        n_queries=args.n_queries, bq_oversample=args.bq_oversample,
+    )
+    _json({"report": [r.asDict() for r in rep.collect()]})
+    spark.stop()
+    return 0
+
+
+def cmd_search(args) -> int:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from lantern_extras_spark.embeddings.pipeline import hash_embedding, ignore_filter
+    from lantern_extras_spark.functions.vector import cos_sim
+    from lantern_extras_spark.functions.portable import pround
+    from lantern_extras_spark.operators import retrieval as RET
+
+    spark = _spark("search")
+    docs = spark.read.parquet(args.input)
+    terms = args.query.split()
+    if args.mode == "bm25":
+        out = RET.bm25_topk(docs, terms, k=args.k,
+                            text_col=args.text_col, id_col=args.id_col)
+    else:  # hybrid: BM25 pool + hash-embedding cosine pool fused with RRF
+        bm = RET.bm25_topk(docs, terms, k=args.pool,
+                           text_col=args.text_col, id_col=args.id_col)
+        corpus = docs.where(ignore_filter(args.text_col)).select(
+            args.id_col, hash_embedding(args.text_col).alias("emb")
+        )
+        qcol = hash_embedding(F.lit(args.query))
+        scored = corpus.select(
+            args.id_col, pround(cos_sim(F.col("emb"), qcol), 6).alias("cosine")
+        )
+        vtop = scored.orderBy(
+            F.col("cosine").desc(), F.col(args.id_col).asc()
+        ).limit(args.pool)
+        w = Window.orderBy(F.col("cosine").desc(), F.col(args.id_col).asc())
+        vec = vtop.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        out = RET.rrf_fuse(
+            [bm.select(args.id_col, "rnk"), vec.select(args.id_col, "rnk")],
+            id_col=args.id_col, k=args.k,
+        )
+    _json({"results": [r.asDict() for r in out.collect()]})
     spark.stop()
     return 0
 
@@ -242,12 +296,34 @@ def build_parser() -> argparse.ArgumentParser:
     at.add_argument("--column", default="embedding")
     at.add_argument("--id-col", default="vec_id")
     at.add_argument("--index-kind", default="hnsw",
-                    choices=["hnsw", "pq", "ivf", "ivfpq"])
+                    choices=["hnsw", "pq", "ivf", "ivfpq", "bq"])
     at.add_argument("--k", type=int, default=10)
     at.add_argument("--n-queries", type=int, default=10)
     at.add_argument("--target-recall", type=float, default=99.9)
     at.add_argument("--results-dir", default=None, help="N6 results cache dir")
     at.set_defaults(fn=cmd_autotune_index)
+
+    cc = sub.add_parser("compare-compressed",
+                        help="recall/latency/bytes report across float32, SQ8, BQ, PQ")
+    cc.add_argument("--input", required=True)
+    cc.add_argument("--column", default="embedding")
+    cc.add_argument("--id-col", default="vec_id")
+    cc.add_argument("--k", type=int, default=10)
+    cc.add_argument("--n-queries", type=int, default=10)
+    cc.add_argument("--bq-oversample", type=int, default=8)
+    cc.set_defaults(fn=cmd_compare_compressed)
+
+    se = sub.add_parser("search",
+                        help="text search over a documents parquet (bm25 or hybrid RRF; "
+                             "hybrid's vector side uses the deterministic hash runtime)")
+    se.add_argument("--input", required=True)
+    se.add_argument("--query", required=True)
+    se.add_argument("--mode", default="bm25", choices=["bm25", "hybrid"])
+    se.add_argument("--text-col", default="text")
+    se.add_argument("--id-col", default="doc_id")
+    se.add_argument("--k", type=int, default=10)
+    se.add_argument("--pool", type=int, default=30, help="per-system pool before fusion")
+    se.set_defaults(fn=cmd_search)
 
     pq = sub.add_parser("pq-table", help="product-quantize a vector column")
     pq.add_argument("--input", required=True)

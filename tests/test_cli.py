@@ -143,3 +143,29 @@ def test_cli_sparkless_commands_are_fast(args):
     t0 = time.monotonic()
     _run(*args)
     assert time.monotonic() - t0 < 30  # no SparkSession spin-up
+
+
+def test_cli_search_bm25_and_hybrid(tmp_path):
+    (res,) = _run("search", "--input", f"{SF}/documents.parquet",
+                  "--query", "spark merge join", "--k", "5")
+    assert len(res["results"]) == 5
+    assert {"doc_id", "score", "rnk"} <= set(res["results"][0])
+    (res,) = _run("search", "--input", f"{SF}/documents.parquet",
+                  "--query", "spark merge join", "--mode", "hybrid",
+                  "--k", "5", "--pool", "10")
+    assert len(res["results"]) == 5
+    assert {"doc_id", "rrf", "rnk"} <= set(res["results"][0])
+
+
+def test_cli_autotune_bq(tmp_path):
+    (res,) = _run("autotune-index", "--input", f"{SF}/embeddings.parquet",
+                  "--index-kind", "bq", "--k", "5", "--n-queries", "3")
+    assert res["variants"], res
+    assert "oversample" in res["variants"][0]
+
+
+def test_cli_compare_compressed():
+    (res,) = _run("compare-compressed", "--input", f"{SF}/embeddings.parquet",
+                  "--k", "5", "--n-queries", "3", timeout=420)
+    fams = {r["family"] for r in res["report"]}
+    assert fams == {"float32", "sq8", "bq", "pq"}
