@@ -1726,6 +1726,28 @@ def q_bq_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bm25_prf(spark: SparkSession, sf: str) -> DataFrame:
+    """Pseudo-relevance feedback (RM3-lite): BM25 pass one → top-10 feedback
+    docs → 5 most frequent non-query terms join the query at weight 0.5 →
+    weighted pass two. Fully in-engine (expansion terms never visit the
+    driver); per-doc sums are term-sorted sequential folds."""
+    docs = _t(spark, sf, "documents")
+    out = RET.bm25_prf_topk(docs, QUERY_TEXT.split(), k=10, n_feedback=10,
+                            n_expansion=5, expansion_weight=0.5, round_dp=6)
+    return out.select("doc_id", "score", "rnk")
+
+
+def q_search_snippets(spark: SparkSession, sf: str) -> DataFrame:
+    """Snippet extraction for the BM25 top-10: the 12-token window with the
+    most query-term occurrences per result doc (ties → earliest start) —
+    integer hit counts, bounded to the ranked id set."""
+    docs = _t(spark, sf, "documents")
+    terms = QUERY_TEXT.split()
+    ranked = RET.bm25_topk(docs, terms, k=10, round_dp=6).select("doc_id", "rnk")
+    out = RET.search_snippets(ranked, docs, terms, window=12)
+    return out.select("doc_id", "rnk", "n_hits", "snippet")
+
+
 def q_mrl_search(spark: SparkSession, sf: str) -> DataFrame:
     """Matryoshka truncated-dimension search (compressed kNN family #5):
     prefix-l2sq over the first 16 of 64 dims prunes to 40 candidates
@@ -1866,6 +1888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrl_search": q_mrl_search,
         "zipf_slope": q_zipf_slope,
         "bm25_search": q_bm25_search,
+        "bm25_prf": q_bm25_prf,
+        "search_snippets": q_search_snippets,
         "bq_search": q_bq_search,
         "hybrid_rrf": q_hybrid_rrf,
         "maxsim_search": q_maxsim_search,
@@ -2940,6 +2964,99 @@ def _oracle_sql_raw() -> dict[str, str]:
                                   ORDER BY sq8_distance ASC, vec_id ASC) AS rnk
         FROM scored
         QUALIFY rnk <= 10
+    """
+    # Weighted/join-formulated BM25 shared by the PRF oracle: per-(doc,term)
+    # contributions joined from a (term, weight) table, per-doc reduction a
+    # TERM-SORTED sequential fold (list ORDER BY term + list_sum — mirrors
+    # array_sort + aggregate), never a float SUM whose partial order varies
+    def _bm25w_ctes(prefix: str, wt_cte: str) -> str:
+        return f"""
+            {prefix}tf AS (
+                SELECT tok.doc_id, tok.term, CAST(count(*) AS DOUBLE) AS tf,
+                       any_value(tok.dl) AS dl, any_value(w.weight) AS wgt
+                FROM tok JOIN {wt_cte} w USING (term)
+                GROUP BY tok.doc_id, tok.term
+            ),
+            {prefix}df AS (
+                SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dfq
+                FROM tok JOIN (SELECT term FROM {wt_cte}) USING (term)
+                GROUP BY term
+            ),
+            {prefix}c AS (
+                SELECT f.doc_id, f.term,
+                       f.wgt * ln(1.0 + (CAST(s.n AS DOUBLE) - d.dfq + 0.5) / (d.dfq + 0.5))
+                             * (f.tf * 2.2)
+                             / (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * f.dl
+                                / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n AS DOUBLE)))) AS c
+                FROM {prefix}tf f JOIN {prefix}df d USING (term) CROSS JOIN s
+            ),
+            {prefix}sc AS (
+                SELECT doc_id,
+                       round(list_sum(list_transform(
+                           list(struct_pack(term := term, c := c) ORDER BY term),
+                           e -> e.c)), 6) AS score
+                FROM {prefix}c GROUP BY doc_id
+            )"""
+
+    prf_orig = ", ".join(f"('{t}', 1.0)" for t in QUERY_TEXT.split())
+    prf_excl = ", ".join(f"'{t}'" for t in QUERY_TEXT.split())
+    sql["bm25_prf"] = f"""
+        WITH t AS (SELECT doc_id, {_sql_words()} AS w FROM documents),
+             s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(len(w)) AS BIGINT) AS sum_dl FROM t),
+             tok AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, unnest(w) AS term FROM t),
+             orig(term, weight) AS (VALUES {prf_orig}),
+             {_bm25w_ctes('p1', 'orig')},
+             feedback AS (
+                SELECT doc_id FROM p1sc ORDER BY score DESC, doc_id ASC LIMIT 10
+             ),
+             expn AS (
+                SELECT term, 0.5 AS weight
+                FROM tok
+                WHERE doc_id IN (SELECT doc_id FROM feedback)
+                  AND term NOT IN ({prf_excl})
+                GROUP BY term
+                ORDER BY count(*) DESC, term ASC
+                LIMIT 5
+             ),
+             wall AS (SELECT * FROM orig UNION ALL SELECT * FROM expn),
+             {_bm25w_ctes('p2', 'wall')}
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM p2sc
+        QUALIFY rnk <= 10
+    """
+    snip_terms = ", ".join(f"'{t}'" for t in QUERY_TEXT.split())
+    bm25_top10 = RET.bm25_sql(QUERY_TEXT.split(), round_dp=6)
+    sql["search_snippets"] = f"""
+        WITH bm AS (SELECT * FROM ({bm25_top10})),
+             top AS (
+                SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+                FROM bm QUALIFY rnk <= 10
+             ),
+             t AS (
+                SELECT d.doc_id, top.rnk, {_sql_words('d.text')} AS w
+                FROM documents d JOIN top USING (doc_id)
+             ),
+             st AS (
+                SELECT doc_id, rnk, w,
+                       unnest(range(1, greatest(len(w) - 11, 1) + 1)) AS strt
+                FROM t WHERE len(w) > 0
+             ),
+             h AS (
+                SELECT doc_id, rnk, w, strt,
+                       CAST(len(list_filter(w[strt:strt+11],
+                            x -> x IN ({snip_terms}))) AS BIGINT) AS hits
+                FROM st
+             ),
+             best AS (
+                SELECT * FROM h
+                QUALIFY row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY hits DESC, strt ASC) = 1
+             )
+        SELECT doc_id, rnk, hits AS n_hits,
+               array_to_string(w[strt:strt+11], ' ') AS snippet
+        FROM best
     """
     # MRL truncated-prefix search: both stages replay with the knn_l2 fold
     # arithmetic; dimension-agnostic (d_prefix = max(1, dim/4) in both engines)

@@ -155,6 +155,8 @@ def main() -> None:
         "mrl_search",
         "zipf_slope",
         "bm25_search",
+        "bm25_prf",
+        "search_snippets",
         "bq_search",
         "hybrid_rrf",
         "maxsim_search",

@@ -337,3 +337,166 @@ def mmr_rerank(
     return staged.groupBy("__g").applyInPandas(
         greedy, schema=f"rnk bigint, {idc} bigint, mmr double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-formulated BM25 (data-driven term sets), pseudo-relevance feedback
+# ---------------------------------------------------------------------------
+
+def bm25_scores_weighted(
+    df: DataFrame,
+    weighted_terms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """BM25 where the query is a DATAFRAME of (term, weight) — the form that
+    lets expansion terms come from the corpus itself with no driver
+    round-trip. score(doc) = Σ_t w_t · idf_t · sat(tf_t, dl).
+
+    Determinism contract: per-(doc, term) contributions are single float
+    expressions; the per-doc reduction runs as a TERM-SORTED sequential fold
+    (array_sort + aggregate; the oracle's list(... ORDER BY term) +
+    list_sum), never a float groupBy-SUM whose partial order varies.
+
+    Scale shape: tokens shuffle once on (doc, term); the weighted-term and
+    document-frequency sides are term-cardinality-sized and broadcast; the
+    fold shuffles one row per doc. Docs with no weighted term are absent
+    from the output (callers top-k, so absence == score 0 semantics)."""
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    stats = staged.agg(
+        F.count("*").alias("__n"),
+        F.sum(F.size("__toks").cast("long")).alias("__sum_dl"),
+    )
+    toks = staged.select(
+        F.col(id_col), F.size("__toks").cast("double").alias("__dl"),
+        F.explode("__toks").alias("term"),
+    )
+    wt = weighted_terms.select("term", F.col("weight").cast("double"))
+    hits = toks.join(F.broadcast(wt), "term")
+    tf = hits.groupBy(id_col, "term").agg(
+        F.count("*").cast("double").alias("__tf"),
+        F.first("__dl").alias("__dl"),
+        F.first("weight").alias("__w"),
+    )
+    dfreq = (
+        toks.join(F.broadcast(wt.select("term")), "term")
+        .select(id_col, "term").distinct()
+        .groupBy("term").agg(F.count("*").cast("double").alias("__df"))
+    )
+    n = F.col("__n").cast("double")
+    avgdl = F.col("__sum_dl").cast("double") / n
+    idf = F.log(F.lit(1.0) + (n - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5)))
+    denom = F.col("__tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("__dl") / avgdl
+    )
+    contrib = F.col("__w") * idf * (F.col("__tf") * F.lit(k1 + 1.0)) / denom
+    scored_terms = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.col("term"), contrib.alias("__c"))
+    )
+    per_doc = scored_terms.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("term"), F.col("__c")))),
+            F.lit(0.0),
+            lambda acc, e: acc + e["__c"],
+        ).alias("score")
+    )
+    if round_dp is not None:
+        per_doc = per_doc.withColumn("score", pround(F.col("score"), round_dp))
+    return per_doc
+
+
+def bm25_prf_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    n_feedback: int = 10,
+    n_expansion: int = 5,
+    expansion_weight: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Pseudo-relevance feedback (RM3-lite): BM25 pass one picks `n_feedback`
+    docs; the `n_expansion` most frequent non-query terms inside them (ties
+    → term asc) join the query at `expansion_weight`; pass two re-scores
+    with the weighted term set. The whole loop is in-engine — expansion
+    terms never visit the driver.
+
+    Returns (id_col, score, rnk ≤ k). Pass-one ranking and expansion
+    selection use exact integers + lexicographic ties; pass-two scores obey
+    `bm25_scores_weighted`'s sorted-fold determinism."""
+    spark = df.sparkSession
+    orig = spark.createDataFrame(
+        [(t, 1.0) for t in query_terms], "term string, weight double"
+    )
+    pass1 = bm25_scores_weighted(df, orig, text_col, id_col, k1, b, round_dp)
+    feedback = (
+        pass1.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(n_feedback).select(id_col)
+    )
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    expansion = (
+        toks.join(F.broadcast(feedback), id_col, "left_semi")
+        .where(~F.col("term").isin(query_terms))
+        .groupBy("term").agg(F.count("*").alias("__tot"))
+        .orderBy(F.col("__tot").desc(), F.col("term").asc())
+        .limit(n_expansion)
+        .select("term", F.lit(float(expansion_weight)).alias("weight"))
+    )
+    weighted = orig.unionByName(expansion)
+    pass2 = bm25_scores_weighted(df, weighted, text_col, id_col, k1, b, round_dp)
+    top = pass2.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Snippets
+# ---------------------------------------------------------------------------
+
+def search_snippets(
+    ranked: DataFrame,
+    docs: DataFrame,
+    query_terms: list[str],
+    window: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Best-window snippet per ranked result: the `window`-token span with
+    the most query-term occurrences (ties → earliest start). Runs only over
+    the ranked id set (k rows), so the O(n·window) per-doc window scan is
+    bounded by the caller's top-k regardless of corpus size.
+
+    Returns (id_col, rnk, n_hits, snippet) — integer hit counts and
+    position ties, so cross-engine deterministic."""
+    terms_arr = F.lit([str(t) for t in query_terms]).cast("array<string>")
+    top = docs.join(F.broadcast(ranked.select(id_col, "rnk")), id_col)
+    staged = top.select(
+        F.col(id_col), F.col("rnk"), tokens(F.col(text_col)).alias("__toks")
+    ).withColumn(
+        "__h",
+        F.transform("__toks", lambda t: F.when(F.array_contains(terms_arr, t), 1).otherwise(0)),
+    ).withColumn("__n", F.size("__toks"))
+    starts = F.sequence(F.lit(1), F.greatest(F.col("__n") - window + 1, F.lit(1)))
+    exploded = staged.where(F.col("__n") > 0).select(
+        F.col(id_col), F.col("rnk"), F.col("__toks"),
+        F.explode(starts).alias("__s"),
+        F.col("__h"),
+    ).withColumn(
+        "__hits",
+        F.aggregate(F.slice("__h", F.col("__s"), window), F.lit(0), lambda a, x: a + x),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__hits").desc(), F.col("__s").asc())
+    best = exploded.withColumn("__r", F.row_number().over(w)).where(F.col("__r") == 1)
+    return best.select(
+        F.col(id_col), F.col("rnk"),
+        F.col("__hits").cast("bigint").alias("n_hits"),
+        F.concat_ws(" ", F.slice("__toks", F.col("__s"), window)).alias("snippet"),
+    )

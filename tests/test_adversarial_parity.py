@@ -176,6 +176,12 @@ TEXT_AND_VECTOR_QUERIES = [
     # round-8: MRL truncated-prefix search — dim-8 pins d_prefix=2; the zero
     # vector and duplicate triple force prefix AND rerank distance ties
     "mrl_search",
+    # round-8: PRF two-pass BM25 — expansion selection over degenerate docs
+    # ("the the the..." floods term counts; ties break lexically on both
+    # engines) and the term-sorted per-doc folds; snippets chew the
+    # single-token / enormous-token / emoji docs through window arithmetic
+    "bm25_prf",
+    "search_snippets",
 ]
 
 

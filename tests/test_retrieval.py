@@ -162,3 +162,62 @@ def test_zipf_fit_guard(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="top_k"):
         TS.zipf_fit(df, top_k=1)
+
+
+def test_bm25_weighted_matches_listform(spark, docs_df):
+    """Weight-1.0 join-formulated BM25 must equal the literal-term form on
+    every doc that contains a query term."""
+    wt = spark.createDataFrame([(t, 1.0) for t in TERMS], "term string, weight double")
+    joined = {
+        r["doc_id"]: r["score"]
+        for r in RET.bm25_scores_weighted(docs_df, wt, round_dp=None).collect()
+    }
+    listform = {
+        r["doc_id"]: r["score"]
+        for r in RET.bm25_scores(docs_df, TERMS, round_dp=None).collect()
+    }
+    for d, s in joined.items():
+        assert s == pytest.approx(listform[d], abs=1e-12), d
+    # absent docs are exactly the zero-score ones
+    assert set(listform) - set(joined) == {3, 4}
+
+
+def test_bm25_prf_expands_and_ranks(spark):
+    # feedback docs share the co-occurring term "together"; PRF must pull the
+    # doc that ONLY matches the expansion term into the ranking
+    rows = [
+        (0, "spark together alpha"),
+        (1, "spark together beta"),
+        (2, "together gamma delta"),   # no query term: reachable only via PRF
+        (3, "epsilon zeta eta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = RET.bm25_prf_topk(df, ["spark"], k=4, n_feedback=2, n_expansion=1,
+                            round_dp=None).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 2 in ids, ids          # expansion term reached doc 2
+    assert 3 not in ids, ids      # still no term overlap
+    assert ids[0] in (0, 1)       # original-term docs keep outranking
+
+
+def test_search_snippets_picks_best_window(spark):
+    docs = spark.createDataFrame(
+        [(0, "x x x spark merge x x x x x x x x x x spark spark merge merge x")],
+        "doc_id long, text string",
+    )
+    ranked = spark.createDataFrame([(0, 1)], "doc_id long, rnk long")
+    row = RET.search_snippets(ranked, docs, ["spark", "merge"], window=5).collect()[0]
+    # best 5-token window holds the late 4-hit cluster
+    assert row["n_hits"] == 4
+    assert row["snippet"].split().count("spark") == 2
+    assert row["snippet"].split().count("merge") == 2
+
+
+def test_search_snippets_tie_earliest_start(spark):
+    docs = spark.createDataFrame(
+        [(0, "spark a b c d e f spark")], "doc_id long, text string"
+    )
+    ranked = spark.createDataFrame([(0, 1)], "doc_id long, rnk long")
+    row = RET.search_snippets(ranked, docs, ["spark"], window=3).collect()[0]
+    assert row["n_hits"] == 1
+    assert row["snippet"] == "spark a b"  # earliest of the tied windows
