@@ -351,10 +351,13 @@ def bm25_scores_weighted(
     k1: float = 1.2,
     b: float = 0.75,
     round_dp: int | None = None,
+    staged: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 where the query is a DATAFRAME of (term, weight) — the form that
     lets expansion terms come from the corpus itself with no driver
     round-trip. score(doc) = Σ_t w_t · idf_t · sat(tf_t, dl).
+    Pass `staged` (a pre-built, typically cached, `(id_col, __toks)` frame)
+    to share one tokenization across several scoring passes.
 
     Determinism contract: per-(doc, term) contributions are single float
     expressions; the per-doc reduction runs as a TERM-SORTED sequential fold
@@ -365,7 +368,8 @@ def bm25_scores_weighted(
     document-frequency sides are term-cardinality-sized and broadcast; the
     fold shuffles one row per doc. Docs with no weighted term are absent
     from the output (callers top-k, so absence == score 0 semantics)."""
-    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    if staged is None:
+        staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     stats = staged.agg(
         F.count("*").alias("__n"),
         F.sum(F.size("__toks").cast("long")).alias("__sum_dl"),
@@ -436,12 +440,17 @@ def bm25_prf_topk(
     orig = spark.createDataFrame(
         [(t, 1.0) for t in query_terms], "term string, weight double"
     )
-    pass1 = bm25_scores_weighted(df, orig, text_col, id_col, k1, b, round_dp)
+    # one tokenization feeds pass one, expansion selection AND pass two
+    # (heavy_hitters' single-scan contract); the cached projection is
+    # (id, tokens) only and spills under MEMORY_AND_DISK at scale
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")).cache()
+    pass1 = bm25_scores_weighted(df, orig, text_col, id_col, k1, b, round_dp,
+                                 staged=staged)
     feedback = (
         pass1.orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(n_feedback).select(id_col)
     )
-    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    toks = staged.select(F.col(id_col), F.explode("__toks").alias("term"))
     expansion = (
         toks.join(F.broadcast(feedback), id_col, "left_semi")
         .where(~F.col("term").isin(query_terms))
@@ -451,7 +460,8 @@ def bm25_prf_topk(
         .select("term", F.lit(float(expansion_weight)).alias("weight"))
     )
     weighted = orig.unionByName(expansion)
-    pass2 = bm25_scores_weighted(df, weighted, text_col, id_col, k1, b, round_dp)
+    pass2 = bm25_scores_weighted(df, weighted, text_col, id_col, k1, b, round_dp,
+                                 staged=staged)
     top = pass2.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))

@@ -52,19 +52,40 @@ def test_no_false_negatives_and_fp_rate(spark, frames):
     assert fp / 20_000 < max(0.05, 5 * bf.fp_rate_estimate)
 
 
-def test_driver_engine_membership_parity(spark, frames):
+def test_driver_engine_membership_parity_md5(spark, frames):
+    """The md5 hash kind is the portable one: Python positions must equal the
+    engine's in BOTH membership modes."""
     _, keys = frames
-    bf = BL.bloom_build(keys, "k")
+    bf = BL.bloom_build(keys, "k", hash_kind="md5")
     sample = [r["k"] for r in keys.limit(20).collect()] + [999983, 999979]
     df = spark.createDataFrame([(v,) for v in sample], "kk long")
-    eng = {
-        r["kk"]: r["m"]
-        for r in df.select(
-            "kk", BL.bloom_might_contain(bf, "kk", mode="literal").alias("m")
-        ).collect()
-    }
-    for v in sample:
-        assert bf.contains_py(str(v)) == eng[v], v
+    for mode in ("literal", "broadcast"):
+        eng = {
+            r["kk"]: r["m"]
+            for r in df.select(
+                "kk", BL.bloom_might_contain(bf, "kk", mode=mode).alias("m")
+            ).collect()
+        }
+        for v in sample:
+            assert bf.contains_py(str(v)) == eng[v], (mode, v)
+
+
+def test_contains_py_rejects_engine_only_hash(spark, frames):
+    _, keys = frames
+    bf = BL.bloom_build(keys, "k")  # default xxhash64
+    with pytest.raises(NotImplementedError, match="md5"):
+        bf.contains_py("1")
+
+
+def test_both_hash_kinds_give_exact_joins(spark, frames):
+    big, keys = frames
+    want = sorted(r["k"] for r in big.join(keys, "k", "left_semi").collect())
+    for kind in ("xxhash64", "md5"):
+        got = sorted(
+            r["k"]
+            for r in BL.bloom_semi_join(big, keys, "k", hash_kind=kind).collect()
+        )
+        assert got == want, kind
 
 
 def test_inexact_mode_is_superset(spark, frames):
