@@ -1763,6 +1763,27 @@ def q_mrl_search(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("vec_id", "prefix_distance", "l2sq_distance", "rnk")
 
 
+def q_bloom_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-prefiltered anti join (always exact): bloom-fail rows are
+    definite non-members and bypass the join entirely; only the plausible
+    sliver pays the left_anti confirm. Oracle = plain NOT EXISTS."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    keys = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    ).select("o_orderkey")
+    aj = BL.bloom_anti_join(li, keys, big_col="l_orderkey", key_col="o_orderkey")
+    return (
+        aj.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
     """Zipf rank-frequency power-law fit over the corpus vocabulary — the
     one-row corpus-health gauge (natural text ≈ slope −1; templated text
@@ -1885,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_search": q_sq8_search,
         "oov_rate": q_oov_rate,
         "bloom_semi_join": q_bloom_semi_join,
+        "bloom_anti_join": q_bloom_anti_join,
         "mrl_search": q_mrl_search,
         "zipf_slope": q_zipf_slope,
         "bm25_search": q_bm25_search,
@@ -3121,6 +3143,19 @@ def _oracle_sql_raw() -> dict[str, str]:
                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
         FROM lineitem l
         WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_orderkey = l.l_orderkey
+              AND o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 150000
+        )
+        GROUP BY l_returnflag
+    """
+    sql["bloom_anti_join"] = """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM lineitem l
+        WHERE NOT EXISTS (
             SELECT 1 FROM orders o
             WHERE o.o_orderkey = l.l_orderkey
               AND o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 150000

@@ -152,6 +152,7 @@ def main() -> None:
         "sq8_search",
         "oov_rate",
         "bloom_semi_join",
+        "bloom_anti_join",
         "mrl_search",
         "zipf_slope",
         "bm25_search",
