@@ -20,6 +20,14 @@ oracle via __spark_entry__):
   9. shard export              write_corpus_shards (token-balanced files)
  10. release gate             corpus_diff/diff_summary (what this run did)
 
+r8 additions woven in where a production pipeline runs them:
+  3b. takedown blocklist       bloom_anti_join (definite non-matches bypass
+                               the join entirely; exact by construction)
+  7b. corpus-health gauge      zipf_fit (templated/boilerplate corpora
+                               flatten the rank-frequency slope)
+ 11. search spot-check        bm25_topk + search_snippets over the final
+                               corpus (the eyeball-the-data step, as code)
+
 Run: python examples/training_data_pipeline.py
 """
 
@@ -162,6 +170,15 @@ def main() -> dict:
         r["doc_id"] for r in docs.select("doc_id").collect()
     )
 
+    # Materialize the survivor set before the reporting/packing stages.
+    # Six dedup/filter stages deep, the analyzed plan is large enough that
+    # every further action pays Catalyst re-analysis of the whole lineage —
+    # and the search spot-check below re-joins this frame against itself,
+    # which squares the tree. On a 100 TB run this is the point where the
+    # cleaned corpus is written back to storage anyway; locally a
+    # localCheckpoint is the same cut.
+    docs = docs.localCheckpoint()
+
     # 7. corpus-shaping reports: the source mixture (and what resampling to a
     #    50/50 token split would emit), a per-source token quota, and the
     #    vocabulary coverage curve
@@ -208,7 +225,37 @@ def main() -> dict:
             train, os.path.join(td, "shards"), tokens_per_shard=16
         )
 
-    # 11. release gate: what did this pipeline run actually do to the corpus?
+    # 7b. corpus-health gauge: natural text sits near slope −1; a flat or
+    #     cliff-shaped rank-frequency curve flags templated/boilerplate
+    #     domination BEFORE tokens are spent on it
+    from lantern_extras_spark.operators.textstats import zipf_fit
+
+    zr = zipf_fit(docs, top_k=30, round_dp=4).collect()[0]
+    out["zipf"] = (zr["n_terms"], zr["slope"])
+
+    # 3b (shown late so the frame is small): takedown/opt-out blocklist as a
+    #    bloom-prefiltered ANTI join — at crawl scale the blocklist check
+    #    runs during the scan; only plausible matches pay the exact join
+    from lantern_extras_spark.operators.bloom import bloom_anti_join
+
+    blocklist = spark.createDataFrame([(5,), (999,)], "doc_id long")
+    out["after_blocklist"] = bloom_anti_join(docs, blocklist, "doc_id").count()
+
+    # 11. search spot-check: the "eyeball the data" step as code — BM25
+    #     top-2 with best-window snippets over the final corpus
+    from lantern_extras_spark.operators.retrieval import bm25_topk, search_snippets
+
+    qterms = ["quick", "shuffles"]
+    ranked = bm25_topk(docs, qterms, k=2).select("doc_id", "rnk")
+    out["spot_check"] = [
+        (r["doc_id"], r["n_hits"], r["snippet"])
+        for r in sorted(
+            search_snippets(ranked, docs, qterms, window=6).collect(),
+            key=lambda r: r["rnk"],
+        )
+    ]
+
+    # 12. release gate: what did this pipeline run actually do to the corpus?
     #     corpus_diff(raw, final) gives the per-doc provenance a dataset
     #     release ships with (here: everything surviving was edited in place
     #     by the cleanup stages; the rest was removed by a dedup/filter)

@@ -46,6 +46,18 @@ def test_training_data_pipeline(spark):
     assert all(s[4].strip() and s[3] > 0 for s in out["sequences"])
     # the shard export bins the same train docs into >=1 token-balanced file
     assert out["n_shards"] >= 1
+    # r8 stages: health gauge fitted over the real vocab; blocklist anti-join
+    # removed exactly the one present blocked id; the search spot-check
+    # returns ranked snippets with real hit windows
+    n_terms, slope = out["zipf"]
+    assert n_terms >= 10 and slope < 0  # frequency decreases with rank
+    # blocklist {5, 999}: doc 5 present -> removed; 999 absent -> no effect
+    assert out["after_blocklist"] == len(out["after_embedding_decontaminate"]) - 1
+    # spot-check: doc 1 matches "quick", doc 2 matches "shuffles" — both
+    # snippets carry >=1 hit inside a real text window
+    assert sorted(d for d, _, _ in out["spot_check"]) == [1, 2]
+    assert all(h >= 1 for _, h, _ in out["spot_check"])
+    assert all(s.split() for _, _, s in out["spot_check"])
 
 
 import pytest
