@@ -33,6 +33,7 @@ from lantern_extras_spark.operators import bloom as BL
 from lantern_extras_spark.operators import mrl as MRL
 from lantern_extras_spark.operators import bq as BQ
 from lantern_extras_spark.operators import retrieval as RET
+from lantern_extras_spark.operators import sketches as SK
 from lantern_extras_spark.operators import sq as SQ
 from lantern_extras_spark.operators import temporal as TMP
 from lantern_extras_spark.operators import versioning as VER
@@ -1793,6 +1794,31 @@ def q_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
     return TS.zipf_fit(docs, top_k=100, round_dp=6)
 
 
+def q_cms_frequencies(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch point queries vs exact counts (sketches.cms_build /
+    cms_estimate): sketch the corpus token stream into 4x2048 cells (the
+    shuffle carries at most depth*width rows per map task however large the
+    vocabulary), then estimate the phi-heavy tokens and report the one-sided
+    error. Oracle replays the md5 bucket hashing cell-for-cell; the CMS
+    guarantee (est >= exact, always) is visible in the overshoot column."""
+    docs = _t(spark, sf, "documents")
+    depth, width = 4, 2048
+    hh = TS.heavy_hitters(docs, phi=0.001, out_order=False).select("token", "n")
+    toks = docs.select(F.explode(T.tokens("text")).alias("token"))
+    sk = SK.cms_build(toks, "token", depth=depth, width=width)
+    est = SK.cms_estimate(sk, hh, "token", depth=depth, width=width)
+    return (
+        hh.join(est, "token")
+        .select(
+            "token",
+            F.col("n").alias("exact_n"),
+            "cms_est",
+            (F.col("cms_est") - F.col("n")).alias("overshoot"),
+        )
+        .orderBy(F.col("exact_n").desc(), F.col("token").asc())
+    )
+
+
 def q_bloom_semi_join(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom-prefiltered semi join (exact): lineitem pruned during its scan
     by a filter built from the selective orders subset, false positives
@@ -1916,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "maxsim_search": q_maxsim_search,
         "mmr_rerank": q_mmr_rerank,
+        "cms_frequencies": q_cms_frequencies,
         "heavy_hitters": q_heavy_hitters,
         "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
         "corpus_diff": q_corpus_diff,
@@ -2905,6 +2932,35 @@ def _oracle_sql_raw() -> dict[str, str]:
                round(n / (SELECT CAST(N AS DOUBLE) FROM tot), 6) AS share
         FROM c WHERE n > 0.001 * (SELECT N FROM tot)
         ORDER BY n DESC, token ASC
+    """
+    # Count-Min sketch replay: identical md5 cell hashing, identical phi-heavy
+    # key set; min-over-rows is exact-count arithmetic so hashes match
+    sql["cms_frequencies"] = f"""
+        WITH t AS (SELECT {_sql_words()} AS w FROM documents),
+             e AS (SELECT unnest(w) AS token FROM t),
+             tot AS (SELECT count(*) AS N FROM e),
+             c AS (SELECT token, count(*) AS n FROM e GROUP BY token),
+             hh AS (SELECT token, n FROM c WHERE n > 0.001 * (SELECT N FROM tot)),
+             rng AS (SELECT unnest(range(4)) AS r),
+             cells AS (
+                SELECT rng.r AS r,
+                       {_sql_hash32("concat('cms', rng.r, ':', e.token)")} % 2048 AS b,
+                       count(*) AS cnt
+                FROM e CROSS JOIN rng
+                GROUP BY 1, 2
+             ),
+             kb AS (
+                SELECT hh.token, hh.n, rng.r AS r,
+                       {_sql_hash32("concat('cms', rng.r, ':', hh.token)")} % 2048 AS b
+                FROM hh CROSS JOIN rng
+             )
+        SELECT kb.token,
+               min(kb.n) AS exact_n,
+               min(cells.cnt) AS cms_est,
+               min(cells.cnt) - min(kb.n) AS overshoot
+        FROM kb JOIN cells ON cells.r = kb.r AND cells.b = kb.b
+        GROUP BY kb.token
+        ORDER BY exact_n DESC, token ASC
     """
     sql["heavy_hitters_by_lang"] = f"""
         WITH t AS (SELECT lang, {_sql_words()} AS w FROM documents),

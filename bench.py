@@ -171,6 +171,7 @@ def main() -> None:
         "semantic_dedup",
         "semantic_incremental",
         "heavy_hitters",
+        "cms_frequencies",
         "sampled_percentiles",
         "mixture_order",
         "corpus_diff",
