@@ -1794,6 +1794,18 @@ def q_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
     return TS.zipf_fit(docs, top_k=100, round_dp=6)
 
 
+def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch-vs-corpus n-gram novelty (textstats.ngram_novelty): docs with
+    doc_id%5<2 stand in for the already-held corpus, the rest for the new
+    crawl batch; per new doc, the share of its distinct 3-gram shingles the
+    held corpus has never seen. One distinct pass over reference shingles +
+    one string equi-join + one per-doc agg — the crawl-valuation gauge."""
+    docs = _t(spark, sf, "documents")
+    ref = docs.where(F.col("doc_id") % 5 < 2)
+    tgt = docs.where(F.col("doc_id") % 5 >= 2)
+    return TS.ngram_novelty(tgt, ref, n=3, round_dp=6).orderBy("doc_id")
+
+
 def q_cms_frequencies(spark: SparkSession, sf: str) -> DataFrame:
     """Count-Min sketch point queries vs exact counts (sketches.cms_build /
     cms_estimate): sketch the corpus token stream into 4x2048 cells (the
@@ -1943,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_search": q_maxsim_search,
         "mmr_rerank": q_mmr_rerank,
         "cms_frequencies": q_cms_frequencies,
+        "ngram_novelty": q_ngram_novelty,
         "heavy_hitters": q_heavy_hitters,
         "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
         "corpus_diff": q_corpus_diff,
@@ -2932,6 +2945,22 @@ def _oracle_sql_raw() -> dict[str, str]:
                round(n / (SELECT CAST(N AS DOUBLE) FROM tot), 6) AS share
         FROM c WHERE n > 0.001 * (SELECT N FROM tot)
         ORDER BY n DESC, token ASC
+    """
+    # Novelty replays the same distinct-3-gram builder the Spark side uses
+    # (single whole-text shingle for docs under 3 words, empty-doc absence)
+    sql["ngram_novelty"] = f"""
+        WITH t AS (SELECT doc_id, {_sql_words()} AS w FROM documents),
+             s AS (SELECT doc_id, {_sql_shingles3('w')} AS sh FROM t),
+             ref AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 5 < 2),
+             tgt AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 5 >= 2),
+             m AS (SELECT tgt.doc_id,
+                          count(*) AS n_ngrams,
+                          count(ref.g) AS n_matched
+                   FROM tgt LEFT JOIN ref ON ref.g = tgt.g
+                   GROUP BY tgt.doc_id)
+        SELECT doc_id, n_ngrams, n_matched,
+               round(1.0 - n_matched / CAST(n_ngrams AS DOUBLE), 6) AS novelty
+        FROM m ORDER BY doc_id
     """
     # Count-Min sketch replay: identical md5 cell hashing, identical phi-heavy
     # key set; min-over-rows is exact-count arithmetic so hashes match

@@ -172,6 +172,7 @@ def main() -> None:
         "semantic_incremental",
         "heavy_hitters",
         "cms_frequencies",
+        "ngram_novelty",
         "sampled_percentiles",
         "mixture_order",
         "corpus_diff",

@@ -1230,3 +1230,57 @@ def zipf_fit(
     return staged.select(
         "n_terms", slope.alias("slope"), intercept.alias("intercept")
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus: the share of
+    the document's DISTINCT word n-grams that the reference has never seen.
+    The crawl-valuation gauge of a training pipeline — "how much genuinely
+    new text does this batch add on top of what we already hold?" — and the
+    corpus-level dual of `decontaminate` (which asks the same question about
+    a benchmark, doc by doc, with a threshold).
+
+    Reference parity: generalizes the reference's shingle-overlap machinery
+    (lantern_cli daemon dedup posture) from pairwise overlap to
+    batch-vs-corpus coverage.
+
+    Scale shape: distinct reference shingles once (groupBy on the shingle —
+    map-side combine collapses repeats before the shuffle), then ONE string
+    equi-join between exploded target shingles and the reference set, then a
+    per-doc aggregation. Both joins/aggs shuffle on their natural keys; no
+    driver state, no broadcast requirement (Spark broadcasts the reference
+    side automatically when it is small). Docs with zero tokens produce zero
+    shingles and are absent from the output (nothing to measure).
+
+    Output: (id_col, n_ngrams, n_matched, novelty) with
+    novelty = 1 - matched/total over the doc's distinct shingles.
+    """
+    from lantern_extras_spark.functions.text import tokens, word_ngrams_of
+
+    sh = lambda frame: frame.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams_of(tokens(F.col(text_col)), n))
+        ).alias("__g"),
+    )
+    ref = sh(reference).select("__g").distinct()
+    tgt = sh(df)
+    novelty = 1.0 - F.col("n_matched") / F.col("n_ngrams").cast("double")
+    if round_dp is not None:
+        novelty = pround(novelty, round_dp)
+    return (
+        tgt.join(ref.withColumn("__hit", F.lit(1)), "__g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.count("__hit").alias("n_matched"),
+        )
+        .withColumn("novelty", novelty)
+    )

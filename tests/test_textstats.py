@@ -178,3 +178,45 @@ def test_oov_rate_semantics(spark):
     assert out[103] == 0.0
     with pytest.raises(ValueError, match="top_v"):
         oov_rate(df, top_v=0)
+
+
+def test_ngram_novelty_semantics(spark):
+    from lantern_extras_spark.operators.textstats import ngram_novelty
+
+    ref = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    tgt = spark.createDataFrame(
+        [
+            # full copy of a reference doc -> novelty 0
+            (10, "alpha beta gamma delta epsilon"),
+            # entirely new text -> novelty 1
+            (11, "zeta eta theta iota kappa"),
+            # 4 distinct shingles, 1 seen in ref ("beta gamma delta") -> 0.75
+            (12, "beta gamma delta zz yy xx"),
+            # under 3 words -> single whole-text shingle, unseen -> 1.0
+            (13, "alpha beta"),
+            # empty doc -> no shingles -> absent from output
+            (14, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in ngram_novelty(tgt, ref, n=3).collect()}
+    assert sorted(rows) == [10, 11, 12, 13]
+    assert rows[10]["novelty"] == 0.0 and rows[10]["n_matched"] == rows[10]["n_ngrams"]
+    assert rows[11]["novelty"] == 1.0 and rows[11]["n_matched"] == 0
+    assert rows[12]["n_ngrams"] == 4 and rows[12]["n_matched"] == 1
+    assert abs(rows[12]["novelty"] - 0.75) < 1e-9
+    assert rows[13]["n_ngrams"] == 1 and rows[13]["novelty"] == 1.0
+
+
+def test_ngram_novelty_duplicate_shingles_count_once(spark):
+    from lantern_extras_spark.operators.textstats import ngram_novelty
+
+    ref = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    # "a b c" appears twice in the target; distinct shingles count it once
+    tgt = spark.createDataFrame([(2, "a b c a b c")], "doc_id long, text string")
+    [r] = ngram_novelty(tgt, ref, n=3).collect()
+    # shingles: 'a b c' (x2), 'b c a', 'c a b' -> 3 distinct, 1 matched in ref
+    assert r["n_ngrams"] == 3 and r["n_matched"] == 1
+    assert abs(r["novelty"] - (1.0 - 1.0 / 3.0)) < 1e-6
