@@ -1794,6 +1794,31 @@ def q_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
     return TS.zipf_fit(docs, top_k=100, round_dp=6)
 
 
+def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive hard-negative mining (knn.hard_negatives): for each query
+    embedding, the 10 cosine-nearest corpus vectors with a DIFFERENT label —
+    the filter runs before ranking so these are the true top-k negatives.
+    Declarative crossjoin config for oracle parity; the masked partial-topk
+    mapInPandas strategy is equivalence-tested in tests/."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    data = emb.where(F.col("vec_id") >= 5)
+    out = K.hard_negatives(
+        data, q, k=10, metric="cos", strategy="crossjoin", dist_scale=6
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        F.col("distance").alias("cos_distance"),
+        F.col("rank").cast("bigint").alias("rnk"),
+    )
+
+
 def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     """Batch-vs-corpus n-gram novelty (textstats.ngram_novelty): docs with
     doc_id%5<2 stand in for the already-held corpus, the rest for the new
@@ -1956,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "cms_frequencies": q_cms_frequencies,
         "ngram_novelty": q_ngram_novelty,
+        "hard_negatives": q_hard_negatives,
         "heavy_hitters": q_heavy_hitters,
         "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
         "corpus_diff": q_corpus_diff,
@@ -2368,6 +2394,26 @@ def _oracle_sql_raw() -> dict[str, str]:
                     FROM q, d
                  )
             SELECT query_id, vec_id, cos_distance,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos_distance ASC, vec_id ASC) AS rnk
+            FROM scored
+            QUALIFY rnk <= 10
+        """,
+        "hard_negatives": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+                       FROM embeddings WHERE vec_id < 5 AND label IS NOT NULL),
+                 d AS (SELECT vec_id, embedding::DOUBLE[] AS dv, label
+                       FROM embeddings WHERE vec_id >= 5 AND label IS NOT NULL),
+                 scored AS (
+                    SELECT q.query_id, d.vec_id, d.label AS neg_label,
+                           round(1.0 - CASE WHEN sqrt(list_sum(list_transform(dv, x->x*x))) * sqrt(list_sum(list_transform(qv, x->x*x))) = 0
+                                 THEN 0.0
+                                 ELSE list_sum(list_transform(range(1, len(dv)+1), i -> dv[i]*qv[i]))
+                                      / (sqrt(list_sum(list_transform(dv, x->x*x))) * sqrt(list_sum(list_transform(qv, x->x*x))))
+                           END, 6) AS cos_distance
+                    FROM q, d
+                    WHERE d.label != q.ql
+                 )
+            SELECT query_id, vec_id, neg_label, cos_distance,
                    row_number() OVER (PARTITION BY query_id ORDER BY cos_distance ASC, vec_id ASC) AS rnk
             FROM scored
             QUALIFY rnk <= 10

@@ -173,6 +173,7 @@ def main() -> None:
         "heavy_hitters",
         "cms_frequencies",
         "ngram_novelty",
+        "hard_negatives",
         "sampled_percentiles",
         "mixture_order",
         "corpus_diff",

@@ -204,6 +204,126 @@ def knn_join(
     )
 
 
+def hard_negatives(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "cos",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+    qlabel_col: str = "query_label",
+    strategy: str = "partial",
+    dist_scale: int | None = None,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the k nearest
+    data vectors whose label DIFFERS from the query's — the pairs that teach
+    an embedding model the most (closest in space, known to be different).
+    The training-pair counterpart of the exact-kNN join (J2): same execution
+    strategies, with the label-mismatch constraint applied BEFORE ranking so
+    the result is the true top-k among negatives, not a post-filtered top-k.
+
+    Returns (qid_col, id_col, label_col, distance, rank). Rows with NULL
+    labels are excluded from both sides (a null label can neither match nor
+    mismatch). Strategies mirror knn_join: "partial" (the 100 TB path —
+    queries+labels broadcast into an Arrow-batched kernel that masks
+    same-label pairs per batch and emits per-batch top-k) and "crossjoin"
+    (declarative; the oracle-parity path).
+    """
+    if metric not in METRICS:
+        raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
+    data = data.where(F.col(label_col).isNotNull())
+    queries = queries.where(F.col(qlabel_col).isNotNull())
+    if strategy == "crossjoin":
+        d = distance_col(metric, F.col(vec_col), F.col(qvec_col))
+        if dist_scale is not None:
+            d = pround(d, dist_scale)
+        joined = (
+            data.select(id_col, vec_col, label_col)
+            .crossJoin(F.broadcast(queries.select(qid_col, qvec_col, qlabel_col)))
+            .where(F.col(label_col) != F.col(qlabel_col))
+        )
+        w = Window.partitionBy(qid_col).orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        return (
+            joined.withColumn("distance", d)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(qid_col, id_col, label_col, "distance", "rank")
+        )
+    if strategy != "partial":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    qrows = (
+        queries.select(qid_col, qvec_col, qlabel_col)
+        .limit(MAX_COLLECTED_QUERIES + 1)
+        .collect()
+    )
+    if len(qrows) > MAX_COLLECTED_QUERIES:
+        raise ValueError(
+            f"strategy='partial' collects the query side to the driver and it "
+            f"exceeds {MAX_COLLECTED_QUERIES} rows; mine negatives for a large "
+            "query set through ivf.ivf_knn_join on a label-partitioned corpus "
+            "or strategy='crossjoin' with an explicitly broadcastable frame"
+        )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(map(float, r[1])) for r in qrows], dtype=np.float64)
+    qlabels = np.array([r[2] for r in qrows])
+    spark = data.sparkSession
+    bqids = spark.sparkContext.broadcast(qids)
+    bQ = spark.sparkContext.broadcast(Q)
+    blab = spark.sparkContext.broadcast(qlabels)
+
+    label_field = data.select(label_col).schema.fields[0]
+    out_schema = StructType(
+        [
+            StructField(qid_col, LongType()),
+            StructField(id_col, LongType()),
+            StructField(label_col, label_field.dataType),
+            StructField("distance", DoubleType()),
+        ]
+    )
+
+    def partial_topk_neg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qi, Qm, ql = bqids.value, bQ.value, blab.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()])
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            labs = pdf[label_col].to_numpy()
+            D = _np_distances(metric, X, Qm)
+            if dist_scale is not None:
+                s = float(10**dist_scale)
+                D = np.floor(D * s + 0.5) / s
+            # mask positives (same label) out of the candidate set entirely
+            D = np.where(labs[:, None] == ql[None, :], np.inf, D)
+            for j in range(Qm.shape[0]):
+                order = np.lexsort((ids, D[:, j]))
+                keep = order[np.isfinite(D[order, j])][: min(k, len(pdf))]
+                if len(keep) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        qid_col: np.full(len(keep), qi[j], dtype=np.int64),
+                        id_col: ids[keep],
+                        label_col: labs[keep],
+                        "distance": D[keep, j],
+                    }
+                )
+
+    partial = data.select(id_col, vec_col, label_col).mapInPandas(
+        partial_topk_neg, out_schema
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, label_col, "distance", "rank")
+    )
+
+
 def ground_truth(
     df: DataFrame,
     n_queries: int = 10,

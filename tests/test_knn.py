@@ -70,3 +70,60 @@ def test_bad_metric_raises_eagerly(emb):
     q = emb.limit(1).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     with pytest.raises(ValueError, match="unknown metric"):
         K.knn_join(emb, q, metric="euclid")
+
+
+def _hn_queries(emb):
+    return emb.where("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+
+
+def test_hard_negatives_partial_equals_crossjoin(spark, emb):
+    q = _hn_queries(emb)
+    data = emb.where("vec_id >= 4")
+    a = K.hard_negatives(data, q, k=7, metric="cos", strategy="partial", dist_scale=6)
+    b = K.hard_negatives(data, q, k=7, metric="cos", strategy="crossjoin", dist_scale=6)
+    key = lambda df: [
+        (r["query_id"], r["rank"], r["vec_id"], r["label"])
+        for r in df.orderBy("query_id", "rank").collect()
+    ]
+    ra, rb = key(a), key(b)
+    assert ra == rb and len(ra) == 4 * 7
+
+
+def test_hard_negatives_excludes_query_label_and_beats_postfilter(spark, emb):
+    q = _hn_queries(emb)
+    data = emb.where("vec_id >= 4")
+    qlab = {r["query_id"]: r["query_label"] for r in q.collect()}
+    out = K.hard_negatives(data, q, k=5, metric="cos", strategy="partial").collect()
+    assert all(r["label"] != qlab[r["query_id"]] for r in out)
+    # filter-before-rank: every returned set equals the top-5 of the
+    # label-filtered brute force (a post-filtered plain kNN can return fewer)
+    X = {r["vec_id"]: (np.array(r["embedding"], dtype=float), r["label"]) for r in data.collect()}
+    for qr in q.collect():
+        qv = np.array(qr["query_vec"], dtype=float)
+        cand = []
+        for vid, (v, lab) in X.items():
+            if lab == qr["query_label"]:
+                continue
+            d = 1.0 - float(v @ qv) / (np.linalg.norm(v) * np.linalg.norm(qv))
+            cand.append((d, vid))
+        want = [vid for _, vid in sorted(cand, key=lambda t: (round(t[0], 9), t[1]))[:5]]
+        got = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"]) if r["query_id"] == qr["query_id"]]
+        assert got == want, qr["query_id"]
+
+
+def test_hard_negatives_null_labels_dropped(spark):
+    data = spark.createDataFrame(
+        [(1, [1.0, 0.0], 7), (2, [0.9, 0.1], None), (3, [0.0, 1.0], 8)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0], 7)], "query_id long, query_vec array<double>, query_label int"
+    )
+    for strat in ("partial", "crossjoin"):
+        got = K.hard_negatives(data, q, k=5, metric="cos", strategy=strat).collect()
+        # vec 1 shares the label, vec 2 has none -> only vec 3 qualifies
+        assert [r["vec_id"] for r in got] == [3], strat
