@@ -1794,6 +1794,17 @@ def q_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
     return TS.zipf_fit(docs, top_k=100, round_dp=6)
 
 
+def q_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Epoch-capped mixture sizing (sampling.mixture_plan): the largest
+    train corpus the data supports at a 40/30/20/10 source mixture with no
+    source repeated past 2 epochs — T = min(n_g*max_epochs/t_g); the
+    arg-min source is the binding constraint. One agg to group-sized rows +
+    a broadcast scalar; oracle replays the same bigint->double arithmetic."""
+    docs = _t(spark, sf, "documents")
+    target = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    return SMP.mixture_plan(docs, target, max_epochs=2.0).orderBy("source")
+
+
 def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     """Contrastive hard-negative mining (knn.hard_negatives): for each query
     embedding, the 10 cosine-nearest corpus vectors with a DIFFERENT label —
@@ -1982,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_frequencies": q_cms_frequencies,
         "ngram_novelty": q_ngram_novelty,
         "hard_negatives": q_hard_negatives,
+        "mixture_plan": q_mixture_plan,
         "heavy_hitters": q_heavy_hitters,
         "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
         "corpus_diff": q_corpus_diff,
@@ -2921,6 +2933,32 @@ def _oracle_sql_raw() -> dict[str, str]:
     _mo_w = " ".join(
         f"WHEN '{s}' THEN {w!r}" for s, w in MIXTURE_ORDER_W.items()
     )
+    # Epoch-capped mixture plan: identical bigint->double arithmetic on both
+    # sides (n*max_epochs/share), so min/equality agree bit-for-bit
+    sql["mixture_plan"] = f"""
+        WITH counts AS (
+            SELECT source, CAST(sum(len({_sql_words()})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        tgt AS (SELECT * FROM (VALUES ('src0', CAST(0.4 AS DOUBLE)),
+                                      ('src1', CAST(0.3 AS DOUBLE)),
+                                      ('src2', CAST(0.2 AS DOUBLE)),
+                                      ('src3', CAST(0.1 AS DOUBLE))) t(source, share)),
+        j AS (SELECT c.source, c.n_tokens, coalesce(t.share, 0.0) AS target_share
+              FROM counts c LEFT JOIN tgt t ON t.source = c.source),
+        lim AS (SELECT min(n_tokens * 2.0 / target_share) AS T
+                FROM j WHERE target_share > 0 AND n_tokens > 0)
+        SELECT j.source, j.n_tokens, j.target_share,
+               CAST(CASE WHEN j.target_share > 0
+                         THEN floor(lim.T * j.target_share) ELSE 0 END AS BIGINT) AS planned_tokens,
+               CASE WHEN j.target_share > 0 AND j.n_tokens > 0
+                    THEN round(lim.T * j.target_share / j.n_tokens, 6)
+                    ELSE 0.0 END AS epochs,
+               CASE WHEN j.target_share > 0
+                    THEN j.n_tokens * 2.0 / j.target_share = lim.T
+                    ELSE FALSE END AS binding
+        FROM j CROSS JOIN lim ORDER BY j.source
+    """
     sql["mixture_order"] = f"""
         SELECT doc_id, source,
                round(({_sql_hash32("concat('order', ':', CAST(doc_id AS VARCHAR))")} / 4294967296.0)

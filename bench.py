@@ -174,6 +174,7 @@ def main() -> None:
         "cms_frequencies",
         "ngram_novelty",
         "hard_negatives",
+        "mixture_plan",
         "sampled_percentiles",
         "mixture_order",
         "corpus_diff",

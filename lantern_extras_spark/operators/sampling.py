@@ -540,3 +540,77 @@ def resample_mixture(
         )
         .drop("__n", "weight")
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    target: dict[str, float],
+    max_epochs: float = 4.0,
+    group_col: str = "source",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Epoch-capped mixture sizing: the largest training corpus the available
+    data supports at the `target` mixture when no group may repeat more than
+    `max_epochs` times (repeating data beyond a few epochs has sharply
+    diminishing returns — the data-constrained-scaling budget question:
+    "how many tokens can we actually train on at this mixture?").
+
+    Math: with n_g tokens available and target share t_g, a total budget T
+    demands T*t_g tokens of group g, i.e. T*t_g <= n_g*max_epochs for every
+    g — so T = min over target groups of n_g*max_epochs/t_g. The group
+    achieving the min is the binding constraint (epochs == max_epochs);
+    every other group trains fewer epochs than the cap.
+
+    Returns one row per group present in the corpus: (group_col, n_tokens,
+    target_share, planned_tokens, epochs, binding). Groups not in `target`
+    get share 0 / planned 0 / binding false; target groups missing from the
+    corpus contribute no constraint (there is nothing to repeat) and are
+    absent from the output.
+
+    Scale shape: one aggregation shuffle to group-count-sized rows, then a
+    broadcast scalar cross join — same execution skeleton as
+    `mixture_weights`; the min runs over the already-reduced group table.
+    """
+    if not target:
+        raise ValueError("target must be a non-empty {group: share} dict")
+    if any(v < 0 for v in target.values()):
+        raise ValueError("target shares must be >= 0")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    from lantern_extras_spark.functions.portable import pround
+    from lantern_extras_spark.functions.text import token_count
+
+    counts = df.groupBy(group_col).agg(
+        F.sum(token_count(F.col(text_col))).cast("bigint").alias("n_tokens")
+    )
+    tmap = F.create_map(*[F.lit(x) for kv in target.items() for x in kv])
+    j = counts.withColumn(
+        "target_share", F.coalesce(tmap[F.col(group_col)], F.lit(0.0))
+    )
+    me = F.lit(float(max_epochs))
+    demand_cap = F.col("n_tokens") * me / F.col("target_share")
+    lim = (
+        j.where((F.col("target_share") > 0) & (F.col("n_tokens") > 0))
+        .agg(F.min(demand_cap).alias("__T"))
+    )
+    active = F.col("target_share") > 0
+    planned = F.when(active, F.floor(F.col("__T") * F.col("target_share"))).otherwise(
+        F.lit(0)
+    ).cast("bigint")
+    epochs = F.when(
+        active & (F.col("n_tokens") > 0),
+        pround(F.col("__T") * F.col("target_share") / F.col("n_tokens"), round_dp),
+    ).otherwise(F.lit(0.0))
+    binding = F.when(active, demand_cap == F.col("__T")).otherwise(F.lit(False))
+    return (
+        j.crossJoin(F.broadcast(lim))
+        .select(
+            group_col,
+            "n_tokens",
+            "target_share",
+            planned.alias("planned_tokens"),
+            epochs.alias("epochs"),
+            binding.alias("binding"),
+        )
+    )

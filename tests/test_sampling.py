@@ -346,3 +346,40 @@ def test_split_contamination_report_gates_leakage(spark):
     summ = SMP.split_contamination_report(naive, pairs, summary=True).collect()
     assert sum(r["n_pairs"] for r in summ) == leaky.count()
     assert all(r["max_jaccard"] >= 0.5 for r in summ)
+
+
+def test_mixture_plan_binding_and_caps(spark):
+    from lantern_extras_spark.operators.sampling import mixture_plan
+
+    # a: 100 tokens, b: 50 tokens, c: not in target
+    rows = (
+        [(i, "a", "tok " * 10) for i in range(10)]
+        + [(100 + i, "b", "tok " * 10) for i in range(5)]
+        + [(200, "c", "tok tok")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in mixture_plan(df, {"a": 0.5, "b": 0.5}, max_epochs=2.0).collect()}
+    # T = min(100*2/0.5, 50*2/0.5) = 200 -> a: 100 planned (1 epoch),
+    # b: 100 planned (2 epochs, the binding constraint)
+    assert out["a"]["planned_tokens"] == 100 and abs(out["a"]["epochs"] - 1.0) < 1e-9
+    assert out["b"]["planned_tokens"] == 100 and abs(out["b"]["epochs"] - 2.0) < 1e-9
+    assert out["b"]["binding"] and not out["a"]["binding"]
+    # non-target group: zeroed, never binding
+    assert out["c"]["target_share"] == 0.0 and out["c"]["planned_tokens"] == 0
+    assert not out["c"]["binding"]
+    # the cap is a cap
+    assert all(r["epochs"] <= 2.0 + 1e-9 for r in out.values())
+
+
+def test_mixture_plan_validation(spark):
+    from lantern_extras_spark.operators.sampling import mixture_plan
+
+    df = spark.createDataFrame([(1, "a", "x")], "doc_id long, source string, text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mixture_plan(df, {})
+    with _pt.raises(ValueError):
+        mixture_plan(df, {"a": -0.1})
+    with _pt.raises(ValueError):
+        mixture_plan(df, {"a": 1.0}, max_epochs=0)
