@@ -1794,6 +1794,23 @@ def q_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
     return TS.zipf_fit(docs, top_k=100, round_dp=6)
 
 
+def q_domain_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """c-TF-IDF domain keywords (textstats.domain_keywords): each source
+    collapsed to one virtual document, top-3 most characteristic terms by
+    (tf_g/tokens_g)*ln(n_groups/df_g) with portable 6-dp rounding before
+    ranking. The what-is-in-this-domain report behind mixture decisions."""
+    docs = _t(spark, sf, "documents")
+    out = TS.domain_keywords(docs, group_col="source", k=3, round_dp=6)
+    return out.select(
+        "source", "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("grp_tokens").cast("bigint").alias("grp_tokens"),
+        F.col("df_g").cast("bigint").alias("df_g"),
+        "score",
+        F.col("rank").cast("bigint").alias("rnk"),
+    ).orderBy("source", "rnk")
+
+
 def q_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
     """Epoch-capped mixture sizing (sampling.mixture_plan): the largest
     train corpus the data supports at a 40/30/20/10 source mixture with no
@@ -1994,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "hard_negatives": q_hard_negatives,
         "mixture_plan": q_mixture_plan,
+        "domain_keywords": q_domain_keywords,
         "heavy_hitters": q_heavy_hitters,
         "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
         "corpus_diff": q_corpus_diff,
@@ -2933,6 +2951,26 @@ def _oracle_sql_raw() -> dict[str, str]:
     _mo_w = " ".join(
         f"WHEN '{s}' THEN {w!r}" for s, w in MIXTURE_ORDER_W.items()
     )
+    # c-TF-IDF: exact integer counts everywhere; ln() rounded portably before
+    # ranking on both sides so ulp differences can't flip ranks
+    sql["domain_keywords"] = f"""
+        WITH t AS (SELECT source, unnest({_sql_words()}) AS term FROM documents),
+             tf AS (SELECT source, term, count(*) AS tf FROM t GROUP BY source, term),
+             tot AS (SELECT source, sum(tf) AS grp_tokens FROM tf GROUP BY source),
+             dfreq AS (SELECT term, count(*) AS df_g FROM tf GROUP BY term),
+             ng AS (SELECT count(DISTINCT source) AS n_groups FROM tf),
+             scored AS (
+                SELECT tf.source, tf.term, tf.tf, tot.grp_tokens, dfreq.df_g,
+                       round((tf.tf / CAST(tot.grp_tokens AS DOUBLE))
+                             * ln(ng.n_groups / CAST(dfreq.df_g AS DOUBLE)), 6) AS score
+                FROM tf JOIN tot USING (source) JOIN dfreq USING (term) CROSS JOIN ng
+             )
+        SELECT source, term, tf, CAST(grp_tokens AS BIGINT) AS grp_tokens, df_g, score,
+               row_number() OVER (PARTITION BY source ORDER BY score DESC, term ASC) AS rnk
+        FROM scored
+        QUALIFY rnk <= 3
+        ORDER BY source, rnk
+    """
     # Epoch-capped mixture plan: identical bigint->double arithmetic on both
     # sides (n*max_epochs/share), so min/equality agree bit-for-bit
     sql["mixture_plan"] = f"""

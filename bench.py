@@ -175,6 +175,7 @@ def main() -> None:
         "ngram_novelty",
         "hard_negatives",
         "mixture_plan",
+        "domain_keywords",
         "sampled_percentiles",
         "mixture_order",
         "corpus_diff",

@@ -1284,3 +1284,52 @@ def ngram_novelty(
         )
         .withColumn("novelty", novelty)
     )
+
+
+def domain_keywords(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Class-based TF-IDF (c-TF-IDF) keywords: collapse every group (source
+    domain, language, near-dup cluster id, topic cell) into one virtual
+    document and rank its most characteristic terms —
+    score = (tf_g / tokens_g) * ln(n_groups / groups_containing_term).
+    The corpus-characterization step of a training pipeline: what a domain
+    actually contains before deciding its mixture weight, and the standard
+    cluster-labeling trick (BERTopic-style) for topic cells.
+
+    Differs from `tfidf_top_terms` (per-document) in the aggregation unit:
+    tf is the GROUP's term count normalized by the group's token total, and
+    rarity is measured across groups, not documents.
+
+    Scale shape: one (group, term) aggregation shuffle, one term-level
+    shuffle for cross-group frequency, one broadcast scalar (n_groups), then
+    a per-group window over terms. All counts exact; `round_dp` rounds the
+    score with the portable floor-form BEFORE ranking so cross-engine ln()
+    ulps can't flip ranks (ties break on term asc).
+
+    Output: (group_col, term, tf, grp_tokens, df_g, score, rank<=k).
+    """
+    toks = df.select(F.col(group_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(group_col, "term").agg(F.count("*").alias("tf"))
+    grp_tot = tf.groupBy(group_col).agg(F.sum("tf").alias("grp_tokens"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_g"))
+    ngr = tf.agg(F.countDistinct(group_col).alias("__ng"))
+    score = (F.col("tf") / F.col("grp_tokens")) * F.log(
+        F.col("__ng") / F.col("df_g")
+    )
+    if round_dp is not None:
+        score = pround(score, round_dp)
+    w = Window.partitionBy(group_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        tf.join(grp_tot, group_col)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(ngr))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(group_col, "term", "tf", "grp_tokens", "df_g", "score", "rank")
+    )

@@ -220,3 +220,33 @@ def test_ngram_novelty_duplicate_shingles_count_once(spark):
     # shingles: 'a b c' (x2), 'b c a', 'c a b' -> 3 distinct, 1 matched in ref
     assert r["n_ngrams"] == 3 and r["n_matched"] == 1
     assert abs(r["novelty"] - (1.0 - 1.0 / 3.0)) < 1e-6
+
+
+def test_domain_keywords_semantics(spark):
+    from lantern_extras_spark.operators.textstats import domain_keywords
+
+    df = spark.createDataFrame(
+        [
+            (1, "sports", "goal goal goal match the the"),
+            (2, "sports", "match goal team"),
+            (3, "finance", "stock stock bond the the"),
+            (4, "finance", "bond yield the"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = domain_keywords(df, k=2, round_dp=6).collect()
+    top = {r["source"]: [] for r in out}
+    for r in sorted(out, key=lambda r: (r["source"], r["rank"])):
+        top[r["source"]].append(r["term"])
+    # 'the' appears in both groups -> ln(2/2)=0 -> never a keyword;
+    # group-exclusive high-tf terms dominate
+    assert top["sports"][0] == "goal"
+    # stock and bond tie at tf=2 (both finance-exclusive) -> term-asc tie-break
+    assert top["finance"] == ["bond", "stock"]
+    assert all("the" not in v for v in top.values())
+    # exact counts surface: goal tf=4 over 9 sports tokens, seen in 1 group
+    g = {(r["source"], r["term"]): r for r in out}
+    assert g[("sports", "goal")]["tf"] == 4
+    assert g[("sports", "goal")]["grp_tokens"] == 9
+    assert g[("sports", "goal")]["df_g"] == 1
+    assert all(r["rank"] <= 2 for r in out)
