@@ -1794,6 +1794,15 @@ def q_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
     return TS.zipf_fit(docs, top_k=100, round_dp=6)
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language tokenizer efficiency (textstats.tokenizer_fertility):
+    BPE-ish pre-tokens per whitespace word and chars per pre-token — the
+    sequence-length budgeting gauge for multilingual mixtures. One narrow
+    regex projection + one group-sized aggregation."""
+    docs = _t(spark, sf, "documents")
+    return TS.tokenizer_fertility(docs, group_col="lang").orderBy("lang")
+
+
 def q_domain_keywords(spark: SparkSession, sf: str) -> DataFrame:
     """c-TF-IDF domain keywords (textstats.domain_keywords): each source
     collapsed to one virtual document, top-3 most characteristic terms by
@@ -2012,6 +2021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "mixture_plan": q_mixture_plan,
         "domain_keywords": q_domain_keywords,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "heavy_hitters": q_heavy_hitters,
         "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
         "corpus_diff": q_corpus_diff,
@@ -2951,6 +2961,25 @@ def _oracle_sql_raw() -> dict[str, str]:
     _mo_w = " ".join(
         f"WHEN '{s}' THEN {w!r}" for s, w in MIXTURE_ORDER_W.items()
     )
+    # Fertility: exact integer counters (words via whitespace split, BPE-ish
+    # pre-tokens via the RE2-safe extract_all form, non-ws chars), ratios of
+    # bigints -> identical doubles
+    sql["tokenizer_fertility"] = f"""
+        WITH a AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len({_sql_words()})) AS BIGINT) AS total_words,
+                   CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens,
+                   CAST(sum(length(text) - length(regexp_replace(text, '\\S', '', 'g'))) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang
+        )
+        SELECT lang, n_docs, total_words, total_bpe_tokens, total_chars,
+               round(CASE WHEN total_words = 0 THEN 0.0
+                          ELSE total_bpe_tokens / CAST(total_words AS DOUBLE) END, 6) AS fertility,
+               round(CASE WHEN total_bpe_tokens = 0 THEN 0.0
+                          ELSE total_chars / CAST(total_bpe_tokens AS DOUBLE) END, 6) AS chars_per_token
+        FROM a ORDER BY lang
+    """
     # c-TF-IDF: exact integer counts everywhere; ln() rounded portably before
     # ranking on both sides so ulp differences can't flip ranks
     sql["domain_keywords"] = f"""

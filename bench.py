@@ -176,6 +176,7 @@ def main() -> None:
         "hard_negatives",
         "mixture_plan",
         "domain_keywords",
+        "tokenizer_fertility",
         "sampled_percentiles",
         "mixture_order",
         "corpus_diff",

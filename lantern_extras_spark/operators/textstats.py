@@ -1333,3 +1333,49 @@ def domain_keywords(
         .where(F.col("rank") <= k)
         .select(group_col, "term", "tf", "grp_tokens", "df_g", "score", "rank")
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Per-group tokenizer efficiency: fertility (BPE-ish pre-tokens per
+    whitespace word) and compression (non-whitespace chars per pre-token).
+    The budgeting gauge for multilingual mixtures — a language whose
+    fertility is 2x pays 2x the sequence length for the same words, so token
+    budgets and mixture shares must be set in tokens, not documents
+    (reference posture: exact-token accounting, text_embedding batching).
+
+    One narrow projection (three regex counters per row, no token arrays
+    materialized) + one aggregation shuffle to group-count-sized rows.
+
+    Output: (group_col, n_docs, total_words, total_bpe_tokens, total_chars,
+    fertility, chars_per_token); zero-word/zero-token groups report 0.0
+    rather than dividing by zero.
+    """
+    t = F.col(text_col)
+    agg = df.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(token_count(t)).cast("bigint").alias("total_words"),
+        F.sum(bpe_ish_token_count(t)).cast("bigint").alias("total_bpe_tokens"),
+        F.sum(nonws_char_count(t)).cast("bigint").alias("total_chars"),
+    )
+    fert = F.when(F.col("total_words") == 0, F.lit(0.0)).otherwise(
+        F.col("total_bpe_tokens") / F.col("total_words").cast("double")
+    )
+    cpt = F.when(F.col("total_bpe_tokens") == 0, F.lit(0.0)).otherwise(
+        F.col("total_chars") / F.col("total_bpe_tokens").cast("double")
+    )
+    if round_dp is not None:
+        fert, cpt = pround(fert, round_dp), pround(cpt, round_dp)
+    return agg.select(
+        group_col,
+        "n_docs",
+        "total_words",
+        "total_bpe_tokens",
+        "total_chars",
+        fert.alias("fertility"),
+        cpt.alias("chars_per_token"),
+    )

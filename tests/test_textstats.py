@@ -250,3 +250,27 @@ def test_domain_keywords_semantics(spark):
     assert g[("sports", "goal")]["grp_tokens"] == 9
     assert g[("sports", "goal")]["df_g"] == 1
     assert all(r["rank"] <= 2 for r in out)
+
+
+def test_tokenizer_fertility_semantics(spark):
+    from lantern_extras_spark.operators.textstats import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [
+            # 2 words; BPE-ish: "don" "'" "t" "panic" = 4 pre-tokens; 10 non-ws chars
+            (1, "en", "don't panic"),
+            # 1 word of pure letters -> 1 pre-token, 5 chars
+            (2, "en", "hello"),
+            # empty group -> zero denominators report 0.0
+            (3, "empty", "   "),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["lang"]: r for r in tokenizer_fertility(df).collect()}
+    en = out["en"]
+    assert en["n_docs"] == 2 and en["total_words"] == 3
+    assert en["total_bpe_tokens"] == 5 and en["total_chars"] == 15
+    assert abs(en["fertility"] - 5 / 3) < 1e-6
+    assert abs(en["chars_per_token"] - 3.0) < 1e-6
+    assert out["empty"]["fertility"] == 0.0
+    assert out["empty"]["chars_per_token"] == 0.0
