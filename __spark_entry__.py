@@ -1794,6 +1794,24 @@ def q_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
     return TS.zipf_fit(docs, top_k=100, round_dp=6)
 
 
+def q_vocab_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexical drift between snapshots (versioning.vocab_drift): the new
+    snapshot derives deterministically from documents (doc_id%13 dropped,
+    a boilerplate phrase appended to doc_id%7) so both engines replay the
+    mutation; every token phi-heavy in either snapshot gets exact shares in
+    both plus a Laplace-floored log-ratio. Candidates come from the MG
+    heavy-hitter pass (no global window over the vocabulary)."""
+    docs = _t(spark, sf, "documents")
+    new = docs.where(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" subscribe newsletter subscribe")),
+        ).otherwise(F.col("text")),
+    )
+    return VER.vocab_drift(docs, new, phi=0.001).orderBy("token")
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language tokenizer efficiency (textstats.tokenizer_fertility):
     BPE-ish pre-tokens per whitespace word and chars per pre-token — the
@@ -2022,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": q_mixture_plan,
         "domain_keywords": q_domain_keywords,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "vocab_drift": q_vocab_drift,
         "heavy_hitters": q_heavy_hitters,
         "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
         "corpus_diff": q_corpus_diff,
@@ -2961,6 +2980,36 @@ def _oracle_sql_raw() -> dict[str, str]:
     _mo_w = " ".join(
         f"WHEN '{s}' THEN {w!r}" for s, w in MIXTURE_ORDER_W.items()
     )
+    # Vocab drift: the snapshot mutation, phi-heavy candidate sets, exact
+    # recounts and the Laplace log-ratio all replay with identical arithmetic
+    sql["vocab_drift"] = f"""
+        WITH oldc AS (SELECT text FROM documents),
+             newc AS (SELECT CASE WHEN doc_id % 7 = 0
+                                  THEN text || ' subscribe newsletter subscribe'
+                                  ELSE text END AS text
+                      FROM documents WHERE doc_id % 13 != 0),
+             eo AS (SELECT unnest({_sql_words()}) AS token FROM oldc),
+             en AS (SELECT unnest({_sql_words()}) AS token FROM newc),
+             tot_o AS (SELECT count(*) AS N FROM eo),
+             tot_n AS (SELECT count(*) AS N FROM en),
+             co AS (SELECT token, count(*) AS n FROM eo GROUP BY token),
+             cn AS (SELECT token, count(*) AS n FROM en GROUP BY token),
+             cand AS (
+                SELECT token FROM co WHERE n > 0.001 * (SELECT N FROM tot_o)
+                UNION
+                SELECT token FROM cn WHERE n > 0.001 * (SELECT N FROM tot_n)
+             ),
+             j AS (SELECT cand.token,
+                          CAST(coalesce(co.n, 0) AS BIGINT) AS n_old,
+                          CAST(coalesce(cn.n, 0) AS BIGINT) AS n_new
+                   FROM cand LEFT JOIN co USING (token) LEFT JOIN cn USING (token))
+        SELECT token, n_old, n_new,
+               round(n_old / (SELECT CAST(N AS DOUBLE) FROM tot_o), 6) AS share_old,
+               round(n_new / (SELECT CAST(N AS DOUBLE) FROM tot_n), 6) AS share_new,
+               round(ln(((n_new + 1.0) / ((SELECT N FROM tot_n) + 1.0))
+                        / ((n_old + 1.0) / ((SELECT N FROM tot_o) + 1.0))), 6) AS log_ratio
+        FROM j ORDER BY token
+    """
     # Fertility: exact integer counters (words via whitespace split, BPE-ish
     # pre-tokens via the RE2-safe extract_all form, non-ws chars), ratios of
     # bigints -> identical doubles

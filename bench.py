@@ -177,6 +177,7 @@ def main() -> None:
         "mixture_plan",
         "domain_keywords",
         "tokenizer_fertility",
+        "vocab_drift",
         "sampled_percentiles",
         "mixture_order",
         "corpus_diff",

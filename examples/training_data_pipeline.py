@@ -264,6 +264,16 @@ def main() -> dict:
     raw0 = spark.createDataFrame(RAW_DOCS, "doc_id long, source string, text string")
     summ = diff_summary(corpus_diff(raw0, docs)).collect()
     out["release_diff"] = {r["status"]: r["n_docs"] for r in summ}
+
+    # ... and the lexical view of the same gate: which WORDS the pipeline
+    # removed or amplified (the boilerplate header should show the largest
+    # negative drift — it was stripped from every page)
+    from lantern_extras_spark.operators.versioning import vocab_drift
+
+    out["vocab_drift"] = {
+        r["token"]: r["log_ratio"]
+        for r in vocab_drift(raw0, docs, phi=0.02).collect()
+    }
     return out
 
 

@@ -214,3 +214,78 @@ def diff_summary(diff: DataFrame) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.avg("containment").alias("mean_containment"),
     )
+
+
+def vocab_drift(
+    old: DataFrame,
+    new: DataFrame,
+    phi: float = 0.001,
+    text_col: str = "text",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Vocabulary drift between two corpus snapshots: for every token that is
+    phi-heavy in EITHER snapshot, the share it holds in each and the
+    log-ratio of those shares — the lexical counterpart of `embedding_drift`
+    (which sees distribution shift in vector space but cannot say which
+    words moved). A new boilerplate header, a source going dark, or a
+    scraper bug each show up as a token with |log_ratio| >> 0.
+
+    Scale shape: the candidate set comes from `heavy_hitters` run per
+    snapshot (per-partition Misra-Gries summaries + exact recount — the
+    Zipf tail never shuffles, and there is NO global window over the
+    vocabulary); the report is then a heavy-vocab-sized full outer join.
+    Totals are narrow sums. Tokens heavy in one snapshot but absent from
+    the other get share 0 on that side; log_ratio uses a +1/total Laplace
+    floor on both sides so it stays finite and engine-portable.
+
+    Output: (token, n_old, n_new, share_old, share_new, log_ratio), one row
+    per candidate token, log_ratio > 0 = gained share in the new snapshot.
+    """
+    from lantern_extras_spark.functions.portable import pround
+    from lantern_extras_spark.functions.text import token_count, tokens
+    from lantern_extras_spark.operators.textstats import heavy_hitters
+
+    hh_old = heavy_hitters(old, phi=phi, text_col=text_col, out_order=False).select(
+        "token", F.col("n").alias("n_old")
+    )
+    hh_new = heavy_hitters(new, phi=phi, text_col=text_col, out_order=False).select(
+        "token", F.col("n").alias("n_new")
+    )
+    cand = hh_old.join(hh_new, "token", "full_outer").select("token")
+    # exact recount of every candidate in BOTH snapshots (a token heavy in
+    # one may be light-but-present in the other; its true share matters)
+    def recount(df: DataFrame, out: str) -> DataFrame:
+        ex = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        return (
+            ex.join(F.broadcast(cand), "token", "left_semi")
+            .groupBy("token")
+            .agg(F.count("*").alias(out))
+        )
+    tot_old = old.agg(F.sum(token_count(F.col(text_col))).alias("__to"))
+    tot_new = new.agg(F.sum(token_count(F.col(text_col))).alias("__tn"))
+    j = (
+        cand.join(recount(old, "n_old"), "token", "left")
+        .join(recount(new, "n_new"), "token", "left")
+        .crossJoin(F.broadcast(tot_old))
+        .crossJoin(F.broadcast(tot_new))
+        .withColumn("n_old", F.coalesce(F.col("n_old"), F.lit(0)).cast("bigint"))
+        .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint"))
+    )
+    share_old = F.col("n_old") / F.col("__to").cast("double")
+    share_new = F.col("n_new") / F.col("__tn").cast("double")
+    lr = F.log(
+        ((F.col("n_new") + F.lit(1.0)) / (F.col("__tn") + F.lit(1.0)))
+        / ((F.col("n_old") + F.lit(1.0)) / (F.col("__to") + F.lit(1.0)))
+    )
+    if round_dp is not None:
+        share_old = pround(share_old, round_dp)
+        share_new = pround(share_new, round_dp)
+        lr = pround(lr, round_dp)
+    return j.select(
+        "token",
+        "n_old",
+        "n_new",
+        share_old.alias("share_old"),
+        share_new.alias("share_new"),
+        lr.alias("log_ratio"),
+    )

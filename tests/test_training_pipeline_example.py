@@ -58,6 +58,10 @@ def test_training_data_pipeline(spark):
     assert sorted(d for d, _, _ in out["spot_check"]) == [1, 2]
     assert all(h >= 1 for _, h, _ in out["spot_check"])
     assert all(s.split() for _, _, s in out["spot_check"])
+    # lexical release gate: the stripped boilerplate header is the biggest
+    # lexical loser of the whole pipeline run
+    vd = out["vocab_drift"]
+    assert vd["SUBSCRIBE"] < 0 and vd["SUBSCRIBE"] == min(vd.values())
 
 
 import pytest

@@ -163,3 +163,37 @@ def test_ngram_jaccard_join_cross_corpus_only(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="threshold"):
         ngram_jaccard_join(a, b, threshold=0.0)
+
+
+def test_vocab_drift_detects_injected_boilerplate(spark):
+    from lantern_extras_spark.operators.versioning import vocab_drift
+
+    base = [(i, f"alpha beta gamma w{i % 5} delta") for i in range(40)]
+    old = spark.createDataFrame(base, "doc_id long, text string")
+    # new snapshot: every doc gains the word 'spam' twice; 'delta' is cut
+    new = spark.createDataFrame(
+        [(i, f"alpha beta gamma w{i % 5} spam spam") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = {r["token"]: r for r in vocab_drift(old, new, phi=0.01).collect()}
+    # spam: 0 -> 80 occurrences, the largest positive drift
+    assert out["spam"]["n_old"] == 0 and out["spam"]["n_new"] == 80
+    assert out["spam"]["log_ratio"] == max(r["log_ratio"] for r in out.values())
+    # delta: 40 -> 0, negative drift; share_new reports exact 0
+    assert out["delta"]["n_new"] == 0 and out["delta"]["share_new"] == 0.0
+    assert out["delta"]["log_ratio"] < 0
+    # stable tokens stay near 0 (same count, slightly different totals)
+    assert abs(out["alpha"]["log_ratio"]) < 0.3
+    # shares are exact ratios of the snapshot totals (200 and 240 tokens)
+    assert abs(out["alpha"]["share_old"] - 40 / 200) < 1e-6
+    assert abs(out["alpha"]["share_new"] - 40 / 240) < 1e-6
+
+
+def test_vocab_drift_candidates_cover_both_sides(spark):
+    from lantern_extras_spark.operators.versioning import vocab_drift
+
+    old = spark.createDataFrame([(1, "aa aa aa bb")], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "cc cc cc bb")], "doc_id long, text string")
+    toks = {r["token"] for r in vocab_drift(old, new, phi=0.2).collect()}
+    # aa heavy only in old, cc only in new, bb in both -> all three reported
+    assert toks == {"aa", "bb", "cc"}
