@@ -296,3 +296,59 @@ def test_mrl_search_take_ordered_both_stages(spark):
     assert s.text.count("TakeOrderedAndProject") >= 2, s.text
     assert s.text.index("Window") < s.text.index("TakeOrderedAndProject")
     assert s.n_shuffles == 0, s.text
+
+
+def test_cms_sketch_broadcast_and_partial_agg(spark):
+    """The sketch build must partial-aggregate (map-side collapse to
+    depth*width cells before the exchange), and point estimation must
+    BROADCAST the sketch — never shuffle the key frame against it."""
+    df = E.q_cms_frequencies(spark, SF)
+    s = plan_summary(df)
+    assert "partial_sum" in s.text or "partial_count" in s.text, s.text
+    assert s.n_broadcasts >= 1, s.text
+
+
+def test_hard_negatives_partial_no_corpus_shuffle(spark):
+    """The masked partial-topk path: the corpus flows through one narrow
+    mapInPandas; the only exchange carries the per-batch top-k survivors
+    (O(q*k*batches) rows), then one window."""
+    from lantern_extras_spark.operators import knn as K
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    df = K.hard_negatives(emb.where("vec_id >= 4"), q, k=5, strategy="partial")
+    s = plan_summary(df)
+    assert "MapInPandas" in s.text, s.text
+    # one exchange feeding the window over the reduced candidate set
+    assert s.n_shuffles <= 1, s.text
+
+
+def test_ngram_novelty_shuffles_on_shingle_and_doc_only(spark):
+    """Reference distinct + equi-join + per-doc agg: every exchange is on
+    the shingle or the doc id; no cartesian, no driver collect."""
+    df = E.q_ngram_novelty(spark, SF)
+    s = plan_summary(df)
+    assert "Cartesian" not in s.text, s.text
+    assert "SortMergeJoin" in s.text or "ShuffledHashJoin" in s.text or s.n_broadcasts >= 1, s.text
+
+
+def test_mixture_plan_scalar_broadcast(spark):
+    """Group-sized agg + broadcast scalar: the min over demand caps must
+    arrive via a broadcast exchange, not a shuffle of the corpus."""
+    df = E.q_mixture_plan(spark, SF)
+    s = plan_summary(df)
+    assert s.n_broadcasts >= 1, s.text
+    assert "partial_sum" in s.text, s.text  # token totals combine map-side
+
+
+def test_vocab_drift_no_global_vocab_window(spark):
+    """Candidates come from the MG pass; the report plan must contain no
+    single-partition global ranking window over the vocabulary."""
+    df = E.q_vocab_drift(spark, SF)
+    s = plan_summary(df)
+    assert "Window" not in s.text or "SinglePartition" not in s.text, s.text
