@@ -558,3 +558,72 @@ def refresh_semantic_store(
     if not fs.rename(HPath(tmp), HPath(store_dir)):
         raise IOError(f"refresh swap failed: could not rename {tmp} -> {store_dir}")
     return centroids
+
+
+def ingest_cms_batch(
+    bdf,
+    epoch_id: int,
+    store_dir: str,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 2048,
+) -> None:
+    """One micro-batch of the streaming Count-Min loop: sketch THIS batch's
+    token stream and write it as the epoch's own partition. CMS linearity is
+    what makes the store trivially correct under foreachBatch's
+    at-least-once delivery: a retry of epoch N overwrites epoch N's cells
+    (never double-counts), and the corpus-total sketch is the cell-wise sum
+    of all epoch partitions (`read_cms_store`). The store never exceeds
+    depth*width rows per epoch regardless of batch size or vocabulary."""
+    if bdf.isEmpty():
+        return
+    from lantern_extras_spark.functions.text import tokens
+    from lantern_extras_spark.operators.sketches import cms_build
+
+    toks = bdf.select(F.explode(tokens(F.col(text_col))).alias("__key"))
+    sk = cms_build(toks, "__key", depth=depth, width=width)
+    sk.write.mode("overwrite").parquet(f"{store_dir}/epoch={int(epoch_id)}")
+
+
+def read_cms_store(spark, store_dir: str):
+    """The corpus-total sketch: cell-wise sum across every epoch partition
+    (CMS merge = addition). Output is at most depth*width rows — always
+    broadcastable into `cms_estimate`."""
+    return (
+        spark.read.parquet(store_dir)
+        .groupBy("r", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def start_cms_ingest_stream(
+    spark,
+    source_dir: str,
+    source_schema,
+    checkpoint_dir: str,
+    store_dir: str,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 2048,
+    available_now: bool = True,
+    trigger_seconds: int = 10,
+):
+    """Structured-Streaming wrapper over `ingest_cms_batch`: continuous
+    corpus-frequency monitoring with bounded state (the classic CMS use —
+    the daemon answers 'how often has this token/URL/id been seen so far'
+    without ever holding the key space)."""
+    stream = spark.readStream.schema(source_schema).parquet(source_dir)
+
+    def write_batch(bdf, epoch_id):
+        ingest_cms_batch(
+            bdf, epoch_id, store_dir, text_col=text_col, depth=depth, width=width
+        )
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("append")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -343,3 +343,49 @@ def test_semantic_store_refresh_restores_recall(spark, tmp_path):
                                   new_cents, threshold=0.999,
                                   sample_k=10_000).first()
     assert r_new["recall"] >= 0.9, (r_old["recall"], r_new["recall"])
+
+
+def test_streaming_cms_ingest_and_merge(spark, tmp_path):
+    """foreachBatch CMS ingest: each micro-batch writes its own epoch sketch;
+    the merged store equals a single batch-built sketch over all data (CMS
+    linearity), and estimates never undercount."""
+    from pyspark.sql import functions as F
+
+    from lantern_extras_spark.functions.text import tokens
+    from lantern_extras_spark.operators.sketches import cms_build, cms_estimate
+    from lantern_extras_spark.streaming.stateful import (
+        ingest_cms_batch,
+        read_cms_store,
+        start_cms_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt, store = str(tmp_path / "ckpt"), str(tmp_path / "store")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    q = start_cms_ingest_stream(spark, src, b1.schema, ckpt, store, width=64)
+    q.awaitTermination(120)
+
+    b2 = spark.createDataFrame([(3, "alpha delta")], "doc_id long, text string")
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q2 = start_cms_ingest_stream(spark, src, b1.schema, ckpt, store, width=64)
+    q2.awaitTermination(120)
+
+    merged = read_cms_store(spark, store)
+    whole = cms_build(
+        b1.unionByName(b2).select(F.explode(tokens(F.col("text"))).alias("__key")),
+        "__key", depth=4, width=64,
+    )
+    as_map = lambda df: {(r["r"], r["b"]): r["c"] for r in df.collect()}
+    assert as_map(merged) == as_map(whole)
+
+    keys = spark.createDataFrame([("alpha",), ("beta",), ("zzz",)], "__key string")
+    est = {r["__key"]: r["cms_est"]
+           for r in cms_estimate(merged, keys, "__key", depth=4, width=64).collect()}
+    assert est["alpha"] >= 3 and est["beta"] >= 2 and est["zzz"] >= 0
+
+    # retry idempotency: re-running an epoch overwrites, never double-counts
+    ingest_cms_batch(b2, 1, store, width=64)
+    assert as_map(read_cms_store(spark, store)) == as_map(whole)
