@@ -1794,6 +1794,19 @@ def q_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
     return TS.zipf_fit(docs, top_k=100, round_dp=6)
 
 
+def q_soft_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Soft dedup (sampling.soft_dedup_weights): near-dup clusters weighted
+    1/|cluster| instead of dropped — every duplicated content unit carries
+    one document's training mass, cluster weights sum to 1. Same pair graph
+    and recursive-CTE oracle as leakage_safe_split."""
+    docs = _t(spark, sf, "documents")
+    pairs = D.minhash_dedup(docs, n_hashes=32, bands=8, threshold=0.2)
+    out = SMP.soft_dedup_weights(docs, pairs)
+    return out.select(
+        "doc_id", "cluster_id", "cluster_size", "sample_weight"
+    ).orderBy("doc_id")
+
+
 def q_vocab_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Lexical drift between snapshots (versioning.vocab_drift): the new
     snapshot derives deterministically from documents (doc_id%13 dropped,
@@ -2041,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_keywords": q_domain_keywords,
         "tokenizer_fertility": q_tokenizer_fertility,
         "vocab_drift": q_vocab_drift,
+        "soft_dedup": q_soft_dedup,
         "heavy_hitters": q_heavy_hitters,
         "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
         "corpus_diff": q_corpus_diff,
@@ -2906,6 +2920,28 @@ def _oracle_sql_raw() -> dict[str, str]:
              )
         SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         FROM reach GROUP BY id
+    """
+    sql["soft_dedup"] = f"""
+        WITH RECURSIVE pairs AS ({_minhash_lsh_pairs_sql()}),
+             edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                       UNION SELECT id_b, id_a FROM pairs),
+             reach(id, r) AS (
+                 SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                 UNION
+                 SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+             ),
+             clusters AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+                          FROM reach GROUP BY id),
+             sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                       FROM clusters GROUP BY cluster_id)
+        SELECT d.doc_id,
+               CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+               CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+               round(1.0 / coalesce(s.cluster_size, 1), 6) AS sample_weight
+        FROM documents d
+        LEFT JOIN clusters c USING (doc_id)
+        LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
+        ORDER BY d.doc_id
     """
     sql["leakage_safe_split"] = f"""
         WITH RECURSIVE pairs AS ({_minhash_lsh_pairs_sql()}),

@@ -178,6 +178,7 @@ def main() -> None:
         "domain_keywords",
         "tokenizer_fertility",
         "vocab_drift",
+        "soft_dedup",
         "sampled_percentiles",
         "mixture_order",
         "corpus_diff",

@@ -614,3 +614,48 @@ def mixture_plan(
             binding.alias("binding"),
         )
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Soft dedup: instead of DROPPING near-duplicates, weight every document
+    by 1/|its near-dup cluster| so each duplicated content unit contributes
+    exactly one document's worth of training mass (the loss-reweighting
+    alternative to hard dedup — keeps phrasing diversity across the copies
+    while removing the frequency bias that makes models memorize duplicated
+    text). Singletons keep weight 1.0; the weights of a cluster always sum
+    to 1.0.
+
+    `pairs` is any (id_a, id_b) near-dup pair frame (minhash_dedup,
+    simhash_pairs, embedding_neardup_pairs, or a union) — identical contract
+    to `leakage_safe_split`, and the same scale shape: O(diameter) label
+    propagation over pairs only, one cluster-size aggregation (cluster-count
+    sized), one equi-join back to the corpus.
+
+    Adds (cluster_id, cluster_size, sample_weight) to `df`'s rows.
+    """
+    from lantern_extras_spark.functions.portable import pround
+    from lantern_extras_spark.operators.dedup import dedup_clusters
+
+    clusters = dedup_clusters(pairs).select(
+        F.col("id").alias(id_col), F.col("cluster_id")
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    keyed = (
+        df.join(clusters, id_col, "left")
+        .join(sizes, "cluster_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+        .withColumn(
+            "cluster_size", F.coalesce(F.col("cluster_size"), F.lit(1)).cast("bigint")
+        )
+    )
+    w = 1.0 / F.col("cluster_size").cast("double")
+    if round_dp is not None:
+        w = pround(w, round_dp)
+    return keyed.withColumn("sample_weight", w)

@@ -383,3 +383,32 @@ def test_mixture_plan_validation(spark):
         mixture_plan(df, {"a": -0.1})
     with _pt.raises(ValueError):
         mixture_plan(df, {"a": 1.0}, max_epochs=0)
+
+
+def test_soft_dedup_weights_sum_to_one_per_cluster(spark):
+    from lantern_extras_spark.operators.sampling import soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    # one 3-chain (1-2-3 via transitive pairs), one 2-cluster (5,6)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r for r in soft_dedup_weights(docs, pairs).collect()}
+    assert len(out) == 7  # row-preserving
+    # transitive chain -> one cluster of 3, min-id label
+    assert [out[i]["cluster_id"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert all(abs(out[i]["sample_weight"] - 1 / 3) < 1e-6 for i in (1, 2, 3))
+    assert out[5]["cluster_id"] == 5 and out[6]["cluster_id"] == 5
+    assert all(abs(out[i]["sample_weight"] - 0.5) < 1e-6 for i in (5, 6))
+    # singletons: own id, full weight
+    assert out[4]["cluster_id"] == 4 and out[4]["sample_weight"] == 1.0
+    assert out[7]["cluster_size"] == 1
+    # every cluster's weights sum to 1 (the mass-conservation contract)
+    from collections import defaultdict
+
+    mass = defaultdict(float)
+    for r in out.values():
+        mass[r["cluster_id"]] += r["sample_weight"]
+    assert all(abs(m - 1.0) < 1e-5 for m in mass.values())
