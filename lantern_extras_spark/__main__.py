@@ -170,6 +170,41 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_corpus_health(args) -> int:
+    """One-shot corpus health report: Zipf rank-frequency slope (templated
+    corpora flatten), per-language tokenizer fertility (sequence-length
+    budgeting), and — given a baseline snapshot — the top lexical drifts."""
+    from pyspark.sql import functions as F
+
+    from lantern_extras_spark.operators import textstats as TS
+
+    spark = _spark("corpus-health")
+    docs = spark.read.parquet(args.input)
+    rep: dict = {}
+    z = TS.zipf_fit(docs, top_k=args.top_k, text_col=args.text_col).collect()[0]
+    rep["zipf"] = z.asDict()
+    rep["fertility"] = [
+        r.asDict()
+        for r in TS.tokenizer_fertility(
+            docs, group_col=args.group_col, text_col=args.text_col
+        ).orderBy(args.group_col).collect()
+    ]
+    if args.baseline:
+        from lantern_extras_spark.operators.versioning import vocab_drift
+
+        old = spark.read.parquet(args.baseline)
+        drift = vocab_drift(old, docs, phi=args.phi, text_col=args.text_col)
+        rep["top_drifts"] = [
+            r.asDict()
+            for r in drift.orderBy(
+                F.abs(F.col("log_ratio")).desc(), F.col("token").asc()
+            ).limit(args.top_k).collect()
+        ]
+    _json(rep)
+    spark.stop()
+    return 0
+
+
 def cmd_pq_table(args) -> int:
     from lantern_extras_spark.operators import pq as PQ
 
@@ -324,6 +359,18 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--k", type=int, default=10)
     se.add_argument("--pool", type=int, default=30, help="per-system pool before fusion")
     se.set_defaults(fn=cmd_search)
+
+    ch = sub.add_parser("corpus-health",
+                        help="Zipf slope + per-language tokenizer fertility "
+                             "(+ lexical drift vs a baseline snapshot)")
+    ch.add_argument("--input", required=True)
+    ch.add_argument("--baseline", default=None,
+                    help="older snapshot parquet for vocab drift")
+    ch.add_argument("--text-col", default="text")
+    ch.add_argument("--group-col", default="lang")
+    ch.add_argument("--top-k", type=int, default=20)
+    ch.add_argument("--phi", type=float, default=0.001)
+    ch.set_defaults(fn=cmd_corpus_health)
 
     pq = sub.add_parser("pq-table", help="product-quantize a vector column")
     pq.add_argument("--input", required=True)

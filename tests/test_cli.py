@@ -169,3 +169,12 @@ def test_cli_compare_compressed():
                   "--k", "5", "--n-queries", "3", timeout=420)
     fams = {r["family"] for r in res["report"]}
     assert fams == {"float32", "sq8", "bq", "pq"}
+
+
+def test_cli_corpus_health():
+    (res,) = _run("corpus-health", "--input", f"{SF}/documents.parquet",
+                  "--baseline", f"{SF}/documents.parquet", "--top-k", "10")
+    assert res["zipf"]["slope"] < 0  # frequency falls with rank
+    assert res["fertility"] and {"lang", "fertility", "chars_per_token"} <= set(res["fertility"][0])
+    # identical snapshots -> every drift log-ratio ~0 (only total-size jitter)
+    assert all(abs(d["log_ratio"]) < 1e-9 for d in res["top_drifts"])
