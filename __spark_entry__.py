@@ -1948,6 +1948,32 @@ def q_bloom_semi_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL-style distinct sketch (sketches.hll_build/hll_estimate): 512
+    max-rho registers over the corpus token stream — the mergeable,
+    retry-idempotent "how many distinct" companion to CMS ("how often") and
+    the exact two-phase kmv_distinct. The shuffle carries at most m rows per
+    map task however large the vocabulary; the exact countDistinct column is
+    the accuracy witness (HLL error ~ 1.04/sqrt(512) = 4.6%)."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(F.explode(T.tokens("text")).alias("token"))
+    sk = SK.hll_build(toks, "token", m=512)
+    est = SK.hll_estimate(sk, m=512)
+    exact = toks.agg(F.countDistinct("token").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_registers",
+        "n_zero_registers",
+        "hll_raw",
+        "hll_est",
+        "exact_distinct",
+        pround(
+            F.abs(F.col("hll_est") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
 def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR importance log-weights (selection.dsir_log_weights): hashed
     uni+bigram bag likelihood-ratio of each document under the target
@@ -2108,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_order": q_mixture_order,
         "top_duplicate_spans": q_top_duplicate_spans,
         "decontaminate_spans": q_decontaminate_spans,
+        "hll_distinct": q_hll_distinct,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "corpus_divergence": q_corpus_divergence,
@@ -4628,6 +4655,43 @@ def _oracle_sql_raw() -> dict[str, str]:
                1.0 AS recall
         FROM scored
         QUALIFY rnk <= 10
+    """
+    # HLL register replay (sketches.hll_build/hll_estimate, m=512): rho =
+    # lowest-set-bit position via exact integer congruences, estimator
+    # constants inlined at full double precision to match Spark's literals
+    hll_m = 512
+    hll_h = _sql_hash32("concat('hllr', ':', token)")
+    hll_rho_sql = "CASE WHEN (" + hll_h + ") % 2 = 1 THEN 1 " + " ".join(
+        f"WHEN ({hll_h}) % {2**r} = {2**(r-1)} THEN {r}" for r in range(2, 33)
+    ) + " ELSE 33 END"
+    hll_amm = repr((0.7213 / (1.0 + 1.079 / hll_m)) * hll_m * hll_m)
+    sql["hll_distinct"] = f"""
+        WITH t AS (SELECT {_sql_words()} AS w FROM documents),
+             e AS (SELECT unnest(w) AS token FROM t),
+             k AS (SELECT {_sql_hash32("concat('hllb', ':', token)")} % {hll_m} AS b,
+                          {hll_rho_sql} AS r
+                   FROM e),
+             reg AS (SELECT b, max(r) AS r FROM k GROUP BY b),
+             s AS (SELECT count(*) AS n_obs,
+                          sum(power(2.0, -CAST(r AS DOUBLE))) AS z_obs
+                   FROM reg),
+             ex AS (SELECT count(DISTINCT token) AS exact_distinct FROM e),
+             est AS (SELECT CAST(n_obs AS BIGINT) AS n_registers,
+                            CAST({hll_m}.0 - n_obs AS BIGINT) AS n_zero_registers,
+                            {hll_amm} / (z_obs + ({hll_m}.0 - n_obs)) AS raw,
+                            {hll_m}.0 - n_obs AS v
+                     FROM s)
+        SELECT est.n_registers, est.n_zero_registers,
+               round(est.raw, 4) AS hll_raw,
+               round(CASE WHEN est.raw <= {2.5 * hll_m} AND est.v > 0
+                          THEN {hll_m}.0 * ln({hll_m}.0 / est.v)
+                          ELSE est.raw END, 4) AS hll_est,
+               ex.exact_distinct,
+               round(abs(round(CASE WHEN est.raw <= {2.5 * hll_m} AND est.v > 0
+                                    THEN {hll_m}.0 * ln({hll_m}.0 / est.v)
+                                    ELSE est.raw END, 4) - ex.exact_distinct)
+                     / ex.exact_distinct, 6) AS rel_err
+        FROM est, ex
     """
     # DSIR hashed uni+bigram feature bag (selection.hashed_ngram_buckets):
     # seeds dsir1 (unigrams) / dsir2 (space-joined bigrams), md5 buckets.

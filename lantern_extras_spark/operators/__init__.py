@@ -43,6 +43,14 @@ from lantern_extras_spark.operators.sampling import (  # noqa: F401
     resample_mixture,
     stratified_take,
 )
+from lantern_extras_spark.operators.sketches import (  # noqa: F401
+    cms_build,
+    cms_estimate,
+    cms_merge,
+    hll_build,
+    hll_estimate,
+    hll_merge,
+)
 from lantern_extras_spark.operators.selection import (  # noqa: F401
     bucket_profile,
     corpus_divergence,

@@ -27,8 +27,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lantern_extras_spark.functions.hashing import hash32
+from lantern_extras_spark.functions.portable import pround
 
-__all__ = ["cms_build", "cms_estimate", "cms_merge"]
+__all__ = [
+    "cms_build",
+    "cms_estimate",
+    "cms_merge",
+    "hll_build",
+    "hll_estimate",
+    "hll_merge",
+    "hll_rho",
+]
 
 
 def _cells(key: Column, depth: int, width: int) -> Column:
@@ -107,4 +116,101 @@ def cms_estimate(
         j.withColumn("c", F.coalesce(F.col("c"), F.lit(0).cast("bigint")))
         .groupBy(key_col)
         .agg(F.min("c").alias(est_col))
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog-style distinct sketch (Flajolet et al. 2007), portable variant
+# ---------------------------------------------------------------------------
+#
+# Fixed-size (m registers) mergeable distinct-count sketch — the third leg of
+# the bounded-state family: CMS answers "how often", KMV/this answer "how
+# many distinct". `textstats.kmv_distinct` keeps the k smallest hashes (exact
+# two-phase partials, good one-shot accuracy); the HLL registers here are the
+# *streaming/mergeable* variant: epoch sketches combine by register-wise MAX,
+# which is idempotent — a retried micro-batch cannot perturb the estimate at
+# all (strictly stronger than CMS's linearity argument).
+#
+# Portability: bucket = hash32(key, 'hllb') % m; the register observation is
+# rho = 1-based position of the lowest set bit of an independent hash32(key,
+# 'hllr') (P[rho >= r+1] = 2^-r — the same geometric law as HLL's
+# leading-zero rank, via plain integer arithmetic both Spark and the DuckDB
+# oracle evaluate identically; no engine-specific bit intrinsics).
+# Estimator: alpha_m * m^2 / sum_j 2^(-M_j) with empty registers counting
+# 2^0, linear counting m*ln(m/V) when raw <= 2.5m and V empty registers
+# remain (the standard small-range correction). The 32-bit large-range
+# correction is omitted: with hash32's 2^32 space it only matters past ~10^8
+# distinct keys per sketch — shard sketches (they merge) before that.
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_rho(h: Column) -> Column:
+    """1-based position of the lowest set bit of an unsigned 32-bit value
+    (33 for 0): CASE over exact integer congruences — h mod 2^r == 2^(r-1)
+    iff the lowest set bit is bit r. Engine-portable by construction."""
+    expr = F.when(h % 2 == 1, F.lit(1))
+    for r in range(2, 33):
+        expr = expr.when(h % (2**r) == 2 ** (r - 1), F.lit(r))
+    return expr.otherwise(F.lit(33))
+
+
+def hll_build(df: DataFrame, key_col: str, m: int = 256) -> DataFrame:
+    """Build the register table -> (b, r) rows, at most m of them. One
+    narrow pass; the map-side partial MAX collapses every task to <= m rows
+    before the only shuffle — key cardinality never moves."""
+    if m < 16 or m & (m - 1) != 0:
+        raise ValueError(f"m must be a power of two >= 16, got {m}")
+    key = F.col(key_col).cast("string")
+    return (
+        df.select(
+            (hash32(key, seed="hllb") % m).alias("b"),
+            hll_rho(hash32(key, seed="hllr")).alias("r"),
+        )
+        .groupBy("b")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Register-wise MAX — associative, commutative, and idempotent: shards
+    and retried streaming epochs merge without any double-count risk."""
+    if not sketches:
+        raise ValueError("hll_merge needs at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("b").agg(F.max("r").alias("r"))
+
+
+def hll_estimate(sketch: DataFrame, m: int = 256, est_col: str = "hll_est") -> DataFrame:
+    """Distinct-count estimate from the register table: one row with the
+    register occupancy, the raw HLL estimate, and the corrected estimate
+    (linear counting in the small range). All arithmetic over <= m rows."""
+    if m < 16 or m & (m - 1) != 0:
+        raise ValueError(f"m must be a power of two >= 16, got {m}")
+    alpha = _hll_alpha(m)
+    agg = sketch.agg(
+        F.count("*").alias("n_obs"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r").cast("double"))).alias("__z_obs"),
+    )
+    z = F.col("__z_obs") + (F.lit(float(m)) - F.col("n_obs").cast("double"))
+    raw = F.lit(alpha * m * m) / z
+    v = F.lit(float(m)) - F.col("n_obs").cast("double")
+    corrected = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return agg.select(
+        F.col("n_obs").cast("bigint").alias("n_registers"),
+        v.cast("bigint").alias("n_zero_registers"),
+        pround(raw, 4).alias("hll_raw"),
+        pround(corrected, 4).alias(est_col),
     )

@@ -627,3 +627,68 @@ def start_cms_ingest_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def ingest_hll_batch(
+    bdf,
+    epoch_id: int,
+    store_dir: str,
+    key_col: str = "text",
+    m: int = 512,
+    tokenize: bool = True,
+) -> None:
+    """One micro-batch of the streaming distinct-count loop: HLL-sketch this
+    batch's keys (token stream when `tokenize`, else the column values) into
+    its own epoch partition. Register merge is MAX — idempotent, so a
+    foreachBatch retry of epoch N is a no-op even WITHOUT the epoch
+    isolation (which we keep anyway for uniformity with the CMS/dedup
+    stores). The store never exceeds m rows per epoch."""
+    if bdf.isEmpty():
+        return
+    from lantern_extras_spark.functions.text import tokens
+    from lantern_extras_spark.operators.sketches import hll_build
+
+    if tokenize:
+        keys = bdf.select(F.explode(tokens(F.col(key_col))).alias("__key"))
+    else:
+        keys = bdf.select(F.col(key_col).cast("string").alias("__key"))
+    sk = hll_build(keys, "__key", m=m)
+    sk.write.mode("overwrite").parquet(f"{store_dir}/epoch={int(epoch_id)}")
+
+
+def read_hll_store(spark, store_dir: str):
+    """The corpus-total register table: register-wise MAX across every epoch
+    partition. At most m rows — feed straight into `hll_estimate`."""
+    return spark.read.parquet(store_dir).groupBy("b").agg(F.max("r").alias("r"))
+
+
+def start_hll_ingest_stream(
+    spark,
+    source_dir: str,
+    source_schema,
+    checkpoint_dir: str,
+    store_dir: str,
+    key_col: str = "text",
+    m: int = 512,
+    tokenize: bool = True,
+    available_now: bool = True,
+    trigger_seconds: int = 10,
+):
+    """Structured-Streaming wrapper over `ingest_hll_batch`: continuous
+    "how many distinct tokens/users/urls so far" with m registers of state —
+    the mergeable companion to `start_cms_ingest_stream` ("how often")."""
+    stream = spark.readStream.schema(source_schema).parquet(source_dir)
+
+    def write_batch(bdf, epoch_id):
+        ingest_hll_batch(
+            bdf, epoch_id, store_dir, key_col=key_col, m=m, tokenize=tokenize
+        )
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("append")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -118,3 +118,121 @@ def test_property_cms_never_undercounts(keys, width):
         assert est >= n
         # and never exceeds the total mass (trivial upper bound)
         assert est <= len(keys)
+
+
+# ---------------------------------------------------------------------------
+# HLL-style distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def _py_rho(h: int) -> int:
+    """Python replica of hll_rho: 1-based lowest-set-bit position, 33 for 0."""
+    if h == 0:
+        return 33
+    r = 1
+    while h % 2 == 0:
+        h //= 2
+        r += 1
+    return r
+
+
+def _py_hash32(s: str, seed: str) -> int:
+    return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:8], 16)
+
+
+def test_hll_rho_matches_python_replica(spark):
+    vals = [0, 1, 2, 3, 4, 6, 8, 12, 2**31, 2**32 - 1, 2**32 - 2]
+    df = spark.createDataFrame([(v,) for v in vals], "h bigint")
+    got = {r["h"]: r["rho"] for r in df.select("h", SK.hll_rho(F.col("h")).alias("rho")).collect()}
+    for v in vals:
+        assert got[v] == _py_rho(v), v
+
+
+def test_hll_registers_match_python_replica(spark):
+    keys = [f"key{i}" for i in range(300)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    sk = {r["b"]: r["r"] for r in SK.hll_build(df, "k", m=64).collect()}
+    expect = {}
+    for k in keys:
+        b = _py_hash32(k, "hllb") % 64
+        rho = _py_rho(_py_hash32(k, "hllr"))
+        expect[b] = max(expect.get(b, 0), rho)
+    assert sk == expect
+
+
+def test_hll_estimate_within_error_bound(spark):
+    n = 2000
+    df = spark.createDataFrame([(f"u{i}",) for i in range(n)], "k string")
+    m = 256
+    est = SK.hll_estimate(SK.hll_build(df, "k", m=m), m=m).collect()[0]
+    # 3 standard errors of the 1.04/sqrt(m) bound
+    assert abs(est["hll_est"] - n) / n < 3 * 1.04 / (m**0.5)
+
+
+def test_hll_merge_equals_whole_and_is_idempotent(spark):
+    df = spark.createDataFrame([(f"u{i}",) for i in range(500)], "k string")
+    a = SK.hll_build(df.where("k like 'u1%'"), "k", m=64)
+    b = SK.hll_build(df.where("k not like 'u1%'"), "k", m=64)
+    whole = SK.hll_build(df, "k", m=64)
+    as_map = lambda d: {r["b"]: r["r"] for r in d.collect()}
+    assert as_map(SK.hll_merge(a, b)) == as_map(whole)
+    # idempotent: merging a sketch with itself changes nothing
+    assert as_map(SK.hll_merge(whole, whole, a)) == as_map(whole)
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    df = spark.createDataFrame([(f"u{i % 50}",) for i in range(5000)], "k string")
+    uniq = spark.createDataFrame([(f"u{i}",) for i in range(50)], "k string")
+    as_map = lambda d: {r["b"]: r["r"] for r in d.collect()}
+    assert as_map(SK.hll_build(df, "k", m=64)) == as_map(SK.hll_build(uniq, "k", m=64))
+
+
+def test_hll_validation(spark):
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        SK.hll_build(df, "k", m=100)  # not a power of two
+    with pytest.raises(ValueError):
+        SK.hll_build(df, "k", m=8)  # too small
+    with pytest.raises(ValueError):
+        SK.hll_merge()
+    with pytest.raises(ValueError):
+        SK.hll_estimate(SK.hll_build(df, "k", m=16), m=24)
+
+
+def test_streaming_hll_ingest_and_merge(spark, tmp_path):
+    """foreachBatch HLL ingest: per-epoch register partitions, MAX-merged on
+    read; the merged store equals the single batch-built sketch, and a
+    re-ingested epoch is a no-op (max is idempotent)."""
+    from lantern_extras_spark.streaming.stateful import (
+        ingest_hll_batch,
+        read_hll_store,
+        start_hll_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt, store = str(tmp_path / "ckpt"), str(tmp_path / "store")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    q = start_hll_ingest_stream(spark, src, b1.schema, ckpt, store, m=64)
+    q.awaitTermination(120)
+
+    b2 = spark.createDataFrame([(3, "alpha delta")], "doc_id long, text string")
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q2 = start_hll_ingest_stream(spark, src, b1.schema, ckpt, store, m=64)
+    q2.awaitTermination(120)
+
+    from lantern_extras_spark.functions.text import tokens
+
+    whole = SK.hll_build(
+        b1.unionByName(b2).select(F.explode(tokens(F.col("text"))).alias("__key")),
+        "__key",
+        m=64,
+    )
+    as_map = lambda d: {r["b"]: r["r"] for r in d.collect()}
+    assert as_map(read_hll_store(spark, store)) == as_map(whole)
+
+    # retry idempotency: re-running an epoch leaves the store unchanged
+    ingest_hll_batch(b2, 1, store, m=64)
+    assert as_map(read_hll_store(spark, store)) == as_map(whole)
