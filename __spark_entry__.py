@@ -1948,6 +1948,35 @@ def q_bloom_semi_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_reservoir_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted reservoir sampling (sampling.weighted_reservoir, Efraimidis-
+    Spirakis A-ES): 40 documents drawn without replacement with probability
+    proportional to token count, keys ln(u)/w from the portable hash so the
+    draw is a pure function of (doc_id, seed). Executes as
+    TakeOrderedAndProject — no global sort, no ranking window."""
+    docs = _t(spark, sf, "documents").withColumn("n_tokens", T.token_count("text"))
+    out = SMP.weighted_reservoir(docs, n=40, weight_col="n_tokens")
+    return out.select("doc_id", "lang", "n_tokens", "res_key").orderBy(
+        F.col("res_key").desc(), F.col("doc_id").asc()
+    )
+
+
+def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware dedup survivor selection (dedup.dedup_keep_best): same
+    minhash-LSH pair graph as soft_dedup, but each cluster keeps its BEST
+    document (here: most tokens, the keep-the-longest policy) instead of an
+    arbitrary one. The winner is a struct-MAX aggregation (map-side
+    combining), not a ranking window; the un-clustered corpus bulk is never
+    shuffled."""
+    docs = _t(spark, sf, "documents")
+    pairs = D.minhash_dedup(docs, n_hashes=32, bands=8, threshold=0.2)
+    scored = docs.withColumn("n_tokens", T.token_count("text"))
+    out = D.dedup_keep_best(scored, pairs, "n_tokens")
+    return out.select("doc_id", "cluster_id", "cluster_size", "is_kept").orderBy(
+        "doc_id"
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """HLL-style distinct sketch (sketches.hll_build/hll_estimate): 512
     max-rho registers over the corpus token stream — the mergeable,
@@ -2134,6 +2163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_order": q_mixture_order,
         "top_duplicate_spans": q_top_duplicate_spans,
         "decontaminate_spans": q_decontaminate_spans,
+        "dedup_keep_best": q_dedup_keep_best,
+        "reservoir_sample": q_reservoir_sample,
         "hll_distinct": q_hll_distinct,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
@@ -4655,6 +4686,56 @@ def _oracle_sql_raw() -> dict[str, str]:
                1.0 AS recall
         FROM scored
         QUALIFY rnk <= 10
+    """
+    res_u = (
+        "(("
+        + _sql_hash32("concat('wres', ':', CAST(doc_id AS VARCHAR))")
+        + " + 0.5) / 4294967296.0)"
+    )
+    sql["reservoir_sample"] = f"""
+        WITH t AS (SELECT doc_id, lang,
+                          CAST(len({_sql_words()}) AS BIGINT) AS n_tokens
+                   FROM documents),
+             keyed AS (SELECT doc_id, lang, n_tokens,
+                              round(ln({res_u}) / CAST(n_tokens AS DOUBLE), 9) AS res_key
+                       FROM t WHERE n_tokens > 0)
+        SELECT doc_id, lang, n_tokens, res_key
+        FROM keyed
+        ORDER BY res_key DESC, doc_id ASC
+        LIMIT 40
+    """
+    sql["dedup_keep_best"] = f"""
+        WITH RECURSIVE pairs AS ({_minhash_lsh_pairs_sql()}),
+             edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                       UNION SELECT id_b, id_a FROM pairs),
+             reach(id, r) AS (
+                 SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                 UNION
+                 SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+             ),
+             clusters AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+                          FROM reach GROUP BY id),
+             score AS (SELECT doc_id,
+                              round(CAST(len({_sql_words()}) AS DOUBLE), 6) AS s
+                       FROM documents),
+             scored AS (SELECT c.cluster_id, sc.doc_id, sc.s
+                        FROM clusters c JOIN score sc USING (doc_id)),
+             sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                       FROM scored GROUP BY cluster_id),
+             w AS (SELECT cluster_id, doc_id,
+                          row_number() OVER (PARTITION BY cluster_id
+                                             ORDER BY s DESC, doc_id ASC) AS rn
+                   FROM scored),
+             winners AS (SELECT cluster_id, doc_id AS winner FROM w WHERE rn = 1)
+        SELECT d.doc_id,
+               CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+               CAST(coalesce(z.cluster_size, 1) AS BIGINT) AS cluster_size,
+               coalesce(d.doc_id = wn.winner, TRUE) AS is_kept
+        FROM documents d
+        LEFT JOIN clusters c USING (doc_id)
+        LEFT JOIN sizes z ON z.cluster_id = c.cluster_id
+        LEFT JOIN winners wn ON wn.cluster_id = c.cluster_id
+        ORDER BY d.doc_id
     """
     # HLL register replay (sketches.hll_build/hll_estimate, m=512): rho =
     # lowest-set-bit position via exact integer congruences, estimator

@@ -5,6 +5,7 @@ from lantern_extras_spark.operators.dedup import (  # noqa: F401
     dedup_paragraphs,
     dedup_spans,
     embedding_neardup_pairs,
+    dedup_keep_best,
     exact_dedup,
     band_keys,
     lsh_candidate_pairs,
@@ -42,6 +43,7 @@ from lantern_extras_spark.operators.sampling import (  # noqa: F401
     quota_sample,
     resample_mixture,
     stratified_take,
+    weighted_reservoir,
 )
 from lantern_extras_spark.operators.sketches import (  # noqa: F401
     cms_build,

@@ -2315,3 +2315,56 @@ def dedup_spans(
     )
 
     return _excise_flagged_spans(df, toks_df, flagged, id_col, out_col, span)
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Quality-aware survivor selection: in each near-dup cluster keep the
+    single *best* document by `score_col` (longest, highest quality score,
+    best LM logprob — caller's choice) instead of an arbitrary first-seen
+    one. `exact_dedup`/`minhash_dedup` answer "which docs are copies";
+    this answers "which copy to keep" — the survivor policy real pipelines
+    (CCNet, RefinedWeb §3.3 "keep the canonical page") apply so dedup does
+    not systematically delete the cleanest variant.
+
+    `pairs` is any (id_a, id_b) near-dup pair frame — the same contract as
+    `soft_dedup_weights`/`leakage_safe_split`. Appends (cluster_id,
+    cluster_size, is_kept): singletons keep themselves; within a cluster the
+    winner is argmax(pround(score, round_dp), tiebreak min id) — the rounding
+    makes the choice engine-replayable, the id tiebreak makes it total.
+
+    Scale shape: O(diameter) label propagation over pairs only
+    (dedup_clusters), then ONE aggregation over the clustered rows — the
+    argmax rides a struct MAX, so it map-side combines; there is no
+    per-cluster ranking window and the un-clustered bulk of the corpus is
+    never shuffled (left joins on id / bounded cluster table only).
+    """
+    from lantern_extras_spark.functions.portable import pround
+
+    clusters = dedup_clusters(pairs).select(
+        F.col("id").alias(id_col), F.col("cluster_id")
+    )
+    scored = df.select(
+        F.col(id_col), pround(F.col(score_col).cast("double"), round_dp).alias("__s")
+    ).join(clusters, id_col)
+    winners = (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.max(F.struct(F.col("__s").alias("s"), (-F.col(id_col)).alias("negid"))).alias("__w"),
+            F.count("*").cast("bigint").alias("cluster_size"),
+        )
+        .select("cluster_id", (-F.col("__w.negid")).alias("__winner"), "cluster_size")
+    )
+    return (
+        df.join(clusters, id_col, "left")
+        .join(winners, "cluster_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+        .withColumn("cluster_size", F.coalesce(F.col("cluster_size"), F.lit(1)).cast("bigint"))
+        .withColumn("is_kept", F.coalesce(F.col(id_col) == F.col("__winner"), F.lit(True)))
+        .drop("__winner")
+    )

@@ -659,3 +659,53 @@ def soft_dedup_weights(
     if round_dp is not None:
         w = pround(w, round_dp)
     return keyed.withColumn("sample_weight", w)
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    seed: str = "wres",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Weighted sampling without replacement — Efraimidis & Spirakis (2006)
+    A-ES: each row gets key ln(u)/w with u = hash-derived uniform in (0,1);
+    the n largest keys are EXACTLY a weight-proportional draw without
+    replacement (the one-pass "weighted reservoir" construction). The
+    training-pipeline use: sample documents proportional to token count /
+    quality weight / soft-dedup mass in one distributed pass, reproducibly —
+    the hash-derived u makes the draw a pure function of (id, seed), so
+    reruns, retried stages, and the SQL oracle pick the identical sample.
+
+    Rows with null or non-positive weight are excluded (they have zero
+    selection probability in the A-ES model).
+
+    Scale shape: global draws execute as TakeOrderedAndProject (partial
+    top-n per partition, n*P rows to the driver-side merge — no global sort,
+    no single-reducer ranking window). With `group_col`, a per-group window
+    rank caps each group at n — fine when groups are many and bounded (the
+    quota_sample posture); keys are rounded (`round_dp`) with an id tiebreak
+    so ranking is total and engine-replayable.
+    """
+    from lantern_extras_spark.functions.hashing import HASH32_SPACE
+    from lantern_extras_spark.functions.portable import pround
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = F.col(weight_col).cast("double")
+    u = (hash32(F.col(id_col).cast("string"), seed=seed) + F.lit(0.5)) / F.lit(
+        HASH32_SPACE
+    )
+    base = df.where(w.isNotNull() & (w > 0)).withColumn(
+        "res_key", pround(F.log(u) / w, round_dp)
+    )
+    if group_col is None:
+        return base.orderBy(F.col("res_key").desc(), F.col(id_col).asc()).limit(n)
+    rank = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(
+            F.col("res_key").desc(), F.col(id_col).asc()
+        )
+    )
+    return base.withColumn("__rk", rank).where(F.col("__rk") <= n).drop("__rk")

@@ -945,3 +945,49 @@ def test_doc_duplication_share(spark):
     assert out[6]["n_shingles"] == 0 and out[6]["dup_share"] == 0.0
     with pytest.raises(ValueError, match="min_docs"):
         D.doc_duplication_share(docs, min_docs=1)
+
+
+def test_dedup_keep_best_picks_highest_score(spark):
+    from lantern_extras_spark.operators.dedup import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 7.0), (4, 1.0), (10, 3.0)],
+        "doc_id bigint, q double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    out = {r["doc_id"]: r for r in dedup_keep_best(df, pairs, "q").collect()}
+    # cluster {1,2,3}: 2 wins (q=9); 4 and 10 are singletons
+    assert [out[i]["is_kept"] for i in (1, 2, 3, 4, 10)] == [False, True, False, True, True]
+    assert out[1]["cluster_size"] == 3 and out[4]["cluster_size"] == 1
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"]
+
+
+def test_dedup_keep_best_tiebreaks_on_min_id(spark):
+    from lantern_extras_spark.operators.dedup import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [(7, 2.0), (8, 2.0), (9, 2.0)], "doc_id bigint, q double"
+    )
+    pairs = spark.createDataFrame([(7, 8), (8, 9)], "id_a bigint, id_b bigint")
+    out = {r["doc_id"]: r["is_kept"] for r in dedup_keep_best(df, pairs, "q").collect()}
+    assert out == {7: True, 8: False, 9: False}
+
+
+def test_dedup_keep_best_keeps_exactly_one_per_cluster(spark, docs):
+    from lantern_extras_spark.functions.text import token_count
+    from lantern_extras_spark.operators.dedup import dedup_keep_best, minhash_dedup
+    from pyspark.sql import functions as F
+
+    pairs = minhash_dedup(docs, n_hashes=32, bands=8, threshold=0.2)
+    scored = docs.withColumn("n_tokens", token_count("text"))
+    out = dedup_keep_best(scored, pairs, "n_tokens")
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.sum(F.col("is_kept").cast("int")).alias("kept")
+    )
+    assert per_cluster.where("kept <> 1").count() == 0
+    # survivors are never shorter than the cluster max (keep-the-longest)
+    mx = out.groupBy("cluster_id").agg(F.max("n_tokens").alias("mx"))
+    bad = (
+        out.where("is_kept").join(mx, "cluster_id").where(F.col("n_tokens") < F.col("mx"))
+    )
+    assert bad.count() == 0

@@ -412,3 +412,66 @@ def test_soft_dedup_weights_sum_to_one_per_cluster(spark):
     for r in out.values():
         mass[r["cluster_id"]] += r["sample_weight"]
     assert all(abs(m - 1.0) < 1e-5 for m in mass.values())
+
+
+def test_weighted_reservoir_exact_n_and_deterministic(spark, docs):
+    from lantern_extras_spark.functions.text import token_count
+    from lantern_extras_spark.operators.sampling import weighted_reservoir
+
+    d = docs.withColumn("n_tokens", token_count("text"))
+    s1 = weighted_reservoir(d, 15, "n_tokens")
+    s2 = weighted_reservoir(d, 15, "n_tokens")
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    assert len(ids1) == 15
+    assert ids1 == sorted(r["doc_id"] for r in s2.collect())
+    # a different seed draws a different sample
+    s3 = weighted_reservoir(d, 15, "n_tokens", seed="other")
+    assert ids1 != sorted(r["doc_id"] for r in s3.collect())
+
+
+def test_weighted_reservoir_excludes_nonpositive_weights(spark):
+    from lantern_extras_spark.operators.sampling import weighted_reservoir
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -5.0), (4, None), (5, 2.0)],
+        "doc_id bigint, w double",
+    )
+    got = sorted(r["doc_id"] for r in weighted_reservoir(df, 10, "w").collect())
+    assert got == [1, 5]
+
+
+def test_weighted_reservoir_is_weight_proportional(spark):
+    """A-ES correctness: one heavy item (w=200) among 100 light ones (w=1)
+    should be drawn in nearly every seed; statistically, P(miss) per draw of
+    n=20 is tiny. Run 25 seeds and require >= 24 hits."""
+    from lantern_extras_spark.operators.sampling import weighted_reservoir
+
+    rows = [(0, 200.0)] + [(i, 1.0) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double").coalesce(2)
+    hits = 0
+    for s in range(25):
+        ids = {r["doc_id"] for r in weighted_reservoir(df, 20, "w", seed=f"s{s}").collect()}
+        assert len(ids) == 20
+        hits += 0 in ids
+    assert hits >= 24
+
+
+def test_weighted_reservoir_per_group_cap(spark, docs):
+    from lantern_extras_spark.functions.text import token_count
+    from lantern_extras_spark.operators.sampling import weighted_reservoir
+    from pyspark.sql import functions as F
+
+    d = docs.withColumn("n_tokens", token_count("text"))
+    out = weighted_reservoir(d, 5, "n_tokens", group_col="lang")
+    per = out.groupBy("lang").count().collect()
+    assert all(r["count"] <= 5 for r in per)
+    assert out.count() == sum(min(5, c) for c in
+                              (r["count"] for r in d.where("n_tokens > 0").groupBy("lang").count().collect()))
+
+
+def test_weighted_reservoir_validates_n(spark, docs):
+    from lantern_extras_spark.operators.sampling import weighted_reservoir
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        weighted_reservoir(docs, 0, "n_chars")
