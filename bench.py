@@ -187,6 +187,13 @@ def main() -> None:
         "near_moves",
         "duplication_share",
         "heavy_hitters_by_lang",
+        # round-8 second-session batch: data selection + sketch + survivor
+        "dsir_weights",
+        "dsir_select",
+        "corpus_divergence",
+        "hll_distinct",
+        "dedup_keep_best",
+        "reservoir_sample",
     ]
     # self-healing coverage: any registry query missing from the hard-coded
     # list is appended (and flagged) so the committed bench can never again

@@ -352,3 +352,61 @@ def test_vocab_drift_no_global_vocab_window(spark):
     df = E.q_vocab_drift(spark, SF)
     s = plan_summary(df)
     assert "Window" not in s.text or "SinglePartition" not in s.text, s.text
+
+
+def test_dsir_weights_broadcast_ratio_table(spark):
+    """DSIR: the per-bucket log-ratio table (<= buckets rows) must reach the
+    feature stream via broadcast, and the bounded profiles must map-side
+    combine — the vocabulary never rides an exchange."""
+    df = E.q_dsir_weights(spark, SF)
+    s = plan_summary(df)
+    assert s.n_broadcasts >= 1, s.text
+    assert "partial_count" in s.text or "partial_sum" in s.text, s.text
+    assert "Cartesian" not in s.text, s.text
+
+
+def test_dsir_select_take_ordered_no_ranking_window(spark):
+    """Gumbel top-k must be TakeOrderedAndProject — per-partition partial
+    top-n — never a global sort or a single-partition ranking window."""
+    df = E.q_dsir_select(spark, SF)
+    s = plan_summary(df)
+    assert "TakeOrderedAndProject" in s.text, s.text
+    assert "Window" not in s.text, s.text
+
+
+def test_corpus_divergence_bounded_state(spark):
+    """Both profiles collapse map-side to <= buckets rows; the outer join of
+    the two profiles is bucket-keyed; no cartesian, no window."""
+    df = E.q_corpus_divergence(spark, SF)
+    s = plan_summary(df)
+    assert "partial_count" in s.text, s.text
+    assert "Cartesian" not in s.text, s.text
+    assert "Window" not in s.text, s.text
+
+
+def test_hll_registers_partial_max(spark):
+    """HLL register build must partial-aggregate (map-side MAX collapses
+    every task to <= m rows before the exchange)."""
+    df = E.q_hll_distinct(spark, SF)
+    s = plan_summary(df)
+    assert "partial_max" in s.text, s.text
+    assert "Window" not in s.text, s.text
+
+
+def test_reservoir_sample_take_ordered(spark):
+    """A-ES draw executes as TakeOrderedAndProject — no global sort, no
+    ranking window over the corpus."""
+    df = E.q_reservoir_sample(spark, SF)
+    s = plan_summary(df)
+    assert "TakeOrderedAndProject" in s.text, s.text
+    assert "Window" not in s.text, s.text
+
+
+def test_dedup_keep_best_argmax_is_aggregate_not_window(spark):
+    """Survivor selection must ride the struct-MAX aggregate (map-side
+    combining); the corpus-wide plan may window only inside the pair
+    pipeline, never over the full document set."""
+    df = E.q_dedup_keep_best(spark, SF)
+    s = plan_summary(df)
+    assert "partial_max" in s.text, s.text
+    assert "Cartesian" not in s.text, s.text
