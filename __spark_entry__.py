@@ -1948,6 +1948,28 @@ def q_bloom_semi_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bottomk_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Bottom-k sample sketch quantiles (sketches.bottomk_sample/
+    bottomk_percentiles): the 512 events with smallest hash32('bks':id) are
+    an exact uniform sample without replacement — mergeable across shards /
+    streaming epochs (bottom-k of a union = bottom-k of the whole) — and the
+    p50/p90/p99 of `value` are read off the sample with the ranking window
+    confined to <= k rows. Sample selection is TakeOrderedAndProject."""
+    ev = _t(spark, sf, "events")
+    s = SK.bottomk_sample(ev, k=512, id_col="event_id")
+    return SK.bottomk_percentiles(s, "value", (0.5, 0.9, 0.99), id_col="event_id")
+
+
+def q_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-smoothed mixture (sampling.temperature_weights, the
+    XLM-R alpha-sampling trick at alpha=0.5): per-language token shares
+    smoothed toward uniform, with the per-doc resampling factor q/p that
+    up-samples low-resource languages. Group-sized output; one aggregation
+    shuffle + broadcast scalars."""
+    docs = _t(spark, sf, "documents")
+    return SMP.temperature_weights(docs, alpha=0.5, group_col="lang").orderBy("lang")
+
+
 def q_reservoir_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Weighted reservoir sampling (sampling.weighted_reservoir, Efraimidis-
     Spirakis A-ES): 40 documents drawn without replacement with probability
@@ -2165,6 +2187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_spans": q_decontaminate_spans,
         "dedup_keep_best": q_dedup_keep_best,
         "reservoir_sample": q_reservoir_sample,
+        "bottomk_quantiles": q_bottomk_quantiles,
+        "temperature_mixture": q_temperature_mixture,
         "hll_distinct": q_hll_distinct,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
@@ -4686,6 +4710,41 @@ def _oracle_sql_raw() -> dict[str, str]:
                1.0 AS recall
         FROM scored
         QUALIFY rnk <= 10
+    """
+    sql["bottomk_quantiles"] = f"""
+        WITH s AS (SELECT event_id, value,
+                          {_sql_hash32("concat('bks', ':', CAST(event_id AS VARCHAR))")} AS h
+                   FROM events
+                   ORDER BY h ASC, event_id ASC
+                   LIMIT 512),
+             r AS (SELECT value,
+                          row_number() OVER (ORDER BY value ASC, event_id ASC) AS rn
+                   FROM s),
+             m AS (SELECT count(*) AS m FROM s),
+             p AS (SELECT unnest([0.5, 0.9, 0.99]) AS prob)
+        SELECT p.prob, r.value AS estimate, m.m AS n_sample
+        FROM p CROSS JOIN m
+        JOIN r ON r.rn = greatest(1, CAST(ceil(p.prob * m.m) AS BIGINT))
+        ORDER BY p.prob
+    """
+    sql["temperature_mixture"] = f"""
+        WITH t AS (SELECT lang, {_sql_words()} AS w FROM documents),
+             c AS (SELECT lang, count(*) AS n_docs,
+                          CAST(sum(len(w)) AS BIGINT) AS n_tokens
+                   FROM t GROUP BY lang),
+             tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM c),
+             s AS (SELECT lang, n_docs, n_tokens,
+                          n_tokens / CAST((SELECT tt FROM tot) AS DOUBLE) AS p
+                   FROM c),
+             z AS (SELECT sum(power(p, 0.5)) AS z FROM s)
+        SELECT lang, n_docs, n_tokens,
+               round(p, 8) AS actual_share,
+               round(power(p, 0.5) / (SELECT z FROM z), 8) AS temp_share,
+               round(CASE WHEN p > 0
+                          THEN (power(p, 0.5) / (SELECT z FROM z)) / p
+                          ELSE 0.0 END, 8) AS weight
+        FROM s
+        ORDER BY lang
     """
     res_u = (
         "(("

@@ -43,6 +43,7 @@ from lantern_extras_spark.operators.sampling import (  # noqa: F401
     quota_sample,
     resample_mixture,
     stratified_take,
+    temperature_weights,
     weighted_reservoir,
 )
 from lantern_extras_spark.operators.sketches import (  # noqa: F401
@@ -52,6 +53,9 @@ from lantern_extras_spark.operators.sketches import (  # noqa: F401
     hll_build,
     hll_estimate,
     hll_merge,
+    bottomk_sample,
+    bottomk_merge,
+    bottomk_percentiles,
 )
 from lantern_extras_spark.operators.selection import (  # noqa: F401
     bucket_profile,

@@ -709,3 +709,51 @@ def weighted_reservoir(
         )
     )
     return base.withColumn("__rk", rank).where(F.col("__rk") <= n).drop("__rk")
+
+
+def temperature_weights(
+    df: DataFrame,
+    alpha: float,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-smoothed mixture weights — the multilingual-training
+    exponent trick (XLM-R sec 3.1; mBERT's exponent-0.7 sampling): sampling
+    share q_g proportional to p_g^alpha where p_g is the group's token share.
+    alpha=1 keeps the natural mixture; alpha->0 approaches uniform over
+    groups; the per-doc resampling factor is weight = q_g/p_g, so
+    low-resource groups are up-sampled smoothly instead of via hand-set
+    targets (`mixture_weights`' static dict).
+
+    Returns one row per group: (group_col, n_docs, n_tokens, actual_share,
+    temp_share, weight). Group-count-sized output; one aggregation shuffle +
+    broadcast scalars — corpus size only touches the narrow token-count scan.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    from lantern_extras_spark.functions.portable import pround
+    from lantern_extras_spark.functions.text import token_count
+
+    counts = df.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    total = counts.agg(F.sum("n_tokens").alias("__total"))
+    p = F.col("n_tokens").cast("double") / F.col("__total").cast("double")
+    shared = counts.crossJoin(F.broadcast(total)).withColumn(
+        "__p", p
+    )
+    z = shared.agg(F.sum(F.pow(F.col("__p"), F.lit(float(alpha)))).alias("__z"))
+    q = F.pow(F.col("__p"), F.lit(float(alpha))) / F.col("__z")
+    return (
+        shared.crossJoin(F.broadcast(z))
+        .withColumn("actual_share", pround(F.col("__p"), 8))
+        .withColumn("temp_share", pround(q, 8))
+        .withColumn(
+            "weight",
+            pround(
+                F.when(F.col("__p") > 0, q / F.col("__p")).otherwise(F.lit(0.0)), 8
+            ),
+        )
+        .select(group_col, "n_docs", "n_tokens", "actual_share", "temp_share", "weight")
+    )

@@ -214,3 +214,94 @@ def hll_estimate(sketch: DataFrame, m: int = 256, est_col: str = "hll_est") -> D
         pround(raw, 4).alias("hll_raw"),
         pround(corrected, 4).alias(est_col),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k sample sketch (mergeable fixed-size uniform sample)
+# ---------------------------------------------------------------------------
+#
+# The fourth bounded-state sketch: CMS answers "how often", HLL/KMV "how many
+# distinct", this one carries an actual k-row SIMPLE RANDOM SAMPLE of the
+# rows themselves — the substrate for quantiles, means, group shares, or
+# eyeballing, with every estimator inheriting the sample's determinism.
+# hash32(salt:id) is a uniform random permutation of the rows (ids unique),
+# so the k smallest hashes are exactly a uniform sample without replacement;
+# and bottom-k of a union is the bottom-k of the merged sets, so per-shard /
+# per-epoch samples MERGE exactly (Cohen & Kaplan 2007, bottom-k sketches).
+# Unlike `sampling.sampled_percentiles` (hash-threshold, needs n up front,
+# not mergeable) this is fixed-size, count-free, and streaming-safe.
+
+
+def bottomk_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "bks",
+    hash_col: str = "bk_hash",
+) -> DataFrame:
+    """The k rows of `df` with the smallest hash32(salt:id) (id tiebreak),
+    with the hash kept in `hash_col` so downstream merges re-rank exactly.
+    Executes as TakeOrderedAndProject: per-partition partial bottom-k,
+    k*P-row driver merge — no global sort, no ranking window."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = hash32(F.col(id_col).cast("string"), seed=salt)
+    return (
+        df.withColumn(hash_col, h)
+        .orderBy(F.col(hash_col).asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def bottomk_merge(
+    k: int, *samples: DataFrame, id_col: str = "doc_id", hash_col: str = "bk_hash"
+) -> DataFrame:
+    """Merge bottom-k samples built with the same salt: union, dedupe by id
+    (overlapping shards contribute a row once), keep the k smallest hashes.
+    The result is IDENTICAL to a single bottom-k over the combined data —
+    per-epoch streaming stores and per-shard samples compose exactly."""
+    if not samples:
+        raise ValueError("bottomk_merge needs at least one sample")
+    u = samples[0]
+    for s in samples[1:]:
+        u = u.unionByName(s)
+    return (
+        u.dropDuplicates([id_col])
+        .orderBy(F.col(hash_col).asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def bottomk_percentiles(
+    sample: DataFrame,
+    value_col: str,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Discrete lower quantiles over a bottom-k sample: value at rank
+    ceil(q*m) of the sample sorted by (value, id) — rank error ~sqrt(q(1-q)/k)
+    of the true corpus quantile. The ranking window runs over the <= k
+    sample rows only (the `sampled_percentiles` convention)."""
+    from pyspark.sql.window import Window
+
+    if not probs or any(not (0.0 < q <= 1.0) for q in probs):
+        raise ValueError(f"probs must be in (0, 1]: {probs}")
+    ranked = sample.select(
+        F.col(value_col).alias("__v"), F.col(id_col).alias("__id")
+    ).withColumn(
+        "__rn",
+        F.row_number().over(Window.orderBy(F.col("__v").asc(), F.col("__id").asc())),
+    )
+    m = ranked.agg(F.count("*").alias("__m"))
+    qdf = sample.sparkSession.createDataFrame(
+        [(float(q),) for q in sorted(probs)], "prob double"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(m))
+        .join(
+            F.broadcast(qdf),
+            F.col("__rn") == F.greatest(F.lit(1), F.ceil(F.col("prob") * F.col("__m"))),
+        )
+        .select("prob", F.col("__v").alias("estimate"), F.col("__m").alias("n_sample"))
+        .orderBy("prob")
+    )

@@ -692,3 +692,65 @@ def start_hll_ingest_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def ingest_bottomk_batch(
+    bdf,
+    epoch_id: int,
+    store_dir: str,
+    k: int = 4096,
+    id_col: str = "doc_id",
+    salt: str = "bks",
+) -> None:
+    """One micro-batch of the streaming uniform-sample loop: keep THIS
+    batch's bottom-k rows (smallest hash32(salt:id)) as the epoch's own
+    partition. Bottom-k of a union is the bottom-k of the whole, and the
+    per-row hash is a pure function of the id, so a retried epoch rewrites
+    identical rows — the merged store is exactly the sample a single batch
+    job over all data would draw. Each epoch holds <= k rows."""
+    if bdf.isEmpty():
+        return
+    from lantern_extras_spark.operators.sketches import bottomk_sample
+
+    s = bottomk_sample(bdf, k=k, id_col=id_col, salt=salt)
+    s.write.mode("overwrite").parquet(f"{store_dir}/epoch={int(epoch_id)}")
+
+
+def read_bottomk_store(spark, store_dir: str, k: int = 4096, id_col: str = "doc_id"):
+    """The corpus-total uniform sample: union every epoch partition, dedupe
+    by id, keep the k smallest kept hashes. Reads <= k*epochs rows, returns
+    <= k — feed straight into `bottomk_percentiles` or any estimator."""
+    from lantern_extras_spark.operators.sketches import bottomk_merge
+
+    return bottomk_merge(k, spark.read.parquet(store_dir), id_col=id_col)
+
+
+def start_bottomk_ingest_stream(
+    spark,
+    source_dir: str,
+    source_schema,
+    checkpoint_dir: str,
+    store_dir: str,
+    k: int = 4096,
+    id_col: str = "doc_id",
+    salt: str = "bks",
+    available_now: bool = True,
+    trigger_seconds: int = 10,
+):
+    """Structured-Streaming wrapper over `ingest_bottomk_batch`: a live,
+    always-current uniform sample of everything ingested so far (quantiles,
+    means, spot-checks) with k rows of state per epoch — the row-level
+    companion to the CMS (frequency) and HLL (distinct) ingest loops."""
+    stream = spark.readStream.schema(source_schema).parquet(source_dir)
+
+    def write_batch(bdf, epoch_id):
+        ingest_bottomk_batch(bdf, epoch_id, store_dir, k=k, id_col=id_col, salt=salt)
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("append")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -410,3 +410,24 @@ def test_dedup_keep_best_argmax_is_aggregate_not_window(spark):
     s = plan_summary(df)
     assert "partial_max" in s.text, s.text
     assert "Cartesian" not in s.text, s.text
+
+
+def test_bottomk_quantiles_take_ordered_window_on_sample(spark):
+    """Sample selection must be TakeOrderedAndProject; the only ranking
+    window runs over the <= k sample rows (after the limit)."""
+    df = E.q_bottomk_quantiles(spark, SF)
+    s = plan_summary(df)
+    assert "TakeOrderedAndProject" in s.text, s.text
+    # window is allowed, but only downstream of the k-row limit: the plan
+    # must not sort the full events table
+    assert s.text.count("TakeOrderedAndProject") >= 1
+
+
+def test_temperature_mixture_group_sized(spark):
+    """One aggregation shuffle + broadcast scalars: the corpus flows through
+    a narrow token-count projection only."""
+    df = E.q_temperature_mixture(spark, SF)
+    s = plan_summary(df)
+    assert s.n_broadcasts >= 1, s.text
+    assert "partial_sum" in s.text, s.text
+    assert "Window" not in s.text, s.text

@@ -475,3 +475,45 @@ def test_weighted_reservoir_validates_n(spark, docs):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         weighted_reservoir(docs, 0, "n_chars")
+
+
+def test_temperature_weights_alpha_one_is_natural_mixture(spark, docs):
+    from lantern_extras_spark.operators.sampling import temperature_weights
+
+    out = temperature_weights(docs, alpha=1.0).collect()
+    for r in out:
+        assert r["weight"] == pytest.approx(1.0, abs=1e-6)
+        assert r["temp_share"] == pytest.approx(r["actual_share"], abs=1e-6)
+
+
+def test_temperature_weights_alpha_zero_is_uniform(spark, docs):
+    from lantern_extras_spark.operators.sampling import temperature_weights
+
+    out = temperature_weights(docs, alpha=0.0).collect()
+    n_groups = len(out)
+    for r in out:
+        assert r["temp_share"] == pytest.approx(1.0 / n_groups, abs=1e-6)
+
+
+def test_temperature_weights_upsamples_low_resource(spark):
+    from lantern_extras_spark.operators.sampling import temperature_weights
+
+    rows = [(i, "many tokens " * 20, "en") for i in range(90)]
+    rows += [(1000 + i, "few words", "mi") for i in range(10)]
+    skewed = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = temperature_weights(skewed, alpha=0.5).collect()
+    assert sum(r["temp_share"] for r in out) == pytest.approx(1.0, abs=1e-6)
+    smallest = min(out, key=lambda r: r["n_tokens"])
+    largest = max(out, key=lambda r: r["n_tokens"])
+    assert smallest["lang"] == "mi" and largest["lang"] == "en"
+    assert smallest["weight"] > 1.0 > largest["weight"]
+    # the smoothing narrows the gap but preserves the order
+    assert smallest["temp_share"] < largest["temp_share"]
+    assert smallest["temp_share"] > smallest["actual_share"]
+
+
+def test_temperature_weights_validates_alpha(spark, docs):
+    from lantern_extras_spark.operators.sampling import temperature_weights
+
+    with pytest.raises(ValueError):
+        temperature_weights(docs, alpha=1.5)

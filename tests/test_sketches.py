@@ -236,3 +236,91 @@ def test_streaming_hll_ingest_and_merge(spark, tmp_path):
     # retry idempotency: re-running an epoch leaves the store unchanged
     ingest_hll_batch(b2, 1, store, m=64)
     assert as_map(read_hll_store(spark, store)) == as_map(whole)
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k sample sketch
+# ---------------------------------------------------------------------------
+
+
+def test_bottomk_exact_k_and_deterministic(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(500)], "doc_id bigint, v double")
+    s1 = SK.bottomk_sample(df, 50)
+    s2 = SK.bottomk_sample(df, 50)
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    assert len(ids1) == 50
+    assert ids1 == sorted(r["doc_id"] for r in s2.collect())
+    # the kept rows really are the k smallest hashes
+    all_h = {r["doc_id"]: _py_hash32(f"{r['doc_id']}", "bks") for r in df.collect()}
+    expect = sorted(all_h, key=lambda i: (all_h[i], i))[:50]
+    assert ids1 == sorted(expect)
+
+
+def test_bottomk_merge_equals_whole(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(400)], "doc_id bigint, v double")
+    a = SK.bottomk_sample(df.where("doc_id < 150"), 40)
+    b = SK.bottomk_sample(df.where("doc_id >= 150"), 40)
+    whole = SK.bottomk_sample(df, 40)
+    merged = SK.bottomk_merge(40, a, b)
+    key = lambda d: sorted(r["doc_id"] for r in d.collect())
+    assert key(merged) == key(whole)
+    # overlapping shards dedupe: merging the whole with a shard is a no-op
+    again = SK.bottomk_merge(40, whole, a)
+    assert key(again) == key(whole)
+
+
+def test_bottomk_sample_mean_tracks_population(spark):
+    import math
+    df = spark.createDataFrame([(i, float(i % 100)) for i in range(5000)], "doc_id bigint, v double")
+    s = SK.bottomk_sample(df, 500)
+    mean = s.agg(F.avg("v")).collect()[0][0]
+    # population mean 49.5, sample sd ~ 28.9/sqrt(500) ~ 1.3; allow 4 sd
+    assert math.isfinite(mean) and abs(mean - 49.5) < 5.2
+
+
+def test_bottomk_percentiles_exact_on_small_sample(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 11)], "doc_id bigint, v double")
+    s = SK.bottomk_sample(df, 10)  # the sample IS the data
+    got = {r["prob"]: r["estimate"] for r in SK.bottomk_percentiles(s, "v", (0.5, 1.0)).collect()}
+    # discrete lower quantile at rank ceil(q*10): p50 -> rank 5 -> 5.0, p100 -> 10.0
+    assert got[0.5] == 5.0 and got[1.0] == 10.0
+
+
+def test_bottomk_validation(spark):
+    df = spark.createDataFrame([(1, 1.0)], "doc_id bigint, v double")
+    with pytest.raises(ValueError):
+        SK.bottomk_sample(df, 0)
+    with pytest.raises(ValueError):
+        SK.bottomk_merge(5)
+    with pytest.raises(ValueError):
+        SK.bottomk_percentiles(df, "v", probs=(0.0,))
+
+
+def test_streaming_bottomk_ingest_and_merge(spark, tmp_path):
+    """foreachBatch bottom-k ingest: per-epoch sample partitions merge to
+    exactly the sample a single batch job would draw; re-ingesting an epoch
+    is a no-op."""
+    from lantern_extras_spark.streaming.stateful import (
+        ingest_bottomk_batch,
+        read_bottomk_store,
+        start_bottomk_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt, store = str(tmp_path / "ckpt"), str(tmp_path / "store")
+    b1 = spark.createDataFrame([(i, float(i)) for i in range(60)], "doc_id long, v double")
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    q = start_bottomk_ingest_stream(spark, src, b1.schema, ckpt, store, k=20)
+    q.awaitTermination(120)
+
+    b2 = spark.createDataFrame([(i, float(i)) for i in range(60, 120)], "doc_id long, v double")
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q2 = start_bottomk_ingest_stream(spark, src, b1.schema, ckpt, store, k=20)
+    q2.awaitTermination(120)
+
+    whole = SK.bottomk_sample(b1.unionByName(b2), 20)
+    key = lambda d: sorted(r["doc_id"] for r in d.collect())
+    assert key(read_bottomk_store(spark, store, k=20)) == key(whole)
+
+    ingest_bottomk_batch(b2, 1, store, k=20)
+    assert key(read_bottomk_store(spark, store, k=20)) == key(whole)
