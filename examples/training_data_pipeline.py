@@ -23,10 +23,17 @@ oracle via __spark_entry__):
 r8 additions woven in where a production pipeline runs them:
   3b. takedown blocklist       bloom_anti_join (definite non-matches bypass
                                the join entirely; exact by construction)
+  4.  survivor policy          dedup_keep_best (keep each cluster's highest
+                               quality_score doc, not an arbitrary one)
   7b. corpus-health gauge      zipf_fit (templated/boilerplate corpora
                                flatten the rank-frequency slope)
+  7c. temperature mixture      temperature_weights (XLM-R alpha-sampling)
+  7d. target selection         dsir_select (DSIR: more data like my seed)
+  7e. drift scalar             corpus_divergence (KL/JS release gauge)
  11. search spot-check        bm25_topk + search_snippets over the final
                                corpus (the eyeball-the-data step, as code)
+ 11b. sketch dashboard        hll_estimate + bottomk_percentiles +
+                               weighted_reservoir (bounded-state corpus view)
 
 Run: python examples/training_data_pipeline.py
 """
@@ -42,6 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lantern_extras_spark import get_spark
+from lantern_extras_spark.functions.text import tokens as T_tokens
 from lantern_extras_spark.embeddings.pipeline import hash_embedding
 from lantern_extras_spark.functions.text import clean_text, redact_pii
 from lantern_extras_spark.functions.url import canonicalize_url
@@ -129,13 +137,16 @@ def main() -> dict:
     docs = gopher_filter(docs, min_tokens=3, min_stopword_hits=0).where("gopher_keep")
     out["gopher_kept"] = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
 
-    # 4. dedup: near-dup pairs -> connected components -> keep cluster minimum
+    # 4. dedup: near-dup pairs -> connected components -> survivor policy.
+    #    `dedup_keep_best` keeps each cluster's BEST doc (highest
+    #    quality_score from stage 3) instead of an arbitrary first-seen one —
+    #    the keep-the-canonical-copy policy a release pipeline wants when a
+    #    re-crawl is cleaner than the original. Singletons keep themselves.
+    from lantern_extras_spark.operators.dedup import dedup_keep_best
+
     pairs = D.minhash_dedup(docs, n_hashes=32, bands=8, threshold=0.8)
-    clusters = D.dedup_clusters(pairs)
-    drop = clusters.where(F.col("id") != F.col("cluster_id")).select(
-        F.col("id").alias("doc_id")
-    )
-    docs = docs.join(drop, "doc_id", "left_anti")
+    kb = dedup_keep_best(docs, pairs, score_col="quality_score")
+    docs = kb.where("is_kept").drop("cluster_id", "cluster_size", "is_kept")
     out["after_dedup"] = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
 
     # 5. benchmark decontamination against the eval set — shingle level first
@@ -198,6 +209,35 @@ def main() -> dict:
         (r["token"], r["n"]) for r in vocab_coverage(docs, top_k=3).collect()
     ]
 
+    # 7c. temperature smoothing (XLM-R alpha-sampling): the hands-off
+    #     alternative to the static target dict above — low-resource sources
+    #     up-weight smoothly, q ∝ p^alpha
+    out["temperature"] = {
+        r["source"]: (r["temp_share"], r["weight"])
+        for r in SMP.temperature_weights(docs, alpha=0.5, group_col="source").collect()
+    }
+
+    # 7d. target-distribution selection (DSIR): importance-weight every doc
+    #     against the siteA style and Gumbel-sample the 3 most target-like —
+    #     the "get me more data that looks like my seed corpus" primitive
+    from lantern_extras_spark.operators.selection import (
+        corpus_divergence,
+        dsir_select,
+    )
+
+    seed_corpus = docs.where(F.col("source") == "siteA")
+    picked = dsir_select(docs, seed_corpus, n=3, buckets=512)
+    out["dsir_picked"] = sorted(r["doc_id"] for r in picked.collect())
+
+    # 7e. ... and the scalar version of the same question: how far apart are
+    #     the two sources as distributions? (release-gate drift metric)
+    div = corpus_divergence(
+        docs.where(F.col("source") == "siteA"),
+        docs.where(F.col("source") == "siteB"),
+        buckets=512,
+    ).collect()[0]
+    out["divergence_js"] = div["js_div"]
+
     # 8. deterministic split + sequence packing for the train shard
     docs = SMP.hash_split(docs)
     train = docs.where(F.col("split") == "train")
@@ -254,6 +294,32 @@ def main() -> dict:
             key=lambda r: r["rnk"],
         )
     ]
+
+    # 11b. live corpus dashboard, sketch edition: bounded-state answers to
+    #      "how many distinct tokens", "what does a doc look like", and a
+    #      token-weighted eyeball sample — each mergeable across shards /
+    #      streaming epochs (CMS=how often, HLL=how many, bottom-k=what)
+    from lantern_extras_spark.functions.text import token_count
+    from lantern_extras_spark.operators.sampling import weighted_reservoir
+    from lantern_extras_spark.operators.sketches import (
+        bottomk_percentiles,
+        bottomk_sample,
+        hll_build,
+        hll_estimate,
+    )
+
+    toks = docs.select(F.explode(T_tokens(F.col("text"))).alias("token"))
+    hll = hll_estimate(hll_build(toks, "token", m=64), m=64).collect()[0]
+    bk = bottomk_sample(docs.withColumn("n_tokens2", token_count("text")), k=4)
+    p50 = bottomk_percentiles(bk, "n_tokens2", (0.5,)).collect()[0]
+    res = weighted_reservoir(
+        docs.withColumn("n_tokens2", token_count("text")), 2, "n_tokens2"
+    )
+    out["sketches"] = {
+        "hll_est": hll["hll_est"],
+        "sample_p50_tokens": p50["estimate"],
+        "reservoir_ids": sorted(r["doc_id"] for r in res.collect()),
+    }
 
     # 12. release gate: what did this pipeline run actually do to the corpus?
     #     corpus_diff(raw, final) gives the per-doc provenance a dataset

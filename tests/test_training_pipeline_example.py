@@ -62,6 +62,23 @@ def test_training_data_pipeline(spark):
     # lexical loser of the whole pipeline run
     vd = out["vocab_drift"]
     assert vd["SUBSCRIBE"] < 0 and vd["SUBSCRIBE"] == min(vd.values())
+    # 7c temperature smoothing: shares sum to 1, low-resource siteB
+    # up-weights but less aggressively than the static 50/50 target
+    t = out["temperature"]
+    assert abs(t["siteA"][0] + t["siteB"][0] - 1.0) < 1e-6
+    assert t["siteB"][1] > 1 > t["siteA"][1]
+    assert t["siteB"][1] < out["mixture"]["siteB"][2]
+    # 7d/7e DSIR selection + divergence: 3 docs picked from the survivors,
+    # and the two sources measurably diverge (but are far from disjoint)
+    assert len(out["dsir_picked"]) == 3
+    assert set(out["dsir_picked"]) <= set(out["after_semantic_dedup"])
+    assert 0 < out["divergence_js"] < 0.693
+    # 11b sketch dashboard: HLL within its error bound of the real distinct
+    # count isn't assertable on 6 docs — pin determinism + sane ranges
+    sk = out["sketches"]
+    assert sk["hll_est"] > 0 and sk["sample_p50_tokens"] >= 1
+    assert len(sk["reservoir_ids"]) == 2
+    assert set(sk["reservoir_ids"]) <= set(out["after_semantic_dedup"])
 
 
 import pytest
