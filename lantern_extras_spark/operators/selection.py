@@ -80,6 +80,46 @@ def hashed_ngram_buckets(
     return F.concat(uni, bi)
 
 
+def _feature_stream(
+    df: DataFrame,
+    text_col: str,
+    buckets: int,
+    include_bigrams: bool,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(keep_cols..., b) rows — one per feature occurrence. Performance shape
+    (found by measurement, 5x): the token array is STAGED via withColumn
+    (element_at inside a lambda would otherwise re-run the regexp split per
+    bigram — the CollapseProject pitfall `quality_metrics` documents), the
+    bigrams come from zip_with over two slices (no per-index element_at),
+    and unigram/bigram features are two exploded streams UNIONED rather than
+    one F.concat of two lambda-built arrays — concat of higher-order-function
+    results is CodegenFallback and interprets the whole expression per row."""
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    staged = df.withColumn("__toks", tokens(F.col(text_col)))
+    toks = F.col("__toks")
+    keep = [F.col(c) for c in keep_cols]
+    uni = staged.select(
+        *keep,
+        F.explode(F.transform(toks, lambda t: hash32(t, seed="dsir1") % buckets)).alias("b"),
+    )
+    if not include_bigrams:
+        return uni
+    ln = F.greatest(F.size(toks) - 1, F.lit(0))
+    bi = staged.select(
+        *keep,
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, ln),
+                F.slice(toks, 2, ln),
+                lambda a, b: hash32(F.concat_ws(" ", a, b), seed="dsir2") % buckets,
+            )
+        ).alias("b"),
+    )
+    return uni.unionAll(bi)
+
+
 def bucket_profile(
     df: DataFrame,
     text_col: str = "text",
@@ -87,11 +127,10 @@ def bucket_profile(
     include_bigrams: bool = True,
 ) -> DataFrame:
     """Hashed-feature histogram of a corpus -> (b, n) rows, at most `buckets`
-    of them. One narrow pass; the map-side combine bounds the exchange at
+    of them. Narrow passes only; the map-side combine bounds the exchange at
     buckets rows per task regardless of corpus size or vocabulary."""
-    feats = hashed_ngram_buckets(F.col(text_col), buckets, include_bigrams)
     return (
-        df.select(F.explode(feats).alias("b"))
+        _feature_stream(df, text_col, buckets, include_bigrams)
         .groupBy("b")
         .agg(F.count("*").alias("n"))
     )
@@ -155,10 +194,7 @@ def dsir_log_weights(
     tots = raw_p.agg(F.sum("n").alias("__nr")).crossJoin(
         tgt_p.agg(F.sum("n").alias("__nt"))
     )
-    feats = df.select(
-        F.col(id_col),
-        F.explode(hashed_ngram_buckets(F.col(text_col), buckets, include_bigrams)).alias("b"),
-    )
+    feats = _feature_stream(df, text_col, buckets, include_bigrams, keep_cols=(id_col,))
     # left join: when `raw` is not `df` a doc bucket can be absent from BOTH
     # profiles (so absent from the ratio table); those features still carry
     # the smoothed default ratio ln(alpha/(Nt+aB)) - ln(alpha/(Nr+aB)),
