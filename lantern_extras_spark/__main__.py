@@ -205,6 +205,70 @@ def cmd_corpus_health(args) -> int:
     return 0
 
 
+def cmd_select_data(args) -> int:
+    """DSIR target-distribution selection: importance-weight `--input` docs
+    against a `--target` seed corpus over hashed n-gram buckets and write the
+    Gumbel-top-n resample (Xie et al. 2023). The 'get me more data that looks
+    like my seed corpus' pipeline step, as one command."""
+    from lantern_extras_spark.operators import selection as SEL
+
+    spark = _spark("select-data")
+    docs = spark.read.parquet(args.input)
+    target = spark.read.parquet(args.target)
+    picked = SEL.dsir_select(
+        docs, target, n=args.n, text_col=args.text_col, id_col=args.id_col,
+        buckets=args.buckets,
+    )
+    picked.write.mode("overwrite").parquet(args.output)
+    div = SEL.corpus_divergence(
+        target, docs, text_col=args.text_col, buckets=args.buckets
+    ).collect()[0]
+    _json({"output": args.output, "n_selected": args.n,
+           "target_vs_raw_js_div": div["js_div"], "kl_target_raw": div["kl_ab"]})
+    spark.stop()
+    return 0
+
+
+def cmd_sketch_stats(args) -> int:
+    """Bounded-state corpus dashboard: HLL distinct-token estimate, CMS
+    frequencies of the exact heavy hitters, and bottom-k sample quantiles of
+    document token counts — every number from a sketch a streaming ingest
+    could maintain, none requiring a vocabulary or corpus-wide shuffle."""
+    from pyspark.sql import functions as F
+
+    from lantern_extras_spark.functions.text import token_count, tokens
+    from lantern_extras_spark.operators import sketches as SK
+    from lantern_extras_spark.operators import textstats as TS
+
+    spark = _spark("sketch-stats")
+    docs = spark.read.parquet(args.input)
+    toks = docs.select(F.explode(tokens(F.col(args.text_col))).alias("token"))
+    rep: dict = {}
+    hll = SK.hll_estimate(SK.hll_build(toks, "token", m=args.m), m=args.m).collect()[0]
+    rep["distinct_tokens"] = hll.asDict()
+    hh = TS.heavy_hitters(docs, phi=args.phi, text_col=args.text_col,
+                          out_order=False).select("token", "n")
+    sk = SK.cms_build(toks, "token", depth=4, width=args.width)
+    est = SK.cms_estimate(sk, hh, "token", depth=4, width=args.width)
+    rep["heavy_hitters"] = [
+        r.asDict()
+        for r in hh.join(est, "token").orderBy(F.col("n").desc(), "token")
+        .limit(args.top_k).collect()
+    ]
+    sample = SK.bottomk_sample(
+        docs.withColumn("__nt", token_count(args.text_col)), k=args.k,
+        id_col=args.id_col,
+    )
+    rep["doc_token_quantiles"] = [
+        r.asDict()
+        for r in SK.bottomk_percentiles(sample, "__nt", (0.5, 0.9, 0.99),
+                                        id_col=args.id_col).collect()
+    ]
+    _json(rep)
+    spark.stop()
+    return 0
+
+
 def cmd_pq_table(args) -> int:
     from lantern_extras_spark.operators import pq as PQ
 
@@ -371,6 +435,29 @@ def build_parser() -> argparse.ArgumentParser:
     ch.add_argument("--top-k", type=int, default=20)
     ch.add_argument("--phi", type=float, default=0.001)
     ch.set_defaults(fn=cmd_corpus_health)
+
+    sd2 = sub.add_parser("select-data",
+                         help="DSIR: resample docs toward a target seed corpus")
+    sd2.add_argument("--input", required=True)
+    sd2.add_argument("--target", required=True, help="seed-corpus parquet path")
+    sd2.add_argument("--output", required=True)
+    sd2.add_argument("--n", type=int, required=True)
+    sd2.add_argument("--text-col", default="text")
+    sd2.add_argument("--id-col", default="doc_id")
+    sd2.add_argument("--buckets", type=int, default=8192)
+    sd2.set_defaults(fn=cmd_select_data)
+
+    sk = sub.add_parser("sketch-stats",
+                        help="bounded-state corpus dashboard (HLL/CMS/bottom-k)")
+    sk.add_argument("--input", required=True)
+    sk.add_argument("--text-col", default="text")
+    sk.add_argument("--id-col", default="doc_id")
+    sk.add_argument("--m", type=int, default=512, help="HLL registers")
+    sk.add_argument("--width", type=int, default=2048, help="CMS width")
+    sk.add_argument("--k", type=int, default=1024, help="bottom-k sample size")
+    sk.add_argument("--phi", type=float, default=0.002)
+    sk.add_argument("--top-k", type=int, default=10)
+    sk.set_defaults(fn=cmd_sketch_stats)
 
     pq = sub.add_parser("pq-table", help="product-quantize a vector column")
     pq.add_argument("--input", required=True)

@@ -178,3 +178,31 @@ def test_cli_corpus_health():
     assert res["fertility"] and {"lang", "fertility", "chars_per_token"} <= set(res["fertility"][0])
     # identical snapshots -> every drift log-ratio ~0 (only total-size jitter)
     assert all(abs(d["log_ratio"]) < 1e-9 for d in res["top_drifts"])
+
+
+def test_cli_select_data(tmp_path):
+    out_path = str(tmp_path / "selected.parquet")
+    (rep,) = _run(
+        "select-data", "--input", f"{SF}/documents.parquet",
+        "--target", f"{SF}/documents.parquet", "--output", out_path,
+        "--n", "5", "--buckets", "256",
+    )
+    assert rep["n_selected"] == 5
+    # target == raw: the divergence gauge must read zero
+    assert rep["target_vs_raw_js_div"] == 0.0
+    import glob
+
+    files = glob.glob(out_path + "/*.parquet")
+    assert files, "selected parquet not written"
+
+
+def test_cli_sketch_stats():
+    (rep,) = _run(
+        "sketch-stats", "--input", f"{SF}/documents.parquet",
+        "--m", "64", "--k", "32", "--top-k", "3",
+    )
+    assert rep["distinct_tokens"]["hll_est"] > 0
+    assert len(rep["heavy_hitters"]) == 3
+    # CMS one-sided guarantee visible through the CLI too
+    assert all(h["cms_est"] >= h["n"] for h in rep["heavy_hitters"])
+    assert [q["prob"] for q in rep["doc_token_quantiles"]] == [0.5, 0.9, 0.99]

@@ -138,3 +138,72 @@ def test_validation_errors(spark, mixed):
         SEL.corpus_divergence(mixed, mixed, alpha=-1.0)
     with pytest.raises(ValueError):
         SEL.hashed_ngram_buckets("text", buckets=1)
+
+
+# ---------------------------------------------------------------------------
+# Differential: Spark DSIR vs a pure-Python replica (randomized corpora)
+# ---------------------------------------------------------------------------
+
+import hashlib
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _py_h32(s: str, seed: str) -> int:
+    return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:8], 16)
+
+
+def _py_feats(text: str, buckets: int) -> list[int]:
+    toks = text.split()
+    out = [_py_h32(t, "dsir1") % buckets for t in toks]
+    out += [
+        _py_h32(f"{a} {b}", "dsir2") % buckets for a, b in zip(toks, toks[1:])
+    ]
+    return out
+
+
+def _py_dsir(docs: dict[int, str], target_ids: set[int], buckets: int, alpha: float):
+    raw = Counter(b for t in docs.values() for b in _py_feats(t, buckets))
+    tgt = Counter(
+        b for i, t in docs.items() if i in target_ids for b in _py_feats(t, buckets)
+    )
+    nr, nt = sum(raw.values()), sum(tgt.values())
+    lw = {}
+    for i, t in docs.items():
+        s = 0.0
+        for b in _py_feats(t, buckets):
+            s += math.log((tgt.get(b, 0) + alpha) / (nt + alpha * buckets))
+            s -= math.log((raw.get(b, 0) + alpha) / (nr + alpha * buckets))
+        lw[i] = s
+    return lw
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=24), min_size=2, max_size=10
+    ),
+    buckets=st.sampled_from([16, 64, 256]),
+)
+def test_dsir_weights_match_python_replica(spark_session_holder, texts, buckets):
+    spark = spark_session_holder
+    docs = {i: t for i, t in enumerate(texts)}
+    target_ids = {i for i in docs if i % 2 == 0}
+    df = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    tgt = df.where(F.col("doc_id") % 2 == 0)
+    got = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in SEL.dsir_log_weights(df, tgt, buckets=buckets).collect()
+    }
+    expect = _py_dsir(docs, target_ids, buckets, alpha=1.0)
+    for i in docs:
+        assert got[i] == pytest.approx(expect[i], abs=2e-6), (i, docs[i])
+
+
+@pytest.fixture(scope="module")
+def spark_session_holder(spark):
+    """Hypothesis forbids function-scoped fixtures; re-expose the session
+    fixture at module scope (it is session-scoped underneath)."""
+    return spark
