@@ -1948,6 +1948,34 @@ def q_bloom_semi_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+KEYWORD_LABELS = {
+    "exec": ("shuffle", "partition", "join", "scan"),
+    "ml": ("vector", "embedding", "model", "index"),
+}
+
+
+def q_keyword_labels(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyword-seeded topic labeling (textstats.label_by_keywords, dataless
+    classification): per doc, argmax over idf-weighted seed-keyword hits —
+    the weak-supervision tagger that shapes mixture decisions before any
+    trained classifier exists. Keyword table broadcast; scoring is one token
+    explode + broadcast join + two map-side-combining aggregations; no
+    windows."""
+    docs = _t(spark, sf, "documents")
+    out = TS.label_by_keywords(docs, KEYWORD_LABELS)
+    return out.select("doc_id", "label", "label_score").orderBy("doc_id")
+
+
+def q_ngram_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus diversity gauge (textstats.distinct_ngram_ratio, distinct-n of
+    Li et al. 2016): per language and n in {1,2,3}, the share of n-gram
+    occurrences that are unique — templated corpora crater distinct-2/3 long
+    before dedup pair counts notice. Exact two-level aggregation; the Zipf
+    head collapses in the map-side combine."""
+    docs = _t(spark, sf, "documents")
+    return TS.distinct_ngram_ratio(docs, (1, 2, 3), group_col="lang")
+
+
 def q_bottomk_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Bottom-k sample sketch quantiles (sketches.bottomk_sample/
     bottomk_percentiles): the 512 events with smallest hash32('bks':id) are
@@ -2188,6 +2216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "reservoir_sample": q_reservoir_sample,
         "bottomk_quantiles": q_bottomk_quantiles,
+        "keyword_labels": q_keyword_labels,
+        "ngram_diversity": q_ngram_diversity,
         "temperature_mixture": q_temperature_mixture,
         "hll_distinct": q_hll_distinct,
         "dsir_weights": q_dsir_weights,
@@ -4710,6 +4740,64 @@ def _oracle_sql_raw() -> dict[str, str]:
                1.0 AS recall
         FROM scored
         QUALIFY rnk <= 10
+    """
+    kw_values = ", ".join(
+        f"('{lab}', '{kw}')" for lab, kws in sorted(KEYWORD_LABELS.items()) for kw in kws
+    )
+    sql["keyword_labels"] = f"""
+        WITH t AS (SELECT doc_id, {_sql_words("lower(text)")} AS w FROM documents),
+             toks AS (SELECT doc_id, unnest(w) AS kw FROM t),
+             kws(label, kw) AS (SELECT * FROM (VALUES {kw_values})),
+             hits AS (SELECT toks.doc_id, kws.label, toks.kw
+                      FROM toks JOIN kws USING (kw)),
+             nd AS (SELECT count(*) AS n FROM documents),
+             dfk AS (SELECT kw, count(DISTINCT doc_id) AS dfk FROM hits GROUP BY kw),
+             idf AS (SELECT kw, ln((SELECT n FROM nd) / (dfk + 1.0)) AS idf FROM dfk),
+             sc AS (SELECT h.doc_id, h.label,
+                           round(sum(greatest(idf.idf, 0.0)), 6) AS s
+                    FROM hits h JOIN idf USING (kw)
+                    GROUP BY h.doc_id, h.label),
+             best AS (SELECT doc_id, label, s,
+                             row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY s DESC, label ASC) AS rn
+                      FROM sc)
+        SELECT d.doc_id,
+               coalesce(b.label, 'other') AS label,
+               coalesce(b.s, 0.0) AS label_score
+        FROM documents d
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+    def _sql_grams(n: int) -> str:
+        if n == 1:
+            return "w"
+        return (
+            f"CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[]) ELSE "
+            f"list_transform(range(1, greatest(len(w) - {n - 1}, 1) + 1), "
+            f"i -> array_to_string(w[i:i+{n - 1}], ' ')) END"
+        )
+
+    div_parts = " UNION ALL ".join(
+        f"""SELECT lang, {n} AS n, g
+            FROM (SELECT lang, unnest({_sql_grams(n)}) AS g
+                  FROM (SELECT lang, {_sql_words()} AS w FROM documents))"""
+        for n in (1, 2, 3)
+    )
+    sql["ngram_diversity"] = f"""
+        WITH grams AS ({div_parts}),
+             counted AS (SELECT lang, n, g, count(*) AS c
+                         FROM grams GROUP BY lang, n, g),
+             agg AS (SELECT lang, n,
+                            CAST(sum(c) AS BIGINT) AS total_ngrams,
+                            CAST(count(*) AS BIGINT) AS distinct_ngrams
+                     FROM counted GROUP BY lang, n)
+        SELECT lang, n, total_ngrams, distinct_ngrams,
+               round(CASE WHEN total_ngrams > 0
+                          THEN distinct_ngrams / CAST(total_ngrams AS DOUBLE)
+                          ELSE 0.0 END, 6) AS distinct_ratio
+        FROM agg
+        ORDER BY lang, n
     """
     sql["bottomk_quantiles"] = f"""
         WITH s AS (SELECT event_id, value,

@@ -194,6 +194,10 @@ def main() -> None:
         "hll_distinct",
         "dedup_keep_best",
         "reservoir_sample",
+        "bottomk_quantiles",
+        "temperature_mixture",
+        "keyword_labels",
+        "ngram_diversity",
     ]
     # self-healing coverage: any registry query missing from the hard-coded
     # list is appended (and flagged) so the committed bench can never again

@@ -31,6 +31,8 @@ from lantern_extras_spark.operators.textstats import (  # noqa: F401
     quality_metrics,
     repetition_stats,
     corpus_report,
+    distinct_ngram_ratio,
+    label_by_keywords,
     strip_boilerplate_lines,
     unigram_logprob_score,
     vocab_coverage,

@@ -27,6 +27,7 @@ from lantern_extras_spark.functions.text import (
     tokens,
     uniq_token_ratio,
     uniq_token_ratio_of,
+    word_ngrams_of,
 )
 
 # Tiny per-language stopword profiles — a deterministic n-gram/stopword heuristic
@@ -1379,3 +1380,121 @@ def tokenizer_fertility(
         fert.alias("fertility"),
         cpt.alias("chars_per_token"),
     )
+
+
+def label_by_keywords(
+    df: DataFrame,
+    labels: dict[str, tuple[str, ...]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    default_label: str = "other",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Keyword-seeded topic labeling (dataless classification — the weak-
+    supervision primitive for tagging a crawl by domain before mixture
+    decisions): per document, score every label by the idf-weighted count of
+    its seed keywords, take the argmax. idf = ln(N / (1 + df_kw)) over THIS
+    corpus, so discriminative seeds dominate stopword-ish ones without any
+    hand weighting. Tokens are lowercased for matching; keywords should be
+    single lowercase tokens.
+
+    Appends (label, label_score): argmax score, ties broken by the
+    lexicographically smallest label; documents hitting no keyword get
+    (`default_label`, 0.0).
+
+    Scale shape: the keyword table is dict-sized and broadcast; scoring is
+    one token explode -> broadcast equi-join -> (doc,label) partial-sum ->
+    doc-keyed struct-MIN argmax (map-side combining aggregations keyed on
+    unique doc ids — no windows, no skew). The df_kw pass is one bounded
+    aggregation over the same broadcast join.
+    """
+    if not labels or any(not kws for kws in labels.values()):
+        raise ValueError("labels must be a non-empty {label: (keyword, ...)} dict")
+    spark = df.sparkSession
+    kw_rows = [
+        (lab, kw.lower()) for lab, kws in sorted(labels.items()) for kw in kws
+    ]
+    kws = spark.createDataFrame(kw_rows, "label string, kw string")
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("kw")
+    )
+    hits = toks.join(F.broadcast(kws), "kw")
+    n_docs = df.count()
+    docfreq = (
+        hits.groupBy("kw")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .withColumn(
+            "__idf", F.log(F.lit(float(n_docs)) / (F.col("__df").cast("double") + 1.0))
+        )
+    )
+    scored = (
+        hits.join(F.broadcast(docfreq), "kw")
+        .groupBy(id_col, "label")
+        .agg(pround(F.sum(F.greatest(F.col("__idf"), F.lit(0.0))), round_dp).alias("__s"))
+    )
+    best = (
+        scored.groupBy(id_col)
+        .agg(F.min(F.struct((-F.col("__s")).alias("ns"), F.col("label").alias("l"))).alias("__b"))
+        .select(
+            F.col(id_col),
+            F.col("__b.l").alias("label"),
+            pround(-F.col("__b.ns"), round_dp).alias("label_score"),
+        )
+    )
+    return (
+        df.join(best, id_col, "left")
+        .withColumn("label", F.coalesce(F.col("label"), F.lit(default_label)))
+        .withColumn("label_score", F.coalesce(F.col("label_score"), F.lit(0.0)))
+    )
+
+
+def distinct_ngram_ratio(
+    df: DataFrame,
+    ns: tuple[int, ...] = (1, 2, 3),
+    text_col: str = "text",
+    group_col: str | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Corpus diversity: distinct-n (Li et al. 2016) — the share of n-gram
+    occurrences that are unique, per n (and per group). Templated / highly
+    duplicated corpora crater distinct-2/3 long before dedup pair counts
+    surface it; generation-quality literature uses the same gauge. Returns
+    (group?, n, total_ngrams, distinct_ngrams, distinct_ratio) ordered by
+    (group?, n).
+
+    Scale shape: one explode per n over the staged token array; the distinct
+    count is an exact two-level aggregation (first GROUP BY the n-gram —
+    map-side combining, the Zipf head collapses early — then a count per
+    group). For approximate-but-flat at extreme cardinalities, feed the same
+    stream to `kmv_distinct` / `hll_build` instead.
+    """
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError(f"ns must be >= 1: {ns}")
+    gb = [group_col] if group_col else []
+    staged = df.select(*gb, tokens(F.col(text_col)).alias("__toks"))
+    parts = []
+    for n in sorted(set(ns)):
+        grams = (
+            staged.select(*gb, F.explode(word_ngrams_of(F.col("__toks"), n=n)).alias("__g"))
+            if n > 1
+            else staged.select(*gb, F.explode(F.col("__toks")).alias("__g"))
+        )
+        counted = grams.groupBy(*gb, "__g").agg(F.count("*").alias("__c"))
+        agg = counted.groupBy(*gb).agg(
+            F.sum("__c").cast("bigint").alias("total_ngrams"),
+            F.count("*").cast("bigint").alias("distinct_ngrams"),
+        )
+        parts.append(agg.withColumn("n", F.lit(n)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.withColumn(
+        "distinct_ratio",
+        pround(
+            F.when(F.col("total_ngrams") > 0,
+                   F.col("distinct_ngrams").cast("double") / F.col("total_ngrams"))
+            .otherwise(F.lit(0.0)),
+            round_dp,
+        ),
+    ).select(*gb, "n", "total_ngrams", "distinct_ngrams", "distinct_ratio")
+    return out.orderBy(*gb, "n")

@@ -431,3 +431,22 @@ def test_temperature_mixture_group_sized(spark):
     assert s.n_broadcasts >= 1, s.text
     assert "partial_sum" in s.text, s.text
     assert "Window" not in s.text, s.text
+
+
+def test_keyword_labels_broadcast_no_window(spark):
+    """Keyword table and docfreq are broadcast; argmax is a struct-MIN
+    aggregate — no ranking window anywhere in the corpus-facing plan."""
+    df = E.q_keyword_labels(spark, SF)
+    s = plan_summary(df)
+    assert s.n_broadcasts >= 1, s.text
+    assert "Window" not in s.text, s.text
+    assert "partial_min" in s.text or "partial_sum" in s.text, s.text
+
+
+def test_ngram_diversity_partial_aggregates(spark):
+    """Both aggregation levels must map-side combine (the Zipf head collapses
+    before the exchange); no windows, no cartesian."""
+    df = E.q_ngram_diversity(spark, SF)
+    s = plan_summary(df)
+    assert "partial_count" in s.text or "partial_sum" in s.text, s.text
+    assert "Window" not in s.text and "Cartesian" not in s.text, s.text

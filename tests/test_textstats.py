@@ -274,3 +274,100 @@ def test_tokenizer_fertility_semantics(spark):
     assert abs(en["chars_per_token"] - 3.0) < 1e-6
     assert out["empty"]["fertility"] == 0.0
     assert out["empty"]["chars_per_token"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Keyword-seeded topic labeling + distinct-n diversity
+# ---------------------------------------------------------------------------
+
+
+def test_label_by_keywords_argmax_and_default(spark):
+    from lantern_extras_spark.operators.textstats import label_by_keywords
+
+    df = spark.createDataFrame(
+        [
+            (1, "the shuffle moves data between partitions shuffle shuffle"),
+            (2, "an embedding vector model for search"),
+            (3, "nothing relevant whatsoever"),
+            (4, "shuffle and embedding together but shuffle twice shuffle"),
+        ],
+        "doc_id bigint, text string",
+    )
+    labels = {"exec": ("shuffle", "partition"), "ml": ("embedding", "vector", "model")}
+    out = {r["doc_id"]: r for r in label_by_keywords(df, labels).collect()}
+    assert out[1]["label"] == "exec" and out[1]["label_score"] > 0
+    assert out[2]["label"] == "ml"
+    assert out[3]["label"] == "other" and out[3]["label_score"] == 0.0
+    assert out[4]["label"] == "exec"  # 3 shuffle hits outweigh 1 embedding hit
+
+
+def test_label_by_keywords_idf_downweights_ubiquitous_seeds(spark):
+    from lantern_extras_spark.operators.textstats import label_by_keywords
+
+    # 'common' appears in every doc -> idf ln(N/(N+1)) < 0 -> clamped to 0,
+    # so the discriminative seed decides even against more raw hits
+    rows = [(i, "common common common rare" if i == 0 else "common filler")
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    labels = {"a": ("common",), "b": ("rare",)}
+    out = {r["doc_id"]: r["label"] for r in label_by_keywords(df, labels).collect()}
+    assert out[0] == "b"
+
+
+def test_label_by_keywords_tiebreak_and_validation(spark):
+    from lantern_extras_spark.operators.textstats import label_by_keywords
+
+    df = spark.createDataFrame([(1, "alpha beta")], "doc_id bigint, text string")
+    # identical scores -> lexicographically smaller label wins
+    out = label_by_keywords(df, {"zzz": ("alpha",), "aaa": ("beta",)}).collect()[0]
+    assert out["label"] == "aaa"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        label_by_keywords(df, {})
+    with _pytest.raises(ValueError):
+        label_by_keywords(df, {"x": ()})
+
+
+def test_distinct_ngram_ratio_known_values(spark):
+    from lantern_extras_spark.operators.textstats import distinct_ngram_ratio
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a a a")], "doc_id bigint, text string"
+    )
+    out = {r["n"]: r for r in distinct_ngram_ratio(df, (1, 2)).collect()}
+    # unigrams: 8 occurrences, 2 distinct
+    assert out[1]["total_ngrams"] == 8 and out[1]["distinct_ngrams"] == 2
+    assert out[1]["distinct_ratio"] == 0.25
+    # bigrams: doc1 -> [a b, b a, a b], doc2 -> [a a]x3: 6 occurrences, 3 distinct
+    assert out[2]["total_ngrams"] == 6 and out[2]["distinct_ngrams"] == 3
+    assert out[2]["distinct_ratio"] == 0.5
+
+
+def test_distinct_ngram_ratio_duplication_craters_diversity(spark):
+    from lantern_extras_spark.operators.textstats import distinct_ngram_ratio
+
+    uniq = spark.createDataFrame(
+        [(i, f"tok{4*i} tok{4*i+1} tok{4*i+2} tok{4*i+3}") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    duped = spark.createDataFrame(
+        [(i, "same four tokens here") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    r_u = distinct_ngram_ratio(uniq, (3,)).collect()[0]["distinct_ratio"]
+    r_d = distinct_ngram_ratio(duped, (3,)).collect()[0]["distinct_ratio"]
+    assert r_u > 0.9 > 0.1 > r_d
+
+
+def test_distinct_ngram_ratio_per_group_and_validation(spark, docs):
+    from lantern_extras_spark.operators.textstats import distinct_ngram_ratio
+
+    out = distinct_ngram_ratio(docs, (1,), group_col="lang").collect()
+    langs = {r["lang"] for r in out}
+    assert langs == {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert all(0 < r["distinct_ratio"] <= 1 for r in out)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        distinct_ngram_ratio(docs, ())
