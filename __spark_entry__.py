@@ -1954,6 +1954,40 @@ KEYWORD_LABELS = {
 }
 
 
+def q_hll_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped HLL (sketches.hll_build group_cols): distinct users per event
+    type with 64 registers of state per group — the bounded-memory
+    countDistinct whose per-group registers still MAX-merge across shards
+    and streaming epochs. Exact countDistinct witness joined alongside."""
+    ev = _t(spark, sf, "events")
+    sk = SK.hll_build(ev, "user_id", m=64, group_cols=("event_type",))
+    est = SK.hll_estimate(sk, m=64, group_cols=("event_type",))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").orderBy("event_type")
+
+
+def q_normalize_nfc(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode NFC normalization (functions.text.normalize_unicode, Arrow-
+    batched pandas UDF — Spark has no JVM NFC expression): every doc gets a
+    decomposed 'cafe'+COMBINING-ACUTE suffix appended, normalization must
+    recombine it (len drops by exactly 1). The DuckDB oracle replays via its
+    native nfc_normalize — two independent implementations of the Unicode
+    standard agreeing byte-for-byte on every row."""
+    docs = _t(spark, sf, "documents")
+    with_dec = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" cafe\u0301")).alias("t2")
+    )
+    out = with_dec.select(
+        "doc_id",
+        F.length("t2").alias("len_before"),
+        F.length(T.normalize_unicode(F.col("t2"))).alias("len_after"),
+        (T.normalize_unicode(F.col("t2")) != F.col("t2")).alias("changed"),
+    )
+    return out.orderBy("doc_id")
+
+
 def q_keyword_labels(spark: SparkSession, sf: str) -> DataFrame:
     """Keyword-seeded topic labeling (textstats.label_by_keywords, dataless
     classification): per doc, argmax over idf-weighted seed-keyword hits —
@@ -2217,6 +2251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample": q_reservoir_sample,
         "bottomk_quantiles": q_bottomk_quantiles,
         "keyword_labels": q_keyword_labels,
+        "hll_by_type": q_hll_by_type,
+        "normalize_nfc": q_normalize_nfc,
         "ngram_diversity": q_ngram_diversity,
         "temperature_mixture": q_temperature_mixture,
         "hll_distinct": q_hll_distinct,
@@ -4740,6 +4776,46 @@ def _oracle_sql_raw() -> dict[str, str]:
                1.0 AS recall
         FROM scored
         QUALIFY rnk <= 10
+    """
+    hll2_h = _sql_hash32("concat('hllr', ':', CAST(user_id AS VARCHAR))")
+    hll2_rho = "CASE WHEN (" + hll2_h + ") % 2 = 1 THEN 1 " + " ".join(
+        f"WHEN ({hll2_h}) % {2**r} = {2**(r-1)} THEN {r}" for r in range(2, 33)
+    ) + " ELSE 33 END"
+    hll2_amm = repr(0.709 * 64 * 64)
+    sql["hll_by_type"] = f"""
+        WITH k AS (SELECT event_type,
+                          {_sql_hash32("concat('hllb', ':', CAST(user_id AS VARCHAR))")} % 64 AS b,
+                          {hll2_rho} AS r
+                   FROM events),
+             reg AS (SELECT event_type, b, max(r) AS r FROM k GROUP BY event_type, b),
+             s AS (SELECT event_type, count(*) AS n_obs,
+                          sum(power(2.0, -CAST(r AS DOUBLE))) AS z_obs
+                   FROM reg GROUP BY event_type),
+             ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+                    FROM events GROUP BY event_type),
+             est AS (SELECT event_type,
+                            CAST(n_obs AS BIGINT) AS n_registers,
+                            CAST(64.0 - n_obs AS BIGINT) AS n_zero_registers,
+                            {hll2_amm} / (z_obs + (64.0 - n_obs)) AS raw,
+                            64.0 - n_obs AS v
+                     FROM s)
+        SELECT est.event_type, est.n_registers, est.n_zero_registers,
+               round(est.raw, 4) AS hll_raw,
+               round(CASE WHEN est.raw <= 160.0 AND est.v > 0
+                          THEN 64.0 * ln(64.0 / est.v)
+                          ELSE est.raw END, 4) AS hll_est,
+               ex.exact_distinct
+        FROM est JOIN ex USING (event_type)
+        ORDER BY est.event_type
+    """
+    sql["normalize_nfc"] = """
+        WITH t AS (SELECT doc_id, text || ' cafe' || chr(769) AS t2 FROM documents)
+        SELECT doc_id,
+               length(t2) AS len_before,
+               length(nfc_normalize(t2)) AS len_after,
+               nfc_normalize(t2) <> t2 AS changed
+        FROM t
+        ORDER BY doc_id
     """
     kw_values = ", ".join(
         f"('{lab}', '{kw}')" for lab, kws in sorted(KEYWORD_LABELS.items()) for kw in kws

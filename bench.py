@@ -198,6 +198,8 @@ def main() -> None:
         "temperature_mixture",
         "keyword_labels",
         "ngram_diversity",
+        "hll_by_type",
+        "normalize_nfc",
     ]
     # self-healing coverage: any registry query missing from the hard-coded
     # list is appended (and flagged) so the committed bench can never again

@@ -215,3 +215,34 @@ def stopword_ratio(c: Column | str, stopwords: list[str]) -> Column:
     t = tokens(c)
     hits = F.size(F.filter(t, lambda x: x.isin(stopwords)))
     return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(hits / F.size(t).cast("double"))
+
+
+def normalize_unicode(c: Column | str, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the canonicalization step
+    scraped corpora need before any equality-based dedup or tokenization:
+    'café' with a combining acute and precomposed 'café' must hash, shingle,
+    and dedup identically.
+
+    This is a Pandas UDF on purpose: Spark has no JVM-side Unicode
+    normalizer expression, so the documented slow-path rules apply —
+    Arrow-batched, never row-at-a-time Python. Run it ONCE at ingest and
+    persist, not inside hot analytical plans. The DuckDB oracle replays NFC
+    via its native `nfc_normalize` (both implement the same Unicode
+    standard, asserted by test)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"form must be NFC/NFKC/NFD/NFKD, got {form}")
+
+    def _norm_fn(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    # this module uses postponed annotation evaluation, which turns inline
+    # type hints into strings pandas_udf cannot resolve — attach real ones
+    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_norm_fn, "string")(_c(c))

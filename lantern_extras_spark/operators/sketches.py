@@ -163,24 +163,33 @@ def hll_rho(h: Column) -> Column:
     return expr.otherwise(F.lit(33))
 
 
-def hll_build(df: DataFrame, key_col: str, m: int = 256) -> DataFrame:
-    """Build the register table -> (b, r) rows, at most m of them. One
-    narrow pass; the map-side partial MAX collapses every task to <= m rows
-    before the only shuffle — key cardinality never moves."""
+def hll_build(
+    df: DataFrame,
+    key_col: str,
+    m: int = 256,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Build the register table -> (group_cols..., b, r) rows, at most m per
+    group. One narrow pass; the map-side partial MAX collapses every task to
+    <= groups*m rows before the only shuffle — key cardinality never moves.
+    With `group_cols` this is "distinct per group" with m registers of state
+    per group (the bounded alternative to countDistinct's full-value
+    shuffle), still MAX-mergeable across shards and epochs."""
     if m < 16 or m & (m - 1) != 0:
         raise ValueError(f"m must be a power of two >= 16, got {m}")
     key = F.col(key_col).cast("string")
     return (
         df.select(
+            *group_cols,
             (hash32(key, seed="hllb") % m).alias("b"),
             hll_rho(hash32(key, seed="hllr")).alias("r"),
         )
-        .groupBy("b")
+        .groupBy(*group_cols, "b")
         .agg(F.max("r").alias("r"))
     )
 
 
-def hll_merge(*sketches: DataFrame) -> DataFrame:
+def hll_merge(*sketches: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
     """Register-wise MAX — associative, commutative, and idempotent: shards
     and retried streaming epochs merge without any double-count risk."""
     if not sketches:
@@ -188,17 +197,24 @@ def hll_merge(*sketches: DataFrame) -> DataFrame:
     u = sketches[0]
     for s in sketches[1:]:
         u = u.unionByName(s)
-    return u.groupBy("b").agg(F.max("r").alias("r"))
+    return u.groupBy(*group_cols, "b").agg(F.max("r").alias("r"))
 
 
-def hll_estimate(sketch: DataFrame, m: int = 256, est_col: str = "hll_est") -> DataFrame:
-    """Distinct-count estimate from the register table: one row with the
-    register occupancy, the raw HLL estimate, and the corrected estimate
-    (linear counting in the small range). All arithmetic over <= m rows."""
+def hll_estimate(
+    sketch: DataFrame,
+    m: int = 256,
+    est_col: str = "hll_est",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distinct-count estimate from the register table: one row (per group)
+    with the register occupancy, the raw HLL estimate, and the corrected
+    estimate (linear counting in the small range). All arithmetic over
+    <= groups*m rows."""
     if m < 16 or m & (m - 1) != 0:
         raise ValueError(f"m must be a power of two >= 16, got {m}")
     alpha = _hll_alpha(m)
-    agg = sketch.agg(
+    base = sketch.groupBy(*group_cols) if group_cols else sketch
+    agg = base.agg(
         F.count("*").alias("n_obs"),
         F.sum(F.pow(F.lit(2.0), -F.col("r").cast("double"))).alias("__z_obs"),
     )
@@ -209,6 +225,7 @@ def hll_estimate(sketch: DataFrame, m: int = 256, est_col: str = "hll_est") -> D
         (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
     ).otherwise(raw)
     return agg.select(
+        *group_cols,
         F.col("n_obs").cast("bigint").alias("n_registers"),
         v.cast("bigint").alias("n_zero_registers"),
         pround(raw, 4).alias("hll_raw"),

@@ -450,3 +450,26 @@ def test_ngram_diversity_partial_aggregates(spark):
     s = plan_summary(df)
     assert "partial_count" in s.text or "partial_sum" in s.text, s.text
     assert "Window" not in s.text and "Cartesian" not in s.text, s.text
+
+
+def test_hll_by_type_partial_max_per_group(spark):
+    """Grouped registers partial-aggregate too: <= groups*m rows per task
+    reach the exchange."""
+    df = E.q_hll_by_type(spark, SF)
+    s = plan_summary(df)
+    assert "partial_max" in s.text, s.text
+    assert "Window" not in s.text, s.text
+
+
+def test_normalize_nfc_single_python_stage(spark):
+    """The pandas UDF is Arrow-batched and the plan stays narrow: no shuffle
+    at all (pure projection), exactly one Python evaluation stage group."""
+    df = E.q_normalize_nfc(spark, SF)
+    s = plan_summary(df)
+    assert "ArrowEvalPython" in s.text, s.text
+    # the two normalize_unicode calls collapse to ONE UDF evaluation
+    # (subexpression elimination) — a second ArrowEvalPython would mean the
+    # text crosses the Python boundary twice
+    assert s.text.count("ArrowEvalPython") == 1, s.text
+    # the only exchange is the presentation orderBy (range partitioning)
+    assert s.n_shuffles <= 1 and "rangepartitioning" in s.text, s.text

@@ -324,3 +324,20 @@ def test_streaming_bottomk_ingest_and_merge(spark, tmp_path):
 
     ingest_bottomk_batch(b2, 1, store, k=20)
     assert key(read_bottomk_store(spark, store, k=20)) == key(whole)
+
+
+def test_hll_grouped_matches_per_group_ungrouped(spark):
+    """A grouped register table must equal running hll_build per group."""
+    rows = [(f"u{i}", "a" if i % 3 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, g string")
+    grouped = SK.hll_build(df, "k", m=32, group_cols=("g",))
+    as_map = lambda d, g: {r["b"]: r["r"] for r in d.collect() if r.asDict().get("g", g) == g}
+    for g in ("a", "b"):
+        solo = SK.hll_build(df.where(F.col("g") == g), "k", m=32)
+        assert as_map(grouped, g) == {r["b"]: r["r"] for r in solo.collect()}
+    est = SK.hll_estimate(grouped, m=32, group_cols=("g",))
+    got = {r["g"]: r["hll_est"] for r in est.collect()}
+    assert set(got) == {"a", "b"} and all(v > 0 for v in got.values())
+    # grouped merge keeps group keys separate
+    merged = SK.hll_merge(grouped, grouped, group_cols=("g",))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, grouped.collect()))

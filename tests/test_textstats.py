@@ -371,3 +371,25 @@ def test_distinct_ngram_ratio_per_group_and_validation(spark, docs):
 
     with _pytest.raises(ValueError):
         distinct_ngram_ratio(docs, ())
+
+
+def test_normalize_unicode_nfc_and_validation(spark):
+    from lantern_extras_spark.functions.text import normalize_unicode
+    import unicodedata
+
+    decomposed = "café naïve"
+    df = spark.createDataFrame([(1, decomposed), (2, None), (3, "plain")],
+                               "doc_id bigint, text string")
+    out = {r["doc_id"]: r["norm"] for r in
+           df.select("doc_id", normalize_unicode("text").alias("norm")).collect()}
+    assert out[1] == unicodedata.normalize("NFC", decomposed)
+    assert len(out[1]) == len(decomposed) - 2  # both combining marks fused
+    assert out[2] is None and out[3] == "plain"
+    # NFKD splits compatibility chars too
+    from pyspark.sql import functions as F
+    kd = df.where("doc_id = 1").select(
+        normalize_unicode("text", form="NFKD").alias("n")).collect()[0]["n"]
+    assert len(kd) == len(decomposed)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        normalize_unicode("text", form="XYZ")
