@@ -1954,6 +1954,43 @@ KEYWORD_LABELS = {
 }
 
 
+def q_pii_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc PII span counts (textstats.pii_stats, the audit companion to
+    redact_pii): docs wrapped with synthetic email/IPv4/phone spans so every
+    pattern fires, counted native-side with regexp_count — zero shuffle,
+    whole-stage codegen. The release-gate number BEFORE deciding to scrub."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    did = F.col("doc_id").cast("string")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Contact admin"), did, F.lit("@site.example.org or +1 555-000-"),
+            did, F.lit(" via 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 | "), F.col("text"),
+        ).alias("raw"),
+    )
+    out = TS.pii_stats(wrapped, text_col="raw")
+    return out.select("doc_id", "n_email", "n_ip", "n_phone", "pii_total").orderBy(
+        "doc_id"
+    )
+
+
+def q_dedup_within(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-doc repeated-unit removal (dedup.dedup_paragraphs_within):
+    each doc gets its own text pasted twice plus a short tail — the repeated
+    unit must drop exactly once per doc, the short tail never. Pure array
+    expressions: zero shuffle besides the presentation sort."""
+    docs = _t(spark, sf, "documents")
+    t2 = F.concat_ws("\n", F.col("text"), F.col("text"), F.lit("short"))
+    staged = docs.select("doc_id", t2.alias("text"))
+    out = D.dedup_paragraphs_within(staged, min_chars=20)
+    return out.select(
+        "doc_id",
+        F.col("text_dedup_within"),
+        "n_units_dropped",
+    ).orderBy("doc_id")
+
+
 def q_hll_by_type(spark: SparkSession, sf: str) -> DataFrame:
     """Grouped HLL (sketches.hll_build group_cols): distinct users per event
     type with 64 registers of state per group — the bounded-memory
@@ -2252,6 +2289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottomk_quantiles": q_bottomk_quantiles,
         "keyword_labels": q_keyword_labels,
         "hll_by_type": q_hll_by_type,
+        "pii_stats": q_pii_stats,
+        "dedup_within": q_dedup_within,
         "normalize_nfc": q_normalize_nfc,
         "ngram_diversity": q_ngram_diversity,
         "temperature_mixture": q_temperature_mixture,
@@ -4776,6 +4815,49 @@ def _oracle_sql_raw() -> dict[str, str]:
                1.0 AS recall
         FROM scored
         QUALIFY rnk <= 10
+    """
+    sql["pii_stats"] = """
+        WITH w AS (
+            SELECT doc_id,
+                   concat('Contact admin', CAST(doc_id AS VARCHAR),
+                          '@site.example.org or +1 555-000-', CAST(doc_id AS VARCHAR),
+                          ' via 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7 | ', text) AS raw
+            FROM documents WHERE doc_id < 100
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(raw,
+                   '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(raw,
+                   '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ip,
+               CAST(len(regexp_extract_all(raw,
+                   '\\+[0-9][0-9()\\-. ]{6,}[0-9]|\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(raw,
+                   '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+               + CAST(len(regexp_extract_all(raw,
+                   '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT)
+               + CAST(len(regexp_extract_all(raw,
+                   '\\+[0-9][0-9()\\-. ]{6,}[0-9]|\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b')) AS BIGINT) AS pii_total
+        FROM w
+        ORDER BY doc_id
+    """
+    sql["dedup_within"] = """
+        WITH t AS (SELECT doc_id,
+                          text || chr(10) || text || chr(10) || 'short' AS t2
+                   FROM documents),
+             a AS (SELECT doc_id, str_split(t2, chr(10)) AS parts FROM t),
+             b AS (SELECT doc_id, parts,
+                          list_transform(parts, x -> trim(x)) AS tr
+                   FROM a),
+             k AS (SELECT doc_id, parts,
+                          list_filter(parts,
+                              (x, i) -> length(trim(x)) < 20
+                                        OR list_position(tr, trim(x)) = i) AS keep
+                   FROM b)
+        SELECT doc_id,
+               array_to_string(keep, chr(10)) AS text_dedup_within,
+               CAST(len(parts) - len(keep) AS BIGINT) AS n_units_dropped
+        FROM k
+        ORDER BY doc_id
     """
     hll2_h = _sql_hash32("concat('hllr', ':', CAST(user_id AS VARCHAR))")
     hll2_rho = "CASE WHEN (" + hll2_h + ") % 2 = 1 THEN 1 " + " ".join(

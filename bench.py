@@ -200,6 +200,8 @@ def main() -> None:
         "ngram_diversity",
         "hll_by_type",
         "normalize_nfc",
+        "pii_stats",
+        "dedup_within",
     ]
     # self-healing coverage: any registry query missing from the hard-coded
     # list is appended (and flagged) so the committed bench can never again

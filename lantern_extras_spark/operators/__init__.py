@@ -3,6 +3,7 @@ from lantern_extras_spark.operators.dedup import (  # noqa: F401
     decontaminate,
     dedup_clusters,
     dedup_paragraphs,
+    dedup_paragraphs_within,
     dedup_spans,
     embedding_neardup_pairs,
     dedup_keep_best,
@@ -32,6 +33,7 @@ from lantern_extras_spark.operators.textstats import (  # noqa: F401
     repetition_stats,
     corpus_report,
     distinct_ngram_ratio,
+    pii_stats,
     label_by_keywords,
     strip_boilerplate_lines,
     unigram_logprob_score,

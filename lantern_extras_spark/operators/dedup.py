@@ -2368,3 +2368,48 @@ def dedup_keep_best(
         .withColumn("is_kept", F.coalesce(F.col(id_col) == F.col("__winner"), F.lit(True)))
         .drop("__winner")
     )
+
+
+def dedup_paragraphs_within(
+    df: DataFrame,
+    text_col: str = "text",
+    para_sep: str = "\n",
+    min_chars: int = 20,
+    out_col: str = "text_dedup_within",
+) -> DataFrame:
+    """WITHIN-document repeated-unit removal: a unit (line for
+    para_sep='\\n', paragraph for '\\n\\n') repeated inside the SAME document
+    keeps only its first occurrence — the nav block pasted between every
+    section, the lyrics chorus, the templated list row. The in-doc
+    complement of `dedup_paragraphs` (corpus-global, two shuffles): this one
+    is a pure array expression — ZERO shuffle, no explode, whole-stage
+    codegen — because the duplicate scope is one row.
+
+    Units are compared after trim; units shorter than `min_chars` never
+    dedup (dropping every later short interjection would mangle prose).
+    Adds `out_col` and `n_units_dropped`. The first-occurrence test is
+    array_position over the trimmed array — O(units²) per doc, fine for the
+    tens-of-units documents have; corpus-scale duplication belongs to
+    `dedup_paragraphs`.
+    """
+    import re as _re
+
+    if min_chars < 1:
+        raise ValueError("min_chars must be >= 1")
+    staged = df.withColumn("__parts", F.split(F.col(text_col), _re.escape(para_sep)))
+    staged = staged.withColumn(
+        "__trimmed", F.transform(F.col("__parts"), lambda x: F.trim(x))
+    )
+    keep = F.filter(
+        F.col("__parts"),
+        lambda x, i: (F.length(F.trim(x)) < min_chars)
+        | (F.array_position(F.col("__trimmed"), F.trim(x)) == i + 1),
+    )
+    return (
+        staged.withColumn(out_col, F.array_join(keep, para_sep))
+        .withColumn(
+            "n_units_dropped",
+            (F.size("__parts") - F.size(keep)).cast("bigint"),
+        )
+        .drop("__parts", "__trimmed")
+    )

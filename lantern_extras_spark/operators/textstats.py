@@ -1498,3 +1498,34 @@ def distinct_ngram_ratio(
         ),
     ).select(*gb, "n", "total_ngrams", "distinct_ngrams", "distinct_ratio")
     return out.orderBy(*gb, "n")
+
+
+def pii_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] = ("email", "ip", "phone"),
+) -> DataFrame:
+    """Per-document PII span counts — the audit companion to
+    `functions.text.redact_pii` (which replaces): release gates want the
+    COUNT ("how much PII would this shard leak") before deciding to scrub or
+    drop, and per-source aggregates of these columns locate the offending
+    crawler. Appends `n_<kind>` per requested kind plus `pii_total`.
+
+    Same deterministic RE2-and-Java-safe patterns as redact_pii, counted
+    native-side with `regexp_count` (whole-stage codegen, zero shuffle, no
+    Python workers)."""
+    from lantern_extras_spark.functions.text import PII_PATTERNS
+
+    pats = dict(PII_PATTERNS)
+    unknown = [k for k in kinds if k not in pats]
+    if unknown:
+        raise ValueError(f"unknown PII kinds {unknown}; valid: {list(pats)}")
+    out = df
+    total = F.lit(0).cast("bigint")
+    for kind, pat in PII_PATTERNS:
+        if kind not in kinds:
+            continue
+        c = F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint")
+        out = out.withColumn(f"n_{kind}", c)
+        total = total + F.col(f"n_{kind}")
+    return out.withColumn("pii_total", total)

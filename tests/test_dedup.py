@@ -991,3 +991,30 @@ def test_dedup_keep_best_keeps_exactly_one_per_cluster(spark, docs):
         out.where("is_kept").join(mx, "cluster_id").where(F.col("n_tokens") < F.col("mx"))
     )
     assert bad.count() == 0
+
+
+def test_dedup_paragraphs_within_semantics(spark):
+    from lantern_extras_spark.operators.dedup import dedup_paragraphs_within
+
+    df = spark.createDataFrame(
+        [
+            (1, "the same long paragraph here\nmiddle unique content line\n"
+                "the same long paragraph here\nok"),
+            (2, "no repeats in this document\nsecond distinct long line here"),
+            (3, "  padded long paragraph unit  \npadded long paragraph unit"),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_paragraphs_within(df, min_chars=10).collect()}
+    # repeated unit drops its SECOND occurrence; short 'ok' survives
+    assert out[1]["n_units_dropped"] == 1
+    assert out[1]["text_dedup_within"].count("the same long paragraph") == 1
+    assert out[1]["text_dedup_within"].endswith("ok")
+    assert out[2]["n_units_dropped"] == 0
+    # trim-insensitive: padded and unpadded copies are the same unit
+    assert out[3]["n_units_dropped"] == 1
+    assert out[4]["n_units_dropped"] == 0 and out[4]["text_dedup_within"] == ""
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        dedup_paragraphs_within(df, min_chars=0)

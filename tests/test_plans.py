@@ -473,3 +473,20 @@ def test_normalize_nfc_single_python_stage(spark):
     assert s.text.count("ArrowEvalPython") == 1, s.text
     # the only exchange is the presentation orderBy (range partitioning)
     assert s.n_shuffles <= 1 and "rangepartitioning" in s.text, s.text
+
+
+def test_pii_stats_zero_shuffle(spark):
+    """regexp_count projection: no exchange except the presentation sort."""
+    df = E.q_pii_stats(spark, SF)
+    s = plan_summary(df)
+    assert s.n_shuffles <= 1 and "Window" not in s.text, s.text
+
+
+def test_dedup_within_zero_shuffle(spark):
+    """Pure array expressions: in-doc dedup never exchanges data (besides
+    the presentation sort) and never explodes."""
+    df = E.q_dedup_within(spark, SF)
+    s = plan_summary(df)
+    assert s.n_shuffles <= 1, s.text
+    assert "Generate" not in s.text, s.text  # no explode
+    assert "Window" not in s.text, s.text

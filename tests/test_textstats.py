@@ -393,3 +393,27 @@ def test_normalize_unicode_nfc_and_validation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         normalize_unicode("text", form="XYZ")
+
+
+def test_pii_stats_counts_and_validation(spark):
+    from lantern_extras_spark.operators.textstats import pii_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and 10.0.0.1 and +1 555-123-4567 twice c@d.org"),
+            (2, "clean text with no pii at all"),
+            (3, "call 555-123-4567 or 555.987.6543"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_stats(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (2, 1, 1)
+    assert out[1]["pii_total"] == 4
+    assert out[2]["pii_total"] == 0
+    assert out[3]["n_phone"] == 2 and out[3]["n_email"] == 0
+    # kinds subset only counts what was asked
+    sub = pii_stats(df, kinds=("email",)).columns
+    assert "n_email" in sub and "n_phone" not in sub
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pii_stats(df, kinds=("ssn",))
