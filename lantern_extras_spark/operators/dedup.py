@@ -2352,13 +2352,15 @@ def dedup_keep_best(
     scored = df.select(
         F.col(id_col), pround(F.col(score_col).cast("double"), round_dp).alias("__s")
     ).join(clusters, id_col)
+    # min(struct(-score, id)) = argmax score with min-id tiebreak, and works
+    # for ANY orderable id type (string ids included — no numeric negation)
     winners = (
         scored.groupBy("cluster_id")
         .agg(
-            F.max(F.struct(F.col("__s").alias("s"), (-F.col(id_col)).alias("negid"))).alias("__w"),
+            F.min(F.struct((-F.col("__s")).alias("ns"), F.col(id_col).alias("id"))).alias("__w"),
             F.count("*").cast("bigint").alias("cluster_size"),
         )
-        .select("cluster_id", (-F.col("__w.negid")).alias("__winner"), "cluster_size")
+        .select("cluster_id", F.col("__w.id").alias("__winner"), "cluster_size")
     )
     return (
         df.join(clusters, id_col, "left")

@@ -682,6 +682,12 @@ def weighted_reservoir(
     Rows with null or non-positive weight are excluded (they have zero
     selection probability in the A-ES model).
 
+    `round_dp` makes the keys engine-replayable; pick it so the quantum
+    10^-round_dp is far below 1/max(weight) — keys live in (-inf, 0) with
+    magnitude ~1/w, so rounding at a coarser scale than the key spread
+    collapses near-ties onto the deterministic id tiebreak (still a valid
+    sample, but biased toward small ids among collided keys).
+
     Scale shape: global draws execute as TakeOrderedAndProject (partial
     top-n per partition, n*P rows to the driver-side merge — no global sort,
     no single-reducer ranking window). With `group_col`, a per-group window

@@ -58,7 +58,13 @@ def hashed_ngram_buckets(
     (seed ``dsir2``, tokens joined by one space), each mapped to
     ``hash32 % buckets``. Duplicates are kept — DSIR weights are over the
     *bag* of features, so a token occurring five times contributes its
-    log-ratio five times."""
+    log-ratio five times.
+
+    Ad-hoc Column API only: the array concat of two lambda-built arrays is
+    CodegenFallback (interpreted per row — measured ~5x slower), and inlined
+    tokenization re-splits per element. Table-scan feature work goes through
+    `_feature_stream` (staged tokens, zip_with bigrams, unioned streams),
+    which `bucket_profile` / `dsir_log_weights` use."""
     if buckets < 2:
         raise ValueError(f"buckets must be >= 2, got {buckets}")
     toks = tokens(text_col)

@@ -216,7 +216,11 @@ def hll_estimate(
     base = sketch.groupBy(*group_cols) if group_cols else sketch
     agg = base.agg(
         F.count("*").alias("n_obs"),
-        F.sum(F.pow(F.lit(2.0), -F.col("r").cast("double"))).alias("__z_obs"),
+        # coalesce so an EMPTY sketch estimates 0 via linear counting
+        # (v = m, m*ln(m/m) = 0) instead of propagating NULL
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("r").cast("double"))), F.lit(0.0)
+        ).alias("__z_obs"),
     )
     z = F.col("__z_obs") + (F.lit(float(m)) - F.col("n_obs").cast("double"))
     raw = F.lit(alpha * m * m) / z

@@ -1018,3 +1018,15 @@ def test_dedup_paragraphs_within_semantics(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         dedup_paragraphs_within(df, min_chars=0)
+
+
+def test_dedup_keep_best_string_ids(spark):
+    """The argmax tiebreak must not assume numeric ids."""
+    from lantern_extras_spark.operators.dedup import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [("a", 2.0), ("b", 2.0), ("z", 1.0)], "doc_id string, q double"
+    )
+    pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    out = {r["doc_id"]: r["is_kept"] for r in dedup_keep_best(df, pairs, "q").collect()}
+    assert out == {"a": True, "b": False, "z": True}

@@ -341,3 +341,9 @@ def test_hll_grouped_matches_per_group_ungrouped(spark):
     # grouped merge keeps group keys separate
     merged = SK.hll_merge(grouped, grouped, group_cols=("g",))
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, grouped.collect()))
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    empty = spark.createDataFrame([], "k string")
+    est = SK.hll_estimate(SK.hll_build(empty, "k", m=64), m=64).collect()[0]
+    assert est["hll_est"] == 0.0 and est["n_zero_registers"] == 64
