@@ -269,6 +269,74 @@ def cmd_sketch_stats(args) -> int:
     return 0
 
 
+def cmd_release_gate(args) -> int:
+    """Corpus release gate, as one command: everything a dataset release
+    should check between the previous snapshot and this one — (1) what
+    changed (corpus_diff summary), (2) lexical drift (which words moved),
+    (3) distributional drift (JS/KL scalar), (4) optional benchmark
+    decontamination count, (5) optional split-leakage audit. One JSON line;
+    a CI gate greps it."""
+    from pyspark.sql import functions as F
+
+    from lantern_extras_spark.operators import dedup as D
+    from lantern_extras_spark.operators import selection as SEL
+    from lantern_extras_spark.operators.versioning import (
+        corpus_diff,
+        diff_summary,
+        vocab_drift,
+    )
+
+    spark = _spark("release-gate")
+    new = spark.read.parquet(args.input)
+    rep: dict = {}
+    if args.baseline:
+        old = spark.read.parquet(args.baseline)
+        rep["diff"] = {
+            r["status"]: r["n_docs"]
+            for r in diff_summary(
+                corpus_diff(old, new, text_col=args.text_col)
+            ).collect()
+        }
+        rep["top_drifts"] = [
+            r.asDict()
+            for r in vocab_drift(old, new, phi=args.phi, text_col=args.text_col)
+            .orderBy(F.abs(F.col("log_ratio")).desc(), F.col("token").asc())
+            .limit(args.top_k)
+            .collect()
+        ]
+        div = SEL.corpus_divergence(
+            old, new, text_col=args.text_col, buckets=args.buckets
+        ).collect()[0]
+        rep["divergence"] = {
+            "js_div": div["js_div"], "kl_old_new": div["kl_ab"],
+            "kl_new_old": div["kl_ba"], "tv_dist": div["tv_dist"],
+        }
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        flagged = D.decontaminate(
+            new, bench, threshold=args.contamination_threshold,
+            text_col=args.text_col, mode="flag",
+        )
+        # flag mode returns (doc_id, bench_id, containment) pairs >= threshold
+        rep["contaminated_docs"] = flagged.select("doc_id").distinct().count()
+    if args.split_col and args.split_col in new.columns:
+        pairs = D.minhash_dedup(new, text_col=args.text_col)
+        from lantern_extras_spark.operators.sampling import split_contamination_report
+
+        leaks = split_contamination_report(new, pairs, split_col=args.split_col,
+                                           summary=True)
+        rep["split_leaks"] = [r.asDict() for r in leaks.collect()]
+        rep["split_leak_pairs"] = int(sum(r["n_pairs"] for r in leaks.collect()))
+    rep["n_docs"] = new.count()
+    rep["gate_ok"] = (
+        rep.get("contaminated_docs", 0) == 0
+        and rep.get("split_leak_pairs", 0) == 0
+    )
+    _json(rep)
+    spark.stop()
+    return 0
+
+
 def cmd_pq_table(args) -> int:
     from lantern_extras_spark.operators import pq as PQ
 
@@ -435,6 +503,19 @@ def build_parser() -> argparse.ArgumentParser:
     ch.add_argument("--top-k", type=int, default=20)
     ch.add_argument("--phi", type=float, default=0.001)
     ch.set_defaults(fn=cmd_corpus_health)
+
+    rg = sub.add_parser("release-gate",
+                        help="one-shot dataset release audit (diff/drift/leakage)")
+    rg.add_argument("--input", required=True)
+    rg.add_argument("--baseline", default=None, help="previous snapshot parquet")
+    rg.add_argument("--benchmark", default=None, help="eval-set parquet to decontaminate against")
+    rg.add_argument("--text-col", default="text")
+    rg.add_argument("--split-col", default=None, help="audit this split column for near-dup leakage")
+    rg.add_argument("--contamination-threshold", type=float, default=0.5)
+    rg.add_argument("--phi", type=float, default=0.002)
+    rg.add_argument("--buckets", type=int, default=4096)
+    rg.add_argument("--top-k", type=int, default=10)
+    rg.set_defaults(fn=cmd_release_gate)
 
     sd2 = sub.add_parser("select-data",
                          help="DSIR: resample docs toward a target seed corpus")

@@ -206,3 +206,39 @@ def test_cli_sketch_stats():
     # CMS one-sided guarantee visible through the CLI too
     assert all(h["cms_est"] >= h["n"] for h in rep["heavy_hitters"])
     assert [q["prob"] for q in rep["doc_token_quantiles"]] == [0.5, 0.9, 0.99]
+
+
+def test_cli_release_gate(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # baseline: 3 docs; new: doc 2 edited, doc 3 removed, split column added,
+    # and one doc embeds the benchmark item (contamination must be flagged)
+    old = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha words here now", "beta words here now", "gamma words here now"],
+    })
+    new = pa.table({
+        "doc_id": [1, 2, 4],
+        "text": ["alpha words here now",
+                 "beta words here now edited",
+                 "intro what is the capital of france answer paris tail"],
+        "split": ["train", "train", "test"],
+    })
+    bench = pa.table({"doc_id": [100],
+                      "text": ["what is the capital of france answer paris"]})
+    pq.write_table(old, tmp_path / "old.parquet")
+    pq.write_table(new, tmp_path / "new.parquet")
+    pq.write_table(bench, tmp_path / "bench.parquet")
+    (rep,) = _run(
+        "release-gate", "--input", str(tmp_path / "new.parquet"),
+        "--baseline", str(tmp_path / "old.parquet"),
+        "--benchmark", str(tmp_path / "bench.parquet"),
+        "--split-col", "split", "--phi", "0.01",
+    )
+    assert rep["n_docs"] == 3
+    assert rep["diff"].get("removed", 0) >= 1 and rep["diff"].get("added", 0) >= 1
+    assert rep["contaminated_docs"] == 1
+    assert rep["split_leak_pairs"] == 0
+    # the gate fails loudly when contamination exists
+    assert rep["gate_ok"] is False
