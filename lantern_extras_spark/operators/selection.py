@@ -169,7 +169,7 @@ def _ratio_table(
 
 def dsir_log_weights(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 8192,
@@ -177,6 +177,8 @@ def dsir_log_weights(
     include_bigrams: bool = True,
     out_col: str = "dsir_logw",
     raw: DataFrame | None = None,
+    raw_profile: DataFrame | None = None,
+    target_profile: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR importance log-weight per document of `df`: the sum over the
     doc's hashed n-gram bag of ln(p_target(b)/p_raw(b)) — i.e. the
@@ -187,15 +189,33 @@ def dsir_log_weights(
     Appends `out_col` (pround 6) and `n_features` (the bag size; docs with
     no tokens get logw 0.0 and n_features 0).
 
-    Plan: two bounded profile aggregations, one broadcast of the <= buckets
-    log-ratio table, explode -> broadcast join -> per-doc sum, left join
-    back onto `df`. The only wide exchanges key on doc id.
+    `raw_profile` / `target_profile` accept PRECOMPUTED (b, n) profiles
+    (from `bucket_profile`, possibly persisted to parquet) in place of the
+    corpora — the train-once/score-many deployment shape: a streaming filter
+    scores every micro-batch against fixed stored profiles without
+    re-profiling anything (see `streaming.stateful.start_dsir_filter_stream`).
+    They must have been built with the same (buckets, include_bigrams).
+
+    Plan: two bounded profile aggregations (skipped when profiles are
+    passed), one broadcast of the <= buckets log-ratio table, explode ->
+    broadcast join -> per-doc sum, left join back onto `df`. The only wide
+    exchanges key on doc id.
     """
     if alpha <= 0:
         raise ValueError("alpha must be > 0")
+    if target is None and target_profile is None:
+        raise ValueError("pass either target (a corpus) or target_profile")
     raw = df if raw is None else raw
-    raw_p = bucket_profile(raw, text_col, buckets, include_bigrams)
-    tgt_p = bucket_profile(target, text_col, buckets, include_bigrams)
+    raw_p = (
+        raw_profile
+        if raw_profile is not None
+        else bucket_profile(raw, text_col, buckets, include_bigrams)
+    )
+    tgt_p = (
+        target_profile
+        if target_profile is not None
+        else bucket_profile(target, text_col, buckets, include_bigrams)
+    )
     table = _ratio_table(raw_p, tgt_p, buckets, alpha)
     tots = raw_p.agg(F.sum("n").alias("__nr")).crossJoin(
         tgt_p.agg(F.sum("n").alias("__nt"))

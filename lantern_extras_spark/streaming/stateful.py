@@ -754,3 +754,79 @@ def start_bottomk_ingest_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def ingest_dsir_batch(
+    bdf,
+    epoch_id: int,
+    out_dir: str,
+    raw_profile_dir: str,
+    target_profile_dir: str,
+    min_logw: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    alpha: float = 1.0,
+    include_bigrams: bool = True,
+) -> None:
+    """One micro-batch of the streaming DSIR filter: score this batch's docs
+    against FIXED raw/target hashed-n-gram profiles (trained once with
+    `selection.bucket_profile`, persisted as parquet) and keep docs with
+    log-weight >= `min_logw` in the epoch's own partition. The
+    train-once/score-many deployment of DSIR: the crawl stream is filtered
+    toward the target domain as it arrives, no re-profiling per batch.
+    Scores are a pure function of (doc, profiles), so an epoch retry
+    rewrites identical rows (idempotent via the epoch overwrite)."""
+    if bdf.isEmpty():
+        return
+    from lantern_extras_spark.operators.selection import dsir_log_weights
+
+    spark = bdf.sparkSession
+    raw_p = spark.read.parquet(raw_profile_dir)
+    tgt_p = spark.read.parquet(target_profile_dir)
+    scored = dsir_log_weights(
+        bdf, text_col=text_col, id_col=id_col, buckets=buckets, alpha=alpha,
+        include_bigrams=include_bigrams, raw_profile=raw_p, target_profile=tgt_p,
+    )
+    scored.where(F.col("dsir_logw") >= float(min_logw)).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/epoch={int(epoch_id)}")
+
+
+def start_dsir_filter_stream(
+    spark,
+    source_dir: str,
+    source_schema,
+    checkpoint_dir: str,
+    out_dir: str,
+    raw_profile_dir: str,
+    target_profile_dir: str,
+    min_logw: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    alpha: float = 1.0,
+    include_bigrams: bool = True,
+    available_now: bool = True,
+    trigger_seconds: int = 10,
+):
+    """Structured-Streaming wrapper over `ingest_dsir_batch`: continuous
+    target-distribution filtering of an arriving crawl — the streaming
+    member of the DSIR family (selection.dsir_select is the batch resample)."""
+    stream = spark.readStream.schema(source_schema).parquet(source_dir)
+
+    def write_batch(bdf, epoch_id):
+        ingest_dsir_batch(
+            bdf, epoch_id, out_dir, raw_profile_dir, target_profile_dir,
+            min_logw=min_logw, text_col=text_col, id_col=id_col,
+            buckets=buckets, alpha=alpha, include_bigrams=include_bigrams,
+        )
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("append")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

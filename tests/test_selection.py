@@ -207,3 +207,56 @@ def spark_session_holder(spark):
     """Hypothesis forbids function-scoped fixtures; re-expose the session
     fixture at module scope (it is session-scoped underneath)."""
     return spark
+
+
+def test_dsir_precomputed_profiles_match_corpus_path(spark, mixed, tmp_path):
+    """Scoring against persisted profiles must equal the corpus-built path —
+    the train-once/score-many contract the streaming filter relies on."""
+    target = mixed.where(F.col("doc_id") < 20)
+    direct = {r["doc_id"]: r["dsir_logw"]
+              for r in SEL.dsir_log_weights(mixed, target, buckets=B).collect()}
+    rp, tp = str(tmp_path / "rp"), str(tmp_path / "tp")
+    SEL.bucket_profile(mixed, buckets=B).write.parquet(rp)
+    SEL.bucket_profile(target, buckets=B).write.parquet(tp)
+    via_profiles = {r["doc_id"]: r["dsir_logw"]
+                    for r in SEL.dsir_log_weights(
+                        mixed, buckets=B,
+                        raw_profile=spark.read.parquet(rp),
+                        target_profile=spark.read.parquet(tp)).collect()}
+    assert direct == via_profiles
+    with pytest.raises(ValueError):
+        SEL.dsir_log_weights(mixed)  # neither target nor target_profile
+
+
+def test_streaming_dsir_filter(spark, tmp_path):
+    """foreachBatch DSIR filter: fixed profiles, per-epoch accepted docs;
+    target-like docs pass, off-target docs are filtered; an epoch retry is
+    a no-op."""
+    from lantern_extras_spark.streaming.stateful import (
+        ingest_dsir_batch,
+        start_dsir_filter_stream,
+    )
+
+    cat = [(i, "cat feline purr whiskers cat purr") for i in range(20)]
+    dog = [(100 + i, "dog canine bark fetch dog bark") for i in range(20)]
+    hist = spark.createDataFrame(cat + dog, "doc_id bigint, text string")
+    target = hist.where("doc_id < 20")
+    rp, tp = str(tmp_path / "rp"), str(tmp_path / "tp")
+    SEL.bucket_profile(hist, buckets=B).write.parquet(rp)
+    SEL.bucket_profile(target, buckets=B).write.parquet(tp)
+
+    src = str(tmp_path / "src")
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    batch = spark.createDataFrame(
+        [(1000, "cat purr whiskers feline"), (1001, "dog bark fetch canine")],
+        "doc_id bigint, text string",
+    )
+    batch.coalesce(1).write.mode("overwrite").parquet(src)
+    q = start_dsir_filter_stream(spark, src, batch.schema, ckpt, out,
+                                 rp, tp, min_logw=0.0, buckets=B)
+    q.awaitTermination(120)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1000]  # the target-like doc passes, the off-target drops
+    # retry idempotency: re-running the epoch leaves the output unchanged
+    ingest_dsir_batch(batch, 0, out, rp, tp, min_logw=0.0, buckets=B)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1000]
