@@ -408,7 +408,8 @@ def test_dedup_keep_best_argmax_is_aggregate_not_window(spark):
     pipeline, never over the full document set."""
     df = E.q_dedup_keep_best(spark, SF)
     s = plan_summary(df)
-    assert "partial_max" in s.text, s.text
+    # the argmax is min(struct(-score, id)) — a partial-combining MIN
+    assert "partial_min" in s.text, s.text
     assert "Cartesian" not in s.text, s.text
 
 
