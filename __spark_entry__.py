@@ -1954,6 +1954,47 @@ KEYWORD_LABELS = {
 }
 
 
+def q_dup_rate_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-estimated exact-duplicate rate (hll_build over the doc content
+    fingerprint): estimate what exact dedup would save in ONE bounded pass —
+    m registers of state, mergeable across shards — before paying for the
+    full dedup shuffle. Docs are wrapped so ids 0..49 repeat the text of ids
+    100.. (a planted ~9% duplicate rate both engines replay); exact distinct
+    and exact rate ride alongside as the accuracy witness."""
+    docs = _t(spark, sf, "documents")
+    # plant duplicates deterministically: low ids mirror the text of id+100
+    base = docs.select("doc_id", "text")
+    planted = base.alias("a").join(
+        base.selectExpr("doc_id AS src_id", "text AS src_text").alias("b"),
+        F.col("a.doc_id") + 100 == F.col("src_id"),
+        "left",
+    ).select(
+        "doc_id",
+        F.when(F.col("doc_id") < 50, F.coalesce(F.col("src_text"), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    keyed = planted.select(F.md5(F.col("text")).alias("fp"))
+    m = 512
+    est = SK.hll_estimate(SK.hll_build(keyed, "fp", m=m), m=m)
+    exact = keyed.agg(
+        F.count("*").alias("n_docs"), F.countDistinct("fp").alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_docs",
+        "exact_distinct",
+        "hll_est",
+        pround(
+            F.lit(1.0) - F.col("hll_est") / F.col("n_docs").cast("double"), 6
+        ).alias("dup_rate_est"),
+        pround(
+            F.lit(1.0)
+            - F.col("exact_distinct").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate_exact"),
+    )
+
+
 def q_pii_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-doc PII span counts (textstats.pii_stats, the audit companion to
     redact_pii): docs wrapped with synthetic email/IPv4/phone spans so every
@@ -2290,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_labels": q_keyword_labels,
         "hll_by_type": q_hll_by_type,
         "pii_stats": q_pii_stats,
+        "dup_rate_sketch": q_dup_rate_sketch,
         "dedup_within": q_dedup_within,
         "normalize_nfc": q_normalize_nfc,
         "ngram_diversity": q_ngram_diversity,
@@ -5078,6 +5120,40 @@ def _oracle_sql_raw() -> dict[str, str]:
                                     ELSE est.raw END, 4) - ex.exact_distinct)
                      / ex.exact_distinct, 6) AS rel_err
         FROM est, ex
+    """
+    dr_h = _sql_hash32("concat('hllr', ':', fp)")
+    dr_rho = "CASE WHEN (" + dr_h + ") % 2 = 1 THEN 1 " + " ".join(
+        f"WHEN ({dr_h}) % {2**r} = {2**(r-1)} THEN {r}" for r in range(2, 33)
+    ) + " ELSE 33 END"
+    sql["dup_rate_sketch"] = f"""
+        WITH base AS (SELECT doc_id, text FROM documents),
+             planted AS (SELECT a.doc_id,
+                                CASE WHEN a.doc_id < 50
+                                     THEN coalesce(b.text, a.text)
+                                     ELSE a.text END AS text
+                         FROM base a LEFT JOIN base b ON b.doc_id = a.doc_id + 100),
+             k AS (SELECT md5(text) AS fp FROM planted),
+             regs AS (SELECT {_sql_hash32("concat('hllb', ':', fp)")} % 512 AS b,
+                             max({dr_rho}) AS r
+                      FROM k GROUP BY 1),
+             s AS (SELECT count(*) AS n_obs,
+                          sum(power(2.0, -CAST(r AS DOUBLE))) AS z_obs
+                   FROM regs),
+             ex AS (SELECT count(*) AS n_docs,
+                           count(DISTINCT fp) AS exact_distinct
+                    FROM k),
+             est AS (SELECT {hll_amm} / (z_obs + (512.0 - n_obs)) AS raw,
+                            512.0 - n_obs AS v
+                     FROM s),
+             fin AS (SELECT round(CASE WHEN est.raw <= 1280.0 AND est.v > 0
+                                       THEN 512.0 * ln(512.0 / est.v)
+                                       ELSE est.raw END, 4) AS hll_est
+                     FROM est)
+        SELECT ex.n_docs, ex.exact_distinct, fin.hll_est,
+               round(1.0 - fin.hll_est / ex.n_docs, 6) AS dup_rate_est,
+               round(1.0 - CAST(ex.exact_distinct AS DOUBLE) / ex.n_docs, 6)
+                   AS dup_rate_exact
+        FROM fin, ex
     """
     # DSIR hashed uni+bigram feature bag (selection.hashed_ngram_buckets):
     # seeds dsir1 (unigrams) / dsir2 (space-joined bigrams), md5 buckets.

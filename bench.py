@@ -202,6 +202,7 @@ def main() -> None:
         "normalize_nfc",
         "pii_stats",
         "dedup_within",
+        "dup_rate_sketch",
     ]
     # self-healing coverage: any registry query missing from the hard-coded
     # list is appended (and flagged) so the committed bench can never again

@@ -491,3 +491,14 @@ def test_dedup_within_zero_shuffle(spark):
     assert s.n_shuffles <= 1, s.text
     assert "Generate" not in s.text, s.text  # no explode
     assert "Window" not in s.text, s.text
+
+
+def test_dup_rate_sketch_partial_max_bounded(spark):
+    """The duplicate-rate estimate must ride the bounded register build
+    (partial MAX to <= m rows per task) — no full-fingerprint distinct
+    shuffle on the estimate path (the exact witness column is allowed its
+    one distinct aggregation)."""
+    df = E.q_dup_rate_sketch(spark, SF)
+    s = plan_summary(df)
+    assert "partial_max" in s.text, s.text
+    assert "Window" not in s.text, s.text
