@@ -2057,11 +2057,14 @@ def q_normalize_nfc(spark: SparkSession, sf: str) -> DataFrame:
     with_dec = docs.select(
         "doc_id", F.concat(F.col("text"), F.lit(" cafe\u0301")).alias("t2")
     )
-    out = with_dec.select(
+    # stage the normalized column ONCE — referencing the pandas UDF in two
+    # expressions would run the Python worker twice per row
+    normed = with_dec.withColumn("__norm", T.normalize_unicode(F.col("t2")))
+    out = normed.select(
         "doc_id",
         F.length("t2").alias("len_before"),
-        F.length(T.normalize_unicode(F.col("t2"))).alias("len_after"),
-        (T.normalize_unicode(F.col("t2")) != F.col("t2")).alias("changed"),
+        F.length("__norm").alias("len_after"),
+        (F.col("__norm") != F.col("t2")).alias("changed"),
     )
     return out.orderBy("doc_id")
 
@@ -5071,7 +5074,8 @@ def _oracle_sql_raw() -> dict[str, str]:
                        FROM scored GROUP BY cluster_id),
              w AS (SELECT cluster_id, doc_id,
                           row_number() OVER (PARTITION BY cluster_id
-                                             ORDER BY s DESC, doc_id ASC) AS rn
+                                             ORDER BY s DESC NULLS LAST,
+                                                      doc_id ASC) AS rn
                    FROM scored),
              winners AS (SELECT cluster_id, doc_id AS winner FROM w WHERE rn = 1)
         SELECT d.doc_id,

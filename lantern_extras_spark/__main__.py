@@ -319,14 +319,22 @@ def cmd_release_gate(args) -> int:
         )
         # flag mode returns (doc_id, bench_id, containment) pairs >= threshold
         rep["contaminated_docs"] = flagged.select("doc_id").distinct().count()
-    if args.split_col and args.split_col in new.columns:
+    if args.split_col:
+        if args.split_col not in new.columns:
+            # a typo'd --split-col must NOT silently skip a CI gate's audit
+            rep["gate_ok"] = False
+            rep["split_col_missing"] = args.split_col
+            _json(rep)
+            spark.stop()
+            return 2
         pairs = D.minhash_dedup(new, text_col=args.text_col)
         from lantern_extras_spark.operators.sampling import split_contamination_report
 
-        leaks = split_contamination_report(new, pairs, split_col=args.split_col,
-                                           summary=True)
-        rep["split_leaks"] = [r.asDict() for r in leaks.collect()]
-        rep["split_leak_pairs"] = int(sum(r["n_pairs"] for r in leaks.collect()))
+        leak_rows = split_contamination_report(
+            new, pairs, split_col=args.split_col, summary=True
+        ).collect()
+        rep["split_leaks"] = [r.asDict() for r in leak_rows]
+        rep["split_leak_pairs"] = int(sum(r["n_pairs"] for r in leak_rows))
     rep["n_docs"] = new.count()
     rep["gate_ok"] = (
         rep.get("contaminated_docs", 0) == 0

@@ -255,12 +255,22 @@ def bloom_anti_join(
     mode: str = "auto",
     bits_per_key: int = 10,
     hash_kind: str = "xxhash64",
+    single_scan: bool = True,
 ) -> DataFrame:
     """Anti join with a Bloom prefilter. Bloom filters have no false
     negatives, so rows FAILING the membership test are definite non-members
     and bypass the join entirely; only the plausible sliver pays the exact
-    left_anti join. The union reads the big side twice — at scale prefer
-    caching the scan or accept it: both branches are narrow.
+    left_anti join. Unlike the semi form, the non-members must be EMITTED
+    (not dropped), so the plan is inherently a two-branch union.
+
+    With ``single_scan=True`` (default) the flagged projection
+    ``big + __m`` is persisted (MEMORY_AND_DISK) so the source is read and
+    the membership probe computed ONCE; both union branches re-read the
+    cached flags. With ``single_scan=False`` the source is scanned twice —
+    cheaper when the source is columnar-compressed, the probe is the literal
+    codegen path, and materializing the full row width would dominate; the
+    single-scan default wins whenever the probe runs the broadcast
+    pandas-UDF path (the probe, not the IO, is the bottleneck there).
 
     Always exact (the anti join removes the false-positive admissions)."""
     key_col = key_col or big_col
@@ -268,7 +278,15 @@ def bloom_anti_join(
         bf = bloom_build(keys.select(key_col).distinct(), key_col,
                          bits_per_key, hash_kind=hash_kind)
     might = bloom_might_contain(bf, big_col, mode=mode, spark=big.sparkSession)
-    definite_out = big.where(~might)
     kk = keys.select(F.col(key_col).alias(big_col)).distinct()
+    if single_scan:
+        flagged = big.withColumn("__m", might).persist()
+        definite_out = flagged.where(~F.col("__m")).drop("__m")
+        confirmed_out = (
+            flagged.where(F.col("__m")).drop("__m")
+            .join(kk, on=big_col, how="left_anti")
+        )
+        return definite_out.unionByName(confirmed_out)
+    definite_out = big.where(~might)
     confirmed_out = big.where(might).join(kk, on=big_col, how="left_anti")
     return definite_out.unionByName(confirmed_out)

@@ -2337,6 +2337,10 @@ def dedup_keep_best(
     cluster_size, is_kept): singletons keep themselves; within a cluster the
     winner is argmax(pround(score, round_dp), tiebreak min id) — the rounding
     makes the choice engine-replayable, the id tiebreak makes it total.
+    NULL scores sort LAST (coalesced to -inf): an unscored copy can never
+    beat a scored one, and a null-only cluster falls back to the
+    deterministic min-id survivor — mirroring SQL's
+    ``row_number() OVER (ORDER BY s DESC NULLS LAST, id ASC)``.
 
     Scale shape: O(diameter) label propagation over pairs only
     (dedup_clusters), then ONE aggregation over the clustered rows — the
@@ -2350,7 +2354,15 @@ def dedup_keep_best(
         F.col("id").alias(id_col), F.col("cluster_id")
     )
     scored = df.select(
-        F.col(id_col), pround(F.col(score_col).cast("double"), round_dp).alias("__s")
+        F.col(id_col),
+        # NULLS LAST: a null score must lose to every real score (struct-MIN
+        # would otherwise rank the null field FIRST and keep the unscored
+        # copy); -(-inf) = +inf sorts it after all finite negated scores
+        # while keeping null-only clusters on the min-id tiebreak.
+        F.coalesce(
+            pround(F.col(score_col).cast("double"), round_dp),
+            F.lit(float("-inf")),
+        ).alias("__s"),
     ).join(clusters, id_col)
     # min(struct(-score, id)) = argmax score with min-id tiebreak, and works
     # for ANY orderable id type (string ids included — no numeric negation)

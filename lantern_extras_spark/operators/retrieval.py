@@ -352,12 +352,18 @@ def bm25_scores_weighted(
     b: float = 0.75,
     round_dp: int | None = None,
     staged: DataFrame | None = None,
+    max_terms: int = 65536,
 ) -> DataFrame:
     """BM25 where the query is a DATAFRAME of (term, weight) — the form that
     lets expansion terms come from the corpus itself with no driver
     round-trip. score(doc) = Σ_t w_t · idf_t · sat(tf_t, dl).
     Pass `staged` (a pre-built, typically cached, `(id_col, __toks)` frame)
     to share one tokenization across several scoring passes.
+
+    `weighted_terms` is BROADCAST (it is query/PRF-sized — tens of terms);
+    `max_terms` is the fail-loud guard: a caller handing a vocabulary-scale
+    term frame gets a ValueError naming the remedy instead of a silent
+    driver/broadcast blow-up (the `_check_max_cell` discipline, ivf.py).
 
     Determinism contract: per-(doc, term) contributions are single float
     expressions; the per-doc reduction runs as a TERM-SORTED sequential fold
@@ -368,6 +374,18 @@ def bm25_scores_weighted(
     document-frequency sides are term-cardinality-sized and broadcast; the
     fold shuffles one row per doc. Docs with no weighted term are absent
     from the output (callers top-k, so absence == score 0 semantics)."""
+    # bounded probe: limit(max_terms+1).count() costs O(max_terms) however
+    # large the term frame actually is
+    n_terms = weighted_terms.limit(max_terms + 1).count()
+    if n_terms > max_terms:
+        raise ValueError(
+            f"bm25_scores_weighted: weighted_terms has > max_terms="
+            f"{max_terms} rows — this frame is broadcast and a "
+            f"vocabulary-scale term set would blow up the driver. Score "
+            f"against a bounded query/expansion term set, or raise "
+            f"max_terms only if the broadcast genuinely fits executor "
+            f"memory (term frames are ~50 bytes/row)."
+        )
     if staged is None:
         staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     stats = staged.agg(

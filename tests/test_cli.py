@@ -242,3 +242,23 @@ def test_cli_release_gate(tmp_path):
     assert rep["split_leak_pairs"] == 0
     # the gate fails loudly when contamination exists
     assert rep["gate_ok"] is False
+
+
+def test_cli_release_gate_typod_split_col_fails_loudly(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    new = pa.table({"doc_id": [1], "text": ["alpha words here now"],
+                    "split": ["train"]})
+    pq.write_table(new, tmp_path / "new.parquet")
+    out = subprocess.run(
+        [sys.executable, "-m", "lantern_extras_spark",
+         "release-gate", "--input", str(tmp_path / "new.parquet"),
+         "--split-col", "splitt"],  # typo: the audit must NOT silently skip
+        capture_output=True, text=True, timeout=240, cwd=REPO,
+    )
+    assert out.returncode == 2, out.stderr[-2000:]
+    rep = next(json.loads(ln) for ln in out.stdout.splitlines()
+               if ln.startswith("{"))
+    assert rep["gate_ok"] is False
+    assert rep["split_col_missing"] == "splitt"

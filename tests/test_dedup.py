@@ -962,6 +962,30 @@ def test_dedup_keep_best_picks_highest_score(spark):
     assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"]
 
 
+def test_dedup_keep_best_null_score_never_wins(spark):
+    from lantern_extras_spark.operators.dedup import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 9.0), (3, 0.5)], "doc_id bigint, q double"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    out = {r["doc_id"]: r["is_kept"] for r in dedup_keep_best(df, pairs, "q").collect()}
+    # unscored doc 1 must NOT beat scored copies (NULLS-LAST policy)
+    assert out == {1: False, 2: True, 3: False}
+
+
+def test_dedup_keep_best_null_only_cluster_keeps_min_id(spark):
+    from lantern_extras_spark.operators.dedup import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [(5, None), (6, None), (7, 3.0)], "doc_id bigint, q double"
+    )
+    pairs = spark.createDataFrame([(5, 6)], "id_a bigint, id_b bigint")
+    out = {r["doc_id"]: r["is_kept"] for r in dedup_keep_best(df, pairs, "q").collect()}
+    # null-only cluster {5,6}: deterministic min-id survivor; singleton 7 kept
+    assert out == {5: True, 6: False, 7: True}
+
+
 def test_dedup_keep_best_tiebreaks_on_min_id(spark):
     from lantern_extras_spark.operators.dedup import dedup_keep_best
 

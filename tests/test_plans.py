@@ -266,6 +266,24 @@ def test_bloom_semi_join_prefilters_before_join(spark):
     assert s.n_broadcasts >= 1, t
 
 
+def test_bloom_anti_join_single_scan(spark):
+    """The anti form must read the big side ONCE: the flagged (row + __m)
+    projection is persisted and BOTH union branches re-read the cache
+    (InMemoryTableScan ×2), so the source scan and the membership probe run
+    a single time instead of once per branch."""
+    df = E.q_bloom_anti_join(spark, SF)
+    s = plan_summary(df)
+    t = s.text
+    # both union branches read the SAME cached relation (the plan text
+    # repeats the cached child under each InMemoryTableScan; at runtime the
+    # InMemoryRelation materializes — and probes the bloom filter — once)
+    assert t.count("InMemoryTableScan") == 2, t
+    assert "InMemoryRelation" in t, t
+    assert "LeftAnti" in t, t
+    # the membership probe lives INSIDE the cached relation, not above it
+    assert t.index("InMemoryRelation") < t.index("getbit"), t
+
+
 def test_maxsim_single_shuffle(spark):
     """Chunking + per-chunk cosines are narrow; the only shuffle is the
     per-doc max aggregate (map-side partial max), and the top-k is

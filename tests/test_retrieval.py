@@ -182,6 +182,18 @@ def test_bm25_weighted_matches_listform(spark, docs_df):
     assert set(listform) - set(joined) == {3, 4}
 
 
+def test_bm25_weighted_guards_oversized_term_frame(spark, docs_df):
+    """A vocabulary-scale term frame must fail loudly BEFORE the broadcast
+    (the frame is broadcast unguarded otherwise — driver blow-up at scale)."""
+    big_terms = spark.range(50).select(
+        F.concat(F.lit("t"), F.col("id")).alias("term"), F.lit(1.0).alias("weight")
+    )
+    with pytest.raises(ValueError, match="max_terms"):
+        RET.bm25_scores_weighted(docs_df, big_terms, max_terms=10)
+    # at the boundary (== max_terms) it must still run
+    assert RET.bm25_scores_weighted(docs_df, big_terms, max_terms=50).count() >= 0
+
+
 def test_bm25_prf_expands_and_ranks(spark):
     # feedback docs share the co-occurring term "together"; PRF must pull the
     # doc that ONLY matches the expansion term into the ranking
