@@ -528,6 +528,24 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (dedup.decontaminate with
+    bloom_prefilter=True — r8 verdict #6): a Bloom filter over the
+    benchmark's distinct shingle hashes prunes non-member corpus shingles
+    DURING the exploded scan, so the posting equi-join shuffles only the
+    plausible sliver instead of the full corpus shingle volume — the
+    module's own prune-during-scan thesis applied to the release gate.
+    EXACT: no false negatives, and the equi-join discards false-positive
+    admissions, so the oracle is the identical plain-containment SQL."""
+    docs = _t(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") < 10)
+    train = docs.where(F.col("doc_id") >= 10)
+    flags = D.decontaminate(train, bench, threshold=0.3, bloom_prefilter=True)
+    return flags.select(
+        "doc_id", "bench_id", pround("containment", 5).alias("containment")
+    )
+
+
 def q_clean_text(spark: SparkSession, sf: str) -> DataFrame:
     """Scrape-cleanup pipeline op (functions/text.py:clean_text): tag strip →
     entity decode (one level, &amp; last) → whitespace collapse, all native
@@ -2197,6 +2215,23 @@ def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dsir_select_big(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR selection at selection-scale n (selection.dsir_select cutoff
+    path, r8 verdict #1): `small_n_max=0` forces the large-n plan — approx-
+    quantile bracket + bounded boundary-band resolve + pure filter. No
+    TakeOrderedAndProject, no global sort (plan-pinned): driver traffic is
+    O(N/quantile_accuracy) narrow key rows however large n grows, so
+    selecting 100M docs from a crawl costs the driver the same as selecting
+    100. Output is the IDENTICAL set as the TakeOrdered plan (hash compare
+    is order-insensitive; the oracle's ordered LIMIT picks the same rows)."""
+    docs = _t(spark, sf, "documents")
+    target = docs.where(F.col("lang") == "en")
+    out = SEL.dsir_select(
+        docs, target, n=120, buckets=2048, alpha=1.0, small_n_max=0
+    )
+    return out.select("doc_id", "lang", "dsir_logw", "sel_key")
+
+
 def q_corpus_divergence(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus distribution distance (selection.corpus_divergence): KL both
     ways, Jensen-Shannon, and total variation between the en and non-en
@@ -2273,6 +2308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "clean_text": q_clean_text,
         "strip_boilerplate": q_strip_boilerplate,
         "redact_pii": q_redact_pii,
@@ -2342,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
+        "dsir_select_big": q_dsir_select_big,
         "corpus_divergence": q_corpus_divergence,
     }
 
@@ -4224,6 +4261,9 @@ def _oracle_sql_raw() -> dict[str, str]:
         FROM d, b
         WHERE len(list_intersect(d.sh, b.bsh)) / CAST(len(b.bsh) AS DOUBLE) >= 0.3
     """
+    # the bloom prefilter is answer-preserving (no false negatives + exact
+    # join correction), so the oracle is the identical containment SQL
+    sql["decontaminate_bloom"] = sql["decontaminate"]
     sql["clean_text"] = r"""
         WITH w AS (
             SELECT doc_id,
@@ -5205,6 +5245,19 @@ def _oracle_sql_raw() -> dict[str, str]:
         FROM keyed
         ORDER BY round(dsir_logw + {dsir_gumbel}, 6) DESC, doc_id ASC
         LIMIT 60
+    """
+    # same selection at cutoff-path scale: the ordered LIMIT names the same
+    # SET the Spark filter plan emits (hash compare is order-insensitive)
+    sql["dsir_select_big"] = f"""
+        {dsir_core},
+             keyed AS (SELECT t.doc_id, t.lang,
+                              round(coalesce(pd.lw, 0.0), 6) AS dsir_logw
+                       FROM t LEFT JOIN pd ON pd.doc_id = t.doc_id)
+        SELECT doc_id, lang, dsir_logw,
+               round(dsir_logw + {dsir_gumbel}, 6) AS sel_key
+        FROM keyed
+        ORDER BY round(dsir_logw + {dsir_gumbel}, 6) DESC, doc_id ASC
+        LIMIT 120
     """
     div_u = _sql_hash32("concat('dsir1', ':', x)")
     sql["corpus_divergence"] = f"""

@@ -123,6 +123,7 @@ def main() -> None:
         "dedup_clusters",
         "hnsw_recall",
         "decontaminate",
+        "decontaminate_bloom",
         "clean_text",
         "strip_boilerplate",
         "pack_sequences",
@@ -190,6 +191,7 @@ def main() -> None:
         # round-8 second-session batch: data selection + sketch + survivor
         "dsir_weights",
         "dsir_select",
+        "dsir_select_big",
         "corpus_divergence",
         "hll_distinct",
         "dedup_keep_best",

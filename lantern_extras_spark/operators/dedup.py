@@ -1013,6 +1013,8 @@ def decontaminate(
     mode: str = "flag",
     broadcast_benchmark: bool = True,
     normalize: bool = True,
+    bloom_prefilter: bool = False,
+    bloom_bits_per_key: int = 10,
 ) -> DataFrame:
     """Benchmark decontamination — the training-pipeline op that removes (or
     flags) training docs overlapping an evaluation set, so eval scores measure
@@ -1041,7 +1043,15 @@ def decontaminate(
     is broadcast (eval sets are small by nature — pass
     broadcast_benchmark=False for a giant one), and the only wide operation
     is the exploded shingle equi-join + count aggregation: posting-list cost,
-    linear in corpus shingle volume, no self-join anywhere."""
+    linear in corpus shingle volume, no self-join anywhere.
+
+    `bloom_prefilter=True` (r8 verdict #6) builds a Bloom filter over the
+    benchmark's distinct shingle hashes and drops non-member corpus shingles
+    DURING the exploded scan, so the equi-join's shuffle carries only the
+    plausible sliver (~benchmark-overlapping shingles + ~1% false-positive
+    residue at 10 bits/key) instead of the full corpus shingle volume. The
+    result is EXACT either way — Bloom filters have no false negatives and
+    the equi-join itself discards the false-positive admissions."""
     if mode not in ("flag", "drop"):
         raise ValueError(f"unknown mode {mode!r} (flag/drop)")
     if threshold <= 0.0:
@@ -1070,6 +1080,22 @@ def decontaminate(
     )
     if broadcast_benchmark:
         b_sh = F.broadcast(b_sh)
+    if bloom_prefilter:
+        from lantern_extras_spark.operators.bloom import (
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        bf = bloom_build(
+            hashed_shingles(b_src, bench_text_col, bench_id_col, shingle_n)
+            .select(F.explode("sh").alias("__sh"))
+            .distinct(),
+            "__sh",
+            bits_per_key=bloom_bits_per_key,
+        )
+        d_sh = d_sh.where(
+            bloom_might_contain(bf, "__sh", spark=docs.sparkSession)
+        )
     flags = (
         d_sh.join(b_sh, "__sh")
         .groupBy(id_col, "bench_id", "__b_n")

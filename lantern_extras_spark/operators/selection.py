@@ -22,10 +22,12 @@ Why this shape survives 100 TB:
   the document scan: per-doc weighting is explode -> broadcast hash join ->
   per-doc sum. One shuffle (the doc-id re-agg), zero skew risk (doc ids are
   unique).
-- Selection is `orderBy(key desc).limit(n)` — Spark's TakeOrderedAndProject,
-  a per-partition partial top-n followed by a driver-side merge of n*P rows;
-  no global sort, no single-reducer ranking window (the `kmv_distinct`
-  lesson, r7 verdict item 1).
+- Selection is TakeOrderedAndProject for top-k-sized n, and for
+  selection-scale n (DSIR's published use picks ~100M docs) a cutoff FILTER:
+  approx-quantile bracket -> exact boundary-band resolve -> pure `where` —
+  driver traffic is O(N/quantile_accuracy) narrow key rows, independent of
+  n; no global sort, no single-reducer ranking window (the `kmv_distinct`
+  lesson, r7 verdict item 1; cutoff path closes r8 verdict item 1).
 
 All hashing is the engine-portable md5 `hash32` and all emitted floats pass
 through `pround`, so the DuckDB oracle replays weights, divergences, and the
@@ -272,6 +274,9 @@ def dsir_select(
     include_bigrams: bool = True,
     seed: str = "dsir-sel",
     raw: DataFrame | None = None,
+    small_n_max: int = 100_000,
+    quantile_accuracy: int = 10_000,
+    band_max: int = 2_000_000,
 ) -> DataFrame:
     """Gumbel top-k importance resampling (DSIR step 3): sample `n` docs
     without replacement with probability proportional to their importance
@@ -280,8 +285,24 @@ def dsir_select(
     log-weights). Deterministic: the Gumbel noise is hash-derived from the
     doc id, so reruns and the SQL oracle pick the identical subset.
 
-    Appends `sel_key` (pround 6). Executes as TakeOrderedAndProject —
-    per-partition partial top-n, no global sort, no ranking window.
+    Appends `sel_key` (pround 6). Two physical strategies, same answer:
+
+    - ``n <= small_n_max``: TakeOrderedAndProject — per-partition partial
+      top-n merged on the driver. Right for top-k-sized n; the driver merge
+      is O(n·P), which is exactly wrong for DSIR's published use (pick ~100M
+      docs from a crawl).
+    - ``n > small_n_max``: a CUTOFF plan (r8 verdict #1). Bracket the n-th
+      largest ``sel_key`` with approx-quantiles (rank error <= N/accuracy,
+      margin 2×), verify the bracket with exact counts, collect ONLY the
+      bounded boundary band (O(N/accuracy) narrow (sel_key, id) rows —
+      independent of n), compute the exact boundary row in plain Python, and
+      emit ``where(sel_key > t  OR  (sel_key == t AND id <= t_id))`` — a
+      pure filter: no TakeOrderedAndProject, no global sort, no ranking
+      window, driver traffic bounded by the band, never by n. Result rows
+      are the identical set but arrive UNORDERED (callers that need order
+      sort the n-row output themselves). Raises fail-loud if a pathological
+      sel_key tie mass pushes the band past `band_max` (remedy: raise
+      `quantile_accuracy` — the band shrinks ~1/accuracy — or `band_max`).
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -291,7 +312,69 @@ def dsir_select(
     keyed = w.withColumn(
         "sel_key", pround(F.col("dsir_logw") + _gumbel(F.col(id_col), seed), 6)
     )
-    return keyed.orderBy(F.col("sel_key").desc(), F.col(id_col).asc()).limit(n)
+    if n <= small_n_max:
+        return keyed.orderBy(F.col("sel_key").desc(), F.col(id_col).asc()).limit(n)
+    return _cutoff_top_n(
+        keyed, n, "sel_key", id_col, quantile_accuracy, band_max, "dsir_select"
+    )
+
+
+def _cutoff_top_n(
+    keyed: DataFrame,
+    n: int,
+    key_col: str,
+    id_col: str,
+    accuracy: int,
+    band_max: int,
+    op: str,
+) -> DataFrame:
+    """Exact top-n by (key desc, id asc) as a FILTER: find the boundary row
+    via approx-quantile bracketing + one bounded band collect, then
+    ``where(key > t OR (key == t AND id <= t_id))``. The narrow (key, id)
+    projection is persisted for the bracketing passes and unpersisted before
+    returning — the returned plan recomputes the full row width once."""
+    kd = keyed.select(F.col(id_col).alias("__id"), F.col(key_col).alias("__k"))
+    kd = kd.persist()
+    try:
+        total = kd.count()
+        if n >= total:
+            return keyed
+        # rank margin: 2× the approx-quantile guarantee (error <= N/accuracy)
+        d = 2 * (total // accuracy) + 1
+        f_hi = min(1.0, 1.0 - (n - d) / total) if n > d else 1.0
+        f_lo = max(0.0, 1.0 - (n + d) / total)
+        c_lo, c_hi = kd.agg(
+            F.percentile_approx("__k", [f_lo, f_hi], accuracy).alias("c")
+        ).first()["c"]
+        m_hi, m_lo = kd.agg(
+            F.count(F.when(F.col("__k") > c_hi, 1)).alias("a"),
+            F.count(F.when(F.col("__k") > c_lo, 1)).alias("b"),
+        ).first()
+        band_pred = F.col("__k") <= c_hi
+        if m_lo < n:  # tie mass at/below c_lo ate the margin: widen to -inf
+            m_lo = total
+        else:
+            band_pred = band_pred & (F.col("__k") > c_lo)
+        n_band = m_lo - m_hi
+        if n_band > band_max:
+            raise ValueError(
+                f"{op}: boundary band has {n_band} rows > band_max="
+                f"{band_max} — a tie mass this heavy on the selection key "
+                f"defeats quantile bracketing. Raise quantile_accuracy "
+                f"(band shrinks ~1/accuracy) or band_max (driver holds "
+                f"~20 bytes/band row)."
+            )
+        band = sorted(
+            ((r["__k"], r["__id"]) for r in kd.where(band_pred).collect()),
+            key=lambda t: (-t[0], t[1]),
+        )
+        t_key, t_id = band[n - m_hi - 1]
+    finally:
+        kd.unpersist()
+    return keyed.where(
+        (F.col(key_col) > F.lit(t_key))
+        | ((F.col(key_col) == F.lit(t_key)) & (F.col(id_col) <= F.lit(t_id)))
+    )
 
 
 def corpus_divergence(

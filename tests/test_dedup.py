@@ -212,6 +212,30 @@ def test_decontaminate_flags_embedded_eval_item(spark):
         D.decontaminate(train, bench, threshold=0.0)
 
 
+def test_decontaminate_bloom_prefilter_is_exact(spark, docs):
+    """bloom_prefilter=True must return the IDENTICAL flag set (no false
+    negatives; the equi-join discards false-positive admissions) in both
+    flag and drop modes."""
+    bench = docs.where("doc_id < 10")
+    train = docs.where("doc_id >= 10")
+    plain = sorted(
+        (r["doc_id"], r["bench_id"], round(r["containment"], 9))
+        for r in D.decontaminate(train, bench, threshold=0.3).collect()
+    )
+    bloomed = sorted(
+        (r["doc_id"], r["bench_id"], round(r["containment"], 9))
+        for r in D.decontaminate(
+            train, bench, threshold=0.3, bloom_prefilter=True
+        ).collect()
+    )
+    assert bloomed == plain and len(plain) > 0
+    kept_plain = sorted(r["doc_id"] for r in D.decontaminate(
+        train, bench, threshold=0.3, mode="drop").collect())
+    kept_bloom = sorted(r["doc_id"] for r in D.decontaminate(
+        train, bench, threshold=0.3, mode="drop", bloom_prefilter=True).collect())
+    assert kept_bloom == kept_plain
+
+
 def test_decontaminate_normalizes_case_and_punctuation(spark):
     """The r5-verdict gap: a case/punctuation-varied copy of the eval item
     embedded in a training doc MUST still be flagged (normalize=True default);

@@ -392,6 +392,18 @@ def test_dsir_select_take_ordered_no_ranking_window(spark):
     assert "Window" not in s.text, s.text
 
 
+def test_dsir_select_big_pure_filter_no_driver_merge(spark):
+    """Selection-scale n (cutoff path): the emitted plan must be a pure
+    filter over the weighted corpus — NO TakeOrderedAndProject (whose driver
+    merge is O(n·P)), no global sort, no ranking window. Driver traffic in
+    the cutoff computation is bounded by the boundary band, never by n."""
+    df = E.q_dsir_select_big(spark, SF)
+    s = plan_summary(df)
+    assert "TakeOrderedAndProject" not in s.text, s.text
+    assert "rangepartitioning" not in s.text, s.text
+    assert "Window" not in s.text, s.text
+
+
 def test_corpus_divergence_bounded_state(spark):
     """Both profiles collapse map-side to <= buckets rows; the outer join of
     the two profiles is bucket-keyed; no cartesian, no window."""

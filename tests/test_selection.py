@@ -93,6 +93,32 @@ def test_select_validates_n(spark, mixed):
         SEL.dsir_select(mixed, mixed, n=0)
 
 
+def test_select_cutoff_path_matches_takeordered(spark, docs):
+    """Selection-scale n (the cutoff/filter plan) must pick the IDENTICAL
+    set as the TakeOrderedAndProject plan, for several n including n near
+    the corpus size; tiny quantile_accuracy stresses the band fallback."""
+    target = docs.limit(20)
+    for n in (5, 60, int(docs.count()) - 3):
+        small = SEL.dsir_select(docs, target, n=n, buckets=B)
+        big = SEL.dsir_select(docs, target, n=n, buckets=B, small_n_max=0,
+                              quantile_accuracy=50)
+        ids_small = sorted(r["doc_id"] for r in small.collect())
+        ids_big = sorted(r["doc_id"] for r in big.collect())
+        assert ids_big == ids_small, n
+    # n >= corpus: everything selected, still via the cutoff entry
+    assert (
+        SEL.dsir_select(docs, target, n=10**9, buckets=B, small_n_max=0).count()
+        == docs.count()
+    )
+
+
+def test_select_cutoff_band_guard_fails_loudly(spark, mixed):
+    with pytest.raises(ValueError, match="band_max"):
+        # band_max=1 with any real band must trip the guard, naming the remedy
+        SEL.dsir_select(mixed, mixed.limit(5), n=20, buckets=B,
+                        small_n_max=0, quantile_accuracy=2, band_max=1).collect()
+
+
 def test_bucket_profile_is_bounded(spark, docs):
     prof = SEL.bucket_profile(docs, buckets=64)
     assert prof.count() <= 64

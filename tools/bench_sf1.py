@@ -319,6 +319,24 @@ def main() -> None:
         results["minhash_lsh_pairs_scaled"] = measure(minhash_lsh_scaled)
         print(json.dumps({"minhash_lsh_pairs_scaled": results["minhash_lsh_pairs_scaled"]}), flush=True)
 
+    # dsir_select at selection-scale n (r8 verdict #1): n ∝ corpus (20% of
+    # the docs) through the cutoff path — driver traffic is the boundary
+    # band (O(N/quantile_accuracy) narrow key rows), never the n-row driver
+    # merge TakeOrderedAndProject would pay, so the exponent measures the
+    # narrow weight passes, not a growing driver funnel.
+    def dsir_select_scaled(sf):
+        from lantern_extras_spark.operators import selection as SEL
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        n = int(docs.count() * 0.2)
+        target = docs.where(F.col("lang") == "en")
+        SEL.dsir_select(docs, target, n=n, buckets=2048,
+                        small_n_max=0).foreach(lambda r: None)
+
+    if want("dsir_select_scaled"):
+        results["dsir_select_scaled"] = measure(dsir_select_scaled)
+        print(json.dumps({"dsir_select_scaled": results["dsir_select_scaled"]}), flush=True)
+
     # HNSW build at scale: the driver query pins n_shards=8 at BOTH scales, so
     # per-shard size grows 10x and the O(n log n)-ish graph insert goes
     # superlinear (e~0.4). The scale rule is shards ∝ corpus (constant rows
