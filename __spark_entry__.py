@@ -1783,6 +1783,39 @@ def q_mrl_search(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("vec_id", "prefix_distance", "l2sq_distance", "rnk")
 
 
+def q_compressed_tradeoff(spark: SparkSession, sf: str) -> DataFrame:
+    """Compressed-kNN family trade-off report (r8 verdict #7 — the CLI's
+    compare-compressed, hash-certified): recall@10 vs the exact float scan
+    for every deployable compression family, at fixed seeds/configs so the
+    comparison itself is deterministic and DuckDB-replayable. One row per
+    family: (family, config, bytes_per_vec, recall). sq8 over the 5-query
+    set (vs knn_l2's exact sets); bq/mrl over query 0; pq_adc over its
+    deterministic slice codebook vs the exact scan of the same hash query.
+    Latency columns live in the CLI report (timings are not oracle-able);
+    THIS query certifies the accuracy/footprint side of the same grid."""
+    exact5 = q_knn_l2(spark, sf).select("query_id", "vec_id")
+    exact0 = exact5.where(F.col("query_id") == 0).select("vec_id")
+    n_sq8 = q_sq8_search(spark, sf).join(exact5, ["query_id", "vec_id"], "left_semi").count()
+    n_bq = q_bq_search(spark, sf).join(exact0, "vec_id", "left_semi").count()
+    n_mrl = q_mrl_search(spark, sf).join(exact0, "vec_id", "left_semi").count()
+    emb = _t(spark, sf, "embeddings")
+    qv = _hash_embed_py(IVF_QUERY_TEXT, dim=EMB_DIM)
+    qdf = spark.createDataFrame([(0, qv)], "query_id long, query_vec array<double>")
+    exact_pq = K.knn_join(emb, qdf, k=10, metric="l2sq", strategy="crossjoin",
+                          dist_scale=5).select("vec_id")
+    n_pq = q_pq_adc_topk(spark, sf).join(exact_pq, "vec_id", "left_semi").count()
+    rows = [
+        ("float32", "exact scan", 4 * EMB_DIM, 1.0),
+        ("sq8", "dequantized scan", EMB_DIM, round(n_sq8 / 50.0, 6)),
+        ("bq", "hamming x4 + rerank", EMB_DIM // 8, round(n_bq / 10.0, 6)),
+        ("mrl", "prefix 16 of 64 + rerank", EMB_DIM, round(n_mrl / 10.0, 6)),
+        ("pq_adc", "slice codebook 4x8", 4, round(n_pq / 10.0, 6)),
+    ]
+    return spark.createDataFrame(
+        rows, "family string, config string, bytes_per_vec bigint, recall double"
+    )
+
+
 def q_bloom_anti_join(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom-prefiltered anti join (always exact): bloom-fail rows are
     definite non-members and bypass the join entirely; only the plausible
@@ -2345,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prf": q_bm25_prf,
         "search_snippets": q_search_snippets,
         "bq_search": q_bq_search,
+        "compressed_tradeoff": q_compressed_tradeoff,
         "hybrid_rrf": q_hybrid_rrf,
         "maxsim_search": q_maxsim_search,
         "mmr_rerank": q_mmr_rerank,
@@ -5290,6 +5324,48 @@ def _oracle_sql_raw() -> dict[str, str]:
                         + c.q0 * ln(c.q0 / ((c.p0 + c.q0) / 2.0)) / 2.0), 6) AS js_div,
                round(s.tv_obs + (1024.0 - s.n_obs) * abs(c.p0 - c.q0) / 2.0, 6) AS tv_dist
         FROM s, c
+    """
+    # Compressed-family trade-off: composes the already-written family
+    # replays (knn_l2 / sq8_search / bq_search / mrl_search / pq_adc_topk)
+    # as nested CTEs and computes recall@10 per family in SQL — the grid
+    # itself hash-certified, not just its members (r8 verdict #7)
+    sql["compressed_tradeoff"] = f"""
+        WITH exact5 AS ({sql["knn_l2"]}),
+             sq8r AS ({sql["sq8_search"]}),
+             bqr AS ({sql["bq_search"]}),
+             mrlr AS ({sql["mrl_search"]}),
+             pqr AS ({sql["pq_adc_topk"]}),
+             exactpq AS (
+                SELECT vec_id FROM (
+                  SELECT vec_id,
+                         row_number() OVER (
+                           ORDER BY round(list_sum(list_transform(
+                                      range(1, len(dv)+1),
+                                      i -> (dv[i]-qv[i])*(dv[i]-qv[i]))), 5) ASC,
+                                    vec_id ASC) AS rn
+                  FROM (SELECT vec_id, embedding::DOUBLE[] AS dv,
+                               {_ivf_qv_sql()} AS qv
+                        FROM embeddings)
+                ) WHERE rn <= 10),
+             m AS (SELECT
+                (SELECT count(*) FROM sq8r s JOIN exact5 e
+                   ON e.query_id = s.query_id AND e.vec_id = s.vec_id) AS n_sq8,
+                (SELECT count(*) FROM bqr WHERE vec_id IN
+                   (SELECT vec_id FROM exact5 WHERE query_id = 0)) AS n_bq,
+                (SELECT count(*) FROM mrlr WHERE vec_id IN
+                   (SELECT vec_id FROM exact5 WHERE query_id = 0)) AS n_mrl,
+                (SELECT count(*) FROM pqr WHERE vec_id IN
+                   (SELECT vec_id FROM exactpq)) AS n_pq)
+        SELECT 'float32' AS family, 'exact scan' AS config,
+               CAST({4 * EMB_DIM} AS BIGINT) AS bytes_per_vec, 1.0 AS recall FROM m
+        UNION ALL SELECT 'sq8', 'dequantized scan', {EMB_DIM},
+               round(n_sq8 / 50.0, 6) FROM m
+        UNION ALL SELECT 'bq', 'hamming x4 + rerank', {EMB_DIM // 8},
+               round(n_bq / 10.0, 6) FROM m
+        UNION ALL SELECT 'mrl', 'prefix 16 of 64 + rerank', {EMB_DIM},
+               round(n_mrl / 10.0, 6) FROM m
+        UNION ALL SELECT 'pq_adc', 'slice codebook 4x8', 4,
+               round(n_pq / 10.0, 6) FROM m
     """
     return sql
 

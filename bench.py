@@ -192,6 +192,7 @@ def main() -> None:
         "dsir_weights",
         "dsir_select",
         "dsir_select_big",
+        "compressed_tradeoff",
         "corpus_divergence",
         "hll_distinct",
         "dedup_keep_best",

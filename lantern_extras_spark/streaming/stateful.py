@@ -830,3 +830,168 @@ def start_dsir_filter_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming-maintained BM25 corpus statistics + postings (r8 verdict #4)
+# ---------------------------------------------------------------------------
+
+def ingest_bm25_batch(
+    bdf,
+    epoch_id: int,
+    store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of the streaming BM25 index: write THIS batch's
+    document table (`docs/epoch=N`: one (id, dl) row per doc — zero-token
+    docs included, they are part of the ranking universe) and postings
+    (`postings/epoch=N`: one (term, id, tf, dl) row per distinct doc-term).
+    Everything BM25 needs — N, Σdl, per-term df, per-doc tf/dl — is an
+    ADD-merge across epoch partitions (the `ingest_cms_batch` pattern), so
+    `bm25_search_store` serves fresh scores under ingest with NO corpus
+    re-scan: the stats pass reads the narrow doc table and the scoring pass
+    reads only the query terms' postings (parquet term pushdown).
+
+    Idempotence contract: a foreachBatch retry of epoch N OVERWRITES epoch
+    N's partitions (never double-counts); doc ids must be unique across
+    epochs (append-only ingest) — re-ingesting a doc in a LATER epoch is the
+    caller's dedup bug, exactly as for `ingest_dedup_batch`."""
+    if bdf.isEmpty():
+        return
+    from lantern_extras_spark.functions.text import tokens
+
+    staged = bdf.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).persist()
+    try:
+        staged.select(
+            F.col(id_col), F.size("__toks").cast("long").alias("dl")
+        ).write.mode("overwrite").parquet(f"{store_dir}/docs/epoch={int(epoch_id)}")
+        (
+            staged.select(
+                F.col(id_col),
+                F.size("__toks").cast("long").alias("dl"),
+                F.explode("__toks").alias("term"),
+            )
+            .groupBy("term", id_col)
+            .agg(F.count("*").cast("long").alias("tf"), F.first("dl").alias("dl"))
+            .write.mode("overwrite")
+            .parquet(f"{store_dir}/postings/epoch={int(epoch_id)}")
+        )
+    finally:
+        staged.unpersist()
+
+
+def read_bm25_store(spark, store_dir: str, id_col: str = "doc_id"):
+    """(docs, postings) across every epoch partition. docs is the ranking
+    universe (id, dl); postings carry (term, id, tf, dl). Merge-on-read is
+    plain union-of-partitions — the per-epoch writes already reduced to one
+    row per (doc) / (term, doc)."""
+    docs = spark.read.parquet(f"{store_dir}/docs").select(id_col, "dl")
+    posts = spark.read.parquet(f"{store_dir}/postings").select(
+        "term", id_col, "tf", "dl"
+    )
+    return docs, posts
+
+
+def bm25_search_store(
+    spark,
+    store_dir: str,
+    query_terms: list,
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """BM25 top-k served FROM THE STORE — bit-identical to
+    `retrieval.bm25_topk` over the union of every ingested batch (tested),
+    with no scan of the corpus text: stats (N, Σdl) come from the narrow doc
+    table, df/tf/dl from the query terms' postings only (parquet predicate
+    pushdown on `term`). Determinism mirrors `bm25_scores`: contributions
+    are exact-integer-derived doubles summed in query-term DECLARATION order
+    (the postings fold sorts on the term's query index, and skipped zero-tf
+    terms contribute exact 0.0, so the float chain is the batch one);
+    zero-score docs rank by id like the batch path."""
+    from lantern_extras_spark.functions.portable import pround
+    from pyspark.sql.window import Window
+
+    if not query_terms:
+        raise ValueError("bm25_search_store: query_terms must be non-empty")
+    docs, posts = read_bm25_store(spark, store_dir, id_col)
+    stats = docs.agg(
+        F.count("*").alias("__n"), F.sum("dl").alias("__sum_dl")
+    )
+    tmap = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(query_terms)], "term string, __ti int"
+    )
+    hits = posts.join(F.broadcast(tmap), "term")
+    dfreq = hits.groupBy("term").agg(
+        F.countDistinct(id_col).cast("long").alias("__df")
+    )
+    n = F.col("__n").cast("double")
+    avgdl = F.col("__sum_dl").cast("double") / n
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    dft = F.col("__df").cast("double")
+    idf = F.log(F.lit(1.0) + (n - dft + F.lit(0.5)) / (dft + F.lit(0.5)))
+    denom = tf + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * dl / avgdl)
+    contrib = idf * (tf * F.lit(k1 + 1.0)) / denom
+    per_doc = (
+        hits.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.col("__ti"), contrib.alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(F.col("__ti"), F.col("__c")))),
+                F.lit(0.0),
+                lambda acc, e: acc + e["__c"],
+            ).alias("score")
+        )
+    )
+    allscores = (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .withColumn("score", F.coalesce(F.col("score"), F.lit(0.0)))
+    )
+    if round_dp is not None:
+        allscores = allscores.withColumn("score", pround(F.col("score"), round_dp))
+    top = allscores.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint")).select(
+        id_col, "score", "rnk"
+    )
+
+
+def start_bm25_ingest_stream(
+    spark,
+    source_dir: str,
+    source_schema,
+    checkpoint_dir: str,
+    store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+    trigger_seconds: int = 10,
+):
+    """Structured-Streaming wrapper over `ingest_bm25_batch`: a continuously
+    maintained lexical index — `bm25_search_store` answers with fresh scores
+    between micro-batches, the streaming member of the retrieval family
+    (retrieval.bm25_topk is the batch scan)."""
+    stream = spark.readStream.schema(source_schema).parquet(source_dir)
+
+    def write_batch(bdf, epoch_id):
+        ingest_bm25_batch(
+            bdf, epoch_id, store_dir, text_col=text_col, id_col=id_col
+        )
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("append")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -389,3 +389,67 @@ def test_streaming_cms_ingest_and_merge(spark, tmp_path):
     # retry idempotency: re-running an epoch overwrites, never double-counts
     ingest_cms_batch(b2, 1, store, width=64)
     assert as_map(read_cms_store(spark, store)) == as_map(whole)
+
+
+def test_streaming_bm25_store_matches_batch_and_is_idempotent(spark, tmp_path):
+    """foreachBatch BM25 ingest: the store-served search must be IDENTICAL
+    (ids, scores, ranks) to retrieval.bm25_topk over the union of every
+    ingested batch, with fresh results after each epoch; an epoch retry
+    overwrites (never double-counts)."""
+    from pyspark.sql import functions as F
+
+    from lantern_extras_spark.operators.retrieval import bm25_topk
+    from lantern_extras_spark.streaming.stateful import (
+        bm25_search_store,
+        ingest_bm25_batch,
+        start_bm25_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt, store = str(tmp_path / "ckpt"), str(tmp_path / "store")
+    terms = ["spark", "join"]
+    b1 = spark.createDataFrame(
+        [
+            (1, "spark join spark window"),
+            (2, "join merge shuffle"),
+            (3, "totally unrelated words"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    q = start_bm25_ingest_stream(spark, src, b1.schema, ckpt, store)
+    q.awaitTermination(120)
+
+    def served():
+        return [
+            (r["doc_id"], r["score"], r["rnk"])
+            for r in bm25_search_store(spark, store, terms, k=4).collect()
+        ]
+
+    def batch(df):
+        return [
+            (r["doc_id"], r["score"], r["rnk"])
+            for r in bm25_topk(df, terms, k=4).collect()
+        ]
+
+    assert served() == batch(b1)
+
+    # second epoch arrives: stats (N, sum_dl, df) AND postings all shift —
+    # the served ranking must track the new corpus exactly
+    b2 = spark.createDataFrame(
+        [(5, "spark spark spark"), (6, "join words here")],
+        "doc_id long, text string",
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q2 = start_bm25_ingest_stream(spark, src, b1.schema, ckpt, store)
+    q2.awaitTermination(120)
+    both = b1.unionByName(b2)
+    assert served() == batch(both)
+
+    # retry idempotence: re-ingesting epoch 1 rewrites identical partitions
+    ingest_bm25_batch(b2, 1, store)
+    assert served() == batch(both)
+
+    with __import__("pytest").raises(ValueError, match="query_terms"):
+        bm25_search_store(spark, store, [])
