@@ -11,10 +11,13 @@ Decode support is split by codec requirement:
   decoder="numpy")` runs the FULL bytes → pixels → Catmull-Rom 224² CLIP
   preprocess → pooled feature path end to end; `audio_frame_energy` sniffs
   RIFF/WAVE and measures real sample energy at the container's own width.
-- COMPRESSED formats (jpeg/png/gif, mp3/flac/ogg) still need a codec library
-  this container lacks; those rows map to the per-row sentinel (decode
-  failure semantics, U6) and `decoder="pil"` stays an env-gated
-  NotImplementedError STUB for real clusters.
+- PNG decodes for REAL too (`decode_png`): zlib is stdlib, so the full
+  chunk-parse → inflate → per-spec unfilter (all five scanline filters) →
+  palette/gray/alpha handling path runs codec-free (r8 verdict #5).
+- The remaining COMPRESSED formats (jpeg/gif, mp3/flac/ogg) still need a
+  codec library this container lacks; those rows map to the per-row
+  sentinel (decode failure semantics, U6) and `decoder="pil"` stays an
+  env-gated NotImplementedError STUB for real clusters.
 - `decoder="fake"` remains: a deterministic hash-derived feature for
   pipeline tests that want format-independent values.
 
@@ -399,20 +402,128 @@ def decode_bmp(data: bytes):
     return np.ascontiguousarray(rgb)
 
 
+def decode_png(data: bytes):
+    """Decode PNG bytes into an (H, W, 3) uint8 array with PURE stdlib
+    (zlib is the only codec PNG needs) + numpy — no external image library
+    (r8 verdict #5: this un-gates the one compressed format whose codec is
+    in every Python). Supports the standard 8-bit non-interlaced forms:
+    color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA);
+    gray replicates to 3 channels and alpha is dropped (the `decode_bmp`
+    convention). All five scanline filters (None/Sub/Up/Average/Paeth) are
+    unfiltered exactly per the spec; Sub rides a vectorized per-channel
+    cumulative sum, Up a row add, Average/Paeth the sequential per-pixel
+    recurrence the spec defines. Raises ValueError on 16-bit, Adam7
+    interlace, or malformed input."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    SIG = b"\x89PNG\r\n\x1a\n"
+    if len(data) < 8 or data[:8] != SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad PNG dimensions {width}x{height}")
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color}")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE chunk")
+
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    rows = np.frombuffer(raw[: height * (stride + 1)], dtype=np.uint8)
+    rows = rows.reshape(height, stride + 1)
+    filters = rows[:, 0]
+    scan = rows[:, 1:].astype(np.int64)
+    bpp = channels  # bytes per pixel at depth 8
+    recon = np.zeros((height, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        f = int(filters[y])
+        r = scan[y]
+        if f == 0:  # None
+            cur = r & 255
+        elif f == 1:  # Sub: per-channel cumulative sum mod 256
+            cur = np.cumsum(r.reshape(width, bpp), axis=0).reshape(stride) & 255
+        elif f == 2:  # Up
+            cur = (r + prev) & 255
+        elif f == 3:  # Average — recurrence on recon[x-bpp]
+            cur = np.empty(stride, dtype=np.int64)
+            cur[:bpp] = (r[:bpp] + prev[:bpp] // 2) & 255
+            for x in range(bpp, stride):
+                cur[x] = (r[x] + (cur[x - bpp] + prev[x]) // 2) & 255
+        elif f == 4:  # Paeth — recurrence on recon[x-bpp]
+            cur = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (r[x] + pred) & 255
+        else:
+            raise ValueError(f"unknown PNG scanline filter {f}")
+        recon[y] = cur
+        prev = cur
+    px = recon.astype(np.uint8).reshape(height, width, channels)
+    if color == 3:
+        idx = px[:, :, 0].astype(np.int64)
+        if idx.max(initial=0) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[idx]
+    if color in (0, 4):
+        return np.ascontiguousarray(px[:, :, 0:1].repeat(3, axis=2))
+    return np.ascontiguousarray(px[:, :, :3])
+
+
 def decode_image_bytes(data: bytes):
-    """Magic-number dispatch to the codec-free decoders: netpbm (P3/P5/P6)
-    and uncompressed BMP decode for real; compressed formats raise
-    NotImplementedError (codec library env-gated — jpeg/png/gif need one),
+    """Magic-number dispatch to the codec-free decoders: netpbm (P3/P5/P6),
+    uncompressed BMP, and PNG (zlib is stdlib — `decode_png`) decode for
+    real; jpeg/gif raise NotImplementedError (their codecs are env-gated),
     anything else ValueError. Per-row callers map both to the sentinel."""
     head = bytes(data[:4])
     if head[:1] == b"P" and head[1:2] in b"356":
         return decode_ppm(data)
     if head[:2] == b"BM":
         return decode_bmp(data)
-    if head[:3] == b"\xff\xd8\xff" or head == b"\x89PNG" or head[:3] == b"GIF":
+    if head == b"\x89PNG":
+        return decode_png(data)
+    if head[:3] == b"\xff\xd8\xff" or head[:3] == b"GIF":
         raise NotImplementedError(
-            "compressed image decode (jpeg/png/gif) needs a codec library — "
-            "env-gated in this container; PPM/PGM/BMP decode codec-free"
+            "compressed image decode (jpeg/gif) needs a codec library — "
+            "env-gated in this container; PPM/PGM/BMP/PNG decode codec-free"
         )
     raise ValueError(f"unrecognized image payload (head={head!r})")
 

@@ -469,10 +469,141 @@ def test_decode_image_bytes_dispatch():
     assert decode_image_bytes(_bmp24(img)).shape == (2, 2, 3)
     with _pt.raises(NotImplementedError, match="codec"):
         decode_image_bytes(b"\xff\xd8\xff\xe0fakejpeg")
-    with _pt.raises(NotImplementedError, match="codec"):
+    # PNG now decodes for real (zlib is stdlib) — malformed PNG is a
+    # ValueError from the decoder, not an env gate
+    with _pt.raises(ValueError):
         decode_image_bytes(b"\x89PNG\r\n\x1a\nfakepng")
     with _pt.raises(ValueError, match="unrecognized"):
         decode_image_bytes(b"????junk")
+
+
+def _png(img, color_type=2, filters=None, palette=None):
+    """Test-fixture PNG ENCODER (pure stdlib): applies the FORWARD scanline
+    filter per row so decode_png must invert it exactly. img is (H, W, C)
+    uint8 with C matching color_type (3 for RGB, 1 gray/palette-index,
+    2 gray+alpha, 4 RGBA)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = img.shape
+    filters = filters if filters is not None else [0] * h
+    bpp = c
+    flat = img.reshape(h, w * c).astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int64)
+    for y in range(h):
+        cur = flat[y]
+        f = filters[y]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            enc = (cur - left) & 255
+        elif f == 2:
+            enc = (cur - prev) & 255
+        elif f == 3:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            enc = (cur - (left + prev) // 2) & 255
+        elif f == 4:
+            enc = np.empty(w * c, dtype=np.int64)
+            for x in range(w * c):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                cc = prev[x - bpp] if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                enc[x] = (cur[x] - pred) & 255
+        else:
+            raise AssertionError(f)
+        raw.append(f)
+        raw += bytes(int(v) & 255 for v in enc)
+        prev = cur
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(int(v) for v in np.asarray(palette).ravel()))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_decode_png_all_filters_pixel_exact():
+    """Every scanline filter (None/Sub/Up/Average/Paeth) must invert exactly;
+    the decoded pixels must equal the PPM path's on the same image."""
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import decode_image_bytes, decode_png
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    got = decode_png(_png(img, filters=[0, 1, 2, 3, 4]))
+    assert np.array_equal(got, img)
+    # pixel parity with the independent netpbm decoder
+    assert np.array_equal(got, decode_image_bytes(_ppm_p6(img)))
+    # dispatch routes PNG to the real decoder now
+    assert np.array_equal(decode_image_bytes(_png(img)), img)
+
+
+def test_decode_png_color_types():
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import decode_png
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, size=(3, 5, 1), dtype=np.uint8)
+    got = decode_png(_png(gray, color_type=0, filters=[1, 4, 2]))
+    assert np.array_equal(got, gray.repeat(3, axis=2))
+    ga = rng.randint(0, 256, size=(2, 3, 2), dtype=np.uint8)
+    got = decode_png(_png(ga, color_type=4, filters=[3, 4]))
+    assert np.array_equal(got, ga[:, :, 0:1].repeat(3, axis=2))  # alpha dropped
+    rgba = rng.randint(0, 256, size=(2, 2, 4), dtype=np.uint8)
+    got = decode_png(_png(rgba, color_type=6, filters=[4, 1]))
+    assert np.array_equal(got, rgba[:, :, :3])
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8).reshape(2, 2, 1)
+    got = decode_png(_png(idx, color_type=3, palette=pal))
+    assert np.array_equal(got, pal[idx[:, :, 0]])
+
+
+def test_decode_png_rejects_unsupported():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pt
+    from lantern_extras_spark.multimodal.media import decode_png
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = _png(img)
+
+    def patch_ihdr(**kw):
+        w, h, depth, color, comp, filt, inter = 2, 2, 8, 2, 0, 0, 0
+        vals = dict(w=w, h=h, depth=depth, color=color, comp=comp,
+                    filt=filt, inter=inter)
+        vals.update(kw)
+        ihdr = struct.pack(">IIBBBBB", vals["w"], vals["h"], vals["depth"],
+                           vals["color"], vals["comp"], vals["filt"], vals["inter"])
+        body = (struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+                + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+        return good[:8] + body + good[8 + 12 + 13:]
+
+    with _pt.raises(ValueError, match="bit depth"):
+        decode_png(patch_ihdr(depth=16))
+    with _pt.raises(ValueError, match="interlace"):
+        decode_png(patch_ihdr(inter=1))
+    with _pt.raises(ValueError, match="color type"):
+        decode_png(patch_ihdr(color=7))
+    with _pt.raises(ValueError, match="truncated PNG scanline"):
+        decode_png(patch_ihdr(h=99))
+    with _pt.raises(ValueError, match="PLTE"):
+        decode_png(patch_ihdr(color=3))
+    with _pt.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n")  # no chunks at all
 
 
 def test_clip_pooled_feature_golden():
