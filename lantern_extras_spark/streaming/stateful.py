@@ -995,3 +995,101 @@ def start_bm25_ingest_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming IVF vector ingest — the ANN twin of the BM25 store
+# ---------------------------------------------------------------------------
+
+def ingest_ivf_batch(
+    bdf,
+    epoch_id: int,
+    store_dir: str,
+    centroids_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    impl: str = "pandas",
+) -> None:
+    """One micro-batch of the streaming IVF ingest: assign this batch's
+    vectors to FIXED coarse centroids (train-once/assign-many — the DSIR
+    profile pattern; re-cluster via `refresh_semantic_store`'s drift gauge
+    when the corpus moves) and write the epoch's own partition,
+    sub-partitioned by cell so probes prune at the storage layer
+    (`epoch=N/cell=C/`). Cell assignment is a pure function of
+    (vector, centroids), so a foreachBatch retry rewrites identical rows —
+    idempotent via the epoch overwrite, like every store in this module."""
+    if bdf.isEmpty():
+        return
+    from lantern_extras_spark.operators.ivf import assign_cells, load_centroids
+
+    cents = load_centroids(bdf.sparkSession, centroids_dir)
+    assigned = assign_cells(bdf, cents, vec_col, cell_col, impl=impl)
+    assigned.write.partitionBy(cell_col).mode("overwrite").parquet(
+        f"{store_dir}/epoch={int(epoch_id)}"
+    )
+
+
+def ivf_search_store(
+    spark,
+    store_dir: str,
+    centroids_dir: str,
+    query_vec: list,
+    k: int = 10,
+    nprobe: int = 4,
+    metric: str = "l2sq",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF top-k served FROM THE STORE: merge-on-read is plain
+    union-of-partitions (cell assignment never changes under a fixed
+    codebook), and the probe's `cell isin` filter prunes cell DIRECTORIES,
+    so the scan reads only the probed cells of every epoch — fresh results
+    between micro-batches with no re-index. Identical to batch `ivf_topk`
+    over the union of every ingested batch (tested)."""
+    from lantern_extras_spark.operators.ivf import ivf_topk, load_centroids
+
+    cents = load_centroids(spark, centroids_dir)
+    idx = spark.read.parquet(store_dir)
+    return ivf_topk(
+        idx, cents, query_vec, k=k, nprobe=nprobe, metric=metric,
+        vec_col=vec_col, id_col=id_col, cell_col=cell_col,
+    )
+
+
+def start_ivf_ingest_stream(
+    spark,
+    source_dir: str,
+    source_schema,
+    checkpoint_dir: str,
+    store_dir: str,
+    centroids_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    impl: str = "pandas",
+    available_now: bool = True,
+    trigger_seconds: int = 10,
+):
+    """Structured-Streaming wrapper over `ingest_ivf_batch`: a continuously
+    maintained coarse-quantized vector index — `ivf_search_store` answers
+    with fresh neighbors between micro-batches, the streaming member of the
+    ANN family (ivf.ivf_topk is the batch scan; the BM25 store is the
+    lexical twin)."""
+    stream = spark.readStream.schema(source_schema).parquet(source_dir)
+
+    def write_batch(bdf, epoch_id):
+        ingest_ivf_batch(
+            bdf, epoch_id, store_dir, centroids_dir,
+            vec_col=vec_col, id_col=id_col, cell_col=cell_col, impl=impl,
+        )
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("append")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -453,3 +453,72 @@ def test_streaming_bm25_store_matches_batch_and_is_idempotent(spark, tmp_path):
 
     with __import__("pytest").raises(ValueError, match="query_terms"):
         bm25_search_store(spark, store, [])
+
+
+def test_streaming_ivf_store_matches_batch_and_prunes_cells(spark, tmp_path):
+    """foreachBatch IVF ingest under a fixed codebook: store-served top-k
+    must equal batch ivf_topk over the union of every ingested batch, stay
+    fresh after each epoch, survive an epoch retry, and the store scan must
+    prune to the probed cell directories."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lantern_extras_spark.operators.ivf import (
+        assign_cells,
+        ivf_topk,
+        save_centroids,
+    )
+    from lantern_extras_spark.streaming.stateful import (
+        ingest_ivf_batch,
+        ivf_search_store,
+        start_ivf_ingest_stream,
+    )
+
+    rng = np.random.RandomState(3)
+    def batch_df(ids):
+        rows = [(int(i), [float(x) for x in rng.randn(8)]) for i in ids]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = [[float(x) for x in rng.randn(8)] for _ in range(4)]
+    cdir = str(tmp_path / "centroids")
+    save_centroids(spark, cents, cdir)
+    src = str(tmp_path / "src")
+    ckpt, store = str(tmp_path / "ckpt"), str(tmp_path / "store")
+
+    b1 = batch_df(range(0, 40))
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    q = start_ivf_ingest_stream(spark, src, b1.schema, ckpt, store, cdir)
+    q.awaitTermination(120)
+
+    qv = [float(x) for x in rng.randn(8)]
+
+    def served():
+        return [
+            (r["vec_id"], round(r["distance"], 9))
+            for r in ivf_search_store(spark, store, cdir, qv, k=5, nprobe=2).collect()
+        ]
+
+    def batch(df):
+        idx = assign_cells(df, cents)
+        return [
+            (r["vec_id"], round(r["distance"], 9))
+            for r in ivf_topk(idx, cents, qv, k=5, nprobe=2).collect()
+        ]
+
+    assert served() == batch(b1)
+
+    b2 = batch_df(range(40, 70))
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q2 = start_ivf_ingest_stream(spark, src, b1.schema, ckpt, store, cdir)
+    q2.awaitTermination(120)
+    both = b1.unionByName(b2)
+    assert served() == batch(both)
+
+    # retry idempotence
+    ingest_ivf_batch(b2, 1, store, cdir)
+    assert served() == batch(both)
+
+    # storage-layer pruning: the probe filter must reach PartitionFilters
+    plan = ivf_search_store(spark, store, cdir, qv, k=5, nprobe=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200], plan
