@@ -163,6 +163,42 @@ def main() -> dict:
                 r["epoch"] for r in
                 spark.read.parquet(estore).select("epoch").distinct().collect()
             )
+
+        # --- streaming INDEX stores: search stays fresh under ingest -------
+        # BM25 (lexical) and IVF (vector) extend the epoch-partition pattern
+        # from dedup state to full indexes: ingest writes mergeable epoch
+        # partitions, search reads only what the query touches (postings by
+        # term pushdown / probed cell directories) — no corpus re-scan, and
+        # results track every ingested batch exactly.
+        from lantern_extras_spark.operators.ivf import save_centroids
+        from lantern_extras_spark.streaming.stateful import (
+            bm25_search_store,
+            ingest_bm25_batch,
+            ingest_ivf_batch,
+            ivf_search_store,
+        )
+
+        bstore = os.path.join(tmp, "bm25_store")
+        docs1 = spark.createDataFrame(BATCH_1, "doc_id long, text string")
+        docs2 = spark.createDataFrame(BATCH_2, "doc_id long, text string")
+        ingest_bm25_batch(docs1, 0, bstore)
+        ingest_bm25_batch(docs2, 1, bstore)
+        out["bm25_top"] = [
+            int(r["doc_id"])
+            for r in bm25_search_store(spark, bstore, ["spark"], k=3).collect()
+        ]
+
+        cdir = os.path.join(tmp, "ivf_centroids")
+        save_centroids(spark, cents, cdir)
+        istore = os.path.join(tmp, "ivf_store")
+        ingest_ivf_batch(base, 0, istore, cdir)
+        ingest_ivf_batch(drifted, 1, istore, cdir)
+        out["ivf_top"] = [
+            int(r["vec_id"])
+            for r in ivf_search_store(
+                spark, istore, cdir, v(X[2]), k=3, nprobe=2
+            ).collect()
+        ]
         return out
 
 

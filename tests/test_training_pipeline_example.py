@@ -122,3 +122,14 @@ def test_incremental_ingest_refresh_section(ingest_out):
     assert out["drift"] > 0.5
     assert out["refreshed_nlist"] == 3
     assert out["refreshed_epochs"] == [-1]  # consolidated refresh partition
+
+
+def test_incremental_ingest_index_store_section(ingest_out):
+    out = ingest_out
+    # BM25 store: both 'spark' docs (one per ingested batch) outrank the rest
+    assert len(out["bm25_top"]) == 3
+    assert set(out["bm25_top"][:2]) == {2, 13}
+    # IVF store: query ~ X[2] → the base-epoch vectors clustered around
+    # X[0]/X[1] plus the drifted X[3]*5 epoch — nearest must come from the
+    # store and be 3 distinct ids
+    assert len(out["ivf_top"]) == 3 and len(set(out["ivf_top"])) == 3
