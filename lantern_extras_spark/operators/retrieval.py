@@ -352,7 +352,7 @@ def bm25_scores_weighted(
     b: float = 0.75,
     round_dp: int | None = None,
     staged: DataFrame | None = None,
-    max_terms: int = 65536,
+    max_terms: int | None = 65536,
 ) -> DataFrame:
     """BM25 where the query is a DATAFRAME of (term, weight) — the form that
     lets expansion terms come from the corpus itself with no driver
@@ -364,6 +364,10 @@ def bm25_scores_weighted(
     `max_terms` is the fail-loud guard: a caller handing a vocabulary-scale
     term frame gets a ValueError naming the remedy instead of a silent
     driver/broadcast blow-up (the `_check_max_cell` discipline, ivf.py).
+    Pass ``max_terms=None`` ONLY when the frame is bounded by construction
+    (e.g. built with ``.limit(n)`` — `bm25_prf_topk` does this): the probe
+    is a count JOB, and counting an un-cached derived frame re-runs its
+    lineage (measured 1.7× on bm25_prf before the exemption).
 
     Determinism contract: per-(doc, term) contributions are single float
     expressions; the per-doc reduction runs as a TERM-SORTED sequential fold
@@ -376,8 +380,8 @@ def bm25_scores_weighted(
     from the output (callers top-k, so absence == score 0 semantics)."""
     # bounded probe: limit(max_terms+1).count() costs O(max_terms) however
     # large the term frame actually is
-    n_terms = weighted_terms.limit(max_terms + 1).count()
-    if n_terms > max_terms:
+    n_terms = 0 if max_terms is None else weighted_terms.limit(max_terms + 1).count()
+    if max_terms is not None and n_terms > max_terms:
         raise ValueError(
             f"bm25_scores_weighted: weighted_terms has > max_terms="
             f"{max_terms} rows — this frame is broadcast and a "
@@ -462,8 +466,11 @@ def bm25_prf_topk(
     # (heavy_hitters' single-scan contract); the cached projection is
     # (id, tokens) only and spills under MEMORY_AND_DISK at scale
     staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")).cache()
+    # max_terms=None: both term frames are bounded BY CONSTRUCTION (a
+    # len(query_terms) literal frame; ∪ a .limit(n_expansion) frame) and the
+    # guard's count job would re-run pass-1 lineage (measured 1.7×)
     pass1 = bm25_scores_weighted(df, orig, text_col, id_col, k1, b, round_dp,
-                                 staged=staged)
+                                 staged=staged, max_terms=None)
     feedback = (
         pass1.orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(n_feedback).select(id_col)
@@ -479,7 +486,7 @@ def bm25_prf_topk(
     )
     weighted = orig.unionByName(expansion)
     pass2 = bm25_scores_weighted(df, weighted, text_col, id_col, k1, b, round_dp,
-                                 staged=staged)
+                                 staged=staged, max_terms=None)
     top = pass2.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))

@@ -378,6 +378,13 @@ def main() -> None:
         "build_sf1_sec": build_s,
         "queries": results,
         "notes": {
+            "decontaminate_bloom": (
+                "slower ABSOLUTELY than plain decontaminate at sf0.1/sf1 "
+                "(the filter build's fixed cost exceeds the shuffle saved on "
+                "a 10-doc benchmark side) but scales flatter (e 0.19 vs "
+                "0.32): the prefilter pays off when corpus shingle volume, "
+                "not filter build, dominates - the bloom_semi_join story"
+            ),
             "embedding_neardup": (
                 "driver-oracle config (n_planes=6, threshold=0.4): 64 buckets "
                 "and a multi-million-pair true result on the jiggled sf1 corpus "
