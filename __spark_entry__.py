@@ -33,6 +33,7 @@ from lantern_extras_spark.operators import bloom as BL
 from lantern_extras_spark.operators import mrl as MRL
 from lantern_extras_spark.operators import bq as BQ
 from lantern_extras_spark.operators import retrieval as RET
+from lantern_extras_spark.operators import skew as SKW
 from lantern_extras_spark.operators import selection as SEL
 from lantern_extras_spark.operators import sketches as SK
 from lantern_extras_spark.operators import sq as SQ
@@ -1783,6 +1784,44 @@ def q_mrl_search(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("vec_id", "prefix_distance", "l2sq_distance", "rnk")
 
 
+def q_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-key skew profile (operators/skew.py:skew_report — the
+    'is this key safe to shuffle on' gauge the 100 TB checklist demands):
+    exact per-key counts for the top keys, their row share, and the salt
+    factor that bounds the hottest key at target_rows_per_task rows per
+    reducer — the number `salted_join` consumes. One map-side-combining
+    groupBy + TakeOrderedAndProject + broadcast total; exact counts make it
+    a plain GROUP BY to the oracle."""
+    ev = _t(spark, sf, "events")
+    out = SKW.skew_report(ev, "event_type", top_k=10,
+                          target_rows_per_task=1000)
+    return out.select(
+        "event_type", "n", pround("share", 6).alias("share"), "salt_factor"
+    ).orderBy(F.col("n").desc(), F.col("event_type").asc())
+
+
+def q_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe salted equi-join (operators/skew.py:salted_join): the left
+    side carries a deterministic per-row salt, the right side is replicated
+    salt× and the join runs on (key, salt) — a hot key's probe spreads
+    across `salt` reducers while the RESULT is exactly the plain join's
+    (each left row meets the one replica with its salt). Oracle = the plain
+    SQL join; the plan (pinned) shuffles on (l_orderkey, __salt)."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = SKW.salted_join(li, orders, on="l_orderkey", salt=8)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_compressed_tradeoff(spark: SparkSession, sf: str) -> DataFrame:
     """Compressed-kNN family trade-off report (r8 verdict #7 — the CLI's
     compare-compressed, hash-certified): recall@10 vs the exact float scan
@@ -2379,6 +2418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_snippets": q_search_snippets,
         "bq_search": q_bq_search,
         "compressed_tradeoff": q_compressed_tradeoff,
+        "skew_report": q_skew_report,
+        "salted_join": q_salted_join,
         "hybrid_rrf": q_hybrid_rrf,
         "maxsim_search": q_maxsim_search,
         "mmr_rerank": q_mmr_rerank,
@@ -5324,6 +5365,26 @@ def _oracle_sql_raw() -> dict[str, str]:
                         + c.q0 * ln(c.q0 / ((c.p0 + c.q0) / 2.0)) / 2.0), 6) AS js_div,
                round(s.tv_obs + (1024.0 - s.n_obs) * abs(c.p0 - c.q0) / 2.0, 6) AS tv_dist
         FROM s, c
+    """
+    sql["skew_report"] = """
+        WITH tot AS (SELECT count(*) AS total FROM events),
+             c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY event_type)
+        SELECT event_type, n,
+               round(n / CAST(tot.total AS DOUBLE), 6) AS share,
+               CAST(greatest(1, ceil(n / 1000.0)) AS BIGINT) AS salt_factor
+        FROM c, tot
+        ORDER BY n DESC, event_type ASC
+        LIMIT 10
+    """
+    # the salt is an execution-layout detail: the oracle is the PLAIN join
+    sql["salted_join"] = """
+        SELECT o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
     """
     # Compressed-family trade-off: composes the already-written family
     # replays (knn_l2 / sq8_search / bq_search / mrl_search / pq_adc_topk)

@@ -193,6 +193,8 @@ def main() -> None:
         "dsir_select",
         "dsir_select_big",
         "compressed_tradeoff",
+        "skew_report",
+        "salted_join",
         "corpus_divergence",
         "hll_distinct",
         "dedup_keep_best",

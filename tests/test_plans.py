@@ -404,6 +404,32 @@ def test_dsir_select_big_pure_filter_no_driver_merge(spark):
     assert "Window" not in s.text, s.text
 
 
+def test_salted_join_joins_on_salted_key(spark):
+    """The whole point of salting: the JOIN KEYS must be (key, __salt), not
+    the key alone, so under a shuffle join a hot key's probe spreads across
+    salt reducers. (At test scale AQE broadcasts the replicated dim — the
+    key set is strategy-independent, so pin the join node's keys.) Result
+    parity with the plain join is oracle-certified."""
+    import re
+
+    df = E.q_salted_join(spark, SF)
+    s = plan_summary(df)
+    join_lines = [ln for ln in s.text.splitlines() if "HashJoin" in ln]
+    assert join_lines, s.text
+    assert all(
+        re.search(r"\[l_orderkey#\d+L?, __salt#\d+\]", ln) for ln in join_lines
+    ), join_lines
+
+
+def test_skew_report_combines_then_takeordered(spark):
+    """Exact key counts must map-side combine (partial_count) and the top-k
+    must be TakeOrderedAndProject — never a global sort over the key space."""
+    df = E.q_skew_report(spark, SF)
+    s = plan_summary(df)
+    assert "partial_count" in s.text, s.text
+    assert "TakeOrderedAndProject" in s.text, s.text
+
+
 def test_corpus_divergence_bounded_state(spark):
     """Both profiles collapse map-side to <= buckets rows; the outer join of
     the two profiles is bucket-keyed; no cartesian, no window."""
