@@ -110,6 +110,7 @@ def bloom_build(
     k_hashes: int = 5,
     m_bits: int | None = None,
     hash_kind: str = "xxhash64",
+    n: int | None = None,
 ) -> BloomFilter:
     """Build a Bloom filter over a key column, distributed: k double-hash
     positions per key explode into (word, bit) pairs, one partial-aggregated
@@ -117,8 +118,11 @@ def bloom_build(
     (16 MiB at m=2^30 — the driver never sees the keys).
 
     Keys are hashed as strings (`CAST(key AS STRING)`) so the same filter
-    admits the same values regardless of the column's physical type."""
-    n = keys.count()
+    admits the same values regardless of the column's physical type.
+    Pass `n` (the key count) to skip the sizing count job — the join
+    helpers pass it from their cached distinct-key frame."""
+    if n is None:
+        n = keys.count()
     if n == 0:
         return BloomFilter([0], 64, k_hashes, 0, hash_kind)
     if m_bits is None:
@@ -236,13 +240,17 @@ def bloom_semi_join(
 
     Pass a prebuilt `bf` to amortize the filter across several joins."""
     key_col = key_col or big_col
+    kk = keys.select(F.col(key_col).alias(big_col)).distinct()
     if bf is None:
-        bf = bloom_build(keys.select(key_col).distinct(), key_col,
-                         bits_per_key, hash_kind=hash_kind)
+        # the distinct-key frame feeds the sizing count, the position
+        # explode AND (exact=True) the confirm join — persist it so the
+        # distinct shuffle runs once, and size from the cached count
+        kk = kk.persist()
+        bf = bloom_build(kk, big_col, bits_per_key, hash_kind=hash_kind,
+                         n=kk.count())
     pre = big.where(bloom_might_contain(bf, big_col, mode=mode, spark=big.sparkSession))
     if not exact:
         return pre
-    kk = keys.select(F.col(key_col).alias(big_col)).distinct()
     return pre.join(kk, on=big_col, how="left_semi")
 
 
@@ -274,11 +282,13 @@ def bloom_anti_join(
 
     Always exact (the anti join removes the false-positive admissions)."""
     key_col = key_col or big_col
-    if bf is None:
-        bf = bloom_build(keys.select(key_col).distinct(), key_col,
-                         bits_per_key, hash_kind=hash_kind)
-    might = bloom_might_contain(bf, big_col, mode=mode, spark=big.sparkSession)
     kk = keys.select(F.col(key_col).alias(big_col)).distinct()
+    if bf is None:
+        # one distinct shuffle feeds sizing count + build + confirm join
+        kk = kk.persist()
+        bf = bloom_build(kk, big_col, bits_per_key, hash_kind=hash_kind,
+                         n=kk.count())
+    might = bloom_might_contain(bf, big_col, mode=mode, spark=big.sparkSession)
     if single_scan:
         flagged = big.withColumn("__m", might).persist()
         definite_out = flagged.where(~F.col("__m")).drop("__m")

@@ -271,13 +271,16 @@ def test_bloom_anti_join_single_scan(spark):
     projection is persisted and BOTH union branches re-read the cache
     (InMemoryTableScan ×2), so the source scan and the membership probe run
     a single time instead of once per branch."""
+    import re
+
     df = E.q_bloom_anti_join(spark, SF)
     s = plan_summary(df)
     t = s.text
-    # both union branches read the SAME cached relation (the plan text
-    # repeats the cached child under each InMemoryTableScan; at runtime the
-    # InMemoryRelation materializes — and probes the bloom filter — once)
-    assert t.count("InMemoryTableScan") == 2, t
+    # both union branches read the SAME cached flagged relation (the plan
+    # text repeats the cached child under each InMemoryTableScan; at runtime
+    # the InMemoryRelation materializes — and probes the bloom filter —
+    # once). A third cache (the distinct key frame) serves the confirm join.
+    assert len(re.findall(r"InMemoryTableScan \[[^\]]*__m", t)) == 2, t
     assert "InMemoryRelation" in t, t
     assert "LeftAnti" in t, t
     # the membership probe lives INSIDE the cached relation, not above it
