@@ -1093,3 +1093,95 @@ def start_ivf_ingest_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming HNSW ingest — LSM-style epoch shards (graph member of the family)
+# ---------------------------------------------------------------------------
+
+def ingest_hnsw_batch(
+    bdf,
+    epoch_id: int,
+    store_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_shards: int = 4,
+    m: int = 16,
+    ef_construction: int = 64,
+    metric: str = "cos",
+    seed: int = 42,
+) -> None:
+    """One micro-batch of the streaming HNSW ingest: build this batch's own
+    shard graphs (HNSW graphs are immutable artifacts — patching a serialized
+    graph in place is neither safe nor parallel) and write them as the
+    epoch's partition. The store is LSM-shaped: epochs append, search fans
+    out over every epoch's shards (candidate volume q·k·total_shards,
+    independent of corpus size), and a periodic `reindex_hnsw` over the
+    source rows compacts the epoch pile back to one shard set when
+    total_shards outgrows the fan-out budget — the `refresh_semantic_store`
+    role for graphs. Builds are seeded + id-sorted, so an epoch retry
+    rewrites byte-identical graphs (idempotent via the epoch overwrite)."""
+    if bdf.isEmpty():
+        return
+    from lantern_extras_spark.operators.hnsw import build_hnsw_shards
+
+    build_hnsw_shards(
+        bdf, vec_col=vec_col, id_col=id_col, n_shards=n_shards, m=m,
+        ef_construction=ef_construction, metric=metric, seed=seed,
+    ).write.mode("overwrite").parquet(f"{store_dir}/epoch={int(epoch_id)}")
+
+
+def hnsw_search_store(
+    spark,
+    store_dir: str,
+    queries: list,
+    k: int = 10,
+    ef: int | None = None,
+    id_col: str = "vec_id",
+):
+    """Batched HNSW top-k over EVERY epoch's shards in one job: each task
+    deserializes its shard graphs once and answers all queries; one window
+    merges the per-(query, shard) candidates. Fresh vectors are searchable
+    the moment their epoch lands — no graph rebuild on the read path."""
+    from lantern_extras_spark.operators.hnsw import _SHARD_SCHEMA, hnsw_topk_batch
+
+    shards = spark.read.schema(_SHARD_SCHEMA).parquet(store_dir)
+    return hnsw_topk_batch(shards, queries, k=k, ef=ef, id_col=id_col)
+
+
+def start_hnsw_ingest_stream(
+    spark,
+    source_dir: str,
+    source_schema,
+    checkpoint_dir: str,
+    store_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_shards: int = 4,
+    m: int = 16,
+    ef_construction: int = 64,
+    metric: str = "cos",
+    seed: int = 42,
+    available_now: bool = True,
+    trigger_seconds: int = 10,
+):
+    """Structured-Streaming wrapper over `ingest_hnsw_batch`: the graph
+    member of the streaming index family (BM25 = lexical, IVF = coarse
+    quantization, HNSW = navigable graph)."""
+    stream = spark.readStream.schema(source_schema).parquet(source_dir)
+
+    def write_batch(bdf, epoch_id):
+        ingest_hnsw_batch(
+            bdf, epoch_id, store_dir, vec_col=vec_col, id_col=id_col,
+            n_shards=n_shards, m=m, ef_construction=ef_construction,
+            metric=metric, seed=seed,
+        )
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("append")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -690,3 +690,42 @@ def test_decode_wav_pcm_rejects_compressed():
 
     with _pt.raises(Exception):
         decode_wav_pcm(b"RIFF\x00\x00\x00\x00WAVEjunkchunk")
+
+
+# ---------------------------------------------------------------------------
+# Differential fuzz: PNG encode -> decode round-trip (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(1, 9),
+    w=st.integers(1, 9),
+    color=st.sampled_from([0, 2, 4, 6]),
+    seed=st.integers(0, 2**31 - 1),
+    data=st.data(),
+)
+def test_decode_png_roundtrip_fuzz(h, w, color, seed, data):
+    """Random shapes × random pixels × random per-row filters (incl. the
+    sequential Average/Paeth recurrences at width 1 and channel counts
+    1/2/3/4) must round-trip pixel-exact through the hand-written decoder."""
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import decode_png
+
+    c = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h), label="filters"
+    )
+    got = decode_png(_png(img, color_type=color, filters=filters))
+    if color == 2:
+        want = img
+    elif color == 6:
+        want = img[:, :, :3]
+    else:  # gray / gray+alpha replicate channel 0
+        want = img[:, :, 0:1].repeat(3, axis=2)
+    assert np.array_equal(got, want), (h, w, color, filters)

@@ -522,3 +522,76 @@ def test_streaming_ivf_store_matches_batch_and_prunes_cells(spark, tmp_path):
     plan = ivf_search_store(spark, store, cdir, qv, k=5, nprobe=2) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200], plan
+
+
+def test_streaming_hnsw_store_recall_and_freshness(spark, tmp_path):
+    """LSM-style HNSW epochs: vectors are searchable the moment their epoch
+    lands, recall vs the exact scan stays perfect on seeded small shards
+    across the epoch pile, and an epoch retry rewrites byte-identical
+    graphs."""
+    import numpy as np
+
+    from lantern_extras_spark.operators.knn import knn_join
+    from lantern_extras_spark.streaming.stateful import (
+        hnsw_search_store,
+        ingest_hnsw_batch,
+        start_hnsw_ingest_stream,
+    )
+
+    rng = np.random.RandomState(9)
+
+    def batch_df(ids):
+        rows = [(int(i), [float(x) for x in rng.randn(8)]) for i in ids]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    src = str(tmp_path / "src")
+    ckpt, store = str(tmp_path / "ckpt"), str(tmp_path / "store")
+    b1 = batch_df(range(0, 60))
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    q = start_hnsw_ingest_stream(spark, src, b1.schema, ckpt, store,
+                                 n_shards=2, metric="l2sq")
+    q.awaitTermination(120)
+
+    queries = [(0, [float(x) for x in rng.randn(8)]) for _ in range(1)]
+    queries += [(1, [float(x) for x in rng.randn(8)])]
+
+    def served_ids():
+        return {
+            (r["query_id"], r["vec_id"])
+            for r in hnsw_search_store(spark, store, queries, k=5).collect()
+        }
+
+    def exact_ids(df):
+        qdf = spark.createDataFrame(
+            [(qid, v) for qid, v in queries],
+            "query_id long, query_vec array<double>",
+        )
+        return {
+            (r["query_id"], r["vec_id"])
+            for r in knn_join(df, qdf, k=5, metric="l2sq").collect()
+        }
+
+    got1 = served_ids()
+    assert len(got1 & exact_ids(b1)) / len(exact_ids(b1)) >= 0.9
+
+    b2 = batch_df(range(60, 100))
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q2 = start_hnsw_ingest_stream(spark, src, b1.schema, ckpt, store,
+                                  n_shards=2, metric="l2sq")
+    q2.awaitTermination(120)
+    both = b1.unionByName(b2)
+    got2 = served_ids()
+    assert len(got2 & exact_ids(both)) / len(exact_ids(both)) >= 0.9
+    assert got2 != got1  # epoch-2 vectors actually reached the ranking
+
+    # retry idempotence: seeded, id-sorted builds rewrite identical graphs
+    before = {
+        (r["shard"],): bytes(r["index"])
+        for r in spark.read.parquet(f"{store}/epoch=1").collect()
+    }
+    ingest_hnsw_batch(b2, 1, store, n_shards=2, metric="l2sq")
+    after = {
+        (r["shard"],): bytes(r["index"])
+        for r in spark.read.parquet(f"{store}/epoch=1").collect()
+    }
+    assert before == after
