@@ -378,6 +378,15 @@ def main() -> None:
         "build_sf1_sec": build_s,
         "queries": results,
         "notes": {
+            "salted_join": (
+                "deliberately the skew-safety STRATEGY demo on an UNskewed "
+                "key (orderkey): the salt-times right replication is pure "
+                "overhead here and grows with the dim side, hence the steep "
+                "exponent. The op exists for the hot-key regime skew_report "
+                "detects - there the alternative is a straggler/OOM reducer, "
+                "not a faster plain join (error_burst vs error_burst_binned "
+                "precedent)"
+            ),
             "decontaminate_bloom": (
                 "slower ABSOLUTELY than plain decontaminate at sf0.1/sf1 "
                 "(the filter build's fixed cost exceeds the shuffle saved on "
