@@ -108,6 +108,11 @@ def salted_join(
             "right/full outer joins would duplicate null-extended rows per "
             "replica; salt the other side instead."
         )
+    if "__salt" in left.columns or "__salt" in right.columns:
+        raise ValueError(
+            "salted_join: a __salt column already exists on an input — "
+            "rename it first (the op stages its own __salt key)."
+        )
     # salting by a hash OF THE KEY alone would send the hot key to one
     # reducer again — the salt must vary per ROW. Any assignment is correct
     # (see docstring), so hash the whole row: deterministic, uniform enough.

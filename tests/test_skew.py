@@ -69,6 +69,9 @@ def test_salted_join_rejects_right_outer(spark):
         SK.salted_join(df, df, "k", how="full")
     with pytest.raises(ValueError, match="salt must be"):
         SK.salted_join(df, df, "k", salt=0)
+    clash = df.withColumn("__salt", F.lit(1))
+    with pytest.raises(ValueError, match="__salt column already exists"):
+        SK.salted_join(clash, df, "k")
 
 
 def test_salted_join_spreads_hot_key(spark):
