@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 
 
@@ -113,6 +114,54 @@ def cmd_autotune_index(args) -> int:
         "best": dataclasses.asdict(best) if best else None,
         "variants": [dataclasses.asdict(v) for v in variants],
     })
+    spark.stop()
+    return 0
+
+
+def cmd_plan(args) -> int:
+    """Lint a query's physical plan for the known scale antipatterns
+    (single-reducer windows, cartesians, single-partition exchanges,
+    unlimited global sorts, unpushed scan filters) and print the summary —
+    the ops-side form of tests/test_plans.py's pinned guardrails."""
+    from lantern_extras_spark.plans.inspect import lint_plan, plan_summary
+
+    spark = _spark("plan")
+    if args.sql:
+        for spec in args.table or []:
+            name, _, path = spec.partition("=")
+            if not path:
+                raise SystemExit(f"--table expects name=parquet_path, got {spec!r}")
+            spark.read.parquet(path).createOrReplaceTempView(name)
+        df = spark.sql(args.sql)
+        label = "sql"
+    else:
+        sys.path.insert(0, os.getcwd())
+        try:
+            import __spark_entry__ as E
+        except ImportError as exc:
+            raise SystemExit(
+                f"--name needs the driver registry (__spark_entry__.py) on "
+                f"the working directory: {exc}"
+            )
+        qs = E.queries()
+        if args.name not in qs:
+            raise SystemExit(
+                f"unknown query {args.name!r}; registry has {len(qs)} entries"
+            )
+        df = qs[args.name](spark, args.sf_dir)
+        label = args.name
+    s = plan_summary(df)
+    findings = lint_plan(df)
+    _json({
+        "query": label,
+        "n_shuffles": s.n_shuffles,
+        "n_broadcasts": s.n_broadcasts,
+        "pushed_filters": s.pushed_filters[:10],
+        "findings": findings,
+        "clean": not any(f["severity"] == "warn" for f in findings),
+    })
+    if args.show_plan:
+        print(s.text)
     spark.stop()
     return 0
 
@@ -477,6 +526,21 @@ def build_parser() -> argparse.ArgumentParser:
     at.add_argument("--target-recall", type=float, default=99.9)
     at.add_argument("--results-dir", default=None, help="N6 results cache dir")
     at.set_defaults(fn=cmd_autotune_index)
+
+    pl = sub.add_parser("plan",
+                        help="lint a query's physical plan for scale "
+                             "antipatterns (windows w/o partition, cartesian, "
+                             "single-partition exchange, unlimited global "
+                             "sort, unpushed scan filters)")
+    g = pl.add_mutually_exclusive_group(required=True)
+    g.add_argument("--name", help="registry query name (__spark_entry__)")
+    g.add_argument("--sql", help="ad-hoc SQL to lint")
+    pl.add_argument("--table", action="append",
+                    help="name=parquet_path view binding for --sql (repeatable)")
+    pl.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                    help="sf dir handed to a registry query")
+    pl.add_argument("--show-plan", action="store_true")
+    pl.set_defaults(fn=cmd_plan)
 
     cc = sub.add_parser("compare-compressed",
                         help="recall/latency/bytes report across float32, SQ8, BQ, PQ")

@@ -97,3 +97,91 @@ def assert_partition_pruned(df: DataFrame, column: str, values: list) -> PlanSum
 
 def count_shuffles(df: DataFrame) -> int:
     return plan_summary(df).n_shuffles
+
+
+# ---------------------------------------------------------------------------
+# Plan linting: turn the 100 TB antipattern checklist into a report
+# ---------------------------------------------------------------------------
+
+#: (rule, severity, explanation) — the antipatterns the round verdicts and
+#: measured pitfalls keep finding; each is cheap to detect in the plan text.
+LINT_RULES = {
+    "global-window": (
+        "warn",
+        "Window with no PARTITION BY moves every row to ONE reducer — use "
+        "TakeOrderedAndProject (orderBy().limit()) or two-phase partials",
+    ),
+    "cartesian": (
+        "warn",
+        "CartesianProduct scales as |L|x|R| with BOTH sides shuffled — "
+        "almost never what you want",
+    ),
+    "broadcast-nested-loop": (
+        "info",
+        "BroadcastNestedLoopJoin is |L|x|broadcast side| — the standard "
+        "1-row scalar-attach (crossJoin of a broadcast aggregate) is fine; "
+        "verify the broadcast side is bounded by construction",
+    ),
+    "single-partition-exchange": (
+        "warn",
+        "Exchange SinglePartition serializes ROW DATA through one task "
+        "(a keyless final aggregate above it is exempt — its input is one "
+        "combined partial row per upstream task, bounded by construction)",
+    ),
+    "global-sort": (
+        "info",
+        "rangepartitioning global sort without a limit — legitimate for "
+        "ordered output, a bottleneck when a top-k was meant",
+    ),
+    "unpushed-filter-over-scan": (
+        "info",
+        "a Filter sits directly on a parquet scan with no PushedFilters — "
+        "the predicate may not be pushable (UDF/complex expr), or a cast is "
+        "blocking pushdown",
+    ),
+}
+
+
+def lint_plan(df: DataFrame) -> list[dict]:
+    """Scan the executed plan for the known scale antipatterns and return
+    findings as [{rule, severity, detail}]. Empty list = nothing flagged.
+    The rules encode this repo's measured pitfalls (single-reducer ranking
+    windows, accidental cartesians, unpushed predicates) so ops can lint a
+    new query the way tests/test_plans.py pins the registry's."""
+    s = plan_summary(df)
+    lines = s.text.splitlines()
+    findings: list[dict] = []
+
+    def add(rule: str, detail: str) -> None:
+        sev, why = LINT_RULES[rule]
+        findings.append({"rule": rule, "severity": sev,
+                         "detail": detail.strip()[:200], "why": why})
+
+    for i, ln in enumerate(lines):
+        t = ln.strip().lstrip("+-:* ")
+        if t.startswith("Window "):
+            # partitioned windows print three bracket groups
+            # (exprs, partition cols, ordering); global ones only two
+            groups = re.findall(r"\[[^\]]*\]", t)
+            if len(groups) < 3:
+                add("global-window", t)
+        if "CartesianProduct" in t:
+            add("cartesian", t)
+        elif "BroadcastNestedLoopJoin" in t:
+            add("broadcast-nested-loop", t)
+        if "Exchange SinglePartition" in t:
+            # a keyless FINAL aggregate directly above consumes one combined
+            # partial row per task — bounded; real row data through one
+            # task is the case worth flagging
+            parent = " ".join(lines[max(0, i - 2):i])
+            if not re.search(r"Aggregate\(keys=\[\]", parent):
+                add("single-partition-exchange", t)
+    if "rangepartitioning" in s.text and "TakeOrderedAndProject" not in s.text:
+        if not re.search(r"(GlobalLimit|CollectLimit)", s.text):
+            add("global-sort", "rangepartitioning exchange with no limit")
+    for i, ln in enumerate(lines):
+        if "Scan parquet" in ln and "PushedFilters: []" in ln:
+            above = " ".join(lines[max(0, i - 2):i])
+            if re.search(r"\bFilter\b", above):
+                add("unpushed-filter-over-scan", ln)
+    return findings

@@ -262,3 +262,19 @@ def test_cli_release_gate_typod_split_col_fails_loudly(tmp_path):
                if ln.startswith("{"))
     assert rep["gate_ok"] is False
     assert rep["split_col_missing"] == "splitt"
+
+
+def test_cli_plan_lint(tmp_path):
+    (rep,) = _run(
+        "plan", "--name", "dsir_select_big", "--sf-dir", SF,
+    )
+    assert rep["query"] == "dsir_select_big"
+    assert rep["clean"] is True, rep["findings"]
+    # ad-hoc SQL with a deliberate global window must be flagged
+    (rep2,) = _run(
+        "plan", "--sql",
+        "SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS r FROM docs",
+        "--table", f"docs={SF}/documents.parquet",
+    )
+    assert rep2["clean"] is False
+    assert any(f["rule"] == "global-window" for f in rep2["findings"])

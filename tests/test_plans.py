@@ -561,3 +561,34 @@ def test_dup_rate_sketch_partial_max_bounded(spark):
     s = plan_summary(df)
     assert "partial_max" in s.text, s.text
     assert "Window" not in s.text, s.text
+
+
+def test_lint_plan_flags_known_antipatterns(spark):
+    """lint_plan must flag the global window, the cartesian, and nothing on
+    a clean TakeOrdered plan (the rules encode this repo's measured
+    pitfalls)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from lantern_extras_spark.plans.inspect import lint_plan
+
+    df = spark.range(100).withColumn("g", F.pmod("id", F.lit(5)))
+
+    global_win = df.withColumn("r", F.row_number().over(W.orderBy("id")))
+    rules = {f["rule"] for f in lint_plan(global_win)}
+    assert "global-window" in rules
+
+    part_win = df.withColumn(
+        "r", F.row_number().over(W.partitionBy("g").orderBy("id"))
+    )
+    rules = {f["rule"] for f in lint_plan(part_win)}
+    assert "global-window" not in rules
+
+    cart = df.crossJoin(spark.range(3).withColumnRenamed("id", "j"))
+    rules = {f["rule"] for f in lint_plan(cart)}
+    # a tiny side broadcasts (BNL, info); a true CartesianProduct warns
+    assert rules & {"cartesian", "broadcast-nested-loop"}, rules
+
+    clean = df.orderBy(F.col("id").desc()).limit(5)
+    findings = lint_plan(clean)
+    assert not any(f["severity"] == "warn" for f in findings), findings
