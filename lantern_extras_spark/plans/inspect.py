@@ -108,8 +108,16 @@ def count_shuffles(df: DataFrame) -> int:
 LINT_RULES = {
     "global-window": (
         "warn",
-        "Window with no PARTITION BY moves every row to ONE reducer — use "
-        "TakeOrderedAndProject (orderBy().limit()) or two-phase partials",
+        "ordered Window with no PARTITION BY moves every input row to ONE "
+        "reducer — use TakeOrderedAndProject (orderBy().limit()) or "
+        "two-phase partials, or bound the window's input (a sample/limit) "
+        "if you know the cardinality the plan cannot show",
+    ),
+    "global-window-over-limit": (
+        "info",
+        "ordered partition-less Window, but a limit appears below it — the "
+        "rank-after-top-k idiom; verify the window consumes the limited "
+        "side, not the raw corpus",
     ),
     "cartesian": (
         "warn",
@@ -160,10 +168,20 @@ def lint_plan(df: DataFrame) -> list[dict]:
     for i, ln in enumerate(lines):
         t = ln.strip().lstrip("+-:* ")
         if t.startswith("Window "):
-            # partitioned windows print three bracket groups
-            # (exprs, partition cols, ordering); global ones only two
+            # plan format: Window [exprs], [partition cols], [ordering] —
+            # three groups = partitioned; two groups = EITHER partitioned
+            # with no ordering (second group has no ASC/DESC; fine) OR a
+            # GLOBAL ordered window (second group is the ordering; the
+            # single-reducer case). Root-first printing means a limit BELOW
+            # the window appears later in the text.
             groups = re.findall(r"\[[^\]]*\]", t)
-            if len(groups) < 3:
+            if len(groups) == 2 and re.search(r"\b(ASC|DESC)\b", groups[1]):
+                rest = "\n".join(lines[i + 1:])
+                if re.search(r"TakeOrderedAndProject|GlobalLimit|CollectLimit", rest):
+                    add("global-window-over-limit", t)
+                else:
+                    add("global-window", t)
+            elif len(groups) < 2:
                 add("global-window", t)
         if "CartesianProduct" in t:
             add("cartesian", t)
