@@ -286,3 +286,39 @@ def test_streaming_dsir_filter(spark, tmp_path):
     # retry idempotency: re-running the epoch leaves the output unchanged
     ingest_dsir_batch(batch, 0, out, rp, tp, min_logw=0.0, buckets=B)
     assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1000]
+
+
+def test_select_cutoff_handles_heavy_key_ties(spark):
+    """Many identical sel_keys across the boundary: the cutoff path must
+    still pick the exact TakeOrdered set (id tie-break at the boundary
+    row). Identical TEXTS give identical dsir_logw; pround(6) keeps distinct
+    Gumbel keys apart, so force ties by making the weights dominate: all-
+    same text -> logw equal -> keys differ only by Gumbel. Instead pin ties
+    directly through the generic kernel with a constant key column."""
+    from lantern_extras_spark.operators.selection import _cutoff_top_n
+    from pyspark.sql import functions as F
+
+    # 60 rows, ALL the same key: selection must be the n smallest ids
+    df = spark.range(60).select(
+        F.col("id").alias("doc_id"), F.lit(1.5).alias("k")
+    )
+    for n in (1, 7, 59):
+        got = sorted(
+            r["doc_id"]
+            for r in _cutoff_top_n(df, n, "k", "doc_id", 50, 10_000,
+                                   "test").collect()
+        )
+        assert got == list(range(n)), (n, got)
+    # mixed: 30 rows at key 2.0, 30 at 1.0; n straddles the tie block
+    df2 = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 2.0).otherwise(1.0).alias("k"),
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in _cutoff_top_n(df2, 40, "k", "doc_id", 50, 10_000,
+                               "test").collect()
+    )
+    evens = [i for i in range(60) if i % 2 == 0]          # all 30 key-2.0 rows
+    odds_first10 = [i for i in range(60) if i % 2 == 1][:10]  # 10 smallest ids at 1.0
+    assert got == sorted(evens + odds_first10), got

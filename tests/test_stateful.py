@@ -595,3 +595,26 @@ def test_streaming_hnsw_store_recall_and_freshness(spark, tmp_path):
         for r in spark.read.parquet(f"{store}/epoch=1").collect()
     }
     assert before == after
+
+
+def test_bm25_store_duplicate_query_terms_match_batch(spark, tmp_path):
+    """A repeated query term must double-count exactly as the batch scorer
+    does (each occurrence is one declaration-order contribution)."""
+    from lantern_extras_spark.operators.retrieval import bm25_topk
+    from lantern_extras_spark.streaming.stateful import (
+        bm25_search_store,
+        ingest_bm25_batch,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "spark spark join"), (2, "join join join"), (3, "other words")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    ingest_bm25_batch(df, 0, store)
+    terms = ["spark", "join", "spark"]  # 'spark' weighted twice
+    served = [(r["doc_id"], r["score"], r["rnk"])
+              for r in bm25_search_store(spark, store, terms, k=3).collect()]
+    batch = [(r["doc_id"], r["score"], r["rnk"])
+             for r in bm25_topk(df, terms, k=3).collect()]
+    assert served == batch
