@@ -238,7 +238,14 @@ def bloom_semi_join(
     friendly form when a ~1% admission error is acceptable and the join
     shuffle is not.
 
-    Pass a prebuilt `bf` to amortize the filter across several joins."""
+    Pass a prebuilt `bf` to amortize the filter across several joins.
+
+    Caching: with bf=None and exact=True the distinct-key frame stays
+    persisted because the returned plan's confirm join reads it — the
+    CALLER owns its lifetime (it is unpersisted by Spark's LRU, or
+    explicitly via `spark.catalog.clearCache()` / acting on the returned
+    plan once and discarding it). With exact=False it is unpersisted here
+    before returning (the prefilter output never references it)."""
     key_col = key_col or big_col
     kk = keys.select(F.col(key_col).alias(big_col)).distinct()
     if bf is None:
@@ -248,6 +255,10 @@ def bloom_semi_join(
         kk = kk.persist()
         bf = bloom_build(kk, big_col, bits_per_key, hash_kind=hash_kind,
                          n=kk.count())
+        if not exact:
+            # the returned plan never references kk — holding the cache
+            # would leak one relation per call until LRU eviction
+            kk.unpersist()
     pre = big.where(bloom_might_contain(bf, big_col, mode=mode, spark=big.sparkSession))
     if not exact:
         return pre
@@ -280,8 +291,20 @@ def bloom_anti_join(
     single-scan default wins whenever the probe runs the broadcast
     pandas-UDF path (the probe, not the IO, is the bottleneck there).
 
-    Always exact (the anti join removes the false-positive admissions)."""
+    Always exact (the anti join removes the false-positive admissions).
+
+    Caching: with bf=None the distinct-key frame stays persisted (the
+    confirmed branch of the returned plan reads it), and with
+    single_scan=True so does the flagged projection — the CALLER owns both
+    lifetimes (act on the returned plan, then let LRU evict or clear the
+    cache explicitly)."""
     key_col = key_col or big_col
+    if single_scan and "__m" in big.columns:
+        raise ValueError(
+            "bloom_anti_join: a __m column already exists on the big side — "
+            "rename it first (single_scan stages its own __m flag), or pass "
+            "single_scan=False."
+        )
     kk = keys.select(F.col(key_col).alias(big_col)).distinct()
     if bf is None:
         # one distinct shuffle feeds sizing count + build + confirm join

@@ -319,6 +319,29 @@ def dsir_select(
     )
 
 
+def _pick_cutoff(band, n: int, m_hi: int, op: str):
+    """Pick the boundary (key, id) at in-band rank ``n - m_hi`` from the
+    sorted band. Fail-loud when bracket counts and band contents disagree
+    (percentile_approx's rank error exceeding the 2x margin `d` would
+    otherwise wrap to a negative index and silently select the wrong
+    cutoff row — the one silent-wrong-answer path in an op that promises
+    fail-loud behavior)."""
+    if m_hi >= n:
+        raise ValueError(
+            f"{op}: approx-quantile bracket missed — {m_hi} rows above the "
+            f"high cutoff but n={n}; the quantile rank error exceeded the "
+            f"2x margin. Raise quantile_accuracy."
+        )
+    if n - m_hi > len(band):
+        raise ValueError(
+            f"{op}: boundary band holds {len(band)} rows but the cutoff row "
+            f"is at in-band rank {n - m_hi} — bracket counts and band "
+            f"contents disagree (quantile rank error exceeded the 2x "
+            f"margin). Raise quantile_accuracy."
+        )
+    return band[n - m_hi - 1]
+
+
 def _cutoff_top_n(
     keyed: DataFrame,
     n: int,
@@ -368,7 +391,7 @@ def _cutoff_top_n(
             ((r["__k"], r["__id"]) for r in kd.where(band_pred).collect()),
             key=lambda t: (-t[0], t[1]),
         )
-        t_key, t_id = band[n - m_hi - 1]
+        t_key, t_id = _pick_cutoff(band, n, m_hi, op)
     finally:
         kd.unpersist()
     return keyed.where(

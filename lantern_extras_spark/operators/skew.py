@@ -77,6 +77,16 @@ def skew_report(
     )
 
 
+def _left_salt_expr(left: DataFrame, salt: int, salt_seed: str):
+    """The left-side salt assignment used by `salted_join` (exposed so tests
+    pin the spread property against the real expression)."""
+    lcols = [F.col(c) for c in left.columns]
+    return F.pmod(
+        F.xxhash64(*lcols, F.monotonically_increasing_id(), F.lit(salt_seed)),
+        F.lit(salt),
+    ).cast("int")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -114,11 +124,16 @@ def salted_join(
             "rename it first (the op stages its own __salt key)."
         )
     # salting by a hash OF THE KEY alone would send the hot key to one
-    # reducer again — the salt must vary per ROW. Any assignment is correct
-    # (see docstring), so hash the whole row: deterministic, uniform enough.
-    lcols = [F.col(c) for c in left.columns]
-    lsalt = F.pmod(F.xxhash64(*lcols, F.lit(salt_seed)), F.lit(salt)).cast("int")
-    l2 = left.withColumn("__salt", lsalt)
+    # reducer again — the salt must vary per ROW. Hashing the whole row is
+    # not enough either: fully duplicate rows (a common shape of hot-key
+    # skew, e.g. repeated identical events) would all collide on one salt
+    # and the hot key would stay unspread. Any assignment is correct (see
+    # docstring), so mix in monotonically_increasing_id() — a per-row
+    # disambiguator (partition id << 33 | row position) that spreads exact
+    # duplicates too. It is stable within one plan execution (the salt
+    # travels with the row through the shuffle), which is all correctness
+    # needs; across runs the assignment may differ, the output never does.
+    l2 = left.withColumn("__salt", _left_salt_expr(left, salt, salt_seed))
     r2 = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     ).withColumn("__salt", F.col("__salt").cast("int"))

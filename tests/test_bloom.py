@@ -106,3 +106,29 @@ def test_bad_geometry_raises(spark, frames):
     _, keys = frames
     with pytest.raises(ValueError, match="power of two"):
         BL.bloom_build(keys, "k", m_bits=1000)
+
+
+def test_anti_join_guards_preexisting_m_column(spark, frames):
+    """single_scan stages a __m flag; a pre-existing __m would be silently
+    overwritten and dropped from the output — must raise instead (same
+    guard class as salted_join's __salt)."""
+    big, keys = frames
+    clash = big.withColumn("__m", F.lit("user-data"))
+    with pytest.raises(ValueError, match="__m column already exists"):
+        BL.bloom_anti_join(clash, keys, "k")
+    # the two-scan form never stages __m, so it must still work
+    out = BL.bloom_anti_join(clash, keys, "k", single_scan=False)
+    assert "__m" in out.columns
+    assert out.count() == big.join(keys, "k", "left_anti").count()
+
+
+def test_semi_inexact_does_not_leak_cached_relation(spark, frames):
+    """With exact=False the distinct-key frame is not referenced by the
+    returned plan — it must be unpersisted before returning, not left to
+    LRU eviction (one leaked relation per call otherwise)."""
+    big, keys = frames
+    sc = spark.sparkContext
+    n_cached = lambda: sc._jsc.sc().getPersistentRDDs().size()
+    before = n_cached()
+    BL.bloom_semi_join(big, keys, "k", exact=False).count()
+    assert n_cached() <= before

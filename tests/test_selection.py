@@ -322,3 +322,20 @@ def test_select_cutoff_handles_heavy_key_ties(spark):
     evens = [i for i in range(60) if i % 2 == 0]          # all 30 key-2.0 rows
     odds_first10 = [i for i in range(60) if i % 2 == 1][:10]  # 10 smallest ids at 1.0
     assert got == sorted(evens + odds_first10), got
+
+
+def test_cutoff_pick_fails_loud_on_bracket_miss():
+    """If percentile_approx's rank error ever exceeded the 2x margin, the
+    cutoff index would wrap negative (m_hi >= n) or run past the band —
+    both must raise naming the remedy, never silently pick a wrong row."""
+    import pytest
+
+    from lantern_extras_spark.operators.selection import _pick_cutoff
+
+    band = [(2.0, 1), (1.5, 2), (1.0, 3)]
+    # normal pick: rank n - m_hi within the band
+    assert _pick_cutoff(band, n=7, m_hi=5, op="t") == (1.5, 2)
+    with pytest.raises(ValueError, match="quantile_accuracy"):
+        _pick_cutoff(band, n=5, m_hi=5, op="t")  # m_hi >= n -> negative wrap
+    with pytest.raises(ValueError, match="quantile_accuracy"):
+        _pick_cutoff(band, n=9, m_hi=5, op="t")  # rank 4 > len(band)=3

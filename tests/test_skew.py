@@ -77,13 +77,27 @@ def test_salted_join_rejects_right_outer(spark):
 def test_salted_join_spreads_hot_key(spark):
     """The hot key's rows must land on multiple salt values — the whole
     point. (Any assignment is CORRECT; this asserts the balance holds for
-    the row-hash we chose.)"""
+    the assignment salted_join actually uses.)"""
     left = _skewed(spark)
-    lcols = [F.col(c) for c in left.columns]
-    salted = left.withColumn(
-        "__salt", F.pmod(F.xxhash64(*lcols, F.lit("salt")), F.lit(8))
-    )
+    salted = left.withColumn("__salt", SK._left_salt_expr(left, 8, "salt"))
     n_salts = (
         salted.where(F.col("k") == 1).select("__salt").distinct().count()
     )
     assert n_salts >= 6  # 300 rows over 8 buckets: all 8 expected, 6 is safe
+
+
+def test_salted_join_spreads_duplicate_rows(spark):
+    """Fully DUPLICATE rows (repeated identical events — a common hot-key
+    shape) must still spread: a whole-row hash alone would send them all to
+    one salt value. The per-row disambiguator fixes that."""
+    left = spark.createDataFrame(
+        [(1, "same-event")] * 400, "k long, payload string"
+    ).repartition(8)
+    salted = left.withColumn("__salt", SK._left_salt_expr(left, 8, "salt"))
+    n_salts = salted.select("__salt").distinct().count()
+    assert n_salts >= 6
+    # and the join output is still exactly the plain join's
+    right = spark.createDataFrame([(1, "dim1")], "k long, dim string")
+    out = SK.salted_join(left, right, on="k", salt=8)
+    assert out.count() == 400
+    assert out.select("dim").distinct().collect()[0]["dim"] == "dim1"
