@@ -1073,6 +1073,29 @@ def q_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_knn_chunked(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact large-vs-large kNN (operators/knn.py strategy='chunked'): the
+    query side is hash-split into bounded blocks (chunk_size=8 forces ~4
+    blocks here), each broadcast through the partial kernel, block frames
+    unioned, one finishing window. Removes the 100k driver ceiling that
+    previously routed exact ground truth onto the ANN path (ref
+    lantern_cli/src/index_autotune/mod.rs:196-203 semantics at N3 scale).
+    Must hash-match the plain crossjoin/SQL answer exactly."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    data = emb.where(F.col("vec_id") >= 30)
+    out = K.knn_join(
+        data, q, k=10, metric="cos", strategy="chunked", dist_scale=6,
+        chunk_size=8,
+    )
+    return out.select(
+        "query_id", "vec_id", F.col("distance").alias("cos_distance"),
+        F.col("rank").cast("bigint").alias("rnk"),
+    )
+
+
 def q_knn_partial_strategy(spark: SparkSession, sf: str) -> DataFrame:
     """The scale-path kNN strategy (mapInPandas partial top-k). Output columns
     mirror q_knn_cos so the same DuckDB oracle hash-checks both strategies —
@@ -2372,6 +2395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplication_share": q_duplication_share,
         "pq_adc_topk": q_pq_adc_topk,
         "knn_partial_strategy": q_knn_partial_strategy,
+        "knn_chunked": q_knn_chunked,
         "ivf_pq_search": q_ivf_pq_search,
         "hnsw_recall": q_hnsw_recall,
         "ngram_containment": q_ngram_containment,
@@ -3295,6 +3319,11 @@ def _oracle_sql_raw() -> dict[str, str]:
     # the partial-topk kNN strategy must reproduce the crossjoin plan's answer,
     # so it shares knn_cos's oracle verbatim.
     sql["knn_partial_strategy"] = sql["knn_cos"]
+    # chunked kNN must also be exact: same oracle shape as knn_cos, with the
+    # wider 30-query split that forces multiple chunk blocks.
+    sql["knn_chunked"] = sql["knn_cos"].replace("vec_id < 5", "vec_id < 30").replace(
+        "vec_id >= 5", "vec_id >= 30"
+    )
     sql["error_burst_binned"] = sql["error_burst"]
     sql["minhash_lsh_pairs"] = _minhash_lsh_pairs_sql()
     sql["simhash_pairs"] = _simhash_pairs_sql()

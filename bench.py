@@ -86,6 +86,7 @@ def main() -> None:
         "vector_distances",
         "knn_cos",
         "knn_partial_strategy",
+        "knn_chunked",
         "label_vector_stats",
         "embed_documents",
         "doc_search",

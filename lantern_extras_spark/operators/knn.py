@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -43,6 +44,11 @@ from lantern_extras_spark.functions.portable import pround
 # the driver (VERDICT r6 item 2: an unguarded .collect() turns a mistakenly
 # huge query side into a driver OOM instead of an actionable error)
 MAX_COLLECTED_QUERIES = 100_000
+
+# per-task distance-matrix budget for the partial kernel (doubles): query
+# slices are sized so batch_rows x slice stays under this — executor memory
+# stays bounded no matter how large the broadcast query block is
+_Q_BLOCK_ELEMS = 4_000_000
 from lantern_extras_spark.functions.vector import cos_dist, hamming_dist, inner_product, l2sq_dist
 
 METRICS = ("l2sq", "cos", "hamming", "dot")
@@ -114,12 +120,27 @@ def knn_join(
     qvec_col: str = "query_vec",
     strategy: str = "partial",
     dist_scale: int | None = None,
+    chunk_size: int = 50_000,
 ) -> DataFrame:
     """Batch exact kNN: for every query row, the k nearest data rows.
 
     Returns (qid_col, id_col, distance, rank). `strategy`:
-    - "partial" (default, the 100 TB path): broadcast queries into an Arrow-batched
-      kernel that emits per-batch top-k, then one window over the reduced set.
+    - "partial" (default, the 100 TB path for BOUNDED query sets): broadcast
+      queries into an Arrow-batched kernel that emits per-batch top-k, then
+      one window over the reduced set. Fail-louds above MAX_COLLECTED_QUERIES.
+    - "chunked": EXACT large-vs-large — the query side is hash-split into
+      ceil(q / chunk_size) disjoint blocks; each block is collected within
+      the driver cap, broadcast, and run through the partial kernel; the
+      per-block frames are unioned and one finishing window ranks per query
+      (blocks partition the queries, so no cross-block merge is needed).
+      The driver never holds more than one block (<= chunk_size rows) at a
+      time, removing the partial strategy's 100k ceiling while keeping the
+      answer exact. Costs: the data side is scanned once per block (exact
+      kNN's O(n*q) distance work is irreducible — persist `data` to
+      amortize IO when it fits), and executors hold ~q*d*8 bytes of query
+      broadcasts across the union's stages. For query sides where that
+      footprint is too large, `ivf.ivf_knn_join` is the (approximate)
+      both-sides-distributed alternative.
     - "crossjoin": pure-DataFrame broadcast join + window (oracle-friendly).
 
     `dist_scale` rounds the distance *before* ranking (with (distance, id) tie-break)
@@ -127,6 +148,11 @@ def knn_join(
     """
     if metric not in METRICS:
         raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
+    if strategy == "chunked":
+        return _knn_join_chunked(
+            data, queries, k, metric, id_col, vec_col, qid_col, qvec_col,
+            dist_scale, chunk_size,
+        )
     if strategy == "crossjoin":
         d = distance_col(metric, F.col(vec_col), F.col(qvec_col))
         if dist_scale is not None:
@@ -153,11 +179,133 @@ def knn_join(
     if len(qrows) > MAX_COLLECTED_QUERIES:
         raise ValueError(
             f"strategy='partial' collects the query side to the driver and it "
-            f"exceeds {MAX_COLLECTED_QUERIES} rows; for large-vs-large use "
-            "ivf.ivf_knn_join (both sides distributed through shared IVF "
-            "cells) or strategy='crossjoin' with an explicitly broadcastable "
-            "query frame"
+            f"exceeds {MAX_COLLECTED_QUERIES} rows; for exact large-vs-large "
+            "use strategy='chunked' (bounded query blocks, never more than "
+            "one on the driver), or ivf.ivf_knn_join for the approximate "
+            "both-sides-distributed path"
         )
+    partial = _partial_frame(
+        data, qrows, k, metric, id_col, vec_col, qid_col, dist_scale
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, "distance", "rank")
+    )
+
+
+def _knn_join_chunked(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str,
+    id_col: str,
+    vec_col: str,
+    qid_col: str,
+    qvec_col: str,
+    dist_scale: int | None,
+    chunk_size: int,
+) -> DataFrame:
+    """strategy='chunked' body: bounded query blocks -> union of partial
+    frames -> one finishing window. See knn_join's docstring for the cost
+    model. The qid hash-split is uniform, and chunk_size is capped at
+    MAX_COLLECTED_QUERIES // 2 so even a 2x hash imbalance stays inside the
+    driver ceiling; an actual breach still fail-louds."""
+    if chunk_size < 1:
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
+    if chunk_size > MAX_COLLECTED_QUERIES // 2:
+        raise ValueError(
+            f"chunk_size {chunk_size} > {MAX_COLLECTED_QUERIES // 2} — the "
+            "2x hash-imbalance margin over the driver ceiling "
+            f"({MAX_COLLECTED_QUERIES}) would be gone. Use more, smaller "
+            "chunks; the per-chunk cost is one data-side scan."
+        )
+    spark = data.sparkSession
+    out_schema = StructType(
+        [
+            StructField(qid_col, LongType()),
+            StructField(id_col, LongType()),
+            StructField("distance", DoubleType()),
+        ]
+    )
+    # the loop filters this frame once per block — persist the narrow
+    # projection for the loop, release it after (the returned plan holds the
+    # query vectors in broadcasts and never references the query frame)
+    qnarrow = queries.select(qid_col, qvec_col).persist()
+    try:
+        q_count = qnarrow.count()
+        if q_count == 0:
+            empty = out_schema.add(StructField("rank", IntegerType()))
+            return spark.createDataFrame([], empty)
+        n_chunks = -(-q_count // chunk_size)  # ceil
+        chunk_key = F.pmod(
+            F.xxhash64(F.col(qid_col), F.lit("knn_chunk")), F.lit(n_chunks)
+        )
+        frames = []
+        for c in range(n_chunks):
+            qrows = (
+                qnarrow.where(chunk_key == c)
+                .limit(MAX_COLLECTED_QUERIES + 1)
+                .collect()
+            )
+            if len(qrows) > MAX_COLLECTED_QUERIES:
+                raise ValueError(
+                    f"strategy='chunked': query block {c}/{n_chunks} holds "
+                    f">{MAX_COLLECTED_QUERIES} rows — the qid hash is "
+                    "pathologically imbalanced (are qids constant?). Lower "
+                    "chunk_size or repair the query ids."
+                )
+            if not qrows:
+                continue
+            frames.append(
+                _partial_frame(
+                    data, qrows, k, metric, id_col, vec_col, qid_col, dist_scale
+                )
+            )
+    finally:
+        qnarrow.unpersist()
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.unionByName(f)
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        union.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, "distance", "rank")
+    )
+
+
+def _partial_frame(
+    data: DataFrame,
+    qrows: list,
+    k: int,
+    metric: str,
+    id_col: str,
+    vec_col: str,
+    qid_col: str,
+    dist_scale: int | None,
+) -> DataFrame:
+    """The partial-top-k mapInPandas frame for one broadcast query block
+    (no finishing window): per Arrow batch a BLAS distance kernel keeps the
+    k best rows per query, so downstream sees <= (#batches x q x k) rows.
+    Shared by strategy='partial' (one block) and strategy='chunked' (one
+    frame per bounded block, unioned).
+
+    Kernel shape (sized for 100k-query blocks, not just autotune samples):
+    - queries are processed in slices so the distance matrix never exceeds
+      ~_Q_BLOCK_ELEMS doubles regardless of block size;
+    - the exact (distance, id) top-k is fully vectorized — batch rows are
+      pre-sorted by id once, then a per-column STABLE argsort resolves
+      distance ties to the smaller id (identical ordering to
+      np.lexsort((ids, D[:, j])) per query, without a q-iteration Python
+      loop);
+    - a running (k x q) best-so-far buffer merges across Arrow batches and
+      the task emits ONCE at the end — shuffle volume is tasks*q*k, not
+      batches*q*k (a 128 MB task holds ~100 batches; emitting per batch
+      would inflate the exchange 100x at scale)."""
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(map(float, r[1])) for r in qrows], dtype=np.float64)
     spark = data.sparkSession
@@ -174,34 +322,60 @@ def knn_join(
 
     def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qi, Qm = bqids.value, bQ.value
+        nq, dim = Qm.shape[0], (Qm.shape[1] if Qm.ndim == 2 else 1)
+        # running per-task top-k: unfilled slots carry (+inf, PAD) so they
+        # sort last under the (distance, id) order and are dropped at emit
+        PAD = np.iinfo(np.int64).max
+        best_d = best_i = None
         for pdf in batches:
-            if len(pdf) == 0:
+            n = len(pdf)
+            if n == 0:
                 continue
+            if best_d is None:
+                best_d = np.full((k, nq), np.inf)
+                best_i = np.full((k, nq), PAD, dtype=np.int64)
             X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()])
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            D = _np_distances(metric, X, Qm)
-            if dist_scale is not None:
-                s = float(10**dist_scale)
-                D = np.floor(D * s + 0.5) / s  # portable rounding (matches pround)
-            kk = min(k, len(pdf))
-            # per query: k smallest with (distance, id) tie-break
-            for j in range(Qm.shape[0]):
-                order = np.lexsort((ids, D[:, j]))[:kk]
-                yield pd.DataFrame(
-                    {
-                        qid_col: np.full(kk, qi[j], dtype=np.int64),
-                        id_col: ids[order],
-                        "distance": D[order, j],
-                    }
+            # pre-sort rows by id: the stable per-column argsort below then
+            # breaks equal distances toward the smaller id — the exact
+            # (distance, id) order the finishing window expects
+            perm = np.argsort(ids, kind="stable")
+            X, ids = X[perm], ids[perm]
+            kk = min(k, n)
+            # hamming's kernel materializes n*q*dim comparisons; the GEMM
+            # metrics only n*q — bound the slice accordingly
+            per_pair = dim if metric == "hamming" else 1
+            qb = max(1, _Q_BLOCK_ELEMS // max(n * per_pair, 1))
+            for s0 in range(0, nq, qb):
+                D = _np_distances(metric, X, Qm[s0 : s0 + qb])
+                if dist_scale is not None:
+                    s = float(10**dist_scale)
+                    D = np.floor(D * s + 0.5) / s  # portable rounding (matches pround)
+                top = np.argsort(D, axis=0, kind="stable")[:kk]  # (kk, qb')
+                # merge this batch's top-kk into the running best: stack,
+                # order by id (stable), then by distance (stable) — exact
+                # (distance, id) over both blocks; PAD rows (inf) sink
+                md = np.vstack(
+                    [best_d[:, s0 : s0 + qb], np.take_along_axis(D, top, axis=0)]
                 )
+                mi = np.vstack([best_i[:, s0 : s0 + qb], ids[top]])
+                by_id = np.argsort(mi, axis=0, kind="stable")
+                md = np.take_along_axis(md, by_id, axis=0)
+                mi = np.take_along_axis(mi, by_id, axis=0)
+                by_d = np.argsort(md, axis=0, kind="stable")[:k]
+                best_d[:, s0 : s0 + qb] = np.take_along_axis(md, by_d, axis=0)
+                best_i[:, s0 : s0 + qb] = np.take_along_axis(mi, by_d, axis=0)
+        if best_d is not None:
+            keep = best_i.ravel() != PAD
+            yield pd.DataFrame(
+                {
+                    qid_col: np.broadcast_to(qi[None, :], best_i.shape).ravel()[keep],
+                    id_col: best_i.ravel()[keep],
+                    "distance": best_d.ravel()[keep],
+                }
+            )
 
-    partial = data.select(id_col, vec_col).mapInPandas(partial_topk, out_schema)
-    w = Window.partitionBy(qid_col).orderBy(F.col("distance").asc(), F.col(id_col).asc())
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(qid_col, id_col, "distance", "rank")
-    )
+    return data.select(id_col, vec_col).mapInPandas(partial_topk, out_schema)
 
 
 def hard_negatives(

@@ -22,6 +22,78 @@ def test_partial_equals_crossjoin(spark, emb, metric):
     assert ra == rb and len(ra) == 4 * 7
 
 
+@pytest.mark.parametrize("metric", ["l2sq", "cos"])
+def test_chunked_equals_crossjoin_multi_chunk(spark, emb, metric):
+    """chunked must return the exact crossjoin answer while splitting the
+    query side across several blocks (chunk_size forces >= 3 chunks here)."""
+    q = emb.where("vec_id < 12").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    data = emb.where("vec_id >= 12")
+    a = K.knn_join(data, q, k=7, metric=metric, strategy="chunked",
+                   dist_scale=6, chunk_size=4)
+    b = K.knn_join(data, q, k=7, metric=metric, strategy="crossjoin",
+                   dist_scale=6)
+    ra = [(r["query_id"], r["rank"], r["vec_id"])
+          for r in a.orderBy("query_id", "rank").collect()]
+    rb = [(r["query_id"], r["rank"], r["vec_id"])
+          for r in b.orderBy("query_id", "rank").collect()]
+    assert ra == rb and len(ra) == 12 * 7
+
+
+def test_chunked_works_above_partial_driver_cap(spark, emb, monkeypatch):
+    """The whole point of 'chunked': a query side over MAX_COLLECTED_QUERIES
+    fail-louds under 'partial' but runs (exactly) under 'chunked' with no
+    single driver collect above the cap. Shrink the cap so the test stays
+    fast while exercising the real guard."""
+    monkeypatch.setattr(K, "MAX_COLLECTED_QUERIES", 8)
+    q = emb.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    data = emb.where("vec_id >= 20")
+    with pytest.raises(ValueError, match="strategy='chunked'"):
+        K.knn_join(data, q, k=3, metric="cos", strategy="partial")
+    got = K.knn_join(data, q, k=3, metric="cos", strategy="chunked",
+                     dist_scale=6, chunk_size=4)
+    want = K.knn_join(data, q, k=3, metric="cos", strategy="crossjoin",
+                      dist_scale=6)
+    ga = [(r["query_id"], r["rank"], r["vec_id"])
+          for r in got.orderBy("query_id", "rank").collect()]
+    wa = [(r["query_id"], r["rank"], r["vec_id"])
+          for r in want.orderBy("query_id", "rank").collect()]
+    assert ga == wa and len(ga) == 20 * 3
+
+
+def test_chunked_edge_cases(spark, emb):
+    q0 = emb.where("vec_id < 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = K.knn_join(emb, q0, k=3, strategy="chunked")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "vec_id", "distance", "rank"
+    ]
+    with pytest.raises(ValueError, match="chunk_size must be"):
+        K.knn_join(emb, q0, k=3, strategy="chunked", chunk_size=0)
+    with pytest.raises(ValueError, match="hash-imbalance margin"):
+        K.knn_join(emb, q0, k=3, strategy="chunked",
+                   chunk_size=K.MAX_COLLECTED_QUERIES)
+
+
+def test_chunked_releases_query_cache(spark, emb):
+    """The loop persists the narrow query projection; the returned plan must
+    not keep it cached (broadcasts carry the vectors)."""
+    sc = spark.sparkContext
+    n_cached = lambda: sc._jsc.sc().getPersistentRDDs().size()
+    before = n_cached()
+    q = emb.where("vec_id < 6").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    K.knn_join(emb.where("vec_id >= 6"), q, k=3, strategy="chunked",
+               chunk_size=2).count()
+    assert n_cached() <= before
+
+
 def test_knn_matches_numpy_bruteforce(spark, emb):
     rows = emb.orderBy("vec_id").collect()
     X = np.array([r["embedding"] for r in rows], dtype=np.float64)

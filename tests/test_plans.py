@@ -407,6 +407,26 @@ def test_dsir_select_big_pure_filter_no_driver_merge(spark):
     assert "Window" not in s.text, s.text
 
 
+def test_knn_chunked_union_of_partial_kernels_no_nested_loop(spark):
+    """Exact large-vs-large kNN: the plan must be a UNION of per-chunk
+    MapInPandas partial kernels over the corpus scan — no
+    BroadcastNestedLoopJoin/CartesianProduct (the O(n*q) rows-through-window
+    shape 'chunked' exists to avoid), and exactly one finishing window over
+    the reduced candidate set. Driver collects are bounded per chunk in the
+    builder (pinned by test_knn.py's shrunken-cap test)."""
+    df = E.q_knn_chunked(spark, SF)
+    s = plan_summary(df)
+    assert s.text.count("MapInPandas") >= 2, s.text  # multiple chunk kernels
+    assert "Union" in s.text, s.text
+    assert "BroadcastNestedLoopJoin" not in s.text, s.text
+    assert "CartesianProduct" not in s.text, s.text
+    # exactly one finishing Window node (WindowGroupLimit partial/final are
+    # the rank<=k pushdown — they keep each kernel's output at k per query
+    # before the exchange, exactly what we want)
+    assert s.text.count("Window [") == 1, s.text
+    assert "WindowGroupLimit" in s.text, s.text
+
+
 def test_salted_join_joins_on_salted_key(spark):
     """The whole point of salting: the JOIN KEYS must be (key, __salt), not
     the key alone, so under a shuffle join a hot key's probe spreads across
