@@ -383,6 +383,56 @@ def main() -> None:
         results["knn_chunked_scaled"] = measure(knn_chunked_scaled)
         print(json.dumps({"knn_chunked_scaled": results["knn_chunked_scaled"]}), flush=True)
 
+    # salted_join on an ACTUALLY SKEWED key (r9 verdict #2): the committed
+    # sweep previously only showed salting losing on an unskewed key (the
+    # strategy-demo note). Fixture: one hot key carries 40% of lineitem rows
+    # (l_orderkey%10<4 -> k=0), the rest spread over 1000 cold keys; dim has
+    # one row per key. Both modes run with autoBroadcastJoinThreshold=-1 and
+    # AQE skewJoin OFF — the regime the op exists for: a dim too large to
+    # broadcast and an engine/shape AQE's post-hoc SMJ split doesn't cover
+    # (explicit salting also fixes hash joins, pre-AQE engines, and layouts
+    # downstream ops reuse). Plain -> the hot key's sort+merge lands on ONE
+    # reducer; salted(32) -> 32 reducers share it.
+    def _skew_frames(sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        left = li.select(
+            F.when(F.pmod(F.col("l_orderkey"), 10) < 4, 0)
+            .otherwise(F.pmod(F.xxhash64("l_orderkey"), 1000) + 1)
+            .alias("k"),
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+        )
+        right = spark.range(0, 1001).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("dim_val")
+        )
+        return left, right
+
+    def skew_demo(mode):
+        from lantern_extras_spark.operators import skew as SKW
+
+        def run(sf):
+            left, right = _skew_frames(sf)
+            old_bt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            old_sk = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+            try:
+                if mode == "plain":
+                    out = left.join(right, on="k", how="inner")
+                else:
+                    out = SKW.salted_join(left, right, on="k", salt=32)
+                out.foreach(lambda r: None)
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bt)
+                spark.conf.set("spark.sql.adaptive.skewJoin.enabled", old_sk)
+
+        return run
+
+    for mode in ("plain", "salted"):
+        key = f"{mode}_join_skewed"
+        if want(key):
+            results[key] = measure(skew_demo(mode))
+            print(json.dumps({key: results[key]}), flush=True)
+
     # MinHash verify-stage trade-off (VERDICT r5 #6): exact verify
     # re-materializes full shingle sets per candidate pair; signature verify
     # reuses the already-shuffled n_hashes-long signatures — measure both so
@@ -411,10 +461,21 @@ def main() -> None:
                 "deliberately the skew-safety STRATEGY demo on an UNskewed "
                 "key (orderkey): the salt-times right replication is pure "
                 "overhead here and grows with the dim side, hence the steep "
-                "exponent. The op exists for the hot-key regime skew_report "
-                "detects - there the alternative is a straggler/OOM reducer, "
-                "not a faster plain join (error_burst vs error_burst_binned "
-                "precedent)"
+                "exponent. See plain/salted_join_skewed for the op winning "
+                "on an actually skewed key (the regime it exists for)"
+            ),
+            "plain_join_skewed": (
+                "skewed fixture: one key = 40% of lineitem rows, 1000 cold "
+                "keys, 1001-row dim; autoBroadcastJoinThreshold=-1 and AQE "
+                "skewJoin OFF (the op's regime: dim above broadcast "
+                "threshold, engine/shape without AQE's post-hoc SMJ split). "
+                "The hot key's sort+merge lands on ONE reducer"
+            ),
+            "salted_join_skewed": (
+                "same fixture/configs through salted_join(salt=32): the hot "
+                "key's probe spreads across 32 reducers at the cost of a "
+                "32x replication of the 1001-row dim - compare wall time "
+                "and exponent against plain_join_skewed"
             ),
             "decontaminate_bloom": (
                 "slower ABSOLUTELY than plain decontaminate at sf0.1/sf1 "
