@@ -14,10 +14,13 @@ Decode support is split by codec requirement:
 - PNG decodes for REAL too (`decode_png`): zlib is stdlib, so the full
   chunk-parse → inflate → per-spec unfilter (all five scanline filters) →
   palette/gray/alpha handling path runs codec-free (r8 verdict #5).
-- The remaining COMPRESSED formats (jpeg/gif, mp3/flac/ogg) still need a
-  codec library this container lacks; those rows map to the per-row
-  sentinel (decode failure semantics, U6) and `decoder="pil"` stays an
-  env-gated NotImplementedError STUB for real clusters.
+- BASELINE JPEG decodes for REAL as of r10 (`decode_jpeg`): Huffman +
+  dequant + IDCT + YCbCr need only numpy — SOF0/SOF1, gray + 4:4:4/4:2:2/
+  4:2:0 subsampling, restart markers; progressive (SOF2) raises ValueError.
+- The remaining COMPRESSED formats (gif, mp3/flac/ogg) still need a codec
+  library this container lacks; those rows map to the per-row sentinel
+  (decode failure semantics, U6) and `decoder="pil"` stays an env-gated
+  NotImplementedError STUB for real clusters.
 - `decoder="fake"` remains: a deterministic hash-derived feature for
   pipeline tests that want format-independent values.
 
@@ -508,10 +511,286 @@ def decode_png(data: bytes):
     return np.ascontiguousarray(px[:, :, :3])
 
 
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_idct_matrix():
+    import numpy as np
+
+    x, u = np.meshgrid(np.arange(8), np.arange(8))
+    T = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    T[0] *= 1.0 / np.sqrt(2.0)
+    return T  # orthonormal: pixels = T.T @ coeffs @ T
+
+
+class _JpegBits:
+    """MSB-first bit reader over one de-stuffed entropy segment."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.buf):
+                raise ValueError("JPEG entropy data exhausted mid-block")
+            self.acc = self.buf[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, nbits: int) -> int:
+    # T.81 F.2.2.1: magnitude-category decode of a signed coefficient
+    if nbits == 0:
+        return 0
+    return v if v >= (1 << (nbits - 1)) else v - (1 << nbits) + 1
+
+
+def decode_jpeg(data: bytes):
+    """Decode BASELINE JPEG/JFIF bytes into an (H, W, 3) uint8 array with
+    pure numpy + stdlib — no codec library (r9 verdict #3: PNG fell via
+    stdlib zlib; baseline JFIF needs only Huffman + dequant + IDCT + YCbCr,
+    all expressible in numpy). Closes X3's last meaningful env gate (ref
+    lantern_cli/src/embeddings/core/ort_runtime.rs:608-664 decodes arbitrary
+    images via the `image` crate).
+
+    Supported: SOF0 (and SOF1 — identical decoding at 8-bit), 1-component
+    grayscale (replicated to 3 channels, the `decode_bmp` convention) and
+    3-component YCbCr with any 1..4 sampling factors (4:4:4 / 4:2:2 / 4:2:0
+    ...), restart markers (DRI/RSTn). Chroma upsampling is nearest-neighbor
+    (box); YCbCr->RGB is the full-range JFIF matrix. Raises ValueError on
+    progressive (SOF2), arithmetic coding, 12-bit precision, or malformed
+    input. Sequential Huffman decode is Python-loop bound — fine for
+    fixtures and moderate assets; throughput-critical pipelines can still
+    inject a codec via `feature_fn` in `decode_image_features`."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff_tables: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    scan = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD8:  # stray SOI
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                prec, tid = body[b] >> 4, body[b] & 15
+                if prec != 0:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                qt[tid] = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8).astype(
+                    np.float64
+                )
+                b += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                tclass, tid = body[b] >> 4, body[b] & 15
+                counts = body[b + 1 : b + 17]
+                syms = body[b + 17 : b + 17 + sum(counts)]
+                table, code, si = {}, 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[si]
+                        code += 1
+                        si += 1
+                    code <<= 1
+                huff_tables[(tclass, tid)] = table
+                b += 17 + sum(counts)
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
+            prec, h, w, ncomp = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec} (8 only)")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {ncomp}")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "unsupported JPEG coding process (progressive/arithmetic/"
+                "hierarchical) — baseline (SOF0/SOF1) only"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan.append({"id": cs, "dc": tt >> 4, "ac": tt & 15})
+            pos += 2 + seglen
+            break
+        # APPn/COM/anything else: skip
+        pos += 2 + seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    if len(scan) != len(frame["comps"]):
+        raise ValueError("JPEG non-interleaved multi-scan unsupported")
+
+    # de-stuff entropy bytes; split at restart markers
+    segments, cur = [], bytearray()
+    while pos < len(data):
+        byte = data[pos]
+        if byte == 0xFF:
+            nxt = data[pos + 1] if pos + 1 < len(data) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                pos += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                pos += 2
+                continue
+            break  # EOI or next marker: scan over
+        cur.append(byte)
+        pos += 1
+    segments.append(bytes(cur))
+
+    h, w = frame["h"], frame["w"]
+    if h <= 0 or w <= 0:
+        raise ValueError(f"bad JPEG dimensions {w}x{h}")
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    if not (1 <= hmax <= 4 and 1 <= vmax <= 4):
+        raise ValueError("bad JPEG sampling factors")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    T = _jpeg_idct_matrix()
+    planes = []
+    for c in frame["comps"]:
+        if c["tq"] not in qt:
+            raise ValueError(f"JPEG quant table {c['tq']} undefined")
+        planes.append(
+            np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+        )
+    # natural-order dequant tables and scan<->frame component pairing
+    deq = []
+    for c in frame["comps"]:
+        q = np.zeros(64)
+        q[_JPEG_ZIGZAG] = qt[c["tq"]]
+        deq.append(q.reshape(8, 8))
+    by_id = {c["id"]: i for i, c in enumerate(frame["comps"])}
+    order = []
+    for s in scan:
+        if s["id"] not in by_id:
+            raise ValueError(f"JPEG scan references unknown component {s['id']}")
+        order.append((by_id[s["id"]], s))
+
+    dc_pred = [0] * len(frame["comps"])
+    seg_i = 0
+    bits = _JpegBits(segments[0])
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("JPEG missing restart segment")
+            bits = _JpegBits(segments[seg_i])
+            dc_pred = [0] * len(frame["comps"])
+        my, mx = divmod(m, mcux)
+        for ci, s in order:
+            comp = frame["comps"][ci]
+            dct = huff_tables.get((0, s["dc"]))
+            act = huff_tables.get((1, s["ac"]))
+            if dct is None or act is None:
+                raise ValueError("JPEG Huffman table undefined for scan")
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    coef = np.zeros((8, 8))
+                    ssss = bits.huff(dct)
+                    if ssss > 11:
+                        raise ValueError("invalid JPEG DC category")
+                    dc_pred[ci] += _jpeg_extend(bits.receive(ssss), ssss)
+                    coef[0, 0] = dc_pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = bits.huff(act)
+                        r, size = rs >> 4, rs & 15
+                        if size == 0:
+                            if r == 15:  # ZRL: sixteen zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overrun")
+                        zz = _JPEG_ZIGZAG[k]
+                        coef[zz // 8, zz % 8] = _jpeg_extend(
+                            bits.receive(size), size
+                        )
+                        k += 1
+                    px = T.T @ (coef * deq[ci]) @ T + 128.0
+                    y0 = (my * comp["v"] + by) * 8
+                    x0 = (mx * comp["h"] + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+
+    # upsample to full resolution, crop, color-convert
+    full = []
+    for ci, c in enumerate(frame["comps"]):
+        p = planes[ci]
+        if c["v"] != vmax:
+            p = np.repeat(p, vmax // c["v"], axis=0)
+        if c["h"] != hmax:
+            p = np.repeat(p, hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(g[:, :, None].repeat(3, axis=2))
+    Y, Cb, Cr = full
+    r = Y + 1.402 * (Cr - 128.0)
+    g = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+    b = Y + 1.772 * (Cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_image_bytes(data: bytes):
     """Magic-number dispatch to the codec-free decoders: netpbm (P3/P5/P6),
-    uncompressed BMP, and PNG (zlib is stdlib — `decode_png`) decode for
-    real; jpeg/gif raise NotImplementedError (their codecs are env-gated),
+    uncompressed BMP, PNG (zlib is stdlib — `decode_png`), and baseline
+    JPEG (`decode_jpeg`, pure numpy — r10) decode for real; gif raises
+    NotImplementedError (the one remaining env-gated image codec),
     anything else ValueError. Per-row callers map both to the sentinel."""
     head = bytes(data[:4])
     if head[:1] == b"P" and head[1:2] in b"356":
@@ -520,10 +799,12 @@ def decode_image_bytes(data: bytes):
         return decode_bmp(data)
     if head == b"\x89PNG":
         return decode_png(data)
-    if head[:3] == b"\xff\xd8\xff" or head[:3] == b"GIF":
+    if head[:3] == b"\xff\xd8\xff":
+        return decode_jpeg(data)
+    if head[:3] == b"GIF":
         raise NotImplementedError(
-            "compressed image decode (jpeg/gif) needs a codec library — "
-            "env-gated in this container; PPM/PGM/BMP/PNG decode codec-free"
+            "gif decode needs an LZW codec library — env-gated in this "
+            "container; PPM/PGM/BMP/PNG/JPEG(baseline) decode codec-free"
         )
     raise ValueError(f"unrecognized image payload (head={head!r})")
 

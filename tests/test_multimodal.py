@@ -467,12 +467,14 @@ def test_decode_image_bytes_dispatch():
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     assert decode_image_bytes(_ppm_p6(img)).shape == (2, 2, 3)
     assert decode_image_bytes(_bmp24(img)).shape == (2, 2, 3)
-    with _pt.raises(NotImplementedError, match="codec"):
+    # PNG (r8) and baseline JPEG (r10) decode for real — malformed payloads
+    # are ValueErrors from the decoders, not env gates; only gif stays gated
+    with _pt.raises(ValueError):
         decode_image_bytes(b"\xff\xd8\xff\xe0fakejpeg")
-    # PNG now decodes for real (zlib is stdlib) — malformed PNG is a
-    # ValueError from the decoder, not an env gate
     with _pt.raises(ValueError):
         decode_image_bytes(b"\x89PNG\r\n\x1a\nfakepng")
+    with _pt.raises(NotImplementedError, match="codec"):
+        decode_image_bytes(b"GIF89a" + b"\x00" * 16)
     with _pt.raises(ValueError, match="unrecognized"):
         decode_image_bytes(b"????junk")
 
@@ -642,7 +644,7 @@ def test_decode_image_features_numpy_end_to_end(spark):
     for mid, data in ((1, _ppm_p6(ppm_img)), (2, _bmp24(bmp_img))):
         want = clip_pooled_feature(decode_image_bytes(data), dim=8)
         assert np.allclose(out[mid], want, atol=1e-6), mid
-    assert out[3] == [-1.0] * 8        # jpeg needs a codec -> sentinel
+    assert out[3] == [-1.0] * 8        # malformed jpeg -> sentinel
     assert out[4] == [-1.0] * 8        # null media -> sentinel
 
 
@@ -729,3 +731,390 @@ def test_decode_png_roundtrip_fuzz(h, w, color, seed, data):
     else:  # gray / gray+alpha replicate channel 0
         want = img[:, :, 0:1].repeat(3, axis=2)
     assert np.array_equal(got, want), (h, w, color, filters)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG: independent test encoder + spec-grounded goldens (r10)
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_fdct_block(block):
+    """Forward 8x8 DCT-II via the DIRECT T.81 A.3.3 double sum (independent
+    of the decoder's matrix-product IDCT)."""
+    import math
+
+    import numpy as np
+
+    out = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = 1.0 / math.sqrt(2.0) if u == 0 else 1.0
+            cv = 1.0 / math.sqrt(2.0) if v == 0 else 1.0
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (
+                        block[x, y]
+                        * math.cos((2 * x + 1) * u * math.pi / 16.0)
+                        * math.cos((2 * y + 1) * v * math.pi / 16.0)
+                    )
+            out[u, v] = 0.25 * cu * cv * s
+    return out
+
+
+def _jpeg_idct_block_ref(coef):
+    """Inverse 8x8 DCT via the direct double sum (the test's reference IDCT,
+    independent of the decoder's matrix product)."""
+    import math
+
+    import numpy as np
+
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1.0 / math.sqrt(2.0) if u == 0 else 1.0
+                    cv = 1.0 / math.sqrt(2.0) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef[u, v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16.0)
+                        * math.cos((2 * y + 1) * v * math.pi / 16.0)
+                    )
+            out[x, y] = 0.25 * s
+    return out
+
+
+_JPEG_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JpegWriter:
+    """MSB-first bit writer with 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.bits(1, 1)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+def _jpeg_fixed_tables():
+    """Fixed-length canonical Huffman tables: DC symbols 0..11 at 4 bits
+    (codes 0..11), AC symbols [EOB, ZRL, all (r,s) r0..15 s1..10] at 8 bits
+    (codes 0..161). Valid DHTs (all-ones code unused in both)."""
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    dc_codes = {sym: (i, 4) for i, sym in enumerate(dc_syms)}
+    ac_codes = {sym: (i, 8) for i, sym in enumerate(ac_syms)}
+    return dc_syms, ac_syms, dc_codes, ac_codes
+
+
+def _jpeg_category(v):
+    nbits = int(v).bit_length() if v >= 0 else int(-v).bit_length()
+    extra = v if v >= 0 else v + (1 << nbits) - 1
+    return nbits, extra
+
+
+def _jpeg(img, sampling="444", qy=16, qc=17, dri=0):
+    """Test-fixture BASELINE JPEG ENCODER, independent of the package
+    decoder: direct-sum FDCT, flat quant tables (qy luma / qc chroma),
+    fixed-length canonical Huffman tables, optional restart markers.
+    Returns (jpeg_bytes, expected_rgb) where expected_rgb is computed by an
+    independent reference decode (dequant -> direct-sum IDCT -> nearest
+    upsample -> JFIF YCbCr->RGB) from the quantized coefficients."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.float64)
+    gray = sampling == "gray"
+    H, W = img.shape[:2]
+    if gray:
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0}]
+        planes_full = [img[:, :, 0]]
+        qt = {0: float(qy)}
+    else:
+        R, G, B = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+        Y = 0.299 * R + 0.587 * G + 0.114 * B
+        Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
+        Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
+        f = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[sampling]
+        comps = [
+            {"id": 1, "h": f[0], "v": f[1], "tq": 0},
+            {"id": 2, "h": 1, "v": 1, "tq": 1},
+            {"id": 3, "h": 1, "v": 1, "tq": 1},
+        ]
+        planes_full = [Y, Cb, Cr]
+        qt = {0: float(qy), 1: float(qc)}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-W // (8 * hmax))
+    mcuy = -(-H // (8 * vmax))
+    fullh, fullw = mcuy * 8 * vmax, mcux * 8 * hmax
+
+    qplanes = []
+    for ci, c in enumerate(comps):
+        p = planes_full[ci]
+        pad = np.pad(p, ((0, fullh - H), (0, fullw - W)), mode="edge")
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:  # box-mean subsample
+            pad = pad.reshape(fullh // ry, ry, fullw // rx, rx).mean(axis=(1, 3))
+        ph, pw = pad.shape
+        qp = np.zeros((ph // 8, pw // 8, 8, 8), dtype=np.int64)
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                qp[by, bx] = np.rint(_jpeg_fdct_block(blk) / qt[c["tq"]]).astype(
+                    np.int64
+                )
+        qplanes.append(qp)
+
+    # --- independent reference decode from the quantized coefficients ---
+    rec = []
+    for ci, c in enumerate(comps):
+        qp = qplanes[ci]
+        ph, pw = qp.shape[0] * 8, qp.shape[1] * 8
+        plane = np.zeros((ph, pw))
+        for by in range(qp.shape[0]):
+            for bx in range(qp.shape[1]):
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _jpeg_idct_block_ref(qp[by, bx] * qt[c["tq"]]) + 128.0
+                )
+        plane = np.repeat(plane, vmax // c["v"], axis=0)
+        plane = np.repeat(plane, hmax // c["h"], axis=1)
+        rec.append(plane[:H, :W])
+    if gray:
+        g = np.clip(np.rint(rec[0]), 0, 255).astype(np.uint8)
+        expected = g[:, :, None].repeat(3, axis=2)
+    else:
+        Yd, Cbd, Crd = rec
+        r = Yd + 1.402 * (Crd - 128.0)
+        g = Yd - 0.344136 * (Cbd - 128.0) - 0.714136 * (Crd - 128.0)
+        b = Yd + 1.772 * (Cbd - 128.0)
+        expected = np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(
+            np.uint8
+        )
+
+    # --- serialize ---
+    dc_syms, ac_syms, dc_codes, ac_codes = _jpeg_fixed_tables()
+    out = bytearray(b"\xff\xd8")
+    # DQT: all tables in one segment (exercises multi-table parsing)
+    dqt = bytearray()
+    for tid in sorted(qt):
+        zz = bytes([int(qt[tid])] * 64)
+        dqt += bytes([tid]) + zz
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = bytearray([8]) + struct.pack(">HH", H, W) + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytearray()
+    for tclass, syms in ((0, dc_syms), (1, ac_syms)):
+        counts = [0] * 16
+        counts[(4 if tclass == 0 else 8) - 1] = len(syms)
+        dht += bytes([tclass << 4]) + bytes(counts) + bytes(syms)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    sos = bytearray([len(comps)])
+    for c in comps:
+        sos += bytes([c["id"], 0x00])  # dc table 0, ac table 0
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    wtr = _JpegWriter()
+    dc_pred = [0] * len(comps)
+    rst = 0
+    for m in range(mcux * mcuy):
+        if dri and m and m % dri == 0:
+            out += wtr.flush()
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            wtr = _JpegWriter()
+            dc_pred = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(comps):
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    blk = qplanes[ci][my * c["v"] + by, mx * c["h"] + bx]
+                    flat = blk.reshape(64)[_JPEG_ZZ]
+                    diff = int(flat[0]) - dc_pred[ci]
+                    dc_pred[ci] = int(flat[0])
+                    nbits, extra = _jpeg_category(diff)
+                    code, ln = dc_codes[nbits]
+                    wtr.bits(code, ln)
+                    if nbits:
+                        wtr.bits(extra, nbits)
+                    run = 0
+                    for k in range(1, 64):
+                        v = int(flat[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = ac_codes[0xF0]
+                            wtr.bits(code, ln)
+                            run -= 16
+                        nbits, extra = _jpeg_category(v)
+                        code, ln = ac_codes[(run << 4) | nbits]
+                        wtr.bits(code, ln)
+                        wtr.bits(extra, nbits)
+                        run = 0
+                    if run:
+                        code, ln = ac_codes[0x00]
+                        wtr.bits(code, ln)
+    out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out), expected
+
+
+def test_decode_jpeg_dc_only_analytic():
+    """Constant gray image: every AC is 0 and the DC path is analytically
+    exact (coef00 = 8*(v-128), Q=16 divides evenly) — spec-grounded pixel
+    golden independent of BOTH implementations' DCT code."""
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import decode_jpeg
+
+    img = np.full((8, 8, 1), 180, dtype=np.uint8)
+    data, expected = _jpeg(img, sampling="gray", qy=16)
+    got = decode_jpeg(data)
+    assert np.array_equal(got, np.full((8, 8, 3), 180, dtype=np.uint8))
+    assert np.array_equal(got, expected)
+
+
+@pytest.mark.parametrize("sampling", ["gray", "444", "422", "420"])
+def test_decode_jpeg_matches_reference_decode(sampling):
+    """Random image through the independent test encoder: the package
+    decoder must reproduce the reference decode (direct-sum IDCT) within
+    1 LSB (the two float IDCT implementations may round .5 differently)."""
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import decode_jpeg
+
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, size=(19, 22, 3), dtype=np.uint8)
+    data, expected = _jpeg(img, sampling=sampling)
+    got = decode_jpeg(data)
+    assert got.shape == expected.shape == (19, 22, 3)
+    diff = np.abs(got.astype(int) - expected.astype(int))
+    assert diff.max() <= 1, (sampling, diff.max(), (diff > 0).mean())
+    assert (diff > 0).mean() < 0.01  # <1% of pixels on the .5 boundary
+
+
+def test_decode_jpeg_restart_markers():
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import decode_jpeg
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    data, expected = _jpeg(img, sampling="420", dri=2)
+    assert b"\xff\xd0" in data or b"\xff\xd1" in data  # RSTn actually emitted
+    got = decode_jpeg(data)
+    assert np.abs(got.astype(int) - expected.astype(int)).max() <= 1
+
+
+def test_decode_jpeg_rejects_unsupported():
+    import numpy as np
+    import pytest as _pt
+    from lantern_extras_spark.multimodal.media import decode_jpeg
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    data, _ = _jpeg(img)
+    with _pt.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x00" + data)
+    # flip SOF0 to SOF2 (progressive)
+    i = data.index(b"\xff\xc0")
+    with _pt.raises(ValueError, match="baseline"):
+        decode_jpeg(data[:i] + b"\xff\xc2" + data[i + 2:])
+    with _pt.raises(ValueError, match="SOF/SOS"):
+        decode_jpeg(data[: data.index(b"\xff\xda")] + b"\xff\xd9")
+    with _pt.raises(ValueError):
+        decode_jpeg(data[:-20])  # truncated entropy data
+
+
+def test_decode_image_features_jpeg_end_to_end(spark):
+    """r10: the jpeg branch of X3 is REAL now — bytes -> decode_jpeg ->
+    CLIP preprocess -> pooled feature inside mapInPandas, no env gate."""
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import (
+        clip_pooled_feature, decode_image_bytes, decode_image_features,
+    )
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    data, _ = _jpeg(img, sampling="420")
+    df = spark.createDataFrame([(1, bytearray(data))], "media_id long, media binary")
+    out = decode_image_features(df, dim=8, decoder="numpy").first()["feature"]
+    want = clip_pooled_feature(decode_image_bytes(data), dim=8)
+    assert np.allclose(out, want, atol=1e-6)
+    assert out != [-1.0] * 8
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    sampling=st.sampled_from(["gray", "444", "422", "420"]),
+    seed=st.integers(0, 2**31 - 1),
+    dri=st.sampled_from([0, 1, 3]),
+)
+def test_decode_jpeg_roundtrip_fuzz(h, w, sampling, seed, dri):
+    """Random shapes x pixels x subsampling x restart intervals must decode
+    within 1 LSB of the independent reference decode (odd dimensions
+    exercise the pad-and-crop path; dri=1 restarts every MCU)."""
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import decode_jpeg
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    data, expected = _jpeg(img, sampling=sampling, dri=dri)
+    got = decode_jpeg(data)
+    assert got.shape == expected.shape
+    assert np.abs(got.astype(int) - expected.astype(int)).max() <= 1
+
+
+def test_decode_jpeg_committed_golden_fixture(spark):
+    """COMMITTED baseline-JPEG fixture (tests/data/golden_420.jpg, 4:2:0,
+    restart interval 3) + its expected pixels (generated once by the
+    independent reference decode in _jpeg and committed as .npy): the
+    decoder must reproduce them, and decode_image_features must run the
+    jpeg end to end with NO env gate (r9 verdict #3 done-condition)."""
+    import os
+
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import (
+        clip_pooled_feature, decode_image_features, decode_jpeg,
+    )
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "data", "golden_420.jpg"), "rb") as f:
+        data = f.read()
+    expected = np.load(os.path.join(here, "data", "golden_420_pixels.npy"))
+    got = decode_jpeg(data)
+    assert got.shape == expected.shape == (33, 47, 3)
+    assert np.abs(got.astype(int) - expected.astype(int)).max() <= 1
+    df = spark.createDataFrame([(1, bytearray(data))], "media_id long, media binary")
+    out = decode_image_features(df, dim=8, decoder="numpy").first()["feature"]
+    want = clip_pooled_feature(got, dim=8)
+    assert np.allclose(out, want, atol=1e-6)
+    assert out != [-1.0] * 8
