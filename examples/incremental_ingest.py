@@ -199,6 +199,43 @@ def main() -> dict:
                 spark, istore, cdir, v(X[2]), k=3, nprobe=2
             ).collect()
         ]
+
+        # --- HNSW store + compaction policy (r10) --------------------------
+        # The graph store is LSM-shaped: every micro-batch appends an epoch
+        # of shard graphs and search fans out over ALL of them (candidate
+        # volume q*k*total_shards). `maybe_compact_hnsw_store` is the WHEN:
+        # after each batch, a metadata-only check fires a rebuild-from-source
+        # once the epoch pile exceeds the fan-out budget, collapsing the
+        # store back to one shard set (atomic epoch=-1 swap).
+        from lantern_extras_spark.streaming.stateful import (
+            hnsw_search_store,
+            hnsw_store_stats,
+            ingest_hnsw_batch,
+            maybe_compact_hnsw_store,
+        )
+
+        hstore = os.path.join(tmp, "hnsw_store")
+        source_so_far = base
+        ingest_hnsw_batch(base, 0, hstore, n_shards=2, metric="l2sq")
+        for epoch, batch in ((1, drifted),):
+            ingest_hnsw_batch(batch, epoch, hstore, n_shards=2, metric="l2sq")
+            source_so_far = source_so_far.unionByName(batch)
+            maybe_compact_hnsw_store(   # declines: 2 epochs <= budget
+                spark, hstore, source_so_far, max_epochs=4,
+                n_shards=2, metric="l2sq",
+            )
+        out["hnsw_pre_compact"] = hnsw_store_stats(spark, hstore)
+        out["hnsw_compacted"] = maybe_compact_hnsw_store(
+            spark, hstore, source_so_far, max_epochs=1,  # force for the demo
+            n_shards=2, metric="l2sq",
+        )
+        out["hnsw_post_compact"] = hnsw_store_stats(spark, hstore)
+        out["hnsw_top"] = [
+            int(r["vec_id"])
+            for r in hnsw_search_store(
+                spark, hstore, [(0, v(X[2]))], k=3
+            ).collect()
+        ]
         return out
 
 

@@ -1149,6 +1149,104 @@ def hnsw_search_store(
     return hnsw_topk_batch(shards, queries, k=k, ef=ef, id_col=id_col)
 
 
+def hnsw_store_stats(spark, store_dir: str) -> dict:
+    """Structural profile of the LSM epoch pile: number of epochs, TOTAL
+    shard count across epochs (the search fan-out — candidate volume is
+    q·k·total_shards), and indexed rows. One tiny aggregation over the
+    shard-metadata columns; the serialized graphs are never deserialized."""
+    from pyspark.sql.types import LongType, StructField
+
+    from lantern_extras_spark.operators.hnsw import _SHARD_SCHEMA
+
+    # copy before appending the partition column — StructType.add MUTATES,
+    # and _SHARD_SCHEMA is shared with the epoch-less store readers
+    schema = StructType(list(_SHARD_SCHEMA.fields) + [StructField("epoch", LongType())])
+    agg = (
+        spark.read.schema(schema).parquet(store_dir)
+        .agg(
+            F.countDistinct("epoch").alias("epochs"),
+            F.count("*").alias("total_shards"),
+            F.sum("n").alias("rows"),
+        )
+        .first()
+    )
+    return {
+        "epochs": int(agg["epochs"] or 0),
+        "total_shards": int(agg["total_shards"] or 0),
+        "rows": int(agg["rows"] or 0),
+    }
+
+
+def compact_hnsw_store(
+    spark,
+    store_dir: str,
+    source_df,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_shards: int = 4,
+    m: int = 16,
+    ef_construction: int = 64,
+    metric: str = "cos",
+    seed: int = 42,
+) -> None:
+    """Compact the HNSW epoch pile back to ONE shard set: rebuild from the
+    SOURCE rows (graphs are immutable artifacts, and the cos-metric graphs
+    hold normalized vectors — the source is the only metric-lossless input,
+    the same contract as `refresh_semantic_store`'s re-fit) and atomically
+    swap the store for a single `epoch=-1` partition (-1 is never a
+    foreachBatch batch id, so an ingest retry guard can't collide with the
+    compacted partition). Pause the ingest stream across the swap; the
+    write-temp → delete → rename goes through Hadoop's FileSystem
+    (HDFS/S3A/local alike) but is not transactional against a concurrent
+    writer. After compaction, search fan-out drops from
+    epochs·n_shards back to n_shards."""
+    from lantern_extras_spark.operators.hnsw import build_hnsw_shards
+
+    shards = build_hnsw_shards(
+        source_df, vec_col=vec_col, id_col=id_col, n_shards=n_shards, m=m,
+        ef_construction=ef_construction, metric=metric, seed=seed,
+    )
+    tmp = store_dir.rstrip("/") + "__compact"
+    shards.write.mode("overwrite").parquet(f"{tmp}/epoch=-1")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(store_dir).getFileSystem(hconf)
+    fs.delete(HPath(store_dir), True)
+    if not fs.rename(HPath(tmp), HPath(store_dir)):
+        raise IOError(f"compaction swap failed: could not rename {tmp} -> {store_dir}")
+
+
+def maybe_compact_hnsw_store(
+    spark,
+    store_dir: str,
+    source_df,
+    max_epochs: int = 8,
+    max_shards: int | None = None,
+    **build_kwargs,
+) -> bool:
+    """The compaction POLICY the r9 verdict asked for: `reindex_hnsw` knew
+    how, nothing decided WHEN. Triggers on the structural costs that grow
+    with the epoch pile — epoch count > `max_epochs`, or total shard count
+    > `max_shards` (candidate volume q·k·total_shards grows linearly with
+    appended epochs while the corpus may not). Both stats come from shard
+    METADATA (one tiny agg; no graph is deserialized), so the check is
+    cheap enough to run after every micro-batch. Returns True if a
+    compaction ran. For a quality-driven trigger instead, probe
+    `hnsw_search_store` recall against an exact `knn.ground_truth` sample
+    and compact on drop — the epoch pile raises cost, not recall, so the
+    structural triggers are the default."""
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    stats = hnsw_store_stats(spark, store_dir)
+    if stats["epochs"] <= max_epochs and (
+        max_shards is None or stats["total_shards"] <= max_shards
+    ):
+        return False
+    compact_hnsw_store(spark, store_dir, source_df, **build_kwargs)
+    return True
+
+
 def start_hnsw_ingest_stream(
     spark,
     source_dir: str,

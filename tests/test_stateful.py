@@ -597,6 +597,91 @@ def test_streaming_hnsw_store_recall_and_freshness(spark, tmp_path):
     assert before == after
 
 
+def test_hnsw_store_compaction_restores_fanout_recall_pinned(spark, tmp_path):
+    """r9 verdict #7: the compaction POLICY. Pile up epochs via
+    ingest_hnsw_batch until maybe_compact's trigger fires; compaction must
+    collapse the store to ONE epoch / n_shards shards (the per-epoch search
+    cost that was growing as q*k*total_shards), the swap must be atomic to
+    a single epoch=-1 partition, and recall vs the exact scan must stay
+    pinned at the pre-compaction level."""
+    import numpy as np
+
+    from lantern_extras_spark.operators.knn import knn_join
+    from lantern_extras_spark.streaming.stateful import (
+        hnsw_search_store,
+        hnsw_store_stats,
+        ingest_hnsw_batch,
+        maybe_compact_hnsw_store,
+    )
+
+    rng = np.random.RandomState(13)
+    all_rows = [(int(i), [float(x) for x in rng.randn(8)]) for i in range(120)]
+    store = str(tmp_path / "store")
+    for epoch in range(6):  # 6 epochs x 2 shards = 12-shard fan-out
+        part = spark.createDataFrame(
+            all_rows[epoch * 20 : (epoch + 1) * 20],
+            "vec_id long, embedding array<double>",
+        )
+        ingest_hnsw_batch(part, epoch, store, n_shards=2, metric="l2sq")
+
+    stats = hnsw_store_stats(spark, store)
+    assert stats == {"epochs": 6, "total_shards": 12, "rows": 120}
+
+    source = spark.createDataFrame(all_rows, "vec_id long, embedding array<double>")
+    queries = [(qid, [float(x) for x in rng.randn(8)]) for qid in range(3)]
+    qdf = spark.createDataFrame(
+        queries, "query_id long, query_vec array<double>"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_join(source, qdf, k=5, metric="l2sq").collect()
+    }
+
+    def served():
+        return {
+            (r["query_id"], r["vec_id"])
+            for r in hnsw_search_store(spark, store, queries, k=5).collect()
+        }
+
+    recall_before = len(served() & exact) / len(exact)
+
+    # under-threshold: policy declines (cheap metadata check, no rebuild)
+    assert not maybe_compact_hnsw_store(
+        spark, store, source, max_epochs=10, n_shards=2, metric="l2sq"
+    )
+    assert hnsw_store_stats(spark, store)["epochs"] == 6
+
+    # over-threshold: compaction runs and restores the single-shard-set cost
+    assert maybe_compact_hnsw_store(
+        spark, store, source, max_epochs=4, n_shards=2, metric="l2sq"
+    )
+    stats2 = hnsw_store_stats(spark, store)
+    assert stats2 == {"epochs": 1, "total_shards": 2, "rows": 120}
+    import os
+
+    assert os.path.isdir(os.path.join(store, "epoch=-1"))
+
+    # recall pinned: the compacted graph serves at least as well
+    recall_after = len(served() & exact) / len(exact)
+    assert recall_after >= recall_before >= 0.9
+
+    # shard-budget trigger fires independently of the epoch count
+    ingest_hnsw_batch(
+        spark.createDataFrame(all_rows[:20], "vec_id long, embedding array<double>"),
+        7, store, n_shards=2, metric="l2sq",
+    )
+    assert maybe_compact_hnsw_store(
+        spark, store, source, max_epochs=10, max_shards=3,
+        n_shards=2, metric="l2sq",
+    )
+    assert hnsw_store_stats(spark, store)["total_shards"] == 2
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_epochs"):
+        maybe_compact_hnsw_store(spark, store, source, max_epochs=0)
+
+
 def test_bm25_store_duplicate_query_terms_match_batch(spark, tmp_path):
     """A repeated query term must double-count exactly as the batch scorer
     does (each occurrence is one declaration-order contribution)."""

@@ -133,3 +133,12 @@ def test_incremental_ingest_index_store_section(ingest_out):
     # X[0]/X[1] plus the drifted X[3]*5 epoch — nearest must come from the
     # store and be 3 distinct ids
     assert len(out["ivf_top"]) == 3 and len(set(out["ivf_top"])) == 3
+    # HNSW store + compaction policy (r10): the epoch pile collapses to one
+    # shard set when the trigger fires, and the compacted store serves the
+    # same neighbors the IVF store found for the same query
+    assert out["hnsw_pre_compact"]["epochs"] == 2
+    assert out["hnsw_compacted"] is True
+    assert out["hnsw_post_compact"] == {
+        "epochs": 1, "total_shards": 2, "rows": 12,
+    }
+    assert out["hnsw_top"] == out["ivf_top"]
