@@ -2001,6 +2001,32 @@ def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hard_negatives_chunked(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining at training-set scale (knn.hard_negatives
+    strategy='chunked', r10): the same bounded-block plan as knn_chunked
+    with query labels traveling in each block's broadcast — the masked
+    per-task top-k must reproduce the declarative crossjoin answer exactly
+    (chunk_size=8 forces ~4 blocks over 30 queries)."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    data = emb.where(F.col("vec_id") >= 30)
+    out = K.hard_negatives(
+        data, q, k=10, metric="cos", strategy="chunked", dist_scale=6,
+        chunk_size=8,
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        F.col("distance").alias("cos_distance"),
+        F.col("rank").cast("bigint").alias("rnk"),
+    )
+
+
 def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     """Batch-vs-corpus n-gram novelty (textstats.ngram_novelty): docs with
     doc_id%5<2 stand in for the already-held corpus, the rest for the new
@@ -2450,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_frequencies": q_cms_frequencies,
         "ngram_novelty": q_ngram_novelty,
         "hard_negatives": q_hard_negatives,
+        "hard_negatives_chunked": q_hard_negatives_chunked,
         "mixture_plan": q_mixture_plan,
         "domain_keywords": q_domain_keywords,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -3324,6 +3351,11 @@ def _oracle_sql_raw() -> dict[str, str]:
     sql["knn_chunked"] = sql["knn_cos"].replace("vec_id < 5", "vec_id < 30").replace(
         "vec_id >= 5", "vec_id >= 30"
     )
+    # chunked hard-negative mining shares the declarative oracle shape with
+    # the wider 30-query split (labels travel per block; answer identical).
+    sql["hard_negatives_chunked"] = sql["hard_negatives"].replace(
+        "vec_id < 5", "vec_id < 30"
+    ).replace("vec_id >= 5", "vec_id >= 30")
     sql["error_burst_binned"] = sql["error_burst"]
     sql["minhash_lsh_pairs"] = _minhash_lsh_pairs_sql()
     sql["simhash_pairs"] = _simhash_pairs_sql()

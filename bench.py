@@ -62,6 +62,33 @@ def main() -> None:
     timings_min: dict[str, float] = {}
     N_ITER = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 
+    # --- host-speed calibration (r9 verdict #4) -----------------------------
+    # A FIXED pure-JVM workload, independent of the testdata and the engine:
+    # 200M xxhash64+sum (CPU/codegen) and a 20M-row two-level aggregation
+    # (shuffle machinery). Round-over-round comparison is declared to be
+    # CALIBRATED-median only: compare total/calibration_sec (and per-query
+    # time/calibration_sec), never raw seconds — this host's wall clock
+    # drifted a uniform ~1.2x between same-code runs in r8/r9 and raw ratios
+    # read as regressions ("0.88x vs one r8 artifact, 1.06x vs the other").
+    def _calibration_once() -> float:
+        t0 = time.monotonic()
+        # pmod keeps the running sum bounded (raw sum(xxhash64) overflows
+        # long under ANSI mode)
+        spark.range(200_000_000).select(
+            F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_000))).alias("h")
+        ).collect()
+        spark.range(20_000_000).select(
+            F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("k")
+        ).groupBy("k").count().groupBy().agg(
+            F.sum("count"), F.avg("count")
+        ).collect()
+        return time.monotonic() - t0
+
+    _calibration_once()  # warm-up discarded
+    calibration_sec = round(
+        sorted(_calibration_once() for _ in range(3))[1], 3
+    )
+
     def timed(name: str, fn) -> None:
         # median-of-N so one GC pause / compile stall can't fake a regression;
         # min is reported too (steady-state capability)
@@ -176,6 +203,7 @@ def main() -> None:
         "cms_frequencies",
         "ngram_novelty",
         "hard_negatives",
+        "hard_negatives_chunked",
         "mixture_plan",
         "domain_keywords",
         "tokenizer_fertility",
@@ -267,12 +295,33 @@ def main() -> None:
         "total_min": round(sum(timings_min.values()), 3),
         "bench_iters": N_ITER,
         "sf": sf_val,
+        # CANONICAL cross-round anchor (r9 verdict #4): compare
+        # total/calibration_sec across rounds, never raw seconds. The
+        # calibration workload is fixed pure-JVM work (200M xxhash-sum +
+        # 20M-row two-level agg), so its time moves with the host, not the
+        # engine. queries_calibrated = per-query median / calibration_sec.
+        "calibration_sec": calibration_sec,
+        "total_calibrated": round(total / calibration_sec, 3),
+        "queries_calibrated": {
+            k: round(v / calibration_sec, 3) for k, v in timings.items()
+        },
+        "comparison_contract": (
+            "round-over-round = total_calibrated (and per-query "
+            "queries_calibrated) ONLY; raw seconds drift ~1.2x with host "
+            "load on this box"
+        ),
         "embedding_rows_per_sec": {
             "short_text": speed.emb_per_sec_max,
             "long_text": speed.emb_per_sec_min,
             "avg": speed.emb_per_sec_avg,
             "model": speed.model,
             "runtime": speed.runtime,
+            # r9 verdict #6: this probe runs the deterministic hash runtime
+            # (no onnxruntime in this container) — it tracks REGRESSIONS in
+            # the Spark-side embedding pipeline; it is NOT comparable to the
+            # reference's real-model emb/s (BASELINE.md target 1).
+            "comparable_to_reference": False,
+            "reason": "hash stub runtime; real-ONNX emb/s needs onnxruntime (env-gated)",
         },
     }
     sidecar = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")

@@ -391,6 +391,7 @@ def hard_negatives(
     qlabel_col: str = "query_label",
     strategy: str = "partial",
     dist_scale: int | None = None,
+    chunk_size: int = 50_000,
 ) -> DataFrame:
     """Contrastive hard-negative mining: for each query vector, the k nearest
     data vectors whose label DIFFERS from the query's — the pairs that teach
@@ -401,15 +402,22 @@ def hard_negatives(
 
     Returns (qid_col, id_col, label_col, distance, rank). Rows with NULL
     labels are excluded from both sides (a null label can neither match nor
-    mismatch). Strategies mirror knn_join: "partial" (the 100 TB path —
+    mismatch). Strategies mirror knn_join: "partial" (bounded query sets —
     queries+labels broadcast into an Arrow-batched kernel that masks
-    same-label pairs per batch and emits per-batch top-k) and "crossjoin"
-    (declarative; the oracle-parity path).
+    same-label pairs per batch and emits per-task top-k), "chunked" (exact
+    large-vs-large: bounded query blocks through the same kernel, unioned,
+    one finishing window — mining negatives for a full training set, not
+    just a sample), and "crossjoin" (declarative; the oracle-parity path).
     """
     if metric not in METRICS:
         raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
     data = data.where(F.col(label_col).isNotNull())
     queries = queries.where(F.col(qlabel_col).isNotNull())
+    if strategy == "chunked":
+        return _hard_negatives_chunked(
+            data, queries, k, metric, id_col, vec_col, label_col, qid_col,
+            qvec_col, qlabel_col, dist_scale, chunk_size,
+        )
     if strategy == "crossjoin":
         d = distance_col(metric, F.col(vec_col), F.col(qvec_col))
         if dist_scale is not None:
@@ -437,13 +445,40 @@ def hard_negatives(
     if len(qrows) > MAX_COLLECTED_QUERIES:
         raise ValueError(
             f"strategy='partial' collects the query side to the driver and it "
-            f"exceeds {MAX_COLLECTED_QUERIES} rows; mine negatives for a large "
-            "query set through ivf.ivf_knn_join on a label-partitioned corpus "
-            "or strategy='crossjoin' with an explicitly broadcastable frame"
+            f"exceeds {MAX_COLLECTED_QUERIES} rows; mine negatives for the "
+            "full set with strategy='chunked' (bounded query blocks), or use "
+            "ivf.ivf_knn_join on a label-partitioned corpus for the ANN path"
         )
+    partial = _partial_neg_frame(
+        data, qrows, k, metric, id_col, vec_col, label_col, qid_col, dist_scale
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, label_col, "distance", "rank")
+    )
+
+
+def _partial_neg_frame(
+    data: DataFrame,
+    qrows: list,
+    k: int,
+    metric: str,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    qid_col: str,
+    dist_scale: int | None,
+) -> DataFrame:
+    """hard_negatives' per-task partial frame: the `_partial_frame` kernel
+    shape (query slices bounded by _Q_BLOCK_ELEMS, id-presort + stable
+    argsort for exact (distance, id) ties, running per-task top-k emitted
+    once per task) with the label-mismatch mask applied INSIDE the batch
+    before ranking (masked pairs score +inf and are dropped at emit)."""
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(map(float, r[1])) for r in qrows], dtype=np.float64)
-    qlabels = np.array([r[2] for r in qrows])
+    qlabels = np.array([r[2] for r in qrows], dtype=object)
     spark = data.sparkSession
     bqids = spark.sparkContext.broadcast(qids)
     bQ = spark.sparkContext.broadcast(Q)
@@ -461,38 +496,144 @@ def hard_negatives(
 
     def partial_topk_neg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qi, Qm, ql = bqids.value, bQ.value, blab.value
+        nq, dim = Qm.shape[0], (Qm.shape[1] if Qm.ndim == 2 else 1)
+        PAD = np.iinfo(np.int64).max
+        best_d = best_i = best_l = None
         for pdf in batches:
-            if len(pdf) == 0:
+            n = len(pdf)
+            if n == 0:
                 continue
+            if best_d is None:
+                best_d = np.full((k, nq), np.inf)
+                best_i = np.full((k, nq), PAD, dtype=np.int64)
+                best_l = np.full((k, nq), None, dtype=object)
             X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()])
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             labs = pdf[label_col].to_numpy()
-            D = _np_distances(metric, X, Qm)
-            if dist_scale is not None:
-                s = float(10**dist_scale)
-                D = np.floor(D * s + 0.5) / s
-            # mask positives (same label) out of the candidate set entirely
-            D = np.where(labs[:, None] == ql[None, :], np.inf, D)
-            for j in range(Qm.shape[0]):
-                order = np.lexsort((ids, D[:, j]))
-                keep = order[np.isfinite(D[order, j])][: min(k, len(pdf))]
-                if len(keep) == 0:
-                    continue
-                yield pd.DataFrame(
-                    {
-                        qid_col: np.full(len(keep), qi[j], dtype=np.int64),
-                        id_col: ids[keep],
-                        label_col: labs[keep],
-                        "distance": D[keep, j],
-                    }
+            perm = np.argsort(ids, kind="stable")
+            X, ids, labs = X[perm], ids[perm], labs[perm]
+            kk = min(k, n)
+            per_pair = dim if metric == "hamming" else 1
+            qb = max(1, _Q_BLOCK_ELEMS // max(n * per_pair, 1))
+            for s0 in range(0, nq, qb):
+                D = _np_distances(metric, X, Qm[s0 : s0 + qb])
+                if dist_scale is not None:
+                    s = float(10**dist_scale)
+                    D = np.floor(D * s + 0.5) / s
+                # mask positives (same label) out of the candidate set
+                D = np.where(labs[:, None] == ql[None, s0 : s0 + qb], np.inf, D)
+                top = np.argsort(D, axis=0, kind="stable")[:kk]
+                md = np.vstack(
+                    [best_d[:, s0 : s0 + qb], np.take_along_axis(D, top, axis=0)]
                 )
+                mi = np.vstack([best_i[:, s0 : s0 + qb], ids[top]])
+                ml = np.vstack([best_l[:, s0 : s0 + qb], labs[top]])
+                by_id = np.argsort(mi, axis=0, kind="stable")
+                md = np.take_along_axis(md, by_id, axis=0)
+                mi = np.take_along_axis(mi, by_id, axis=0)
+                ml = np.take_along_axis(ml, by_id, axis=0)
+                by_d = np.argsort(md, axis=0, kind="stable")[:k]
+                best_d[:, s0 : s0 + qb] = np.take_along_axis(md, by_d, axis=0)
+                best_i[:, s0 : s0 + qb] = np.take_along_axis(mi, by_d, axis=0)
+                best_l[:, s0 : s0 + qb] = np.take_along_axis(ml, by_d, axis=0)
+        if best_d is not None:
+            flat_d = best_d.ravel()
+            # drop PAD slots AND masked (+inf) survivors: a task with fewer
+            # than k negatives emits only its real candidates
+            keep = (best_i.ravel() != PAD) & np.isfinite(flat_d)
+            yield pd.DataFrame(
+                {
+                    qid_col: np.broadcast_to(qi[None, :], best_i.shape).ravel()[keep],
+                    id_col: best_i.ravel()[keep],
+                    label_col: best_l.ravel()[keep],
+                    "distance": flat_d[keep],
+                }
+            )
 
-    partial = data.select(id_col, vec_col, label_col).mapInPandas(
+    return data.select(id_col, vec_col, label_col).mapInPandas(
         partial_topk_neg, out_schema
     )
-    w = Window.partitionBy(qid_col).orderBy(F.col("distance").asc(), F.col(id_col).asc())
+
+
+def _hard_negatives_chunked(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    qid_col: str,
+    qvec_col: str,
+    qlabel_col: str,
+    dist_scale: int | None,
+    chunk_size: int,
+) -> DataFrame:
+    """strategy='chunked' for hard-negative mining: identical block plan to
+    `_knn_join_chunked` (bounded query blocks -> union of per-task partial
+    frames -> one finishing window), with query labels traveling in each
+    block's broadcast."""
+    if chunk_size < 1:
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
+    if chunk_size > MAX_COLLECTED_QUERIES // 2:
+        raise ValueError(
+            f"chunk_size {chunk_size} > {MAX_COLLECTED_QUERIES // 2} — the "
+            "2x hash-imbalance margin over the driver ceiling "
+            f"({MAX_COLLECTED_QUERIES}) would be gone. Use more, smaller "
+            "chunks; the per-chunk cost is one data-side scan."
+        )
+    spark = data.sparkSession
+    label_field = data.select(label_col).schema.fields[0]
+    qnarrow = queries.select(qid_col, qvec_col, qlabel_col).persist()
+    try:
+        q_count = qnarrow.count()
+        if q_count == 0:
+            empty = StructType(
+                [
+                    StructField(qid_col, LongType()),
+                    StructField(id_col, LongType()),
+                    StructField(label_col, label_field.dataType),
+                    StructField("distance", DoubleType()),
+                    StructField("rank", IntegerType()),
+                ]
+            )
+            return spark.createDataFrame([], empty)
+        n_chunks = -(-q_count // chunk_size)
+        chunk_key = F.pmod(
+            F.xxhash64(F.col(qid_col), F.lit("knn_chunk")), F.lit(n_chunks)
+        )
+        frames = []
+        for c in range(n_chunks):
+            qrows = (
+                qnarrow.where(chunk_key == c)
+                .limit(MAX_COLLECTED_QUERIES + 1)
+                .collect()
+            )
+            if len(qrows) > MAX_COLLECTED_QUERIES:
+                raise ValueError(
+                    f"strategy='chunked': query block {c}/{n_chunks} holds "
+                    f">{MAX_COLLECTED_QUERIES} rows — the qid hash is "
+                    "pathologically imbalanced (are qids constant?). Lower "
+                    "chunk_size or repair the query ids."
+                )
+            if not qrows:
+                continue
+            frames.append(
+                _partial_neg_frame(
+                    data, qrows, k, metric, id_col, vec_col, label_col,
+                    qid_col, dist_scale,
+                )
+            )
+    finally:
+        qnarrow.unpersist()
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.unionByName(f)
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
     return (
-        partial.withColumn("rank", F.row_number().over(w))
+        union.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(qid_col, id_col, label_col, "distance", "rank")
     )

@@ -165,6 +165,39 @@ def test_hard_negatives_partial_equals_crossjoin(spark, emb):
     assert ra == rb and len(ra) == 4 * 7
 
 
+def test_hard_negatives_chunked_equals_crossjoin(spark, emb, monkeypatch):
+    """Chunked negative mining (full-training-set scale): multiple blocks
+    AND a query side above the (shrunken) partial cap must reproduce the
+    declarative answer exactly, labels included."""
+    monkeypatch.setattr(K, "MAX_COLLECTED_QUERIES", 8)
+    q = emb.where("vec_id < 12").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    data = emb.where("vec_id >= 12")
+    with pytest.raises(ValueError, match="strategy='chunked'"):
+        K.hard_negatives(data, q, k=4, metric="cos", strategy="partial")
+    a = K.hard_negatives(data, q, k=4, metric="cos", strategy="chunked",
+                         dist_scale=6, chunk_size=4)
+    b = K.hard_negatives(data, q, k=4, metric="cos", strategy="crossjoin",
+                         dist_scale=6)
+    key = lambda df: [
+        (r["query_id"], r["rank"], r["vec_id"], r["label"])
+        for r in df.orderBy("query_id", "rank").collect()
+    ]
+    ra, rb = key(a), key(b)
+    assert ra == rb and len(ra) > 0
+    # empty-queries edge keeps the full 5-column schema (chunk_size must
+    # respect the monkeypatched cap's margin here too)
+    q0 = q.where("query_id < 0")
+    out = K.hard_negatives(data, q0, k=3, strategy="chunked", chunk_size=4)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "vec_id", "label", "distance", "rank"
+    ]
+
+
 def test_hard_negatives_excludes_query_label_and_beats_postfilter(spark, emb):
     q = _hn_queries(emb)
     data = emb.where("vec_id >= 4")

@@ -478,11 +478,15 @@ def main() -> None:
                 "and exponent against plain_join_skewed"
             ),
             "decontaminate_bloom": (
-                "slower ABSOLUTELY than plain decontaminate at sf0.1/sf1 "
-                "(the filter build's fixed cost exceeds the shuffle saved on "
-                "a 10-doc benchmark side) but scales flatter (e 0.19 vs "
-                "0.32): the prefilter pays off when corpus shingle volume, "
-                "not filter build, dominates - the bloom_semi_join story"
+                "slower ABSOLUTELY than plain decontaminate at every scale "
+                "on this fixture - the r10 sf10 sweep (SCALE_SF10.json) "
+                "shows both converge to the same linear scan asymptote "
+                "(e 0.80 vs 0.91) with the bloom paying k extra hashes per "
+                "shingle: with a 10-doc benchmark the exact join is already "
+                "a map-side broadcast probe, so there is no shuffle for the "
+                "prefilter to save. Its real regime is a benchmark SUITE "
+                "too large to broadcast (the earlier 'scales flatter' read "
+                "was a first-decade artifact)"
             ),
             "embedding_neardup": (
                 "driver-oracle config (n_planes=6, threshold=0.4): 64 buckets "
