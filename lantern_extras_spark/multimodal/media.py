@@ -17,10 +17,14 @@ Decode support is split by codec requirement:
 - BASELINE JPEG decodes for REAL as of r10 (`decode_jpeg`): Huffman +
   dequant + IDCT + YCbCr need only numpy — SOF0/SOF1, gray + 4:4:4/4:2:2/
   4:2:0 subsampling, restart markers; progressive (SOF2) raises ValueError.
-- The remaining COMPRESSED formats (gif, mp3/flac/ogg) still need a codec
+- GIF decodes for REAL as of r10 too (`decode_gif`): LZW is plain code —
+  first frame, interlace, local/global color tables. NO image format is
+  env-gated anymore.
+- The remaining COMPRESSED formats (mp3/flac/ogg audio) still need a codec
   library this container lacks; those rows map to the per-row sentinel
   (decode failure semantics, U6) and `decoder="pil"` stays an env-gated
-  NotImplementedError STUB for real clusters.
+  NotImplementedError STUB for clusters that want libjpeg-turbo-class
+  throughput on the image path.
 - `decoder="fake"` remains: a deterministic hash-derived feature for
   pipeline tests that want format-independent values.
 
@@ -786,12 +790,176 @@ def decode_jpeg(data: bytes):
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
+    """GIF-variant LZW: variable code width starting min_code_size+1,
+    CLEAR = 2^min, EOI = CLEAR+1, dictionary capped at 4096 entries, width
+    grows when the next assignable code would overflow the current width.
+    Returns exactly n_pixels palette indices (extra trailing codes beyond
+    n_pixels are ignored, per common decoder practice)."""
+    CLEAR = 1 << min_code_size
+    EOI = CLEAR + 1
+    out: list[int] = []
+    # bit reader: GIF packs codes LSB-first
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def read_code(width: int) -> int | None:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    def reset_dict():
+        return {i: (i,) for i in range(CLEAR)}
+
+    # SLOT-COUNTER sync (giflib semantics): next_code advances on every
+    # data code READ — it reserves the slot whose content becomes known
+    # only one emission later — so the width-growth boundary lands on the
+    # same emission as the encoder's. The latest reserved-but-unfilled
+    # slot (next_code - 1) is exactly the KwKwK case.
+    table = reset_dict()
+    width = min_code_size + 1
+    prev: tuple | None = None
+    next_code = EOI + 1
+    while len(out) < n_pixels:
+        code = read_code(width)
+        if code is None or code == EOI:
+            break
+        if code == CLEAR:
+            table = reset_dict()
+            width = min_code_size + 1
+            next_code = EOI + 1
+            prev = None
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_code - 1 and prev is not None:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out.extend(entry)
+        if prev is not None and next_code - 1 > EOI and next_code - 1 not in table:
+            # fill the slot reserved during the PREVIOUS emission
+            table[next_code - 1] = prev + (entry[0],)
+        if next_code < 4096:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError(
+            f"GIF LZW stream ended after {len(out)}/{n_pixels} pixels"
+        )
+    return out[:n_pixels]
+
+
+def decode_gif(data: bytes):
+    """Decode GIF87a/GIF89a bytes into an (H, W, 3) uint8 array with pure
+    stdlib + numpy (r10 — LZW is ~60 lines of plain code, no codec library
+    needed; this closes the LAST image-format gate). FIRST frame only
+    (animated GIFs: later frames are ignored — frame sampling lives in
+    `frame_sample`); the frame is composed onto a background-color-filled
+    logical screen when it does not cover it; interlaced frames are
+    de-interlaced per the 4-pass spec; transparency is ignored (the
+    transparent index renders as its palette color — the `decode_bmp`
+    alpha-drop convention). Raises ValueError on malformed input."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    if sw <= 0 or sh <= 0:
+        raise ValueError(f"bad GIF dimensions {sw}x{sh}")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        if gct.shape[0] != n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+        pos += 10
+        lct = None
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            lct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+            if lct.shape[0] != n:
+                raise ValueError("truncated GIF local color table")
+            pos += 3 * n
+        palette = lct if lct is not None else gct
+        if palette is None:
+            raise ValueError("GIF image without a color table")
+        if w <= 0 or h <= 0 or left + w > sw or top + h > sh:
+            raise ValueError("GIF frame exceeds the logical screen")
+        min_code_size = data[pos]
+        pos += 1
+        if not (2 <= min_code_size <= 11):
+            raise ValueError(f"bad GIF LZW min code size {min_code_size}")
+        lzw = bytearray()
+        while pos < len(data) and data[pos] != 0:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1  # sub-block terminator
+        idx = np.array(
+            _gif_lzw_decode(bytes(lzw), min_code_size, w * h), dtype=np.int64
+        ).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            order = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            deinter = np.empty_like(idx)
+            deinter[order] = idx
+            idx = deinter
+        if idx.max(initial=0) >= len(palette):
+            raise ValueError("GIF palette index out of range")
+        frame = palette[idx]
+        if (left, top, w, h) == (0, 0, sw, sh):
+            return np.ascontiguousarray(frame)
+        bg = (
+            gct[bg_idx]
+            if gct is not None and bg_idx < len(gct)
+            else np.zeros(3, dtype=np.uint8)
+        )
+        screen = np.tile(bg, (sh, sw, 1)).astype(np.uint8)
+        screen[top : top + h, left : left + w] = frame
+        return np.ascontiguousarray(screen)
+    raise ValueError("GIF contains no image block")
+
+
 def decode_image_bytes(data: bytes):
     """Magic-number dispatch to the codec-free decoders: netpbm (P3/P5/P6),
-    uncompressed BMP, PNG (zlib is stdlib — `decode_png`), and baseline
-    JPEG (`decode_jpeg`, pure numpy — r10) decode for real; gif raises
-    NotImplementedError (the one remaining env-gated image codec),
-    anything else ValueError. Per-row callers map both to the sentinel."""
+    uncompressed BMP, PNG (zlib is stdlib — `decode_png`), baseline JPEG
+    (`decode_jpeg`, pure numpy — r10), and GIF (`decode_gif`, pure-python
+    LZW — r10) ALL decode for real; anything else raises ValueError (no
+    image format is env-gated anymore). Per-row callers map failures to
+    the sentinel."""
     head = bytes(data[:4])
     if head[:1] == b"P" and head[1:2] in b"356":
         return decode_ppm(data)
@@ -802,10 +970,7 @@ def decode_image_bytes(data: bytes):
     if head[:3] == b"\xff\xd8\xff":
         return decode_jpeg(data)
     if head[:3] == b"GIF":
-        raise NotImplementedError(
-            "gif decode needs an LZW codec library — env-gated in this "
-            "container; PPM/PGM/BMP/PNG/JPEG(baseline) decode codec-free"
-        )
+        return decode_gif(data)
     raise ValueError(f"unrecognized image payload (head={head!r})")
 
 

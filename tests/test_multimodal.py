@@ -467,13 +467,14 @@ def test_decode_image_bytes_dispatch():
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     assert decode_image_bytes(_ppm_p6(img)).shape == (2, 2, 3)
     assert decode_image_bytes(_bmp24(img)).shape == (2, 2, 3)
-    # PNG (r8) and baseline JPEG (r10) decode for real — malformed payloads
-    # are ValueErrors from the decoders, not env gates; only gif stays gated
+    # PNG (r8), baseline JPEG (r10) and GIF (r10) decode for real —
+    # malformed payloads are ValueErrors from the decoders, not env gates;
+    # NO image format is gated anymore
     with _pt.raises(ValueError):
         decode_image_bytes(b"\xff\xd8\xff\xe0fakejpeg")
     with _pt.raises(ValueError):
         decode_image_bytes(b"\x89PNG\r\n\x1a\nfakepng")
-    with _pt.raises(NotImplementedError, match="codec"):
+    with _pt.raises(ValueError):
         decode_image_bytes(b"GIF89a" + b"\x00" * 16)
     with _pt.raises(ValueError, match="unrecognized"):
         decode_image_bytes(b"????junk")
@@ -1118,3 +1119,219 @@ def test_decode_jpeg_committed_golden_fixture(spark):
     want = clip_pooled_feature(got, dim=8)
     assert np.allclose(out, want, atol=1e-6)
     assert out != [-1.0] * 8
+
+
+# ---------------------------------------------------------------------------
+# GIF: independent LZW encoders (compressing + literal) + goldens (r10)
+# ---------------------------------------------------------------------------
+
+
+class _GifBitWriter:
+    """LSB-first code packer with 255-byte sub-block framing."""
+
+    def __init__(self):
+        self.acc = 0
+        self.n = 0
+        self.bytes = bytearray()
+
+    def code(self, value, width):
+        self.acc |= value << self.n
+        self.n += width
+        while self.n >= 8:
+            self.bytes.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def finish(self):
+        if self.n:
+            self.bytes.append(self.acc & 0xFF)
+        out = bytearray()
+        b = bytes(self.bytes)
+        for i in range(0, len(b), 255):
+            chunk = b[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+        return bytes(out)
+
+
+def _gif_lzw_encode(indices, min_code_size, literal=False):
+    """GIF LZW encoder, independent of the package decoder. literal=True
+    emits every pixel as a root code with a CLEAR before the dictionary
+    could force a width change — a valid (uncompressed-style) stream that
+    exercises the decoder's CLEAR handling without dict-growth sync."""
+    CLEAR = 1 << min_code_size
+    EOI = CLEAR + 1
+    w = _GifBitWriter()
+    width = min_code_size + 1
+    if literal:
+        budget = (1 << width) - EOI - 2  # emit CLEAR before width must grow
+        w.code(CLEAR, width)
+        n = 0
+        for px in indices:
+            if n >= budget:
+                w.code(CLEAR, width)
+                n = 0
+            w.code(int(px), width)
+            n += 1
+        w.code(EOI, width)
+        return w.finish()
+    table = {(i,): i for i in range(CLEAR)}
+    next_code = EOI + 1
+    w.code(CLEAR, width)
+    cur = ()
+    for px in indices:
+        px = int(px)
+        cand = cur + (px,)
+        if cand in table:
+            cur = cand
+            continue
+        w.code(table[cur], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            w.code(CLEAR, width)
+            table = {(i,): i for i in range(CLEAR)}
+            width = min_code_size + 1
+            next_code = EOI + 1
+        cur = (px,)
+    if cur:
+        w.code(table[cur], width)
+    w.code(EOI, width)
+    return w.finish()
+
+
+def _gif(idx, palette, interlace=False, use_lct=False, screen=None,
+         left=0, top=0, bg_idx=0, literal=False, with_gce=False):
+    """Test-fixture GIF ENCODER (pure stdlib + the independent LZW above).
+    idx: (H, W) palette indices; palette: (N, 3) uint8."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(idx)
+    h, w = idx.shape
+    palette = np.asarray(palette, dtype=np.uint8)
+    n = len(palette)
+    bits = max(2, int(np.ceil(np.log2(max(n, 2)))))
+    size_field = max(0, int(np.ceil(np.log2(max(n, 2)))) - 1)
+    padded = np.zeros((2 << size_field, 3), dtype=np.uint8)
+    padded[:n] = palette
+    table_bytes = padded.tobytes()
+    sw, sh = screen if screen else (w, h)
+    out = bytearray(b"GIF89a")
+    packed = (0x80 | size_field) if not use_lct else 0x00
+    out += struct.pack("<HHBBB", sw, sh, packed, bg_idx, 0)
+    if not use_lct:
+        out += table_bytes
+    if with_gce:  # graphic control extension: must be skipped cleanly
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    rows = idx
+    if interlace:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        rows = idx[order]
+    ipacked = (0x80 | size_field if use_lct else 0) | (0x40 if interlace else 0)
+    out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, ipacked)
+    if use_lct:
+        out += table_bytes
+    out += bytes([bits])
+    out += _gif_lzw_encode(rows.reshape(-1), bits, literal=literal)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _rand_gif_case(seed, h, w, ncolors):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    palette = rng.randint(0, 256, size=(ncolors, 3), dtype=np.uint8)
+    idx = rng.randint(0, ncolors, size=(h, w))
+    return idx, palette
+
+
+def test_decode_gif_exact_pixels_compressed_and_literal():
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import decode_gif, decode_image_bytes
+
+    idx, palette = _rand_gif_case(3, 13, 17, 7)
+    want = palette[idx]
+    for literal in (False, True):
+        got = decode_gif(_gif(idx, palette, literal=literal, with_gce=True))
+        assert np.array_equal(got, want), f"literal={literal}"
+    # dispatch routes GIF to the real decoder
+    assert np.array_equal(decode_image_bytes(_gif(idx, palette)), want)
+
+
+def test_decode_gif_kwkwk_and_width_growth():
+    """Runs of one symbol drive the KwKwK code path; > 2^width dictionary
+    entries drive width growth — both must decode exactly."""
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import decode_gif
+
+    idx = np.zeros((20, 40), dtype=np.int64)  # one long run: KwKwK territory
+    palette = np.array([[9, 9, 9], [200, 0, 0]], dtype=np.uint8)
+    got = decode_gif(_gif(idx, palette))
+    assert np.array_equal(got, palette[idx])
+    rng = np.random.RandomState(11)
+    big = rng.randint(0, 250, size=(40, 60))  # forces many dict entries
+    pal = rng.randint(0, 256, size=(250, 3), dtype=np.uint8)
+    assert np.array_equal(decode_gif(_gif(big, pal)), pal[big])
+
+
+def test_decode_gif_interlace_subrect_lct():
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import decode_gif
+
+    idx, palette = _rand_gif_case(7, 16, 9, 16)
+    got = decode_gif(_gif(idx, palette, interlace=True))
+    assert np.array_equal(got, palette[idx])
+    # sub-rect frame composed on a bg-filled screen, local color table
+    sub, pal = _rand_gif_case(9, 4, 5, 8)
+    data = _gif(sub, pal, use_lct=True, screen=(12, 10), left=3, top=2)
+    got = decode_gif(data)
+    assert got.shape == (10, 12, 3)
+    assert np.array_equal(got[2:6, 3:8], pal[sub])
+    assert np.array_equal(got[0, 0], np.zeros(3))  # no GCT -> black bg
+
+
+def test_decode_gif_rejects_malformed():
+    import numpy as np
+    import pytest as _pt
+    from lantern_extras_spark.multimodal.media import decode_gif
+
+    idx, palette = _rand_gif_case(5, 4, 4, 4)
+    good = _gif(idx, palette)
+    with _pt.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOTGIF" + good[6:])
+    with _pt.raises(ValueError, match="no image block"):
+        decode_gif(good[:13 + 3 * 4] + b"\x3b")
+    with _pt.raises(ValueError):
+        decode_gif(good[:-8])  # truncated LZW data
+    bad = bytearray(good)
+    bad[13 + 3 * 4] = 0x99  # unknown block type
+    with _pt.raises(ValueError, match="unexpected GIF block"):
+        decode_gif(bytes(bad))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    ncolors=st.sampled_from([2, 3, 4, 16, 60, 256]),
+    seed=st.integers(0, 2**31 - 1),
+    interlace=st.booleans(),
+    literal=st.booleans(),
+)
+def test_decode_gif_roundtrip_fuzz(h, w, ncolors, seed, interlace, literal):
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import decode_gif
+
+    idx, palette = _rand_gif_case(seed, h, w, ncolors)
+    got = decode_gif(_gif(idx, palette, interlace=interlace, literal=literal))
+    assert np.array_equal(got, palette[idx]), (h, w, ncolors, interlace, literal)
