@@ -20,9 +20,13 @@ Decode support is split by codec requirement:
 - GIF decodes for REAL as of r10 too (`decode_gif`): LZW is plain code —
   first frame, interlace, local/global color tables. NO image format is
   env-gated anymore.
-- The remaining COMPRESSED formats (mp3/flac/ogg audio) still need a codec
-  library this container lacks; those rows map to the per-row sentinel
-  (decode failure semantics, U6) and `decoder="pil"` stays an env-gated
+- FLAC decodes for REAL as of r10 (`decode_flac`): Rice coding, fixed +
+  LPC predictors, stereo decorrelation and CRC verification are plain
+  integer code — lossless PCM out, feeding `audio_frame_energy` with no
+  gate.
+- The remaining LOSSY audio codecs (mp3/ogg) still need a codec library
+  this container lacks; those rows map to the per-row sentinel (decode
+  failure semantics, U6) and `decoder="pil"` stays an env-gated
   NotImplementedError STUB for clusters that want libjpeg-turbo-class
   throughput on the image path.
 - `decoder="fake"` remains: a deterministic hash-derived feature for
@@ -1130,6 +1134,289 @@ def decode_wav_pcm(data: bytes):
     return pcm, sample_rate, sample_width
 
 
+def _crc8_flac(data: bytes) -> int:
+    """CRC-8, polynomial 0x07, init 0 (FLAC frame-header CRC)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16_flac(data: bytes) -> int:
+    """CRC-16, polynomial 0x8005, init 0 (FLAC frame footer CRC)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _FlacBits:
+    """MSB-first bit reader with byte-position access (for CRC spans)."""
+
+    def __init__(self, data: bytes, byte_pos: int = 0):
+        self.data = data
+        self.pos = byte_pos  # byte position
+        self.bit = 0  # bits consumed within current byte
+
+    def u(self, n: int) -> int:
+        v = 0
+        while n > 0:
+            if self.pos >= len(self.data):
+                raise ValueError("FLAC bitstream exhausted")
+            avail = 8 - self.bit
+            take = min(n, avail)
+            byte = self.data[self.pos]
+            v = (v << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            self.bit += take
+            n -= take
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+    def s(self, n: int) -> int:
+        v = self.u(n)
+        return v - (1 << n) if n > 0 and v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        """FLAC unary: n zero bits terminated by a one bit."""
+        n = 0
+        while self.u(1) == 0:
+            n += 1
+            if n > 1_000_000:
+                raise ValueError("runaway FLAC unary code")
+        return n
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+_FLAC_SAMPLE_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_FLAC_SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+_FLAC_FIXED_COEFFS = {
+    0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1],
+}
+
+
+def _flac_residual(bits: _FlacBits, block_size: int, pred_order: int) -> list[int]:
+    method = bits.u(2)
+    if method not in (0, 1):
+        raise ValueError(f"reserved FLAC residual method {method}")
+    pbits, escape = (4, 15) if method == 0 else (5, 31)
+    po = bits.u(4)
+    n_part = 1 << po
+    if block_size % n_part != 0:
+        raise ValueError("FLAC partition order does not divide block size")
+    out: list[int] = []
+    for p in range(n_part):
+        n = (block_size >> po) - (pred_order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("FLAC predictor order exceeds first partition")
+        param = bits.u(pbits)
+        if param == escape:
+            raw = bits.u(5)
+            out.extend(bits.s(raw) if raw else 0 for _ in range(n))
+        else:
+            for _ in range(n):
+                q = bits.unary()
+                u = (q << param) | (bits.u(param) if param else 0)
+                out.append((u >> 1) ^ -(u & 1))  # zigzag
+    return out
+
+
+def _flac_subframe(bits: _FlacBits, block_size: int, bps: int) -> list[int]:
+    if bits.u(1) != 0:
+        raise ValueError("bad FLAC subframe padding bit")
+    stype = bits.u(6)
+    wasted = 0
+    if bits.u(1):
+        wasted = bits.unary() + 1
+        bps -= wasted
+    if stype == 0:  # CONSTANT
+        v = bits.s(bps)
+        samples = [v] * block_size
+    elif stype == 1:  # VERBATIM
+        samples = [bits.s(bps) for _ in range(block_size)]
+    elif 8 <= stype <= 12:  # FIXED, order 0..4
+        order = stype - 8
+        samples = [bits.s(bps) for _ in range(order)]
+        resid = _flac_residual(bits, block_size, order)
+        coeffs = _FLAC_FIXED_COEFFS[order]
+        for r in resid:
+            pred = sum(c * samples[-1 - j] for j, c in enumerate(coeffs))
+            samples.append(r + pred)
+    elif stype >= 32:  # LPC, order 1..32
+        order = (stype & 31) + 1
+        samples = [bits.s(bps) for _ in range(order)]
+        precision = bits.u(4) + 1
+        if precision == 16:
+            raise ValueError("invalid FLAC LPC precision")
+        shift = bits.s(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coeffs = [bits.s(precision) for _ in range(order)]
+        resid = _flac_residual(bits, block_size, order)
+        for r in resid:
+            acc = sum(c * samples[-1 - j] for j, c in enumerate(coeffs))
+            samples.append(r + (acc >> shift))
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype}")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+def decode_flac(data: bytes):
+    """Decode a native-FLAC stream with pure stdlib + numpy (r10 — Rice
+    coding, fixed + LPC predictors and stereo decorrelation are plain
+    integer code; no codec library). Returns (samples, sample_rate,
+    sample_width_bytes) exactly like `decode_wav_pcm`: `samples` is a mono
+    float64 array in native PCM units (channels mean-mixed), lossless.
+
+    Supported: the full subframe set (CONSTANT / VERBATIM / FIXED 0-4 /
+    LPC 1-32, wasted bits), both Rice methods incl. escape partitions, all
+    four channel assignments (independent / left-side / right-side /
+    mid-side), fixed and variable blocking; frame-header CRC-8 and frame
+    CRC-16 are VERIFIED. Bit-level Python — fixture/moderate-asset speed,
+    same contract as decode_jpeg. Raises ValueError on malformed input."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 42 or data[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    streaminfo = None
+    while pos + 4 <= len(data):
+        head = data[pos]
+        btype = head & 0x7F
+        (blen,) = struct.unpack(">I", b"\x00" + data[pos + 1 : pos + 4])
+        body = data[pos + 4 : pos + 4 + blen]
+        if len(body) < blen:
+            raise ValueError("truncated FLAC metadata block")
+        if btype == 0:
+            if blen != 34:
+                raise ValueError("bad FLAC STREAMINFO length")
+            streaminfo = body
+        pos += 4 + blen
+        if head & 0x80:  # last-metadata flag
+            break
+    if streaminfo is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    si = _FlacBits(streaminfo)
+    si.u(16), si.u(16), si.u(24), si.u(24)  # block/frame size bounds
+    rate = si.u(20)
+    n_channels = si.u(3) + 1
+    bps_def = si.u(5) + 1
+    total_samples = si.u(36)
+    if rate == 0:
+        raise ValueError("bad FLAC sample rate 0")
+
+    chans = [[] for _ in range(n_channels)]
+    got = 0
+    while pos < len(data) and (total_samples == 0 or got < total_samples):
+        frame_start = pos
+        bits = _FlacBits(data, pos)
+        if bits.u(14) != 0x3FFE:
+            raise ValueError("bad FLAC frame sync")
+        if bits.u(1) != 0:
+            raise ValueError("bad FLAC frame reserved bit")
+        bits.u(1)  # blocking strategy
+        bs_code = bits.u(4)
+        sr_code = bits.u(4)
+        ch_code = bits.u(4)
+        ss_code = bits.u(3)
+        if bits.u(1) != 0:
+            raise ValueError("bad FLAC frame header reserved bit")
+        # coded (UTF-8 style) frame/sample number — byte aligned here
+        first = bits.u(8)
+        extra = 0
+        if first >= 0xC0:
+            probe = first
+            while probe & 0x40:
+                extra += 1
+                probe <<= 1
+        for _ in range(extra):
+            if bits.u(2) != 0b10:
+                raise ValueError("bad FLAC coded number continuation")
+            bits.u(6)
+        if bs_code == 0:
+            raise ValueError("reserved FLAC block size code")
+        elif bs_code == 1:
+            block_size = 192
+        elif bs_code <= 5:
+            block_size = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            block_size = bits.u(8) + 1
+        elif bs_code == 7:
+            block_size = bits.u(16) + 1
+        else:
+            block_size = 256 << (bs_code - 8)
+        if sr_code == 12:
+            bits.u(8)
+        elif sr_code in (13, 14):
+            bits.u(16)
+        elif sr_code == 15:
+            raise ValueError("invalid FLAC sample rate code")
+        bps = _FLAC_SAMPLE_SIZES.get(ss_code, bps_def)
+        if ss_code == 3:
+            raise ValueError("reserved FLAC sample size code")
+        crc8_end = bits.pos + (1 if bits.bit else 0)
+        if _crc8_flac(data[frame_start:crc8_end]) != bits.u(8):
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+
+        if ch_code <= 7:
+            if ch_code + 1 != n_channels:
+                raise ValueError("FLAC frame channel count != STREAMINFO")
+            sub = [_flac_subframe(bits, block_size, bps) for _ in range(n_channels)]
+        elif ch_code in (8, 9, 10):
+            if n_channels != 2:
+                raise ValueError("FLAC stereo decorrelation in non-stereo stream")
+            if ch_code == 8:  # left/side
+                left = _flac_subframe(bits, block_size, bps)
+                side = _flac_subframe(bits, block_size, bps + 1)
+                sub = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:  # right/side (side first)
+                side = _flac_subframe(bits, block_size, bps + 1)
+                right = _flac_subframe(bits, block_size, bps)
+                sub = [[s + r for s, r in zip(side, right)], right]
+            else:  # mid/side
+                mid = _flac_subframe(bits, block_size, bps)
+                side = _flac_subframe(bits, block_size, bps + 1)
+                l_ch, r_ch = [], []
+                for m, s in zip(mid, side):
+                    m = (m << 1) | (s & 1)
+                    l_ch.append((m + s) >> 1)
+                    r_ch.append((m - s) >> 1)
+                sub = [l_ch, r_ch]
+        else:
+            raise ValueError(f"reserved FLAC channel assignment {ch_code}")
+        bits.align()
+        if _crc16_flac(data[frame_start : bits.pos]) != bits.u(16):
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        for c in range(n_channels):
+            chans[c].extend(sub[c])
+        got += block_size
+        pos = bits.pos
+    if total_samples and got < total_samples:
+        raise ValueError(f"FLAC stream ended at {got}/{total_samples} samples")
+    if total_samples:
+        chans = [c[: int(total_samples)] for c in chans]
+    pcm = np.asarray(chans, dtype=np.float64)
+    mono = pcm.mean(axis=0) if n_channels > 1 else pcm[0]
+    width = max(1, (bps_def + 7) // 8)
+    return mono, rate, width
+
+
 def audio_frame_energy(
     df: DataFrame,
     media_col: str = "media",
@@ -1141,12 +1428,14 @@ def audio_frame_energy(
 ) -> DataFrame:
     """Audio features: per-frame RMS energy, one binary row in → bounded
     float array out. WAV containers (RIFF....WAVE magic) decode FOR REAL via
-    stdlib `wave` — channels mean-mixed, the container's own sample width
-    used for full-scale — so bytes→energy needs no codec and no env gate.
-    Non-WAV payloads are treated as raw little-endian signed `sample_width`
-    PCM (frame at `frame_bytes`, RMS per frame normalized to [0, 1]);
-    compressed codecs (mp3/flac/ogg) therefore measure byte entropy, not
-    sound — that decode step stays env-gated, mirroring compressed images.
+    stdlib `wave`, and native FLAC (fLaC magic) decodes FOR REAL via the
+    pure-python `decode_flac` (r10) — channels mean-mixed, the container's
+    own sample width used for full-scale — so bytes→energy needs no codec
+    and no env gate for either container. Other payloads are treated as raw
+    little-endian signed `sample_width` PCM (frame at `frame_bytes`, RMS per
+    frame normalized to [0, 1]); the remaining LOSSY codecs (mp3/ogg)
+    therefore measure byte entropy, not sound — that decode step stays
+    env-gated.
 
     Failure semantics match the reference's media sentinel (U6): null /
     oversized / unreadable rows yield `[-1.0]` (one sentinel element), never
@@ -1187,8 +1476,11 @@ def audio_frame_energy(
                     continue
                 try:
                     raw = bytes(data)
-                    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
-                        pcm, _rate, width = decode_wav_pcm(raw)
+                    if (raw[:4] == b"RIFF" and raw[8:12] == b"WAVE") or raw[:4] == b"fLaC":
+                        if raw[:4] == b"fLaC":
+                            pcm, _rate, width = decode_flac(raw)
+                        else:
+                            pcm, _rate, width = decode_wav_pcm(raw)
                         if len(pcm) == 0:
                             feats.append([SENTINEL_VALUE])
                             continue

@@ -1335,3 +1335,329 @@ def test_decode_gif_roundtrip_fuzz(h, w, ncolors, seed, interlace, literal):
     idx, palette = _rand_gif_case(seed, h, w, ncolors)
     got = decode_gif(_gif(idx, palette, interlace=interlace, literal=literal))
     assert np.array_equal(got, palette[idx]), (h, w, ncolors, interlace, literal)
+
+
+# ---------------------------------------------------------------------------
+# FLAC: independent encoder (fixed/constant/verbatim/LPC + rice) + goldens (r10)
+# ---------------------------------------------------------------------------
+
+
+def _fcrc8(data):
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _fcrc16(data):
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _FlacWriter:
+    def __init__(self):
+        self.acc = 0
+        self.n = 0
+        self.out = bytearray()
+
+    def u(self, v, nbits):
+        assert 0 <= v < (1 << nbits), (v, nbits)
+        self.acc = (self.acc << nbits) | v
+        self.n += nbits
+        while self.n >= 8:
+            self.out.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def s(self, v, nbits):
+        self.u(v & ((1 << nbits) - 1), nbits)
+
+    def unary(self, v):
+        for _ in range(v):
+            self.u(0, 1)
+        self.u(1, 1)
+
+    def align(self):
+        if self.n:
+            self.u(0, 8 - self.n)
+
+    def bytes(self):
+        assert self.n == 0
+        return bytes(self.out)
+
+
+_FIXED_COEF = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _flac_write_residual(w, resid, pred_order, block_size, rice_param,
+                         partition_order=0, escape_bits=None):
+    w.u(0, 2)  # rice method 0 (4-bit params)
+    w.u(partition_order, 4)
+    n_part = 1 << partition_order
+    i = 0
+    for p in range(n_part):
+        n = (block_size >> partition_order) - (pred_order if p == 0 else 0)
+        part = resid[i : i + n]
+        i += n
+        if escape_bits is not None:
+            w.u(15, 4)
+            w.u(escape_bits, 5)
+            for r in part:
+                w.s(r, escape_bits)
+            continue
+        w.u(rice_param, 4)
+        for r in part:
+            u = 2 * r if r >= 0 else -2 * r - 1
+            w.unary(u >> rice_param)
+            if rice_param:
+                w.u(u & ((1 << rice_param) - 1), rice_param)
+
+
+def _flac_subframe_bits(w, samples, bps, kind, rice_param=4,
+                        partition_order=0, escape_bits=None, wasted=0,
+                        lpc=None):
+    if wasted:
+        samples = [s >> wasted for s in samples]
+        bps -= wasted
+    if kind == "constant":
+        w.u(0, 1); w.u(0, 6)
+        w.u(1 if wasted else 0, 1)
+        if wasted:
+            w.unary(wasted - 1)
+        w.s(samples[0], bps)
+        return
+    if kind == "verbatim":
+        w.u(0, 1); w.u(1, 6)
+        w.u(1 if wasted else 0, 1)
+        if wasted:
+            w.unary(wasted - 1)
+        for s in samples:
+            w.s(s, bps)
+        return
+    if kind.startswith("fixed"):
+        order = int(kind[-1])
+        w.u(0, 1); w.u(8 + order, 6)
+        w.u(1 if wasted else 0, 1)
+        if wasted:
+            w.unary(wasted - 1)
+        for s in samples[:order]:
+            w.s(s, bps)
+        coef = _FIXED_COEF[order]
+        resid = [
+            samples[i] - sum(c * samples[i - 1 - j] for j, c in enumerate(coef))
+            for i in range(order, len(samples))
+        ]
+        _flac_write_residual(w, resid, order, len(samples), rice_param,
+                             partition_order, escape_bits)
+        return
+    if kind == "lpc":
+        order, precision, shift, coeffs = lpc
+        w.u(0, 1); w.u(32 + (order - 1), 6); w.u(0, 1)
+        for s in samples[:order]:
+            w.s(s, bps)
+        w.u(precision - 1, 4)
+        w.s(shift, 5)
+        for c in coeffs:
+            w.s(c, precision)
+        resid = [
+            samples[i]
+            - (sum(c * samples[i - 1 - j] for j, c in enumerate(coeffs)) >> shift)
+            for i in range(order, len(samples))
+        ]
+        _flac_write_residual(w, resid, order, len(samples), rice_param,
+                             partition_order, escape_bits)
+        return
+    raise AssertionError(kind)
+
+
+def _flac(channels, rate=8000, bps=16, block_size=None, assignment="indep",
+          kind="fixed1", rice_param=4, partition_order=0, escape_bits=None,
+          wasted=0, padding_block=False, lpc=None, corrupt_crc8=False):
+    """Test-fixture FLAC ENCODER, independent of the package decoder."""
+    import struct
+
+    nch = len(channels)
+    total = len(channels[0])
+    block_size = block_size or total
+    si = _FlacWriter()
+    si.u(block_size, 16); si.u(block_size, 16)
+    si.u(0, 24); si.u(0, 24)
+    si.u(rate, 20); si.u(nch - 1, 3); si.u(bps - 1, 5)
+    si.u(total, 36)
+    out = bytearray(b"fLaC")
+    streaminfo = si.bytes() + b"\x00" * 16  # + md5 (unverified)
+    if padding_block:
+        out += bytes([0x00]) + struct.pack(">I", 34)[1:] + streaminfo
+        out += bytes([0x81]) + struct.pack(">I", 4)[1:] + b"\x00" * 4
+    else:
+        out += bytes([0x80]) + struct.pack(">I", 34)[1:] + streaminfo
+
+    ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps]
+    ch_code = {"indep": nch - 1, "left_side": 8, "right_side": 9,
+               "mid_side": 10}[assignment]
+    for fi, start in enumerate(range(0, total, block_size)):
+        bs = min(block_size, total - start)
+        w = _FlacWriter()
+        w.u(0x3FFE, 14); w.u(0, 1); w.u(0, 1)
+        w.u(7, 4)          # block size in 16-bit field
+        w.u(0, 4)          # sample rate: from STREAMINFO
+        w.u(ch_code, 4)
+        w.u(ss_code, 3); w.u(0, 1)
+        assert fi < 128
+        w.u(fi, 8)         # coded frame number, single byte
+        w.u(bs - 1, 16)
+        header = w.bytes()
+        crc8 = _fcrc8(header)
+        if corrupt_crc8:
+            crc8 ^= 0xFF
+        w2 = _FlacWriter()
+        if assignment == "indep":
+            subs = [(channels[c][start:start + bs], bps) for c in range(nch)]
+        else:
+            L = channels[0][start:start + bs]
+            R = channels[1][start:start + bs]
+            side = [l - r for l, r in zip(L, R)]
+            if assignment == "left_side":
+                subs = [(L, bps), (side, bps + 1)]
+            elif assignment == "right_side":
+                subs = [(side, bps + 1), (R, bps)]
+            else:
+                mid = [(l + r) >> 1 for l, r in zip(L, R)]
+                subs = [(mid, bps), (side, bps + 1)]
+        for samples, sbps in subs:
+            _flac_subframe_bits(
+                w2, samples, sbps, kind, rice_param, partition_order,
+                escape_bits, wasted, lpc,
+            )
+        w2.align()
+        body = w2.bytes()
+        frame = header + bytes([crc8]) + body
+        out += frame + struct.pack(">H", _fcrc16(frame))
+    return bytes(out)
+
+
+def _rand_pcm(seed, n, nch=1, lo=-3000, hi=3000):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [[int(v) for v in rng.randint(lo, hi, size=n)] for _ in range(nch)]
+
+
+def test_decode_flac_lossless_roundtrip_fixed_orders():
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import decode_flac
+
+    (ch,) = _rand_pcm(3, 200)
+    for kind in ("fixed0", "fixed1", "fixed2", "fixed3", "fixed4", "verbatim"):
+        mono, rate, width = decode_flac(_flac([ch], kind=kind))
+        assert rate == 8000 and width == 2
+        assert np.array_equal(mono, np.array(ch, dtype=np.float64)), kind
+    # constant subframe
+    mono, _, _ = decode_flac(_flac([[77] * 64], kind="constant"))
+    assert np.array_equal(mono, np.full(64, 77.0))
+
+
+def test_decode_flac_multiframe_and_padding_block():
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import decode_flac
+
+    (ch,) = _rand_pcm(5, 300)
+    data = _flac([ch], block_size=128, padding_block=True)  # 3 frames
+    mono, _, _ = decode_flac(data)
+    assert np.array_equal(mono, np.array(ch, dtype=np.float64))
+
+
+def test_decode_flac_stereo_decorrelation_modes():
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import decode_flac
+
+    L, R = _rand_pcm(7, 150, nch=2)
+    want = (np.array(L, dtype=np.float64) + np.array(R)) / 2.0
+    for mode in ("indep", "left_side", "right_side", "mid_side"):
+        mono, _, _ = decode_flac(_flac([L, R], assignment=mode, kind="fixed2"))
+        assert np.array_equal(mono, want), mode
+
+
+def test_decode_flac_rice_partitions_escape_wasted_lpc():
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import decode_flac
+
+    (ch,) = _rand_pcm(9, 256)
+    # 4 rice partitions
+    mono, _, _ = decode_flac(_flac([ch], kind="fixed1", partition_order=2))
+    assert np.array_equal(mono, np.array(ch, dtype=np.float64))
+    # escape (raw) partitions
+    mono, _, _ = decode_flac(_flac([ch], kind="fixed0", escape_bits=14))
+    assert np.array_equal(mono, np.array(ch, dtype=np.float64))
+    # wasted bits: samples divisible by 8 -> 3 wasted bits
+    ch8 = [v * 8 for v in _rand_pcm(11, 100, lo=-300, hi=300)[0]]
+    mono, _, _ = decode_flac(_flac([ch8], kind="verbatim", wasted=3))
+    assert np.array_equal(mono, np.array(ch8, dtype=np.float64))
+    # crafted LPC subframe (order 2, real quantized coefficients)
+    (c2,) = _rand_pcm(13, 180)
+    mono, _, _ = decode_flac(
+        _flac([c2], kind="lpc", lpc=(2, 12, 5, [60, -29]), rice_param=8)
+    )
+    assert np.array_equal(mono, np.array(c2, dtype=np.float64))
+
+
+def test_decode_flac_rejects_malformed():
+    import pytest as _pt
+    from lantern_extras_spark.multimodal.media import decode_flac
+
+    (ch,) = _rand_pcm(15, 64)
+    good = _flac([ch])
+    with _pt.raises(ValueError, match="not a FLAC"):
+        decode_flac(b"fLaX" + good[4:])
+    with _pt.raises(ValueError, match="CRC-8"):
+        decode_flac(_flac([ch], corrupt_crc8=True))
+    with _pt.raises(ValueError):
+        decode_flac(good[:-6])  # truncated final frame
+
+
+def test_audio_frame_energy_flac_matches_wav(spark):
+    """Cross-container parity: the SAME samples through FLAC and WAV must
+    yield identical frame energies — the decode is lossless and the energy
+    kernel container-agnostic."""
+    from lantern_extras_spark.multimodal.media import audio_frame_energy
+
+    (ch,) = _rand_pcm(17, 256, lo=-20000, hi=20000)
+    wav = _wav_bytes(ch)
+    flac = _flac([ch], kind="fixed2")
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(flac))], "id long, media binary"
+    )
+    out = {r["id"]: r["frame_energy"]
+           for r in audio_frame_energy(df, frame_bytes=128).collect()}
+    assert out[1] == out[2]
+    assert out[1] != [-1.0]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(4, 300),
+    seed=st.integers(0, 2**31 - 1),
+    kind=st.sampled_from(["fixed0", "fixed1", "fixed2", "fixed3", "fixed4",
+                          "verbatim"]),
+    stereo=st.booleans(),
+    assignment=st.sampled_from(["indep", "left_side", "right_side", "mid_side"]),
+    rice_param=st.integers(0, 10),
+)
+def test_decode_flac_roundtrip_fuzz(n, seed, kind, stereo, assignment, rice_param):
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import decode_flac
+
+    nch = 2 if stereo else 1
+    chans = _rand_pcm(seed, n, nch=nch)
+    kw = {"assignment": assignment} if stereo else {}
+    mono, rate, width = decode_flac(
+        _flac(chans, kind=kind, rice_param=rice_param, **kw)
+    )
+    want = np.mean(np.array(chans, dtype=np.float64), axis=0)
+    assert np.array_equal(mono, want), (n, seed, kind, assignment, rice_param)
