@@ -1661,3 +1661,147 @@ def test_decode_flac_roundtrip_fuzz(n, seed, kind, stereo, assignment, rice_para
     )
     want = np.mean(np.array(chans, dtype=np.float64), axis=0)
     assert np.array_equal(mono, want), (n, seed, kind, assignment, rice_param)
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF: real frame sampling with composition (r10)
+# ---------------------------------------------------------------------------
+
+
+def _gif_anim(frames, palette, screen, bg_idx=0):
+    """Multi-frame GIF89a: frames = list of dicts with keys idx ((h,w)
+    index array), left, top, disposal (0-3), transparent (index or None)."""
+    import struct
+
+    import numpy as np
+
+    palette = np.asarray(palette, dtype=np.uint8)
+    n = len(palette)
+    size_field = max(0, int(np.ceil(np.log2(max(n, 2)))) - 1)
+    bits = max(2, int(np.ceil(np.log2(max(n, 2)))))
+    padded = np.zeros((2 << size_field, 3), dtype=np.uint8)
+    padded[:n] = palette
+    sw, sh = screen
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | size_field, bg_idx, 0)
+    out += padded.tobytes()
+    for f in frames:
+        idx = np.asarray(f["idx"])
+        h, w = idx.shape
+        disposal = f.get("disposal", 0)
+        transparent = f.get("transparent")
+        flags = (disposal << 2) | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 0x04, flags, 0x00, 0x00,
+                      transparent if transparent is not None else 0, 0x00])
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", f.get("left", 0), f.get("top", 0), w, h, 0
+        )
+        out += bytes([bits])
+        out += _gif_lzw_encode(idx.reshape(-1), bits)
+        out += b"\x3b"[:0]  # trailer added once at the end
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_frames_composition_disposals():
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import _gif_frames, _gif_frame_count
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   dtype=np.uint8)
+    full1 = np.full((4, 6), 1)            # red screen
+    patch = np.full((2, 2), 2)            # green 2x2 at (1,1)
+    patch2 = np.full((2, 2), 3)           # blue 2x2 at (1,3)
+    data = _gif_anim(
+        [
+            {"idx": full1, "disposal": 1},
+            {"idx": patch, "left": 1, "top": 1, "disposal": 2},
+            {"idx": patch2, "left": 3, "top": 1, "disposal": 0},
+        ],
+        pal, screen=(6, 4),
+    )
+    assert _gif_frame_count(data) == 3
+    frames = list(_gif_frames(data, max_frames=3))
+    assert len(frames) == 3
+    # frame 1: all red
+    assert np.array_equal(frames[0], np.tile(pal[1], (4, 6, 1)))
+    # frame 2: red + green patch at (1,1)
+    assert np.array_equal(frames[1][1:3, 1:3], np.tile(pal[2], (2, 2, 1)))
+    assert np.array_equal(frames[1][0, :], np.tile(pal[1], (6, 1)))
+    # frame 3: disposal=2 restored BG (index 0, black) in the green rect,
+    # then blue patch drawn at (1,3)
+    assert np.array_equal(frames[2][1:3, 1:3], np.tile(pal[0], (2, 2, 1)))
+    assert np.array_equal(frames[2][1:3, 3:5], np.tile(pal[3], (2, 2, 1)))
+
+
+def test_gif_frames_restore_previous_and_transparency():
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import _gif_frames
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0]], dtype=np.uint8)
+    base = np.full((3, 3), 1)
+    overlay = np.full((3, 3), 2)
+    # frame2: disposal=3 -> frame3 must see frame1's state again
+    trans = np.array([[2, 0, 2], [0, 0, 0], [2, 0, 2]])  # 0 = transparent
+    data = _gif_anim(
+        [
+            {"idx": base, "disposal": 1},
+            {"idx": overlay, "disposal": 3},
+            {"idx": trans, "transparent": 0},
+        ],
+        pal, screen=(3, 3),
+    )
+    f = list(_gif_frames(data, max_frames=3))
+    assert np.array_equal(f[1], np.tile(pal[2], (3, 3, 1)))  # overlay shown
+    # frame3: restored to base (red), transparent pixels punch through,
+    # opaque corners paint green
+    assert np.array_equal(f[2][1, 1], pal[1])  # center transparent -> red
+    assert np.array_equal(f[2][0, 0], pal[2])  # corner opaque -> green
+
+
+def test_frame_sample_animated_gif_real_ppm_frames(spark):
+    """The r10 real video-ish path: animated GIF -> evenly sampled composed
+    frames as PPM payloads -> back through decode_image_features."""
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import (
+        _gif_frames, clip_pooled_feature, decode_image_bytes,
+        decode_image_features, frame_sample,
+    )
+
+    pal = np.array([[i * 16, 255 - i * 16, 7] for i in range(5)], dtype=np.uint8)
+    frames_in = [{"idx": np.full((5, 4), i % 5), "disposal": 1} for i in range(5)]
+    data = _gif_anim(frames_in, pal, screen=(4, 5))
+    composed = list(_gif_frames(data, max_frames=5))
+    rows = [(1, bytearray(data)), (2, bytearray(b"notagifpayload" * 10)), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    out = {r["media_id"]: r["frames"]
+           for r in frame_sample(df, n_frames=3).collect()}
+    got = [decode_image_bytes(bytes(p)) for p in out[1]]
+    # even sampling over 5 frames with n=3 -> frames 0, 2, 4
+    for g, want_i in zip(got, (0, 2, 4)):
+        assert np.array_equal(g, composed[want_i]), want_i
+    assert len(out[2]) == 3 and all(len(s) > 0 for s in out[2])  # stub slices
+    assert out[3] is None
+    # sampled frames feed the feature pipeline with no gate
+    fdf = spark.createDataFrame([(1, bytearray(bytes(out[1][0])))],
+                                "media_id long, media binary")
+    feat = decode_image_features(fdf, dim=6, decoder="numpy").first()["feature"]
+    assert feat == pytest.approx(clip_pooled_feature(composed[0], dim=6), abs=1e-6)
+
+
+def test_frame_sample_caps_decode_work(spark):
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import decode_image_bytes, frame_sample
+
+    pal = np.array([[i, i, i] for i in range(8)], dtype=np.uint8)
+    frames_in = [{"idx": np.full((2, 2), i % 8), "disposal": 1} for i in range(20)]
+    data = _gif_anim(frames_in, pal, screen=(2, 2))
+    df = spark.createDataFrame([(1, bytearray(data))], "media_id long, media binary")
+    out = frame_sample(df, n_frames=2, max_decode_frames=4).first()["frames"]
+    # sampling restricted to the first 4 frames: indices 0 and 3
+    a = decode_image_bytes(bytes(out[0]))
+    b = decode_image_bytes(bytes(out[1]))
+    assert int(a[0, 0, 0]) == 0 and int(b[0, 0, 0]) == 3
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_frames"):
+        frame_sample(df, n_frames=0)
