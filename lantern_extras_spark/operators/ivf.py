@@ -49,6 +49,13 @@ def build_ivf(
     frac = min(1.0, max_train_rows / max(total, 1) * 1.2)
     sample = df.select(vec_col).sample(fraction=frac, seed=seed).limit(max_train_rows).collect()
     X = np.array([list(map(float, r[0])) for r in sample], dtype=np.float64)
+    # canonical row order before the fit: collect() order follows parquet
+    # FILE-ENUMERATION order, which varies with written-file UUIDs — without
+    # this sort the seeded k-means init picks different rows per rebuild and
+    # "same data, same seed" fits drift between runs (r10 root-cause of a
+    # flaky refresh-recall test)
+    if len(X):
+        X = X[np.lexsort(X.T[::-1])]
     centroids = _kmeans_fit(X, nlist, seed=seed)
     assigned = assign_cells(df, centroids.tolist(), vec_col, cell_col)
     return assigned, [list(map(float, c)) for c in centroids]

@@ -110,6 +110,11 @@ def build_codebook(
     frac = min(1.0, max_train_rows / max(total, 1) * 1.2)
     sample = df.select(vec_col).sample(fraction=frac, seed=seed).limit(max_train_rows).collect()
     X = np.array([list(map(float, r[0])) for r in sample], dtype=np.float64)
+    # canonical row order before the fit (same rationale as build_ivf):
+    # collect() follows parquet file-enumeration order, which varies with
+    # written-file UUIDs — sort so seeded fits are layout-independent
+    if len(X):
+        X = X[np.lexsort(X.T[::-1])]
     dim = X.shape[1]
     bounds = split_bounds(dim, splits)
 

@@ -344,3 +344,24 @@ def test_ivf_knn_join_auto_nlist(spark, join_sides):
     out = IVF.ivf_knn_join(corpus, queries, k=3, nprobe=16, nlist=None)
     counts = {r["query_id"]: r["rank"] for r in out.collect()}
     assert counts and all(v <= 3 for v in counts.values())
+
+
+def test_build_ivf_centroids_layout_independent(spark, tmp_path):
+    """r10 flake root-cause: collect() follows parquet FILE-ENUMERATION
+    order, which varies with written-file UUIDs — the seeded k-means init
+    must not. Writing the same rows twice (different file names) must fit
+    bit-identical centroids."""
+    import numpy as np
+
+    from lantern_extras_spark.operators.ivf import build_ivf
+
+    rows = [(i, [float((i * 7 + j * 3) % 23) for j in range(6)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = []
+    for rep in ("a", "b"):
+        p = str(tmp_path / rep)
+        df.write.parquet(p)  # fresh UUID file names each time
+        back = spark.read.parquet(p)
+        _, c = build_ivf(back, nlist=4, seed=7)
+        cents.append(np.array(sorted(tuple(v) for v in c)))
+    assert np.array_equal(cents[0], cents[1])
