@@ -142,12 +142,21 @@ def knn_join(
       footprint is too large, `ivf.ivf_knn_join` is the (approximate)
       both-sides-distributed alternative.
     - "crossjoin": pure-DataFrame broadcast join + window (oracle-friendly).
+    - "auto": count the query side once and route — "partial" when it fits
+      the driver cap (one scan of data), "chunked" above it (r10; the
+      pipeline-friendly default for callers whose query volume varies).
 
     `dist_scale` rounds the distance *before* ranking (with (distance, id) tie-break)
     so rankings are reproducible across engines for correctness harnesses.
     """
     if metric not in METRICS:
         raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
+    if strategy == "auto":
+        strategy = (
+            "partial"
+            if queries.limit(MAX_COLLECTED_QUERIES + 1).count() <= MAX_COLLECTED_QUERIES
+            else "chunked"
+        )
     if strategy == "chunked":
         return _knn_join_chunked(
             data, queries, k, metric, id_col, vec_col, qid_col, qvec_col,
@@ -413,6 +422,12 @@ def hard_negatives(
         raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
     data = data.where(F.col(label_col).isNotNull())
     queries = queries.where(F.col(qlabel_col).isNotNull())
+    if strategy == "auto":
+        strategy = (
+            "partial"
+            if queries.limit(MAX_COLLECTED_QUERIES + 1).count() <= MAX_COLLECTED_QUERIES
+            else "chunked"
+        )
     if strategy == "chunked":
         return _hard_negatives_chunked(
             data, queries, k, metric, id_col, vec_col, label_col, qid_col,

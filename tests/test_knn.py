@@ -64,6 +64,44 @@ def test_chunked_works_above_partial_driver_cap(spark, emb, monkeypatch):
     assert ga == wa and len(ga) == 20 * 3
 
 
+def test_auto_strategy_routes_by_query_count(spark, emb, monkeypatch):
+    """'auto' picks partial under the cap and chunked above it — same
+    answer either way."""
+    monkeypatch.setattr(K, "MAX_COLLECTED_QUERIES", 8)
+    data = emb.where("vec_id >= 20")
+    small = emb.where("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    big = emb.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    want_small = K.knn_join(data, small, k=3, metric="cos",
+                            strategy="crossjoin", dist_scale=6)
+    got_small = K.knn_join(data, small, k=3, metric="cos", strategy="auto",
+                           dist_scale=6)
+    key = lambda df: [(r["query_id"], r["rank"], r["vec_id"])
+                      for r in df.orderBy("query_id", "rank").collect()]
+    assert key(got_small) == key(want_small)
+    # above the (shrunken) cap: auto must NOT raise — it routes to chunked
+    got_big = K.knn_join(data, big, k=3, metric="cos", strategy="auto",
+                         dist_scale=6, chunk_size=4)
+    want_big = K.knn_join(data, big, k=3, metric="cos", strategy="crossjoin",
+                          dist_scale=6)
+    assert key(got_big) == key(want_big)
+    # hard_negatives mirrors the routing
+    qb = emb.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    hn = K.hard_negatives(data, qb, k=3, metric="cos", strategy="auto",
+                          dist_scale=6, chunk_size=4)
+    hw = K.hard_negatives(data, qb, k=3, metric="cos", strategy="crossjoin",
+                          dist_scale=6)
+    keyl = lambda df: [(r["query_id"], r["rank"], r["vec_id"], r["label"])
+                       for r in df.orderBy("query_id", "rank").collect()]
+    assert keyl(hn) == keyl(hw)
+
+
 def test_chunked_edge_cases(spark, emb):
     q0 = emb.where("vec_id < 0").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")

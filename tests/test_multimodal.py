@@ -1805,3 +1805,131 @@ def test_frame_sample_caps_decode_work(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="n_frames"):
         frame_sample(df, n_frames=0)
+
+
+# ---------------------------------------------------------------------------
+# MP4 demux: real sample-table extraction (r10)
+# ---------------------------------------------------------------------------
+
+
+def _box(btype, body):
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _mp4(frames, timescale=1000, deltas=None, chunks=None, audio_first=False,
+         co64=False, handler=b"vide"):
+    """Minimal ISO BMFF file: ftyp + mdat(frames) + moov(trak(s)). chunks =
+    samples-per-chunk list (default: all in one chunk)."""
+    import struct
+
+    deltas = deltas or [100] * len(frames)
+    chunks = chunks or [len(frames)]
+    assert sum(chunks) == len(frames)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat_body = b"".join(frames)
+    mdat = _box(b"mdat", mdat_body)
+    mdat_start = len(ftyp) + 8
+
+    # chunk offsets
+    offs, i = [], 0
+    pos = mdat_start
+    for spc in chunks:
+        offs.append(pos)
+        for _ in range(spc):
+            pos += len(frames[i])
+            i += 1
+
+    def stbl_boxes():
+        # stts: run-length the deltas
+        runs = []
+        for d in deltas:
+            if runs and runs[-1][1] == d:
+                runs[-1][0] += 1
+            else:
+                runs.append([1, d])
+        stts = _box(b"stts", struct.pack(">II", 0, len(runs))
+                    + b"".join(struct.pack(">II", c, d) for c, d in runs))
+        # stsc: run-length samples-per-chunk
+        sruns = []
+        for ci, spc in enumerate(chunks):
+            if sruns and sruns[-1][1] == spc:
+                continue
+            sruns.append([ci + 1, spc])
+        stsc = _box(b"stsc", struct.pack(">II", 0, len(sruns))
+                    + b"".join(struct.pack(">III", f, s, 1) for f, s in sruns))
+        stsz = _box(b"stsz", struct.pack(">III", 0, 0, len(frames))
+                    + b"".join(struct.pack(">I", len(f)) for f in frames))
+        if co64:
+            stco = _box(b"co64", struct.pack(">II", 0, len(offs))
+                        + b"".join(struct.pack(">Q", o) for o in offs))
+        else:
+            stco = _box(b"stco", struct.pack(">II", 0, len(offs))
+                        + b"".join(struct.pack(">I", o) for o in offs))
+        return stts + stsc + stsz + stco
+
+    def trak(h):
+        mdhd = _box(b"mdhd", struct.pack(">IIIIIHH", 0, 0, 0, timescale,
+                                         sum(deltas), 0x55C4, 0))
+        hdlr = _box(b"hdlr", struct.pack(">II", 0, 0) + h + b"\x00" * 13)
+        stbl = _box(b"stbl", stbl_boxes() if h == b"vide" else
+                    _box(b"stts", struct.pack(">II", 0, 0)))
+        minf = _box(b"minf", stbl)
+        return _box(b"trak", _box(b"mdia", mdhd + hdlr + minf))
+
+    traks = b""
+    if audio_first:
+        traks += trak(b"soun")
+    traks += trak(handler)
+    return ftyp + mdat + _box(b"moov", traks)
+
+
+def test_mp4_sample_table_offsets_sizes_timestamps():
+    from lantern_extras_spark.multimodal.media import mp4_sample_table
+
+    frames = [bytes([i]) * (10 + i) for i in range(6)]
+    data = _mp4(frames, timescale=1000, deltas=[100, 100, 50, 50, 200, 200])
+    table = mp4_sample_table(data)
+    assert len(table) == 6
+    for i, (off, size, ts) in enumerate(table):
+        assert data[off : off + size] == frames[i], i
+    assert [round(t[2], 3) for t in table] == [0.0, 0.1, 0.2, 0.25, 0.3, 0.5]
+
+
+def test_mp4_sample_table_multichunk_co64_audio_skip():
+    from lantern_extras_spark.multimodal.media import mp4_sample_table
+
+    frames = [bytes([40 + i]) * 7 for i in range(6)]
+    data = _mp4(frames, chunks=[2, 2, 2], audio_first=True, co64=True)
+    table = mp4_sample_table(data)
+    assert len(table) == 6
+    for i, (off, size, _) in enumerate(table):
+        assert data[off : off + size] == frames[i], i
+
+
+def test_mp4_sample_table_rejects_malformed():
+    import pytest as _pt
+    from lantern_extras_spark.multimodal.media import mp4_sample_table
+
+    frames = [b"xx", b"yy"]
+    good = _mp4(frames)
+    with _pt.raises(ValueError, match="ftyp"):
+        mp4_sample_table(b"\x00" * 16)
+    with _pt.raises(ValueError, match="no video track"):
+        mp4_sample_table(_mp4(frames, handler=b"soun"))
+    with _pt.raises(ValueError):
+        mp4_sample_table(good[:-6])  # truncated moov
+
+
+def test_frame_sample_mp4_real_encoded_frames(spark):
+    """MP4 demux path: frame_sample emits the first video track's ACTUAL
+    encoded samples at evenly-spaced indices (codec decode stays gated —
+    payloads are opaque access units)."""
+    from lantern_extras_spark.multimodal.media import frame_sample
+
+    frames = [bytes([i]) * (20 + i) for i in range(9)]
+    data = _mp4(frames, chunks=[3, 3, 3])
+    df = spark.createDataFrame([(1, bytearray(data))], "media_id long, media binary")
+    out = frame_sample(df, n_frames=3).first()["frames"]
+    assert [bytes(p) for p in out] == [frames[0], frames[4], frames[8]]
