@@ -969,6 +969,19 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf: str) -> DataFrame:
+    """Same transitive clusters, resolved by the alternating large-star/
+    small-star contraction (dedup.py:_cc_star — O(log² n) rounds independent
+    of component diameter, the 100 TB-safe strategy for unknown pair-graph
+    shapes). Hash-certified against the SAME recursive-CTE oracle as
+    `dedup_clusters`, proving both strategies are bit-identical."""
+    docs = _t(spark, sf, "documents")
+    pairs = D.minhash_dedup(docs, n_hashes=32, bands=8, threshold=0.2)
+    return D.dedup_clusters(pairs, strategy="star").select(
+        F.col("id").alias("doc_id"), F.col("cluster_id").cast("bigint").alias("cluster_id")
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Random-hyperplane LSH cosine near-dup pairs. Hash-checked: the seeded
     hyperplanes are inlined as literals in the DuckDB oracle, which replays the
@@ -2429,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "decontaminate": q_decontaminate,
         "decontaminate_bloom": q_decontaminate_bloom,
         "clean_text": q_clean_text,
@@ -3374,6 +3388,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         FROM reach GROUP BY id
     """
+    # star contraction must agree with the identical declarative fixpoint
+    sql["dedup_clusters_star"] = sql["dedup_clusters"]
     sql["soft_dedup"] = f"""
         WITH RECURSIVE pairs AS ({_minhash_lsh_pairs_sql()}),
              edges AS (SELECT id_a AS a, id_b AS b FROM pairs

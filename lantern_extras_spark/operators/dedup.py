@@ -416,11 +416,83 @@ def drop_duplicates_keep_first(df: DataFrame, pairs: DataFrame, id_col: str = "d
     return df.join(dupes, id_col, "left_anti")
 
 
+def _cc_star(edges: DataFrame, max_iter: int) -> tuple[DataFrame, bool]:
+    """Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) over an
+    undirected edge set. Each round:
+
+    - **large-star**: every node u links its strictly-LARGER neighbors to
+      m(u) = min(u ∪ N(u)) — long tails collapse toward local minima;
+    - **small-star**: edges canonicalized (big → small); every node links its
+      smaller neighbors AND itself to m(u) — stars flatten onto their root.
+
+    Converges in O(log² n) rounds REGARDLESS of component diameter — the
+    property the label-propagation strategy lacks (O(diameter) rounds: a
+    length-10⁴ chain of templated near-dups costs 10⁴ shuffles there, ~40
+    here). Per-round cost is two groupBy-min + join passes over the current
+    edge set, which only shrinks (toward one star edge per non-root node).
+
+    Returns (labels, converged): labels = (id, cluster_id) covering every
+    endpoint, cluster_id = component minimum — identical semantics to the
+    label-propagation strategy, so the same recursive-CTE oracle certifies
+    both."""
+    e = edges.where(F.col("a") != F.col("b")).distinct().localCheckpoint()
+    converged = False
+    for _ in range(max_iter):
+        # large-star: full neighborhoods (both directions), attach v > u to m(u)
+        nbrs = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = nbrs.groupBy("a").agg(F.min("b").alias("__mn"))
+        m = F.least(F.col("a"), F.col("__mn"))
+        large = (
+            nbrs.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), m.alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: canonical big→small edges; attach v ≤ u (and u) to m(u)
+        # checkpoint: canon is scanned twice below (min pass + attach pass);
+        # without it each scan re-runs the whole large-star lineage
+        canon = (
+            large.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cmins = canon.groupBy("a").agg(F.min("b").alias("__mn"))
+        small = (
+            canon.join(cmins, "a")
+            .select(F.col("b").alias("a"), F.col("__mn").alias("b"))
+            .union(cmins.select("a", F.col("__mn").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixpoint when the edge set is stable (set equality both ways; each
+        # side is a scan of the two checkpointed relations)
+        if (
+            small.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(small).limit(1).count() == 0
+        ):
+            e = small
+            converged = True
+            break
+        e = small
+    # star state: every non-root points at its component root
+    labels = e.select(F.col("a").alias("id"), F.col("b").alias("cluster_id")).union(
+        e.select(F.col("b").alias("id"), F.col("b").alias("cluster_id"))
+    ).distinct()
+    # endpoints whose component collapsed entirely (root-only after the first
+    # contraction) are re-covered by the union above; nothing else to add —
+    # every original endpoint reaches its root in the converged star.
+    return labels, converged
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
+    strategy: str = "label",
 ) -> DataFrame:
     """Transitive near-dup clusters: connected components over the pair graph,
     cluster_id = the minimum doc id in the component. Pipelines dedup by
@@ -428,15 +500,39 @@ def dedup_clusters(
     can drop every member of an A−B−C chain except A yet still keep C when
     (A,C) itself wasn't a candidate pair.
 
-    Iterative min-label propagation (the classic Spark connected-components
-    loop): each round every node takes min(own label, neighbors' labels);
-    converges in O(component diameter) rounds — near-dup components are
-    shallow (dups of dups of one original), so a handful of rounds in
-    practice, `max_iter` as the safety bound. `localCheckpoint` truncates the
-    growing lineage each round (the standard iterative-algorithm hygiene).
+    strategy='label' (default): iterative min-label propagation (the classic
+    Spark connected-components loop): each round every node takes min(own
+    label, neighbors' labels); converges in O(component diameter) rounds —
+    near-dup components are usually shallow (dups of dups of one original),
+    so a handful of rounds in practice, `max_iter` as the safety bound.
+    `localCheckpoint` truncates the growing lineage each round (the standard
+    iterative-algorithm hygiene).
+
+    strategy='star': alternating large-star/small-star contraction —
+    O(log² n) rounds independent of diameter (see `_cc_star`). Choose this at
+    100 TB where the pair graph's shape is unknown: a single templated-page
+    chain of depth 10⁴ turns 'label' into 10⁴ shuffle rounds but costs 'star'
+    ~40. Both strategies return bit-identical output (same recursive-CTE
+    oracle hash).
+
     Only ids appearing in `pairs` are labeled; singleton docs are implicitly
     their own cluster. Returns (id, cluster_id)."""
+    if strategy not in ("label", "star"):
+        raise ValueError(f"unknown strategy {strategy!r}; expected 'label' or 'star'")
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    if strategy == "star":
+        labels, converged = _cc_star(edges, max_iter)
+        if not converged:
+            import warnings
+
+            warnings.warn(
+                f"dedup_clusters(strategy='star'): max_iter={max_iter} exhausted "
+                "before the edge set reached a fixpoint; cluster_ids may be "
+                "under-merged. Re-run with a larger max_iter.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        return labels
     edges = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().cache()
     labels = (
         edges.select(F.col("a").alias("id")).distinct().withColumn("cluster_id", F.col("id"))

@@ -329,6 +329,73 @@ def test_dedup_clusters_chain_transitivity(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_dedup_clusters_star_matches_label_on_random_graphs(spark):
+    """strategy='star' (large-star/small-star contraction) must produce the
+    exact (id, cluster_id) set as the label-propagation default on arbitrary
+    graph shapes — chains, stars, cliques, cycles, singleton edges."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = 40
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        lab = {(r["id"], r["cluster_id"]) for r in D.dedup_clusters(pairs).collect()}
+        star = {
+            (r["id"], r["cluster_id"])
+            for r in D.dedup_clusters(pairs, strategy="star").collect()
+        }
+        assert star == lab, f"trial {trial}: star != label"
+
+
+def test_dedup_clusters_star_deep_chain_log_rounds(spark):
+    """The whole point of 'star': a diameter-63 path converges well inside
+    max_iter=10 (label propagation needs ~63 rounds there), with no
+    under-merge warning and one component rooted at 0."""
+    import warnings
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = D.dedup_clusters(pairs, strategy="star", max_iter=10)
+        rows = out.collect()
+        assert not any("under-merged" in str(x.message) for x in w)
+    got = {r["id"]: r["cluster_id"] for r in rows}
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_dedup_clusters_star_warns_when_exhausted(spark):
+    """max_iter=1 on a deep chain cannot reach the fixpoint; the star
+    strategy must warn exactly like the label strategy does."""
+    import warnings
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        D.dedup_clusters(pairs, strategy="star", max_iter=1)
+        assert any("under-merged" in str(x.message) for x in w)
+
+
+def test_dedup_clusters_rejects_unknown_strategy(spark):
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="unknown strategy"):
+        D.dedup_clusters(pairs, strategy="bogus")
+
+
+def test_dedup_clusters_star_string_ids(spark):
+    """Lexicographic min works for string ids too (both strategies)."""
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("x", "y")], "id_a string, id_b string"
+    )
+    star = {r["id"]: r["cluster_id"] for r in D.dedup_clusters(pairs, strategy="star").collect()}
+    assert star == {"b": "b", "c": "b", "d": "b", "x": "x", "y": "x"}
+
+
 def test_embedding_neardup_dim_mismatch_fails_loudly(spark):
     """Passing the wrong dim must raise, not silently null-pad projections
     into bucket 0 (ADVICE r3): the guard is a per-row plan expression."""
