@@ -1,4 +1,10 @@
 from lantern_extras_spark.sources.vecs import read_fvecs, read_ivecs, read_bvecs, write_fvecs  # noqa: F401
+from lantern_extras_spark.sources.warc import (  # noqa: F401
+    parse_warc_bytes,
+    read_warc,
+    read_wet,
+    write_warc,
+)
 from lantern_extras_spark.sources.sinks import (  # noqa: F401
     export_embeddings_csv,
     json_agg,

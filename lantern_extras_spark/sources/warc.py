@@ -1,0 +1,314 @@
+"""WARC / WET web-archive readers — the Common Crawl ingestion path.
+
+A 100 TB pre-training corpus starts life as WARC ("Web ARChive", ISO 28500)
+files: the raw crawl (`.warc.gz`, HTTP request/response records) and the
+text extraction (`.wet.gz`, `conversion` records holding extracted plain
+text). This module reads both into DataFrames that feed directly into the
+quality/dedup/selection operators (textstats.gopher_filter, dedup.minhash_dedup,
+selection.dsir_select) — making the engine end-to-end from crawl archive to
+training shard.
+
+Format (public spec, iipc/warc-specifications):
+
+    WARC/1.0\\r\\n
+    WARC-Type: response\\r\\n
+    WARC-Target-URI: https://example.com/\\r\\n
+    Content-Length: <payload bytes>\\r\\n
+    \\r\\n
+    <payload>\\r\\n\\r\\n
+
+`.warc.gz` files are *member-gzipped*: every record is its own gzip member,
+concatenated. That convention exists exactly so archives can be processed
+record-at-a-time; stdlib zlib handles it via `decompressobj.unused_data`
+(no external codec).
+
+Spark design — same stance as `sources/vecs.py`: files arrive through the
+`binaryFile` source, ONE TASK PER FILE. Gzip members are not splittable
+without an external index, and a crawl ships as tens of thousands of ~1 GB
+files (Common Crawl: ~64k WARCs per monthly crawl), so across-file
+parallelism saturates any cluster while each task stream-parses its own blob.
+Filters on `warc_type` happen inside the parser (rows never materialized),
+and the projected columns are the only ones built — the Python-side
+equivalent of pushdown for a non-columnar source. For 100 TB: point
+`read_warc` at the crawl prefix, let binaryFile list; `maxPartitionBytes`
+is irrelevant (whole-file tasks) — size executors for one decompressed
+record batch, not the whole file, because parsing is streaming.
+
+No counterpart in the reference (it ingests from Postgres tables); this is
+part of the beyond-reference training-pipeline surface (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import io
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_CRLF = b"\r\n"
+
+
+def _gunzip_members(blob: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzip blob with stdlib zlib.
+
+    gzip.decompress already concatenates members, but going through
+    decompressobj keeps the fail-loud trailing-garbage check explicit:
+    unused_data that is not another gzip member is an error, not silently
+    dropped bytes."""
+    out = io.BytesIO()
+    rest = blob
+    while rest:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            out.write(d.decompress(rest))
+            out.write(d.flush())
+        except zlib.error as e:
+            raise ValueError(f"bad gzip member in WARC blob: {e}") from e
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC blob")
+        rest = d.unused_data
+        if rest and not rest.startswith(b"\x1f\x8b"):
+            raise ValueError("trailing non-gzip bytes after WARC gzip member")
+    return out.getvalue()
+
+
+def _parse_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
+    """Split an HTTP/1.x message into (status, content-type, body).
+
+    Handles Transfer-Encoding: chunked (raw captures keep the wire form).
+    Returns (None, None, payload) when the payload is not an HTTP response —
+    fail-soft here because WARC `response` records for non-HTTP schemes
+    (dns:, whois:) are legal."""
+    head_end = payload.find(b"\r\n\r\n")
+    if head_end < 0 or not payload[:5] in (b"HTTP/", b"http/"):
+        return None, None, payload
+    head = payload[:head_end].decode("latin-1", "replace")
+    body = payload[head_end + 4 :]
+    lines = head.split("\r\n")
+    parts = lines[0].split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None, None, payload
+    ctype = None
+    chunked = False
+    for ln in lines[1:]:
+        if ":" not in ln:
+            continue
+        k, v = ln.split(":", 1)
+        k = k.strip().lower()
+        v = v.strip()
+        if k == "content-type":
+            ctype = v
+        elif k == "transfer-encoding" and "chunked" in v.lower():
+            chunked = True
+    if chunked:
+        body = _dechunk(body)
+    return status, ctype, body
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked body; malformed chunk framing is an error
+    (a silently-wrong body would poison dedup hashes downstream)."""
+    out = io.BytesIO()
+    off = 0
+    n = len(body)
+    while True:
+        eol = body.find(_CRLF, off)
+        if eol < 0:
+            raise ValueError("chunked body: missing chunk-size line")
+        size_tok = body[off:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError as e:
+            raise ValueError(f"chunked body: bad chunk size {size_tok!r}") from e
+        off = eol + 2
+        if size == 0:
+            return out.getvalue()
+        if off + size > n:
+            raise ValueError("chunked body: chunk extends past payload")
+        out.write(body[off : off + size])
+        off += size
+        if body[off : off + 2] != _CRLF:
+            raise ValueError("chunked body: missing chunk terminator")
+        off += 2
+
+
+def parse_warc_bytes(
+    blob: bytes,
+    types: tuple[str, ...] | None = None,
+    max_records: int | None = None,
+) -> list[dict]:
+    """Parse one WARC file's bytes into record dicts.
+
+    Gzip (single- or member-compressed) is auto-detected by magic. Each dict:
+    `record_id, warc_type, target_uri, warc_date, content_type,
+    content_length, http_status, http_content_type, body` (body = HTTP body
+    for response records, raw payload otherwise). `types` filters records
+    BEFORE any payload work (cheap skip via Content-Length). Malformed
+    framing is a ValueError — a crawl file that parses wrong should fail the
+    task, not emit silently-truncated documents."""
+    if blob[:2] == b"\x1f\x8b":
+        blob = _gunzip_members(blob)
+    want = None if types is None else {t.lower() for t in types}
+    out: list[dict] = []
+    off = 0
+    n = len(blob)
+    while off < n:
+        # tolerate inter-record padding (spec: two CRLFs; be lenient)
+        while off < n and blob[off : off + 1] in (b"\r", b"\n"):
+            off += 1
+        if off >= n:
+            break
+        ver_end = blob.find(_CRLF, off)
+        if ver_end < 0 or not blob[off:ver_end].startswith(b"WARC/"):
+            raise ValueError(f"expected WARC/x.y version line at byte {off}")
+        hdr_end = blob.find(b"\r\n\r\n", ver_end)
+        if hdr_end < 0:
+            raise ValueError("WARC record: unterminated header block")
+        headers: dict[str, str] = {}
+        for ln in blob[ver_end + 2 : hdr_end].split(_CRLF):
+            if b":" not in ln:
+                raise ValueError(f"WARC header without colon: {ln!r}")
+            k, v = ln.split(b":", 1)
+            headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
+                "latin-1", "replace"
+            )
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError) as e:
+            raise ValueError("WARC record missing/invalid Content-Length") from e
+        payload_start = hdr_end + 4
+        if payload_start + clen > n:
+            raise ValueError("WARC record payload extends past end of file")
+        wtype = headers.get("warc-type", "").lower()
+        off = payload_start + clen
+        if (want is None or wtype in want) and (
+            max_records is None or len(out) < max_records
+        ):
+            payload = blob[payload_start : payload_start + clen]
+            status, http_ctype, body = (
+                _parse_http_payload(payload)
+                if wtype == "response"
+                else (None, None, payload)
+            )
+            out.append(
+                {
+                    "record_id": headers.get("warc-record-id"),
+                    "warc_type": wtype,
+                    "target_uri": headers.get("warc-target-uri"),
+                    "warc_date": headers.get("warc-date"),
+                    "content_type": headers.get("content-type"),
+                    "content_length": clen,
+                    "http_status": status,
+                    "http_content_type": http_ctype,
+                    "body": bytes(body),
+                }
+            )
+        if max_records is not None and len(out) >= max_records:
+            break
+    return out
+
+
+_WARC_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("record_id", StringType()),
+        StructField("warc_type", StringType()),
+        StructField("target_uri", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("content_type", StringType()),
+        StructField("content_length", LongType()),
+        StructField("http_status", IntegerType()),
+        StructField("http_content_type", StringType()),
+        StructField("body", BinaryType()),
+    ]
+)
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    types: tuple[str, ...] = ("response",),
+    max_records_per_file: int | None = None,
+) -> DataFrame:
+    """Read WARC file(s) (plain or .gz) into records — one task per file
+    (binaryFile; gzip members are not splittable, crawls are many-file).
+    Default keeps only `response` records, the training-data payload; pass
+    `types=None` for everything (warcinfo/request/metadata/...)."""
+    binary = spark.read.format("binaryFile").load(path)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                recs = parse_warc_bytes(
+                    bytes(row["content"]), types=types, max_records=max_records_per_file
+                )
+                if recs:
+                    out = pd.DataFrame(recs)
+                    out.insert(0, "path", row["path"])
+                    yield out
+
+    return binary.select("path", "content").mapInPandas(parse, _WARC_SCHEMA)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Read WET extracted-text file(s) → (path, record_id, target_uri,
+    warc_date, text). WET is WARC whose `conversion` records carry UTF-8
+    plain text; decoding uses errors='replace' (crawl text is dirty by
+    nature — a single bad byte must not kill a 1 GB task)."""
+    recs = read_warc(spark, path, types=("conversion",))
+    from pyspark.sql import functions as F
+
+    return recs.select(
+        "path",
+        "record_id",
+        "target_uri",
+        "warc_date",
+        F.decode(F.col("body"), "UTF-8").alias("text"),
+    )
+
+
+def write_warc(
+    path: str,
+    records: list[dict],
+    gzip_per_record: bool = True,
+) -> None:
+    """Test helper: write a spec-shaped WARC file (mirrors `write_fvecs`).
+
+    Each record dict: warc_type (required), payload (bytes, required), plus
+    optional target_uri / record_id / warc_date / content_type. With
+    `gzip_per_record` (the .warc.gz convention) every record becomes its own
+    gzip member."""
+    import gzip as _gzip
+
+    out = io.BytesIO()
+    for i, rec in enumerate(records):
+        payload = rec["payload"]
+        hdrs = [
+            ("WARC-Type", rec["warc_type"]),
+            ("WARC-Record-ID", rec.get("record_id", f"<urn:uuid:rec-{i}>")),
+            ("WARC-Date", rec.get("warc_date", "2026-01-01T00:00:00Z")),
+        ]
+        if rec.get("target_uri"):
+            hdrs.append(("WARC-Target-URI", rec["target_uri"]))
+        if rec.get("content_type"):
+            hdrs.append(("Content-Type", rec["content_type"]))
+        hdrs.append(("Content-Length", str(len(payload))))
+        head = b"WARC/1.0\r\n" + b"".join(
+            f"{k}: {v}\r\n".encode() for k, v in hdrs
+        ) + b"\r\n"
+        member = head + payload + b"\r\n\r\n"
+        out.write(_gzip.compress(member) if gzip_per_record else member)
+    with open(path, "wb") as f:
+        f.write(out.getvalue())
