@@ -24,6 +24,11 @@ Decode support is split by codec requirement:
   LPC predictors, stereo decorrelation and CRC verification are plain
   integer code — lossless PCM out, feeding `audio_frame_energy` with no
   gate.
+- Compressed-WAV telephony codecs decode for REAL as of r10: G.711
+  μ-law/A-law (formats 7/6, table expansion per the CCITT reference
+  decoder) and IMA/DVI ADPCM (format 0x11, block-wise nibble prediction) —
+  `decode_wav_pcm` falls back to a manual RIFF walk when stdlib `wave`
+  rejects the format.
 - The remaining LOSSY audio codecs (mp3/ogg) still need a codec library
   this container lacks; those rows map to the per-row sentinel (decode
   failure semantics, U6) and `decoder="pil"` stays an env-gated
@@ -1371,22 +1376,157 @@ def frame_sample(
     return df.mapInPandas(extract, out_schema)
 
 
+def _ulaw_table():
+    """G.711 μ-law byte → 16-bit linear decode table (pure numpy; the
+    published expansion: complement, ((mantissa<<3)+0x84)<<exponent − 0x84)."""
+    import numpy as np
+
+    u = ~np.arange(256, dtype=np.int32) & 0xFF
+    sign = (u & 0x80) != 0
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    mag = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _alaw_table():
+    """G.711 A-law byte → 16-bit linear decode table (xor 0x55; exponent 0 is
+    the linear segment)."""
+    import numpy as np
+
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    sign = (a & 0x80) != 0
+    exponent = (a >> 4) & 0x07
+    mantissa = a & 0x0F
+    mag = np.where(
+        exponent > 0,
+        ((mantissa << 4) + 0x108) << np.maximum(exponent - 1, 0),
+        (mantissa << 4) + 8,
+    )
+    # NB: A-law sign convention is INVERTED vs μ-law — bit 7 set (after the
+    # 0x55 xor) encodes a POSITIVE sample (CCITT G.711 reference decoder)
+    return np.where(sign, mag, -mag).astype(np.int16)
+
+
+_IMA_INDEX_ADJUST = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_decode_block(block: bytes, n_channels: int) -> "list":
+    """Decode one IMA/DVI ADPCM block (WAVE format 0x11): per channel a
+    4-byte header (predictor i16, step index u8, reserved), then interleaved
+    8-byte-per-channel nibble groups. Returns per-channel int lists."""
+    import struct
+
+    preds, idxs, outs = [], [], []
+    for c in range(n_channels):
+        pred, idx, _res = struct.unpack_from("<hBB", block, c * 4)
+        if idx > 88:
+            raise ValueError(f"IMA ADPCM: step index {idx} out of range")
+        preds.append(pred)
+        idxs.append(idx)
+        outs.append([pred])
+
+    def step(c: int, nib: int) -> None:
+        st = _IMA_STEPS[idxs[c]]
+        diff = st >> 3
+        if nib & 1:
+            diff += st >> 2
+        if nib & 2:
+            diff += st >> 1
+        if nib & 4:
+            diff += st
+        if nib & 8:
+            diff = -diff
+        preds[c] = max(-32768, min(32767, preds[c] + diff))
+        idxs[c] = max(0, min(88, idxs[c] + _IMA_INDEX_ADJUST[nib & 7]))
+        outs[c].append(preds[c])
+
+    off = n_channels * 4
+    while off + 4 * n_channels <= len(block):
+        for c in range(n_channels):
+            for b in block[off + c * 4 : off + (c + 1) * 4]:
+                step(c, b & 0x0F)
+                step(c, b >> 4)
+        off += 4 * n_channels
+    return outs
+
+
+def _decode_wav_manual(data: bytes):
+    """RIFF walk for WAV formats stdlib `wave` rejects: G.711 μ-law (7),
+    A-law (6) and IMA/DVI ADPCM (0x11). Returns (mono float64 samples in
+    16-bit PCM units, rate, width=2). Unknown compressed formats (e.g. 0x55
+    MP3-in-WAV) stay a loud ValueError."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    fmt = None
+    payload = None
+    off = 12
+    while off + 8 <= len(data):
+        cid, size = data[off : off + 4], struct.unpack_from("<I", data, off + 4)[0]
+        body = data[off + 8 : off + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            payload = body
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or payload is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, rate, _brate, block_align, _bits = fmt
+    if audio_format in (6, 7):
+        table = _alaw_table() if audio_format == 6 else _ulaw_table()
+        pcm = table[np.frombuffer(payload, dtype=np.uint8)].astype(np.float64)
+        if n_channels > 1:
+            usable = (len(pcm) // n_channels) * n_channels
+            pcm = pcm[:usable].reshape(-1, n_channels).mean(axis=1)
+        return pcm, rate, 2
+    if audio_format == 0x11:
+        if block_align < 4 * n_channels:
+            raise ValueError("IMA ADPCM: block_align smaller than headers")
+        chans: list[list[int]] = [[] for _ in range(n_channels)]
+        for boff in range(0, len(payload) - (len(payload) % block_align), block_align):
+            outs = _ima_decode_block(payload[boff : boff + block_align], n_channels)
+            for c in range(n_channels):
+                chans[c].extend(outs[c])
+        pcm = np.asarray(chans, dtype=np.float64).mean(axis=0)
+        return pcm, rate, 2
+    raise ValueError(f"unsupported WAV audio format 0x{audio_format:x}")
+
+
 def decode_wav_pcm(data: bytes):
-    """Decode a WAV container with stdlib `wave` (zero third-party codecs):
-    returns (samples, sample_rate, sample_width) where `samples` is a mono
-    float64 array in native PCM units (channels mean-mixed). 8-bit WAV is
-    unsigned per the spec and is re-centred to signed. Raises on compressed
-    (non-PCM) WAV."""
+    """Decode a WAV container with zero third-party codecs: returns
+    (samples, sample_rate, sample_width) where `samples` is a mono float64
+    array in native PCM units (channels mean-mixed). Linear PCM goes through
+    stdlib `wave`; G.711 μ-law/A-law (telephony crawls, format 7/6) and
+    IMA/DVI ADPCM (format 0x11) decode via the manual RIFF walk — all three
+    expand to 16-bit linear. 8-bit PCM is unsigned per the spec and is
+    re-centred to signed. Remaining compressed formats (MP3-in-WAV etc.)
+    raise loudly."""
     import io
     import wave
 
     import numpy as np
 
-    with wave.open(io.BytesIO(bytes(data)), "rb") as w:
-        n_channels = w.getnchannels()
-        sample_width = w.getsampwidth()
-        sample_rate = w.getframerate()
-        frames = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(bytes(data)), "rb") as w:
+            n_channels = w.getnchannels()
+            sample_width = w.getsampwidth()
+            sample_rate = w.getframerate()
+            frames = w.readframes(w.getnframes())
+    except wave.Error:
+        return _decode_wav_manual(bytes(data))
     if sample_width == 1:
         pcm = np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0
     elif sample_width == 2:
