@@ -565,6 +565,34 @@ def q_clean_text(spark: SparkSession, sf: str) -> DataFrame:
     return wrapped.select("doc_id", T.clean_text(F.col("raw")).alias("cleaned"))
 
 
+def q_html_text_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC-grade HTML → text extraction (functions/text.py:html_to_text):
+    script/style CONTENT dropped (not just tags), comments dropped, block
+    boundaries become newlines, entity decode, line-preserving whitespace
+    normalization — the seam between read_warc response bodies and the text
+    pipeline. Documents are wrapped in a full page template (head with style
+    + script whose BODY contains markup-looking text, nav comment, heading,
+    list) so every stage is exercised; every regex stays in the
+    Java-regex ∩ RE2 subset and the oracle replays the chain verbatim."""
+    docs = _t(spark, sf, "documents")
+    wrapped = docs.where(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<html><head><title>t</title><style type="text/css">p { color: red }</style>'
+                '<script>var x = "<p>not text</p>"; if (a && b) { go(); }</script></head>'
+                "<body><!-- nav\nmenu --><h1>Heading</h1>\n<p>  "
+            ),
+            F.col("text"),
+            F.lit(
+                " &nbsp;&amp;amp; tail</p><ul> <li>alpha</li>\t<li>beta &lt;3</li></ul>"
+                "<br/><div>closing   line</div></body></html>"
+            ),
+        ).alias("raw"),
+    )
+    return wrapped.select("doc_id", T.html_to_text(F.col("raw")).alias("extracted"))
+
+
 def q_strip_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style line-level boilerplate removal
     (operators/textstats.py:strip_boilerplate_lines): every doc of a source is
@@ -2446,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "decontaminate_bloom": q_decontaminate_bloom,
         "clean_text": q_clean_text,
+        "html_text_extract": q_html_text_extract,
         "strip_boilerplate": q_strip_boilerplate,
         "redact_pii": q_redact_pii,
         "repetition_stats": q_repetition_stats,
@@ -4430,6 +4459,52 @@ def _oracle_sql_raw() -> dict[str, str]:
                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
                    '&nbsp;', ' '), '&amp;', '&'),
                '\s+', ' ', 'g')) AS cleaned
+        FROM w
+    """
+    # html_to_text replayed stage-for-stage (patterns are Java-regex ∩ RE2;
+    # per-tag content-drop patterns because RE2 has no backreferences)
+    _HTML_PAGE_HEAD = (
+        '<html><head><title>t</title><style type="text/css">p { color: red }</style>'
+        '<script>var x = "<p>not text</p>"; if (a && b) { go(); }</script></head>'
+        "<body><!-- nav\nmenu --><h1>Heading</h1>\n<p>  "
+    )
+    _HTML_PAGE_TAIL = (
+        " &nbsp;&amp;amp; tail</p><ul> <li>alpha</li>\t<li>beta &lt;3</li></ul>"
+        "<br/><div>closing   line</div></body></html>"
+    )
+    _BLOCK_BREAK_SQL = (
+        r"(?i)<(?:br|hr)\s*/?\s*>"
+        r"|(?i)</(?:p|div|li|ul|ol|h[1-6]|tr|table|thead|tbody|section|article"
+        r"|header|footer|blockquote|pre|dd|dt|figure|figcaption|nav|aside|main)\s*>"
+    )
+    # build the expression by mechanical wrapping — one stage per line of the
+    # Spark chain, impossible to mis-nest by hand
+    _expr = "raw"
+    for _tag in ("script", "style", "noscript", "template"):
+        _expr = (
+            f"regexp_replace({_expr}, "
+            f"'(?is)<{_tag}\\b[^>]*>.*?</{_tag}\\s*>', ' ', 'g')"
+        )
+    _expr = f"regexp_replace({_expr}, '(?s)<!--.*?-->', ' ', 'g')"
+    _expr = f"regexp_replace({_expr}, '{_BLOCK_BREAK_SQL}', chr(10), 'g')"
+    _expr = f"regexp_replace({_expr}, '(?s)<[^>]*>', ' ', 'g')"
+    for _ent, _ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "''"),
+        ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        _expr = f"replace({_expr}, '{_ent}', '{_ch}')"
+    _expr = f"regexp_replace({_expr}, '[^\\S\\n]+', ' ', 'g')"
+    _expr = f"regexp_replace({_expr}, ' ?\\n ?', chr(10), 'g')"
+    _expr = f"regexp_replace({_expr}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
+    _expr = f"regexp_replace({_expr}, '^\\s+|\\s+$', '', 'g')"
+    sql["html_text_extract"] = f"""
+        WITH w AS (
+            SELECT doc_id,
+                   concat($head${_HTML_PAGE_HEAD}$head$, text,
+                          $tail${_HTML_PAGE_TAIL}$tail$) AS raw
+            FROM documents WHERE doc_id < 50
+        )
+        SELECT doc_id, {_expr} AS extracted
         FROM w
     """
     sql["strip_boilerplate"] = """

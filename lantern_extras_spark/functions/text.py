@@ -11,6 +11,8 @@ the DuckDB oracle can recompute every one of them.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -153,6 +155,120 @@ def clean_text(c: Column | str) -> Column:
     for ent, ch in _HTML_ENTITIES:
         s = F.replace(s, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+# Non-content HTML elements whose INNER TEXT must be dropped (not just the
+# tags): one lazy per-tag pattern each — RE2 has no backreferences, and the
+# DuckDB oracle replays this exact chain, so `</\1>` is off the table.
+_HTML_DROP_CONTENT = ("script", "style", "noscript", "template")
+# Elements whose boundary is a line break in the extracted text. Line
+# structure matters downstream: strip_boilerplate_lines and the Gopher
+# line-share screens are LINE-based, so a crawl page must not collapse into
+# one long line.
+_HTML_BLOCK_BREAK = (
+    r"(?i)<(?:br|hr)\s*/?\s*>"
+    r"|(?i)</(?:p|div|li|ul|ol|h[1-6]|tr|table|thead|tbody|section|article"
+    r"|header|footer|blockquote|pre|dd|dt|figure|figcaption|nav|aside|main)\s*>"
+)
+
+
+def html_to_text(c: Column | str) -> Column:
+    """WARC-grade HTML → text extraction as one native expression chain (no
+    Python workers) — the seam between `sources.warc.read_warc` response
+    bodies and the text-quality/dedup pipeline. Extends `clean_text` (which
+    only strips tags) with the three things crawl HTML needs:
+
+    1. script/style/noscript/template CONTENT dropped (their inner text is
+       code, not language),
+    2. comments dropped,
+    3. block-element boundaries become newlines (line-based quality ops keep
+       working), inline tags become spaces,
+
+    then the standard entity decode (`&amp;` last) and whitespace
+    normalization that preserves line structure (runs of spaces collapse,
+    ≥3 newlines collapse to a blank line).
+
+    Engine-portable: every regex stays in the Java-regex ∩ RE2 subset (no
+    backreferences, no lookaround) so the DuckDB oracle replays the chain
+    verbatim (`q_html_text_extract`). For malformed-nesting-exact fidelity
+    use `html_to_text_udf` (stdlib HTMLParser, Arrow-batched) — same
+    content, parser-grade handling of charrefs and unclosed tags."""
+    s = _c(c)
+    for tag in _HTML_DROP_CONTENT:
+        s = F.regexp_replace(s, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, _HTML_BLOCK_BREAK, "\n")
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    s = F.regexp_replace(s, r"[^\S\n]+", " ")      # collapse intra-line runs
+    s = F.regexp_replace(s, r" ?\n ?", "\n")        # trim around breaks
+    s = F.regexp_replace(s, r"\n{3,}", "\n\n")      # ≥3 breaks -> paragraph gap
+    # full-whitespace trim (plain trim() is space-only in BOTH engines)
+    return F.regexp_replace(s, r"^\s+|\s+$", "")
+
+
+def html_to_text_udf():
+    """Arrow-batched pandas UDF twin of `html_to_text`, built on stdlib
+    html.parser — handles what regexes can't: numeric charrefs (&#x2019;),
+    malformed nesting, unclosed script tags. Whitespace details differ from
+    the expression version by design (parser vs regex); both deliver the
+    same content words. Use this for real crawls, the expression version for
+    streams (no Python workers) and the oracle."""
+    import pandas as pd
+    from html.parser import HTMLParser
+    from pyspark.sql.functions import pandas_udf
+
+    drop = set(_HTML_DROP_CONTENT)
+    block = {
+        "br", "hr", "p", "div", "li", "ul", "ol", "h1", "h2", "h3", "h4",
+        "h5", "h6", "tr", "table", "thead", "tbody", "section", "article",
+        "header", "footer", "blockquote", "pre", "dd", "dt", "figure",
+        "figcaption", "nav", "aside", "main",
+    }
+
+    class _Extract(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.parts: list[str] = []
+            self.skip = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in drop:
+                self.skip += 1
+            elif tag in block:
+                self.parts.append("\n")
+
+        def handle_endtag(self, tag):
+            if tag in drop:
+                self.skip = max(0, self.skip - 1)
+            elif tag in block:
+                self.parts.append("\n")
+
+        def handle_data(self, data):
+            if not self.skip:
+                self.parts.append(data)
+
+    def extract_one(html: str) -> str:
+        p = _Extract()
+        try:
+            p.feed(html)
+            p.close()
+        except Exception:
+            pass  # salvage what parsed; crawl HTML is hostile by nature
+        text = "".join(p.parts)
+        text = re.sub(r"[^\S\n]+", " ", text)
+        text = re.sub(r" ?\n ?", "\n", text)
+        text = re.sub(r"\n{3,}", "\n\n", text)
+        return text.strip()
+
+    def _udf(s):
+        return s.map(lambda x: None if x is None else extract_one(x))
+
+    # this module uses postponed annotation evaluation, which turns inline
+    # type hints into strings pandas_udf cannot resolve — attach real ones
+    _udf.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_udf, "string")
 
 
 # PII patterns, ordered most- to least-specific so earlier redactions can't be

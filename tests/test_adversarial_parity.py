@@ -182,6 +182,14 @@ TEXT_AND_VECTOR_QUERIES = [
     # single-token / enormous-token / emoji docs through window arithmetic
     "bm25_prf",
     "search_snippets",
+    # round-10: WARC-grade HTML extraction — empty/whitespace/emoji/huge-token
+    # docs wrapped in the full page template push script-drop, block-newline
+    # and entity stages through both engines' regex dialects
+    "html_text_extract",
+    # round-10: star-contraction connected components vs the recursive-CTE
+    # fixpoint over the nasty pair graph (exact-duplicate texts -> dense
+    # minhash buckets; empty docs -> no shingles)
+    "dedup_clusters_star",
 ]
 
 

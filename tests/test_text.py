@@ -417,3 +417,99 @@ def test_vocab_coverage_ngram(spark):
     assert out[-1]["coverage"] == pytest.approx(1.0)
     with pytest.raises(ValueError, match="ngram"):
         TS.vocab_coverage(df, ngram=0)
+
+
+def test_html_to_text_expr(spark):
+    from lantern_extras_spark.functions.text import html_to_text
+
+    page = (
+        '<html><head><style>p{color:red}</style>'
+        '<script>var s = "<b>not content</b>";</script></head>'
+        "<body><!-- hidden comment --><h1>Title</h1>"
+        "<p>First &amp; second</p><ul><li>one</li><li>two</li></ul>"
+        "<div>tail   spaced</div></body></html>"
+    )
+    df = spark.createDataFrame([(1, page), (2, None), (3, "plain, no markup")],
+                               "id long, t string")
+    got = {r["id"]: r["x"] for r in df.select("id", html_to_text("t").alias("x")).collect()}
+    # </ul> after </li> leaves a paragraph-style blank line — by design
+    assert got[1] == "Title\nFirst & second\none\ntwo\n\ntail spaced"
+    assert got[2] is None
+    assert got[3] == "plain, no markup"
+    # script/style/comment content must be GONE, not just de-tagged
+    assert "not content" not in got[1] and "color" not in got[1] and "hidden" not in got[1]
+
+
+def test_html_to_text_udf_agrees_on_content(spark):
+    """Parser twin: same content words as the expression version (whitespace
+    conventions differ by design), plus numeric charrefs only the parser
+    handles."""
+    from pyspark.sql import functions as F
+
+    from lantern_extras_spark.functions.text import html_to_text, html_to_text_udf
+
+    pages = [
+        "<p>alpha</p><script>drop()</script><div>beta &amp; gamma</div>",
+        "<ul><li>x1</li><li>x2</li></ul><style>.a{}</style>done",
+    ]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(pages)], "id long, t string")
+    rows = df.select(
+        "id",
+        html_to_text("t").alias("expr"),
+        html_to_text_udf()(F.col("t")).alias("parsed"),
+    ).collect()
+    for r in rows:
+        assert r["expr"].split() == r["parsed"].split(), r
+    # numeric charref: parser decodes it; the expression version passes it through
+    one = spark.createDataFrame([(1, "<p>it&#8217;s here</p>")], "id long, t string")
+    r = one.select(html_to_text_udf()(F.col("t")).alias("p")).first()
+    assert r["p"] == "it’s here"
+
+
+def test_html_to_text_feeds_line_based_ops(spark):
+    """Block boundaries become real lines so strip_boilerplate_lines can see
+    the shared nav menu as a line in every doc of the source."""
+    from pyspark.sql import functions as F
+
+    from lantern_extras_spark.functions.text import html_to_text
+    from lantern_extras_spark.operators.textstats import strip_boilerplate_lines
+
+    pages = [
+        (i, f"<div>MENU HOME ABOUT</div><p>unique body text number {i} is long enough</p>")
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, raw string").select(
+        "doc_id", F.lit("web").alias("source"), html_to_text("raw").alias("text")
+    )
+    out = strip_boilerplate_lines(df).collect()
+    for r in out:
+        assert "MENU HOME ABOUT" not in r["text_clean"]
+        assert f"number {r['doc_id']}" in r["text_clean"]
+
+
+def test_warc_html_to_corpus_integration(spark, tmp_path):
+    """The full crawl seam: WARC response bytes -> charset decode ->
+    html_to_text -> line-structured corpus text."""
+    from pyspark.sql import functions as F
+
+    from lantern_extras_spark.functions.text import html_to_text
+    from lantern_extras_spark.sources import warc as W
+
+    html = "<html><body><h1>Doc</h1><p>crawled &amp; extracted</p></body></html>"
+    http = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+    ).encode() + html.encode()
+    W.write_warc(
+        str(tmp_path / "c.warc.gz"),
+        [{"warc_type": "response", "target_uri": "https://x/d", "payload": http}],
+    )
+    docs = (
+        W.read_warc(spark, str(tmp_path / "c.warc.gz"))
+        .where(F.col("http_status") == 200)
+        .select(
+            "target_uri",
+            html_to_text(F.decode(F.col("body"), "UTF-8")).alias("text"),
+        )
+    )
+    r = docs.first()
+    assert r["text"] == "Doc\ncrawled & extracted"
