@@ -1294,6 +1294,203 @@ def mp4_sample_table(data: bytes):
     raise ValueError("MP4 payload has no video track")
 
 
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC-32: polynomial 0x04C11DB7, init 0, no reflection, no
+    final xor (the spec's direct algorithm) — table-driven."""
+    global _OGG_CRC_TABLE
+    try:
+        table = _OGG_CRC_TABLE
+    except NameError:
+        table = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if r & 0x80000000 else (r << 1) & 0xFFFFFFFF
+            table.append(r)
+        _OGG_CRC_TABLE = table
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ table[((crc >> 24) & 0xFF) ^ b]
+    return crc
+
+
+def ogg_packet_table(data: bytes):
+    """Demux an Ogg container (RFC 3533) — pure struct, no codec: walk pages
+    (capture 'OggS', version 0, header-type flags, granule, serial, page
+    sequence, segment lacing), VERIFY each page CRC, and reassemble logical
+    packets including packets that span pages (255-lacing continuation and
+    the 0x01 continued-page flag), per logical stream. This is the DEMUX
+    half of Ogg audio support, the exact analog of `mp4_sample_table` for
+    video: packet boundaries, sizes and granule positions are real; the
+    packet payloads are encoded Vorbis/Opus/Theora bytes (codec decode stays
+    gated — lossy psychoacoustic codecs need a codec library).
+
+    Returns a list of dicts per completed packet:
+    (serial, packet_index, size, granule, bos, eos) where `granule` is the
+    granule position of the page the packet COMPLETES on (-1 when the page
+    carries none) and packet_index counts per stream. Raises ValueError on
+    bad magic, version, CRC, or a truncated page."""
+    import struct
+
+    out: list[dict] = []
+    partial: dict[int, bytearray] = {}
+    counts: dict[int, int] = {}
+    off = 0
+    n = len(data)
+    if n < 27 or data[:4] != b"OggS":
+        raise ValueError("not an Ogg payload (missing OggS capture)")
+    while off < n:
+        if data[off : off + 4] != b"OggS":
+            raise ValueError(f"bad Ogg capture pattern at byte {off}")
+        if off + 27 > n:
+            raise ValueError("truncated Ogg page header")
+        version, htype = data[off + 4], data[off + 5]
+        if version != 0:
+            raise ValueError(f"unsupported Ogg version {version}")
+        granule, serial, _seq, crc = struct.unpack_from("<qIIi", data, off + 6)
+        nseg = data[off + 26]
+        seg_end = off + 27 + nseg
+        if seg_end > n:
+            raise ValueError("truncated Ogg segment table")
+        lacing = data[off + 27 : seg_end]
+        body_len = sum(lacing)
+        page_end = seg_end + body_len
+        if page_end > n:
+            raise ValueError("Ogg page body extends past payload")
+        # CRC over the whole page with the crc field zeroed
+        page = bytearray(data[off:page_end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != crc & 0xFFFFFFFF:
+            raise ValueError(f"Ogg page CRC mismatch at byte {off}")
+        bos, eos = bool(htype & 0x02), bool(htype & 0x04)
+        if not (htype & 0x01) and serial in partial and partial[serial]:
+            # spec: a non-continued page implicitly abandons a dangling
+            # partial packet — treat as corruption, fail loudly
+            raise ValueError(f"Ogg stream {serial}: lost packet continuation")
+        buf = partial.setdefault(serial, bytearray())
+        pos = seg_end
+        for li, lace in enumerate(lacing):
+            buf.extend(data[pos : pos + lace])
+            pos += lace
+            if lace < 255:  # packet completes here
+                idx = counts.get(serial, 0)
+                counts[serial] = idx + 1
+                out.append(
+                    {
+                        "serial": serial,
+                        "packet_index": idx,
+                        "size": len(buf),
+                        "granule": granule,
+                        "bos": bos and idx == 0,
+                        "eos": eos and li == len(lacing) - 1,
+                        "payload": bytes(buf),
+                    }
+                )
+                buf.clear()
+        off = page_end
+    dangling = {s for s, b in partial.items() if b}
+    if dangling:
+        raise ValueError(f"Ogg streams with unterminated packets: {sorted(dangling)}")
+    return out
+
+
+def ogg_stream_info(data: bytes):
+    """Identify each logical stream in an Ogg container from its BOS packet
+    (public codec mapping documents): Vorbis (`\\x01vorbis`, channels/rate
+    from the ID header), Opus (`OpusHead`, granule rate fixed at 48 kHz,
+    pre-skip honored), Theora (`\\x80theora`, video), FLAC-in-Ogg
+    (`\\x7fFLAC`). Returns {serial: {codec, channels, sample_rate,
+    n_packets, duration_s}} with duration derived from the stream's last
+    granule position (granule = PCM position for audio codecs)."""
+    import struct
+
+    packets = ogg_packet_table(data)
+    info: dict[int, dict] = {}
+    last_granule: dict[int, int] = {}
+    preskip: dict[int, int] = {}
+    for p in packets:
+        s = p["serial"]
+        if p["granule"] >= 0:
+            last_granule[s] = p["granule"]
+        if s in info:
+            info[s]["n_packets"] += 1
+            continue
+        body = p["payload"]
+        codec, channels, rate = "unknown", None, None
+        if body.startswith(b"\x01vorbis") and len(body) >= 16:
+            codec = "vorbis"
+            channels = body[11]
+            rate = struct.unpack_from("<I", body, 12)[0]
+        elif body.startswith(b"OpusHead") and len(body) >= 14:
+            codec = "opus"
+            channels = body[9]
+            preskip[s] = struct.unpack_from("<H", body, 10)[0]
+            rate = 48000  # Opus granules are ALWAYS 48 kHz regardless of input rate
+        elif body.startswith(b"\x80theora"):
+            codec = "theora"
+        elif body.startswith(b"\x7fFLAC"):
+            codec = "flac"
+        info[s] = {
+            "codec": codec,
+            "channels": channels,
+            "sample_rate": rate,
+            "n_packets": 1,
+            "duration_s": None,
+        }
+    for s, meta in info.items():
+        g = last_granule.get(s)
+        if g is not None and meta["sample_rate"]:
+            g = max(0, g - preskip.get(s, 0))
+            meta["duration_s"] = g / meta["sample_rate"]
+    return info
+
+
+_OGG_STREAMS_SCHEMA = (
+    "media_id long, serial long, codec string, channels int, "
+    "sample_rate int, n_packets int, duration_s double"
+)
+
+
+def ogg_stream_table(df: DataFrame, media_col: str = "media", id_col: str = "media_id") -> DataFrame:
+    """Spark op: one row per logical Ogg stream per media row —
+    (media_id, serial, codec, channels, sample_rate, n_packets, duration_s).
+    Arrow-batched mapInPandas over the binary column (same plan shape as the
+    other media kernels: the decode work rides the scan, no shuffle). Rows
+    whose bytes are not Ogg yield NO rows rather than a sentinel — this is a
+    metadata EXTRACTION op, not an embedding (no fixed-width contract to
+    honor), and silent placeholder rows would poison downstream groupBys."""
+    import pandas as pd
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                raw = bytes(r[media_col]) if r[media_col] is not None else b""
+                if raw[:4] != b"OggS":
+                    continue
+                for serial, meta in ogg_stream_info(raw).items():
+                    rows.append(
+                        {
+                            "media_id": r[id_col],
+                            "serial": serial,
+                            "codec": meta["codec"],
+                            "channels": meta["channels"],
+                            "sample_rate": meta["sample_rate"],
+                            "n_packets": meta["n_packets"],
+                            "duration_s": meta["duration_s"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "serial", "codec", "channels",
+                    "sample_rate", "n_packets", "duration_s",
+                ],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(extract, _OGG_STREAMS_SCHEMA)
+
+
 def frame_sample(
     df: DataFrame,
     n_frames: int = 4,

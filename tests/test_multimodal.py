@@ -2121,3 +2121,137 @@ def test_audio_frame_energy_ulaw_wav_on_spark(spark):
     df = spark.createDataFrame([(1, bytearray(wav))], "id long, media binary")
     out = audio_frame_energy(df, frame_bytes=64).first()["frame_energy"]
     assert len(out) >= 1 and all(0.4 < v < 0.6 for v in out)
+
+
+# ---------------------------------------------------------------------------
+# Ogg container demux (r10): pages -> packets, CRC-verified, codec id'd
+# ---------------------------------------------------------------------------
+
+
+def _ogg_crc_ref(data):
+    """Independent CRC (bitwise, no table) straight from RFC 3533."""
+    crc = 0
+    for b in data:
+        crc ^= b << 24
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if crc & 0x80000000 else (crc << 1) & 0xFFFFFFFF
+    return crc
+
+
+def _ogg_page(serial, seq, packets, granule=0, cont=False, bos=False, eos=False,
+              carry_out=False):
+    """Independent Ogg page writer. `packets` = list of bytes; if carry_out,
+    the LAST packet is left unterminated (all-255 lacing, continues on the
+    next page)."""
+    import struct
+
+    lacing = []
+    body = b""
+    for i, p in enumerate(packets):
+        body += p
+        full, rem = divmod(len(p), 255)
+        lacing.extend([255] * full)
+        if not (carry_out and i == len(packets) - 1):
+            lacing.append(rem)
+        elif rem:
+            raise ValueError("carry_out packet chunk must be a multiple of 255")
+    htype = (0x01 if cont else 0) | (0x02 if bos else 0) | (0x04 if eos else 0)
+    head = b"OggS" + bytes([0, htype]) + struct.pack("<qIIi", granule, serial, seq, 0)
+    page = head + bytes([len(lacing)]) + bytes(lacing) + body
+    crc = _ogg_crc_ref(page)
+    return page[:22] + struct.pack("<I", crc) + page[26:]
+
+
+def _vorbis_id(channels=2, rate=44100):
+    import struct
+
+    return b"\x01vorbis" + bytes(4) + bytes([channels]) + struct.pack("<I", rate) + bytes(12)
+
+
+def test_ogg_packet_table_single_stream():
+    from lantern_extras_spark.multimodal.media import ogg_packet_table
+
+    pages = (
+        _ogg_page(7, 0, [_vorbis_id()], granule=0, bos=True)
+        + _ogg_page(7, 1, [b"A" * 10, b"B" * 20], granule=1024)
+        + _ogg_page(7, 2, [b"C" * 5], granule=4096, eos=True)
+    )
+    pk = ogg_packet_table(pages)
+    assert [p["packet_index"] for p in pk] == [0, 1, 2, 3]
+    assert [p["size"] for p in pk] == [28, 10, 20, 5]
+    assert pk[0]["bos"] and pk[-1]["eos"] and not pk[1]["bos"]
+    assert pk[1]["granule"] == 1024 and pk[3]["granule"] == 4096
+
+
+def test_ogg_packet_spans_pages():
+    """A 600-byte packet needs 255+255 lacing on page 1 (carry) and a 90-byte
+    terminator on the continued page."""
+    from lantern_extras_spark.multimodal.media import ogg_packet_table
+
+    big = bytes(range(256)) * 2 + b"z" * 88  # 600 bytes
+    pages = (
+        _ogg_page(9, 0, [_vorbis_id()], bos=True)
+        + _ogg_page(9, 1, [big[:510]], granule=-1, carry_out=True)
+        + _ogg_page(9, 2, [big[510:]], granule=2048, cont=True, eos=True)
+    )
+    pk = ogg_packet_table(pages)
+    assert pk[1]["size"] == 600 and pk[1]["payload"] == big
+    assert pk[1]["granule"] == 2048  # granule of the COMPLETING page
+
+
+def test_ogg_multiplexed_streams_and_info():
+    from lantern_extras_spark.multimodal.media import ogg_stream_info
+
+    import struct
+
+    opus_head = b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312) + struct.pack("<I", 16000) + bytes(3)
+    pages = (
+        _ogg_page(1, 0, [_vorbis_id(1, 8000)], bos=True)
+        + _ogg_page(2, 0, [opus_head], bos=True)
+        + _ogg_page(1, 1, [b"v" * 9], granule=16000, eos=True)
+        + _ogg_page(2, 1, [b"o" * 7], granule=48000 + 312, eos=True)
+    )
+    info = ogg_stream_info(pages)
+    v, o = info[1], info[2]
+    assert v["codec"] == "vorbis" and v["channels"] == 1 and v["sample_rate"] == 8000
+    assert v["duration_s"] == 2.0  # 16000 samples @ 8 kHz
+    assert o["codec"] == "opus" and o["channels"] == 2 and o["sample_rate"] == 48000
+    assert o["duration_s"] == 1.0  # granule minus pre-skip, at fixed 48 kHz
+
+
+def test_ogg_malformed_rejection():
+    import pytest as _pt
+
+    from lantern_extras_spark.multimodal.media import ogg_packet_table
+
+    good = _ogg_page(5, 0, [_vorbis_id()], bos=True)
+    with _pt.raises(ValueError, match="OggS"):
+        ogg_packet_table(b"NotOgg" + bytes(30))
+    with _pt.raises(ValueError, match="CRC"):
+        bad = bytearray(good)
+        bad[-1] ^= 0xFF
+        ogg_packet_table(bytes(bad))
+    with _pt.raises(ValueError, match="truncated|past payload"):
+        ogg_packet_table(good[:-3] if len(good) > 30 else good[:20])
+    # dangling continuation (carry never terminated) must fail loudly
+    with _pt.raises(ValueError, match="unterminated"):
+        ogg_packet_table(
+            _ogg_page(5, 0, [b"x" * 255], bos=True, carry_out=True)
+        )
+
+
+def test_ogg_stream_table_on_spark(spark):
+    from lantern_extras_spark.multimodal.media import ogg_stream_table
+
+    pages = (
+        _ogg_page(3, 0, [_vorbis_id(2, 22050)], bos=True)
+        + _ogg_page(3, 1, [b"d" * 11], granule=44100, eos=True)
+    )
+    rows = [(1, bytearray(pages)), (2, bytearray(b"not media at all"))]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    out = ogg_stream_table(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["media_id"] == 1 and r["codec"] == "vorbis"
+    assert r["sample_rate"] == 22050 and r["n_packets"] == 2
+    assert abs(r["duration_s"] - 2.0) < 1e-9
