@@ -279,6 +279,45 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    types: tuple[str, ...] = ("response",),
+    glob: str = "*.warc.gz",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured-Streaming twin of `read_warc`: a crawl DROPS files
+    continuously (Common Crawl publishes in waves; an in-house fetcher lands
+    a .warc.gz per worker per few minutes), so ingestion is a file stream —
+    each new archive becomes one task, parsed with the SAME
+    `parse_warc_bytes` kernel, and flows into the streaming dedup/quality/
+    index stores (streaming/stateful.py) with exactly-once file tracking
+    from the checkpoint. `binaryFile` is a streaming-capable file source;
+    `maxFilesPerTrigger` is the backpressure lever (archives are ~1 GB — cap
+    files, not bytes). Returns an unbounded DataFrame; pair with
+    `trigger(availableNow=True)` for backfill runs."""
+    # streaming file sources need an explicit schema; binaryFile's is fixed
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    binary = reader.load(path)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                recs = parse_warc_bytes(bytes(row["content"]), types=types)
+                if recs:
+                    out = pd.DataFrame(recs)
+                    out.insert(0, "path", row["path"])
+                    yield out
+
+    return binary.select("path", "content").mapInPandas(parse, _WARC_SCHEMA)
+
+
 def write_warc(
     path: str,
     records: list[dict],

@@ -132,3 +132,49 @@ def test_read_wet_feeds_text_pipeline(spark, tmp_path):
         F.monotonically_increasing_id().alias("doc_id"), F.col("text")
     )
     assert D.exact_dedup(docs).count() == 1
+
+
+def test_read_warc_stream_availablenow(spark, tmp_path):
+    """Streaming ingest: two archives land, an availableNow run drains both
+    into extracted text rows exactly once; a third lands and the next run
+    picks up ONLY it (checkpoint file tracking)."""
+    from pyspark.sql import functions as F
+
+    from lantern_extras_spark.functions.text import html_to_text
+
+    src = tmp_path / "crawl"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def land(i):
+        html = f"<html><body><p>page number {i} &amp; text</p></body></html>"
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html.encode()
+        W.write_warc(
+            str(src / f"crawl-{i}.warc.gz"),
+            [{"warc_type": "response", "target_uri": f"https://x/{i}", "payload": http}],
+        )
+
+    def drain():
+        stream = W.read_warc_stream(spark, str(src))
+        docs = stream.where(F.col("http_status") == 200).select(
+            "target_uri", html_to_text(F.decode("body", "UTF-8")).alias("text")
+        )
+        q = (
+            docs.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    land(0); land(1)
+    drain()
+    got = spark.read.parquet(str(sink)).collect()
+    assert sorted(r["text"] for r in got) == ["page number 0 & text", "page number 1 & text"]
+    land(2)
+    drain()
+    got = spark.read.parquet(str(sink)).collect()
+    assert len(got) == 3  # no re-ingestion of archives 0/1
+    assert "page number 2 & text" in {r["text"] for r in got}
