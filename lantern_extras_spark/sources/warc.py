@@ -279,6 +279,47 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def http_body_text(body="body", content_type="http_content_type"):
+    """Charset-aware HTTP body → string, as a native Column expression: the
+    charset is pulled from the Content-Type header value
+    (`text/html; charset=ISO-8859-1`), normalized, and routed to the
+    matching `decode()` — crawls are NOT all UTF-8 (the long tail is
+    latin-1/windows-1252, still ~1-2% of the web). Unknown or missing
+    charsets fall back to UTF-8. Stays JVM-side (a CASE over decode calls,
+    no Python workers). Lenient by construction: the UTF-8 path goes through
+    make_valid_utf8 (undecodable bytes become U+FFFD — Spark 4's decode()
+    throws on malformed input, the wrong failure mode for dirty crawl
+    bytes), single-byte charsets cannot fail, ascii routes through latin-1
+    (same result for valid ASCII). The one strict branch is a DECLARED
+    utf-16 (no lenient JVM-side utf-16 exists; such pages are BOM-framed in
+    practice)."""
+    from pyspark.sql import functions as F
+
+    b = F.col(body) if isinstance(body, str) else body
+    ct = F.col(content_type) if isinstance(content_type, str) else content_type
+    cs = F.lower(F.regexp_extract(F.coalesce(ct, F.lit("")), r"(?i)charset=[\"']?([A-Za-z0-9_\-]+)", 1))
+    # Spark's decode() supports a fixed charset list without windows-1252;
+    # cp1252 = ISO-8859-1 (a bijective byte -> U+00XX map) with 27 code
+    # points in 0x80-0x9F remapped — decode latin-1 then translate them.
+    cp1252_src, cp1252_dst = [], []
+    for byte in range(0x80, 0xA0):
+        ch = bytes([byte]).decode("cp1252", errors="ignore")
+        if ch:
+            cp1252_src.append(chr(byte))
+            cp1252_dst.append(ch)
+    win1252 = F.translate(F.decode(b, "ISO-8859-1"), "".join(cp1252_src), "".join(cp1252_dst))
+    lenient_utf8 = F.make_valid_utf8(b.cast("string"))
+    return (
+        F.when(
+            cs.isin("iso-8859-1", "latin-1", "latin1", "us-ascii", "ascii"),
+            F.decode(b, "ISO-8859-1"),
+        )
+        .when(cs.isin("windows-1252", "cp1252"), win1252)
+        .when(cs.isin("utf-16", "utf16"), F.decode(b, "UTF-16"))
+        .otherwise(lenient_utf8)
+    )
+
+
 def read_warc_stream(
     spark: SparkSession,
     path: str,

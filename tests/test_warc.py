@@ -178,3 +178,23 @@ def test_read_warc_stream_availablenow(spark, tmp_path):
     got = spark.read.parquet(str(sink)).collect()
     assert len(got) == 3  # no re-ingestion of archives 0/1
     assert "page number 2 & text" in {r["text"] for r in got}
+
+
+def test_http_body_text_charset_routing(spark):
+    """Latin-1 and windows-1252 bodies decode via their declared charset;
+    missing/unknown charsets fall back to UTF-8 with replacement, never an
+    error."""
+    rows = [
+        (1, bytearray("café".encode("latin-1")), "text/html; charset=ISO-8859-1"),
+        (2, bytearray("curly ’ quote".encode("windows-1252")), 'text/html; charset="Windows-1252"'),
+        (3, bytearray("plain utf-8 é".encode("utf-8")), "text/html"),
+        (4, bytearray(b"broken \xff\xfe bytes"), "text/html; charset=utf-8"),
+        (5, bytearray(b"ascii only"), None),
+    ]
+    df = spark.createDataFrame(rows, "id long, body binary, http_content_type string")
+    got = {r["id"]: r["t"] for r in df.select("id", W.http_body_text().alias("t")).collect()}
+    assert got[1] == "café"
+    assert got[2] == "curly ’ quote"
+    assert got[3] == "plain utf-8 é"
+    assert "broken" in got[4] and "bytes" in got[4]  # replacement chars, no throw
+    assert got[5] == "ascii only"
