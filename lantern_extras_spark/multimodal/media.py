@@ -1294,6 +1294,225 @@ def mp4_sample_table(data: bytes):
     raise ValueError("MP4 payload has no video track")
 
 
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+
+
+def _ebml_read_id(data: bytes, off: int) -> tuple[int, int]:
+    """Read an EBML element ID (1-4 bytes, marker bit kept — the convention
+    for IDs). Returns (id, n_bytes)."""
+    if off >= len(data):
+        raise ValueError("EBML: truncated element id")
+    first = data[off]
+    if first == 0:
+        raise ValueError(f"EBML: invalid id byte 0x00 at {off}")
+    n = 8 - first.bit_length() + 1
+    if n > 4 or off + n > len(data):
+        raise ValueError(f"EBML: bad id length at {off}")
+    return int.from_bytes(data[off : off + n], "big"), n
+
+
+def _ebml_read_size(data: bytes, off: int) -> tuple[int | None, int]:
+    """Read an EBML data size (1-8 bytes, marker bit dropped). All-ones is
+    the UNKNOWN size (streamed Segment/Cluster) — returned as None."""
+    if off >= len(data):
+        raise ValueError("EBML: truncated element size")
+    first = data[off]
+    if first == 0:
+        raise ValueError(f"EBML: invalid size byte 0x00 at {off}")
+    n = 8 - first.bit_length() + 1
+    if n > 8 or off + n > len(data):
+        raise ValueError(f"EBML: bad size length at {off}")
+    val = (first & (0xFF >> n)) if n <= 8 else 0
+    for b in data[off + 1 : off + n]:
+        val = (val << 8) | b
+    if val == (1 << (7 * n)) - 1:  # all value bits set = unknown
+        return None, n
+    return val, n
+
+
+def _ebml_children(data: bytes, off: int, end: int):
+    """Yield (id, body_start, body_end) for each child element in a span.
+    Unknown-size elements (legal only for Segment/Cluster in practice)
+    extend to the end of the span."""
+    while off < end:
+        eid, n1 = _ebml_read_id(data, off)
+        size, n2 = _ebml_read_size(data, off + n1)
+        body0 = off + n1 + n2
+        body1 = end if size is None else body0 + size
+        if body1 > end:
+            raise ValueError(f"EBML: element 0x{eid:x} extends past its parent")
+        yield eid, body0, body1
+        off = body1
+
+
+def _ebml_uint(data: bytes, a: int, b: int) -> int:
+    return int.from_bytes(data[a:b], "big")
+
+
+def _ebml_float(data: bytes, a: int, b: int) -> float:
+    import struct
+
+    n = b - a
+    if n == 4:
+        return struct.unpack(">f", data[a:b])[0]
+    if n == 8:
+        return struct.unpack(">d", data[a:b])[0]
+    raise ValueError(f"EBML: float element of width {n}")
+
+
+def mkv_track_info(data: bytes):
+    """Parse Matroska/WebM (EBML) track + segment metadata — pure struct, no
+    codec: returns {"timestamp_scale_ns", "duration_s", "tracks": {num:
+    {type, codec_id, width/height | channels/sample_rate}}}. Track types per
+    the public Matroska spec (1=video, 2=audio); WebM is Matroska restricted
+    to VP8/VP9/AV1 + Vorbis/Opus. Raises ValueError on bad magic/framing."""
+    data = bytes(data)
+    if data[:4] != _EBML_MAGIC:
+        raise ValueError("not an EBML/Matroska payload")
+    out = {"timestamp_scale_ns": 1_000_000, "duration_s": None, "tracks": {}}
+    duration_units = None
+    for eid, b0, b1 in _ebml_children(data, 0, len(data)):
+        if eid != 0x18538067:  # Segment
+            continue
+        for sid, s0, s1 in _ebml_children(data, b0, b1):
+            if sid == 0x1549A966:  # Info
+                for iid, i0, i1 in _ebml_children(data, s0, s1):
+                    if iid == 0x2AD7B1:
+                        out["timestamp_scale_ns"] = _ebml_uint(data, i0, i1)
+                    elif iid == 0x4489:
+                        duration_units = _ebml_float(data, i0, i1)
+            elif sid == 0x1654AE6B:  # Tracks
+                for tid, t0, t1 in _ebml_children(data, s0, s1):
+                    if tid != 0xAE:  # TrackEntry
+                        continue
+                    tr: dict = {}
+                    num = None
+                    for fid, f0, f1 in _ebml_children(data, t0, t1):
+                        if fid == 0xD7:
+                            num = _ebml_uint(data, f0, f1)
+                        elif fid == 0x83:
+                            tr["type"] = {1: "video", 2: "audio"}.get(
+                                _ebml_uint(data, f0, f1), "other"
+                            )
+                        elif fid == 0x86:
+                            tr["codec_id"] = data[f0:f1].decode("ascii", "replace")
+                        elif fid == 0xE0:  # Video
+                            for vid, v0, v1 in _ebml_children(data, f0, f1):
+                                if vid == 0xB0:
+                                    tr["width"] = _ebml_uint(data, v0, v1)
+                                elif vid == 0xBA:
+                                    tr["height"] = _ebml_uint(data, v0, v1)
+                        elif fid == 0xE1:  # Audio
+                            for aid, a0, a1 in _ebml_children(data, f0, f1):
+                                if aid == 0xB5:
+                                    tr["sample_rate"] = _ebml_float(data, a0, a1)
+                                elif aid == 0x9F:
+                                    tr["channels"] = _ebml_uint(data, a0, a1)
+                    if num is None:
+                        raise ValueError("Matroska TrackEntry without TrackNumber")
+                    out["tracks"][num] = tr
+        break
+    if duration_units is not None:
+        out["duration_s"] = duration_units * out["timestamp_scale_ns"] / 1e9
+    return out
+
+
+def _mkv_block_frames(data: bytes, b0: int, b1: int):
+    """Split a (Simple)Block body into (track, rel_ts, [(off, size), ...]) —
+    all four lacing modes (none/Xiph/fixed/EBML) per the public spec."""
+    track, nt = _ebml_read_size(data, b0)  # track number is a plain vint
+    if track is None:
+        raise ValueError("Matroska block with unknown track vint")
+    pos = b0 + nt
+    if pos + 3 > b1:
+        raise ValueError("Matroska block too short for timestamp+flags")
+    rel = int.from_bytes(data[pos : pos + 2], "big", signed=True)
+    flags = data[pos + 2]
+    pos += 3
+    lacing = (flags >> 1) & 0x03
+    if lacing == 0:
+        return track, rel, [(pos, b1 - pos)]
+    count = data[pos] + 1
+    pos += 1
+    sizes: list[int] = []
+    if lacing == 2:  # fixed: equal split
+        total = b1 - pos
+        if total % count:
+            raise ValueError("Matroska fixed lacing: body not divisible")
+        sizes = [total // count] * count
+    elif lacing == 1:  # Xiph: 255-run coded sizes for all but the last
+        for _ in range(count - 1):
+            sz = 0
+            while True:
+                v = data[pos]
+                pos += 1
+                sz += v
+                if v < 255:
+                    break
+            sizes.append(sz)
+        sizes.append(b1 - pos - sum(sizes))
+    else:  # EBML lacing: first absolute vint, then signed-vint deltas
+        first, n = _ebml_read_size(data, pos)
+        pos += n
+        sizes.append(first)
+        for _ in range(count - 2):
+            delta, n = _ebml_read_size(data, pos)
+            # signed vint: subtract the mid-range bias 2^(7n-1)-1
+            delta -= (1 << (7 * n - 1)) - 1
+            pos += n
+            sizes.append(sizes[-1] + delta)
+        if count >= 2:
+            sizes.append(b1 - pos - sum(sizes))
+    if any(s < 0 for s in sizes) or sum(sizes) != b1 - pos:
+        raise ValueError("Matroska lacing sizes inconsistent with block body")
+    out = []
+    for s in sizes:
+        out.append((pos, s))
+        pos += s
+    return track, rel, out
+
+
+def mkv_sample_table(data: bytes):
+    """Parse the FIRST video track's frames from a Matroska/WebM payload —
+    the EBML analog of `mp4_sample_table`: walks Clusters (cluster Timestamp
+    + SimpleBlock/BlockGroup>Block), splits lacing, and returns
+    (byte_offset, byte_size, timestamp_seconds) per frame with timestamps
+    scaled by Info's TimestampScale. Frame payloads are encoded VP8/VP9/AV1
+    access units — codec pixel decode stays gated, demux is real."""
+    data = bytes(data)
+    meta = mkv_track_info(data)
+    video = [n for n, t in meta["tracks"].items() if t.get("type") == "video"]
+    if not video:
+        raise ValueError("Matroska payload has no video track")
+    vtrack = video[0]
+    scale = meta["timestamp_scale_ns"]
+    out = []
+    for eid, b0, b1 in _ebml_children(data, 0, len(data)):
+        if eid != 0x18538067:
+            continue
+        for sid, s0, s1 in _ebml_children(data, b0, b1):
+            if sid != 0x1F43B675:  # Cluster
+                continue
+            cluster_ts = 0
+            for cid, c0, c1 in _ebml_children(data, s0, s1):
+                if cid == 0xE7:
+                    cluster_ts = _ebml_uint(data, c0, c1)
+                elif cid in (0xA3, 0xA1):  # SimpleBlock / bare Block
+                    track, rel, frames = _mkv_block_frames(data, c0, c1)
+                    if track == vtrack:
+                        t = (cluster_ts + rel) * scale / 1e9
+                        out.extend((off, sz, t) for off, sz in frames)
+                elif cid == 0xA0:  # BlockGroup
+                    for gid, g0, g1 in _ebml_children(data, c0, c1):
+                        if gid == 0xA1:
+                            track, rel, frames = _mkv_block_frames(data, g0, g1)
+                            if track == vtrack:
+                                t = (cluster_ts + rel) * scale / 1e9
+                                out.extend((off, sz, t) for off, sz in frames)
+        break
+    return out
+
+
 def _ogg_crc(data: bytes) -> int:
     """Ogg page CRC-32: polynomial 0x04C11DB7, init 0, no reflection, no
     final xor (the spec's direct algorithm) — table-driven."""
@@ -1670,12 +1889,13 @@ def frame_sample(
     of stalling an executor.
 
     For MP4 payloads the container DEMUX is real as of r10
-    (`mp4_sample_table`): the emitted "frames" are the first video track's
+    (`mp4_sample_table`), and for Matroska/WebM payloads too
+    (`mkv_sample_table`): the emitted "frames" are the first video track's
     actual encoded samples (access units) at evenly-spaced sample indices
-    — true byte ranges, true timestamps; only the codec (H.264/H.265/AV1)
-    pixel decode remains gated. Other payloads (webm etc.) keep the
-    deterministic byte-slice STUB; failures and empty payloads yield null,
-    preserving row alignment.
+    — true byte ranges, true timestamps; only the codec (H.264/H.265/
+    VP8/VP9/AV1) pixel decode remains gated. Remaining unknown payloads
+    keep the deterministic byte-slice STUB; failures and empty payloads
+    yield null, preserving row alignment.
 
     Arrow-batched mapInPandas, no shuffle — a pure projection at any scale.
     """
@@ -1701,8 +1921,10 @@ def frame_sample(
                 if k in want:
                     frames.append(ppm_encode(frame))
             return frames
-        if len(raw) >= 12 and raw[4:8] == b"ftyp":
-            table = mp4_sample_table(raw)
+        if (len(raw) >= 12 and raw[4:8] == b"ftyp") or raw[:4] == _EBML_MAGIC:
+            table = (
+                mp4_sample_table(raw) if raw[4:8] == b"ftyp" else mkv_sample_table(raw)
+            )
             if not table:
                 return None
             want = sorted(set(

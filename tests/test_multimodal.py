@@ -2357,3 +2357,154 @@ def test_audio_stream_table_sniffs_both(spark):
     assert set(got) == {(1, "vorbis"), (2, "mp3")}
     assert got[(2, "mp3")]["n_packets"] == 2 and got[(2, "mp3")]["serial"] == -1
     assert abs(got[(1, "vorbis")]["duration_s"] - 0.5) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Matroska/WebM demux (r10): EBML walk, lacing, cluster timestamps
+# ---------------------------------------------------------------------------
+
+
+def _ebml_el(eid, body):
+    """Independent EBML writer: id bytes verbatim, minimal-width size."""
+    out = eid
+    n = len(body)
+    for w in range(1, 9):
+        if n < (1 << (7 * w)) - 1:
+            out += ((1 << (7 * w)) | n).to_bytes(w, "big")
+            break
+    return out + body
+
+
+def _ebml_uint_body(v, width=0):
+    w = width or max(1, (v.bit_length() + 7) // 8)
+    return v.to_bytes(w, "big")
+
+
+def _mkv(frames, lacing=0, timestamp_scale=1_000_000, with_audio=True,
+         cluster_ts=1000, rel_ts=7):
+    """Build a tiny WebM: video track 1 (VP9) [+ audio track 2], one cluster
+    with the frames in a single (Simple)Block using the requested lacing
+    (0 none -> one block per frame)."""
+    import struct
+
+    info = _ebml_el(b"\x15\x49\xa9\x66",
+                    _ebml_el(b"\x2a\xd7\xb1", _ebml_uint_body(timestamp_scale))
+                    + _ebml_el(b"\x44\x89", struct.pack(">f", 5000.0)))
+    video_entry = _ebml_el(b"\xae",
+        _ebml_el(b"\xd7", b"\x01") + _ebml_el(b"\x83", b"\x01")
+        + _ebml_el(b"\x86", b"V_VP9")
+        + _ebml_el(b"\xe0", _ebml_el(b"\xb0", _ebml_uint_body(640))
+                   + _ebml_el(b"\xba", _ebml_uint_body(360))))
+    audio_entry = _ebml_el(b"\xae",
+        _ebml_el(b"\xd7", b"\x02") + _ebml_el(b"\x83", b"\x02")
+        + _ebml_el(b"\x86", b"A_OPUS")
+        + _ebml_el(b"\xe1", _ebml_el(b"\xb5", struct.pack(">f", 48000.0))
+                   + _ebml_el(b"\x9f", b"\x02")))
+    tracks = _ebml_el(b"\x16\x54\xae\x6b",
+                      video_entry + (audio_entry if with_audio else b""))
+
+    def block(track, rel, payloads, lac):
+        head = bytes([0x80 | track]) + struct.pack(">h", rel)
+        if lac == 0:
+            assert len(payloads) == 1
+            return head + b"\x00" + payloads[0]
+        body = bytes([lac << 1]) + bytes([len(payloads) - 1])
+        if lac == 1:  # Xiph
+            for p in payloads[:-1]:
+                q, r = divmod(len(p), 255)
+                body += b"\xff" * q + bytes([r])
+        elif lac == 3:  # EBML: absolute first, signed deltas
+            first = len(payloads[0])
+            body += ((1 << 14) | first).to_bytes(2, "big")
+            prev = first
+            for p in payloads[1:-1]:
+                delta = len(p) - prev
+                body += ((1 << 14) | (delta + (1 << 13) - 1)).to_bytes(2, "big")
+                prev = len(p)
+        # lac == 2 (fixed): nothing coded
+        return head + body + b"".join(payloads)
+
+    if lacing == 0:
+        blocks = b"".join(_ebml_el(b"\xa3", block(1, rel_ts + i, [f], 0))
+                          for i, f in enumerate(frames))
+    else:
+        blocks = _ebml_el(b"\xa3", block(1, rel_ts, frames, lacing))
+    # plus one audio block that must be ignored by the video table
+    blocks += _ebml_el(b"\xa3", block(2, 0, [b"opuspacket"], 0))
+    cluster = _ebml_el(b"\x1f\x43\xb6\x75",
+                       _ebml_el(b"\xe7", _ebml_uint_body(cluster_ts)) + blocks)
+    segment = _ebml_el(b"\x18\x53\x80\x67", info + tracks + cluster)
+    header = _ebml_el(b"\x1a\x45\xdf\xa3", _ebml_el(b"\x42\x82", b"webm"))
+    return header + segment
+
+
+def test_mkv_track_info():
+    from lantern_extras_spark.multimodal.media import mkv_track_info
+
+    meta = mkv_track_info(_mkv([b"xx"]))
+    assert meta["timestamp_scale_ns"] == 1_000_000
+    assert abs(meta["duration_s"] - 5.0) < 1e-9  # 5000 units * 1ms
+    v, a = meta["tracks"][1], meta["tracks"][2]
+    assert v == {"type": "video", "codec_id": "V_VP9", "width": 640, "height": 360}
+    assert a["type"] == "audio" and a["codec_id"] == "A_OPUS"
+    assert a["channels"] == 2 and a["sample_rate"] == 48000.0
+
+
+def test_mkv_sample_table_offsets_and_timestamps():
+    from lantern_extras_spark.multimodal.media import mkv_sample_table
+
+    frames = [b"frame-zero", b"frame-one!!", b"f2"]
+    data = _mkv(frames, cluster_ts=2000, rel_ts=5)
+    table = mkv_sample_table(data)
+    assert len(table) == 3
+    for i, (off, size, ts) in enumerate(table):
+        assert data[off : off + size] == frames[i]
+        assert abs(ts - (2000 + 5 + i) / 1000.0) < 1e-9  # 1ms scale
+
+
+@pytest.mark.parametrize("lacing", [1, 2, 3])
+def test_mkv_lacing_modes(lacing):
+    from lantern_extras_spark.multimodal.media import mkv_sample_table
+
+    frames = [b"a" * 300, b"b" * 300, b"c" * 300] if lacing == 2 else [b"a" * 300, b"b" * 120, b"c" * 77]
+    data = _mkv(frames, lacing=lacing)
+    table = mkv_sample_table(data)
+    assert [data[o : o + s] for o, s, _ in table] == frames
+    # all frames in one laced block share the block timestamp
+    assert len({t for _, _, t in table}) == 1
+
+
+def test_mkv_malformed_rejection():
+    import pytest as _pt
+
+    from lantern_extras_spark.multimodal.media import mkv_sample_table, mkv_track_info
+
+    with _pt.raises(ValueError, match="EBML"):
+        mkv_track_info(b"RIFF not ebml at all")
+    good = _mkv([b"xyz"])
+    with _pt.raises(ValueError, match="past its parent|truncated"):
+        mkv_track_info(good[:-4])
+    with _pt.raises(ValueError, match="no video track"):
+        mkv_sample_table(_mkv_audio_only())
+
+
+def _mkv_audio_only():
+    import struct
+
+    tracks = _ebml_el(b"\x16\x54\xae\x6b", _ebml_el(b"\xae",
+        _ebml_el(b"\xd7", b"\x01") + _ebml_el(b"\x83", b"\x02")
+        + _ebml_el(b"\x86", b"A_OPUS")))
+    segment = _ebml_el(b"\x18\x53\x80\x67", tracks)
+    return _ebml_el(b"\x1a\x45\xdf\xa3", b"") + segment
+
+
+def test_frame_sample_webm_real_encoded_frames(spark):
+    """WebM demux path: frame_sample emits the video track's ACTUAL encoded
+    frames (codec decode stays gated)."""
+    from lantern_extras_spark.multimodal.media import frame_sample
+
+    frames = [bytes([65 + i]) * (10 + i) for i in range(7)]
+    data = _mkv(frames)
+    df = spark.createDataFrame([(1, bytearray(data))], "media_id long, media binary")
+    out = frame_sample(df, n_frames=3).first()["frames"]
+    assert [bytes(p) for p in out] == [frames[0], frames[3], frames[6]]
