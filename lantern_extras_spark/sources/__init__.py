@@ -12,3 +12,10 @@ from lantern_extras_spark.sources.sinks import (  # noqa: F401
     vector_to_pg_text,
     write_corpus_shards,
 )
+from lantern_extras_spark.sources.webdataset import (  # noqa: F401
+    parse_webdataset_bytes,
+    read_webdataset,
+    read_webdataset_stream,
+    split_wds_key,
+    write_webdataset_shard,
+)

@@ -1,0 +1,91 @@
+"""WebDataset tar-shard reader (sources/webdataset.py)."""
+
+import pytest
+
+from lantern_extras_spark.sources import webdataset as WDS
+
+
+def _ppm(px=(255, 0, 0)):
+    return b"P6\n2 2\n255\n" + bytes(px) * 4
+
+
+SAMPLES = [
+    {"key": "000000", "parts": {"ppm": _ppm(), "txt": b"a red square", "json": b'{"id": 0}'}},
+    {"key": "000001", "parts": {"ppm": _ppm((0, 255, 0)), "txt": b"a green square"}},
+    {"key": "000002", "parts": {"txt": b"text only sample"}},
+]
+
+
+def test_split_wds_key():
+    assert WDS.split_wds_key("000123.jpg") == ("000123", "jpg")
+    assert WDS.split_wds_key("a/b.c.jpg") == ("a/b", "c.jpg")
+    assert WDS.split_wds_key("dir/plain") == ("dir/plain", "")
+
+
+def test_parse_roundtrip(tmp_path):
+    p = str(tmp_path / "shard-000.tar")
+    WDS.write_webdataset_shard(p, SAMPLES)
+    got = WDS.parse_webdataset_bytes(open(p, "rb").read())
+    assert [s["key"] for s in got] == ["000000", "000001", "000002"]
+    assert got[0]["parts"]["txt"] == b"a red square"
+    assert set(got[0]["parts"]) == {"ppm", "txt", "json"}
+    assert len(WDS.parse_webdataset_bytes(open(p, "rb").read(), max_samples=2)) == 2
+
+
+def test_malformed_shards(tmp_path):
+    # interleaved keys = half-samples -> must fail loudly
+    p = str(tmp_path / "bad.tar")
+    WDS.write_webdataset_shard(
+        p,
+        [
+            {"key": "a", "parts": {"txt": b"1"}},
+            {"key": "b", "parts": {"txt": b"2"}},
+            {"key": "a", "parts": {"json": b"3"}},
+        ],
+    )
+    with pytest.raises(ValueError, match="non-consecutive"):
+        WDS.parse_webdataset_bytes(open(p, "rb").read())
+    with pytest.raises(ValueError, match="tar"):
+        WDS.parse_webdataset_bytes(b"definitely not a tar file at all" * 30)
+
+
+def test_read_webdataset_spark_and_multimodal(spark, tmp_path):
+    """Shards -> rows -> image feature kernel: the multimodal training seam."""
+    from pyspark.sql import functions as F
+
+    from lantern_extras_spark.multimodal.media import decode_image_features
+
+    for i in range(2):
+        WDS.write_webdataset_shard(str(tmp_path / f"s{i}.tar"), SAMPLES)
+    df = WDS.read_webdataset(spark, str(tmp_path / "*.tar"))
+    assert df.count() == 6
+    pairs = df.select(
+        "key",
+        F.element_at("parts", "ppm").alias("media"),
+        F.decode(F.element_at("parts", "txt"), "UTF-8").alias("caption"),
+    ).where(F.col("media").isNotNull())
+    assert pairs.count() == 4
+    feats = decode_image_features(
+        pairs.withColumn("media_id", F.monotonically_increasing_id()),
+        decoder="numpy", dim=8,
+    )
+    rows = feats.collect()
+    assert len(rows) == 4 and all(len(r["feature"]) == 8 for r in rows)
+
+
+def test_read_webdataset_stream(spark, tmp_path):
+    src = tmp_path / "shards"; src.mkdir()
+    sink = tmp_path / "out"; ckpt = tmp_path / "ck"
+    WDS.write_webdataset_shard(str(src / "a.tar"), SAMPLES[:2])
+    stream = WDS.read_webdataset_stream(spark, str(src))
+    from pyspark.sql import functions as F
+
+    q = (
+        stream.select("key", F.decode(F.element_at("parts", "txt"), "UTF-8").alias("t"))
+        .writeStream.format("parquet")
+        .option("path", str(sink)).option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["key"]: r["t"] for r in spark.read.parquet(str(sink)).collect()}
+    assert got == {"000000": "a red square", "000001": "a green square"}
