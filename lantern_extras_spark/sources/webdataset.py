@@ -143,6 +143,65 @@ def read_webdataset_stream(
     return binary.select("path", "content").mapInPandas(parse, _WDS_SCHEMA)
 
 
+def write_webdataset_shards(
+    df: DataFrame,
+    path: str,
+    samples_per_shard: int = 1000,
+    n_shards: int | None = None,
+    key_col: str = "key",
+    parts_col: str = "parts",
+):
+    """Distributed WebDataset EXPORT — the symmetry of `read_webdataset`:
+    shard a (key, parts map<string,binary>) frame into `shard-NNNNNN.tar`
+    files under `path`, one tar per task via groupBy(shard).applyInPandas.
+    Shard assignment is deterministic (xxhash64(key) mod n — re-runs produce
+    identical shards), members within a shard are key-sorted, and each
+    sample's members are written consecutively (the format's contract, the
+    same one `parse_webdataset_bytes` enforces on read). `path` must be a
+    filesystem every executor can reach (shared FS / fuse mount — the same
+    contract as any Spark file sink). Returns the collected manifest
+    [(shard, file, n_samples, n_bytes)] — one row per shard, bounded.
+
+    For token/byte-BALANCED text shards use `write_corpus_shards`; this
+    writer is for multimodal sample bundles where the unit is the sample."""
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    count = df.count()
+    if count == 0:
+        return []
+    n = n_shards or max(1, math.ceil(count / samples_per_shard))
+    os.makedirs(path, exist_ok=True)
+    asg = df.select(
+        F.col(key_col).alias("key"), F.col(parts_col).alias("parts")
+    ).withColumn("__shard", F.pmod(F.xxhash64(F.col("key")), F.lit(n)))
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["__shard"].iloc[0])
+        fname = os.path.join(path, f"shard-{shard:06d}.tar")
+        pdf = pdf.sort_values("key")
+        n_bytes = 0
+        with tarfile.open(fname, "w") as tar:
+            for _, row in pdf.iterrows():
+                for ext, payload in row["parts"].items():
+                    payload = bytes(payload)
+                    name = f"{row['key']}.{ext}" if ext else row["key"]
+                    info = tarfile.TarInfo(name=name)
+                    info.size = len(payload)
+                    tar.addfile(info, io.BytesIO(payload))
+                    n_bytes += len(payload)
+        return pd.DataFrame(
+            [{"shard": shard, "file": fname, "n_samples": len(pdf), "n_bytes": n_bytes}]
+        )
+
+    manifest = asg.groupBy("__shard").applyInPandas(
+        write_group, "shard long, file string, n_samples long, n_bytes long"
+    )
+    return sorted(manifest.collect(), key=lambda r: r["shard"])
+
+
 def write_webdataset_shard(path: str, samples: list[dict]) -> None:
     """Test helper / exporter: write one WebDataset shard. `samples` =
     [{key, parts: {ext: bytes}}], members emitted key-consecutively in the
