@@ -279,6 +279,41 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """Read CDXJ crawl-index lines (`urlkey timestamp {json}` — the public
+    Common Crawl index format) into typed columns: (urlkey, timestamp, url,
+    mime, status, digest, warc_filename, warc_offset, warc_length,
+    languages). The index is the cheap pre-filter BEFORE touching archive
+    bytes: select status=200 text/html rows, dedup by content digest, THEN
+    fetch only the needed (filename, offset, length) ranges — at 100 TB the
+    index scan is ~1% of the crawl's bytes and prunes most of the rest.
+    Plain `spark.read.text` + native from_json/split: splittable, pushdown-
+    friendly, no Python workers. Lines that don't parse yield null JSON
+    fields rather than killing the scan (crawl indexes carry occasional
+    malformed entries)."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), " ", 3)
+    js = F.from_json(
+        F.element_at(parts, 3),
+        "url string, mime string, status string, digest string, "
+        "filename string, offset string, length string, languages string",
+    )
+    return lines.select(
+        F.element_at(parts, 1).alias("urlkey"),
+        F.element_at(parts, 2).alias("timestamp"),
+        js["url"].alias("url"),
+        js["mime"].alias("mime"),
+        js["status"].cast("int").alias("status"),
+        js["digest"].alias("digest"),
+        js["filename"].alias("warc_filename"),
+        js["offset"].cast("long").alias("warc_offset"),
+        js["length"].cast("long").alias("warc_length"),
+        js["languages"].alias("languages"),
+    )
+
+
 def http_body_text(body="body", content_type="http_content_type"):
     """Charset-aware HTTP body → string, as a native Column expression: the
     charset is pulled from the Content-Type header value

@@ -198,3 +198,30 @@ def test_http_body_text_charset_routing(spark):
     assert got[3] == "plain utf-8 é"
     assert "broken" in got[4] and "bytes" in got[4]  # replacement chars, no throw
     assert got[5] == "ascii only"
+
+
+def test_read_cdx_index(spark, tmp_path):
+    """CDXJ lines -> typed columns; the digest-dedup + range-selection
+    pre-filter that runs before any WARC byte is fetched."""
+    lines = [
+        'com,example)/a 20260101000000 {"url": "https://example.com/a", "mime": "text/html", '
+        '"status": "200", "digest": "AAAABBBB", "filename": "crawl-00.warc.gz", '
+        '"offset": "4096", "length": "2048", "languages": "eng"}',
+        'com,example)/b 20260101000001 {"url": "https://example.com/b", "mime": "application/pdf", '
+        '"status": "404", "digest": "CCCCDDDD", "filename": "crawl-00.warc.gz", '
+        '"offset": "8192", "length": "512"}',
+        "garbage line without json",
+    ]
+    p = tmp_path / "index.cdx"
+    p.write_text("\n".join(lines))
+    df = W.read_cdx(spark, str(p))
+    rows = {r["urlkey"]: r for r in df.collect()}
+    a = rows["com,example)/a"]
+    assert a["status"] == 200 and a["mime"] == "text/html"
+    assert a["warc_offset"] == 4096 and a["warc_length"] == 2048
+    assert a["languages"] == "eng" and a["timestamp"] == "20260101000000"
+    assert rows["com,example)/b"]["status"] == 404
+    assert rows["garbage"]["url"] is None  # malformed line survives as nulls
+    # the actual pre-filter shape: html 200s only
+    kept = df.where("status = 200 AND mime = 'text/html'").count()
+    assert kept == 1
