@@ -101,7 +101,40 @@ def main() -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {}
 
-    docs = spark.createDataFrame(RAW_DOCS, "doc_id long, source string, text string")
+    # -1. CRAWL INGESTION: the corpus enters as WARC archives (the wire
+    #     format a fetcher actually lands), read back distributed — one task
+    #     per archive — with charset-aware body decoding. doc_id/source ride
+    #     WARC-Target-URI. (html markup is NOT stripped here on purpose:
+    #     stage 1 keys on line structure and stage 3's clean_text handles
+    #     tags — for script/style-bearing real pages use html_to_text.)
+    import tempfile
+
+    from lantern_extras_spark.sources.warc import http_body_text, read_warc, write_warc
+
+    crawl_dir = tempfile.mkdtemp(prefix="crawl_")
+    for shard in range(3):  # several archives -> several ingest tasks
+        recs = [
+            {
+                "warc_type": "response",
+                "target_uri": f"https://{src}.example/ingest/{i}",
+                "payload": (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+                    + text.encode("utf-8")
+                ),
+            }
+            for i, src, text in RAW_DOCS[shard::3]
+        ]
+        write_warc(os.path.join(crawl_dir, f"crawl-{shard:02d}.warc.gz"), recs)
+    docs = (
+        read_warc(spark, os.path.join(crawl_dir, "*.warc.gz"))
+        .where(F.col("http_status") == 200)
+        .select(
+            F.regexp_extract("target_uri", r"/ingest/(\d+)$", 1).cast("long").alias("doc_id"),
+            F.regexp_extract("target_uri", r"https://([a-zA-Z0-9]+)\.example", 1).alias("source"),
+            http_body_text().alias("text"),
+        )
+    )
+    out["ingested"] = docs.count()
 
     # 0. URL-level dedup: canonical key collapses trivial crawl variants;
     #    keep the smallest doc_id per canonical URL (doc 7 re-crawls doc 1)

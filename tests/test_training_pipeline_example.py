@@ -11,6 +11,8 @@ def test_training_data_pipeline(spark):
     from training_data_pipeline import main
 
     out = main()
+    # stage -1: every raw doc entered through the WARC wire format
+    assert out["ingested"] == 9
     # doc 7 (re-crawl of doc 1's page under a variant URL) dies at stage 0
     assert out["after_url_dedup"] == [1, 2, 3, 4, 5, 6, 8, 9]
     # the cross-site license paragraph survives only in doc 2 (its first
