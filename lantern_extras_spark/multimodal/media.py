@@ -1106,17 +1106,75 @@ def decode_image_features(
     return df.mapInPandas(extract, out_schema)
 
 
+def webp_info(data: bytes):
+    """WebP header metadata — pure struct (public container/bitstream spec):
+    returns {kind: 'vp8'|'vp8l'|'vp8x', width, height, alpha, animation}.
+    VP8 (lossy): 0x9d012a start code then 14-bit dims; VP8L (lossless):
+    0x2f signature then packed 14-bit (w-1, h-1); VP8X (extended): flag byte
+    + 24-bit canvas (w-1, h-1). Pixel decode stays gated (VP8 is a video
+    intra-frame; VP8L is its own Huffman format) — this is the sniff/dims
+    half, enough for size filters and decode routing."""
+    import struct
+
+    data = bytes(data)
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    off = 12
+    while off + 8 <= len(data):
+        cid = data[off : off + 4]
+        size = struct.unpack_from("<I", data, off + 4)[0]
+        body = data[off + 8 : off + 8 + size]
+        if cid == b"VP8 ":
+            if len(body) < 10 or body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("WebP VP8 chunk missing start code")
+            w, h = struct.unpack_from("<HH", body, 6)
+            return {"kind": "vp8", "width": w & 0x3FFF, "height": h & 0x3FFF,
+                    "alpha": False, "animation": False}
+        if cid == b"VP8L":
+            if len(body) < 5 or body[0] != 0x2F:
+                raise ValueError("WebP VP8L chunk missing signature")
+            bits = struct.unpack_from("<I", body, 1)[0]
+            return {"kind": "vp8l",
+                    "width": (bits & 0x3FFF) + 1,
+                    "height": ((bits >> 14) & 0x3FFF) + 1,
+                    "alpha": bool((bits >> 28) & 1), "animation": False}
+        if cid == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("WebP VP8X chunk too short")
+            flags = body[0]
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return {"kind": "vp8x", "width": w, "height": h,
+                    "alpha": bool(flags & 0x10), "animation": bool(flags & 0x02)}
+        off += 8 + size + (size & 1)
+    raise ValueError("WebP payload has no VP8/VP8L/VP8X chunk")
+
+
 def with_media_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
     """Cheap metadata extraction without decoding: byte length and magic-number
-    sniffing (jpeg/png/gif/riff/unknown) as native expressions."""
+    sniffing as native expressions. RIFF disambiguates by the form type at
+    bytes 9-12 (webp/wav/avi); every container this module can demux or
+    decode gets its own label so routing stays a pure projection."""
     m = F.col(media_col)
     head = F.hex(F.substring(m, 1, 4))
+    form = F.substring(m, 9, 4).cast("string")
     return df.withColumn("media_bytes", F.length(m)).withColumn(
         "media_format",
         F.when(head.startswith("FFD8"), "jpeg")
         .when(head.startswith("89504E47"), "png")
         .when(head.startswith("47494638"), "gif")
-        .when(head.startswith("52494646"), "riff")
+        .when(head.startswith("424D"), "bmp")
+        .when(head.startswith("5033") | head.startswith("5035") | head.startswith("5036"), "netpbm")
+        .when(head == "52494646",
+              F.when(form == "WEBP", "webp")
+              .when(form == "WAVE", "wav")
+              .when(form == "AVI ", "avi")
+              .otherwise("riff"))
+        .when(head == "664C6143", "flac")
+        .when(head == "4F676753", "ogg")
+        .when(head == "1A45DFA3", "webm")
+        .when(F.substring(m, 5, 4).cast("string") == "ftyp", "mp4")
+        .when(head.startswith("494433") | head.startswith("FFF") | head.startswith("FFE"), "mp3")
         .otherwise("unknown"),
     )
 

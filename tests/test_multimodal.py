@@ -2508,3 +2508,65 @@ def test_frame_sample_webm_real_encoded_frames(spark):
     df = spark.createDataFrame([(1, bytearray(data))], "media_id long, media binary")
     out = frame_sample(df, n_frames=3).first()["frames"]
     assert [bytes(p) for p in out] == [frames[0], frames[3], frames[6]]
+
+
+# ---------------------------------------------------------------------------
+# WebP header sniff (r10) + widened magic dispatch
+# ---------------------------------------------------------------------------
+
+
+def _webp(kind, w, h, alpha=False, anim=False):
+    import struct
+
+    if kind == "vp8":
+        body = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
+        chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+    elif kind == "vp8l":
+        bits = (w - 1) | ((h - 1) << 14) | ((1 << 28) if alpha else 0)
+        body = b"\x2f" + struct.pack("<I", bits)
+        chunk = b"VP8L" + struct.pack("<I", len(body)) + body + b"\x00"  # pad odd
+    else:
+        flags = (0x10 if alpha else 0) | (0x02 if anim else 0)
+        body = bytes([flags]) + bytes(3) + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+        chunk = b"VP8X" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_webp_info_all_kinds():
+    import pytest as _pt
+
+    from lantern_extras_spark.multimodal.media import webp_info
+
+    assert webp_info(_webp("vp8", 640, 480)) == {
+        "kind": "vp8", "width": 640, "height": 480, "alpha": False, "animation": False}
+    got = webp_info(_webp("vp8l", 33, 77, alpha=True))
+    assert (got["kind"], got["width"], got["height"], got["alpha"]) == ("vp8l", 33, 77, True)
+    got = webp_info(_webp("vp8x", 16384, 2, anim=True))
+    assert (got["kind"], got["width"], got["animation"]) == ("vp8x", 16384, True)
+    with _pt.raises(ValueError, match="WebP"):
+        webp_info(b"RIFF\x04\x00\x00\x00WAVE")
+    with _pt.raises(ValueError, match="start code"):
+        webp_info(b"RIFF\x14\x00\x00\x00WEBPVP8 \x0a\x00\x00\x00" + bytes(10))
+
+
+def test_with_media_metadata_widened_sniff(spark):
+    from lantern_extras_spark.multimodal.media import with_media_metadata
+
+    rows = [
+        (1, bytearray(_webp("vp8", 2, 2))),
+        (2, bytearray(b"RIFF\x00\x00\x00\x00WAVEfmt ")),
+        (3, bytearray(b"fLaC" + bytes(8))),
+        (4, bytearray(b"OggS" + bytes(24))),
+        (5, bytearray(b"\x1a\x45\xdf\xa3" + bytes(8))),
+        (6, bytearray(b"\x00\x00\x00\x18ftypisom")),
+        (7, bytearray(b"ID3\x04" + bytes(8))),
+        (8, bytearray(b"\xff\xfb\x90\x00" + bytes(8))),
+        (9, bytearray(b"P6\n1 1\n255\n\x00\x00\x00")),
+        (10, bytearray(b"BM" + bytes(12))),
+        (11, bytearray(b"????????")),
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    got = {r["id"]: r["media_format"] for r in with_media_metadata(df).collect()}
+    assert got == {1: "webp", 2: "wav", 3: "flac", 4: "ogg", 5: "webm",
+                   6: "mp4", 7: "mp3", 8: "mp3", 9: "netpbm", 10: "bmp",
+                   11: "unknown"}
