@@ -270,12 +270,15 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     recs = read_warc(spark, path, types=("conversion",))
     from pyspark.sql import functions as F
 
+    # NOT F.decode(..., "UTF-8"): Spark 4's decode THROWS on malformed bytes,
+    # and one bad byte must not kill a 1 GB task — route through the lenient
+    # cast + make_valid_utf8 (undecodable bytes become U+FFFD)
     return recs.select(
         "path",
         "record_id",
         "target_uri",
         "warc_date",
-        F.decode(F.col("body"), "UTF-8").alias("text"),
+        F.make_valid_utf8(F.col("body").cast("string")).alias("text"),
     )
 
 

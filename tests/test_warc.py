@@ -225,3 +225,18 @@ def test_read_cdx_index(spark, tmp_path):
     # the actual pre-filter shape: html 200s only
     kept = df.where("status = 200 AND mime = 'text/html'").count()
     assert kept == 1
+
+
+def test_read_wet_survives_malformed_utf8(spark, tmp_path):
+    """One bad byte in one conversion record must not kill the task (WET
+    text in the wild is dirty): replacement chars, not an exception."""
+    W.write_warc(
+        str(tmp_path / "d.wet.gz"),
+        [
+            {"warc_type": "conversion", "target_uri": "u1", "payload": b"good text"},
+            {"warc_type": "conversion", "target_uri": "u2", "payload": b"bad \xff\xfe bytes"},
+        ],
+    )
+    got = {r["target_uri"]: r["text"] for r in W.read_wet(spark, str(tmp_path / "d.wet.gz")).collect()}
+    assert got["u1"] == "good text"
+    assert "bad" in got["u2"] and "bytes" in got["u2"]
