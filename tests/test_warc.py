@@ -240,3 +240,40 @@ def test_read_wet_survives_malformed_utf8(spark, tmp_path):
     got = {r["target_uri"]: r["text"] for r in W.read_wet(spark, str(tmp_path / "d.wet.gz")).collect()}
     assert got["u1"] == "good text"
     assert "bad" in got["u2"] and "bytes" in got["u2"]
+
+
+# ---------------------------------------------------------------------------
+# Differential fuzz: write_warc -> parse_warc_bytes round-trip (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_rec = st.fixed_dictionaries(
+    {
+        "warc_type": st.sampled_from(["response", "conversion", "metadata", "request"]),
+        "payload": st.binary(min_size=0, max_size=400),
+        "target_uri": st.one_of(
+            st.none(), st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126), max_size=40)
+        ),
+    }
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(recs=st.lists(_rec, min_size=1, max_size=8), gz=st.booleans())
+def test_warc_roundtrip_fuzz(tmp_path_factory, recs, gz):
+    """Any record list the writer emits, the parser reads back exactly:
+    same types/URIs in order, payload bytes preserved for non-HTTP
+    payloads (response payloads that happen to start with 'HTTP/' get the
+    HTTP split applied — excluded by prefix check here)."""
+    d = tmp_path_factory.mktemp("wf")
+    p = str(d / ("f.warc.gz" if gz else "f.warc"))
+    W.write_warc(p, [dict(r) for r in recs], gzip_per_record=gz)
+    got = W.parse_warc_bytes(open(p, "rb").read(), types=None)
+    assert [g["warc_type"] for g in got] == [r["warc_type"] for r in recs]
+    assert [g["target_uri"] for g in got] == [r["target_uri"] or None for r in recs]
+    for g, r in zip(got, recs):
+        if not (g["warc_type"] == "response" and r["payload"][:5] in (b"HTTP/", b"http/")):
+            assert g["body"] == r["payload"]
+        assert g["content_length"] == len(r["payload"])

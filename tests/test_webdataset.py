@@ -118,3 +118,32 @@ def test_write_webdataset_shards_roundtrip(spark, tmp_path):
     assert got == {f"{i:06d}": f"caption {i}" for i in range(37)}
     # empty frame: no shards, no crash
     assert WDS.write_webdataset_shards(df.limit(0), str(tmp_path / "e")) == []
+
+
+# ---------------------------------------------------------------------------
+# Differential fuzz: shard write -> parse round-trip (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_keys = st.text(alphabet="abcdefgh0123456789", min_size=1, max_size=12)
+_ext = st.sampled_from(["jpg", "txt", "json", "cls", "bin"])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.dictionaries(
+        _keys,
+        st.dictionaries(_ext, st.binary(max_size=300), min_size=1, max_size=4),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_webdataset_roundtrip_fuzz(tmp_path_factory, data):
+    d = tmp_path_factory.mktemp("wds")
+    p = str(d / "s.tar")
+    samples = [{"key": k, "parts": v} for k, v in data.items()]
+    WDS.write_webdataset_shard(p, samples)
+    got = WDS.parse_webdataset_bytes(open(p, "rb").read())
+    assert {g["key"]: g["parts"] for g in got} == data
