@@ -1352,6 +1352,76 @@ def mp4_sample_table(data: bytes):
     raise ValueError("MP4 payload has no video track")
 
 
+def _riff_lists(data: bytes, off: int, end: int):
+    """Yield (fourcc_or_listtype, body_start, body_end, is_list) for each
+    RIFF chunk in a span (word-aligned)."""
+    import struct
+
+    while off + 8 <= end:
+        cid = data[off : off + 4]
+        size = struct.unpack_from("<I", data, off + 4)[0]
+        body0 = off + 8
+        body1 = body0 + size
+        if body1 > end:
+            raise ValueError(f"RIFF chunk {cid!r} extends past its parent")
+        if cid in (b"LIST", b"RIFF"):
+            yield data[body0 : body0 + 4], body0 + 4, body1, True
+        else:
+            yield cid, body0, body1, False
+        off = body1 + (size & 1)
+
+
+def avi_sample_table(data: bytes):
+    """Parse the FIRST video stream's frames from an AVI payload — pure
+    struct, no codec: stream headers from LIST hdrl (strh fccType 'vids',
+    dwScale/dwRate for timing), frame chunks from LIST movi ('NNdc'/'NNdb'
+    compressed/uncompressed video for stream NN, in file order — the
+    format's frame order). Returns (byte_offset, byte_size,
+    timestamp_seconds) per frame; the RIFF/legacy member of the demux
+    family next to mp4/mkv/ogg. Raises ValueError on malformed framing."""
+    import struct
+
+    data = bytes(data)
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    vstream = None
+    scale = rate = None
+    stream_idx = -1
+    movi = None
+    for cid, b0, b1, is_list in _riff_lists(data, 12, len(data)):
+        if is_list and cid == b"hdrl":
+            for hid, h0, h1, hlist in _riff_lists(data, b0, b1):
+                if hlist and hid == b"strl":
+                    stream_idx += 1
+                    for sid, s0, s1, _ in _riff_lists(data, h0, h1):
+                        if sid == b"strh":
+                            fcc = data[s0 : s0 + 4]
+                            if fcc == b"vids" and vstream is None:
+                                vstream = stream_idx
+                                scale, rate = struct.unpack_from("<II", data, s0 + 20)
+        elif is_list and cid == b"movi":
+            movi = (b0, b1)
+    if vstream is None:
+        raise ValueError("AVI payload has no video stream")
+    if movi is None:
+        raise ValueError("AVI payload has no movi list")
+    if not rate:
+        raise ValueError("AVI video stream missing dwRate")
+    want = {b"%02ddc" % vstream, b"%02ddb" % vstream}
+    out = []
+    n = 0
+    for cid, b0, b1, is_list in _riff_lists(data, *movi):
+        if is_list:  # LIST 'rec ' grouping — recurse one level
+            for rid, r0, r1, _ in _riff_lists(data, b0, b1):
+                if rid in want:
+                    out.append((r0, r1 - r0, n * scale / rate))
+                    n += 1
+        elif cid in want:
+            out.append((b0, b1 - b0, n * scale / rate))
+            n += 1
+    return out
+
+
 _EBML_MAGIC = b"\x1a\x45\xdf\xa3"
 
 
@@ -1979,9 +2049,12 @@ def frame_sample(
                 if k in want:
                     frames.append(ppm_encode(frame))
             return frames
-        if (len(raw) >= 12 and raw[4:8] == b"ftyp") or raw[:4] == _EBML_MAGIC:
+        is_avi = raw[:4] == b"RIFF" and raw[8:12] == b"AVI "
+        if (len(raw) >= 12 and raw[4:8] == b"ftyp") or raw[:4] == _EBML_MAGIC or is_avi:
             table = (
-                mp4_sample_table(raw) if raw[4:8] == b"ftyp" else mkv_sample_table(raw)
+                mp4_sample_table(raw)
+                if raw[4:8] == b"ftyp"
+                else (avi_sample_table(raw) if is_avi else mkv_sample_table(raw))
             )
             if not table:
                 return None

@@ -2600,3 +2600,97 @@ def test_ogg_roundtrip_fuzz(packets, serial, per_page):
     got = ogg_packet_table(pages)
     assert [g["payload"] for g in got] == packets
     assert all(g["serial"] == serial for g in got)
+
+
+# ---------------------------------------------------------------------------
+# AVI demux (r10): hdrl stream headers + movi chunk walk
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(cid, body):
+    import struct
+
+    return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+
+def _riff_list(ltype, body):
+    return _riff_chunk(b"LIST", ltype + body)
+
+
+def _avi(frames, scale=1, rate=25, with_audio=True, rec_group=False):
+    """Independent minimal AVI writer: hdrl(avih + strl(vids) [+ strl(auds)])
+    + movi with 00dc frames (optionally inside a LIST 'rec ')."""
+    import struct
+
+    avih = _riff_chunk(b"avih", struct.pack("<14I", 40000, 0, 0, 0, len(frames),
+                                            0, 2 if with_audio else 1, 0, 320, 240, 0, 0, 0, 0))
+    strh_v = _riff_chunk(
+        b"strh",
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, scale, rate,
+                                        0, len(frames), 0, 0, 0, 0),
+    )
+    strl_v = _riff_list(b"strl", strh_v + _riff_chunk(b"strf", bytes(40)))
+    strh_a = _riff_chunk(
+        b"strh",
+        b"auds" + bytes(4) + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 8000,
+                                         0, 0, 0, 0, 0, 0),
+    )
+    strl_a = _riff_list(b"strl", strh_a + _riff_chunk(b"strf", bytes(16)))
+    hdrl = _riff_list(b"hdrl", avih + strl_v + (strl_a if with_audio else b""))
+    movi_body = b""
+    for i, f in enumerate(frames):
+        chunk = _riff_chunk(b"00dc", f)
+        if with_audio:
+            chunk += _riff_chunk(b"01wb", b"\x80" * 4)
+        movi_body += _riff_list(b"rec ", chunk) if rec_group else chunk
+    movi = _riff_list(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@pytest.mark.parametrize("rec_group", [False, True])
+def test_avi_sample_table(rec_group):
+    from lantern_extras_spark.multimodal.media import avi_sample_table
+
+    frames = [b"frame-a!", b"frame-bb", b"c" * 13]
+    data = _avi(frames, scale=1, rate=25, rec_group=rec_group)
+    table = avi_sample_table(data)
+    assert len(table) == 3
+    for i, (off, size, ts) in enumerate(table):
+        assert data[off : off + size] == frames[i]
+        assert abs(ts - i / 25.0) < 1e-9
+    # audio '01wb' chunks must not appear as video frames
+
+
+def test_avi_malformed_rejection():
+    import pytest as _pt
+
+    from lantern_extras_spark.multimodal.media import avi_sample_table
+
+    with _pt.raises(ValueError, match="AVI"):
+        avi_sample_table(b"RIFF\x04\x00\x00\x00WAVE")
+    # audio-only AVI: strip the vids strl by building with a fake fcc
+    import struct
+
+    strh_a = _riff_chunk(
+        b"strh",
+        b"auds" + bytes(4) + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 8000, 0, 0, 0, 0, 0, 0),
+    )
+    hdrl = _riff_list(b"hdrl", _riff_list(b"strl", strh_a))
+    movi = _riff_list(b"movi", _riff_chunk(b"00wb", b"\x80\x80"))
+    body = b"AVI " + hdrl + movi
+    audio_only = b"RIFF" + struct.pack("<I", len(body)) + body
+    with _pt.raises(ValueError, match="no video stream"):
+        avi_sample_table(audio_only)
+    good = _avi([b"x"])
+    with _pt.raises(ValueError):
+        avi_sample_table(good[:-6])
+
+
+def test_frame_sample_avi(spark):
+    from lantern_extras_spark.multimodal.media import frame_sample
+
+    frames = [bytes([48 + i]) * 6 for i in range(5)]
+    df = spark.createDataFrame([(1, bytearray(_avi(frames)))], "media_id long, media binary")
+    out = frame_sample(df, n_frames=3).first()["frames"]
+    assert [bytes(p) for p in out] == [frames[0], frames[2], frames[4]]
