@@ -577,6 +577,69 @@ def dedup_clusters(
     return labels
 
 
+def hash_neardup_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str = "media_id",
+    bits: int = 64,
+    band_bits: int = 8,
+    max_distance: int = 6,
+) -> DataFrame:
+    """Banded Hamming near-dup pairs over a PRECOMPUTED integer hash column —
+    the generic engine behind perceptual-image dedup (`media.image_phash` →
+    this) and any other fixed-width signature. Same plan shape as
+    `simhash_pairs`: explode `bits/band_bits` band keys, self-join on
+    (band_index, band_value) — the only shuffle is on small integer band
+    keys — then verify `bit_count(a XOR b) <= max_distance` in whole-stage
+    codegen and emit each (id_a < id_b) pair once.
+
+    Recall guarantee is the pigeonhole bound: a pair within Hamming distance
+    d shares at least one exact band when d < n_bands, so the DEFAULT
+    (8 bands of 8 bits, max_distance=6) is exact. Choosing band_bits such
+    that bits/band_bits <= max_distance silently loses pairs — rejected
+    loudly; pass `allow_partial_recall=True` semantics by raising
+    max_distance awareness instead of a flag (callers wanting probabilistic
+    banding should drop band count consciously)."""
+    n_bands = bits // band_bits
+    if bits % band_bits:
+        raise ValueError(f"band_bits {band_bits} must divide bits {bits}")
+    if max_distance >= n_bands:
+        raise ValueError(
+            f"max_distance {max_distance} >= n_bands {n_bands}: the pigeonhole "
+            f"recall guarantee breaks — use band_bits <= {bits // (max_distance + 1)}"
+        )
+    mask = F.lit((1 << band_bits) - 1).cast("bigint")
+    hh = F.col("h")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(hh, b * band_bits).bitwiseAND(mask).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    keyed = (
+        df.select(F.col(id_col).alias("id"), F.col(hash_col).cast("bigint").alias("h"))
+        .where(F.col("h").isNotNull())
+        .select("id", "h", F.explode(bands).alias("bk"))
+        .select("id", "h", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    right = keyed.select(
+        F.col("band"), F.col("key"), F.col("id").alias("id_b"), F.col("h").alias("h_b")
+    )
+    pairs = (
+        keyed.join(right, ["band", "key"])
+        .where(F.col("id") < F.col("id_b"))
+        .select(F.col("id").alias("id_a"), "id_b", "h", "h_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("h").bitwiseXOR(F.col("h_b"))))
+        .where(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs
+
+
 def simhash_col(c: Column | str, bits: int = 32) -> Column:
     """SimHash as a pure Column expression (usable on streams — no Python
     workers, no shuffle). HOF re-evaluation makes it `bits`× the md5 work of

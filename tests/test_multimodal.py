@@ -2694,3 +2694,105 @@ def test_frame_sample_avi(spark):
     df = spark.createDataFrame([(1, bytearray(_avi(frames)))], "media_id long, media binary")
     out = frame_sample(df, n_frames=3).first()["frames"]
     assert [bytes(p) for p in out] == [frames[0], frames[2], frames[4]]
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing + banded Hamming near-dup (r10)
+# ---------------------------------------------------------------------------
+
+
+def _noise_ppm(base_px, w=16, h=16, flips=(), phase=0.0):
+    """A textured wxh PPM derived from base_px with a few pixels perturbed.
+    The texture matters: a flat image puts most DCT coefficients AT the
+    median, where single-pixel noise flips bits arbitrarily — natural
+    images (what pHash is for) have well-separated low frequencies."""
+    import numpy as np
+
+    r = np.arange(h)[:, None]
+    c = np.arange(w)[None, :]
+    tex = (
+        60 * np.sin(r / 3.0 + phase) + 50 * np.cos(c / 2.5 - phase)
+        + 30 * np.sin((r + 2 * c) / 5.0 + 2 * phase)
+    )
+    img = np.clip(
+        np.asarray(base_px, dtype=np.float64)[None, None, :] * 0.5 + tex[:, :, None],
+        0, 255,
+    ).astype(np.uint8)
+    for (rr, cc, d) in flips:
+        img[rr, cc] = np.clip(img[rr, cc].astype(int) + d, 0, 255)
+    from lantern_extras_spark.multimodal.media import ppm_encode
+
+    return ppm_encode(img)
+
+
+@pytest.mark.parametrize("kind", ["phash", "dhash"])
+def test_image_phash_properties(kind):
+    from lantern_extras_spark.multimodal.media import image_phash_bytes
+
+    a = _noise_ppm((30, 90, 160))
+    a2 = _noise_ppm((30, 90, 160), flips=[(3, 3, 6), (10, 12, -5)])  # tiny noise
+    b = _noise_ppm((250, 10, 10), phase=2.0)  # structurally different
+    ha, ha2, hb = (image_phash_bytes(x, kind=kind) for x in (a, a2, b))
+    assert ha == image_phash_bytes(a, kind=kind)  # deterministic
+    assert 0 <= ha < (1 << 64)
+    d_near = bin(ha ^ ha2).count("1")
+    d_far = bin(ha ^ hb).count("1")
+    assert d_near <= 6, f"{kind} near distance {d_near}"
+    assert d_far > d_near, f"{kind} far {d_far} vs near {d_near}"
+
+
+def test_hash_neardup_pairs_matches_bruteforce(spark):
+    """Banded pairs == brute-force Hamming pairs when the pigeonhole bound
+    holds (8 bands > max_distance 6)."""
+    import itertools
+    import random
+
+    from lantern_extras_spark.operators.dedup import hash_neardup_pairs
+
+    rng = random.Random(7)
+    hashes = {}
+    base = rng.getrandbits(64)
+    for i in range(30):
+        if i % 3 == 0:
+            v = base
+            for _ in range(rng.randrange(0, 8)):  # 0-7 bit flips
+                v ^= 1 << rng.randrange(64)
+            hashes[i] = v
+        else:
+            hashes[i] = rng.getrandbits(64)
+    signed = {i: (v - (1 << 64) if v >= 1 << 63 else v) for i, v in hashes.items()}
+    df = spark.createDataFrame(list(signed.items()), "media_id long, phash long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hash_neardup_pairs(df, "phash", max_distance=6).collect()
+    }
+    want = set()
+    for i, j in itertools.combinations(sorted(hashes), 2):
+        d = bin(hashes[i] ^ hashes[j]).count("1")
+        if d <= 6:
+            want.add((i, j, d))
+    assert got == want and want  # non-trivial fixture
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hash_neardup_pairs(df, "phash", band_bits=16, max_distance=6)
+    with pytest.raises(ValueError, match="divide"):
+        hash_neardup_pairs(df, "phash", band_bits=7)
+
+
+def test_image_neardup_end_to_end(spark):
+    """ppm bytes -> image_phash -> banded pairs: the two near-identical
+    images pair up, the distinct one does not; broken bytes -> NULL hash."""
+    from lantern_extras_spark.multimodal.media import image_phash
+    from lantern_extras_spark.operators.dedup import hash_neardup_pairs
+
+    rows = [
+        (1, bytearray(_noise_ppm((30, 90, 160)))),
+        (2, bytearray(_noise_ppm((30, 90, 160), flips=[(5, 5, 5)]))),
+        (3, bytearray(_noise_ppm((250, 10, 10), phase=2.0))),
+        (4, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    hashed = image_phash(df)
+    got = {r["media_id"]: r["phash"] for r in hashed.collect()}
+    assert got[4] is None and got[1] is not None
+    pairs = hash_neardup_pairs(hashed, "phash", max_distance=6).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
