@@ -2602,6 +2602,78 @@ def decode_flac(data: bytes):
     return mono, rate, width
 
 
+def audio_fingerprint_bytes(data: bytes, chunks: int = 4, bands: int = 16) -> int:
+    """64-bit spectral audio fingerprint — the audio member of the near-dup
+    hash family (text SimHash, image pHash, this): decode (WAV incl.
+    G.711/ADPCM, or FLAC — the in-repo lossless paths), split the mono PCM
+    into `chunks` time chunks, FFT each, bucket magnitudes into `bands`
+    log-spaced frequency bands, bit = band energy > median(chunk bands).
+    chunks×bands = 64 bits, MSB first. Amplitude-scale invariant (a uniform
+    gain scales every band and the median together). Feed to
+    `dedup.hash_neardup_pairs` for banded Hamming near-dup pairs. Raises on
+    non-decodable payloads (lossy codecs stay gated)."""
+    import numpy as np
+
+    raw = bytes(data)
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        pcm, _rate, _w = decode_wav_pcm(raw)
+    elif raw[:4] == b"fLaC":
+        pcm, _rate, _w = decode_flac(raw)
+    else:
+        raise ValueError("audio_fingerprint: not a decodable (WAV/FLAC) payload")
+    if chunks * bands != 64:
+        raise ValueError(f"chunks*bands must be 64, got {chunks}*{bands}")
+    n = len(pcm) - (len(pcm) % chunks)
+    if n < chunks * 2 * bands:
+        raise ValueError("audio_fingerprint: payload too short to bucket")
+    seg = np.asarray(pcm[:n], dtype=np.float64).reshape(chunks, n // chunks)
+    v = 0
+    for ci in range(chunks):
+        mag = np.abs(np.fft.rfft(seg[ci]))[1:]  # drop DC
+        # log-spaced band edges over the positive spectrum
+        edges = np.unique(
+            np.round(np.logspace(0, np.log10(len(mag)), bands + 1)).astype(int)
+        )
+        while len(edges) < bands + 1:  # tiny spectra: pad with linear splits
+            edges = np.unique(np.append(edges, edges[-1] + 1))
+        energies = np.array(
+            [float(np.sum(mag[a:b] ** 2)) for a, b in zip(edges[:-1], edges[1:])][:bands]
+        )
+        med = np.median(energies)
+        for e in energies:
+            v = (v << 1) | int(e > med)
+    return v
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    media_col: str = "media",
+    out_col: str = "afp",
+    chunks: int = 4,
+    bands: int = 16,
+) -> DataFrame:
+    """Attach the 64-bit spectral fingerprint per audio row (Arrow-batched,
+    rides the scan; BIGINT two's complement). Undecodable rows get NULL —
+    same extraction semantics as `image_phash`."""
+    fields = df.schema.fields + [StructField(out_col, LongType())]
+    out_schema = StructType(fields)
+    cols = [f.name for f in df.schema.fields]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for data in pdf[media_col]:
+                try:
+                    fp = audio_fingerprint_bytes(bytes(data), chunks=chunks, bands=bands)
+                    outs.append(fp - (1 << 64) if fp >= 1 << 63 else fp)
+                except Exception:
+                    outs.append(None)
+            pdf[out_col] = pd.array(outs, dtype="Int64")
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(extract, out_schema)
+
+
 def audio_frame_energy(
     df: DataFrame,
     media_col: str = "media",

@@ -2796,3 +2796,72 @@ def test_image_neardup_end_to_end(spark):
     assert got[4] is None and got[1] is not None
     pairs = hash_neardup_pairs(hashed, "phash", max_distance=6).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# Audio spectral fingerprint (r10): the audio member of the near-dup family
+# ---------------------------------------------------------------------------
+
+
+def _tone_samples(freqs, n=2048, rate=8000, amp=8000, noise=0.0, seed=3):
+    import math
+    import random
+
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        v = sum(amp * math.sin(2 * math.pi * f * i / rate) for f in freqs)
+        if noise:
+            v += rng.uniform(-noise, noise) * amp
+        out.append(int(max(-32768, min(32767, v / max(len(freqs), 1)))))
+    return out
+
+
+def test_audio_fingerprint_properties():
+    from lantern_extras_spark.multimodal.media import audio_fingerprint_bytes
+
+    a = _wav_bytes(_tone_samples([440, 1200]))
+    a_noisy = _wav_bytes(_tone_samples([440, 1200], noise=0.02))
+    a_scaled = _wav_bytes([s // 2 for s in _tone_samples([440, 1200])])
+    b = _wav_bytes(_tone_samples([3100, 220, 900], seed=5))
+    fa, fn, fs, fb = (audio_fingerprint_bytes(x) for x in (a, a_noisy, a_scaled, b))
+    assert fa == audio_fingerprint_bytes(a) and 0 <= fa < (1 << 64)
+    assert bin(fa ^ fs).count("1") <= 2       # amplitude-scale invariant
+    d_near = bin(fa ^ fn).count("1")
+    d_far = bin(fa ^ fb).count("1")
+    assert d_near <= 6 and d_far > d_near, (d_near, d_far)
+
+
+def test_audio_fingerprint_wav_flac_parity():
+    """Lossless FLAC of the same samples fingerprints IDENTICALLY."""
+    from lantern_extras_spark.multimodal.media import audio_fingerprint_bytes
+
+    samples = _tone_samples([700, 1800], n=1024)
+    wav = _wav_bytes(samples)
+    flac = _flac([samples], rate=8000)
+    assert audio_fingerprint_bytes(wav) == audio_fingerprint_bytes(flac)
+
+
+def test_audio_neardup_end_to_end(spark):
+    from lantern_extras_spark.multimodal.media import audio_fingerprint
+    from lantern_extras_spark.operators.dedup import hash_neardup_pairs
+
+    rows = [
+        (1, bytearray(_wav_bytes(_tone_samples([440, 1200])))),
+        (2, bytearray(_wav_bytes(_tone_samples([440, 1200], noise=0.02)))),
+        (3, bytearray(_wav_bytes(_tone_samples([3100, 220, 900], seed=5)))),
+        (4, bytearray(b"not audio")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    fps = audio_fingerprint(df)
+    got = {r["media_id"]: r["afp"] for r in fps.collect()}
+    assert got[4] is None and got[1] is not None
+    pairs = hash_neardup_pairs(fps, "afp", max_distance=6).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    from lantern_extras_spark.multimodal.media import audio_fingerprint_bytes
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="chunks"):
+        audio_fingerprint_bytes(bytes(_wav_bytes(_tone_samples([440]))), chunks=5, bands=16)
+    with _pt.raises(ValueError, match="too short"):
+        audio_fingerprint_bytes(bytes(_wav_bytes([0] * 16)))
