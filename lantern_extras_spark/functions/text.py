@@ -208,16 +208,12 @@ def html_to_text(c: Column | str) -> Column:
     return F.regexp_replace(s, r"^\s+|\s+$", "")
 
 
-def html_to_text_udf():
-    """Arrow-batched pandas UDF twin of `html_to_text`, built on stdlib
-    html.parser — handles what regexes can't: numeric charrefs (&#x2019;),
-    malformed nesting, unclosed script tags. Whitespace details differ from
-    the expression version by design (parser vs regex); both deliver the
-    same content words. Use this for real crawls, the expression version for
-    streams (no Python workers) and the oracle."""
-    import pandas as pd
+def html_text_py(html: str) -> str:
+    """Plain-python parser-grade HTML → text (stdlib html.parser): the
+    kernel behind `html_to_text_udf`, also used byte-side by the EPUB
+    reader. Handles what the expression chain can't — numeric charrefs,
+    malformed nesting, unclosed script tags."""
     from html.parser import HTMLParser
-    from pyspark.sql.functions import pandas_udf
 
     drop = set(_HTML_DROP_CONTENT)
     block = {
@@ -249,21 +245,32 @@ def html_to_text_udf():
             if not self.skip:
                 self.parts.append(data)
 
-    def extract_one(html: str) -> str:
-        p = _Extract()
-        try:
-            p.feed(html)
-            p.close()
-        except Exception:
-            pass  # salvage what parsed; crawl HTML is hostile by nature
-        text = "".join(p.parts)
-        text = re.sub(r"[^\S\n]+", " ", text)
-        text = re.sub(r" ?\n ?", "\n", text)
-        text = re.sub(r"\n{3,}", "\n\n", text)
-        return text.strip()
+    p = _Extract()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass  # salvage what parsed; crawl HTML is hostile by nature
+    text = "".join(p.parts)
+    text = re.sub(r"[^\S\n]+", " ", text)
+    text = re.sub(r" ?\n ?", "\n", text)
+    text = re.sub(r"\n{3,}", "\n\n", text)
+    return text.strip()
+
+
+def html_to_text_udf():
+    """Arrow-batched pandas UDF twin of `html_to_text`, built on
+    `html_text_py` (stdlib html.parser) — handles what regexes can't:
+    numeric charrefs (&#x2019;), malformed nesting, unclosed script tags.
+    Whitespace details differ from the expression version by design (parser
+    vs regex); both deliver the same content words. Use this for real
+    crawls, the expression version for streams (no Python workers) and the
+    oracle."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
     def _udf(s):
-        return s.map(lambda x: None if x is None else extract_one(x))
+        return s.map(lambda x: None if x is None else html_text_py(x))
 
     # this module uses postponed annotation evaluation, which turns inline
     # type hints into strings pandas_udf cannot resolve — attach real ones
