@@ -873,6 +873,16 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", pround("lm_logprob", 5).alias("lm_logprob"))
 
 
+def q_code_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The Stack / StarCoder code-file screen (operators/textstats.py:
+    code_stats — Kocetkov et al. 2022 §3): line-shape stats, alnum/alpha/hex
+    character fractions, and the published keep rule, all native expressions.
+    Oracle replays split/transform/regexp chains in DuckDB (list_max over a
+    lambda transform on the oracle side)."""
+    docs = _t(spark, sf, "documents")
+    return TS.code_stats(docs).orderBy("doc_id")
+
+
 def q_gopher_filter(spark: SparkSession, sf: str) -> DataFrame:
     """The Gopher quality screen (operators/textstats.py:gopher_filter —
     length / mean-token-length / symbol-ratio / stopword / repetition rules
@@ -2481,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "url_canonical": q_url_canonical,
         "gopher_filter": q_gopher_filter,
+        "code_stats": q_code_stats,
         "pack_sequences": q_pack_sequences,
         "pack_sequences_text": q_pack_sequences_text,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -4654,6 +4665,41 @@ def _oracle_sql_raw() -> dict[str, str]:
     # the full Gopher rule set over the same wrapped corpus: repetition CTEs
     # (as in repetition_stats, rounded to 6 like the operator's columns) +
     # token screens, reasons assembled in the operator's exact order
+    # code_stats: the same split/regexp chain, DuckDB list lambdas for the
+    # per-line max; round() rewritten by portable_round_sql at the end
+    sql["code_stats"] = r"""
+        WITH base AS (
+            SELECT doc_id,
+                   coalesce(text, '') AS t,
+                   string_split(coalesce(text, ''), chr(10)) AS lines
+            FROM documents
+        ), m AS (
+            SELECT doc_id, t, lines,
+                   len(lines) AS n_lines,
+                   length(t) AS n_chars,
+                   CASE WHEN len(lines) = 0 THEN 0.0
+                        ELSE CAST(length(t) - (len(lines) - 1) AS DOUBLE) / len(lines)
+                   END AS avg_line,
+                   coalesce(list_max(list_transform(lines, x -> length(x))), 0) AS max_line,
+                   length(regexp_replace(t, '[^A-Za-z0-9]', '', 'g')) AS alnum,
+                   length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS alpha,
+                   length(t) - length(regexp_replace(t,
+                       '0[xX][0-9A-Fa-f]+|\b[0-9a-fA-F]{8,}\b', '', 'g')) AS hexc
+            FROM base
+        )
+        SELECT doc_id,
+               CAST(n_lines AS INT) AS n_lines,
+               round(avg_line, 6) AS avg_line_len,
+               CAST(max_line AS INT) AS max_line_len,
+               round(CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(alnum AS DOUBLE) / n_chars END, 6) AS alnum_frac,
+               round(CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / n_chars END, 6) AS alpha_frac,
+               round(CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(hexc AS DOUBLE) / n_chars END, 6) AS hex_frac,
+               (avg_line <= 100.0 AND max_line <= 1000
+                AND (CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(alnum AS DOUBLE) / n_chars END) > 0.25)
+                   AS starcoder_keep
+        FROM m
+        ORDER BY doc_id
+    """
     sql["gopher_filter"] = f"""
         WITH w AS (
             SELECT doc_id,

@@ -1529,3 +1529,54 @@ def pii_stats(
         out = out.withColumn(f"n_{kind}", c)
         total = total + F.col(f"n_{kind}")
     return out.withColumn("pii_total", total)
+
+
+def code_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The Stack / StarCoder-style code-file quality features as native
+    expressions (Kocetkov et al. 2022 §3; the published filter most open
+    code corpora start from): per document —
+
+    - n_lines, avg_line_len, max_line_len
+    - alnum_frac: alphanumeric characters / all characters
+    - alpha_frac: alphabetic characters / all characters
+    - hex_frac: share of characters inside hex-like tokens (0x... / long
+      [0-9a-f]+ runs) — data blobs masquerading as code
+    - starcoder_keep: the published screen (avg_line_len <= 100 AND
+      max_line_len <= 1000 AND alnum_frac > 0.25)
+
+    Pure Column expressions (one split + regexp scans inside whole-stage
+    codegen, no Python workers, no shuffle) and engine-portable — the DuckDB
+    oracle replays the chain (`q_code_stats`)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_chars = F.length(t)
+    # line lengths: total non-newline chars / n_lines; max via array transform
+    newlines = n_lines - 1
+    avg_line = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        (n_chars - newlines).cast("double") / n_lines.cast("double")
+    )
+    max_line = F.coalesce(
+        F.array_max(F.transform(lines, lambda ln: F.length(ln))), F.lit(0)
+    )
+    alnum = F.length(F.regexp_replace(t, r"[^A-Za-z0-9]", ""))
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    # hex-like runs: 0x-prefixed or bare >=8-char hex tokens
+    hex_chars = F.length(t) - F.length(
+        F.regexp_replace(t, r"0[xX][0-9A-Fa-f]+|\b[0-9a-fA-F]{8,}\b", "")
+    )
+    safe = F.when(n_chars == 0, F.lit(0.0))
+    alnum_frac = safe.otherwise(alnum.cast("double") / n_chars.cast("double"))
+    alpha_frac = safe.otherwise(alpha.cast("double") / n_chars.cast("double"))
+    hex_frac = safe.otherwise(hex_chars.cast("double") / n_chars.cast("double"))
+    keep = (avg_line <= 100.0) & (max_line <= 1000) & (alnum_frac > 0.25)
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        pround(avg_line, 6).alias("avg_line_len"),
+        max_line.alias("max_line_len"),
+        pround(alnum_frac, 6).alias("alnum_frac"),
+        pround(alpha_frac, 6).alias("alpha_frac"),
+        pround(hex_frac, 6).alias("hex_frac"),
+        keep.alias("starcoder_keep"),
+    )

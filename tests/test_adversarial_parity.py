@@ -186,6 +186,9 @@ TEXT_AND_VECTOR_QUERIES = [
     # docs wrapped in the full page template push script-drop, block-newline
     # and entity stages through both engines' regex dialects
     "html_text_extract",
+    # round-10: code-file screen — empty/whitespace/huge-one-line/emoji docs
+    # through line-shape math and char-class fractions in both dialects
+    "code_stats",
     # round-10: star-contraction connected components vs the recursive-CTE
     # fixpoint over the nasty pair graph (exact-duplicate texts -> dense
     # minhash buckets; empty docs -> no shingles)

@@ -417,3 +417,21 @@ def test_pii_stats_counts_and_validation(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         pii_stats(df, kinds=("ssn",))
+
+
+def test_code_stats_starcoder_screen(spark):
+    from lantern_extras_spark.operators.textstats import code_stats
+
+    good = "def f(x):\n    return x + 1\n\nprint(f(2))"
+    long_line = "x = 1" + " " * 1200 + "# pad"
+    binary_ish = "deadbeefcafebabe" * 40  # hex blob, no alpha structure
+    rows = [(1, good), (2, long_line), (3, binary_ish), (4, ""), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in code_stats(df).collect()}
+    assert got[1]["starcoder_keep"] and got[1]["n_lines"] == 4
+    assert got[1]["max_line_len"] == len("    return x + 1")
+    assert not got[2]["starcoder_keep"]  # max_line_len > 1000
+    assert got[3]["hex_frac"] > 0.9 and got[3]["alnum_frac"] > 0.9
+    assert got[4]["n_lines"] == 1 and got[4]["avg_line_len"] == 0.0
+    assert not got[4]["starcoder_keep"]  # alnum_frac 0
+    assert got[5]["n_lines"] == 1  # NULL coalesced to ''
