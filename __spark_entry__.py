@@ -883,6 +883,34 @@ def q_code_stats(spark: SparkSession, sf: str) -> DataFrame:
     return TS.code_stats(docs).orderBy("doc_id")
 
 
+_HYGIENE_PRE = "a\u200bb \u00a0 c\u202ad\ufffd e\u00adf "
+_HYGIENE_POST = " tail\u2060x\u3000y\x07z \u2009w"
+
+
+def q_text_hygiene(spark: SparkSession, sf: str) -> DataFrame:
+    """Text-hygiene pass (functions/text.py:strip_invisible + hygiene_stats):
+    zero-widths/BOM/soft-hyphen/bidi controls removed, NBSP/exotic spaces →
+    plain space, plus the four encoding-health counters (invisible, exotic
+    space, U+FFFD, C0/C1 control). Documents are wrapped with a sampler of
+    every poison class so all branches execute; the DuckDB oracle rebuilds
+    the identical wrap via chr() concat and replays the regex chain
+    (regexp_count ≡ len(regexp_extract_all))."""
+    docs = _t(spark, sf, "documents")
+    wrapped = docs.where(F.col("doc_id") < 80).select(
+        "doc_id",
+        F.concat(F.lit(_HYGIENE_PRE), F.col("text"), F.lit(_HYGIENE_POST)).alias("raw"),
+    )
+    stats = T.hygiene_stats(F.col("raw"))
+    return wrapped.select(
+        "doc_id",
+        T.strip_invisible(F.col("raw")).alias("cleaned"),
+        stats["n_invisible"].alias("n_invisible"),
+        stats["n_exotic_space"].alias("n_exotic_space"),
+        stats["n_replacement"].alias("n_replacement"),
+        stats["n_control"].alias("n_control"),
+    )
+
+
 def q_gopher_filter(spark: SparkSession, sf: str) -> DataFrame:
     """The Gopher quality screen (operators/textstats.py:gopher_filter —
     length / mean-token-length / symbol-ratio / stopword / repetition rules
@@ -2492,6 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "gopher_filter": q_gopher_filter,
         "code_stats": q_code_stats,
+        "text_hygiene": q_text_hygiene,
         "pack_sequences": q_pack_sequences,
         "pack_sequences_text": q_pack_sequences_text,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -4699,6 +4728,46 @@ def _oracle_sql_raw() -> dict[str, str]:
                    AS starcoder_keep
         FROM m
         ORDER BY doc_id
+    """
+    # text_hygiene: rebuild the poison wrap + regex classes via chr() so the
+    # SQL source stays printable; regexp_count ≡ len(regexp_extract_all)
+    def _sql_chars(s: str) -> str:
+        parts = []
+        run = ""
+        for ch in s:
+            if 32 <= ord(ch) < 127 and ch != "'":
+                run += ch
+            else:
+                if run:
+                    parts.append(f"'{run}'")
+                    run = ""
+                parts.append(f"chr({ord(ch)})")
+        if run:
+            parts.append(f"'{run}'")
+        return " || ".join(parts) if parts else "''"
+
+    _inv_cls = T._INVISIBLE_RE
+    _sp_cls = T._EXOTIC_SPACE_RE
+    _ctl_cls = "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]"
+    _pre_sql = _sql_chars(_HYGIENE_PRE)
+    _post_sql = _sql_chars(_HYGIENE_POST)
+    _inv_sql = _sql_chars(_inv_cls)
+    _sp_sql = _sql_chars(_sp_cls)
+    _ctl_sql = _sql_chars(_ctl_cls)
+    _rep_sql = _sql_chars("�")
+    sql["text_hygiene"] = f"""
+        WITH w AS (
+            SELECT doc_id, {_pre_sql} || text || {_post_sql} AS raw
+            FROM documents WHERE doc_id < 80
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(raw, {_inv_sql}, '', 'g'),
+                              {_sp_sql}, ' ', 'g') AS cleaned,
+               CAST(len(regexp_extract_all(raw, {_inv_sql})) AS INT) AS n_invisible,
+               CAST(len(regexp_extract_all(raw, {_sp_sql})) AS INT) AS n_exotic_space,
+               CAST(len(regexp_extract_all(raw, {_rep_sql})) AS INT) AS n_replacement,
+               CAST(len(regexp_extract_all(raw, {_ctl_sql})) AS INT) AS n_control
+        FROM w
     """
     sql["gopher_filter"] = f"""
         WITH w AS (

@@ -138,6 +138,90 @@ _HTML_ENTITIES = (
 )
 
 
+# Invisible / formatting code points that poison tokenizers: zero-widths,
+# BOM, soft hyphen, directional marks and embeddings, word joiner. NBSP and
+# the exotic space family normalize to a plain space instead of deletion
+# (they separate words).
+_INVISIBLE_RE = (
+    "[\u200b\u200c\u200d\u2060\ufeff\u00ad\u200e\u200f"
+    "\u202a-\u202e\u2066-\u2069]"
+)
+_EXOTIC_SPACE_RE = "[\u00a0\u2000-\u200a\u202f\u205f\u3000]"
+
+
+def strip_invisible(c: Column | str) -> Column:
+    """Remove tokenizer-poisoning invisible code points (zero-width
+    spaces/joiners, BOM, soft hyphen, bidi controls) and normalize the
+    exotic-space family (NBSP, en/em/thin spaces, ideographic space) to
+    plain spaces — the text-hygiene pass every scraped corpus needs before
+    token counting (a zero-width split makes one word two tokens; a NBSP
+    glues two words into one). Pure regexp_replace chain (whole-stage
+    codegen); engine-portable, replayed by the DuckDB oracle
+    (`q_text_hygiene`)."""
+    s = F.regexp_replace(_c(c), _INVISIBLE_RE, "")
+    return F.regexp_replace(s, _EXOTIC_SPACE_RE, " ")
+
+
+def hygiene_stats(c: Column | str) -> dict[str, Column]:
+    """Per-document encoding-health counters (columns, name → expr):
+    n_invisible, n_exotic_space, n_replacement (U+FFFD — upstream decode
+    damage), n_control (C0/C1 minus tab/newline/CR). High counts mark docs
+    for `fix_mojibake` / re-extraction; all four are native regexp_count
+    expressions."""
+    s = _c(c)
+    return {
+        "n_invisible": F.regexp_count(s, F.lit(_INVISIBLE_RE)),
+        "n_exotic_space": F.regexp_count(s, F.lit(_EXOTIC_SPACE_RE)),
+        "n_replacement": F.regexp_count(s, F.lit("�")),
+        "n_control": F.regexp_count(s, F.lit("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]")),
+    }
+
+
+def fix_mojibake_py(text: str, max_passes: int = 2) -> str:
+    """Repair the classic double-encoding mojibake (UTF-8 bytes decoded as
+    latin-1/cp1252: 'café' → 'cafÃ©') by round-tripping back when — and only
+    when — the result is plausible: the candidate must decode cleanly AND
+    strictly reduce the mojibake-marker count (Ã/Â/â sequences). Up to
+    `max_passes` for doubly-mangled text. Plain kernel for `fix_mojibake`'s
+    Arrow-batched UDF; a no-op on healthy text by construction."""
+    marker = re.compile("[ÃÂâ€œ][-¿€šžŸ™œ“”‘’–—]?")
+
+    def score(s: str) -> int:
+        return len(marker.findall(s))
+
+    cur = text
+    for _ in range(max_passes):
+        bad = score(cur)
+        if bad == 0:
+            break
+        try:
+            cand = cur.encode("cp1252", errors="strict").decode("utf-8", errors="strict")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            try:
+                cand = cur.encode("latin-1", errors="strict").decode("utf-8", errors="strict")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                break
+        if score(cand) < bad:
+            cur = cand
+        else:
+            break
+    return cur
+
+
+def fix_mojibake(c: Column | str):
+    """Arrow-batched mojibake repair column (see `fix_mojibake_py`). Run at
+    ingest on docs `hygiene_stats` flags; conservative by design — text that
+    does not round-trip strictly is left untouched."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fn(s):
+        return s.map(lambda x: None if x is None else fix_mojibake_py(x))
+
+    _fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_fn, "string")(_c(c))
+
+
 def clean_text(c: Column | str) -> Column:
     """Standard pre-tokenization cleanup for scraped corpora, as one native
     expression (no Python workers — runs inside whole-stage codegen):

@@ -189,6 +189,9 @@ TEXT_AND_VECTOR_QUERIES = [
     # round-10: code-file screen — empty/whitespace/huge-one-line/emoji docs
     # through line-shape math and char-class fractions in both dialects
     "code_stats",
+    # round-10: hygiene counters + invisible-strip over the nasty docs (the
+    # NBSP-in-token fixture exercises the exotic-space class directly)
+    "text_hygiene",
     # round-10: star-contraction connected components vs the recursive-CTE
     # fixpoint over the nasty pair graph (exact-duplicate texts -> dense
     # minhash buckets; empty docs -> no shingles)

@@ -513,3 +513,44 @@ def test_warc_html_to_corpus_integration(spark, tmp_path):
     )
     r = docs.first()
     assert r["text"] == "Doc\ncrawled & extracted"
+
+
+def test_strip_invisible_and_hygiene_stats(spark):
+    from pyspark.sql import functions as F
+
+    from lantern_extras_spark.functions.text import hygiene_stats, strip_invisible
+
+    poisoned = "zero​width nb sp bidi‪X soft­hyphen bad� ctl\x07 thin sp"
+    df = spark.createDataFrame([(1, poisoned), (2, "clean text"), (3, None)],
+                               "id long, t string")
+    stats = hygiene_stats(F.col("t"))
+    out = df.select(
+        "id", strip_invisible("t").alias("c"),
+        *[expr.alias(k) for k, expr in stats.items()],
+    )
+    got = {r["id"]: r for r in out.collect()}
+    r = got[1]
+    assert r["c"] == "zerowidth nb sp bidiX softhyphen bad� ctl\x07 thin sp"
+    assert r["n_invisible"] == 3 and r["n_exotic_space"] == 2
+    assert r["n_replacement"] == 1 and r["n_control"] == 1
+    assert got[2]["c"] == "clean text" and got[2]["n_invisible"] == 0
+    assert got[3]["c"] is None
+
+
+def test_fix_mojibake(spark):
+    from pyspark.sql import functions as F
+
+    from lantern_extras_spark.functions.text import fix_mojibake, fix_mojibake_py
+
+    broken = "café".encode("utf-8").decode("latin-1")       # 'cafÃ©'
+    double = broken.encode("utf-8").decode("latin-1")       # doubly mangled
+    curly = "it’s".encode("utf-8").decode("cp1252")         # cp1252 mojibake
+    assert fix_mojibake_py(broken) == "café"
+    assert fix_mojibake_py(double) == "café"
+    assert fix_mojibake_py(curly) == "it’s"
+    # healthy text untouched, including text that LOOKS non-ascii but is fine
+    for ok in ("plain ascii", "café déjà vu", "日本語のテキスト", ""):
+        assert fix_mojibake_py(ok) == ok
+    df = spark.createDataFrame([(1, broken), (2, "café"), (3, None)], "id long, t string")
+    got = {r["id"]: r["f"] for r in df.select("id", fix_mojibake("t").alias("f")).collect()}
+    assert got == {1: "café", 2: "café", 3: None}
