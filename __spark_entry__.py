@@ -238,6 +238,65 @@ def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_event_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT coverage: per-day event counts pivoted into one column per
+    event type (Spark groupBy().pivot() with an EXPLICIT value list — the
+    scale-correct form: without it Spark runs an extra distinct scan to
+    discover values AND the output schema becomes data-dependent). The
+    DuckDB oracle replays as portable conditional aggregation (CASE-sum),
+    which is exactly the plan pivot lowers to."""
+    ev = _events(spark, sf)
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0, kinds)
+    )
+    return out.select(
+        "day", *[F.col(k).cast("bigint").alias(f"n_{k}") for k in kinds]
+    ).orderBy("day")
+
+
+def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-funnel analytics: per user the first time of each stage
+    (view → click → purchase), a stage counts only if it happens AFTER the
+    previous stage's first occurrence — the sequencing constraint that makes
+    funnels different from plain per-type counts. One conditional-min
+    aggregation per stage over one scan (no self-joins); the oracle replays
+    the same min-filter chain declaratively."""
+    ev = _events(spark, sf)
+    t = F.unix_micros("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", t)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", t)).alias("t_click_raw"),
+        F.min(F.when(F.col("event_type") == "purchase", t)).alias("t_purchase_raw"),
+    )
+    staged = per_user.select(
+        "user_id",
+        F.col("t_view").isNotNull().alias("viewed"),
+        (
+            F.col("t_view").isNotNull()
+            & F.col("t_click_raw").isNotNull()
+            & (F.col("t_click_raw") > F.col("t_view"))
+        ).alias("clicked_after"),
+        (
+            F.col("t_view").isNotNull()
+            & F.col("t_click_raw").isNotNull()
+            & (F.col("t_click_raw") > F.col("t_view"))
+            & F.col("t_purchase_raw").isNotNull()
+            & (F.col("t_purchase_raw") > F.col("t_click_raw"))
+        ).alias("purchased_after"),
+    )
+    return staged.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.col("viewed").cast("bigint")).alias("n_viewed"),
+        F.sum(F.col("clicked_after").cast("bigint")).alias("n_clicked_after_view"),
+        F.sum(F.col("purchased_after").cast("bigint")).alias("n_purchased_after_click"),
+    )
+
+
 def q_user_sessions(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based sessionization (30 min) via window functions: per user the
     number of sessions and the largest session size."""
@@ -880,7 +939,9 @@ def q_code_stats(spark: SparkSession, sf: str) -> DataFrame:
     Oracle replays split/transform/regexp chains in DuckDB (list_max over a
     lambda transform on the oracle side)."""
     docs = _t(spark, sf, "documents")
-    return TS.code_stats(docs).orderBy("doc_id")
+    # no orderBy: the output is corpus-sized and the driver's hash compare
+    # is order-insensitive — a global range-partition here is pure waste
+    return TS.code_stats(docs)
 
 
 _HYGIENE_PRE = "a\u200bb \u00a0 c\u202ad\ufffd e\u00adf "
@@ -2460,6 +2521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "returned_items": q_returned_items,
         "events_hourly": q_events_hourly,
+        "event_pivot": q_event_pivot,
+        "event_funnel": q_event_funnel,
         "user_sessions": q_user_sessions,
         "top_users_per_type": q_top_users_per_type,
         "vector_distances": q_vector_distances,
@@ -2930,6 +2993,38 @@ def _oracle_sql_raw() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "event_pivot": """
+            SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events
+            GROUP BY 1
+            ORDER BY day
+        """,
+        "event_funnel": """
+            WITH firsts AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'view' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_view,
+                       min(CASE WHEN event_type = 'click' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_click,
+                       min(CASE WHEN event_type = 'purchase' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_purchase
+                FROM events GROUP BY user_id
+            ), staged AS (
+                SELECT user_id,
+                       t_view IS NOT NULL AS viewed,
+                       (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view) AS clicked_after,
+                       (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view
+                        AND t_purchase IS NOT NULL AND t_purchase > t_click) AS purchased_after
+                FROM firsts
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(CASE WHEN viewed THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+                   CAST(sum(CASE WHEN clicked_after THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+                   CAST(sum(CASE WHEN purchased_after THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after_click
+            FROM staged
         """,
         "user_sessions": """
             WITH marked AS (
