@@ -19,3 +19,11 @@ from lantern_extras_spark.sources.webdataset import (  # noqa: F401
     split_wds_key,
     write_webdataset_shard,
 )
+from lantern_extras_spark.sources.pdftext import parse_pdf_text, pdf_text, read_pdf_text  # noqa: F401
+from lantern_extras_spark.sources.epub import parse_epub_text, read_epub  # noqa: F401
+from lantern_extras_spark.sources.documents import (  # noqa: F401
+    latex_text,
+    latex_to_text,
+    notebook_cells,
+    parse_ipynb,
+)
