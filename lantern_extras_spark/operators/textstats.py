@@ -1548,7 +1548,11 @@ def code_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     codegen, no Python workers, no shuffle) and engine-portable — the DuckDB
     oracle replays the chain (`q_code_stats`)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.split(t, "\n")
+    # stage the split as a real column: an inlined split re-evaluates PER
+    # LINE inside the transform lambda (O(lines²) splitting — the same trap
+    # word_ngrams documents); a multi-use alias survives CollapseProject
+    df = df.withColumn("__cs_lines", F.split(t, "\n"))
+    lines = F.col("__cs_lines")
     n_lines = F.size(lines)
     n_chars = F.length(t)
     # line lengths: total non-newline chars / n_lines; max via array transform
