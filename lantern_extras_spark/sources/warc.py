@@ -102,6 +102,7 @@ def _parse_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
         return None, None, payload
     ctype = None
     chunked = False
+    cenc = None
     for ln in lines[1:]:
         if ":" not in ln:
             continue
@@ -112,8 +113,26 @@ def _parse_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
             ctype = v
         elif k == "transfer-encoding" and "chunked" in v.lower():
             chunked = True
+        elif k == "content-encoding":
+            cenc = v.lower()
     if chunked:
         body = _dechunk(body)
+    # wire compression: captures store the body as sent. gzip/deflate are
+    # zlib-decodable here; anything else (br, zstd) is left as-is — the
+    # caller sees compressed bytes rather than a silently-dropped record
+    if cenc in ("gzip", "x-gzip"):
+        try:
+            body = _gunzip_members(body)
+        except ValueError:
+            pass  # truncated capture: keep raw bytes, don't kill the record
+    elif cenc == "deflate":
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:
+                body = zlib.decompress(body, -15)  # raw-deflate servers exist
+            except zlib.error:
+                pass
     return status, ctype, body
 
 

@@ -277,3 +277,46 @@ def test_warc_roundtrip_fuzz(tmp_path_factory, recs, gz):
         if not (g["warc_type"] == "response" and r["payload"][:5] in (b"HTTP/", b"http/")):
             assert g["body"] == r["payload"]
         assert g["content_length"] == len(r["payload"])
+
+
+def test_http_content_encoding_decompression():
+    """gzip/deflate response bodies decompress in the parser (captures store
+    the wire form); truncated/unknown encodings keep raw bytes rather than
+    dropping the record."""
+    import gzip as _gz
+    import zlib as _zl
+
+    html = b"<html>compressed page body</html>"
+    for enc, payload in [
+        ("gzip", _gz.compress(html)),
+        ("deflate", _zl.compress(html)),
+        ("deflate", (lambda o: o.compress(html) + o.flush())(_zl.compressobj(wbits=-15))),
+    ]:
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Encoding: {enc}\r\n\r\n"
+        ).encode() + payload
+        recs = W.parse_warc_bytes(
+            b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: %d\r\n\r\n%s\r\n\r\n"
+            % (len(http), http)
+        )
+        assert recs[0]["body"] == html, enc
+    # truncated gzip: raw bytes survive
+    bad = _gz.compress(html)[:10]
+    http = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + bad
+    recs = W.parse_warc_bytes(
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: %d\r\n\r\n%s\r\n\r\n"
+        % (len(http), http)
+    )
+    assert recs[0]["body"] == bad
+    # chunked + gzip compose (dechunk first, then decompress)
+    gz = _gz.compress(html)
+    chunked = b"%x\r\n" % len(gz) + gz + b"\r\n0\r\n\r\n"
+    http = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n\r\n"
+        + chunked
+    )
+    recs = W.parse_warc_bytes(
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: %d\r\n\r\n%s\r\n\r\n"
+        % (len(http), http)
+    )
+    assert recs[0]["body"] == html
