@@ -539,6 +539,20 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return D.simhash(docs)
 
 
+def q_hash_banded_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Certifies the GENERIC banded-Hamming engine (dedup.hash_neardup_pairs
+    — the join behind image pHash and audio fingerprint near-dup) against
+    the declarative oracle: portable 32-bit SimHash values feed the banded
+    self-join (8 bands × 4 bits, pigeonhole-exact for distance ≤ 6); DuckDB
+    replays band extraction (shift/mask), the banded join, and the
+    popcount(xor) verify."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    sigs = D.simhash(docs)
+    return D.hash_neardup_pairs(
+        sigs, "simhash", id_col="doc_id", bits=32, band_bits=4, max_distance=6
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup PAIR stage (dedup.simhash_pairs) — banded candidates +
     hamming verify, hash-checked end to end: the DuckDB oracle replays the
@@ -2539,6 +2553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
+        "hash_banded_pairs": q_hash_banded_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "fingerprints": q_fingerprints,
@@ -3250,6 +3265,25 @@ def _oracle_sql_raw() -> dict[str, str]:
                  h AS (SELECT doc_id, list_transform(w, x -> {_sql_hash32('x')}) AS hs FROM t)
             SELECT doc_id, CAST({simhash_sql} AS BIGINT) AS simhash
             FROM h
+        """,
+        "hash_banded_pairs": f"""
+            WITH t AS (SELECT doc_id, {_sql_words()} AS w FROM documents WHERE doc_id < 200),
+                 h AS (SELECT doc_id, list_transform(w, x -> {_sql_hash32('x')}) AS hs FROM t),
+                 sig AS (SELECT doc_id, CAST({simhash_sql} AS BIGINT) AS sim FROM h),
+                 keyed AS (
+                     SELECT doc_id, sim, band,
+                            (sim >> (4 * band)) & 15 AS key
+                     FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band)
+                 ),
+                 cand AS (
+                     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                            a.sim AS sa, b.sim AS sb
+                     FROM keyed a JOIN keyed b
+                       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+                 )
+            SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(sa, sb)) <= 6
         """,
         "ngram_jaccard": f"""
             WITH t AS (SELECT doc_id, lang, source, {_sql_words()} AS w FROM documents),
