@@ -266,34 +266,15 @@ def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     funnels different from plain per-type counts. One conditional-min
     aggregation per stage over one scan (no self-joins); the oracle replays
     the same min-filter chain declaratively."""
+    from lantern_extras_spark.operators.temporal import funnel
+
     ev = _events(spark, sf)
-    t = F.unix_micros("ts")
-    per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", t)).alias("t_view"),
-        F.min(F.when(F.col("event_type") == "click", t)).alias("t_click_raw"),
-        F.min(F.when(F.col("event_type") == "purchase", t)).alias("t_purchase_raw"),
-    )
-    staged = per_user.select(
-        "user_id",
-        F.col("t_view").isNotNull().alias("viewed"),
-        (
-            F.col("t_view").isNotNull()
-            & F.col("t_click_raw").isNotNull()
-            & (F.col("t_click_raw") > F.col("t_view"))
-        ).alias("clicked_after"),
-        (
-            F.col("t_view").isNotNull()
-            & F.col("t_click_raw").isNotNull()
-            & (F.col("t_click_raw") > F.col("t_view"))
-            & F.col("t_purchase_raw").isNotNull()
-            & (F.col("t_purchase_raw") > F.col("t_click_raw"))
-        ).alias("purchased_after"),
-    )
-    return staged.agg(
-        F.count("*").cast("bigint").alias("n_users"),
-        F.sum(F.col("viewed").cast("bigint")).alias("n_viewed"),
-        F.sum(F.col("clicked_after").cast("bigint")).alias("n_clicked_after_view"),
-        F.sum(F.col("purchased_after").cast("bigint")).alias("n_purchased_after_click"),
+    out = funnel(ev, ["view", "click", "purchase"])
+    return out.select(
+        "n_users",
+        F.col("n_view").alias("n_viewed"),
+        F.col("n_click_after").alias("n_clicked_after_view"),
+        F.col("n_purchase_after").alias("n_purchased_after_click"),
     )
 
 

@@ -141,3 +141,55 @@ def range_join(
     )
     joined = lb.join(rb, "__bin").where(cond).drop("__bin")
     return joined
+
+
+def funnel(
+    df: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered k-step funnel over an event stream: one summary row with
+    n_users plus, per stage, the count of users whose FIRST occurrence of
+    that stage happened strictly AFTER their first occurrence of the
+    previous reached stage — the sequencing constraint that separates a
+    funnel from plain per-type counts (a purchase before any view is not a
+    converted view).
+
+    Scale shape: ONE conditional-min aggregation per stage over ONE scan of
+    the events (no self-joins, no window over the raw stream, no per-stage
+    passes); the per-user frame is k integers wide; the final reduce is a
+    single-row agg. At 100 TB that is a map-side-combining groupBy on
+    user_id and nothing else.
+
+    Column names: n_users, then n_<stage1>, n_<stage2>_after, ... (first
+    stage needs no predecessor). The engine-portable declarative form is
+    replayed by the DuckDB oracle (`q_event_funnel` uses the 3-stage
+    view→click→purchase instance)."""
+    if len(stages) < 2:
+        raise ValueError("funnel needs at least 2 stages")
+    t = F.unix_micros(F.col(ts_col))
+    firsts = df.groupBy(user_col).agg(
+        *[
+            F.min(F.when(F.col(type_col) == s, t)).alias(f"__t{i}")
+            for i, s in enumerate(stages)
+        ]
+    )
+    reached_prev = F.col("__t0").isNotNull()
+    flags = [reached_prev.alias(f"__r0")]
+    for i in range(1, len(stages)):
+        reached_prev = (
+            reached_prev
+            & F.col(f"__t{i}").isNotNull()
+            & (F.col(f"__t{i}") > F.col(f"__t{i-1}"))
+        )
+        flags.append(reached_prev.alias(f"__r{i}"))
+    staged = firsts.select(F.col(user_col), *flags)
+    aggs = [F.count("*").cast("bigint").alias("n_users")]
+    aggs.append(F.sum(F.col("__r0").cast("bigint")).alias(f"n_{stages[0]}"))
+    for i in range(1, len(stages)):
+        aggs.append(
+            F.sum(F.col(f"__r{i}").cast("bigint")).alias(f"n_{stages[i]}_after")
+        )
+    return staged.agg(*aggs)

@@ -91,3 +91,34 @@ def test_range_join_requires_bin_width(spark):
     df = spark.createDataFrame([(1, 1)], "a long, x long")
     with pytest.raises(ValueError, match="bin_width"):
         range_join(df, df, "x", "a", "x", strategy="bin")
+
+
+def test_funnel_sequencing(spark):
+    """Out-of-order stages do NOT convert; deeper stages require the chain."""
+    from lantern_extras_spark.operators.temporal import funnel
+
+    rows = [
+        # u1: full ordered funnel
+        (1, "view", 1), (1, "click", 2), (1, "purchase", 3),
+        # u2: clicked BEFORE viewing -> view counted, click not
+        (2, "click", 1), (2, "view", 2), (2, "purchase", 3),
+        # u3: view+click ordered, purchase before click -> no purchase credit
+        (3, "view", 1), (3, "purchase", 2), (3, "click", 4),
+        # u4: never viewed
+        (4, "click", 1), (4, "purchase", 2),
+        # u5: repeated events; FIRST occurrences drive the chain
+        (5, "view", 10), (5, "view", 1), (5, "click", 5), (5, "purchase", 6),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, __import__("datetime").datetime(2024, 1, 1, 0, 0, s)) for u, t, s in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+    r = funnel(df, ["view", "click", "purchase"]).first()
+    assert r["n_users"] == 5
+    assert r["n_view"] == 4            # u1, u2, u3, u5
+    assert r["n_click_after"] == 3     # u1, u3, u5 (u2 clicked first)
+    assert r["n_purchase_after"] == 2  # u1, u5 (u3 purchased before click)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least 2"):
+        funnel(df, ["view"])
