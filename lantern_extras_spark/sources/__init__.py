@@ -27,3 +27,4 @@ from lantern_extras_spark.sources.documents import (  # noqa: F401
     notebook_cells,
     parse_ipynb,
 )
+from lantern_extras_spark.sources.documents import docx_text, parse_docx_text  # noqa: F401

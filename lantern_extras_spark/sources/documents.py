@@ -110,6 +110,65 @@ def parse_ipynb(data: bytes, include_outputs: bool = False) -> list[dict]:
     return out
 
 
+_W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+
+
+def parse_docx_text(data: bytes) -> str:
+    """DOCX → text: stdlib zipfile + ElementTree over word/document.xml —
+    paragraphs become lines, runs concatenate, w:tab → tab, w:br → newline
+    (the OOXML spec structure; no third-party deps). Malformed zip/XML or a
+    missing document part raises; empty documents return ''."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    try:
+        z = zipfile.ZipFile(io.BytesIO(bytes(data)))
+        xml_bytes = z.read("word/document.xml")
+    except (zipfile.BadZipFile, KeyError) as e:
+        raise ValueError(f"not a DOCX payload: {e}") from e
+    try:
+        root = ET.fromstring(xml_bytes)
+    except ET.ParseError as e:
+        raise ValueError(f"DOCX document.xml does not parse: {e}") from e
+    lines = []
+    for p in root.iter(f"{_W_NS}p"):
+        parts: list[str] = []
+        for node in p.iter():
+            if node.tag == f"{_W_NS}t":
+                parts.append(node.text or "")
+            elif node.tag == f"{_W_NS}tab":
+                parts.append("\t")
+            elif node.tag == f"{_W_NS}br":
+                parts.append("\n")
+        lines.append("".join(parts))
+    return "\n".join(lines).strip()
+
+
+def docx_text(df: DataFrame, media_col: str = "media", out_col: str = "text") -> DataFrame:
+    """Attach extracted DOCX text per binary row; non-DOCX rows get NULL
+    (extraction semantics, same stance as pdf_text)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    fields = df.schema.fields + [StructField(out_col, StringType())]
+    out_schema = StructType(fields)
+    cols = [f.name for f in df.schema.fields]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for data in pdf[media_col]:
+                try:
+                    t = parse_docx_text(bytes(data))
+                    outs.append(t or None)
+                except Exception:
+                    outs.append(None)
+            pdf[out_col] = outs
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(extract, out_schema)
+
+
 def latex_text(df: DataFrame, src_col: str = "text", out_col: str = "detexed") -> DataFrame:
     """Attach detexed text per row (Arrow-batched pandas UDF over the plain
     kernel; NULL in → NULL out)."""

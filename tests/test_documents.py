@@ -83,3 +83,47 @@ def test_latex_and_notebooks_on_spark(spark):
         spark.createDataFrame(rows, "media_id long, media binary")
     ).collect()
     assert len(cells) == 1 and cells[0]["text"] == "x = 1"
+
+
+def _docx(paragraphs):
+    """Independent minimal DOCX writer (zip + OOXML document part)."""
+    import io
+    import zipfile
+
+    ns = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+    body = ""
+    for runs in paragraphs:
+        body += "<w:p>"
+        for kind, val in runs:
+            if kind == "t":
+                body += f"<w:r><w:t>{val}</w:t></w:r>"
+            elif kind == "tab":
+                body += "<w:r><w:tab/></w:r>"
+            elif kind == "br":
+                body += "<w:r><w:br/></w:r>"
+        body += "</w:p>"
+    doc = f'<?xml version="1.0"?><w:document {ns}><w:body>{body}</w:body></w:document>'
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def test_parse_docx_text(spark):
+    data = _docx([
+        [("t", "Title of the doc")],
+        [("t", "alpha "), ("t", "beta"), ("tab", None), ("t", "gamma")],
+        [("t", "line one"), ("br", None), ("t", "line two &amp; entity")],
+    ])
+    t = D.parse_docx_text(data)
+    assert t.split("\n")[0] == "Title of the doc"
+    assert "alpha beta\tgamma" in t
+    assert "line one\nline two & entity" in t  # ET decodes entities
+    with pytest.raises(ValueError, match="DOCX"):
+        D.parse_docx_text(b"not a zip")
+    # Spark op: NULL for junk, text for real rows
+    rows = [(1, bytearray(data)), (2, bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    got = {r["media_id"]: r["text"] for r in D.docx_text(df).collect()}
+    assert got[2] is None and "Title of the doc" in got[1]
