@@ -113,6 +113,10 @@ def main() -> None:
         pairs = D.minhash_dedup(docs, n_hashes=32, bands=8, threshold=0.2)
         return D.dedup_clusters(pairs)
 
+    def clusters_star_plan(docs):
+        pairs = D.minhash_dedup(docs, n_hashes=32, bands=8, threshold=0.2)
+        return D.dedup_clusters(pairs, strategy="star")
+
     def keep_best_plan(docs):
         pairs = D.minhash_dedup(docs, n_hashes=32, bands=8, threshold=0.2)
         scored = docs.withColumn("n_tokens", T.token_count("text"))
@@ -143,6 +147,12 @@ def main() -> None:
                     docs, n_hashes=32, bands=8, threshold=0.2
                 ).count(),
                 "output_rows": lambda docs: clusters_plan(docs).count(),
+            },
+        },
+        "dedup_clusters_star": {
+            "plan": clusters_star_plan,
+            "volumes": {
+                "output_rows": lambda docs: clusters_star_plan(docs).count(),
             },
         },
         "dedup_keep_best": {
