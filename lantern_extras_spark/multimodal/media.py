@@ -378,6 +378,120 @@ def decode_ppm(data: bytes):
     return img.astype(np.uint8)
 
 
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits RLE (the TIFF Compression=32773 codec): n in 0..127 →
+    copy n+1 literal bytes; n in -127..-1 → repeat next byte 1-n times;
+    -128 is a no-op. Fail-loud on truncation or overrun."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expected:
+        b = data[i]
+        i += 1
+        if b < 128:  # literal run
+            if i + b + 1 > n:
+                raise ValueError("PackBits literal run past end of data")
+            out += data[i : i + b + 1]
+            i += b + 1
+        elif b > 128:
+            if i >= n:
+                raise ValueError("PackBits repeat run missing byte")
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+        # b == 128: no-op
+    if len(out) != expected:
+        raise ValueError(f"PackBits decoded {len(out)} bytes, expected {expected}")
+    return bytes(out)
+
+
+def decode_tiff(data: bytes):
+    """Baseline TIFF decode, pure numpy — the scanned-document corpus format:
+    classic header (II/MM byte order), first IFD, strip-organized images,
+    Compression 1 (none) or 32773 (PackBits), Photometric 0/1 (grayscale,
+    0 = white-is-zero inverted per spec) or 2 (RGB), 8 bits per sample.
+    Returns (H, W, 3) uint8 like the other decoders. Tiled TIFFs, LZW/JPEG
+    compression, and non-8-bit depths raise ValueError (documented baseline,
+    same stance as progressive JPEG)."""
+    import struct
+
+    import numpy as np
+
+    data = bytes(data)
+    if data[:4] == b"II*\x00":
+        bo = "<"
+    elif data[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+    if ifd_off + 2 > len(data):
+        raise ValueError("TIFF IFD offset past end")
+    (n_tags,) = struct.unpack_from(bo + "H", data, ifd_off)
+    _SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+    def tag_values(off: int) -> tuple[int, list[int]]:
+        if off + 12 > len(data):
+            raise ValueError("TIFF IFD entry past end of payload")
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", data, off)
+        if typ not in _SIZES:
+            return tag, []
+        total = _SIZES[typ] * cnt
+        voff = off + 8 if total <= 4 else struct.unpack_from(bo + "I", data, off + 8)[0]
+        fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+        if fmt is None:
+            return tag, []
+        if voff + total > len(data):
+            raise ValueError(f"TIFF tag {tag} values past end")
+        return tag, list(struct.unpack_from(bo + fmt * cnt, data, voff))
+
+    tags: dict[int, list[int]] = {}
+    for k in range(n_tags):
+        tag, vals = tag_values(ifd_off + 2 + 12 * k)
+        tags[tag] = vals
+    try:
+        width = tags[256][0]
+        height = tags[257][0]
+        strip_offsets = tags[273]
+        strip_counts = tags[279]
+    except (KeyError, IndexError) as e:
+        raise ValueError("TIFF missing required tags (dims/strips)") from e
+    bits = tags.get(258, [8])
+    spp = tags.get(277, [1])[0]
+    compression = tags.get(259, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    rows_per_strip = tags.get(278, [height])[0] or height
+    if any(b != 8 for b in bits):
+        raise ValueError(f"unsupported TIFF bit depth {bits}")
+    if compression not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {compression}")
+    if photometric not in (0, 1, 2) or spp not in (1, 3):
+        raise ValueError(
+            f"unsupported TIFF photometric {photometric} / samples {spp}"
+        )
+    if len(strip_offsets) != len(strip_counts):
+        raise ValueError("TIFF strip offset/count mismatch")
+    raw = bytearray()
+    remaining_rows = height
+    for si, (soff, scnt) in enumerate(zip(strip_offsets, strip_counts)):
+        if soff + scnt > len(data):
+            raise ValueError("TIFF strip past end of payload")
+        chunk = data[soff : soff + scnt]
+        rows = min(rows_per_strip, remaining_rows)
+        expected = rows * width * spp
+        if compression == 32773:
+            chunk = _packbits_decode(chunk, expected)
+        elif len(chunk) < expected:
+            raise ValueError("TIFF uncompressed strip shorter than expected")
+        raw += chunk[:expected]
+        remaining_rows -= rows
+    img = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(height, width, spp)
+    if photometric == 0:  # white-is-zero
+        img = 255 - img
+    if spp == 1:
+        img = np.repeat(img, 3, axis=2)
+    return img
+
+
 def decode_bmp(data: bytes):
     """Decode uncompressed BMP bytes (BITMAPINFOHEADER-family, BI_RGB,
     24/32-bit) into (H, W, 3) uint8 with pure numpy/stdlib. Handles 4-byte
@@ -1011,6 +1125,8 @@ def decode_image_bytes(data: bytes):
         return decode_jpeg(data)
     if head[:3] == b"GIF":
         return decode_gif(data)
+    if head in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(data)
     raise ValueError(f"unrecognized image payload (head={head!r})")
 
 

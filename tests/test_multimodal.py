@@ -2865,3 +2865,152 @@ def test_audio_neardup_end_to_end(spark):
         audio_fingerprint_bytes(bytes(_wav_bytes(_tone_samples([440]))), chunks=5, bands=16)
     with _pt.raises(ValueError, match="too short"):
         audio_fingerprint_bytes(bytes(_wav_bytes([0] * 16)))
+
+
+# ---------------------------------------------------------------------------
+# TIFF baseline decode (r10): IFD walk, strips, PackBits
+# ---------------------------------------------------------------------------
+
+
+def _packbits_encode(raw):
+    """Independent PackBits encoder: greedy runs."""
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        run = 1
+        while i + run < n and raw[i + run] == raw[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, raw[i]])
+            i += run
+        else:
+            j = i + 1
+            while j < n and (j - i) < 128 and not (j + 1 < n and raw[j] == raw[j + 1]):
+                j += 1
+            out += bytes([j - i - 1]) + raw[i:j]
+            i = j
+    return bytes(out)
+
+
+def _tiff(img, byte_order="<", compression=1, photometric=None, rows_per_strip=None):
+    """Independent minimal TIFF writer: gray or RGB 8-bit, strip-organized."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    photometric = photometric if photometric is not None else (1 if spp == 1 else 2)
+    rows_per_strip = rows_per_strip or h
+    flat = img.tobytes()
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        rows = min(rows_per_strip, h - r0)
+        chunk = flat[r0 * w * spp : (r0 + rows) * w * spp]
+        strips.append(_packbits_encode(chunk) if compression == 32773 else chunk)
+    bo = byte_order
+    magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+    n_strips = len(strips)
+    # layout: header(8) + IFD + [strip offsets array][strip counts array][bits array] + data
+    tags = []  # (tag, type, count, value_or_offset_placeholder)
+    ntags = 10
+    ifd_size = 2 + ntags * 12 + 4
+    arrays_off = 8 + ifd_size
+    def arr(fmt, vals):
+        return struct.pack(bo + fmt * len(vals), *vals)
+    strip_off_pos = arrays_off
+    strip_cnt_pos = strip_off_pos + 4 * n_strips
+    bits_pos = strip_cnt_pos + 4 * n_strips
+    data_pos = bits_pos + 2 * spp
+    offsets = []
+    p = data_pos
+    for s in strips:
+        offsets.append(p)
+        p += len(s)
+    def tag(t, typ, cnt, val, inline_fmt=None):
+        if inline_fmt:
+            v = struct.pack(bo + inline_fmt, *val) + b"\x00" * (4 - struct.calcsize(inline_fmt))
+            return struct.pack(bo + "HHI", t, typ, cnt) + v
+        return struct.pack(bo + "HHII", t, typ, cnt, val)
+    entries = [
+        tag(256, 4, 1, (w,), "I"),
+        tag(257, 4, 1, (h,), "I"),
+        tag(258, 3, spp, bits_pos) if spp > 1 else tag(258, 3, 1, (8,), "H"),
+        tag(259, 3, 1, (compression,), "H"),
+        tag(262, 3, 1, (photometric,), "H"),
+        tag(273, 4, n_strips, strip_off_pos) if n_strips > 1 else tag(273, 4, 1, (offsets[0],), "I"),
+        tag(277, 3, 1, (spp,), "H"),
+        tag(278, 4, 1, (rows_per_strip,), "I"),
+        tag(279, 4, n_strips, strip_cnt_pos) if n_strips > 1 else tag(279, 4, 1, (len(strips[0]),), "I"),
+        tag(296, 3, 1, (2,), "H"),  # resolution unit (filler tag)
+    ]
+    ifd = struct.pack(bo + "H", len(entries)) + b"".join(entries) + struct.pack(bo + "I", 0)
+    out = magic + struct.pack(bo + "I", 8) + ifd
+    out += arr("I", offsets) + arr("I", [len(s) for s in strips]) + arr("H", [8] * spp)
+    assert len(out) == data_pos
+    return out + b"".join(strips)
+
+
+def _tiff_img(h=6, w=5, rgb=True, seed=2):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 255, (h, w, 3) if rgb else (h, w), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+@pytest.mark.parametrize("compression", [1, 32773])
+def test_tiff_decode_rgb(bo, compression):
+    import numpy as np
+
+    from lantern_extras_spark.multimodal.media import decode_tiff
+
+    img = _tiff_img()
+    got = decode_tiff(_tiff(img, byte_order=bo, compression=compression))
+    assert np.array_equal(got, img)
+
+
+def test_tiff_gray_multistrip_and_inversion():
+    import numpy as np
+
+    from lantern_extras_spark.multimodal.media import decode_image_bytes, decode_tiff
+
+    g = _tiff_img(rgb=False, h=7)
+    got = decode_tiff(_tiff(g, rows_per_strip=3, compression=32773))
+    assert np.array_equal(got, np.repeat(g[:, :, None], 3, axis=2))
+    # photometric 0 = white-is-zero -> inverted
+    inv = decode_tiff(_tiff(g, photometric=0))
+    assert np.array_equal(inv[:, :, 0], 255 - g)
+    # magic dispatch
+    assert decode_image_bytes(_tiff(g)).shape == (7, 5, 3)
+
+
+def test_tiff_malformed_rejection():
+    import pytest as _pt
+
+    from lantern_extras_spark.multimodal.media import decode_tiff, _packbits_decode
+
+    good = _tiff(_tiff_img())
+    with _pt.raises(ValueError, match="TIFF"):
+        decode_tiff(b"notatiff")
+    with _pt.raises(ValueError):
+        decode_tiff(good[:40])
+    with _pt.raises(ValueError, match="PackBits"):
+        _packbits_decode(b"\x05ab", 6)  # literal run truncated
+    with _pt.raises(ValueError, match="expected"):
+        _packbits_decode(b"\x00a", 5)
+
+
+def test_tiff_feeds_phash_pipeline(spark):
+    """decode_image_features + image_phash accept TIFF rows end-to-end."""
+    from lantern_extras_spark.multimodal.media import image_phash
+
+    img = _tiff_img(h=16, w=16)
+    df = spark.createDataFrame(
+        [(1, bytearray(_tiff(img))), (2, bytearray(_tiff(img, compression=32773)))],
+        "media_id long, media binary",
+    )
+    got = {r["media_id"]: r["phash"] for r in image_phash(df).collect()}
+    assert got[1] is not None and got[1] == got[2]  # lossless codecs agree
