@@ -1356,6 +1356,7 @@ def with_media_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
               .when(form == "WAVE", "wav")
               .when(form == "AVI ", "avi")
               .otherwise("riff"))
+        .when(head.isin("49492A00", "4D4D002A"), "tiff")
         .when(head == "664C6143", "flac")
         .when(head == "4F676753", "ogg")
         .when(head == "1A45DFA3", "webm")
