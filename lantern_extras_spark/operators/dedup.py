@@ -640,6 +640,71 @@ def hash_neardup_pairs(
     return pairs
 
 
+def hash_neardup_join(
+    batch: DataFrame,
+    store: DataFrame,
+    hash_col: str,
+    id_col: str = "media_id",
+    store_id_col: str | None = None,
+    bits: int = 64,
+    band_bits: int = 8,
+    max_distance: int = 6,
+) -> DataFrame:
+    """Cross-frame banded Hamming join: match an ARRIVING batch of hashes
+    (image pHash / audio fingerprint / any fixed-width signature) against a
+    persisted corpus store WITHOUT rescanning or all-pairs work — the
+    incremental-ingest twin of `hash_neardup_pairs`, mirroring
+    `minhash_dedup_incremental`'s batch-vs-store stance: at 100 TB the
+    corpus's band keys live in a bucketed table and each micro-batch joins
+    only through its own band keys.
+
+    Same pigeonhole recall bound (exact for distance < bits/band_bits,
+    enforced fail-loud). Returns (batch_id, store_id, hamming); within-batch
+    duplicates are NOT emitted (run `hash_neardup_pairs` on the batch for
+    those — keeping the two concerns separate lets the store join stay
+    storage-pruned)."""
+    n_bands = bits // band_bits
+    if bits % band_bits:
+        raise ValueError(f"band_bits {band_bits} must divide bits {bits}")
+    if max_distance >= n_bands:
+        raise ValueError(
+            f"max_distance {max_distance} >= n_bands {n_bands}: the pigeonhole "
+            f"recall guarantee breaks — use band_bits <= {bits // (max_distance + 1)}"
+        )
+    store_id_col = store_id_col or id_col
+
+    def keyed(df: DataFrame, idc: str, ida: str, ha: str) -> DataFrame:
+        hh = F.col(ha)
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(hh, b * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1).cast("bigint"))
+                    .alias("key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return (
+            df.select(F.col(idc).alias(ida), F.col(hash_col).cast("bigint").alias(ha))
+            .where(F.col(ha).isNotNull())
+            .select(ida, ha, F.explode(bands).alias("bk"))
+            .select(ida, ha, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        )
+
+    b = keyed(batch, id_col, "batch_id", "h_a")
+    s = keyed(store, store_id_col, "store_id", "h_b")
+    return (
+        b.join(s, ["band", "key"])
+        .select("batch_id", "store_id", "h_a", "h_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .where(F.col("hamming") <= max_distance)
+        .select("batch_id", "store_id", "hamming")
+    )
+
+
 def simhash_col(c: Column | str, bits: int = 32) -> Column:
     """SimHash as a pure Column expression (usable on streams — no Python
     workers, no shuffle). HOF re-evaluation makes it `bits`× the md5 work of

@@ -3014,3 +3014,52 @@ def test_tiff_feeds_phash_pipeline(spark):
     )
     got = {r["media_id"]: r["phash"] for r in image_phash(df).collect()}
     assert got[1] is not None and got[1] == got[2]  # lossless codecs agree
+
+
+def test_hash_neardup_join_batch_vs_store(spark):
+    """Cross-frame matching == brute force between the frames; within-batch
+    pairs NOT emitted; NULL hashes skipped."""
+    import itertools
+    import random
+
+    from lantern_extras_spark.operators.dedup import hash_neardup_join
+
+    rng = random.Random(11)
+    base = rng.getrandbits(64)
+
+    def jiggle(v, k):
+        for _ in range(k):
+            v ^= 1 << rng.randrange(64)
+        return v
+
+    store_h = {i: (jiggle(base, rng.randrange(0, 8)) if i % 2 else rng.getrandbits(64))
+               for i in range(20)}
+    batch_h = {100 + i: (jiggle(base, rng.randrange(0, 8)) if i % 3 else rng.getrandbits(64))
+               for i in range(9)}
+
+    def signed(v):
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    store = spark.createDataFrame(
+        [(i, signed(v)) for i, v in store_h.items()], "vec_id long, phash long"
+    )
+    batch_rows = [(i, signed(v)) for i, v in batch_h.items()] + [(999, None)]
+    batch = spark.createDataFrame(batch_rows, "media_id long, phash long")
+    got = {
+        (r["batch_id"], r["store_id"], r["hamming"])
+        for r in hash_neardup_join(
+            batch, store, "phash", store_id_col="vec_id", max_distance=6
+        ).collect()
+    }
+    want = set()
+    for bi, sv in itertools.product(batch_h, store_h):
+        d = bin(batch_h[bi] ^ store_h[sv]).count("1")
+        if d <= 6:
+            want.add((bi, sv, d))
+    assert got == want and want
+    assert not any(b == 999 for b, _, _ in got)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="pigeonhole"):
+        hash_neardup_join(batch, store, "phash", store_id_col="vec_id",
+                          band_bits=16, max_distance=6)
