@@ -1336,6 +1336,194 @@ def image_phash(
     return df.mapInPandas(extract, out_schema)
 
 
+def _image_dims(data: bytes) -> tuple[int | None, int | None]:
+    """Header-only (width, height) — no pixel decode: PNG IHDR, GIF logical
+    screen, BMP info header, JPEG SOF marker walk, netpbm header, TIFF tags,
+    WebP chunks. Unknown formats → (None, None)."""
+    import re as _re
+    import struct
+
+    d = bytes(data)
+    try:
+        if d[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h = struct.unpack_from(">II", d, 16)
+            return w, h
+        if d[:3] == b"GIF":
+            w, h = struct.unpack_from("<HH", d, 6)
+            return w, h
+        if d[:2] == b"BM":
+            w, h = struct.unpack_from("<ii", d, 18)
+            return w, abs(h)
+        if d[:3] == b"\xff\xd8\xff":
+            off = 2
+            while off + 9 < len(d):
+                if d[off] != 0xFF:
+                    break
+                marker = d[off + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    off += 2
+                    continue
+                (seglen,) = struct.unpack_from(">H", d, off + 2)
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack_from(">HH", d, off + 5)
+                    return w, h
+                off += 2 + seglen
+            return None, None
+        if d[:1] == b"P" and d[1:2] in b"356":
+            m = _re.match(rb"P[356]\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)", d)
+            if m:
+                return int(m.group(1)), int(m.group(2))
+            return None, None
+        if d[:4] in (b"II*\x00", b"MM\x00*"):
+            bo = "<" if d[:2] == b"II" else ">"
+            (ifd,) = struct.unpack_from(bo + "I", d, 4)
+            (n,) = struct.unpack_from(bo + "H", d, ifd)
+            w = h = None
+            for k in range(n):
+                tag, typ, cnt = struct.unpack_from(bo + "HHI", d, ifd + 2 + 12 * k)
+                if tag in (256, 257):
+                    fmt = "H" if typ == 3 else "I"
+                    (v,) = struct.unpack_from(bo + fmt, d, ifd + 2 + 12 * k + 8)
+                    if tag == 256:
+                        w = v
+                    else:
+                        h = v
+            return w, h
+        if d[:4] == b"RIFF" and d[8:12] == b"WEBP":
+            info = webp_info(d)
+            return info["width"], info["height"]
+    except (ValueError, struct.error):
+        return None, None
+    return None, None
+
+
+def _mp4_duration(data: bytes) -> float | None:
+    """mvhd timescale/duration → seconds (version 0 and 1 layouts)."""
+    import struct
+
+    for m0, m1 in _mp4_find(bytes(data), 0, len(data), b"moov", b"mvhd"):
+        ver = data[m0]
+        if ver == 1:
+            ts, dur = struct.unpack_from(">IQ", data, m0 + 20)
+        else:
+            ts, dur = struct.unpack_from(">II", data, m0 + 12)
+        return dur / ts if ts else None
+    return None
+
+
+_MEDIA_INFO_SCHEMA = (
+    "media_id long, format string, width int, height int, "
+    "duration_s double, codec string, n_streams int"
+)
+
+
+def media_info(df: DataFrame, media_col: str = "media", id_col: str = "media_id") -> DataFrame:
+    """The unified pre-decode metadata layer: one row per media row with
+    (format, width, height, duration_s, codec, n_streams) from HEADER-ONLY
+    parsing — images (png/jpeg/gif/bmp/netpbm/tiff/webp dims), audio (wav/
+    flac/g711 duration via full decode of the sample COUNT path; mp3 frame
+    walk; ogg granules), video containers (mp4 mvhd duration, mkv/webm
+    segment info + first video track dims/codec, avi vids stream). Fields a
+    format doesn't expose are NULL; unparseable rows get format='unknown'
+    and NULLs — this op exists precisely to FILTER (size/duration/codec
+    screens) before any expensive decode runs, so it never throws.
+    Arrow-batched single pass riding the scan."""
+    import pandas as pd
+
+    def one(raw: bytes) -> dict:
+        fmt, w, h, dur, codec, ns = "unknown", None, None, None, None, None
+        try:
+            if raw[:4] == b"OggS":
+                info = ogg_stream_info(raw)
+                ns = len(info)
+                if info:
+                    first = sorted(info.items())[0][1]
+                    codec = first["codec"]
+                    dur = first["duration_s"]
+                fmt = "ogg"
+            elif raw[:3] == b"ID3" or (
+                len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0
+                and raw[:3] != b"\xff\xd8\xff"
+            ):
+                mi = mp3_info(raw)
+                fmt, codec, ns = "mp3", "mp3", 1
+                dur = mi["duration_s"]
+            elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                pcm, rate, _wd = decode_wav_pcm(raw)
+                fmt, codec, ns = "wav", "pcm", 1
+                dur = len(pcm) / rate if rate else None
+            elif raw[:4] == b"fLaC":
+                pcm, rate, _wd = decode_flac(raw)
+                fmt, codec, ns = "flac", "flac", 1
+                dur = len(pcm) / rate if rate else None
+            elif len(raw) >= 12 and raw[4:8] == b"ftyp":
+                fmt = "mp4"
+                dur = _mp4_duration(raw)
+                try:
+                    ns = 1
+                    table = mp4_sample_table(raw)
+                    codec = "video"
+                    if table and dur is None:
+                        dur = table[-1][2]
+                except ValueError:
+                    codec = None
+            elif raw[:4] == _EBML_MAGIC:
+                meta = mkv_track_info(raw)
+                fmt = "webm"
+                ns = len(meta["tracks"])
+                dur = meta["duration_s"]
+                for tr in meta["tracks"].values():
+                    if tr.get("type") == "video":
+                        codec = tr.get("codec_id")
+                        w, h = tr.get("width"), tr.get("height")
+                        break
+            elif raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                fmt = "avi"
+                table = avi_sample_table(raw)
+                ns = 1
+                codec = "video"
+                dur = table[-1][2] if table else None
+            else:
+                w, h = _image_dims(raw)
+                if w is not None:
+                    if raw[:3] == b"\xff\xd8\xff":
+                        fmt = "jpeg"
+                    elif raw[:4] == b"\x89PNG":
+                        fmt = "png"
+                    elif raw[:3] == b"GIF":
+                        fmt = "gif"
+                    elif raw[:2] == b"BM":
+                        fmt = "bmp"
+                    elif raw[:4] in (b"II*\x00", b"MM\x00*"):
+                        fmt = "tiff"
+                    elif raw[8:12] == b"WEBP":
+                        fmt = "webp"
+                    else:
+                        fmt = "netpbm"
+        except Exception:
+            return {"format": "unknown", "width": None, "height": None,
+                    "duration_s": None, "codec": None, "n_streams": None}
+        return {"format": fmt, "width": w, "height": h, "duration_s": dur,
+                "codec": codec, "n_streams": ns}
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                raw = bytes(r[media_col]) if r[media_col] is not None else b""
+                rows.append({"media_id": r[id_col], **one(raw)})
+            out = pd.DataFrame(
+                rows, columns=["media_id", "format", "width", "height",
+                               "duration_s", "codec", "n_streams"],
+            )
+            out["width"] = pd.array(out["width"], dtype="Int64")
+            out["height"] = pd.array(out["height"], dtype="Int64")
+            out["n_streams"] = pd.array(out["n_streams"], dtype="Int64")
+            yield out
+
+    return df.select(id_col, media_col).mapInPandas(extract, _MEDIA_INFO_SCHEMA)
+
+
 def with_media_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
     """Cheap metadata extraction without decoding: byte length and magic-number
     sniffing as native expressions. RIFF disambiguates by the form type at

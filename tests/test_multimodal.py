@@ -3063,3 +3063,52 @@ def test_hash_neardup_join_batch_vs_store(spark):
     with _pt.raises(ValueError, match="pigeonhole"):
         hash_neardup_join(batch, store, "phash", store_id_col="vec_id",
                           band_bits=16, max_distance=6)
+
+
+def test_media_info_unified(spark):
+    """One pass, every format family: dims for images, duration for audio,
+    duration+codec+dims for containers, unknown rows never throw."""
+    import struct as _st
+
+    from lantern_extras_spark.multimodal.media import media_info, ppm_encode
+
+    png_ihdr = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+        + _st.pack(">IIBBBBB", 321, 123, 8, 2, 0, 0, 0) + b"\x00" * 4
+    )
+    jpeg = (
+        b"\xff\xd8\xff\xe0" + _st.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+        + b"\xff\xc0" + _st.pack(">H", 11) + b"\x08" + _st.pack(">HH", 240, 320) + bytes(4)
+        + b"\xff\xd9"
+    )
+    wav = _wav_bytes([1000] * 8000)  # 1 s at 8 kHz
+    mp3 = _mp3_frame() * 4
+    ogg = (
+        _ogg_page(4, 0, [_vorbis_id(1, 16000)], bos=True)
+        + _ogg_page(4, 1, [b"q"], granule=8000, eos=True)
+    )
+    webm = _mkv([b"f0", b"f1"])
+    avi = _avi([b"x" * 4] * 5, rate=25)
+    rows = [
+        (1, bytearray(png_ihdr)), (2, bytearray(jpeg)),
+        (3, bytearray(ppm_encode(__import__("numpy").zeros((3, 7, 3), dtype="uint8")))),
+        (4, bytearray(wav)), (5, bytearray(mp3)), (6, bytearray(ogg)),
+        (7, bytearray(webm)), (8, bytearray(avi)),
+        (9, bytearray(b"mystery bytes")), (10, bytearray(_webp("vp8l", 9, 4))),
+        (11, bytearray(_tiff(_tiff_img(h=6, w=5)))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    got = {r["media_id"]: r for r in media_info(df).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("png", 321, 123)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("jpeg", 320, 240)
+    assert (got[3]["format"], got[3]["width"], got[3]["height"]) == ("netpbm", 7, 3)
+    assert got[4]["format"] == "wav" and abs(got[4]["duration_s"] - 1.0) < 1e-9
+    assert got[5]["format"] == "mp3" and got[5]["duration_s"] > 0
+    assert got[6]["format"] == "ogg" and got[6]["codec"] == "vorbis"
+    assert abs(got[6]["duration_s"] - 0.5) < 1e-9
+    assert got[7]["format"] == "webm" and got[7]["codec"] == "V_VP9"
+    assert (got[7]["width"], got[7]["height"], got[7]["n_streams"]) == (640, 360, 2)
+    assert got[8]["format"] == "avi" and abs(got[8]["duration_s"] - 4 / 25) < 1e-9
+    assert got[9]["format"] == "unknown" and got[9]["width"] is None
+    assert (got[10]["format"], got[10]["width"]) == ("webp", 9)
+    assert (got[11]["format"], got[11]["width"], got[11]["height"]) == ("tiff", 5, 6)
