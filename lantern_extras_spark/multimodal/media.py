@@ -1420,10 +1420,11 @@ _MEDIA_INFO_SCHEMA = (
 def media_info(df: DataFrame, media_col: str = "media", id_col: str = "media_id") -> DataFrame:
     """The unified pre-decode metadata layer: one row per media row with
     (format, width, height, duration_s, codec, n_streams) from HEADER-ONLY
-    parsing — images (png/jpeg/gif/bmp/netpbm/tiff/webp dims), audio (wav/
-    flac/g711 duration via full decode of the sample COUNT path; mp3 frame
-    walk; ogg granules), video containers (mp4 mvhd duration, mkv/webm
-    segment info + first video track dims/codec, avi vids stream). Fields a
+    parsing — images (png/jpeg/gif/bmp/netpbm/tiff/webp dims), audio (wav
+    fmt/data chunk arithmetic, flac STREAMINFO total_samples/rate, mp3
+    frame walk, ogg granules), video containers (mp4 mvhd/mdhd duration +
+    tkhd dims + stsd fourcc — never the sample table, mkv/webm segment
+    info + first video track dims/codec, avi vids stream). Fields a
     format doesn't expose are NULL; unparseable rows get format='unknown'
     and NULLs — this op exists precisely to FILTER (size/duration/codec
     screens) before any expensive decode runs, so it never throws.
@@ -1449,24 +1450,18 @@ def media_info(df: DataFrame, media_col: str = "media", id_col: str = "media_id"
                 fmt, codec, ns = "mp3", "mp3", 1
                 dur = mi["duration_s"]
             elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
-                pcm, rate, _wd = decode_wav_pcm(raw)
+                wi = wav_header_info(raw)  # fmt+data chunk arithmetic only
                 fmt, codec, ns = "wav", "pcm", 1
-                dur = len(pcm) / rate if rate else None
+                dur = wi["duration_s"]
             elif raw[:4] == b"fLaC":
-                pcm, rate, _wd = decode_flac(raw)
+                # STREAMINFO's first 34 bytes carry total_samples/rate —
+                # duration is header arithmetic, never a sample decode
+                rate, _nc, _bps, total, _pos = _flac_streaminfo(raw)
                 fmt, codec, ns = "flac", "flac", 1
-                dur = len(pcm) / rate if rate else None
+                dur = total / rate if total else None
             elif len(raw) >= 12 and raw[4:8] == b"ftyp":
                 fmt = "mp4"
-                dur = _mp4_duration(raw)
-                try:
-                    ns = 1
-                    table = mp4_sample_table(raw)
-                    codec = "video"
-                    if table and dur is None:
-                        dur = table[-1][2]
-                except ValueError:
-                    codec = None
+                dur, codec, ns, w, h = _mp4_header_meta(raw)
             elif raw[:4] == _EBML_MAGIC:
                 meta = mkv_track_info(raw)
                 fmt = "webm"
@@ -1954,6 +1949,10 @@ def _mkv_block_frames(data: bytes, b0: int, b1: int):
                     break
             sizes.append(sz)
         sizes.append(b1 - pos - sum(sizes))
+    elif count == 1:
+        # EBML lacing with lace-count byte 0: the spec omits the size vint
+        # entirely — the single frame's size is the block remainder
+        sizes = [b1 - pos]
     else:  # EBML lacing: first absolute vint, then signed-vint deltas
         first, n = _ebml_read_size(data, pos)
         pos += n
@@ -2765,22 +2764,14 @@ def _flac_subframe(bits: _FlacBits, block_size: int, bps: int) -> list[int]:
     return samples
 
 
-def decode_flac(data: bytes):
-    """Decode a native-FLAC stream with pure stdlib + numpy (r10 — Rice
-    coding, fixed + LPC predictors and stereo decorrelation are plain
-    integer code; no codec library). Returns (samples, sample_rate,
-    sample_width_bytes) exactly like `decode_wav_pcm`: `samples` is a mono
-    float64 array in native PCM units (channels mean-mixed), lossless.
-
-    Supported: the full subframe set (CONSTANT / VERBATIM / FIXED 0-4 /
-    LPC 1-32, wasted bits), both Rice methods incl. escape partitions, all
-    four channel assignments (independent / left-side / right-side /
-    mid-side), fixed and variable blocking; frame-header CRC-8 and frame
-    CRC-16 are VERIFIED. Bit-level Python — fixture/moderate-asset speed,
-    same contract as decode_jpeg. Raises ValueError on malformed input."""
+def _flac_streaminfo(data: bytes):
+    """Header-only FLAC metadata walk → (sample_rate, n_channels,
+    bits_per_sample, total_samples, first_frame_pos). STREAMINFO is the
+    mandatory first-34-byte block and already carries everything duration
+    arithmetic needs (total_samples / sample_rate) — this NEVER touches
+    frame/sample data, so `media_info` can screen an audio corpus at
+    header cost. Raises ValueError on malformed input."""
     import struct
-
-    import numpy as np
 
     if len(data) < 42 or data[:4] != b"fLaC":
         raise ValueError("not a FLAC payload")
@@ -2810,6 +2801,131 @@ def decode_flac(data: bytes):
     total_samples = si.u(36)
     if rate == 0:
         raise ValueError("bad FLAC sample rate 0")
+    return rate, n_channels, bps_def, total_samples, pos
+
+
+def wav_header_info(data: bytes) -> dict:
+    """Header-arithmetic WAV metadata — NO sample decode: walks RIFF chunks,
+    reads the fmt chunk (format tag, channels, rate, byte-rate, bits) and
+    the `data` chunk SIZE, and computes duration as data_size / byte_rate
+    (the spec's nAvgBytesPerSec, meaningful for PCM, G.711 and ADPCM alike).
+    Truncated captures clamp to the bytes actually present. Raises
+    ValueError on malformed input."""
+    import struct
+
+    data = bytes(data)
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    fmt = None
+    data_size = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if cid == b"fmt " and csize >= 16:
+            tag, ch, rate, byte_rate, block_align, bits = struct.unpack_from(
+                "<HHIIHH", data, body
+            )
+            fmt = {
+                "format_tag": tag,
+                "channels": ch,
+                "sample_rate": rate,
+                "byte_rate": byte_rate,
+                "block_align": block_align,
+                "bits_per_sample": bits,
+            }
+        elif cid == b"data":
+            # truncated capture: the declared size may exceed what's here
+            data_size = min(csize, len(data) - body)
+        pos = body + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None:
+        raise ValueError("WAV missing fmt chunk")
+    dur = (
+        data_size / fmt["byte_rate"]
+        if data_size is not None and fmt["byte_rate"]
+        else None
+    )
+    return {**fmt, "data_bytes": data_size, "duration_s": dur}
+
+
+def _mp4_header_meta(data: bytes):
+    """Header-box-only MP4 metadata → (duration_s, codec, n_streams, w, h):
+    mvhd for presentation duration (falling back to the max per-track
+    mdhd duration/timescale when mvhd is absent — still header boxes, never
+    the sample table), trak count for n_streams, the first video track's
+    stsd entry fourcc for codec and its tkhd 16.16 fixed-point width/height
+    for dims. `media_info` is the pre-decode FILTER — nothing here walks
+    stts/stsz/stco."""
+    import struct
+
+    data = bytes(data)
+    dur = _mp4_duration(data)
+    n_streams = 0
+    codec = None
+    w = h = None
+    best_mdhd = None
+    for trak0, trak1 in _mp4_find(data, 0, len(data), b"moov", b"trak"):
+        n_streams += 1
+        handler = None
+        stsd_fourcc = None
+        mdhd_dur = None
+        for btype, b0, b1 in _mp4_boxes(data, trak0, trak1):
+            if btype == b"tkhd" and w is None:
+                ver = data[b0]
+                off = b0 + (88 if ver == 1 else 76)
+                if off + 8 <= len(data):
+                    wf, hf = struct.unpack_from(">II", data, off)
+                    if wf and hf:
+                        w, h = wf >> 16, hf >> 16
+            elif btype == b"mdia":
+                for m0, m1 in ((b0, b1),):
+                    for ibt, i0, i1 in _mp4_boxes(data, m0, m1):
+                        if ibt == b"hdlr":
+                            handler = data[i0 + 8 : i0 + 12]
+                        elif ibt == b"mdhd":
+                            ver = data[i0]
+                            if ver == 1:
+                                ts, d = struct.unpack_from(">IQ", data, i0 + 20)
+                            else:
+                                ts, d = struct.unpack_from(">II", data, i0 + 12)
+                            if ts:
+                                mdhd_dur = d / ts
+                        elif ibt == b"minf":
+                            for s0, s1 in _mp4_find(data, i0, i1, b"stbl", b"stsd"):
+                                (n_entries,) = struct.unpack_from(">I", data, s0 + 4)
+                                if n_entries >= 1 and s0 + 16 <= len(data):
+                                    stsd_fourcc = data[s0 + 12 : s0 + 16].decode(
+                                        "latin-1"
+                                    )
+        if mdhd_dur is not None:
+            best_mdhd = max(best_mdhd or 0.0, mdhd_dur)
+        # prefer the video track's sample-entry fourcc; fall back to any
+        if stsd_fourcc and (codec is None or handler == b"vide"):
+            codec = stsd_fourcc
+    if dur is None:
+        dur = best_mdhd
+    return dur, codec, n_streams or None, w, h
+
+
+def decode_flac(data: bytes):
+    """Decode a native-FLAC stream with pure stdlib + numpy (r10 — Rice
+    coding, fixed + LPC predictors and stereo decorrelation are plain
+    integer code; no codec library). Returns (samples, sample_rate,
+    sample_width_bytes) exactly like `decode_wav_pcm`: `samples` is a mono
+    float64 array in native PCM units (channels mean-mixed), lossless.
+
+    Supported: the full subframe set (CONSTANT / VERBATIM / FIXED 0-4 /
+    LPC 1-32, wasted bits), both Rice methods incl. escape partitions, all
+    four channel assignments (independent / left-side / right-side /
+    mid-side), fixed and variable blocking; frame-header CRC-8 and frame
+    CRC-16 are VERIFIED. Bit-level Python — fixture/moderate-asset speed,
+    same contract as decode_jpeg. Raises ValueError on malformed input."""
+    import struct
+
+    import numpy as np
+
+    rate, n_channels, bps_def, total_samples, pos = _flac_streaminfo(bytes(data))
 
     chans = [[] for _ in range(n_channels)]
     got = 0

@@ -584,6 +584,7 @@ def hash_neardup_pairs(
     bits: int = 64,
     band_bits: int = 8,
     max_distance: int = 6,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Banded Hamming near-dup pairs over a PRECOMPUTED integer hash column —
     the generic engine behind perceptual-image dedup (`media.image_phash` →
@@ -591,7 +592,8 @@ def hash_neardup_pairs(
     `simhash_pairs`: explode `bits/band_bits` band keys, self-join on
     (band_index, band_value) — the only shuffle is on small integer band
     keys — then verify `bit_count(a XOR b) <= max_distance` in whole-stage
-    codegen and emit each (id_a < id_b) pair once.
+    codegen (BEFORE the pair `distinct`, so the dedup shuffle carries only
+    surviving pairs) and emit each (id_a < id_b) pair once.
 
     Recall guarantee is the pigeonhole bound: a pair within Hamming distance
     d shares at least one exact band when d < n_bands, so the DEFAULT
@@ -599,7 +601,17 @@ def hash_neardup_pairs(
     that bits/band_bits <= max_distance silently loses pairs — rejected
     loudly; pass `allow_partial_recall=True` semantics by raising
     max_distance awareness instead of a flag (callers wanting probabilistic
-    banding should drop band count consciously)."""
+    banding should drop band count consciously).
+
+    Degenerate-key guard: a constant hash (blank images → pHash 0, silence
+    → fingerprint 0) puts every row in the same n_bands keys and the band
+    self-join goes quadratic. `max_band_freq` caps per-(band,key) membership
+    — keys above the cap are DROPPED (the `max_df` stance `ngram_dedup`
+    takes: an over-shared band key carries no discriminating signal, and
+    pairs it alone would find still meet through their other n_bands-1
+    bands unless they are exactly the pathological constant). Costs one
+    extra shuffle-free window pass (same partitioning as the join key).
+    Default None = exact pigeonhole recall."""
     n_bands = bits // band_bits
     if bits % band_bits:
         raise ValueError(f"band_bits {band_bits} must divide bits {bits}")
@@ -625,17 +637,25 @@ def hash_neardup_pairs(
         .select("id", "h", F.explode(bands).alias("bk"))
         .select("id", "h", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
+    if max_band_freq is not None:
+        w = Window.partitionBy("band", "key")
+        keyed = (
+            keyed.withColumn("_bf", F.count(F.lit(1)).over(w))
+            .where(F.col("_bf") <= max_band_freq)
+            .drop("_bf")
+        )
     right = keyed.select(
         F.col("band"), F.col("key"), F.col("id").alias("id_b"), F.col("h").alias("h_b")
     )
     pairs = (
         keyed.join(right, ["band", "key"])
         .where(F.col("id") < F.col("id_b"))
-        .select(F.col("id").alias("id_a"), "id_b", "h", "h_b")
-        .distinct()
+        # verify BEFORE distinct: the cheap codegen hamming filter shrinks
+        # the distinct's shuffle to surviving pairs only
         .withColumn("hamming", F.bit_count(F.col("h").bitwiseXOR(F.col("h_b"))))
         .where(F.col("hamming") <= max_distance)
-        .select("id_a", "id_b", "hamming")
+        .select(F.col("id").alias("id_a"), "id_b", "hamming")
+        .distinct()
     )
     return pairs
 
@@ -649,6 +669,8 @@ def hash_neardup_join(
     bits: int = 64,
     band_bits: int = 8,
     max_distance: int = 6,
+    exclude_self: bool = False,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Cross-frame banded Hamming join: match an ARRIVING batch of hashes
     (image pHash / audio fingerprint / any fixed-width signature) against a
@@ -662,7 +684,16 @@ def hash_neardup_join(
     enforced fail-loud). Returns (batch_id, store_id, hamming); within-batch
     duplicates are NOT emitted (run `hash_neardup_pairs` on the batch for
     those — keeping the two concerns separate lets the store join stay
-    storage-pruned)."""
+    storage-pruned).
+
+    Re-ingest caveat: when the same id appears in both batch and store (a
+    shard replayed into a corpus that already holds it), the default output
+    INCLUDES the (batch_id == store_id, hamming=0) self-match — a caller
+    that drops matched batch rows would then discard originals. Pass
+    `exclude_self=True` to filter those out (only meaningful when batch and
+    store share an id space). `max_band_freq` caps per-(band,key) membership
+    on BOTH sides — the degenerate constant-hash guard, same semantics as
+    `hash_neardup_pairs`."""
     n_bands = bits // band_bits
     if bits % band_bits:
         raise ValueError(f"band_bits {band_bits} must divide bits {bits}")
@@ -693,16 +724,30 @@ def hash_neardup_join(
             .select(ida, ha, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
         )
 
-    b = keyed(batch, id_col, "batch_id", "h_a")
-    s = keyed(store, store_id_col, "store_id", "h_b")
-    return (
+    def cap(df: DataFrame) -> DataFrame:
+        if max_band_freq is None:
+            return df
+        w = Window.partitionBy("band", "key")
+        return (
+            df.withColumn("_bf", F.count(F.lit(1)).over(w))
+            .where(F.col("_bf") <= max_band_freq)
+            .drop("_bf")
+        )
+
+    b = cap(keyed(batch, id_col, "batch_id", "h_a"))
+    s = cap(keyed(store, store_id_col, "store_id", "h_b"))
+    out = (
         b.join(s, ["band", "key"])
-        .select("batch_id", "store_id", "h_a", "h_b")
-        .distinct()
+        # verify BEFORE distinct: hamming is codegen-cheap; the distinct's
+        # shuffle then carries only surviving pairs
         .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .where(F.col("hamming") <= max_distance)
         .select("batch_id", "store_id", "hamming")
+        .distinct()
     )
+    if exclude_self:
+        out = out.where(F.col("batch_id") != F.col("store_id"))
+    return out
 
 
 def simhash_col(c: Column | str, bits: int = 32) -> Column:

@@ -107,11 +107,21 @@ def parse_pdf_text(data: bytes) -> str:
         if end < 0:
             break
         pos = end + 9
-        body = data[start:end].rstrip(b"\r\n")
+        raw = data[start:end]
+        # only ONE EOL belongs to the stream/endstream framing — a blanket
+        # rstrip can eat real trailing 0x0D/0x0A bytes of a Flate stream
+        body = raw
+        if body.endswith(b"\r\n"):
+            body = body[:-2]
+        elif body[-1:] in (b"\n", b"\r"):
+            body = body[:-1]
         try:
             body = zlib.decompress(body)
         except zlib.error:
-            pass  # uncompressed stream, or a non-Flate filter (skipped below)
+            try:
+                body = zlib.decompress(raw)  # EOL bytes were stream data
+            except zlib.error:
+                pass  # uncompressed stream, or a non-Flate filter (skipped below)
         if b"BT" not in body or (b"Tj" not in body and b"TJ" not in body and b"'" not in body):
             continue
         buf: list[str] = []

@@ -22,17 +22,26 @@ concatenated. That convention exists exactly so archives can be processed
 record-at-a-time; stdlib zlib handles it via `decompressobj.unused_data`
 (no external codec).
 
-Spark design — same stance as `sources/vecs.py`: files arrive through the
-`binaryFile` source, ONE TASK PER FILE. Gzip members are not splittable
-without an external index, and a crawl ships as tens of thousands of ~1 GB
-files (Common Crawl: ~64k WARCs per monthly crawl), so across-file
-parallelism saturates any cluster while each task stream-parses its own blob.
-Filters on `warc_type` happen inside the parser (rows never materialized),
-and the projected columns are the only ones built — the Python-side
-equivalent of pushdown for a non-columnar source. For 100 TB: point
-`read_warc` at the crawl prefix, let binaryFile list; `maxPartitionBytes`
-is irrelevant (whole-file tasks) — size executors for one decompressed
-record batch, not the whole file, because parsing is streaming.
+Spark design — same stance as `sources/vecs.py`: ONE TASK PER FILE. Gzip
+members are not splittable without an external index, and a crawl ships as
+tens of thousands of ~1 GB files (Common Crawl: ~64k WARCs per monthly
+crawl), so across-file parallelism saturates any cluster while each task
+stream-parses its own file. Filters on `warc_type` happen inside the parser
+(rows never materialized), and the projected columns are the only ones
+built — the Python-side equivalent of pushdown for a non-columnar source.
+
+Parsing IS streaming, end to end: `_iter_decompressed` gunzips member-at-a-
+time via `zlib.decompressobj` (never the whole archive), `iter_warc_records`
+frames records out of a compacting bytearray (peak = one record + chunk
+slack), and `read_warc` flushes pandas batches every `batch_bytes` of body
+payload. For locally-readable paths (file:) the task opens the file itself
+and never materializes even the COMPRESSED blob — binaryFile is used only to
+LIST (column-pruned to `path`); peak memory per task is one record batch.
+For object-store schemes (s3a:, hdfs:) the compressed blob arrives as one
+binaryFile row (~1 GB) but decompression/parsing stays incremental, so peak
+is compressed-blob + one batch, not the ~10 GB of a materialize-everything
+design. For 100 TB: point `read_warc` at the crawl prefix; size executors
+for one record batch (`batch_bytes`, default 64 MB), not the file.
 
 No counterpart in the reference (it ingests from Postgres tables); this is
 part of the beyond-reference training-pipeline surface (SURVEY.md §2.8).
@@ -58,28 +67,74 @@ from pyspark.sql.types import (
 _CRLF = b"\r\n"
 
 
+def _iter_decompressed(chunks: Iterator[bytes]) -> Iterator[bytes]:
+    """Incrementally decompress a (possibly member-gzipped) byte stream.
+
+    Takes an iterator of raw byte chunks (from disk reads or a single
+    in-memory blob) and yields decompressed chunks as they become available
+    — the whole decompressed archive NEVER exists in memory at once. Member
+    boundaries (the .warc.gz record-per-member convention) are crossed via
+    `decompressobj.unused_data`; a member magic split across chunk reads is
+    handled by carrying the partial prefix forward. Plain (non-gzip) input
+    passes through untouched. Fail-loud on truncated members and non-gzip
+    trailing garbage: silently dropped bytes would mean silently dropped
+    crawl records."""
+    it = iter(chunks)
+    d = None  # active decompressor; None between members
+    carry = b""  # unconsumed bytes awaiting a new member's magic check
+    sniffed = False
+    while True:
+        data = carry
+        carry = b""
+        if not data:
+            nxt = next(it, None)
+            if nxt is None:
+                break
+            if not nxt:
+                continue
+            data = nxt
+        if not sniffed:
+            while len(data) < 2:  # need 2 bytes to sniff the gzip magic
+                nxt = next(it, None)
+                if nxt is None:
+                    break
+                data += nxt
+            sniffed = True
+            if not data.startswith(b"\x1f\x8b"):
+                if data:
+                    yield bytes(data)
+                for c in it:
+                    if c:
+                        yield c
+                return
+        if d is None:
+            while len(data) < 2:  # member magic may straddle a chunk read
+                nxt = next(it, None)
+                if nxt is None:
+                    raise ValueError("truncated gzip member in WARC blob")
+                data += nxt
+            if not data.startswith(b"\x1f\x8b"):
+                raise ValueError("trailing non-gzip bytes after WARC gzip member")
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            out = d.decompress(data)
+        except zlib.error as e:
+            raise ValueError(f"bad gzip member in WARC blob: {e}") from e
+        if out:
+            yield out
+        if d.eof:
+            carry = d.unused_data
+            d = None
+    if d is not None:
+        raise ValueError("truncated gzip member in WARC blob")
+
+
 def _gunzip_members(blob: bytes) -> bytes:
     """Decompress a (possibly multi-member) gzip blob with stdlib zlib.
 
-    gzip.decompress already concatenates members, but going through
-    decompressobj keeps the fail-loud trailing-garbage check explicit:
-    unused_data that is not another gzip member is an error, not silently
-    dropped bytes."""
-    out = io.BytesIO()
-    rest = blob
-    while rest:
-        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        try:
-            out.write(d.decompress(rest))
-            out.write(d.flush())
-        except zlib.error as e:
-            raise ValueError(f"bad gzip member in WARC blob: {e}") from e
-        if not d.eof:
-            raise ValueError("truncated gzip member in WARC blob")
-        rest = d.unused_data
-        if rest and not rest.startswith(b"\x1f\x8b"):
-            raise ValueError("trailing non-gzip bytes after WARC gzip member")
-    return out.getvalue()
+    Whole-blob convenience over `_iter_decompressed` — used only for small
+    payloads (HTTP body content-encoding) and tests, never for archives."""
+    return b"".join(_iter_decompressed(iter([blob])))
 
 
 def _parse_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
@@ -116,7 +171,14 @@ def _parse_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
         elif k == "content-encoding":
             cenc = v.lower()
     if chunked:
-        body = _dechunk(body)
+        # fail-soft like the content-encoding branches below: Common Crawl
+        # routinely truncates payloads (WARC-Truncated), so a chunked body
+        # cut mid-chunk is normal data — keep the raw wire bytes rather than
+        # killing a ~1 GB archive task over one capture
+        try:
+            body = _dechunk(body)
+        except ValueError:
+            pass
     # wire compression: captures store the body as sent. gzip/deflate are
     # zlib-decodable here; anything else (br, zstd) is left as-is — the
     # caller sees compressed bytes rather than a silently-dropped record
@@ -163,80 +225,123 @@ def _dechunk(body: bytes) -> bytes:
         off += 2
 
 
-def parse_warc_bytes(
-    blob: bytes,
+def _parse_warc_headers(raw: bytes) -> dict[str, str]:
+    """Parse the WARC named-field block. WARC 1.0 permits folded
+    continuation lines (leading SP/TAB joins the previous field's value);
+    anything else without a colon is malformed framing — fail loud."""
+    headers: dict[str, str] = {}
+    last_key: str | None = None
+    for ln in raw.split(_CRLF):
+        if not ln:
+            continue
+        if ln[:1] in (b" ", b"\t"):
+            if last_key is None:
+                raise ValueError(f"WARC continuation line before any header: {ln!r}")
+            headers[last_key] += " " + ln.strip().decode("latin-1", "replace")
+            continue
+        if b":" not in ln:
+            raise ValueError(f"WARC header without colon: {ln!r}")
+        k, v = ln.split(b":", 1)
+        last_key = k.strip().decode("latin-1").lower()
+        headers[last_key] = v.strip().decode("latin-1", "replace")
+    return headers
+
+
+def iter_warc_records(
+    chunks: Iterator[bytes],
     types: tuple[str, ...] | None = None,
     max_records: int | None = None,
-) -> list[dict]:
-    """Parse one WARC file's bytes into record dicts.
+) -> Iterator[dict]:
+    """Stream-parse WARC records from an iterator of raw byte chunks.
 
-    Gzip (single- or member-compressed) is auto-detected by magic. Each dict:
-    `record_id, warc_type, target_uri, warc_date, content_type,
-    content_length, http_status, http_content_type, body` (body = HTTP body
-    for response records, raw payload otherwise). `types` filters records
-    BEFORE any payload work (cheap skip via Content-Length). Malformed
-    framing is a ValueError — a crawl file that parses wrong should fail the
-    task, not emit silently-truncated documents."""
-    if blob[:2] == b"\x1f\x8b":
-        blob = _gunzip_members(blob)
+    The 100 TB kernel: gzip (single- or member-compressed, auto-detected by
+    magic) is decompressed incrementally, records are framed out of a
+    compacting buffer, and each record dict is yielded as soon as its
+    payload is complete — peak memory is ONE record plus chunk slack, never
+    the archive. Each dict: `record_id, warc_type, target_uri, warc_date,
+    content_type, content_length, http_status, http_content_type, body`
+    (body = HTTP body for response records, raw payload otherwise). `types`
+    filters records before any payload decode work. Malformed WARC framing
+    is a ValueError — a crawl file that frames wrong should fail the task,
+    not emit silently-truncated documents (payload-level damage inside a
+    well-framed record fails soft instead; see `_parse_http_payload`)."""
     want = None if types is None else {t.lower() for t in types}
-    out: list[dict] = []
-    off = 0
-    n = len(blob)
-    while off < n:
+    src = _iter_decompressed(chunks)
+    buf = bytearray()
+    done = False
+    emitted = 0
+
+    def fill(need: int) -> bool:
+        # grow buf to >= need bytes; False when the stream ends first
+        nonlocal done
+        while not done and len(buf) < need:
+            nxt = next(src, None)
+            if nxt is None:
+                done = True
+            else:
+                buf.extend(nxt)
+        return len(buf) >= need
+
+    while max_records is None or emitted < max_records:
         # tolerate inter-record padding (spec: two CRLFs; be lenient)
-        while off < n and blob[off : off + 1] in (b"\r", b"\n"):
-            off += 1
-        if off >= n:
-            break
-        ver_end = blob.find(_CRLF, off)
-        if ver_end < 0 or not blob[off:ver_end].startswith(b"WARC/"):
-            raise ValueError(f"expected WARC/x.y version line at byte {off}")
-        hdr_end = blob.find(b"\r\n\r\n", ver_end)
-        if hdr_end < 0:
-            raise ValueError("WARC record: unterminated header block")
-        headers: dict[str, str] = {}
-        for ln in blob[ver_end + 2 : hdr_end].split(_CRLF):
-            if b":" not in ln:
-                raise ValueError(f"WARC header without colon: {ln!r}")
-            k, v = ln.split(b":", 1)
-            headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
-                "latin-1", "replace"
-            )
+        pos = 0
+        while True:
+            if pos >= len(buf) and not fill(pos + 1):
+                return  # clean EOF at a record boundary
+            if buf[pos] in (0x0D, 0x0A):
+                pos += 1
+            else:
+                break
+        del buf[:pos]
+        while True:  # find the header terminator, reading as needed
+            hdr_end = buf.find(b"\r\n\r\n")
+            if hdr_end >= 0:
+                break
+            if not fill(len(buf) + 1):
+                raise ValueError("WARC record: unterminated header block")
+        ver_end = buf.find(_CRLF)
+        if not bytes(buf[:ver_end]).startswith(b"WARC/"):
+            raise ValueError("expected WARC/x.y version line at record start")
+        headers = _parse_warc_headers(bytes(buf[ver_end + 2 : hdr_end]))
         try:
             clen = int(headers["content-length"])
         except (KeyError, ValueError) as e:
             raise ValueError("WARC record missing/invalid Content-Length") from e
         payload_start = hdr_end + 4
-        if payload_start + clen > n:
+        if not fill(payload_start + clen):
             raise ValueError("WARC record payload extends past end of file")
         wtype = headers.get("warc-type", "").lower()
-        off = payload_start + clen
-        if (want is None or wtype in want) and (
-            max_records is None or len(out) < max_records
-        ):
-            payload = blob[payload_start : payload_start + clen]
+        if want is None or wtype in want:
+            payload = bytes(buf[payload_start : payload_start + clen])
             status, http_ctype, body = (
                 _parse_http_payload(payload)
                 if wtype == "response"
                 else (None, None, payload)
             )
-            out.append(
-                {
-                    "record_id": headers.get("warc-record-id"),
-                    "warc_type": wtype,
-                    "target_uri": headers.get("warc-target-uri"),
-                    "warc_date": headers.get("warc-date"),
-                    "content_type": headers.get("content-type"),
-                    "content_length": clen,
-                    "http_status": status,
-                    "http_content_type": http_ctype,
-                    "body": bytes(body),
-                }
-            )
-        if max_records is not None and len(out) >= max_records:
-            break
-    return out
+            yield {
+                "record_id": headers.get("warc-record-id"),
+                "warc_type": wtype,
+                "target_uri": headers.get("warc-target-uri"),
+                "warc_date": headers.get("warc-date"),
+                "content_type": headers.get("content-type"),
+                "content_length": clen,
+                "http_status": status,
+                "http_content_type": http_ctype,
+                "body": bytes(body),
+            }
+            emitted += 1
+        del buf[: payload_start + clen]  # compact: memory stays one-record-deep
+
+
+def parse_warc_bytes(
+    blob: bytes,
+    types: tuple[str, ...] | None = None,
+    max_records: int | None = None,
+) -> list[dict]:
+    """Whole-blob convenience over `iter_warc_records` (tests, small files).
+    The Spark readers use the iterator directly — never call this on a
+    full-size archive; the list IS the materialization it avoids."""
+    return list(iter_warc_records(iter([blob]), types=types, max_records=max_records))
 
 
 _WARC_SCHEMA = StructType(
@@ -255,30 +360,90 @@ _WARC_SCHEMA = StructType(
 )
 
 
-def read_warc(
-    spark: SparkSession,
-    path: str,
-    types: tuple[str, ...] = ("response",),
-    max_records_per_file: int | None = None,
-) -> DataFrame:
-    """Read WARC file(s) (plain or .gz) into records — one task per file
-    (binaryFile; gzip members are not splittable, crawls are many-file).
-    Default keeps only `response` records, the training-data payload; pass
-    `types=None` for everything (warcinfo/request/metadata/...)."""
-    binary = spark.read.format("binaryFile").load(path)
+_READ_CHUNK = 4 << 20  # 4 MB disk reads: large enough to amortize syscalls
+
+
+def _local_fs_path(uri: str) -> str | None:
+    """file:-scheme (or bare) URI → filesystem path; None for object stores."""
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(uri)
+    if u.scheme in ("", "file"):
+        return unquote(u.path) or uri
+    return None
+
+
+def _file_chunks(fspath: str) -> Iterator[bytes]:
+    with open(fspath, "rb") as f:
+        while True:
+            b = f.read(_READ_CHUNK)
+            if not b:
+                return
+            yield b
+
+
+def _warc_parse_fn(
+    types: tuple[str, ...] | None,
+    max_records_per_file: int | None,
+    batch_bytes: int,
+):
+    """Shared mapInPandas kernel for batch + streaming readers: per input
+    file, stream records via `iter_warc_records` and flush a pandas frame
+    every `batch_bytes` of body payload — peak task memory is one batch (plus
+    the compressed blob only when the file isn't locally readable)."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, row in pdf.iterrows():
-                recs = parse_warc_bytes(
-                    bytes(row["content"]), types=types, max_records=max_records_per_file
+                fspath = _local_fs_path(row["path"])
+                chunks = (
+                    _file_chunks(fspath)
+                    if fspath is not None
+                    else iter([bytes(row["content"])])
                 )
+                recs: list[dict] = []
+                size = 0
+                for rec in iter_warc_records(
+                    chunks, types=types, max_records=max_records_per_file
+                ):
+                    recs.append(rec)
+                    size += len(rec["body"]) + 256
+                    if size >= batch_bytes:
+                        out = pd.DataFrame(recs)
+                        out.insert(0, "path", row["path"])
+                        yield out
+                        recs, size = [], 0
                 if recs:
                     out = pd.DataFrame(recs)
                     out.insert(0, "path", row["path"])
                     yield out
 
-    return binary.select("path", "content").mapInPandas(parse, _WARC_SCHEMA)
+    return parse
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    types: tuple[str, ...] = ("response",),
+    max_records_per_file: int | None = None,
+    batch_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Read WARC file(s) (plain or .gz) into records — one task per file
+    (gzip members are not splittable, crawls are many-file). Default keeps
+    only `response` records, the training-data payload; pass `types=None`
+    for everything (warcinfo/request/metadata/...).
+
+    Memory contract: records stream out in ≤`batch_bytes` pandas batches.
+    For file:-scheme paths the task opens the file itself, so binaryFile is
+    column-pruned to `path` only and not even the compressed blob is
+    materialized; for object-store schemes the compressed blob is the one
+    whole-file allocation (binaryFile row) — decompression and parsing stay
+    incremental either way."""
+    local = _local_fs_path(path) is not None
+    cols = ["path"] if local else ["path", "content"]
+    binary = spark.read.format("binaryFile").load(path).select(*cols)
+    parse = _warc_parse_fn(types, max_records_per_file, batch_bytes)
+    return binary.mapInPandas(parse, _WARC_SCHEMA)
 
 
 def read_wet(spark: SparkSession, path: str) -> DataFrame:
@@ -403,17 +568,10 @@ def read_warc_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     binary = reader.load(path)
-
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                recs = parse_warc_bytes(bytes(row["content"]), types=types)
-                if recs:
-                    out = pd.DataFrame(recs)
-                    out.insert(0, "path", row["path"])
-                    yield out
-
-    return binary.select("path", "content").mapInPandas(parse, _WARC_SCHEMA)
+    local = _local_fs_path(path) is not None
+    cols = ["path"] if local else ["path", "content"]
+    parse = _warc_parse_fn(types, None, 64 << 20)
+    return binary.select(*cols).mapInPandas(parse, _WARC_SCHEMA)
 
 
 def write_warc(

@@ -2413,6 +2413,8 @@ def _mkv(frames, lacing=0, timestamp_scale=1_000_000, with_audio=True,
             for p in payloads[:-1]:
                 q, r = divmod(len(p), 255)
                 body += b"\xff" * q + bytes([r])
+        elif lac == 3 and len(payloads) == 1:
+            pass  # spec: count==1 omits the size vint (frame size implicit)
         elif lac == 3:  # EBML: absolute first, signed deltas
             first = len(payloads[0])
             body += ((1 << 14) | first).to_bytes(2, "big")
@@ -2472,6 +2474,18 @@ def test_mkv_lacing_modes(lacing):
     assert [data[o : o + s] for o, s, _ in table] == frames
     # all frames in one laced block share the block timestamp
     assert len({t for _, _, t in table}) == 1
+
+
+@pytest.mark.parametrize("lacing", [1, 2, 3])
+def test_mkv_lacing_single_frame(lacing):
+    """Lace count byte 0 (one frame) is spec-legal — EBML lacing then omits
+    the size vint entirely (the frame size is the block remainder)."""
+    from lantern_extras_spark.multimodal.media import mkv_sample_table
+
+    frames = [b"only-frame" * 9]
+    data = _mkv(frames, lacing=lacing)
+    table = mkv_sample_table(data)
+    assert [data[o : o + s] for o, s, _ in table] == frames
 
 
 def test_mkv_malformed_rejection():
@@ -2776,6 +2790,39 @@ def test_hash_neardup_pairs_matches_bruteforce(spark):
         hash_neardup_pairs(df, "phash", band_bits=16, max_distance=6)
     with pytest.raises(ValueError, match="divide"):
         hash_neardup_pairs(df, "phash", band_bits=7)
+    # a generous band-frequency cap changes nothing (no key is that hot)
+    capped = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hash_neardup_pairs(
+            df, "phash", max_distance=6, max_band_freq=100
+        ).collect()
+    }
+    assert capped == want
+
+
+def test_hash_neardup_band_freq_cap_degenerate(spark):
+    """The constant-hash pathology: N blank images → pHash 0 → every row in
+    the same 8 band keys → N² candidates. max_band_freq drops the over-
+    shared keys (fail-soft), while distinct hashes keep matching normally."""
+    from lantern_extras_spark.operators.dedup import hash_neardup_pairs
+
+    rows = [(i, 0) for i in range(50)]  # degenerate: all-zero hash
+    # near-dup pair (hamming 2) whose NONZERO bands (4, 5) are private keys
+    # — its zero bands are flooded by the block and get dropped, but the
+    # pair still meets through the private ones
+    h1 = (0xABCD << 32) | 1
+    rows += [(100, h1), (101, h1 ^ 3)]
+    df = spark.createDataFrame(rows, "media_id long, phash long")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in hash_neardup_pairs(
+            df, "phash", max_distance=6, max_band_freq=10
+        ).collect()
+    }
+    assert got == {(100, 101)}
+    # and without the cap, the block floods the output quadratically
+    uncapped = hash_neardup_pairs(df, "phash", max_distance=6).count()
+    assert uncapped == (50 * 49) // 2 + 1
 
 
 def test_image_neardup_end_to_end(spark):
@@ -3058,6 +3105,26 @@ def test_hash_neardup_join_batch_vs_store(spark):
             want.add((bi, sv, d))
     assert got == want and want
     assert not any(b == 999 for b, _, _ in got)
+    # re-ingest: same id in batch AND store → self-match included by
+    # default, excluded with exclude_self=True
+    re_batch = spark.createDataFrame(
+        [(5, signed(store_h[5]))], "media_id long, phash long"
+    )
+    with_self = {
+        (r["batch_id"], r["store_id"])
+        for r in hash_neardup_join(
+            re_batch, store, "phash", store_id_col="vec_id", max_distance=6
+        ).collect()
+    }
+    assert (5, 5) in with_self
+    no_self = {
+        (r["batch_id"], r["store_id"])
+        for r in hash_neardup_join(
+            re_batch, store, "phash", store_id_col="vec_id", max_distance=6,
+            exclude_self=True,
+        ).collect()
+    }
+    assert (5, 5) not in no_self and no_self == with_self - {(5, 5)}
     import pytest as _pt
 
     with _pt.raises(ValueError, match="pigeonhole"):
@@ -3097,6 +3164,25 @@ def test_media_info_unified(spark):
         (9, bytearray(b"mystery bytes")), (10, bytearray(_webp("vp8l", 9, 4))),
         (11, bytearray(_tiff(_tiff_img(h=6, w=5)))),
     ]
+    # header-only pins: duration must come from header arithmetic, never a
+    # sample decode — so garbage/undecodable sample data with valid headers
+    # still yields the right duration
+    si = _FlacWriter()
+    si.u(4096, 16); si.u(4096, 16); si.u(0, 24); si.u(0, 24)
+    si.u(8000, 20); si.u(0, 3); si.u(15, 5); si.u(16000, 36)  # 2 s @ 8 kHz
+    flac_garbage = (
+        b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+        + si.bytes() + b"\x00" * 16 + b"\xde\xad" * 100  # frames are garbage
+    )
+    wav_mp3tag = (  # format tag 0x55 (MP3-in-WAV): decode_wav_pcm REJECTS it
+        b"RIFF" + (36 + 32000).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + _st.pack("<HHIIHH", 0x55, 2, 44100, 16000, 1, 0)
+        + b"data" + (32000).to_bytes(4, "little") + b"\x00" * 32000  # 2 s
+    )
+    mp4 = _mp4([b"aa", b"bb"])  # no mvhd: mdhd fallback, 2×100/1000 s
+    rows += [(12, bytearray(flac_garbage)), (13, bytearray(wav_mp3tag)),
+             (14, bytearray(mp4))]
     df = spark.createDataFrame(rows, "media_id long, media binary")
     got = {r["media_id"]: r for r in media_info(df).collect()}
     assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("png", 321, 123)
@@ -3112,3 +3198,54 @@ def test_media_info_unified(spark):
     assert got[9]["format"] == "unknown" and got[9]["width"] is None
     assert (got[10]["format"], got[10]["width"]) == ("webp", 9)
     assert (got[11]["format"], got[11]["width"], got[11]["height"]) == ("tiff", 5, 6)
+    assert got[12]["format"] == "flac" and abs(got[12]["duration_s"] - 2.0) < 1e-9
+    assert got[13]["format"] == "wav" and abs(got[13]["duration_s"] - 2.0) < 1e-9
+    assert got[14]["format"] == "mp4" and abs(got[14]["duration_s"] - 0.2) < 1e-9
+    assert got[14]["n_streams"] == 1
+
+
+def test_media_info_audio_duration_parity(spark):
+    """Header-arithmetic durations must agree with the DECODED ground truth
+    across every audio family — the honesty check for the r11 header-only
+    media_info rewrite (wav fmt/data arithmetic, flac STREAMINFO)."""
+    import math
+    import struct
+
+    from lantern_extras_spark.multimodal.media import decode_wav_pcm, media_info
+
+    rate = 8000
+    samples = [int(9000 * math.sin(i / 7.0)) for i in range(3 * rate)]  # 3 s
+
+    fixtures = {}
+    fixtures[1] = _wav_bytes(samples, width=2, rate=rate)  # PCM16
+    fixtures[2] = _wav_bytes([s >> 8 for s in samples], width=1, rate=rate)  # PCM8
+    fixtures[3] = _wav_raw(7, bytes(_ulaw_encode(s) for s in samples), rate=rate)
+    fixtures[4] = _wav_raw(6, bytes(_alaw_encode(s) for s in samples), rate=rate)
+    # IMA ADPCM with an HONEST nAvgBytesPerSec (rate*block_align/samples_per_block)
+    n_block = 33
+    blocks, idx = [], 0
+    for i in range(0, len(samples) - len(samples) % n_block, n_block):
+        blk, idx = _ima_encode_mono(samples[i : i + n_block], idx0=idx)
+        blocks.append(blk)
+    payload = b"".join(blocks)
+    block_align = 20
+    byte_rate = round(rate * block_align / n_block)
+    fmt = struct.pack("<HHIIHH", 0x11, 1, rate, byte_rate, block_align, 4)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    fixtures[5] = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    fixtures[6] = _flac([samples], rate=rate, kind="verbatim")
+
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in fixtures.items()],
+        "media_id long, media binary",
+    )
+    got = {r["media_id"]: r["duration_s"] for r in media_info(df).collect()}
+    for k, blob in fixtures.items():
+        pcm, drate, _ = decode_wav_pcm(blob) if k != 6 else __import__(
+            "lantern_extras_spark.multimodal.media", fromlist=["decode_flac"]
+        ).decode_flac(blob)
+        truth = len(pcm) / drate
+        # exact for PCM/G.711/FLAC; ADPCM's byte_rate is rounded to int Hz
+        tol = 1e-9 if k != 5 else truth * 0.002
+        assert abs(got[k] - truth) <= tol, f"fixture {k}: {got[k]} vs {truth}"

@@ -58,6 +58,42 @@ def test_parse_pdf_cid_garbage_dropped():
     assert "Hello PDF world" in P.parse_pdf_text(_pdf([cid, CS1]))
 
 
+def test_parse_pdf_flate_trailing_eol_bytes():
+    """Flate streams whose COMPRESSED bytes end in 0x0A/0x0D: only one EOL
+    belongs to the stream/endstream framing — a blanket rstrip destroys the
+    stream tail and silently drops its text."""
+    import random
+
+    rng = random.Random(0)
+
+    def content_with_tail(last):
+        # seeded search for string content whose COMPRESSED bytes end in
+        # the target EOL byte(s) — found within ~100 tries in practice
+        for _ in range(50_000):
+            junk = bytes(rng.randrange(32, 127) for _ in range(rng.randrange(4, 24)))
+            junk = junk.replace(b"(", b"x").replace(b")", b"y").replace(b"\\", b"z")
+            cs = b"BT (EOL survivor " + junk + b") Tj ET"
+            if zlib.compress(cs).endswith(last):
+                return cs
+        pytest.fail(f"no content produced a compressed tail {last!r}")
+
+    for last in (b"\n", b"\r", b"\r\n"):
+        cs = content_with_tail(last)
+        # normal framing (one EOL before endstream): strip exactly it
+        assert "EOL survivor" in P.parse_pdf_text(_pdf([cs]))
+        # lenient framing (no EOL before endstream): the trailing byte IS
+        # stream data — the retry-with-unstripped-body path must recover it
+        body = zlib.compress(cs)
+        raw = (
+            b"%PDF-1.4\n1 0 obj\n<< /Length "
+            + str(len(body)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n"
+            + body
+            + b"endstream\nendobj\n%%EOF\n"
+        )
+        assert "EOL survivor" in P.parse_pdf_text(raw)
+
+
 def test_parse_pdf_failures():
     with pytest.raises(ValueError, match="PDF"):
         P.parse_pdf_text(b"not a pdf")

@@ -98,10 +98,53 @@ def test_malformed_rejection():
     good = gzip.compress(b"WARC/1.0\r\nWARC-Type: x\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
     with pytest.raises(ValueError, match="gzip"):
         W.parse_warc_bytes(good[:-4])
-    # bad chunk framing must raise, not emit a truncated body
-    bad = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZ\r\nxx\r\n"
+    # bad chunk framing: _dechunk itself raises, but the payload parser
+    # fails SOFT (keeps the raw wire body) — truncated chunked captures are
+    # normal Common Crawl data (WARC-Truncated), not corruption, and must
+    # not kill a ~1 GB archive task
     with pytest.raises(ValueError, match="chunk"):
-        W._parse_http_payload(bad)
+        W._dechunk(b"ZZ\r\nxx\r\n")
+    bad = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZ\r\nxx\r\n"
+    status, _, body = W._parse_http_payload(bad)
+    assert status == 200 and body == b"ZZ\r\nxx\r\n"
+    # truncated mid-chunk (the WARC-Truncated shape): raw body preserved
+    trunc = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nff\r\nonly-a-few-bytes"
+    status, _, body = W._parse_http_payload(trunc)
+    assert status == 200 and body == b"ff\r\nonly-a-few-bytes"
+
+
+def test_folded_header_continuation():
+    # WARC 1.0 permits folded header lines (leading SP/TAB continues the
+    # previous field) — spec-legal records must parse, not kill the file
+    blob = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: https://example.com/a\r\n"
+        b"\tvery/long/path\r\n"
+        b"Content-Length: 0\r\n"
+        b"\r\n\r\n\r\n"
+    )
+    (rec,) = W.parse_warc_bytes(blob, types=None)
+    assert rec["target_uri"] == "https://example.com/a very/long/path"
+    # a continuation with no preceding header is still malformed framing
+    with pytest.raises(ValueError, match="continuation"):
+        W.parse_warc_bytes(
+            b"WARC/1.0\r\n  orphan\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+        )
+
+
+def test_streaming_iter_matches_whole_blob(tmp_path):
+    # iter_warc_records over tiny disk chunks ≡ whole-blob parse — the
+    # streaming kernel must not depend on chunk framing (gzip member magic
+    # split across reads, headers straddling chunk boundaries, ...)
+    p = str(tmp_path / "s.warc.gz")
+    W.write_warc(p, RECORDS * 7)
+    blob = open(p, "rb").read()
+    whole = W.parse_warc_bytes(blob, types=None)
+    for chunk in (1, 2, 3, 17, 64):
+        chunks = (blob[i : i + chunk] for i in range(0, len(blob), chunk))
+        got = list(W.iter_warc_records(chunks, types=None))
+        assert got == whole, f"chunk size {chunk} diverged"
 
 
 def test_read_warc_spark_end_to_end(spark, tmp_path):
@@ -320,3 +363,38 @@ def test_http_content_encoding_decompression():
         % (len(http), http)
     )
     assert recs[0]["body"] == html
+
+
+def test_iter_warc_records_bounded_memory():
+    """The 100 TB pin: stream-parsing a multi-hundred-MB (decompressed)
+    archive must hold only ~one record in memory — never the archive. The
+    generator feeds compressed members lazily, so any peak above a few
+    records means the parser materialized something it shouldn't."""
+    import gzip
+    import tracemalloc
+
+    body = bytes(1 << 20)  # 1 MiB body per record
+    n_records = 200  # 200 MiB decompressed total
+
+    def members():
+        for i in range(n_records):
+            payload = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body
+            )
+            head = (
+                b"WARC/1.0\r\nWARC-Type: response\r\n"
+                + b"WARC-Record-ID: <urn:uuid:rec-%d>\r\n" % i
+                + b"Content-Length: %d\r\n\r\n" % len(payload)
+            )
+            yield gzip.compress(head + payload + b"\r\n\r\n", compresslevel=1)
+
+    tracemalloc.start()
+    seen = 0
+    for rec in W.iter_warc_records(members()):
+        assert len(rec["body"]) == len(body)
+        seen += 1
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert seen == n_records
+    # one-record scale (record + buffer slack), far below the 200 MiB archive
+    assert peak < 32 * (1 << 20), f"peak {peak / 1e6:.1f} MB — not streaming"
