@@ -534,6 +534,25 @@ def q_hash_banded_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hash_banded_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Certifies the CROSS-FRAME banded-Hamming join (dedup.hash_neardup_join
+    — the batch-vs-store incremental media-dedup engine) against the
+    declarative oracle, including the r11 `exclude_self` re-ingest filter:
+    the store holds docs 0-149's SimHash, the arriving batch docs 140-299
+    (the 140-149 overlap models a replayed shard — its exact self-matches
+    must be excluded, its genuine cross-id matches kept). DuckDB replays
+    band extraction, the banded batch×store join, popcount(xor) verify, and
+    the self-match exclusion."""
+    docs = _t(spark, sf, "documents")
+    sigs = D.simhash(docs)
+    store = sigs.where(F.col("doc_id") < 150)
+    batch = sigs.where((F.col("doc_id") >= 140) & (F.col("doc_id") < 300))
+    return D.hash_neardup_join(
+        batch, store, "simhash", id_col="doc_id", bits=32, band_bits=4,
+        max_distance=6, exclude_self=True,
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup PAIR stage (dedup.simhash_pairs) — banded candidates +
     hamming verify, hash-checked end to end: the DuckDB oracle replays the
@@ -2535,6 +2554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "hash_banded_pairs": q_hash_banded_pairs,
+        "hash_banded_join": q_hash_banded_join,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "fingerprints": q_fingerprints,
@@ -3265,6 +3285,27 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
             FROM cand
             WHERE bit_count(xor(sa, sb)) <= 6
+        """,
+        "hash_banded_join": f"""
+            WITH t AS (SELECT doc_id, {_sql_words()} AS w FROM documents WHERE doc_id < 300),
+                 h AS (SELECT doc_id, list_transform(w, x -> {_sql_hash32('x')}) AS hs FROM t),
+                 sig AS (SELECT doc_id, CAST({simhash_sql} AS BIGINT) AS sim FROM h),
+                 keyed AS (
+                     SELECT doc_id, sim, band,
+                            (sim >> (4 * band)) & 15 AS key
+                     FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band)
+                 ),
+                 cand AS (
+                     SELECT DISTINCT b.doc_id AS batch_id, s.doc_id AS store_id,
+                            b.sim AS ha, s.sim AS hb
+                     FROM keyed b JOIN keyed s
+                       ON b.band = s.band AND b.key = s.key
+                      AND b.doc_id >= 140 AND b.doc_id < 300
+                      AND s.doc_id < 150
+                 )
+            SELECT batch_id, store_id, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(ha, hb)) <= 6 AND batch_id != store_id
         """,
         "ngram_jaccard": f"""
             WITH t AS (SELECT doc_id, lang, source, {_sql_words()} AS w FROM documents),

@@ -1,7 +1,10 @@
 from lantern_extras_spark.sources.vecs import read_fvecs, read_ivecs, read_bvecs, write_fvecs  # noqa: F401
 from lantern_extras_spark.sources.warc import (  # noqa: F401
+    index_warc,
+    iter_warc_records,
     parse_warc_bytes,
     read_warc,
+    read_warc_ranges,
     read_wet,
     write_warc,
 )

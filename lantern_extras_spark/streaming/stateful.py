@@ -1283,3 +1283,190 @@ def start_hnsw_ingest_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def ingest_hash_batch(
+    bdf,
+    epoch_id: int,
+    output_dir: str,
+    store_dir: str,
+    hash_col: str = "phash",
+    id_col: str = "media_id",
+    bits: int = 64,
+    band_bits: int = 8,
+    max_distance: int = 6,
+    max_band_freq: int | None = None,
+) -> None:
+    """One micro-batch of the incremental MEDIA-HASH dedup loop — the
+    perceptual-hash (pHash/dHash/audio-fingerprint) member of the streaming
+    store family, mirroring `ingest_dedup_batch`'s contract exactly: match
+    the arriving batch against the persisted (id, hash) store via
+    `hash_neardup_join` (banded Hamming, never a rescan), drop within-batch
+    near-dups keep-first via `hash_neardup_pairs`, write SURVIVOR rows to
+    `output_dir/epoch=N` and their (id, hash) to `store_dir/epoch=N` —
+    mode=overwrite per epoch, so a foreachBatch retry rewrites its own
+    partition instead of appending duplicates (at-least-once → effectively
+    exactly-once). NULL hashes survive (they cannot match) but are NOT
+    written to the store — an unmatchable store row is pure per-batch join
+    cost. The store grows one parquet partition per epoch; see
+    `maybe_compact_hash_store` for the policy that folds the pile back to
+    one partition before per-batch file-listing/scan overhead grows with
+    epoch COUNT rather than store SIZE."""
+    if bdf.isEmpty():
+        return
+    from lantern_extras_spark.operators.dedup import (
+        hash_neardup_join,
+        hash_neardup_pairs,
+    )
+
+    sess = bdf.sparkSession
+    epoch = int(epoch_id)
+    kw = dict(bits=bits, band_bits=band_bits, max_distance=max_distance,
+              max_band_freq=max_band_freq)
+    store = _read_store_or_none(sess, store_dir, [id_col, hash_col])
+    if store is not None:
+        # a RETRY of this epoch already wrote its own epoch=N rows —
+        # exclude them (partition-pruned) so the retry can't match the
+        # batch against itself and drop every survivor
+        if "epoch" in store.columns:
+            store = store.where(F.col("epoch") != epoch)
+        store = store.select(id_col, hash_col)
+    pairs = hash_neardup_pairs(bdf, hash_col, id_col=id_col, **kw)
+    dropped = pairs.select(F.col("id_b").alias(id_col))  # keep-first: id_a < id_b
+    if store is not None:
+        matches = hash_neardup_join(
+            bdf, store, hash_col, id_col=id_col, store_id_col=id_col, **kw
+        )
+        dropped = dropped.unionByName(matches.select(F.col("batch_id").alias(id_col)))
+    dropped = dropped.distinct()
+    survivors = bdf.join(dropped, id_col, "left_anti")
+    survivors.write.mode("overwrite").parquet(f"{output_dir}/epoch={epoch}")
+    survivors.where(F.col(hash_col).isNotNull()).select(id_col, hash_col).write.mode(
+        "overwrite"
+    ).parquet(f"{store_dir}/epoch={epoch}")
+
+
+def hash_store_stats(spark, store_dir: str) -> dict:
+    """Structural profile of the hash store's epoch pile: epoch count, rows,
+    and parquet FILE count. Rows/epochs come from one tiny agg over the
+    partition column; the file count comes from a Hadoop FS listing (no
+    data read) — it is the per-batch overhead that grows with epoch count
+    (every `hash_neardup_join` against the store pays listing + one reader
+    per small file) even when the row count is flat."""
+    agg = (
+        spark.read.parquet(store_dir)
+        .agg(F.countDistinct("epoch").alias("epochs"), F.count("*").alias("rows"))
+        .first()
+    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(store_dir).getFileSystem(hconf)
+    files = 0
+    it = fs.listFiles(HPath(store_dir), True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            files += 1
+    return {
+        "epochs": int(agg["epochs"] or 0),
+        "rows": int(agg["rows"] or 0),
+        "files": files,
+    }
+
+
+def compact_hash_store(
+    spark,
+    store_dir: str,
+    n_files: int = 8,
+) -> None:
+    """Fold the hash store's epoch pile back into ONE `epoch=-1` partition
+    of `n_files` parquet files (-1 is never a foreachBatch batch id, so a
+    retry guard can't collide with it — same convention as
+    `compact_hnsw_store`). Unlike HNSW there is nothing to rebuild: store
+    rows are plain (id, hash) survivors, so compaction is a read +
+    repartition + atomic FS swap. Pause the ingest stream across the swap;
+    the write-temp → delete → rename is not transactional against a
+    concurrent writer."""
+    store = spark.read.parquet(store_dir).drop("epoch")
+    tmp = store_dir.rstrip("/") + "__compact"
+    store.repartition(n_files).write.mode("overwrite").parquet(f"{tmp}/epoch=-1")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(store_dir).getFileSystem(hconf)
+    fs.delete(HPath(store_dir), True)
+    if not fs.rename(HPath(tmp), HPath(store_dir)):
+        raise IOError(f"compaction swap failed: could not rename {tmp} -> {store_dir}")
+
+
+def maybe_compact_hash_store(
+    spark,
+    store_dir: str,
+    max_epochs: int = 8,
+    max_files: int | None = None,
+    n_files: int = 8,
+) -> bool:
+    """Compaction POLICY for the media-hash store (r10 verdict #7): the
+    epoch pile grows one partition per micro-batch, and per-batch match
+    cost grows with FILE count (listing + tiny-file readers) even when the
+    row count is flat — the same failure mode the HNSW pile had with search
+    fan-out. Triggers on epoch count > `max_epochs` or parquet file count >
+    `max_files`; both come from metadata (one tiny agg + FS listing), cheap
+    enough to run after every micro-batch. Returns True if a compaction
+    ran."""
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    stats = hash_store_stats(spark, store_dir)
+    if stats["epochs"] <= max_epochs and (
+        max_files is None or stats["files"] <= max_files
+    ):
+        return False
+    compact_hash_store(spark, store_dir, n_files=n_files)
+    return True
+
+
+def start_hash_dedup_stream(
+    spark,
+    source_dir: str,
+    source_schema,
+    output_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    hash_col: str = "phash",
+    id_col: str = "media_id",
+    bits: int = 64,
+    band_bits: int = 8,
+    max_distance: int = 6,
+    max_band_freq: int | None = None,
+    compact_every_epochs: int | None = 8,
+    available_now: bool = True,
+    trigger_seconds: int = 10,
+):
+    """Structured-Streaming wrapper over `ingest_hash_batch`: continuous
+    perceptual-hash dedup with the persisted (id, hash) store as the only
+    cross-batch state. With `compact_every_epochs` set (default 8), the
+    compaction policy runs INSIDE foreachBatch after each ingest — safe
+    because foreachBatch serializes micro-batches, so no concurrent writer
+    exists during the swap."""
+    stream = spark.readStream.schema(source_schema).parquet(source_dir)
+
+    def write_batch(bdf, epoch_id):
+        ingest_hash_batch(
+            bdf, epoch_id, output_dir, store_dir, hash_col=hash_col,
+            id_col=id_col, bits=bits, band_bits=band_bits,
+            max_distance=max_distance, max_band_freq=max_band_freq,
+        )
+        if compact_every_epochs is not None and not bdf.isEmpty():
+            maybe_compact_hash_store(
+                bdf.sparkSession, store_dir, max_epochs=compact_every_epochs
+            )
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("append")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -703,3 +703,57 @@ def test_bm25_store_duplicate_query_terms_match_batch(spark, tmp_path):
     batch = [(r["doc_id"], r["score"], r["rnk"])
              for r in bm25_topk(df, terms, k=3).collect()]
     assert served == batch
+
+
+def test_ingest_hash_batch_store_match_retry_and_compaction(spark, tmp_path):
+    """The media-hash twin of the MinHash ingest loop: cross-epoch banded
+    Hamming matching against the store, within-batch keep-first, per-epoch
+    overwrite idempotency — and the r11 compaction policy folding the epoch
+    pile into one epoch=-1 partition with match behavior unchanged and
+    per-batch file overhead back to a constant."""
+    from lantern_extras_spark.streaming.stateful import (
+        hash_store_stats,
+        ingest_hash_batch,
+        maybe_compact_hash_store,
+    )
+
+    out, store = str(tmp_path / "out"), str(tmp_path / "store")
+    base = 0x1234_5678_9ABC_DEF0
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "media_id long, phash long")
+
+    # epoch 0: two distinct hashes + a within-batch near-dup (keep-first)
+    ingest_hash_batch(batch([(1, base), (2, base ^ 3), (3, -42)]), 0, out, store)
+    assert sorted(r["media_id"] for r in spark.read.parquet(out).collect()) == [1, 3]
+    # epoch 1: store dup (hamming 1 vs base), a null hash, a new hash
+    ingest_hash_batch(batch([(10, base ^ 1), (11, None), (12, 777)]), 1, out, store)
+    survivors = sorted(r["media_id"] for r in spark.read.parquet(out).collect())
+    assert survivors == [1, 3, 11, 12]
+    # null-hash survivor is kept in OUTPUT but not in the store
+    assert sorted(r["media_id"] for r in spark.read.parquet(store).collect()) == [1, 3, 12]
+    # retry of epoch 1: overwrites its own partitions, no duplicates
+    ingest_hash_batch(batch([(10, base ^ 1), (11, None), (12, 777)]), 1, out, store)
+    assert sorted(r["media_id"] for r in spark.read.parquet(out).collect()) == [1, 3, 11, 12]
+    assert spark.read.parquet(store).count() == 3
+
+    # grow the pile: epochs 2..9, each one new well-separated hash
+    # (golden-ratio multiples are pairwise far in Hamming distance)
+    for e in range(2, 10):
+        h = ((100 + e) * 0x9E3779B97F4A7C15) % (1 << 63)
+        ingest_hash_batch(batch([(100 + e, h)]), e, out, store)
+    before = hash_store_stats(spark, store)
+    assert before["epochs"] == 10 and before["rows"] == 11
+    # under the threshold: no-op
+    assert maybe_compact_hash_store(spark, store, max_epochs=16) is False
+    # over the threshold: compacts to ONE epoch=-1 partition, bounded files
+    assert maybe_compact_hash_store(spark, store, max_epochs=4, n_files=2) is True
+    after = hash_store_stats(spark, store)
+    assert after["epochs"] == 1 and after["rows"] == 11
+    assert after["files"] <= 2 < before["files"]
+    # match behavior unchanged against the compacted store
+    ingest_hash_batch(batch([(200, base ^ 2), (201, 555_555)]), 20, out, store)
+    survivors = sorted(r["media_id"] for r in spark.read.parquet(out).collect())
+    assert 200 not in survivors and 201 in survivors
+    # and the pile resumes growing from the compacted baseline
+    assert hash_store_stats(spark, store)["epochs"] == 2

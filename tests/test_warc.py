@@ -398,3 +398,64 @@ def test_iter_warc_records_bounded_memory():
     assert seen == n_records
     # one-record scale (record + buffer slack), far below the 200 MiB archive
     assert peak < 32 * (1 << 20), f"peak {peak / 1e6:.1f} MB — not streaming"
+
+
+def test_index_warc_offsets_and_digests(spark, tmp_path):
+    """index_warc emits one row per record with (offset, length) that
+    recovers EXACTLY that member, plus Common Crawl's sha1:<base32> digest
+    — so digest-level dedup can run on the index alone."""
+    import base64
+    import gzip as _gz
+    import hashlib
+
+    p = str(tmp_path / "x.warc.gz")
+    W.write_warc(p, RECORDS)
+    idx = W.index_warc(spark, str(tmp_path / "*.warc.gz")).collect()
+    assert len(idx) == len(RECORDS)
+    blob = open(p, "rb").read()
+    whole = W.parse_warc_bytes(blob, types=None)
+    for row, rec in zip(sorted(idx, key=lambda r: r["warc_offset"]), whole):
+        member = blob[row["warc_offset"] : row["warc_offset"] + row["warc_length"]]
+        (got,) = W.parse_warc_bytes(_gz.decompress(member), types=None)
+        assert got == rec
+        want_digest = "sha1:" + base64.b32encode(
+            hashlib.sha1(rec["body"]).digest()
+        ).decode()
+        assert row["digest"] == want_digest
+    # offsets tile the file exactly: member-gzip has no gaps
+    spans = sorted((r["warc_offset"], r["warc_length"]) for r in idx)
+    pos = 0
+    for off, ln in spans:
+        assert off == pos
+        pos += ln
+    assert pos == len(blob)
+
+
+def test_read_warc_ranges_selective_fetch(spark, tmp_path):
+    """The 100 TB access pattern end to end: filter on the INDEX (status
+    200 responses, digest-dedup), then fetch only the surviving ranges —
+    results identical to full-parse-then-filter."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as Wnd
+
+    for i in range(3):
+        W.write_warc(str(tmp_path / f"c-{i}.warc.gz"), RECORDS)
+    glob = str(tmp_path / "*.warc.gz")
+    idx = W.index_warc(spark, glob)
+    # index-side screen: 200-status responses, one copy per payload digest
+    keep = (
+        idx.where((F.col("warc_type") == "response") & (F.col("http_status") == 200))
+        .withColumn("rk", F.row_number().over(
+            Wnd.partitionBy("digest").orderBy("path", "warc_offset")))
+        .where("rk = 1")
+    )
+    got = W.read_warc_ranges(spark, keep).collect()
+    # RECORDS has one 200-response; 3 identical copies dedup to 1 by digest
+    assert len(got) == 1
+    assert bytes(got[0]["body"]) == b"<html>hello world</html>"
+    assert got[0]["http_status"] == 200
+    # and without digest-dedup, all 3 copies come back, each parsed alone
+    all3 = W.read_warc_ranges(
+        spark, idx.where("warc_type = 'response' and http_status = 200")
+    ).collect()
+    assert len(all3) == 3 and all(r["http_status"] == 200 for r in all3)
