@@ -7,6 +7,7 @@ from lantern_extras_spark.sources.warc import (  # noqa: F401
     read_warc_ranges,
     read_wet,
     write_warc,
+    write_warc_shards,
 )
 from lantern_extras_spark.sources.sinks import (  # noqa: F401
     export_embeddings_csv,
