@@ -17,6 +17,7 @@ from lantern_extras_spark.sources.sinks import (  # noqa: F401
     write_corpus_shards,
 )
 from lantern_extras_spark.sources.webdataset import (  # noqa: F401
+    iter_webdataset_samples,
     parse_webdataset_bytes,
     read_webdataset,
     read_webdataset_stream,

@@ -13,8 +13,10 @@ Spark design — same stance as sources/vecs.py and sources/warc.py: shards
 arrive through `binaryFile`, ONE TASK PER SHARD (tar has no central index;
 members stream sequentially, and the corpus-level parallelism axis is the
 shard count — WebDataset exists precisely so that a 100 TB corpus is
-10k+ independently-readable shards). stdlib tarfile over an in-memory
-buffer; .tar.gz accepted via the same transparent decompression. A
+10k+ independently-readable shards). Samples STREAM: local shards are
+opened straight from disk (binaryFile column-pruned to `path`) and rows
+flush in bounded 64 MB batches, so peak task memory is one batch, not the
+shard; .tar.gz is accepted via tarfile's transparent decompression. A
 `read_webdataset_stream` twin rides the binaryFile streaming source for
 continuously-landing shards.
 
@@ -44,42 +46,46 @@ def split_wds_key(name: str) -> tuple[str, str]:
     return key, ext if dot else ""
 
 
-def parse_webdataset_bytes(
-    blob: bytes, max_samples: int | None = None
-) -> list[dict]:
-    """Parse one shard's bytes → [{key, parts: {ext: bytes}}]. Samples are
-    consecutive runs of members sharing a key (the format's contract — tar
-    order IS sample order; an interleaved shard is malformed and fails
-    loudly so a half-sample never trains). Directories and PAX metadata
-    members are skipped; extensionless members land under ''."""
-    out: list[dict] = []
+def iter_webdataset_samples(
+    src, max_samples: int | None = None
+) -> Iterator[dict]:
+    """Stream one shard's samples — {key, parts: {ext: bytes}} yielded as
+    each consecutive run of same-key members completes (the format's
+    contract — tar order IS sample order; an interleaved shard is malformed
+    and fails loudly so a half-sample never trains). `src` is a filesystem
+    path (streams from disk: peak memory = one sample) or bytes (in-memory
+    shard). Directories and PAX metadata members are skipped; extensionless
+    members land under ''. stdlib tarfile caches member headers on the
+    handle as it iterates — cleared per member so a million-member shard
+    doesn't accumulate them."""
     seen: set[str] = set()
     cur_key: str | None = None
     cur: dict[str, bytes] = {}
-
-    def flush():
-        nonlocal cur_key, cur
-        if cur_key is not None:
-            if cur_key in seen:
-                raise ValueError(
-                    f"webdataset shard: key {cur_key!r} appears in non-consecutive "
-                    "runs (interleaved shard)"
-                )
-            seen.add(cur_key)
-            out.append({"key": cur_key, "parts": cur})
-        cur_key, cur = None, {}
-
+    emitted = 0
     try:
-        with tarfile.open(fileobj=io.BytesIO(blob), mode="r:*") as tar:
+        if isinstance(src, (bytes, bytearray, memoryview)):
+            tar_ctx = tarfile.open(fileobj=io.BytesIO(bytes(src)), mode="r:*")
+        else:
+            tar_ctx = tarfile.open(name=src, mode="r:*")
+        with tar_ctx as tar:
             for m in tar:
+                tar.members = []  # drop the header cache: streaming contract
                 if not m.isfile():
                     continue
                 key, ext = split_wds_key(m.name)
                 if key != cur_key:
-                    flush()
-                    if max_samples is not None and len(out) >= max_samples:
-                        return out
-                    cur_key = key
+                    if cur_key is not None:
+                        if cur_key in seen:
+                            raise ValueError(
+                                f"webdataset shard: key {cur_key!r} appears in "
+                                "non-consecutive runs (interleaved shard)"
+                            )
+                        seen.add(cur_key)
+                        yield {"key": cur_key, "parts": cur}
+                        emitted += 1
+                    if max_samples is not None and emitted >= max_samples:
+                        return
+                    cur_key, cur = key, {}
                 if ext in cur:
                     raise ValueError(
                         f"webdataset shard: duplicate extension {ext!r} for key {key!r}"
@@ -88,18 +94,48 @@ def parse_webdataset_bytes(
                 cur[ext] = f.read() if f is not None else b""
     except tarfile.TarError as e:
         raise ValueError(f"bad webdataset tar shard: {e}") from e
-    flush()
-    return out
+    if cur_key is not None:
+        if cur_key in seen:
+            raise ValueError(
+                f"webdataset shard: key {cur_key!r} appears in non-consecutive "
+                "runs (interleaved shard)"
+            )
+        yield {"key": cur_key, "parts": cur}
 
 
-def _parse_batches(batches: Iterator[pd.DataFrame], max_samples) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        for _, row in pdf.iterrows():
-            samples = parse_webdataset_bytes(bytes(row["content"]), max_samples)
-            if samples:
-                out = pd.DataFrame(samples)
-                out.insert(0, "path", row["path"])
-                yield out[["path", "key", "parts"]]
+def parse_webdataset_bytes(
+    blob: bytes, max_samples: int | None = None
+) -> list[dict]:
+    """Whole-blob convenience over `iter_webdataset_samples` (tests, small
+    shards). The Spark readers use the iterator directly."""
+    return list(iter_webdataset_samples(blob, max_samples))
+
+
+def _wds_parse_fn(max_samples, batch_bytes: int = 64 << 20):
+    """Shared mapInPandas kernel: per shard, stream samples and flush a
+    pandas frame every `batch_bytes` of payload — for locally-readable
+    paths the tar streams straight from disk (binaryFile column-pruned to
+    `path`, not even the shard blob materialized); peak task memory is one
+    batch."""
+    from lantern_extras_spark.sources.warc import _local_fs_path
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                fspath = _local_fs_path(row["path"])
+                src = fspath if fspath is not None else bytes(row["content"])
+                buf: list[dict] = []
+                size = 0
+                for s in iter_webdataset_samples(src, max_samples):
+                    buf.append({"path": row["path"], **s})
+                    size += sum(len(v) for v in s["parts"].values()) + 256
+                    if size >= batch_bytes:
+                        yield pd.DataFrame(buf)[["path", "key", "parts"]]
+                        buf, size = [], 0
+                if buf:
+                    yield pd.DataFrame(buf)[["path", "key", "parts"]]
+
+    return parse
 
 
 def read_webdataset(
@@ -108,15 +144,18 @@ def read_webdataset(
     max_samples_per_shard: int | None = None,
 ) -> DataFrame:
     """Read WebDataset shard(s) → (path, key, parts map<string,binary>) —
-    one task per shard. Project parts with `element_at(parts, 'jpg')` /
-    `map_keys`; the column-pruning analog for a tar source is
-    `max_samples_per_shard` (sampling runs) since tar has no random access."""
-    binary = spark.read.format("binaryFile").load(path)
+    one task per shard, samples streamed in bounded 64 MB batches (local
+    paths stream straight from disk; object-store shards arrive as one
+    binaryFile blob but sample extraction stays incremental). Project parts
+    with `element_at(parts, 'jpg')` / `map_keys`; the column-pruning analog
+    for a tar source is `max_samples_per_shard` (sampling runs) since tar
+    has no random access."""
+    from lantern_extras_spark.sources.warc import _local_fs_path
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return _parse_batches(batches, max_samples_per_shard)
-
-    return binary.select("path", "content").mapInPandas(parse, _WDS_SCHEMA)
+    local = _local_fs_path(path) is not None
+    cols = ["path"] if local else ["path", "content"]
+    binary = spark.read.format("binaryFile").load(path).select(*cols)
+    return binary.mapInPandas(_wds_parse_fn(max_samples_per_shard), _WDS_SCHEMA)
 
 
 def read_webdataset_stream(
@@ -136,11 +175,11 @@ def read_webdataset_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     binary = reader.load(path)
+    from lantern_extras_spark.sources.warc import _local_fs_path
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return _parse_batches(batches, None)
-
-    return binary.select("path", "content").mapInPandas(parse, _WDS_SCHEMA)
+    local = _local_fs_path(path) is not None
+    cols = ["path"] if local else ["path", "content"]
+    return binary.select(*cols).mapInPandas(_wds_parse_fn(None), _WDS_SCHEMA)
 
 
 def write_webdataset_shards(

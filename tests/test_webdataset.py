@@ -147,3 +147,29 @@ def test_webdataset_roundtrip_fuzz(tmp_path_factory, data):
     WDS.write_webdataset_shard(p, samples)
     got = WDS.parse_webdataset_bytes(open(p, "rb").read())
     assert {g["key"]: g["parts"] for g in got} == data
+
+
+def test_iter_webdataset_samples_bounded_memory(tmp_path):
+    """Streaming pin (mirrors the WARC one): iterating a shard from disk
+    holds ~one sample, never the shard."""
+    import tarfile
+    import tracemalloc
+
+    p = str(tmp_path / "big.tar")
+    payload = bytes(1 << 20)  # 1 MiB per member
+    with tarfile.open(p, "w") as tar:
+        import io as _io
+
+        for i in range(150):  # 150 MiB shard
+            info = tarfile.TarInfo(name=f"{i:06d}.bin")
+            info.size = len(payload)
+            tar.addfile(info, _io.BytesIO(payload))
+    tracemalloc.start()
+    n = 0
+    for s in WDS.iter_webdataset_samples(p):
+        assert len(s["parts"]["bin"]) == len(payload)
+        n += 1
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert n == 150
+    assert peak < 24 * (1 << 20), f"peak {peak / 1e6:.1f} MB — not streaming"
