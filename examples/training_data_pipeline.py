@@ -136,6 +136,29 @@ def main() -> dict:
     )
     out["ingested"] = docs.count()
 
+    # -0.5. INDEX-DRIVEN ACCESS (the 100 TB pattern): build a CDX-style
+    #       index over the same archives (sha1 digests + member ranges),
+    #       filter/dedup ON THE INDEX, then fetch only surviving ranges —
+    #       archive IO proportional to the selection, not the crawl. Here
+    #       here the digest screen catches doc 7 (a byte-identical re-crawl
+    #       of doc 1) before a single archive byte is fetched — the
+    #       cheapest dedup in the whole pipeline; at scale this replaces
+    #       the full `read_warc` scan above for every re-query.
+    from pyspark.sql.window import Window as _Wnd
+
+    from lantern_extras_spark.sources.warc import index_warc, read_warc_ranges
+
+    idx = index_warc(spark, os.path.join(crawl_dir, "*.warc.gz"))
+    keep = (
+        idx.where((F.col("warc_type") == "response") & (F.col("http_status") == 200))
+        .withColumn(
+            "rk",
+            F.row_number().over(_Wnd.partitionBy("digest").orderBy("path", "warc_offset")),
+        )
+        .where("rk = 1")
+    )
+    out["index_fetched"] = read_warc_ranges(spark, keep).count()
+
     # 0. URL-level dedup: canonical key collapses trivial crawl variants;
     #    keep the smallest doc_id per canonical URL (doc 7 re-crawls doc 1)
     u = spark.createDataFrame(URLS, "doc_id long, url string")

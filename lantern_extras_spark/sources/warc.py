@@ -604,16 +604,18 @@ def read_warc_ranges(
 
     cols = [path_col, offset_col, length_col]
 
+    batch_bytes = 64 << 20
+
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
             pdf = pdf.sort_values([path_col, offset_col])
             rows: list[dict] = []
+            size = 0
             cur_path, fh = None, None
             try:
-                for _, r in pdf.iterrows():
-                    p = r[path_col]
+                for p, grp in pdf.groupby(path_col, sort=False):
                     if p != cur_path:
                         if fh is not None:
                             fh.close()
@@ -625,10 +627,30 @@ def read_warc_ranges(
                             )
                         fh = open(fspath, "rb")
                         cur_path = p
-                    fh.seek(int(r[offset_col]))
-                    member = fh.read(int(r[length_col]))
-                    for rec in iter_warc_records(iter([member])):
-                        rows.append({"path": p, **rec})
+                    # coalesce TOUCHING ranges into single reads (≤ one
+                    # batch): when most of an archive survives the index
+                    # filter, this turns per-record seeks back into the
+                    # sequential scan it effectively is
+                    spans: list[list[int]] = []
+                    for off, ln in zip(grp[offset_col], grp[length_col]):
+                        off, ln = int(off), int(ln)
+                        if (
+                            spans
+                            and off == spans[-1][0] + spans[-1][1]
+                            and spans[-1][1] + ln <= batch_bytes
+                        ):
+                            spans[-1][1] += ln
+                        else:
+                            spans.append([off, ln])
+                    for off, ln in spans:
+                        fh.seek(off)
+                        blob = fh.read(ln)
+                        for rec in iter_warc_records(iter([blob])):
+                            rows.append({"path": p, **rec})
+                            size += len(rec["body"]) + 256
+                            if size >= batch_bytes:
+                                yield pd.DataFrame(rows)
+                                rows, size = [], 0
             finally:
                 if fh is not None:
                     fh.close()

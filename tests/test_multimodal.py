@@ -3249,3 +3249,48 @@ def test_media_info_audio_duration_parity(spark):
         # exact for PCM/G.711/FLAC; ADPCM's byte_rate is rounded to int Hz
         tol = 1e-9 if k != 5 else truth * 0.002
         assert abs(got[k] - truth) <= tol, f"fixture {k}: {got[k]} vs {truth}"
+
+
+def test_audio_segments_silence_gating(spark):
+    """Energy-gate segmentation: tone runs separated by sub-threshold gaps
+    merge when the gap < min_silence_ms and split when longer; clicks
+    shorter than min_segment_ms are dropped; undecodable rows emit one
+    sentinel row (seg_idx=-1)."""
+    import math
+
+    from lantern_extras_spark.multimodal.media import audio_segments
+
+    rate = 8000
+
+    def tone(sec, amp=12000):
+        return [int(amp * math.sin(i / 3.0)) for i in range(int(sec * rate))]
+
+    def silence(sec):
+        return [0] * int(sec * rate)
+
+    # 0.5s sil | 0.3s tone | 0.1s sil (gap < 0.2 → merged) | 0.3s tone |
+    # 0.5s sil | 0.4s tone | 0.04s click (dropped) at the very end
+    samples = (silence(0.5) + tone(0.3) + silence(0.1) + tone(0.3)
+               + silence(0.5) + tone(0.4) + silence(0.3) + tone(0.04))
+    wav = _wav_bytes(samples, width=2, rate=rate)
+    flac = _flac([samples], rate=rate, kind="verbatim")
+    rows = [(1, bytearray(wav)), (2, bytearray(flac)), (3, bytearray(b"not audio")),
+            (4, None)]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    got = audio_segments(df, min_silence_ms=200.0, min_segment_ms=100.0).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for mid in (1, 2):  # WAV and FLAC produce identical segmentation
+        segs = sorted(by_id[mid], key=lambda r: r["seg_idx"])
+        assert [r["seg_idx"] for r in segs] == [0, 1]
+        tol = 0.05  # frame quantization
+        assert abs(segs[0]["start_s"] - 0.5) < tol
+        assert abs(segs[0]["end_s"] - 1.2) < tol  # merged across the 0.1s gap
+        assert abs(segs[1]["start_s"] - 1.7) < tol
+        assert abs(segs[1]["end_s"] - 2.1) < tol
+        assert all(r["rms"] > 0.05 for r in segs)
+    # sentinel rows for the undecodable and null media
+    for mid in (3, 4):
+        (s,) = by_id[mid]
+        assert s["seg_idx"] == -1 and s["start_s"] is None

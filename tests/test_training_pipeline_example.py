@@ -13,6 +13,10 @@ def test_training_data_pipeline(spark):
     out = main()
     # stage -1: every raw doc entered through the WARC wire format
     assert out["ingested"] == 9
+    # stage -0.5: index-side digest dedup catches doc 7 (a byte-identical
+    # re-crawl of doc 1) BEFORE any archive bytes are fetched — 8 ranges
+    # survive of 9 records, and only those are read
+    assert out["index_fetched"] == 8
     # doc 7 (re-crawl of doc 1's page under a variant URL) dies at stage 0
     assert out["after_url_dedup"] == [1, 2, 3, 4, 5, 6, 8, 9]
     # the cross-site license paragraph survives only in doc 2 (its first
