@@ -14,9 +14,10 @@ Decode support is split by codec requirement:
 - PNG decodes for REAL too (`decode_png`): zlib is stdlib, so the full
   chunk-parse → inflate → per-spec unfilter (all five scanline filters) →
   palette/gray/alpha handling path runs codec-free (r8 verdict #5).
-- BASELINE JPEG decodes for REAL as of r10 (`decode_jpeg`): Huffman +
-  dequant + IDCT + YCbCr need only numpy — SOF0/SOF1, gray + 4:4:4/4:2:2/
-  4:2:0 subsampling, restart markers; progressive (SOF2) raises ValueError.
+- JPEG decodes for REAL: baseline (r10) AND progressive (r11) —
+  Huffman + dequant + IDCT + YCbCr need only numpy. SOF0/SOF1/SOF2, gray +
+  4:4:4/4:2:2/4:2:0 subsampling, restart markers, spectral selection +
+  successive approximation; arithmetic/lossless raise ValueError.
 - GIF decodes for REAL as of r10 too (`decode_gif`): LZW is plain code —
   first frame, interlace, local/global color tables. NO image format is
   env-gated anymore.
@@ -411,7 +412,7 @@ def decode_tiff(data: bytes):
     0 = white-is-zero inverted per spec) or 2 (RGB), 8 bits per sample.
     Returns (H, W, 3) uint8 like the other decoders. Tiled TIFFs, LZW/JPEG
     compression, and non-8-bit depths raise ValueError (documented baseline,
-    same stance as progressive JPEG)."""
+    same stance as arithmetic-coded JPEG)."""
     import struct
 
     import numpy as np
@@ -712,9 +713,10 @@ def decode_jpeg(data: bytes):
     grayscale (replicated to 3 channels, the `decode_bmp` convention) and
     3-component YCbCr with any 1..4 sampling factors (4:4:4 / 4:2:2 / 4:2:0
     ...), restart markers (DRI/RSTn). Chroma upsampling is nearest-neighbor
-    (box); YCbCr->RGB is the full-range JFIF matrix. Raises ValueError on
-    progressive (SOF2), arithmetic coding, 12-bit precision, or malformed
-    input. Sequential Huffman decode is Python-loop bound — fine for
+    (box); YCbCr->RGB is the full-range JFIF matrix. Progressive (SOF2)
+    streams route to `_decode_jpeg_progressive` (r11); arithmetic coding,
+    12-bit precision, and malformed input raise ValueError.
+    Sequential Huffman decode is Python-loop bound — fine for
     fixtures and moderate assets; throughput-critical pipelines can still
     inject a codec via `feature_fn` in `decode_image_features`."""
     import struct
@@ -776,10 +778,12 @@ def decode_jpeg(data: bytes):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # SOF2: progressive — the multi-scan decoder
+            return _decode_jpeg_progressive(data)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "unsupported JPEG coding process (progressive/arithmetic/"
-                "hierarchical) — baseline (SOF0/SOF1) only"
+                "unsupported JPEG coding process (arithmetic/hierarchical/"
+                "lossless) — baseline (SOF0/SOF1) and progressive (SOF2) only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -895,7 +899,15 @@ def decode_jpeg(data: bytes):
                     x0 = (mx * comp["h"] + bx) * 8
                     planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
 
-    # upsample to full resolution, crop, color-convert
+    return _jpeg_color_finish(frame, planes, h, w, hmax, vmax)
+
+
+def _jpeg_color_finish(frame, planes, h, w, hmax, vmax):
+    """Shared JPEG finish: upsample each component plane to full
+    resolution (nearest/box), crop to (h, w), and color-convert (1-comp
+    grayscale replicated, 3-comp full-range JFIF YCbCr→RGB)."""
+    import numpy as np
+
     full = []
     for ci, c in enumerate(frame["comps"]):
         p = planes[ci]
@@ -913,6 +925,312 @@ def decode_jpeg(data: bytes):
     b = Y + 1.772 * (Cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_jpeg_progressive(data: bytes):
+    """Decode PROGRESSIVE JPEG (SOF2) with pure numpy + stdlib — the
+    multi-scan coefficient decoder over the same Huffman/IDCT/color
+    machinery as the baseline path (T.81 Annex G; algorithm structure
+    follows the spec's figures G.2/G.7, the same ones every open decoder
+    implements). Coefficients accumulate across scans into per-component
+    block grids: DC first/refine scans (interleaved or single-component),
+    AC first/refine scans (single-component per spec) with spectral
+    selection (Ss..Se bands), successive approximation (Ah/Al bit planes),
+    EOB-run coding, and restart markers. After the last scan: dequant →
+    IDCT → upsample → JFIF color convert (`_jpeg_color_finish`).
+
+    Closes the r10 env-gate note: progressive is ~10% of web JPEGs, so a
+    crawl image pipeline can't screen on baseline-only decode. Like the
+    baseline path, the sequential Huffman walk is Python-loop bound —
+    fixtures and moderate assets; inject a codec via `feature_fn` for
+    throughput-critical decode."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff_tables: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    coef: list = []  # per component: int64 array (nby, nbx, 64) NATURAL-order
+    geom = None
+    pos = 2
+    saw_scan = False
+
+    def read_segments(p: int) -> tuple[list[bytes], int]:
+        # de-stuff entropy bytes from p; split at RSTn; stop at any marker
+        segments, cur = [], bytearray()
+        while p < len(data):
+            byte = data[p]
+            if byte == 0xFF:
+                nxt = data[p + 1] if p + 1 < len(data) else 0xD9
+                if nxt == 0x00:
+                    cur.append(0xFF)
+                    p += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    segments.append(bytes(cur))
+                    cur = bytearray()
+                    p += 2
+                    continue
+                break
+            cur.append(byte)
+            p += 1
+        segments.append(bytes(cur))
+        return segments, p
+
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0xD8:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                prec, tid = body[b] >> 4, body[b] & 15
+                if prec != 0:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                qt[tid] = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8).astype(
+                    np.float64
+                )
+                b += 65
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tclass, tid = body[b] >> 4, body[b] & 15
+                counts = body[b + 1 : b + 17]
+                syms = body[b + 17 : b + 17 + sum(counts)]
+                table, code, si = {}, 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[si]
+                        code += 1
+                        si += 1
+                    code <<= 1
+                huff_tables[(tclass, tid)] = table
+                b += 17 + sum(counts)
+        elif marker == 0xC2:
+            prec, h, w, ncomp = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec} (8 only)")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {ncomp}")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if h <= 0 or w <= 0 or not (1 <= hmax <= 4 and 1 <= vmax <= 4):
+                raise ValueError("bad JPEG dimensions/sampling")
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            geom = (hmax, vmax, mcux, mcuy)
+            coef = [
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+                for c in comps
+            ]
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("mixed/unsupported SOF in progressive stream")
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            if frame is None or geom is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scomps = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scomps.append({"id": cs, "dc": tt >> 4, "ac": tt & 15})
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+            segments, pos = read_segments(pos + 2 + seglen)
+            _jpeg_progressive_scan(
+                frame, geom, coef, huff_tables, scomps, ss, se, ah, al,
+                segments, restart_interval,
+            )
+            saw_scan = True
+            continue
+        pos += 2 + seglen
+    if frame is None or not saw_scan:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    hmax, vmax, mcux, mcuy = geom
+    h, w = frame["h"], frame["w"]
+    T = _jpeg_idct_matrix()
+    planes = []
+    for ci, c in enumerate(frame["comps"]):
+        if c["tq"] not in qt:
+            raise ValueError(f"JPEG quant table {c['tq']} undefined")
+        q = np.zeros(64)
+        q[_JPEG_ZIGZAG] = qt[c["tq"]]
+        nby, nbx = coef[ci].shape[:2]
+        # the scan decoder stores NATURAL-order positions (blk[ZZ[k]]);
+        # dequant + batched IDCT over all blocks at once
+        blocks = coef[ci].astype(np.float64).reshape(nby, nbx, 8, 8) * q.reshape(8, 8)
+        px = np.einsum("ux,mnuv,vy->mnxy", T, blocks, T) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        planes.append(plane)
+    return _jpeg_color_finish(frame, planes, h, w, hmax, vmax)
+
+
+def _jpeg_progressive_scan(
+    frame, geom, coef, huff_tables, scomps, ss, se, ah, al, segments,
+    restart_interval,
+):
+    """Apply one progressive scan to the coefficient grids — T.81 Annex G
+    semantics (DC/AC × first/refinement), EOB-run coding, restart resets."""
+    hmax, vmax, mcux, mcuy = geom
+    by_id = {c["id"]: i for i, c in enumerate(frame["comps"])}
+    order = []
+    for s in scomps:
+        if s["id"] not in by_id:
+            raise ValueError(f"JPEG scan references unknown component {s['id']}")
+        order.append((by_id[s["id"]], s))
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("JPEG progressive scan with Ss=0 must have Se=0")
+    if not is_dc and len(order) != 1:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+    if not (0 < se < 64 or is_dc) or ss > se:
+        raise ValueError("bad JPEG spectral selection")
+
+    # traversal: a scan is interleaved iff ns > 1 (T.81 §B.2.3); a
+    # single-component scan walks that component's OWN block grid
+    mcus: list[list[tuple[int, int, int]]] = []
+    if len(order) > 1:
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            blocks = []
+            for ci, _s in order:
+                c = frame["comps"][ci]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blocks.append((ci, my * c["v"] + by, mx * c["h"] + bx))
+            mcus.append(blocks)
+    else:
+        ci, _s = order[0]
+        c = frame["comps"][ci]
+        comp_w = -(-frame["w"] * c["h"] // hmax)  # ceil
+        comp_h = -(-frame["h"] * c["v"] // vmax)
+        nbx, nby = -(-comp_w // 8), -(-comp_h // 8)
+        for by in range(nby):
+            for bx in range(nbx):
+                mcus.append([(ci, by, bx)])
+
+    ZZ = _JPEG_ZIGZAG
+    p1 = 1 << al
+    m1 = -1 << al
+    scomp_of = {ci: s for ci, s in order}
+    seg_i = 0
+    bits = _JpegBits(segments[0])
+    dc_pred = [0] * len(frame["comps"])
+    eobrun = 0
+
+    def refine_nonzero(blk, k):
+        # history coefficient: one correction bit, magnitude moves outward
+        if bits.bit():
+            if (blk[ZZ[k]] & p1) == 0:
+                blk[ZZ[k]] += p1 if blk[ZZ[k]] >= 0 else m1
+
+    for m, blocks in enumerate(mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("JPEG missing restart segment")
+            bits = _JpegBits(segments[seg_i])
+            dc_pred = [0] * len(frame["comps"])
+            eobrun = 0
+        for ci, by, bx in blocks:
+            blk = coef[ci][by, bx]
+            stab = scomp_of[ci]
+            if is_dc:
+                if ah == 0:  # DC first
+                    dct = huff_tables.get((0, stab["dc"]))
+                    if dct is None:
+                        raise ValueError("JPEG DC Huffman table undefined")
+                    ssss = bits.huff(dct)
+                    if ssss > 11:
+                        raise ValueError("invalid JPEG DC category")
+                    dc_pred[ci] += _jpeg_extend(bits.receive(ssss), ssss)
+                    blk[0] = dc_pred[ci] << al
+                else:  # DC refinement: one appended bit per block
+                    if bits.bit():
+                        blk[0] |= p1
+                continue
+            act = huff_tables.get((1, stab["ac"]))
+            if act is None:
+                raise ValueError("JPEG AC Huffman table undefined")
+            if ah == 0:  # AC first
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = bits.huff(act)
+                    r, size = rs >> 4, rs & 15
+                    if size == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += bits.receive(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC index overrun")
+                    blk[ZZ[k]] = _jpeg_extend(bits.receive(size), size) << al
+                    k += 1
+            else:  # AC refinement (spec figure G.7 / the canonical loop)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = bits.huff(act)
+                        r, size = rs >> 4, rs & 15
+                        newval = 0
+                        if size:
+                            if size != 1:
+                                raise ValueError("invalid JPEG AC refinement size")
+                            newval = p1 if bits.bit() else m1
+                        elif r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += bits.receive(r)
+                            break
+                        # advance over r zero-HISTORY positions, correcting
+                        # nonzero-history coefficients along the way
+                        while k <= se:
+                            if blk[ZZ[k]] != 0:
+                                refine_nonzero(blk, k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if size:
+                            if k > se:
+                                raise ValueError("JPEG AC refinement overrun")
+                            blk[ZZ[k]] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if blk[ZZ[k]] != 0:
+                            refine_nonzero(blk, k)
+                        k += 1
+                    eobrun -= 1
 
 
 def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:

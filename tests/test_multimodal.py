@@ -825,7 +825,13 @@ def _jpeg_fixed_tables():
     (codes 0..11), AC symbols [EOB, ZRL, all (r,s) r0..15 s1..10] at 8 bits
     (codes 0..161). Valid DHTs (all-ones code unused in both)."""
     dc_syms = list(range(12))
-    ac_syms = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    # EOBn symbols (r<<4, r=1..14) are progressive-only; harmless extras in
+    # the baseline table (the encoder simply never emits them there)
+    ac_syms = (
+        [0x00, 0xF0]
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+        + [r << 4 for r in range(1, 15)]
+    )
     dc_codes = {sym: (i, 4) for i, sym in enumerate(dc_syms)}
     ac_codes = {sym: (i, 8) for i, sym in enumerate(ac_syms)}
     return dc_syms, ac_syms, dc_codes, ac_codes
@@ -837,15 +843,9 @@ def _jpeg_category(v):
     return nbits, extra
 
 
-def _jpeg(img, sampling="444", qy=16, qc=17, dri=0):
-    """Test-fixture BASELINE JPEG ENCODER, independent of the package
-    decoder: direct-sum FDCT, flat quant tables (qy luma / qc chroma),
-    fixed-length canonical Huffman tables, optional restart markers.
-    Returns (jpeg_bytes, expected_rgb) where expected_rgb is computed by an
-    independent reference decode (dequant -> direct-sum IDCT -> nearest
-    upsample -> JFIF YCbCr->RGB) from the quantized coefficients."""
-    import struct
-
+def _jpeg_prepare(img, sampling, qy, qc):
+    """Shared fixture prep: FDCT+quant coefficient planes, quant tables,
+    geometry, and the independent reference decode (expected pixels)."""
     import numpy as np
 
     img = np.asarray(img, dtype=np.float64)
@@ -916,11 +916,15 @@ def _jpeg(img, sampling="444", qy=16, qc=17, dri=0):
         expected = np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(
             np.uint8
         )
+    return comps, qplanes, qt, H, W, hmax, vmax, mcux, mcuy, expected
 
-    # --- serialize ---
-    dc_syms, ac_syms, dc_codes, ac_codes = _jpeg_fixed_tables()
+
+def _jpeg_headers(comps, qt, H, W, sof_marker):
+    """SOI + DQT + SOF + DHT header bytes shared by both fixture encoders."""
+    import struct
+
+    dc_syms, ac_syms, _dc, _ac = _jpeg_fixed_tables()
     out = bytearray(b"\xff\xd8")
-    # DQT: all tables in one segment (exercises multi-table parsing)
     dqt = bytearray()
     for tid in sorted(qt):
         zz = bytes([int(qt[tid])] * 64)
@@ -929,13 +933,30 @@ def _jpeg(img, sampling="444", qy=16, qc=17, dri=0):
     sof = bytearray([8]) + struct.pack(">HH", H, W) + bytes([len(comps)])
     for c in comps:
         sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
     dht = bytearray()
     for tclass, syms in ((0, dc_syms), (1, ac_syms)):
         counts = [0] * 16
         counts[(4 if tclass == 0 else 8) - 1] = len(syms)
         dht += bytes([tclass << 4]) + bytes(counts) + bytes(syms)
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    return out
+
+
+def _jpeg(img, sampling="444", qy=16, qc=17, dri=0):
+    """Test-fixture BASELINE JPEG ENCODER, independent of the package
+    decoder: direct-sum FDCT, flat quant tables (qy luma / qc chroma),
+    fixed-length canonical Huffman tables, optional restart markers.
+    Returns (jpeg_bytes, expected_rgb) where expected_rgb is computed by an
+    independent reference decode (dequant -> direct-sum IDCT -> nearest
+    upsample -> JFIF YCbCr->RGB) from the quantized coefficients."""
+    import struct
+
+    comps, qplanes, qt, H, W, hmax, vmax, mcux, mcuy, expected = _jpeg_prepare(
+        img, sampling, qy, qc
+    )
+    dc_syms, ac_syms, dc_codes, ac_codes = _jpeg_fixed_tables()
+    out = bytearray(_jpeg_headers(comps, qt, H, W, b"\xff\xc0"))
     if dri:
         out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
     sos = bytearray([len(comps)])
@@ -986,6 +1007,199 @@ def _jpeg(img, sampling="444", qy=16, qc=17, dri=0):
                         code, ln = ac_codes[0x00]
                         wtr.bits(code, ln)
     out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out), expected
+
+
+def _jpeg_progressive(img, sampling="444", qy=16, qc=17, bands=((1, 5), (6, 63))):
+    """Test-fixture PROGRESSIVE JPEG ENCODER (SOF2), independent of the
+    package decoder — T.81 Annex G / the canonical open-source encoder
+    structure: interleaved DC first (Al=1) + DC refinement, then per
+    component per spectral band an AC first scan at Al=2 followed by two
+    refinement passes (2→1, 1→0). The full script recovers EXACT
+    coefficients, so expected pixels equal the baseline reference decode
+    from `_jpeg_prepare`. Exercises spectral selection, successive
+    approximation, EOB-run coding (incl. correction-bit buffering), and
+    ZRL-in-refinement."""
+    import struct
+
+    import numpy as np
+
+    comps, qplanes, qt, H, W, hmax, vmax, mcux, mcuy, expected = _jpeg_prepare(
+        img, sampling, qy, qc
+    )
+    _dc_syms, _ac_syms, dc_codes, ac_codes = _jpeg_fixed_tables()
+    out = bytearray(_jpeg_headers(comps, qt, H, W, b"\xff\xc2"))
+
+    zz_planes = []  # per comp: (nby, nbx, 64) zigzag-ordered ints
+    for ci in range(len(comps)):
+        qp = qplanes[ci]
+        nby, nbx = qp.shape[:2]
+        z = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                z[by, bx] = qp[by, bx].reshape(64)[_JPEG_ZZ]
+        zz_planes.append(z)
+
+    def sos(scan_comps, ss, se, ah, al):
+        b = bytearray([len(scan_comps)])
+        for ci in scan_comps:
+            b += bytes([comps[ci]["id"], 0x00])
+        b += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(b)) + bytes(b)
+
+    def comp_grid(ci):
+        c = comps[ci]
+        cw = -(-W * c["h"] // hmax)
+        ch = -(-H * c["v"] // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    # --- scan emitters -----------------------------------------------------
+    def dc_first(wtr, al):
+        pred = [0] * len(comps)
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        v = int(zz_planes[ci][my * c["v"] + by, mx * c["h"] + bx, 0]) >> al
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        nbits, extra = _jpeg_category(diff)
+                        code, ln = dc_codes[nbits]
+                        wtr.bits(code, ln)
+                        if nbits:
+                            wtr.bits(extra, nbits)
+
+    def dc_refine(wtr, al):
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        v = int(zz_planes[ci][my * c["v"] + by, mx * c["h"] + bx, 0])
+                        wtr.bits((v >> al) & 1, 1)
+
+    def ac_first(wtr, ci, ss, se, al):
+        nby, nbx = comp_grid(ci)
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun == 0:
+                return
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            wtr.bits(code, ln)
+            if r:
+                wtr.bits(eobrun & ((1 << r) - 1), r)
+            eobrun = 0
+
+        for by in range(nby):
+            for bx in range(nbx):
+                flat = zz_planes[ci][by, bx]
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(flat[k])
+                    a = abs(v) >> al  # AC point transform: magnitude shift
+                    if a == 0:
+                        r += 1
+                        continue
+                    flush_eob()
+                    while r > 15:
+                        code, ln = ac_codes[0xF0]
+                        wtr.bits(code, ln)
+                        r -= 16
+                    sv = a if v >= 0 else -a
+                    nbits, extra = _jpeg_category(sv)
+                    code, ln = ac_codes[(r << 4) | nbits]
+                    wtr.bits(code, ln)
+                    wtr.bits(extra, nbits)
+                    r = 0
+                if r > 0:
+                    eobrun += 1  # trailing zeros fold into the EOB run
+        flush_eob()
+
+    def ac_refine(wtr, ci, ss, se, ah, al):
+        # the canonical correction-bit-buffering structure (T.81 fig. G.7)
+        nby, nbx = comp_grid(ci)
+        eobrun = 0
+        be_bits: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun, be_bits
+            if eobrun == 0:
+                return
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            wtr.bits(code, ln)
+            if r:
+                wtr.bits(eobrun & ((1 << r) - 1), r)
+            for b in be_bits:
+                wtr.bits(b, 1)
+            eobrun, be_bits = 0, []
+
+        for by in range(nby):
+            for bx in range(nbx):
+                flat = zz_planes[ci][by, bx]
+                absv = [abs(int(flat[k])) >> al for k in range(ss, se + 1)]
+                eob = -1  # position (relative) of last NEWLY-nonzero coef
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob = i
+                r = 0
+                br: list[int] = []
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eob:  # ZRL only before a future new coef
+                        flush_eob()
+                        code, ln = ac_codes[0xF0]
+                        wtr.bits(code, ln)
+                        r -= 16
+                        for b in br:
+                            wtr.bits(b, 1)
+                        br = []
+                    if t > 1:  # history coefficient: one correction bit
+                        br.append(t & 1)
+                        continue
+                    flush_eob()
+                    code, ln = ac_codes[(r << 4) | 1]
+                    wtr.bits(code, ln)
+                    wtr.bits(1 if int(flat[ss + i]) >= 0 else 0, 1)
+                    for b in br:
+                        wtr.bits(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    be_bits.extend(br)
+        flush_eob()
+
+    # --- the scan script ----------------------------------------------------
+    all_ci = list(range(len(comps)))
+    wtr = _JpegWriter()
+    out += sos(all_ci, 0, 0, 0, 1)
+    dc_first(wtr, 1)
+    out += wtr.flush()
+    for ci in all_ci:
+        for ss, se in bands:
+            wtr = _JpegWriter()
+            out += sos([ci], ss, se, 0, 2)
+            ac_first(wtr, ci, ss, se, 2)
+            out += wtr.flush()
+    wtr = _JpegWriter()
+    out += sos(all_ci, 0, 0, 1, 0)
+    dc_refine(wtr, 0)
+    out += wtr.flush()
+    for ah in (2, 1):
+        for ci in all_ci:
+            for ss, se in bands:
+                wtr = _JpegWriter()
+                out += sos([ci], ss, se, ah, ah - 1)
+                ac_refine(wtr, ci, ss, se, ah, ah - 1)
+                out += wtr.flush()
     out += b"\xff\xd9"
     return bytes(out), expected
 
@@ -1043,9 +1257,13 @@ def test_decode_jpeg_rejects_unsupported():
     data, _ = _jpeg(img)
     with _pt.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x00" + data)
-    # flip SOF0 to SOF2 (progressive)
+    # flip SOF0 to SOF3 (lossless — still unsupported; SOF2 progressive is
+    # decoded for real since r11)
     i = data.index(b"\xff\xc0")
     with _pt.raises(ValueError, match="baseline"):
+        decode_jpeg(data[:i] + b"\xff\xc3" + data[i + 2:])
+    # SOF2 with a baseline-shaped scan (Ss=0, Se=63) is malformed progressive
+    with _pt.raises(ValueError, match="Se=0"):
         decode_jpeg(data[:i] + b"\xff\xc2" + data[i + 2:])
     with _pt.raises(ValueError, match="SOF/SOS"):
         decode_jpeg(data[: data.index(b"\xff\xda")] + b"\xff\xd9")
@@ -3294,3 +3512,66 @@ def test_audio_segments_silence_gating(spark):
     for mid in (3, 4):
         (s,) = by_id[mid]
         assert s["seg_idx"] == -1 and s["start_s"] is None
+
+
+@pytest.mark.parametrize("sampling", ["444", "422", "420", "gray"])
+def test_decode_jpeg_progressive_matches_reference(sampling):
+    """Progressive (SOF2) decode: the full successive-approximation script
+    recovers EXACT coefficients, so pixels must match the same independent
+    reference decode the baseline tests pin (1 LSB IDCT rounding)."""
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import decode_jpeg
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(21, 13, 3), dtype=np.uint8)
+    data, expected = _jpeg_progressive(img, sampling=sampling)
+    got = decode_jpeg(data)  # routes to the SOF2 path
+    assert got.shape == expected.shape == (21, 13, 3)
+    diff = np.abs(got.astype(int) - expected.astype(int))
+    assert diff.max() <= 1, (sampling, diff.max(), (diff > 0).mean())
+    assert (diff > 0).mean() < 0.01
+
+
+def test_decode_jpeg_progressive_equals_baseline_pixels():
+    """The SAME image encoded baseline and progressive must decode to the
+    same pixels (identical quantized coefficients, two wire formats)."""
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import decode_jpeg
+
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    base, _ = _jpeg(img, sampling="420")
+    prog, _ = _jpeg_progressive(img, sampling="420")
+    assert np.array_equal(decode_jpeg(base), decode_jpeg(prog))
+
+
+def test_decode_jpeg_progressive_sparse_band_eobruns():
+    """A mostly-flat image makes long EOB runs and ZRL-in-refinement paths
+    fire; single wide band exercises the one-band script shape."""
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import decode_jpeg
+
+    img = np.full((32, 32, 3), 128, dtype=np.uint8)
+    img[5, 7] = (250, 10, 60)  # one sharp impulse -> sparse high-freq ACs
+    data, expected = _jpeg_progressive(img, bands=((1, 63),))
+    got = decode_jpeg(data)
+    diff = np.abs(got.astype(int) - expected.astype(int))
+    assert diff.max() <= 1
+
+
+def test_image_phash_baseline_progressive_parity(spark):
+    """The SAME image shipped baseline vs progressive must land the same
+    pHash (identical quantized coefficients ⇒ identical pixels) — the
+    invariant perceptual dedup needs across re-encodes of one crawl."""
+    import numpy as np
+    from lantern_extras_spark.multimodal.media import image_phash
+
+    rng = np.random.RandomState(31)
+    img = rng.randint(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    base, _ = _jpeg(img, sampling="420")
+    prog, _ = _jpeg_progressive(img, sampling="420")
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(prog))], "media_id long, media binary"
+    )
+    got = {r["media_id"]: r["phash"] for r in image_phash(df).collect()}
+    assert got[1] == got[2] and got[1] is not None
