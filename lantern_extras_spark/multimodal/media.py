@@ -379,6 +379,67 @@ def decode_ppm(data: bytes):
     return img.astype(np.uint8)
 
 
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (Compression 5): MSB-first bit packing, 9→12-bit
+    codes, Clear=256 / EOI=257, and the spec's EARLY CHANGE — the code
+    width bumps one code earlier than generic LZW (when the next free slot
+    reaches 2^width - 1, TIFF 6.0 §13), the off-by-one every reader must
+    reproduce. Differs from `_gif_lzw_decode` in bit order, alphabet
+    offset, and the early bump, so it's its own kernel."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = pos = 0
+    width = 9
+
+    def read_code() -> int | None:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        return code
+
+    # SLOT-COUNTER sync (same scheme `_gif_lzw_decode` documents): next_code
+    # advances on every data code READ — reserving the slot whose content
+    # becomes known one read later — so the counter matches the encoder's
+    # per-emission counter at every stream position and the early-change
+    # width boundary lands on the same code for both sides. The latest
+    # reserved-but-unfilled slot (next_code - 1) is exactly the KwKwK case.
+    table: dict[int, bytes] = {}
+    next_code = 258
+    prev: bytes | None = None
+    while len(out) < expected:
+        code = read_code()
+        if code is None or code == EOI:
+            break
+        if code == CLEAR:
+            table, width, next_code, prev = {}, 9, 258, None
+            continue
+        if code < 256:
+            entry = bytes([code])
+        elif code in table:
+            entry = table[code]
+        elif code == next_code - 1 and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt TIFF LZW stream (code {code})")
+        out += entry
+        if prev is not None and next_code - 1 >= 258 and (next_code - 1) not in table:
+            table[next_code - 1] = prev + entry[:1]  # fill the reserved slot
+        if next_code < 4096:
+            next_code += 1
+            if next_code >= (1 << width) - 1 and width < 12:  # early change
+                width += 1
+        prev = entry
+    if len(out) < expected:
+        raise ValueError(f"TIFF LZW stream ended after {len(out)}/{expected} bytes")
+    return bytes(out[:expected])
+
+
 def _packbits_decode(data: bytes, expected: int) -> bytes:
     """Apple PackBits RLE (the TIFF Compression=32773 codec): n in 0..127 →
     copy n+1 literal bytes; n in -127..-1 → repeat next byte 1-n times;
@@ -408,11 +469,13 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
 def decode_tiff(data: bytes):
     """Baseline TIFF decode, pure numpy — the scanned-document corpus format:
     classic header (II/MM byte order), first IFD, strip-organized images,
-    Compression 1 (none) or 32773 (PackBits), Photometric 0/1 (grayscale,
-    0 = white-is-zero inverted per spec) or 2 (RGB), 8 bits per sample.
-    Returns (H, W, 3) uint8 like the other decoders. Tiled TIFFs, LZW/JPEG
-    compression, and non-8-bit depths raise ValueError (documented baseline,
-    same stance as arithmetic-coded JPEG)."""
+    Compression 1 (none), 5 (LZW incl. the spec's early-change width bump,
+    r11) or 32773 (PackBits), Predictor 2 (horizontal differencing),
+    Photometric 0/1 (grayscale, 0 = white-is-zero inverted per spec) or 2
+    (RGB), 8 bits per sample. Returns (H, W, 3) uint8 like the other
+    decoders. Tiled TIFFs, JPEG-in-TIFF, and non-8-bit depths raise
+    ValueError (documented baseline, same stance as arithmetic-coded
+    JPEG)."""
     import struct
 
     import numpy as np
@@ -461,10 +524,13 @@ def decode_tiff(data: bytes):
     compression = tags.get(259, [1])[0]
     photometric = tags.get(262, [1])[0]
     rows_per_strip = tags.get(278, [height])[0] or height
+    predictor = tags.get(317, [1])[0]
     if any(b != 8 for b in bits):
         raise ValueError(f"unsupported TIFF bit depth {bits}")
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {compression}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     if photometric not in (0, 1, 2) or spp not in (1, 3):
         raise ValueError(
             f"unsupported TIFF photometric {photometric} / samples {spp}"
@@ -481,11 +547,15 @@ def decode_tiff(data: bytes):
         expected = rows * width * spp
         if compression == 32773:
             chunk = _packbits_decode(chunk, expected)
+        elif compression == 5:
+            chunk = _tiff_lzw_decode(chunk, expected)
         elif len(chunk) < expected:
             raise ValueError("TIFF uncompressed strip shorter than expected")
         raw += chunk[:expected]
         remaining_rows -= rows
     img = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(height, width, spp)
+    if predictor == 2:  # horizontal differencing: undo by row-wise cumsum
+        img = (np.cumsum(img.astype(np.int64), axis=1) % 256).astype(np.uint8)
     if photometric == 0:  # white-is-zero
         img = 255 - img
     if spp == 1:

@@ -3158,7 +3158,54 @@ def _packbits_encode(raw):
     return bytes(out)
 
 
-def _tiff(img, byte_order="<", compression=1, photometric=None, rows_per_strip=None):
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Independent TIFF-LZW ENCODER (MSB-first, 9-12 bit codes, Clear=256,
+    EOI=257, EARLY CHANGE: width bumps when the next free slot reaches
+    2^width - 1 — TIFF 6.0 §13)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def flush():
+        nonlocal acc, nbits
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+            acc = nbits = 0
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR)
+    wbuf = b""
+    for b in data:
+        wc = wbuf + bytes([b])
+        if wc in table:
+            wbuf = wc
+            continue
+        emit(table[wbuf])
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            if next_code >= (1 << width) - 1 and width < 12:  # early change
+                width += 1
+        wbuf = bytes([b])
+    if wbuf:
+        emit(table[wbuf])
+    emit(EOI)
+    flush()
+    return bytes(out)
+
+
+def _tiff(img, byte_order="<", compression=1, photometric=None, rows_per_strip=None, predictor=1):
     """Independent minimal TIFF writer: gray or RGB 8-bit, strip-organized."""
     import struct
 
@@ -3169,18 +3216,28 @@ def _tiff(img, byte_order="<", compression=1, photometric=None, rows_per_strip=N
     spp = 1 if img.ndim == 2 else img.shape[2]
     photometric = photometric if photometric is not None else (1 if spp == 1 else 2)
     rows_per_strip = rows_per_strip or h
-    flat = img.tobytes()
+    if predictor == 2:  # horizontal differencing before compression
+        d = img.astype(np.int64).reshape(h, w, spp).copy()
+        d[:, 1:] -= img.reshape(h, w, spp)[:, :-1].astype(np.int64)
+        flat = (d % 256).astype(np.uint8).tobytes()
+    else:
+        flat = img.tobytes()
     strips = []
     for r0 in range(0, h, rows_per_strip):
         rows = min(rows_per_strip, h - r0)
         chunk = flat[r0 * w * spp : (r0 + rows) * w * spp]
-        strips.append(_packbits_encode(chunk) if compression == 32773 else chunk)
+        if compression == 32773:
+            strips.append(_packbits_encode(chunk))
+        elif compression == 5:
+            strips.append(_tiff_lzw_encode(chunk))
+        else:
+            strips.append(chunk)
     bo = byte_order
     magic = b"II*\x00" if bo == "<" else b"MM\x00*"
     n_strips = len(strips)
     # layout: header(8) + IFD + [strip offsets array][strip counts array][bits array] + data
     tags = []  # (tag, type, count, value_or_offset_placeholder)
-    ntags = 10
+    ntags = 10 + (1 if predictor == 2 else 0)
     ifd_size = 2 + ntags * 12 + 4
     arrays_off = 8 + ifd_size
     def arr(fmt, vals):
@@ -3211,6 +3268,8 @@ def _tiff(img, byte_order="<", compression=1, photometric=None, rows_per_strip=N
         tag(279, 4, n_strips, strip_cnt_pos) if n_strips > 1 else tag(279, 4, 1, (len(strips[0]),), "I"),
         tag(296, 3, 1, (2,), "H"),  # resolution unit (filler tag)
     ]
+    if predictor == 2:
+        entries.append(tag(317, 3, 1, (predictor,), "H"))
     ifd = struct.pack(bo + "H", len(entries)) + b"".join(entries) + struct.pack(bo + "I", 0)
     out = magic + struct.pack(bo + "I", 8) + ifd
     out += arr("I", offsets) + arr("I", [len(s) for s in strips]) + arr("H", [8] * spp)
@@ -3575,3 +3634,54 @@ def test_image_phash_baseline_progressive_parity(spark):
     )
     got = {r["media_id"]: r["phash"] for r in image_phash(df).collect()}
     assert got[1] == got[2] and got[1] is not None
+
+
+def test_tiff_lzw_roundtrip_and_early_change_boundary():
+    """LZW kernel: independent encoder → package decoder round-trip,
+    including data engineered to cross the 9→10 bit EARLY-CHANGE boundary
+    with literal-only codes (no pair repeats → one table entry per emitted
+    code, so a width off-by-one corrupts exactly at code 510/511)."""
+    import numpy as np
+
+    from lantern_extras_spark.multimodal.media import _tiff_lzw_decode
+
+    # no-repeated-pair sequence, length 600: every code emitted is a
+    # literal; table grows past 511 forcing the early width bump mid-stream
+    seq = bytearray()
+    for i in range(600):
+        seq.append((i * 7 + (i * i) % 13) % 256 if i % 2 == 0 else (191 - i) % 256)
+    data = bytes(seq)
+    enc = _tiff_lzw_encode(data)
+    assert _tiff_lzw_decode(enc, len(data)) == data
+    # highly repetitive data: multi-byte table strings + KwKwK case
+    rep = (b"abcabcabcaaabbbccc" * 40) + bytes(64)
+    assert _tiff_lzw_decode(_tiff_lzw_encode(rep), len(rep)) == rep
+    rng = np.random.RandomState(4)
+    for n in (1, 2, 700, 5000):  # 5000 crosses 10→11 bits
+        blob = bytes(rng.randint(0, 8, n, dtype=np.uint8))  # small alphabet
+        assert _tiff_lzw_decode(_tiff_lzw_encode(blob), n) == blob
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="ended after"):
+        _tiff_lzw_decode(_tiff_lzw_encode(b"hello")[:2], 5)
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+@pytest.mark.parametrize("predictor", [1, 2])
+def test_tiff_decode_lzw(bo, predictor):
+    """Compression 5 (+ optional horizontal-differencing predictor, the
+    pairing scanned-document TIFFs actually use) decodes to exact pixels,
+    multi-strip included."""
+    import numpy as np
+
+    from lantern_extras_spark.multimodal.media import decode_tiff
+
+    img = _tiff_img(h=21, w=17)
+    got = decode_tiff(
+        _tiff(img, byte_order=bo, compression=5, predictor=predictor,
+              rows_per_strip=8)
+    )
+    assert np.array_equal(got, img)
+    gray = _tiff_img(h=9, w=11, rgb=False)
+    got = decode_tiff(_tiff(gray, byte_order=bo, compression=5, predictor=predictor))
+    assert np.array_equal(got, gray[:, :, None].repeat(3, axis=2))
