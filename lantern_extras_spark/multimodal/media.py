@@ -1862,10 +1862,7 @@ def media_info(df: DataFrame, media_col: str = "media", id_col: str = "media_id"
                         break
             elif raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
                 fmt = "avi"
-                table = avi_sample_table(raw)
-                ns = 1
-                codec = "video"
-                dur = table[-1][2] if table else None
+                dur, codec, ns, w, h = _avi_header_meta(raw)
             else:
                 w, h = _image_dims(raw)
                 if w is not None:
@@ -2127,6 +2124,50 @@ def _riff_lists(data: bytes, off: int, end: int):
         else:
             yield cid, body0, body1, False
         off = body1 + (size & 1)
+
+
+def _avi_header_meta(data: bytes):
+    """AVI metadata from LIST hdrl ONLY — media_info's header-only
+    contract: duration = first vids strh `dwLength × dwScale/dwRate`
+    (fallback: avih `dwTotalFrames × dwMicroSecPerFrame`), dims from avih,
+    codec = the vids fccHandler fourcc, n_streams = strl count. Returns
+    (duration_s, codec, n_streams, width, height). Never walks LIST movi —
+    that's `avi_sample_table`, the per-frame table frame_sample needs."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    dur = codec = w = h = None
+    total_frames = usec_pf = None
+    n_streams = 0
+    for cid, b0, b1, is_list in _riff_lists(data, 12, len(data)):
+        if not (is_list and cid == b"hdrl"):
+            continue
+        for hid, h0, h1, hlist in _riff_lists(data, b0, b1):
+            if hid == b"avih" and not hlist:
+                usec_pf, _, _, _, total_frames, _, _, _, aw, ah = (
+                    struct.unpack_from("<10I", data, h0)
+                )
+                w, h = (aw or None), (ah or None)
+            elif hlist and hid == b"strl":
+                n_streams += 1
+                for sid, s0, s1, _ in _riff_lists(data, h0, h1):
+                    if sid == b"strh" and data[s0 : s0 + 4] == b"vids":
+                        if codec is None:
+                            handler = (
+                                data[s0 + 4 : s0 + 8]
+                                .decode("ascii", "replace")
+                                .strip("\x00 ")
+                            )
+                            codec = handler.lower() or "video"
+                            scale, rate = struct.unpack_from("<II", data, s0 + 20)
+                            (length,) = struct.unpack_from("<I", data, s0 + 32)
+                            if rate:
+                                dur = length * scale / rate
+        break  # hdrl is the first LIST; stop before movi is even seen
+    if dur is None and total_frames and usec_pf:
+        dur = total_frames * usec_pf / 1e6
+    return dur, codec, (n_streams or None), w, h
 
 
 def avi_sample_table(data: bytes):

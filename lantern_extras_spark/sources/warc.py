@@ -382,6 +382,103 @@ def _file_chunks(fspath: str) -> Iterator[bytes]:
             yield b
 
 
+def _is_http(uri: str) -> bool:
+    from urllib.parse import urlparse
+
+    return urlparse(uri).scheme in ("http", "https")
+
+
+class _LocalOpener:
+    """Archive accessor for locally-readable paths: streaming chunks plus
+    seek+read ranged access over one persistent handle."""
+
+    def __init__(self, fspath: str):
+        self._fspath = fspath
+        self._fh = None
+
+    def chunks(self) -> Iterator[bytes]:
+        return _file_chunks(self._fspath)
+
+    def read_range(self, offset: int, length: int) -> bytes:
+        if self._fh is None:
+            self._fh = open(self._fspath, "rb")
+        self._fh.seek(offset)
+        data = self._fh.read(length)
+        if len(data) != length:
+            raise ValueError(
+                f"short read at {offset}+{length} in {self._fspath}: "
+                f"got {len(data)} bytes (stale index?)"
+            )
+        return data
+
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+
+class _HttpOpener:
+    """Archive accessor over HTTP(S) — how the public Common Crawl buckets
+    are actually consumed: full streaming GET for scans, `Range:` requests
+    for the index-driven selective-read path. Fail-loud when the server
+    ignores `Range` (a 200 full-body response would silently re-download
+    the whole archive per record — the exact failure mode the index is
+    there to prevent). stdlib urllib only; object-store SDKs would plug in
+    at this same seam."""
+
+    def __init__(self, url: str):
+        self.url = url
+
+    def _request(self, headers: dict) -> "object":
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url, headers={"Accept-Encoding": "identity", **headers}
+        )
+        return urllib.request.urlopen(req)
+
+    def chunks(self) -> Iterator[bytes]:
+        with self._request({}) as r:
+            while True:
+                b = r.read(_READ_CHUNK)
+                if not b:
+                    return
+                yield b
+
+    def read_range(self, offset: int, length: int) -> bytes:
+        hdr = {"Range": f"bytes={offset}-{offset + length - 1}"}
+        with self._request(hdr) as r:
+            if getattr(r, "status", 200) != 206:
+                raise ValueError(
+                    f"server for {self.url} ignored the Range request "
+                    f"(HTTP {getattr(r, 'status', '?')}, expected 206 "
+                    "Partial Content) — refusing to stream the full archive "
+                    "per record"
+                )
+            data = r.read()
+        if len(data) != length:
+            raise ValueError(
+                f"ranged GET {self.url} [{offset}, +{length}) returned "
+                f"{len(data)} bytes"
+            )
+        return data
+
+    def close(self) -> None:
+        pass
+
+
+def _opener_for(uri: str):
+    """URI → archive accessor (local file or http(s)); None for schemes
+    this environment can't reach directly (s3a:, hdfs: — those arrive
+    through binaryFile as whole blobs instead)."""
+    fspath = _local_fs_path(uri)
+    if fspath is not None:
+        return _LocalOpener(fspath)
+    if _is_http(uri):
+        return _HttpOpener(uri)
+    return None
+
+
 def _warc_parse_fn(
     types: tuple[str, ...] | None,
     max_records_per_file: int | None,
@@ -395,10 +492,10 @@ def _warc_parse_fn(
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, row in pdf.iterrows():
-                fspath = _local_fs_path(row["path"])
+                opener = _opener_for(row["path"])
                 chunks = (
-                    _file_chunks(fspath)
-                    if fspath is not None
+                    opener.chunks()
+                    if opener is not None
                     else iter([bytes(row["content"])])
                 )
                 recs: list[dict] = []
@@ -421,9 +518,31 @@ def _warc_parse_fn(
     return parse
 
 
+def _paths_df(spark: SparkSession, path) -> DataFrame:
+    """Archive listing → one-column `path` DataFrame. Local/glob paths list
+    through binaryFile (column-pruned to `path`; the task streams the file
+    itself). http(s) URLs — how Common Crawl is consumed, via the
+    `warc.paths` manifests — have no listing protocol, so pass the explicit
+    URL(s); each becomes one task and the task streams the response body.
+    Object-store schemes (s3a:, hdfs:) return None here and go through
+    binaryFile with the `content` column."""
+    paths = list(path) if isinstance(path, (list, tuple)) else [path]
+    if any(_is_http(p) for p in paths):
+        if not all(_is_http(p) for p in paths):
+            raise ValueError("mixed http(s) and non-http paths in one read")
+        df = spark.createDataFrame([(p,) for p in paths], "path string")
+        return df.repartition(len(paths))
+    if len(paths) != 1:
+        raise ValueError("pass multiple paths only as http(s) URLs; local "
+                         "reads take one (glob) path")
+    local = _local_fs_path(paths[0]) is not None
+    cols = ["path"] if local else ["path", "content"]
+    return spark.read.format("binaryFile").load(paths[0]).select(*cols)
+
+
 def read_warc(
     spark: SparkSession,
-    path: str,
+    path,
     types: tuple[str, ...] = ("response",),
     max_records_per_file: int | None = None,
     batch_bytes: int = 64 << 20,
@@ -431,17 +550,18 @@ def read_warc(
     """Read WARC file(s) (plain or .gz) into records — one task per file
     (gzip members are not splittable, crawls are many-file). Default keeps
     only `response` records, the training-data payload; pass `types=None`
-    for everything (warcinfo/request/metadata/...).
+    for everything (warcinfo/request/metadata/...). `path` is a local/glob
+    path or http(s) URL(s) (a str or a list — e.g. entries from a Common
+    Crawl `warc.paths` manifest).
 
     Memory contract: records stream out in ≤`batch_bytes` pandas batches.
     For file:-scheme paths the task opens the file itself, so binaryFile is
     column-pruned to `path` only and not even the compressed blob is
-    materialized; for object-store schemes the compressed blob is the one
-    whole-file allocation (binaryFile row) — decompression and parsing stay
+    materialized; http(s) URLs stream the same way over a GET body; for
+    object-store schemes the compressed blob is the one whole-file
+    allocation (binaryFile row) — decompression and parsing stay
     incremental either way."""
-    local = _local_fs_path(path) is not None
-    cols = ["path"] if local else ["path", "content"]
-    binary = spark.read.format("binaryFile").load(path).select(*cols)
+    binary = _paths_df(spark, path)
     parse = _warc_parse_fn(types, max_records_per_file, batch_bytes)
     return binary.mapInPandas(parse, _WARC_SCHEMA)
 
@@ -531,7 +651,12 @@ _INDEX_SCHEMA = StructType(
 )
 
 
-def index_warc(spark: SparkSession, path: str) -> DataFrame:
+_INDEX_BATCH_ROWS = 50_000  # ≈10 MB of ~200 B index rows per flushed frame
+
+
+def index_warc(
+    spark: SparkSession, path, index_batch_rows: int = _INDEX_BATCH_ROWS
+) -> DataFrame:
     """Build a CDX-style index over member-gzipped WARC archives: one row
     per record with (target_uri, type, http status/content-type, a
     `sha1:<base32>` payload digest — Common Crawl's digest convention — and
@@ -539,48 +664,63 @@ def index_warc(spark: SparkSession, path: str) -> DataFrame:
     the 100 TB access pattern work END TO END in this engine: index once
     (full scan), then every later query dedups/filters ON THE INDEX (~1% of
     the bytes) and `read_warc_ranges` fetches only the surviving records.
-    One task per archive; members stream one-at-a-time."""
-    binary = spark.read.format("binaryFile").load(path).select("path")
+    `path` is a local/glob path or http(s) URL(s) — indexing streams the
+    GET body, same as `read_warc`. One task per archive; members stream
+    one-at-a-time and index rows flush every `_INDEX_BATCH_ROWS` (same
+    bounded-batch contract as the record readers)."""
+    binary = _paths_df(spark, path).select("path")
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import base64
-        import hashlib
-
         for pdf in batches:
             for p in pdf["path"]:
-                fspath = _local_fs_path(p)
-                if fspath is None:
+                opener = _opener_for(p)
+                if opener is None:
                     raise NotImplementedError(
-                        "index_warc streams from locally-readable paths; for "
-                        "object stores run it where the bucket is mounted"
+                        "index_warc streams from locally-readable paths or "
+                        "http(s) URLs; for object stores run it where the "
+                        "bucket is mounted or exposed over HTTP"
                     )
-                rows = []
-                for off, ln, member in _iter_members_with_offsets(_file_chunks(fspath)):
-                    for rec in iter_warc_records(iter([member])):
-                        digest = (
-                            "sha1:"
-                            + base64.b32encode(
-                                hashlib.sha1(rec["body"]).digest()
-                            ).decode()
-                        )
-                        rows.append(
-                            {
-                                "path": p,
-                                "target_uri": rec["target_uri"],
-                                "warc_type": rec["warc_type"],
-                                "record_id": rec["record_id"],
-                                "warc_date": rec["warc_date"],
-                                "http_status": rec["http_status"],
-                                "http_content_type": rec["http_content_type"],
-                                "digest": digest,
-                                "warc_offset": off,
-                                "warc_length": ln,
-                            }
-                        )
-                if rows:
-                    yield pd.DataFrame(rows)
+                yield from _index_frames(p, opener, index_batch_rows)
 
     return binary.mapInPandas(build, _INDEX_SCHEMA)
+
+
+def _index_frames(
+    p: str, opener, batch_rows: int
+) -> Iterator[pd.DataFrame]:
+    """Per-archive index kernel behind `index_warc`: stream members, emit
+    index-row frames of ≤`batch_rows` — peak memory is one frame no matter
+    how record-dense the archive is (module-level so the bound is pinnable
+    by a driver-side tracemalloc test)."""
+    import base64
+    import hashlib
+
+    rows: list[dict] = []
+    for off, ln, member in _iter_members_with_offsets(opener.chunks()):
+        for rec in iter_warc_records(iter([member])):
+            digest = (
+                "sha1:"
+                + base64.b32encode(hashlib.sha1(rec["body"]).digest()).decode()
+            )
+            rows.append(
+                {
+                    "path": p,
+                    "target_uri": rec["target_uri"],
+                    "warc_type": rec["warc_type"],
+                    "record_id": rec["record_id"],
+                    "warc_date": rec["warc_date"],
+                    "http_status": rec["http_status"],
+                    "http_content_type": rec["http_content_type"],
+                    "digest": digest,
+                    "warc_offset": off,
+                    "warc_length": ln,
+                }
+            )
+            if len(rows) >= batch_rows:
+                yield pd.DataFrame(rows)
+                rows = []
+    if rows:
+        yield pd.DataFrame(rows)
 
 
 def read_warc_ranges(
@@ -596,10 +736,11 @@ def read_warc_ranges(
     scale path: status/mime/digest-dedup filtering happens on the index
     (columnar, pushdown-friendly), and archive IO is proportional to the
     SURVIVING records, not the crawl. Ranges are repartitioned by archive
-    and fetched in offset order (sequential-ish IO per file, one open
-    handle per archive per task). Local paths only in this environment —
-    object stores would issue ranged GETs through their SDK at exactly this
-    seam."""
+    and fetched in offset order (sequential-ish IO per file, one accessor
+    per archive per task). Local paths seek+read; http(s) paths issue one
+    `Range:` GET per coalesced span (fail-loud if the server ignores Range)
+    — exactly how the public Common Crawl buckets are consumed; object-
+    store SDKs would plug in at the same `_opener_for` seam."""
     from pyspark.sql import functions as F
 
     cols = [path_col, offset_col, length_col]
@@ -613,24 +754,25 @@ def read_warc_ranges(
             pdf = pdf.sort_values([path_col, offset_col])
             rows: list[dict] = []
             size = 0
-            cur_path, fh = None, None
+            cur_path, opener = None, None
             try:
                 for p, grp in pdf.groupby(path_col, sort=False):
                     if p != cur_path:
-                        if fh is not None:
-                            fh.close()
-                        fspath = _local_fs_path(p)
-                        if fspath is None:
+                        if opener is not None:
+                            opener.close()
+                        opener = _opener_for(p)
+                        if opener is None:
                             raise NotImplementedError(
-                                "read_warc_ranges needs locally-readable "
-                                "paths; use ranged GETs for object stores"
+                                "read_warc_ranges needs locally-readable or "
+                                "http(s) paths; object stores would plug a "
+                                "ranged-GET opener in at this seam"
                             )
-                        fh = open(fspath, "rb")
                         cur_path = p
                     # coalesce TOUCHING ranges into single reads (≤ one
                     # batch): when most of an archive survives the index
-                    # filter, this turns per-record seeks back into the
-                    # sequential scan it effectively is
+                    # filter, this turns per-record seeks (or per-record
+                    # HTTP requests) back into the sequential scan it
+                    # effectively is
                     spans: list[list[int]] = []
                     for off, ln in zip(grp[offset_col], grp[length_col]):
                         off, ln = int(off), int(ln)
@@ -643,8 +785,7 @@ def read_warc_ranges(
                         else:
                             spans.append([off, ln])
                     for off, ln in spans:
-                        fh.seek(off)
-                        blob = fh.read(ln)
+                        blob = opener.read_range(off, ln)
                         for rec in iter_warc_records(iter([blob])):
                             rows.append({"path": p, **rec})
                             size += len(rec["body"]) + 256
@@ -652,8 +793,8 @@ def read_warc_ranges(
                                 yield pd.DataFrame(rows)
                                 rows, size = [], 0
             finally:
-                if fh is not None:
-                    fh.close()
+                if opener is not None:
+                    opener.close()
             if rows:
                 yield pd.DataFrame(rows)
 

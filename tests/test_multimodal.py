@@ -3471,7 +3471,11 @@ def test_media_info_unified(spark):
     assert abs(got[6]["duration_s"] - 0.5) < 1e-9
     assert got[7]["format"] == "webm" and got[7]["codec"] == "V_VP9"
     assert (got[7]["width"], got[7]["height"], got[7]["n_streams"]) == (640, 360, 2)
-    assert got[8]["format"] == "avi" and abs(got[8]["duration_s"] - 4 / 25) < 1e-9
+    # 5 frames @ 25 fps = 0.2 s — WHOLE duration (dwLength × dwScale/dwRate),
+    # the same convention as the mp4/mkv rows, not the last-frame timestamp
+    assert got[8]["format"] == "avi" and abs(got[8]["duration_s"] - 5 / 25) < 1e-9
+    assert (got[8]["width"], got[8]["height"]) == (320, 240)
+    assert got[8]["n_streams"] == 2 and got[8]["codec"] == "dib"
     assert got[9]["format"] == "unknown" and got[9]["width"] is None
     assert (got[10]["format"], got[10]["width"]) == ("webp", 9)
     assert (got[11]["format"], got[11]["width"], got[11]["height"]) == ("tiff", 5, 6)
@@ -3479,6 +3483,32 @@ def test_media_info_unified(spark):
     assert got[13]["format"] == "wav" and abs(got[13]["duration_s"] - 2.0) < 1e-9
     assert got[14]["format"] == "mp4" and abs(got[14]["duration_s"] - 0.2) < 1e-9
     assert got[14]["n_streams"] == 1
+
+
+def test_media_info_avi_header_only(spark):
+    """The AVI branch must never walk LIST movi: stomp the entire movi list
+    (header included) with garbage — avi_sample_table chokes, media_info
+    still reads duration/dims/codec/n_streams from hdrl alone."""
+    import pytest as _pt
+
+    from lantern_extras_spark.multimodal.media import (
+        _avi_header_meta,
+        avi_sample_table,
+        media_info,
+    )
+
+    avi = bytearray(_avi([b"x" * 4] * 5, rate=25))
+    movi_at = bytes(avi).find(b"movi") - 8  # start of the movi LIST header
+    assert movi_at > 0
+    avi[movi_at:] = b"\xde" * (len(avi) - movi_at)
+    avi = bytes(avi)
+    with _pt.raises(ValueError):
+        avi_sample_table(avi)
+    assert _avi_header_meta(avi) == (0.2, "dib", 2, 320, 240)
+    df = spark.createDataFrame([(1, bytearray(avi))], "media_id long, media binary")
+    row = media_info(df).first()
+    assert row["format"] == "avi" and abs(row["duration_s"] - 0.2) < 1e-9
+    assert (row["width"], row["height"], row["n_streams"]) == (320, 240, 2)
 
 
 def test_media_info_audio_duration_parity(spark):
