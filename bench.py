@@ -311,11 +311,14 @@ def main() -> None:
         "total_min": round(sum(timings_min.values()), 3),
         "bench_iters": N_ITER,
         "sf": sf_val,
-        # CANONICAL cross-round anchor (r9 verdict #4): compare
-        # total/calibration_sec across rounds, never raw seconds. The
-        # calibration workload is fixed pure-JVM work (200M xxhash-sum +
-        # 20M-row two-level agg), so its time moves with the host, not the
-        # engine. queries_calibrated = per-query median / calibration_sec.
+        # Calibration (r9 #4, probes interleaved per r10 #3): fixed pure-JVM
+        # work (200M xxhash-sum + 20M-row two-level agg) whose time moves
+        # with the host, not the engine. Measured CV across rounds sits at
+        # 14-21% (GC pressure moves the probes more than the host moves),
+        # so per r11 verdict #6 the PRIMARY cross-round comparator is now
+        # min-of-iters (queries_min/total_min — robust to GC noise since
+        # the min run is the least-perturbed execution); calibrated ratios
+        # corroborate when calibration_valid.
         "calibration_sec": calibration_sec,
         "calibration_probes": [round(p, 3) for p in calibration_probes],
         "calibration_cv": calibration_cv,
@@ -325,13 +328,16 @@ def main() -> None:
             k: round(v / calibration_sec, 3) for k, v in timings.items()
         },
         "comparison_contract": (
-            "round-over-round = total_calibrated (and per-query "
-            "queries_calibrated) when calibration_valid (probe CV < 10%); "
-            "otherwise raw seconds within the documented ~1.2x host band. "
-            "Probes are interleaved through the bench (before/quarters/after), "
-            "denominator = their median."
+            "round-over-round PRIMARY = total_min (and per-query "
+            "queries_min): min-of-iters is robust to the JVM/GC noise the "
+            "interleaved probes exposed (measured CV 14-21%, so the "
+            "calibrated path rarely validates). Corroborate with "
+            "total_calibrated when calibration_valid (probe CV < 10%); "
+            "medians (queries/value) remain the headline contract line. "
+            "Raw totals compare within the documented ~1.2x host band."
             + ("" if calibration_valid else
-               " THIS RUN: CV >= 10% — use raw+band, not calibrated.")
+               " THIS RUN: CV >= 10% — calibrated ratios are "
+               "corroboration-only.")
         ),
         "embedding_rows_per_sec": {
             "short_text": speed.emb_per_sec_max,

@@ -15,6 +15,7 @@ exact-streaming-dedup can hold.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 from typing import Any, Iterator, Tuple
 
 import pandas as pd
@@ -1285,6 +1286,46 @@ def start_hnsw_ingest_stream(
     return writer.start()
 
 
+class StoreLockError(RuntimeError):
+    """A second writer tried to touch a dedup store mid-write/mid-compact.
+
+    The store's delete→rename compaction swap is not transactional, so
+    writers are serialized by a sibling `<store_dir>.lock` file (atomic
+    Hadoop `createNewFile`). foreachBatch serializes micro-batches within
+    ONE stream, so a healthy pipeline never sees this; raising means a
+    SECOND stream (or a manual compaction) is racing the store — the
+    documented "pause the ingest stream" convention, now enforced."""
+
+
+@_contextlib.contextmanager
+def _store_writer_lock(spark, store_dir: str, owner: str):
+    """Exclusive writer lock over a store directory: atomically create a
+    sibling `<store_dir>.lock` via Hadoop createNewFile (works on local FS
+    and HDFS; object stores with atomic create honor it too), delete it on
+    exit. Fail-loud if held: a concurrent ingest against a mid-swap store
+    would silently lose epochs. A crash can leave the lock behind — the
+    error message names the file so an operator can clear it after
+    confirming no writer is alive."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    lock = HPath(store_dir.rstrip("/") + ".lock")
+    fs = lock.getFileSystem(hconf)
+    parent = lock.getParent()
+    if parent is not None:
+        fs.mkdirs(parent)
+    if not fs.createNewFile(lock):
+        raise StoreLockError(
+            f"store {store_dir} is locked by another writer ({lock} exists); "
+            f"{owner} refusing to run — if no writer is alive, delete the "
+            "lock file and retry"
+        )
+    try:
+        yield
+    finally:
+        fs.delete(lock, False)
+
+
 def ingest_hash_batch(
     bdf,
     epoch_id: int,
@@ -1323,27 +1364,30 @@ def ingest_hash_batch(
     epoch = int(epoch_id)
     kw = dict(bits=bits, band_bits=band_bits, max_distance=max_distance,
               max_band_freq=max_band_freq)
-    store = _read_store_or_none(sess, store_dir, [id_col, hash_col])
-    if store is not None:
-        # a RETRY of this epoch already wrote its own epoch=N rows —
-        # exclude them (partition-pruned) so the retry can't match the
-        # batch against itself and drop every survivor
-        if "epoch" in store.columns:
-            store = store.where(F.col("epoch") != epoch)
-        store = store.select(id_col, hash_col)
-    pairs = hash_neardup_pairs(bdf, hash_col, id_col=id_col, **kw)
-    dropped = pairs.select(F.col("id_b").alias(id_col))  # keep-first: id_a < id_b
-    if store is not None:
-        matches = hash_neardup_join(
-            bdf, store, hash_col, id_col=id_col, store_id_col=id_col, **kw
-        )
-        dropped = dropped.unionByName(matches.select(F.col("batch_id").alias(id_col)))
-    dropped = dropped.distinct()
-    survivors = bdf.join(dropped, id_col, "left_anti")
-    survivors.write.mode("overwrite").parquet(f"{output_dir}/epoch={epoch}")
-    survivors.where(F.col(hash_col).isNotNull()).select(id_col, hash_col).write.mode(
-        "overwrite"
-    ).parquet(f"{store_dir}/epoch={epoch}")
+    with _store_writer_lock(sess, store_dir, f"ingest_hash_batch epoch {epoch}"):
+        store = _read_store_or_none(sess, store_dir, [id_col, hash_col])
+        if store is not None:
+            # a RETRY of this epoch already wrote its own epoch=N rows —
+            # exclude them (partition-pruned) so the retry can't match the
+            # batch against itself and drop every survivor
+            if "epoch" in store.columns:
+                store = store.where(F.col("epoch") != epoch)
+            store = store.select(id_col, hash_col)
+        pairs = hash_neardup_pairs(bdf, hash_col, id_col=id_col, **kw)
+        dropped = pairs.select(F.col("id_b").alias(id_col))  # keep-first: id_a < id_b
+        if store is not None:
+            matches = hash_neardup_join(
+                bdf, store, hash_col, id_col=id_col, store_id_col=id_col, **kw
+            )
+            dropped = dropped.unionByName(
+                matches.select(F.col("batch_id").alias(id_col))
+            )
+        dropped = dropped.distinct()
+        survivors = bdf.join(dropped, id_col, "left_anti")
+        survivors.write.mode("overwrite").parquet(f"{output_dir}/epoch={epoch}")
+        survivors.where(F.col(hash_col).isNotNull()).select(
+            id_col, hash_col
+        ).write.mode("overwrite").parquet(f"{store_dir}/epoch={epoch}")
 
 
 def hash_store_stats(spark, store_dir: str) -> dict:
@@ -1385,19 +1429,23 @@ def compact_hash_store(
     retry guard can't collide with it — same convention as
     `compact_hnsw_store`). Unlike HNSW there is nothing to rebuild: store
     rows are plain (id, hash) survivors, so compaction is a read +
-    repartition + atomic FS swap. Pause the ingest stream across the swap;
-    the write-temp → delete → rename is not transactional against a
-    concurrent writer."""
-    store = spark.read.parquet(store_dir).drop("epoch")
-    tmp = store_dir.rstrip("/") + "__compact"
-    store.repartition(n_files).write.mode("overwrite").parquet(f"{tmp}/epoch=-1")
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    HPath = jvm.org.apache.hadoop.fs.Path
-    fs = HPath(store_dir).getFileSystem(hconf)
-    fs.delete(HPath(store_dir), True)
-    if not fs.rename(HPath(tmp), HPath(store_dir)):
-        raise IOError(f"compaction swap failed: could not rename {tmp} -> {store_dir}")
+    repartition + atomic FS swap. The write-temp → delete → rename is not
+    transactional against a concurrent writer, so the swap runs under the
+    store writer lock (`StoreLockError` if an ingest is mid-flight) — the
+    old "pause the ingest stream" convention, enforced."""
+    with _store_writer_lock(spark, store_dir, "compact_hash_store"):
+        store = spark.read.parquet(store_dir).drop("epoch")
+        tmp = store_dir.rstrip("/") + "__compact"
+        store.repartition(n_files).write.mode("overwrite").parquet(f"{tmp}/epoch=-1")
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        fs = HPath(store_dir).getFileSystem(hconf)
+        fs.delete(HPath(store_dir), True)
+        if not fs.rename(HPath(tmp), HPath(store_dir)):
+            raise IOError(
+                f"compaction swap failed: could not rename {tmp} -> {store_dir}"
+            )
 
 
 def maybe_compact_hash_store(
@@ -1448,7 +1496,10 @@ def start_hash_dedup_stream(
     cross-batch state. With `compact_every_epochs` set (default 8), the
     compaction policy runs INSIDE foreachBatch after each ingest — safe
     because foreachBatch serializes micro-batches, so no concurrent writer
-    exists during the swap."""
+    exists during the swap. That safety is now ENFORCED, not assumed: both
+    `ingest_hash_batch` and `compact_hash_store` hold the store writer
+    lock, so a second stream pointed at the same `store_dir` fails loudly
+    with `StoreLockError` instead of corrupting the swap."""
     stream = spark.readStream.schema(source_schema).parquet(source_dir)
 
     def write_batch(bdf, epoch_id):

@@ -757,3 +757,44 @@ def test_ingest_hash_batch_store_match_retry_and_compaction(spark, tmp_path):
     assert 200 not in survivors and 201 in survivors
     # and the pile resumes growing from the compacted baseline
     assert hash_store_stats(spark, store)["epochs"] == 2
+
+
+def test_hash_store_writer_lock(spark, tmp_path):
+    """Two writers against one hash store: the second fails LOUDLY
+    (StoreLockError) instead of racing the non-transactional compaction
+    swap — the r11 'pause the ingest stream' convention, enforced."""
+    import pytest as _pt
+
+    from lantern_extras_spark.streaming.stateful import (
+        StoreLockError,
+        _store_writer_lock,
+        compact_hash_store,
+        ingest_hash_batch,
+    )
+
+    out, store = str(tmp_path / "out"), str(tmp_path / "store")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "media_id long, phash long")
+
+    def h(i):  # pairwise-far hashes (same trick as the compaction test)
+        return (i * 0x9E3779B97F4A7C15) % (1 << 63)
+
+    # normal single-writer flow: lock acquired + released per call
+    ingest_hash_batch(batch([(1, h(1)), (2, h(2))]), 0, out, store)
+    ingest_hash_batch(batch([(3, h(3))]), 1, out, store)
+    assert spark.read.parquet(store).count() == 3
+
+    # writer A holds the lock (a mid-flight ingest/compaction elsewhere):
+    # writer B's ingest AND a manual compaction both refuse to run
+    with _store_writer_lock(spark, store, "writer A"):
+        with _pt.raises(StoreLockError, match="locked by another writer"):
+            ingest_hash_batch(batch([(9, h(9))]), 2, out, store)
+        with _pt.raises(StoreLockError, match="locked by another writer"):
+            compact_hash_store(spark, store)
+    # lock released on exit: both proceed again
+    ingest_hash_batch(batch([(9, h(9))]), 2, out, store)
+    compact_hash_store(spark, store, n_files=1)
+    assert spark.read.parquet(store).count() == 4
+    # the interrupted epoch-2 ingest never half-wrote: survivors intact
+    assert sorted(r["media_id"] for r in spark.read.parquet(out).collect()) == [1, 2, 3, 9]
