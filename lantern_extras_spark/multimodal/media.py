@@ -1497,11 +1497,13 @@ def decode_gif(data: bytes):
 
 def decode_image_bytes(data: bytes):
     """Magic-number dispatch to the codec-free decoders: netpbm (P3/P5/P6),
-    uncompressed BMP, PNG (zlib is stdlib — `decode_png`), baseline JPEG
-    (`decode_jpeg`, pure numpy — r10), and GIF (`decode_gif`, pure-python
-    LZW — r10) ALL decode for real; anything else raises ValueError (no
-    image format is env-gated anymore). Per-row callers map failures to
-    the sentinel."""
+    uncompressed BMP, PNG (zlib is stdlib — `decode_png`), baseline +
+    progressive JPEG (`decode_jpeg`, pure numpy — r10/r11), GIF
+    (`decode_gif`, pure-python LZW — r10), TIFF (incl. LZW — r11), and
+    WebP lossless (`decode_webp` → `vp8l_decode` — r12) ALL decode for
+    real; anything else raises ValueError. The only image gate left is
+    lossy WebP (VP8 is a video intra-frame, grouped with the video-codec
+    gate). Per-row callers map failures to the sentinel."""
     head = bytes(data[:4])
     if head[:1] == b"P" and head[1:2] in b"356":
         return decode_ppm(data)
@@ -1515,6 +1517,8 @@ def decode_image_bytes(data: bytes):
         return decode_gif(data)
     if head in (b"II*\x00", b"MM\x00*"):
         return decode_tiff(data)
+    if head == b"RIFF" and bytes(data[8:12]) == b"WEBP":
+        return decode_webp(data)
     raise ValueError(f"unrecognized image payload (head={head!r})")
 
 
@@ -1616,9 +1620,9 @@ def webp_info(data: bytes):
     returns {kind: 'vp8'|'vp8l'|'vp8x', width, height, alpha, animation}.
     VP8 (lossy): 0x9d012a start code then 14-bit dims; VP8L (lossless):
     0x2f signature then packed 14-bit (w-1, h-1); VP8X (extended): flag byte
-    + 24-bit canvas (w-1, h-1). Pixel decode stays gated (VP8 is a video
-    intra-frame; VP8L is its own Huffman format) — this is the sniff/dims
-    half, enough for size filters and decode routing."""
+    + 24-bit canvas (w-1, h-1). This is the header-only sniff/dims half for
+    size filters and routing; VP8L pixel decode is REAL (`vp8l_decode`,
+    r12), VP8 (lossy) stays gated with the video codecs."""
     import struct
 
     data = bytes(data)
@@ -1653,6 +1657,524 @@ def webp_info(data: bytes):
                     "alpha": bool(flags & 0x10), "animation": bool(flags & 0x02)}
         off += 8 + size + (size & 1)
     raise ValueError("WebP payload has no VP8/VP8L/VP8X chunk")
+
+
+# --------------------------------------------------------------------------
+# VP8L (WebP lossless) pixel decode — pure stdlib + numpy (r12)
+#
+# Public "WebP Lossless Bitstream Specification". VP8L is LSB-first bit
+# packing, canonical prefix (Huffman) codes stored MSB-first (the DEFLATE
+# convention), an LZ77 with a 2D distance map and a color cache, and four
+# invertible pixel transforms (predictor / color / subtract-green / color
+# indexing). All of it is plain bit-twiddling — the same class of work as
+# the GIF-LZW and progressive-JPEG decoders — so WebP lossless joins the
+# decodable set and feeds image_phash cross-coding dedup directly. VP8
+# (lossy) remains gated: it is a video intra-frame (boolean arithmetic
+# coder + loop filter), out of scope with the other lossy video codecs.
+# --------------------------------------------------------------------------
+
+
+class _VP8LReader:
+    """LSB-first bit reader (VP8L convention — same bit order as GIF LZW)."""
+
+    __slots__ = ("d", "pos", "bit")
+
+    def __init__(self, d: bytes):
+        self.d = d
+        self.pos = 0
+        self.bit = 0
+
+    def bits(self, n: int) -> int:
+        v = 0
+        d, pos, bit = self.d, self.pos, self.bit
+        for i in range(n):
+            if pos >= len(d):
+                raise ValueError("VP8L: bitstream exhausted")
+            v |= ((d[pos] >> bit) & 1) << i
+            bit += 1
+            if bit == 8:
+                bit = 0
+                pos += 1
+        self.pos, self.bit = pos, bit
+        return v
+
+
+class _VP8LCode:
+    """Canonical prefix code: built from per-symbol code lengths exactly as
+    DEFLATE does (codes assigned in (length, symbol) order), decoded bit by
+    bit MSB-first. A code used through the 'simple' stream form may carry a
+    single symbol (zero bits per read); a normal-form length table must be
+    COMPLETE (Kraft sum exact) — libwebp rejects incomplete codes too."""
+
+    __slots__ = ("single", "table", "max_len")
+
+    def __init__(self, lengths, single: int | None = None):
+        if single is not None:
+            self.single = single
+            self.table = None
+            self.max_len = 0
+            return
+        nonzero = sorted((l, s) for s, l in enumerate(lengths) if l > 0)
+        if not nonzero:
+            raise ValueError("VP8L: empty prefix code")
+        if len(nonzero) == 1:
+            raise ValueError(
+                "VP8L: single-symbol code must use the simple form"
+            )
+        self.max_len = nonzero[-1][0]
+        if sum(1 << (self.max_len - l) for l, _ in nonzero) != 1 << self.max_len:
+            raise ValueError("VP8L: incomplete or oversubscribed prefix code")
+        self.single = None
+        self.table = {}
+        code = 0
+        prev_len = nonzero[0][0]
+        for l, s in nonzero:
+            code <<= l - prev_len
+            prev_len = l
+            self.table[(l, code)] = s
+            code += 1
+
+    def read(self, br: _VP8LReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for l in range(1, self.max_len + 1):
+            code = (code << 1) | br.bits(1)
+            s = self.table.get((l, code))
+            if s is not None:
+                return s
+        raise ValueError("VP8L: invalid prefix code bits")
+
+
+# code-length symbols are stored in this fixed order (spec)
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _vp8l_read_code(br: _VP8LReader, alphabet_size: int) -> _VP8LCode:
+    """One prefix code: 'simple' form (1-2 literal symbols) or normal form
+    (code-length code -> RLE-coded per-symbol lengths, DEFLATE-style 16/17/
+    18 repeats, optional max_symbol shortcut)."""
+    if br.bits(1):  # simple
+        n_symbols = br.bits(1) + 1
+        first_8bits = br.bits(1)
+        s0 = br.bits(8 if first_8bits else 1)
+        if n_symbols == 1:
+            if s0 >= alphabet_size:
+                raise ValueError("VP8L: simple-code symbol out of range")
+            return _VP8LCode(None, single=s0)
+        s1 = br.bits(8)
+        if s0 == s1 or max(s0, s1) >= alphabet_size:
+            raise ValueError("VP8L: bad simple-code symbols")
+        lengths = [0] * alphabet_size
+        lengths[s0] = lengths[s1] = 1
+        return _VP8LCode(lengths)
+    n_cl = 4 + br.bits(4)
+    cl_lengths = [0] * 19
+    for i in range(n_cl):
+        cl_lengths[_VP8L_CL_ORDER[i]] = br.bits(3)
+    cl_code = _VP8LCode(cl_lengths)
+    if br.bits(1):  # explicit symbol-count limit
+        length_nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    sym = 0
+    prev = 8
+    while sym < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        cl = cl_code.read(br)
+        if cl < 16:
+            lengths[sym] = cl
+            sym += 1
+            if cl:
+                prev = cl
+        elif cl == 16:
+            rep = 3 + br.bits(2)
+            if sym + rep > alphabet_size:
+                raise ValueError("VP8L: code-length repeat overruns alphabet")
+            for _ in range(rep):
+                lengths[sym] = prev
+                sym += 1
+        elif cl == 17:
+            sym += 3 + br.bits(3)
+        else:
+            sym += 11 + br.bits(7)
+    if sym > alphabet_size:
+        raise ValueError("VP8L: code lengths overrun alphabet")
+    return _VP8LCode(lengths)
+
+
+def _vp8l_prefix_value(br: _VP8LReader, code: int) -> int:
+    """LZ77 length/distance prefix decoding: codes 0-3 are literal values
+    1-4; beyond that each pair of codes doubles the range with extra bits."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.bits(extra) + 1
+
+
+def _vp8l_dist_table() -> list:
+    """The 120-entry short-distance map: 2D offsets (dx, dy) in the 8-row
+    neighborhood above the current pixel, ordered by squared euclidean
+    distance, ties broken larger dy first then positive dx before negative
+    — the generating rule behind the spec's literal table (its first 60
+    entries transcribe exactly to this ordering)."""
+    cands = [
+        (x, y)
+        for y in range(8)
+        for x in range(-8, 9)
+        if y > 0 or x > 0
+    ]
+    cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], p[0] < 0))
+    return cands[:120]
+
+
+_VP8L_DIST = _vp8l_dist_table()
+
+
+def _vp8l_subsample(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+def _vp8l_decode_pixels(br: _VP8LReader, w: int, h: int, is_main: bool) -> list:
+    """One entropy-coded image → list of w*h ARGB ints (row-major): color
+    cache header, optional meta-prefix (spatially varying code groups, main
+    image only), 5 prefix codes per group, then the literal / LZ77-copy /
+    cache-reference token stream."""
+    cache_bits = 0
+    if br.bits(1):
+        cache_bits = br.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"VP8L: bad color-cache size {cache_bits}")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    group_map = None
+    meta_bits = 0
+    n_groups = 1
+    if is_main and br.bits(1):
+        meta_bits = br.bits(3) + 2
+        mw = _vp8l_subsample(w, meta_bits)
+        mh = _vp8l_subsample(h, meta_bits)
+        meta = _vp8l_decode_pixels(br, mw, mh, False)
+        group_map = [(p >> 8) & 0xFFFF for p in meta]
+        n_groups = max(group_map) + 1
+    groups = []
+    for _ in range(n_groups):
+        groups.append(
+            (
+                _vp8l_read_code(br, 256 + 24 + cache_size),
+                _vp8l_read_code(br, 256),
+                _vp8l_read_code(br, 256),
+                _vp8l_read_code(br, 256),
+                _vp8l_read_code(br, 40),
+            )
+        )
+    pix = [0] * (w * h)
+    cache = [0] * cache_size
+    n = w * h
+    pos = 0
+    mw = _vp8l_subsample(w, meta_bits) if group_map is not None else 0
+    g_code, r_code, b_code, a_code, d_code = groups[0]
+    while pos < n:
+        if group_map is not None:
+            x, y = pos % w, pos // w
+            gi = group_map[(y >> meta_bits) * mw + (x >> meta_bits)]
+            g_code, r_code, b_code, a_code, d_code = groups[gi]
+        s = g_code.read(br)
+        if s < 256:
+            r = r_code.read(br)
+            b = b_code.read(br)
+            a = a_code.read(br)
+            argb = (a << 24) | (r << 16) | (s << 8) | b
+            pix[pos] = argb
+            pos += 1
+            if cache_size:
+                cache[((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
+        elif s < 280:
+            length = _vp8l_prefix_value(br, s - 256)
+            dist_code = _vp8l_prefix_value(br, d_code.read(br))
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _VP8L_DIST[dist_code - 1]
+                dist = max(dx + dy * w, 1)
+            if dist > pos or pos + length > n:
+                raise ValueError("VP8L: LZ77 copy out of bounds")
+            for _ in range(length):
+                argb = pix[pos - dist]
+                pix[pos] = argb
+                pos += 1
+                if cache_size:
+                    cache[
+                        ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+                    ] = argb
+        else:
+            if not cache_size:
+                raise ValueError("VP8L: cache reference without a color cache")
+            pix[pos] = cache[s - 280]
+            pos += 1
+    return pix
+
+
+def _vp8l_avg2(a: int, b: int) -> int:
+    """Per-channel (a+b)//2 on packed ARGB."""
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _vp8l_add(a: int, b: int) -> int:
+    """Per-channel (a+b) & 0xff on packed ARGB."""
+    out = 0
+    for sh in (0, 8, 16, 24):
+        out |= (((a >> sh) + (b >> sh)) & 0xFF) << sh
+    return out
+
+
+def _vp8l_select(t: int, l: int, tl: int) -> int:
+    pa_minus_pb = 0
+    for sh in (0, 8, 16, 24):
+        tc, lc, tlc = (t >> sh) & 0xFF, (l >> sh) & 0xFF, (tl >> sh) & 0xFF
+        pa_minus_pb += abs(lc - tlc) - abs(tc - tlc)
+    return t if pa_minus_pb <= 0 else l
+
+
+def _vp8l_clamp_full(a: int, b: int, c: int) -> int:
+    out = 0
+    for sh in (0, 8, 16, 24):
+        v = ((a >> sh) & 0xFF) + ((b >> sh) & 0xFF) - ((c >> sh) & 0xFF)
+        out |= (0 if v < 0 else 255 if v > 255 else v) << sh
+    return out
+
+
+def _vp8l_clamp_half(ave: int, c: int) -> int:
+    out = 0
+    for sh in (0, 8, 16, 24):
+        a = (ave >> sh) & 0xFF
+        # C integer division truncates toward zero (libwebp semantics)
+        d = a - ((c >> sh) & 0xFF)
+        v = a + (d // 2 if d >= 0 else -((-d) // 2))
+        out |= (0 if v < 0 else 255 if v > 255 else v) << sh
+    return out
+
+
+def _vp8l_predict(mode: int, l: int, t: int, tl: int, tr: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return l
+    if mode == 2:
+        return t
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _vp8l_avg2(_vp8l_avg2(l, tr), t)
+    if mode == 6:
+        return _vp8l_avg2(l, tl)
+    if mode == 7:
+        return _vp8l_avg2(l, t)
+    if mode == 8:
+        return _vp8l_avg2(tl, t)
+    if mode == 9:
+        return _vp8l_avg2(t, tr)
+    if mode == 10:
+        return _vp8l_avg2(_vp8l_avg2(l, tl), _vp8l_avg2(t, tr))
+    if mode == 11:
+        return _vp8l_select(t, l, tl)
+    if mode == 12:
+        return _vp8l_clamp_full(l, t, tl)
+    if mode == 13:
+        return _vp8l_clamp_half(_vp8l_avg2(l, t), tl)
+    raise ValueError(f"VP8L: predictor mode {mode} out of range")
+
+
+def _vp8l_inv_predictor(pix: list, w: int, h: int, bits: int, sub: list) -> None:
+    """In-place inverse predictor transform: residual + prediction per
+    channel mod 256. Edge rules (spec): (0,0) predicts opaque black, the
+    rest of row 0 predicts LEFT, column 0 predicts TOP; the top-right
+    neighbor of the last column wraps to the current row's first pixel
+    (the 1D scanline neighbor, exactly what pix[pos-w+1] gives)."""
+    sw = _vp8l_subsample(w, bits)
+    for pos in range(w * h):
+        x, y = pos % w, pos // w
+        if pos == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = pix[pos - 1]
+        elif x == 0:
+            pred = pix[pos - w]
+        else:
+            mode = (sub[(y >> bits) * sw + (x >> bits)] >> 8) & 0xFF
+            pred = _vp8l_predict(
+                mode, pix[pos - 1], pix[pos - w], pix[pos - w - 1], pix[pos - w + 1]
+            )
+        pix[pos] = _vp8l_add(pix[pos], pred)
+
+
+def _vp8l_ct_delta(pred: int, val: int) -> int:
+    """(int8)pred * (int8)val >> 5 with arithmetic shift — the color
+    transform's cross-channel term."""
+    if pred >= 128:
+        pred -= 256
+    if val >= 128:
+        val -= 256
+    return (pred * val) >> 5
+
+
+def _vp8l_inv_color_transform(pix: list, w: int, h: int, bits: int, sub: list) -> None:
+    """In-place inverse color transform: per block, the transform element
+    (green_to_red in the BLUE channel, green_to_blue in GREEN, red_to_blue
+    in RED — libwebp's packing) is undone by re-adding the cross-channel
+    deltas; red reconstructs first because red_to_blue keys on it."""
+    sw = _vp8l_subsample(w, bits)
+    for pos in range(w * h):
+        x, y = pos % w, pos // w
+        cte = sub[(y >> bits) * sw + (x >> bits)]
+        g2r = cte & 0xFF
+        g2b = (cte >> 8) & 0xFF
+        r2b = (cte >> 16) & 0xFF
+        p = pix[pos]
+        g = (p >> 8) & 0xFF
+        red = ((p >> 16) & 0xFF) + _vp8l_ct_delta(g2r, g)
+        red &= 0xFF
+        blue = (p & 0xFF) + _vp8l_ct_delta(g2b, g) + _vp8l_ct_delta(r2b, red)
+        blue &= 0xFF
+        pix[pos] = (p & 0xFF00FF00) | (red << 16) | blue
+
+
+def _vp8l_inv_subtract_green(pix: list) -> None:
+    for pos, p in enumerate(pix):
+        g = (p >> 8) & 0xFF
+        r = (((p >> 16) & 0xFF) + g) & 0xFF
+        b = ((p & 0xFF) + g) & 0xFF
+        pix[pos] = (p & 0xFF00FF00) | (r << 16) | b
+
+
+def _vp8l_inv_palette(
+    pix: list, cur_w: int, h: int, xbits: int, palette: list, orig_w: int
+) -> list:
+    """Inverse color-indexing: green channel holds palette indices — packed
+    2/4/8-per-pixel (LSB-first) when the palette is small. Out-of-range
+    indices are malformed input (fail loud)."""
+    n = len(palette)
+    out = []
+    if xbits == 0:
+        for p in pix:
+            idx = (p >> 8) & 0xFF
+            if idx >= n:
+                raise ValueError(f"VP8L: palette index {idx} >= {n}")
+            out.append(palette[idx])
+        return out
+    per = 1 << xbits
+    ibits = 8 >> xbits
+    mask = (1 << ibits) - 1
+    for y in range(h):
+        cnt = 0
+        for p in pix[y * cur_w : (y + 1) * cur_w]:
+            g = (p >> 8) & 0xFF
+            for k in range(per):
+                if cnt >= orig_w:
+                    break
+                idx = (g >> (k * ibits)) & mask
+                if idx >= n:
+                    raise ValueError(f"VP8L: palette index {idx} >= {n}")
+                out.append(palette[idx])
+                cnt += 1
+        if cnt != orig_w:
+            raise ValueError("VP8L: packed palette row underruns width")
+    return out
+
+
+def vp8l_decode(payload: bytes):
+    """Decode a VP8L chunk payload (the bytes after the RIFF chunk header)
+    into an (H, W, 3) uint8 RGB array — alpha dropped per the decode_png/
+    decode_bmp convention. Full lossless feature set: all four transforms,
+    color cache, LZ77 with the 2D distance map, meta-prefix code groups,
+    simple and normal prefix-code forms."""
+    import numpy as np
+
+    br = _VP8LReader(bytes(payload))
+    if br.bits(8) != 0x2F:
+        raise ValueError("VP8L: bad signature byte")
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    br.bits(1)  # alpha-used hint
+    if br.bits(3) != 0:
+        raise ValueError("VP8L: unsupported version")
+    transforms = []
+    seen = set()
+    cur_w = w
+    while br.bits(1):
+        t = br.bits(2)
+        if t in seen:
+            raise ValueError(f"VP8L: duplicate transform {t}")
+        seen.add(t)
+        if t in (0, 1):  # predictor / color transform
+            bits = br.bits(3) + 2
+            sub = _vp8l_decode_pixels(
+                br, _vp8l_subsample(cur_w, bits), _vp8l_subsample(h, bits), False
+            )
+            transforms.append((t, bits, sub, cur_w))
+        elif t == 2:  # subtract green
+            transforms.append((2, 0, None, cur_w))
+        else:  # color indexing
+            n_colors = br.bits(8) + 1
+            raw_pal = _vp8l_decode_pixels(br, n_colors, 1, False)
+            palette = []
+            prev = 0
+            for p in raw_pal:  # palette rows are delta-coded
+                prev = _vp8l_add(prev, p)
+                palette.append(prev)
+            xbits = 3 if n_colors <= 2 else 2 if n_colors <= 4 else (
+                1 if n_colors <= 16 else 0
+            )
+            transforms.append((3, xbits, palette, cur_w))
+            if xbits:
+                cur_w = _vp8l_subsample(cur_w, xbits)
+    pix = _vp8l_decode_pixels(br, cur_w, h, True)
+    for t, bits, aux, width_at_read in reversed(transforms):
+        if t == 3:
+            pix = _vp8l_inv_palette(pix, cur_w, h, bits, aux, width_at_read)
+            cur_w = width_at_read
+        elif t == 2:
+            _vp8l_inv_subtract_green(pix)
+        elif t == 0:
+            _vp8l_inv_predictor(pix, cur_w, h, bits, aux)
+        else:
+            _vp8l_inv_color_transform(pix, cur_w, h, bits, aux)
+    if cur_w != w:
+        raise ValueError("VP8L: transform chain did not restore full width")
+    a = np.asarray(pix, dtype=np.uint32).reshape(h, w)
+    return np.stack(
+        [(a >> 16) & 0xFF, (a >> 8) & 0xFF, a & 0xFF], axis=-1
+    ).astype(np.uint8)
+
+
+def decode_webp(data: bytes):
+    """Decode a WebP container: VP8L (lossless) chunks decode for REAL
+    (`vp8l_decode`); VP8 (lossy) stays gated — it is a video intra-frame
+    (boolean arithmetic coding + reconstruction filters), grouped with the
+    VP8/VP9/AV1 video gate, not an image-format gap."""
+    import struct
+
+    data = bytes(data)
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    off = 12
+    while off + 8 <= len(data):
+        cid = data[off : off + 4]
+        size = struct.unpack_from("<I", data, off + 4)[0]
+        body = data[off + 8 : off + 8 + size]
+        if cid == b"VP8L":
+            return vp8l_decode(body)
+        if cid == b"VP8 ":
+            raise ValueError(
+                "WebP VP8 (lossy) pixel decode is gated: video intra-frame "
+                "codec, decode with the platform codec where available"
+            )
+        off += 8 + size + (size & 1)
+    raise ValueError("WebP payload has no VP8L chunk")
 
 
 def image_phash_bytes(data: bytes, kind: str = "phash") -> int:

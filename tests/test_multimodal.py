@@ -3715,3 +3715,592 @@ def test_tiff_decode_lzw(bo, predictor):
     gray = _tiff_img(h=9, w=11, rgb=False)
     got = decode_tiff(_tiff(gray, byte_order=bo, compression=5, predictor=predictor))
     assert np.array_equal(got, gray[:, :, None].repeat(3, axis=2))
+
+
+# ---------------------------------------------------------------------------
+# VP8L (WebP lossless) decode (r12) — pinned against an INDEPENDENT minimal
+# encoder written from the public bitstream spec (the progressive-JPEG/LZW
+# fixture-encoder stance): LSB-first writer, canonical prefix codes in
+# (length, symbol) order emitted MSB-first, DEFLATE-style RLE'd code
+# lengths, the four transforms applied forward in stream order.
+# ---------------------------------------------------------------------------
+
+_VP8L_CLO = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+class _VP8LBitW:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def w(self, val, nbits):  # LSB-first field
+        for i in range(nbits):
+            self.acc |= ((val >> i) & 1) << self.n
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                self.acc = 0
+                self.n = 0
+
+    def wcode(self, code, nbits):  # MSB-first (prefix-code convention)
+        for i in range(nbits - 1, -1, -1):
+            self.w((code >> i) & 1, 1)
+
+    def bytes(self):
+        return bytes(self.buf) + (bytes([self.acc]) if self.n else b"")
+
+
+def _vp8l_canon(lengths):
+    pairs = sorted((l, s) for s, l in enumerate(lengths) if l)
+    codes, code, prev = {}, 0, pairs[0][0]
+    for l, s in pairs:
+        code <<= l - prev
+        prev = l
+        codes[s] = (code, l)
+        code += 1
+    return codes
+
+
+def _vp8l_balanced(used, alphabet):
+    """Complete canonical lengths over >=2 used symbols: Kraft-exact mix of
+    L-1 and L bit codes."""
+    import math
+
+    n = len(used)
+    L = max(1, math.ceil(math.log2(n)))
+    n_short = (1 << L) - n
+    lengths = [0] * alphabet
+    for i, s in enumerate(sorted(used)):
+        lengths[s] = L - 1 if (i < n_short and L > 1) else L
+    return lengths
+
+
+def _vp8l_write_code(bw, freq, alphabet):
+    """Emit one prefix code for the given symbol frequencies; return
+    sym -> (code, nbits) for the body writer."""
+    used = sorted(freq)
+    if not used:  # code is present in the stream but never read
+        bw.w(1, 1); bw.w(0, 1); bw.w(0, 1); bw.w(0, 1)
+        return {0: (0, 0)}
+    if len(used) == 1 and used[0] < 256:
+        s = used[0]
+        bw.w(1, 1); bw.w(0, 1)
+        if s > 1:
+            bw.w(1, 1); bw.w(s, 8)
+        else:
+            bw.w(0, 1); bw.w(s, 1)
+        return {s: (0, 0)}
+    if len(used) == 2 and used[1] < 256:
+        s0, s1 = used
+        bw.w(1, 1); bw.w(1, 1)
+        if s0 > 1:
+            bw.w(1, 1); bw.w(s0, 8)
+        else:
+            bw.w(0, 1); bw.w(s0, 1)
+        bw.w(s1, 8)
+        return {s0: (0, 1), s1: (1, 1)}
+    # normal form
+    if len(used) == 1:  # symbol >= 256: pair with a dummy for completeness
+        used = sorted({used[0], 0})
+    lengths = _vp8l_balanced(used, alphabet)
+    toks, i = [], 0
+    while i < alphabet:
+        l = lengths[i]
+        j = i
+        while j < alphabet and lengths[j] == l:
+            j += 1
+        run = j - i
+        if l == 0:
+            while run >= 11:
+                c = min(run, 138); toks.append((18, c - 11, 7)); run -= c
+            while run >= 3:
+                c = min(run, 10); toks.append((17, c - 3, 3)); run -= c
+            toks += [(0, 0, 0)] * run
+        else:
+            toks.append((l, 0, 0))
+            run -= 1
+            while run >= 3:
+                c = min(run, 6); toks.append((16, c - 3, 2)); run -= c
+            toks += [(l, 0, 0)] * run
+        i = j
+    cl_used = sorted({t[0] for t in toks})
+    if len(cl_used) == 1:
+        cl_used = sorted(set(cl_used) | {0 if cl_used[0] else 1})
+    cl19 = _vp8l_balanced(cl_used, 19)
+    pos_of = {s: i for i, s in enumerate(_VP8L_CLO)}
+    ncl = max(4, max(pos_of[s] for s in range(19) if cl19[s]) + 1)
+    bw.w(0, 1)  # normal form
+    bw.w(ncl - 4, 4)
+    for k in range(ncl):
+        bw.w(cl19[_VP8L_CLO[k]], 3)
+    bw.w(0, 1)  # no max_symbol shortcut
+    clc = _vp8l_canon(cl19)
+    for sym, extra, ebits in toks:
+        c, nb = clc[sym]
+        bw.wcode(c, nb)
+        if ebits:
+            bw.w(extra, ebits)
+    return _vp8l_canon(lengths)
+
+
+def _vp8l_prefix_split(v):
+    x = v - 1
+    if x < 4:
+        return x, 0, 0
+    for code in range(4, 40):
+        e = (code - 2) >> 1
+        off = (2 + (code & 1)) << e
+        if off <= x < off + (1 << e):
+            return code, x - off, e
+    raise ValueError(v)
+
+
+def _vp8l_hash(argb, cache_bits):
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+
+def _vp8l_tokenize(pix, w, cache_bits, lz77, use_2d_map=False):
+    toks, cache, pos, n = [], {}, 0, len(pix)
+
+    def insert(argb):
+        if cache_bits:
+            cache[_vp8l_hash(argb, cache_bits)] = argb
+
+    while pos < n:
+        if lz77 and pos >= 1:
+            best_len, best_d = 0, 0
+            for d in (1, w):
+                if d > pos:
+                    continue
+                l = 0
+                while pos + l < n and l < 4096 and pix[pos + l] == pix[pos + l - d]:
+                    l += 1
+                if l > best_len:
+                    best_len, best_d = l, d
+            if best_len >= 3:
+                # distance-symbol value: 2D map code for the two short
+                # offsets the spec pins unambiguously ((0,1)=code 1 above,
+                # (1,0)=code 2 left), else direct (dist + 120)
+                if use_2d_map and best_d == w:
+                    dv = 1
+                elif use_2d_map and best_d == 1:
+                    dv = 2
+                else:
+                    dv = best_d + 120
+                toks.append(("copy", pos, best_len, dv))
+                for k in range(best_len):
+                    insert(pix[pos + k])
+                pos += best_len
+                continue
+        argb = pix[pos]
+        if cache_bits and cache.get(_vp8l_hash(argb, cache_bits)) == argb:
+            toks.append(("cache", pos, _vp8l_hash(argb, cache_bits)))
+        else:
+            toks.append(("lit", pos, argb))
+            insert(argb)
+        pos += 1
+    return toks
+
+
+def _vp8l_entropy_image(bw, pix, w, h, cache_bits=0, lz77=False,
+                        is_main=False, meta=None, use_2d_map=False):
+    bw.w(1 if cache_bits else 0, 1)
+    if cache_bits:
+        bw.w(cache_bits, 4)
+    group_of = lambda pos: 0  # noqa: E731
+    n_groups = 1
+    if is_main:
+        if meta is not None:
+            mb, gmap = meta
+            bw.w(1, 1)
+            bw.w(mb - 2, 3)
+            mw = -(-w // (1 << mb))
+            mh = -(-h // (1 << mb))
+            assert len(gmap) == mw * mh
+            meta_pix = [
+                (0xFF << 24) | (((g >> 8) & 0xFF) << 16) | ((g & 0xFF) << 8)
+                for g in gmap
+            ]
+            _vp8l_entropy_image(bw, meta_pix, mw, mh)
+            n_groups = max(gmap) + 1
+            group_of = lambda pos: gmap[  # noqa: E731
+                ((pos // w) >> mb) * mw + ((pos % w) >> mb)
+            ]
+        else:
+            bw.w(0, 1)
+    toks = _vp8l_tokenize(pix, w, cache_bits, lz77, use_2d_map)
+    freqs = [
+        [dict(), dict(), dict(), dict(), dict()] for _ in range(n_groups)
+    ]  # g r b a d
+
+    def bump(d, k):
+        d[k] = d.get(k, 0) + 1
+
+    for tok in toks:
+        fg, fr, fb, fa, fd = freqs[group_of(tok[1])]
+        if tok[0] == "lit":
+            argb = tok[2]
+            bump(fg, (argb >> 8) & 0xFF)
+            bump(fr, (argb >> 16) & 0xFF)
+            bump(fb, argb & 0xFF)
+            bump(fa, (argb >> 24) & 0xFF)
+        elif tok[0] == "cache":
+            bump(fg, 280 + tok[2])
+        else:
+            bump(fg, 256 + _vp8l_prefix_split(tok[2])[0])
+            bump(fd, _vp8l_prefix_split(tok[3])[0])
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    gcodes = []
+    for fg, fr, fb, fa, fd in freqs:
+        gcodes.append(
+            (
+                _vp8l_write_code(bw, fg, 256 + 24 + cache_size),
+                _vp8l_write_code(bw, fr, 256),
+                _vp8l_write_code(bw, fb, 256),
+                _vp8l_write_code(bw, fa, 256),
+                _vp8l_write_code(bw, fd, 40),
+            )
+        )
+    for tok in toks:
+        cg, cr, cb, ca, cd = gcodes[group_of(tok[1])]
+        if tok[0] == "lit":
+            argb = tok[2]
+            bw.wcode(*cg[(argb >> 8) & 0xFF])
+            bw.wcode(*cr[(argb >> 16) & 0xFF])
+            bw.wcode(*cb[argb & 0xFF])
+            bw.wcode(*ca[(argb >> 24) & 0xFF])
+        elif tok[0] == "cache":
+            bw.wcode(*cg[280 + tok[2]])
+        else:
+            lc, lex, lbits = _vp8l_prefix_split(tok[2])
+            bw.wcode(*cg[256 + lc])
+            if lbits:
+                bw.w(lex, lbits)
+            dc, dex, dbits = _vp8l_prefix_split(tok[3])
+            bw.wcode(*cd[dc])
+            if dbits:
+                bw.w(dex, dbits)
+
+
+def _vp8l_fwd_sub(a, b):
+    out = 0
+    for sh in (0, 8, 16, 24):
+        out |= (((a >> sh) - (b >> sh)) & 0xFF) << sh
+    return out
+
+
+def _vp8l_fwd_delta(pred, val):
+    if pred >= 128:
+        pred -= 256
+    if val >= 128:
+        val -= 256
+    return (pred * val) >> 5
+
+
+def _vp8l_encode(img, *, subtract_green=False, predictor=None, pred_bits=4,
+                 color_transform=None, ct_bits=4, palette=False,
+                 cache_bits=0, lz77=False, use_2d_map=False, meta=None):
+    """img (H, W, 3) uint8 -> RIFF-wrapped lossless WebP bytes. Transforms
+    are written (and applied forward) in stream order sg -> ct -> pred;
+    palette is exclusive of the others (the common encoder split)."""
+    import struct
+
+    h, w, _ = img.shape
+    pix = [
+        (0xFF << 24) | (int(r) << 16) | (int(g) << 8) | int(b)
+        for r, g, b in img.reshape(-1, 3)
+    ]
+    bw = _VP8LBitW()
+    bw.w(0x2F, 8)
+    bw.w(w - 1, 14)
+    bw.w(h - 1, 14)
+    bw.w(0, 1)
+    bw.w(0, 3)
+    cur_w = w
+    if palette:
+        assert not (subtract_green or predictor is not None or color_transform)
+        colors = []
+        index_of = {}
+        for p in pix:
+            if p not in index_of:
+                index_of[p] = len(colors)
+                colors.append(p)
+        n = len(colors)
+        assert n <= 256
+        bw.w(1, 1)
+        bw.w(3, 2)
+        bw.w(n - 1, 8)
+        deltas, prev = [], 0
+        for c in colors:
+            deltas.append(_vp8l_fwd_sub(c, prev))
+            prev = c
+        _vp8l_entropy_image(bw, deltas, n, 1)
+        xbits = 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 else 0
+        if xbits:
+            per = 1 << xbits
+            ibits = 8 >> xbits
+            cur_w = -(-w // per)
+            packed = []
+            for y in range(h):
+                row = [index_of[p] for p in pix[y * w : (y + 1) * w]]
+                for x0 in range(0, w, per):
+                    g = 0
+                    for k, idx in enumerate(row[x0 : x0 + per]):
+                        g |= idx << (k * ibits)
+                    packed.append((0xFF << 24) | (g << 8))
+            pix = packed
+        else:
+            pix = [(0xFF << 24) | (index_of[p] << 8) for p in pix]
+    if subtract_green:
+        bw.w(1, 1)
+        bw.w(2, 2)
+        pix = [
+            (p & 0xFF00FF00)
+            | ((((p >> 16) - (p >> 8)) & 0xFF) << 16)
+            | (((p & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF)
+            for p in pix
+        ]
+    if color_transform is not None:
+        g2r, g2b, r2b = color_transform
+        bw.w(1, 1)
+        bw.w(1, 2)
+        bw.w(ct_bits - 2, 3)
+        sw = -(-cur_w // (1 << ct_bits))
+        sh = -(-h // (1 << ct_bits))
+        cte = (0xFF << 24) | (r2b << 16) | (g2b << 8) | g2r
+        _vp8l_entropy_image(bw, [cte] * (sw * sh), sw, sh)
+        out = []
+        for p in pix:
+            g = (p >> 8) & 0xFF
+            r = (p >> 16) & 0xFF
+            b = p & 0xFF
+            nr = (r - _vp8l_fwd_delta(g2r, g)) & 0xFF
+            nb = (b - _vp8l_fwd_delta(g2b, g) - _vp8l_fwd_delta(r2b, r)) & 0xFF
+            out.append((p & 0xFF00FF00) | (nr << 16) | nb)
+        pix = out
+    if predictor is not None:
+        from lantern_extras_spark.multimodal.media import _vp8l_predict
+
+        bw.w(1, 1)
+        bw.w(0, 2)
+        bw.w(pred_bits - 2, 3)
+        sw = -(-cur_w // (1 << pred_bits))
+        sh = -(-h // (1 << pred_bits))
+        _vp8l_entropy_image(
+            bw, [(0xFF << 24) | (predictor << 8)] * (sw * sh), sw, sh
+        )
+        out = []
+        for pos in range(len(pix)):
+            x, y = pos % cur_w, pos // cur_w
+            if pos == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = pix[pos - 1]
+            elif x == 0:
+                pred = pix[pos - cur_w]
+            else:
+                pred = _vp8l_predict(
+                    predictor, pix[pos - 1], pix[pos - cur_w],
+                    pix[pos - cur_w - 1], pix[pos - cur_w + 1],
+                )
+            out.append(_vp8l_fwd_sub(pix[pos], pred))
+        pix = out
+    bw.w(0, 1)  # end of transforms
+    _vp8l_entropy_image(
+        bw, pix, cur_w, h, cache_bits=cache_bits, lz77=lz77,
+        is_main=True, meta=meta, use_2d_map=use_2d_map,
+    )
+    body = bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _rand_img(h, w, seed, levels=256):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, levels, size=(h, w, 3)).astype(np.uint8)
+
+
+def test_vp8l_literals_roundtrip():
+    """Plain literal stream, normal prefix codes on every channel."""
+    import numpy as np
+
+    from lantern_extras_spark.multimodal.media import decode_image_bytes
+
+    img = _rand_img(7, 13, seed=1)
+    got = decode_image_bytes(_vp8l_encode(img))
+    assert got.shape == (7, 13, 3) and np.array_equal(got, img)
+    # single-pixel and single-column edge shapes
+    for h, w in [(1, 1), (5, 1), (1, 9)]:
+        im = _rand_img(h, w, seed=h * 16 + w)
+        assert np.array_equal(decode_image_bytes(_vp8l_encode(im)), im)
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_vp8l_predictor_modes_roundtrip(mode):
+    """Every predictor mode over a gradient+noise image (gradients make
+    non-trivial residuals for the averaging/select/clamp modes)."""
+    import numpy as np
+
+    from lantern_extras_spark.multimodal.media import decode_image_bytes
+
+    base = np.add.outer(np.arange(11) * 7, np.arange(17) * 3) % 256
+    img = (np.stack([base, base * 2 % 256, 255 - base], -1)
+           + _rand_img(11, 17, seed=mode).astype(int) % 29).astype(np.uint8)
+    got = decode_image_bytes(_vp8l_encode(img, predictor=mode, pred_bits=3))
+    assert np.array_equal(got, img)
+
+
+def test_vp8l_predictor_formula_pins():
+    """Known-answer pins for the non-trivial predictor formulas, computed
+    BY HAND from the spec text (guards against a same-bug-both-sides
+    encoder/decoder roundtrip): Select picks the neighbor closer to
+    L+T-TL by channel-sum of absolute differences; ClampAddSubtractFull
+    clamps per-channel L+T-TL; Half clamps ave+(ave-TL)/2 with C-style
+    truncation toward zero."""
+    from lantern_extras_spark.multimodal.media import _vp8l_predict
+
+    def px(r, g, b, a=0xFF):
+        return (a << 24) | (r << 16) | (g << 8) | b
+
+    L, T, TL, TR = px(10, 20, 30), px(40, 8, 28), px(12, 18, 29), px(0, 0, 0)
+    # mode 11 Select: p = L+T-TL = (38, 10, 29); |p-L|: 28+10+1=39,
+    # |p-T|: 2+2+1=5 -> T is closer -> returns T
+    assert _vp8l_predict(11, L, T, TL, TR) == T
+    # mode 12 full clamp: (10+40-12, 20+8-18, 30+28-29) = (38, 10, 29)
+    assert _vp8l_predict(12, L, T, TL, TR) == px(38, 10, 29, 255)
+    # alpha channel: 255+255-255 = 255
+    # mode 12 clamps: L=(250,..), T=(20,..), TL=(5,..) -> 250+20-5=265 -> 255
+    assert (_vp8l_predict(12, px(250, 0, 0), px(20, 3, 0), px(5, 200, 0), TR)
+            >> 16) & 0xFF == 255
+    assert (_vp8l_predict(12, px(0, 0, 0), px(0, 0, 0), px(9, 0, 0), TR)
+            >> 16) & 0xFF == 0  # 0+0-9 -> clamp 0
+    # mode 13 half: ave = (L+T)//2 per channel = (25, 14, 29);
+    # ave + (ave-TL)/2 trunc-toward-0: r 25+(13//2)=31, g 14+(-4 -> -2)=12,
+    # b 29+0=29
+    assert _vp8l_predict(13, L, T, TL, TR) == px(31, 12, 29, 255)
+    # mode 5/7/10 averaging spot values
+    assert _vp8l_predict(7, L, T, TL, TR) == px(25, 14, 29, 255)
+    assert _vp8l_predict(5, L, T, TL, TR) == px(
+        (((10 + 0) // 2) + 40) // 2, (((20 + 0) // 2) + 8) // 2,
+        (((30 + 0) // 2) + 28) // 2, 255)
+
+
+def test_vp8l_subtract_green_cache_lz77():
+    """subtract-green + color cache + LZ77 copies (both direct distances
+    and the two unambiguous 2D map codes: 1=above, 2=left)."""
+    import numpy as np
+
+    from lantern_extras_spark.multimodal.media import decode_image_bytes
+
+    # repetitive rows + runs -> real LZ77 copies; few colors -> cache hits
+    tile = _rand_img(3, 8, seed=7, levels=4)
+    img = np.tile(tile, (4, 3, 1))  # 12 x 24
+    for kw in (
+        dict(lz77=True),
+        dict(lz77=True, use_2d_map=True),
+        dict(cache_bits=4),
+        dict(subtract_green=True, cache_bits=3, lz77=True),
+        dict(subtract_green=True),
+    ):
+        got = decode_image_bytes(_vp8l_encode(img, **kw))
+        assert np.array_equal(got, img), kw
+
+
+def test_vp8l_palette_roundtrip():
+    """Color-indexing transform: packed widths (2/4/16 colors) and the
+    unpacked >16-color path, including non-multiple row widths."""
+    import numpy as np
+
+    from lantern_extras_spark.multimodal.media import decode_image_bytes
+
+    rng = np.random.RandomState(3)
+    for n_colors, w in [(2, 13), (4, 9), (13, 10), (40, 7)]:
+        pal = rng.randint(0, 256, size=(n_colors, 3), dtype=np.uint8)
+        idx = rng.randint(0, n_colors, size=(6, w))
+        idx.flat[:n_colors] = np.arange(n_colors)  # every color appears
+        img = pal[idx]
+        got = decode_image_bytes(_vp8l_encode(img, palette=True))
+        assert np.array_equal(got, img), (n_colors, w)
+
+
+def test_vp8l_color_transform_roundtrip():
+    """Constant color-transform element, including negative (int8) factors
+    and the red->blue term that keys on the reconstructed red."""
+    import numpy as np
+
+    from lantern_extras_spark.multimodal.media import decode_image_bytes
+
+    img = _rand_img(9, 11, seed=5)
+    for cte in [(32, 16, 8), (0xE0, 0x90, 0xFF), (1, 255, 128)]:
+        got = decode_image_bytes(_vp8l_encode(img, color_transform=cte))
+        assert np.array_equal(got, img), cte
+    # stacked: subtract-green then color transform then predictor
+    got = decode_image_bytes(_vp8l_encode(
+        img, subtract_green=True, color_transform=(32, 16, 8),
+        predictor=7, pred_bits=4))
+    assert np.array_equal(got, img)
+
+
+def test_vp8l_meta_prefix_groups():
+    """Spatially varying prefix-code groups: a 2-group entropy image
+    (left/right halves), each group's codes tuned to its own half."""
+    import numpy as np
+
+    from lantern_extras_spark.multimodal.media import decode_image_bytes
+
+    h, w, mb = 8, 16, 2
+    left = _rand_img(h, w // 2, seed=11, levels=3)
+    right = 200 + _rand_img(h, w // 2, seed=12, levels=50)
+    img = np.concatenate([left, right], axis=1).astype(np.uint8)
+    mw, mh = -(-w // (1 << mb)), -(-h // (1 << mb))
+    gmap = [1 if (bx << mb) >= w // 2 else 0
+            for by in range(mh) for bx in range(mw)]
+    got = decode_image_bytes(_vp8l_encode(img, meta=(mb, gmap)))
+    assert np.array_equal(got, img)
+
+
+def test_vp8l_malformed_and_vp8_gate():
+    import pytest as _pt
+
+    from lantern_extras_spark.multimodal.media import (
+        decode_image_bytes,
+        decode_webp,
+        vp8l_decode,
+    )
+
+    with _pt.raises(ValueError, match="gated"):
+        decode_webp(_webp("vp8", 64, 64))
+    with _pt.raises(ValueError, match="signature"):
+        vp8l_decode(b"\x00\x00\x00\x00\x00")
+    with _pt.raises(ValueError):  # truncated stream
+        good = _vp8l_encode(_rand_img(6, 6, seed=1))
+        decode_image_bytes(good[:-6])
+    with _pt.raises(ValueError, match="VP8L"):  # VP8X container, no VP8L
+        decode_webp(_webp("vp8x", 10, 10))
+
+
+def test_vp8l_phash_parity_vs_png_twin(spark):
+    """Cross-coding near-dup dedup: the SAME pixels as lossless WebP and as
+    PNG must produce IDENTICAL perceptual hashes through the Spark op —
+    the property that makes pHash dedup work across a mixed-format crawl
+    (same pin progressive JPEG earned in r11)."""
+    import numpy as np
+
+    from lantern_extras_spark.multimodal.media import image_phash
+
+    base = np.add.outer(np.arange(24) * 11, np.arange(32) * 5) % 256
+    img = np.stack([base, (base * 3) % 256, base[::-1]], -1).astype(np.uint8)
+    webp = _vp8l_encode(img, subtract_green=True, predictor=7, lz77=True)
+    png = _png(img)
+    df = spark.createDataFrame(
+        [(1, bytearray(webp)), (2, bytearray(png))], "media_id long, media binary"
+    )
+    for kind in ("phash", "dhash"):
+        rows = {r["media_id"]: r["phash"] for r in
+                image_phash(df, kind=kind).collect()}
+        assert rows[1] is not None and rows[1] == rows[2], kind
