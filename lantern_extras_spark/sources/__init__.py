@@ -3,6 +3,8 @@ from lantern_extras_spark.sources.warc import (  # noqa: F401
     index_warc,
     iter_warc_records,
     parse_warc_bytes,
+    read_cdx,
+    read_cdx_ranges,
     read_warc,
     read_warc_ranges,
     read_wet,

@@ -842,6 +842,27 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_cdx_ranges(
+    spark: SparkSession, cdx: DataFrame, base_url: str
+) -> DataFrame:
+    """The canonical public-crawl access pattern end to end: CDX index rows
+    (from `read_cdx` — already filtered/deduped index-side) name each
+    record's archive (`warc_filename`, relative to the crawl root) and
+    member byte range; prefix the crawl's base URL and fetch EXACTLY those
+    members via `read_warc_ranges` (Range GETs over http(s), seek+read for
+    a local mirror). Archive IO ∝ surviving index rows, never the crawl."""
+    from pyspark.sql import functions as F
+
+    rows = cdx.select(
+        F.concat(
+            F.lit(base_url.rstrip("/") + "/"), F.col("warc_filename")
+        ).alias("path"),
+        "warc_offset",
+        "warc_length",
+    )
+    return read_warc_ranges(spark, rows)
+
+
 def http_body_text(body="body", content_type="http_content_type"):
     """Charset-aware HTTP body → string, as a native Column expression: the
     charset is pulled from the Content-Type header value

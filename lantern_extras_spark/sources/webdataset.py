@@ -65,6 +65,8 @@ def iter_webdataset_samples(
     try:
         if isinstance(src, (bytes, bytearray, memoryview)):
             tar_ctx = tarfile.open(fileobj=io.BytesIO(bytes(src)), mode="r:*")
+        elif hasattr(src, "read"):  # non-seekable stream (e.g. an HTTP body)
+            tar_ctx = tarfile.open(fileobj=src, mode="r|*")
         else:
             tar_ctx = tarfile.open(name=src, mode="r:*")
         with tar_ctx as tar:
@@ -111,19 +113,58 @@ def parse_webdataset_bytes(
     return list(iter_webdataset_samples(blob, max_samples))
 
 
+class _IterStream(io.RawIOBase):
+    """Chunk-iterator → non-seekable read() stream: adapts the archive
+    openers' `chunks()` (disk reads or an HTTP body) to tarfile's streaming
+    `r|*` mode, so an HTTP-hosted shard parses with the same one-sample
+    peak memory as a local one."""
+
+    def __init__(self, chunks):
+        self._chunks = chunks
+        self._cur = memoryview(b"")
+        self._off = 0
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        n, want = 0, len(b)
+        while n < want:
+            if self._off >= len(self._cur):
+                nxt = next(self._chunks, None)
+                if nxt is None:
+                    break
+                self._cur = memoryview(nxt)
+                self._off = 0
+                continue
+            take = min(want - n, len(self._cur) - self._off)
+            b[n : n + take] = self._cur[self._off : self._off + take]
+            self._off += take
+            n += take
+        return n
+
+
 def _wds_parse_fn(max_samples, batch_bytes: int = 64 << 20):
     """Shared mapInPandas kernel: per shard, stream samples and flush a
     pandas frame every `batch_bytes` of payload — for locally-readable
     paths the tar streams straight from disk (binaryFile column-pruned to
     `path`, not even the shard blob materialized); peak task memory is one
     batch."""
-    from lantern_extras_spark.sources.warc import _local_fs_path
+    from lantern_extras_spark.sources.warc import _local_fs_path, _opener_for
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, row in pdf.iterrows():
                 fspath = _local_fs_path(row["path"])
-                src = fspath if fspath is not None else bytes(row["content"])
+                if fspath is not None:
+                    src = fspath  # seekable r:* straight from disk
+                else:
+                    opener = _opener_for(row["path"])
+                    src = (
+                        _IterStream(opener.chunks())  # http: streamed r|*
+                        if opener is not None
+                        else bytes(row["content"])
+                    )
                 buf: list[dict] = []
                 size = 0
                 for s in iter_webdataset_samples(src, max_samples):
@@ -140,21 +181,21 @@ def _wds_parse_fn(max_samples, batch_bytes: int = 64 << 20):
 
 def read_webdataset(
     spark: SparkSession,
-    path: str,
+    path,
     max_samples_per_shard: int | None = None,
 ) -> DataFrame:
     """Read WebDataset shard(s) → (path, key, parts map<string,binary>) —
     one task per shard, samples streamed in bounded 64 MB batches (local
-    paths stream straight from disk; object-store shards arrive as one
-    binaryFile blob but sample extraction stays incremental). Project parts
-    with `element_at(parts, 'jpg')` / `map_keys`; the column-pruning analog
-    for a tar source is `max_samples_per_shard` (sampling runs) since tar
-    has no random access."""
-    from lantern_extras_spark.sources.warc import _local_fs_path
+    paths stream straight from disk; http(s) shard URLs — how WebDataset is
+    served in practice — stream the GET body through tarfile's `r|*` mode;
+    object-store shards arrive as one binaryFile blob but sample extraction
+    stays incremental). `path` is a local/glob path or http(s) URL(s).
+    Project parts with `element_at(parts, 'jpg')` / `map_keys`; the
+    column-pruning analog for a tar source is `max_samples_per_shard`
+    (sampling runs) since tar has no random access."""
+    from lantern_extras_spark.sources.warc import _paths_df
 
-    local = _local_fs_path(path) is not None
-    cols = ["path"] if local else ["path", "content"]
-    binary = spark.read.format("binaryFile").load(path).select(*cols)
+    binary = _paths_df(spark, path)
     return binary.mapInPandas(_wds_parse_fn(max_samples_per_shard), _WDS_SCHEMA)
 
 
