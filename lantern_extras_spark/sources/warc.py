@@ -417,25 +417,53 @@ class _LocalOpener:
             self._fh = None
 
 
+_HTTP_RETRIES = 3
+_HTTP_BACKOFF_S = 0.5
+_HTTP_SLEEP_SCALE = [1.0]  # tests shrink this to avoid real sleeps
+
+
 class _HttpOpener:
     """Archive accessor over HTTP(S) — how the public Common Crawl buckets
     are actually consumed: full streaming GET for scans, `Range:` requests
     for the index-driven selective-read path. Fail-loud when the server
     ignores `Range` (a 200 full-body response would silently re-download
     the whole archive per record — the exact failure mode the index is
-    there to prevent). stdlib urllib only; object-store SDKs would plug in
-    at this same seam."""
+    there to prevent). Transient failures (connection errors, 5xx, 429)
+    retry with linear backoff — at crawl scale some blips per million GETs
+    are a certainty and must not fail whole tasks; 4xx responses raise
+    immediately (retrying a wrong request can't fix it), and a stream that
+    breaks MID-body is left to Spark task retry (resuming a half-consumed
+    gzip member is not safe). stdlib urllib only; object-store SDKs would
+    plug in at this same seam."""
 
     def __init__(self, url: str):
         self.url = url
 
     def _request(self, headers: dict) -> "object":
+        import time
+        import urllib.error
         import urllib.request
 
-        req = urllib.request.Request(
-            self.url, headers={"Accept-Encoding": "identity", **headers}
-        )
-        return urllib.request.urlopen(req)
+        last: Exception | None = None
+        for attempt in range(_HTTP_RETRIES):
+            try:
+                req = urllib.request.Request(
+                    self.url, headers={"Accept-Encoding": "identity", **headers}
+                )
+                return urllib.request.urlopen(req)
+            except urllib.error.HTTPError as e:
+                if e.code < 500 and e.code != 429:
+                    raise
+                last = e
+            except (urllib.error.URLError, ConnectionError, TimeoutError, OSError) as e:
+                last = e
+            if attempt < _HTTP_RETRIES - 1:
+                time.sleep(
+                    _HTTP_BACKOFF_S * (attempt + 1) * float(_HTTP_SLEEP_SCALE[0])
+                )
+        raise IOError(
+            f"GET {self.url} failed after {_HTTP_RETRIES} attempts: {last}"
+        ) from last
 
     def chunks(self) -> Iterator[bytes]:
         with self._request({}) as r:

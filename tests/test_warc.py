@@ -730,3 +730,56 @@ def test_read_webdataset_http(spark, tmp_path):
             for r in read_webdataset(spark, urls).collect()
         )
     assert got == want and len(got) == 6
+
+
+def test_http_opener_retries_transient_errors(tmp_path):
+    """Crawl-scale robustness: 5xx/429 and connection blips retry with
+    backoff (some failures per million GETs are a certainty); 4xx raises
+    immediately — retrying a wrong request can't fix it."""
+    import http.server
+    import threading
+
+    W.write_warc(str(tmp_path / "r.warc.gz"), RECORDS)
+    blob = open(tmp_path / "r.warc.gz", "rb").read()
+    fails = {"n": 2}
+
+    class Flaky(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path.endswith("missing"):
+                self.send_error(404)
+                return
+            if fails["n"] > 0:
+                fails["n"] -= 1
+                self.send_error(503)
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+            self.wfile.write(blob)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Flaky)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    old_scale = W._HTTP_SLEEP_SCALE[0]
+    W._HTTP_SLEEP_SCALE[0] = 0.0
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        # two 503s then success: retries absorb them
+        got = b"".join(W._HttpOpener(f"{base}/r.warc.gz").chunks())
+        assert got == blob and fails["n"] == 0
+        # 404 raises immediately (no retries burned)
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):
+            W._HttpOpener(f"{base}/missing").read_range(0, 10)
+        # persistent 503 exhausts retries and fails loud
+        fails["n"] = 99
+        with pytest.raises(IOError, match="failed after 3 attempts"):
+            b"".join(W._HttpOpener(f"{base}/r.warc.gz").chunks())
+        assert fails["n"] == 96  # exactly 3 attempts consumed
+    finally:
+        W._HTTP_SLEEP_SCALE[0] = old_scale
+        srv.shutdown()
+        srv.server_close()
