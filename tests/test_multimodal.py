@@ -4304,3 +4304,34 @@ def test_vp8l_phash_parity_vs_png_twin(spark):
         rows = {r["media_id"]: r["phash"] for r in
                 image_phash(df, kind=kind).collect()}
         assert rows[1] is not None and rows[1] == rows[2], kind
+
+
+# Differential fuzz: _vp8l_encode -> vp8l_decode roundtrip across the
+# option matrix (hypothesis) — every transform stack, cache size, and
+# image shape must reproduce pixels exactly (lossless means lossless).
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 14),
+    w=st.integers(1, 19),
+    levels=st.sampled_from([2, 5, 256]),
+    seed=st.integers(0, 2**31 - 1),
+    sg=st.booleans(),
+    pred=st.one_of(st.none(), st.integers(0, 13)),
+    cache=st.sampled_from([0, 2, 6]),
+    lz=st.booleans(),
+)
+def test_vp8l_roundtrip_fuzz(h, w, levels, seed, sg, pred, cache, lz):
+    import numpy as np
+
+    from lantern_extras_spark.multimodal.media import decode_image_bytes
+
+    img = _rand_img(h, w, seed=seed % 2**16, levels=levels)
+    data = _vp8l_encode(
+        img, subtract_green=sg, predictor=pred, pred_bits=3,
+        cache_bits=cache, lz77=lz,
+    )
+    assert np.array_equal(decode_image_bytes(data), img)
