@@ -1675,28 +1675,44 @@ def webp_info(data: bytes):
 
 
 class _VP8LReader:
-    """LSB-first bit reader (VP8L convention — same bit order as GIF LZW)."""
+    """LSB-first bit reader (VP8L convention — same bit order as GIF LZW).
+    Fields are served by one small byte-slice + int.from_bytes per read —
+    the pixel loop is pure Python, so the reader is the hot path."""
 
-    __slots__ = ("d", "pos", "bit")
+    __slots__ = ("d", "bitpos", "nbits")
 
     def __init__(self, d: bytes):
         self.d = d
-        self.pos = 0
-        self.bit = 0
+        self.bitpos = 0
+        self.nbits = 8 * len(d)
 
     def bits(self, n: int) -> int:
-        v = 0
-        d, pos, bit = self.d, self.pos, self.bit
-        for i in range(n):
-            if pos >= len(d):
-                raise ValueError("VP8L: bitstream exhausted")
-            v |= ((d[pos] >> bit) & 1) << i
-            bit += 1
-            if bit == 8:
-                bit = 0
-                pos += 1
-        self.pos, self.bit = pos, bit
+        p = self.bitpos
+        if p + n > self.nbits:
+            raise ValueError("VP8L: bitstream exhausted")
+        b0 = p >> 3
+        nb = ((p & 7) + n + 7) >> 3
+        v = (int.from_bytes(self.d[b0 : b0 + nb], "little") >> (p & 7)) & (
+            (1 << n) - 1
+        )
+        self.bitpos = p + n
         return v
+
+    def peek(self, n: int) -> int:
+        """Next n bits without consuming; zero-padded past stream end (a
+        complete prefix code never selects phantom bits — only `skip`
+        enforces the boundary)."""
+        p = self.bitpos
+        b0 = p >> 3
+        nb = ((p & 7) + n + 7) >> 3
+        return (int.from_bytes(self.d[b0 : b0 + nb], "little") >> (p & 7)) & (
+            (1 << n) - 1
+        )
+
+    def skip(self, n: int) -> None:
+        if self.bitpos + n > self.nbits:
+            raise ValueError("VP8L: bitstream exhausted")
+        self.bitpos += n
 
 
 class _VP8LCode:
@@ -1706,12 +1722,12 @@ class _VP8LCode:
     single symbol (zero bits per read); a normal-form length table must be
     COMPLETE (Kraft sum exact) — libwebp rejects incomplete codes too."""
 
-    __slots__ = ("single", "table", "max_len")
+    __slots__ = ("single", "lut", "max_len", "_mask")
 
     def __init__(self, lengths, single: int | None = None):
         if single is not None:
             self.single = single
-            self.table = None
+            self.lut = None
             self.max_len = 0
             return
         nonzero = sorted((l, s) for s, l in enumerate(lengths) if l > 0)
@@ -1722,28 +1738,48 @@ class _VP8LCode:
                 "VP8L: single-symbol code must use the simple form"
             )
         self.max_len = nonzero[-1][0]
+        if self.max_len > 15:
+            raise ValueError("VP8L: code length > 15")
         if sum(1 << (self.max_len - l) for l, _ in nonzero) != 1 << self.max_len:
             raise ValueError("VP8L: incomplete or oversubscribed prefix code")
         self.single = None
-        self.table = {}
+        # one-shot LUT over the next max_len raw stream bits: MSB-first
+        # canonical codes arrive as LSB-first stream bits, so the table key
+        # is the BIT-REVERSED code; a complete code fills every slot
+        size = 1 << self.max_len
+        lut = [(0, 0)] * size
         code = 0
         prev_len = nonzero[0][0]
         for l, s in nonzero:
             code <<= l - prev_len
             prev_len = l
-            self.table[(l, code)] = s
+            rev = 0
+            c = code
+            for _ in range(l):
+                rev = (rev << 1) | (c & 1)
+                c >>= 1
+            entry = (s, l)
+            for k in range(rev, size, 1 << l):
+                lut[k] = entry
             code += 1
+        self.lut = lut
+        self._mask = size - 1
 
     def read(self, br: _VP8LReader) -> int:
+        # fused peek+consume — this is the per-symbol hot path
         if self.single is not None:
             return self.single
-        code = 0
-        for l in range(1, self.max_len + 1):
-            code = (code << 1) | br.bits(1)
-            s = self.table.get((l, code))
-            if s is not None:
-                return s
-        raise ValueError("VP8L: invalid prefix code bits")
+        p = br.bitpos
+        b0 = p >> 3
+        nb = ((p & 7) + self.max_len + 7) >> 3
+        key = (
+            int.from_bytes(br.d[b0 : b0 + nb], "little") >> (p & 7)
+        ) & self._mask
+        s, l = self.lut[key]
+        if p + l > br.nbits:
+            raise ValueError("VP8L: bitstream exhausted")
+        br.bitpos = p + l
+        return s
 
 
 # code-length symbols are stored in this fixed order (spec)
@@ -1923,11 +1959,11 @@ def _vp8l_avg2(a: int, b: int) -> int:
 
 
 def _vp8l_add(a: int, b: int) -> int:
-    """Per-channel (a+b) & 0xff on packed ARGB."""
-    out = 0
-    for sh in (0, 8, 16, 24):
-        out |= (((a >> sh) + (b >> sh)) & 0xFF) << sh
-    return out
+    """Per-channel (a+b) & 0xff on packed ARGB (SWAR: even/odd channel
+    pairs added in one int op each, carries masked off)."""
+    lo = ((a & 0x00FF00FF) + (b & 0x00FF00FF)) & 0x00FF00FF
+    hi = ((a & 0xFF00FF00) + (b & 0xFF00FF00)) & 0xFF00FF00
+    return lo | hi
 
 
 def _vp8l_select(t: int, l: int, tl: int) -> int:
@@ -1989,27 +2025,77 @@ def _vp8l_predict(mode: int, l: int, t: int, tl: int, tr: int) -> int:
     raise ValueError(f"VP8L: predictor mode {mode} out of range")
 
 
-def _vp8l_inv_predictor(pix: list, w: int, h: int, bits: int, sub: list) -> None:
-    """In-place inverse predictor transform: residual + prediction per
-    channel mod 256. Edge rules (spec): (0,0) predicts opaque black, the
-    rest of row 0 predicts LEFT, column 0 predicts TOP; the top-right
-    neighbor of the last column wraps to the current row's first pixel
-    (the 1D scanline neighbor, exactly what pix[pos-w+1] gives)."""
+def _vp8l_inv_predictor(arr, w: int, h: int, bits: int, sub: list) -> None:
+    """In-place inverse predictor transform over a (h, w) uint32 ARGB
+    array: residual + prediction per channel mod 256. Edge rules (spec):
+    (0,0) predicts opaque black, the rest of row 0 predicts LEFT, column 0
+    predicts TOP; the top-right neighbor of the last column wraps to the
+    current row's first pixel (the 1D scanline neighbor).
+
+    Hot path: predictors that don't read the LEFT neighbor (modes 0/2/3/
+    4/8/9) vectorize over each same-mode block run via the uint8 channel
+    view (wrapping adds are native); mode 1 (LEFT) is a seeded per-channel
+    cumulative sum; the remaining left-dependent modes (5/6/7/10-13) fall
+    back to the packed-int scalar kernel."""
+    import numpy as np
+
     sw = _vp8l_subsample(w, bits)
-    for pos in range(w * h):
-        x, y = pos % w, pos // w
-        if pos == 0:
-            pred = 0xFF000000
-        elif y == 0:
-            pred = pix[pos - 1]
-        elif x == 0:
-            pred = pix[pos - w]
-        else:
+    u8 = arr.view(np.uint8).reshape(h, w, 4)  # little-endian: b, g, r, a
+    # row 0: (0,0) += opaque black, then LEFT = one seeded cumsum
+    u8[0, 0, 3] += 255
+    if w > 1:
+        u8[0] = (np.cumsum(u8[0].astype(np.int64), axis=0) & 0xFF).astype(np.uint8)
+    bs = 1 << bits
+    for y in range(1, h):
+        u8[y, 0] += u8[y - 1, 0]  # column 0: TOP
+        rl = pl = None  # lazy python-int mirrors for the scalar fallback
+        x = 1
+        while x < w:
+            x1 = min((x // bs + 1) * bs, w)
             mode = (sub[(y >> bits) * sw + (x >> bits)] >> 8) & 0xFF
-            pred = _vp8l_predict(
-                mode, pix[pos - 1], pix[pos - w], pix[pos - w - 1], pix[pos - w + 1]
-            )
-        pix[pos] = _vp8l_add(pix[pos], pred)
+            if mode == 2:
+                u8[y, x:x1] += u8[y - 1, x:x1]
+            elif mode == 0:
+                u8[y, x:x1, 3] += 255
+            elif mode == 4:
+                u8[y, x:x1] += u8[y - 1, x - 1 : x1 - 1]
+            elif mode in (3, 8, 9):
+                if x1 == w:  # TR of the last column wraps to (0, y)
+                    tr = np.concatenate([u8[y - 1, x + 1 :], u8[y : y + 1, 0]])
+                else:
+                    tr = u8[y - 1, x + 1 : x1 + 1]
+                if mode == 3:
+                    u8[y, x:x1] += tr
+                elif mode == 9:
+                    u8[y, x:x1] += (
+                        (u8[y - 1, x:x1].astype(np.uint16) + tr) >> 1
+                    ).astype(np.uint8)
+                else:
+                    u8[y, x:x1] += (
+                        (
+                            u8[y - 1, x - 1 : x1 - 1].astype(np.uint16)
+                            + u8[y - 1, x:x1]
+                        )
+                        >> 1
+                    ).astype(np.uint8)
+            elif mode == 1:
+                seg = np.cumsum(u8[y, x:x1].astype(np.int64), axis=0)
+                u8[y, x:x1] = (
+                    (seg + u8[y, x - 1].astype(np.int64)) & 0xFF
+                ).astype(np.uint8)
+            else:  # left-dependent non-linear modes: scalar kernel over
+                # python ints (bulk tolist beats per-element numpy access)
+                rl = arr[y].tolist()  # reflects vector runs done so far
+                if pl is None:
+                    pl = arr[y - 1].tolist()
+                for xi in range(x, x1):
+                    tr = pl[xi + 1] if xi + 1 < w else rl[0]
+                    pred = _vp8l_predict(
+                        mode, rl[xi - 1], pl[xi], pl[xi - 1], tr
+                    )
+                    rl[xi] = _vp8l_add(rl[xi], pred)
+                arr[y, x:x1] = rl[x:x1]
+            x = x1
 
 
 def _vp8l_ct_delta(pred: int, val: int) -> int:
@@ -2022,68 +2108,70 @@ def _vp8l_ct_delta(pred: int, val: int) -> int:
     return (pred * val) >> 5
 
 
-def _vp8l_inv_color_transform(pix: list, w: int, h: int, bits: int, sub: list) -> None:
-    """In-place inverse color transform: per block, the transform element
-    (green_to_red in the BLUE channel, green_to_blue in GREEN, red_to_blue
-    in RED — libwebp's packing) is undone by re-adding the cross-channel
-    deltas; red reconstructs first because red_to_blue keys on it."""
+def _vp8l_inv_color_transform(arr, w: int, h: int, bits: int, sub: list) -> None:
+    """In-place inverse color transform over a (h, w) uint32 ARGB array:
+    per block, the transform element (green_to_red in the BLUE channel,
+    green_to_blue in GREEN, red_to_blue in RED — libwebp's packing) is
+    undone by re-adding the cross-channel deltas; red reconstructs first
+    because red_to_blue keys on it. No sequential dependency — fully
+    vectorized, factors and channels as signed int8 per the spec."""
+    import numpy as np
+
     sw = _vp8l_subsample(w, bits)
-    for pos in range(w * h):
-        x, y = pos % w, pos // w
-        cte = sub[(y >> bits) * sw + (x >> bits)]
-        g2r = cte & 0xFF
-        g2b = (cte >> 8) & 0xFF
-        r2b = (cte >> 16) & 0xFF
-        p = pix[pos]
-        g = (p >> 8) & 0xFF
-        red = ((p >> 16) & 0xFF) + _vp8l_ct_delta(g2r, g)
-        red &= 0xFF
-        blue = (p & 0xFF) + _vp8l_ct_delta(g2b, g) + _vp8l_ct_delta(r2b, red)
-        blue &= 0xFF
-        pix[pos] = (p & 0xFF00FF00) | (red << 16) | blue
+    sh = _vp8l_subsample(h, bits)
+    cte = np.asarray(sub, dtype=np.uint32).reshape(sh, sw)
+    cte = np.repeat(np.repeat(cte, 1 << bits, axis=0), 1 << bits, axis=1)[:h, :w]
+
+    def s8(v):  # uint8 channel -> signed int8 -> int16 workspace
+        return v.astype(np.uint8).view(np.int8).astype(np.int16)
+
+    def delta(t, c):
+        return (s8(t) * s8(c)) >> 5
+
+    g2r, g2b, r2b = cte & 0xFF, (cte >> 8) & 0xFF, (cte >> 16) & 0xFF
+    g = (arr >> 8) & 0xFF
+    red = (((arr >> 16) & 0xFF).astype(np.int16) + delta(g2r, g)) & 0xFF
+    blue = (
+        (arr & 0xFF).astype(np.int16) + delta(g2b, g) + delta(r2b, red)
+    ) & 0xFF
+    arr[:] = (
+        (arr & 0xFF00FF00)
+        | (red.astype(np.uint32) << 16)
+        | blue.astype(np.uint32)
+    )
 
 
-def _vp8l_inv_subtract_green(pix: list) -> None:
-    for pos, p in enumerate(pix):
-        g = (p >> 8) & 0xFF
-        r = (((p >> 16) & 0xFF) + g) & 0xFF
-        b = ((p & 0xFF) + g) & 0xFF
-        pix[pos] = (p & 0xFF00FF00) | (r << 16) | b
+def _vp8l_inv_subtract_green(arr) -> None:
+    g = (arr >> 8) & 0xFF
+    r = (((arr >> 16) & 0xFF) + g) & 0xFF
+    b = ((arr & 0xFF) + g) & 0xFF
+    arr[:] = (arr & 0xFF00FF00) | (r << 16) | b
 
 
-def _vp8l_inv_palette(
-    pix: list, cur_w: int, h: int, xbits: int, palette: list, orig_w: int
-) -> list:
-    """Inverse color-indexing: green channel holds palette indices — packed
-    2/4/8-per-pixel (LSB-first) when the palette is small. Out-of-range
-    indices are malformed input (fail loud)."""
-    n = len(palette)
-    out = []
-    if xbits == 0:
-        for p in pix:
-            idx = (p >> 8) & 0xFF
-            if idx >= n:
-                raise ValueError(f"VP8L: palette index {idx} >= {n}")
-            out.append(palette[idx])
-        return out
-    per = 1 << xbits
-    ibits = 8 >> xbits
-    mask = (1 << ibits) - 1
-    for y in range(h):
-        cnt = 0
-        for p in pix[y * cur_w : (y + 1) * cur_w]:
-            g = (p >> 8) & 0xFF
-            for k in range(per):
-                if cnt >= orig_w:
-                    break
-                idx = (g >> (k * ibits)) & mask
-                if idx >= n:
-                    raise ValueError(f"VP8L: palette index {idx} >= {n}")
-                out.append(palette[idx])
-                cnt += 1
-        if cnt != orig_w:
-            raise ValueError("VP8L: packed palette row underruns width")
-    return out
+def _vp8l_inv_palette(arr, cur_w: int, h: int, xbits: int, palette: list, orig_w: int):
+    """Inverse color-indexing over a (h, cur_w) uint32 array: green channel
+    holds palette indices — packed 2/4/8-per-pixel (LSB-first) when the
+    palette is small. Out-of-range indices are malformed input (fail
+    loud). Returns the (h, orig_w) looked-up array."""
+    import numpy as np
+
+    pal = np.asarray(palette, dtype=np.uint32)
+    g = (arr >> 8) & 0xFF
+    if xbits:
+        per = 1 << xbits
+        ibits = 8 >> xbits
+        mask = (1 << ibits) - 1
+        # unpack: (h, cur_w, per) sub-indices, LSB-first, crop to orig_w
+        shifts = (np.arange(per, dtype=np.uint32) * ibits)[None, None, :]
+        idx = ((g[:, :, None] >> shifts) & mask).reshape(h, cur_w * per)
+        idx = idx[:, :orig_w]
+    else:
+        idx = g
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError(
+            f"VP8L: palette index {int(idx.max())} >= {len(pal)}"
+        )
+    return pal[idx]
 
 
 def vp8l_decode(payload: bytes):
@@ -2133,21 +2221,22 @@ def vp8l_decode(payload: bytes):
             if xbits:
                 cur_w = _vp8l_subsample(cur_w, xbits)
     pix = _vp8l_decode_pixels(br, cur_w, h, True)
+    # dtype '<u4' so the uint8 channel view is (b, g, r, a) on any host
+    arr = np.asarray(pix, dtype="<u4").reshape(h, cur_w)
     for t, bits, aux, width_at_read in reversed(transforms):
         if t == 3:
-            pix = _vp8l_inv_palette(pix, cur_w, h, bits, aux, width_at_read)
+            arr = _vp8l_inv_palette(arr, cur_w, h, bits, aux, width_at_read)
             cur_w = width_at_read
         elif t == 2:
-            _vp8l_inv_subtract_green(pix)
+            _vp8l_inv_subtract_green(arr)
         elif t == 0:
-            _vp8l_inv_predictor(pix, cur_w, h, bits, aux)
+            _vp8l_inv_predictor(arr, cur_w, h, bits, aux)
         else:
-            _vp8l_inv_color_transform(pix, cur_w, h, bits, aux)
+            _vp8l_inv_color_transform(arr, cur_w, h, bits, aux)
     if cur_w != w:
         raise ValueError("VP8L: transform chain did not restore full width")
-    a = np.asarray(pix, dtype=np.uint32).reshape(h, w)
     return np.stack(
-        [(a >> 16) & 0xFF, (a >> 8) & 0xFF, a & 0xFF], axis=-1
+        [(arr >> 16) & 0xFF, (arr >> 8) & 0xFF, arr & 0xFF], axis=-1
     ).astype(np.uint8)
 
 
