@@ -4335,3 +4335,24 @@ def test_vp8l_roundtrip_fuzz(h, w, levels, seed, sg, pred, cache, lz):
         cache_bits=cache, lz77=lz,
     )
     assert np.array_equal(decode_image_bytes(data), img)
+
+
+def test_vp8l_inside_vp8x_container():
+    """Extended (VP8X) containers wrap the VP8L chunk behind a metadata
+    header — decode_webp walks chunks to the lossless payload."""
+    import struct
+
+    import numpy as np
+
+    from lantern_extras_spark.multimodal.media import decode_webp
+
+    img = _rand_img(5, 8, seed=21)
+    plain = _vp8l_encode(img)
+    vp8l_chunk = plain[12:]  # chunks after RIFF....WEBP
+    flags = 0
+    vp8x_body = bytes([flags]) + bytes(3) + (8 - 1).to_bytes(3, "little") + (
+        5 - 1
+    ).to_bytes(3, "little")
+    chunks = b"VP8X" + struct.pack("<I", len(vp8x_body)) + vp8x_body + vp8l_chunk
+    data = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+    assert np.array_equal(decode_webp(data), img)
