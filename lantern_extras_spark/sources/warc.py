@@ -833,7 +833,7 @@ def read_warc_ranges(
     )
 
 
-def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+def read_cdx(spark: SparkSession, path) -> DataFrame:
     """Read CDXJ crawl-index lines (`urlkey timestamp {json}` — the public
     Common Crawl index format) into typed columns: (urlkey, timestamp, url,
     mime, status, digest, warc_filename, warc_offset, warc_length,
@@ -843,13 +843,40 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
     `read_warc_ranges` — at 100 TB the index scan is ~1% of the crawl's
     bytes and prunes most of the rest. For crawls without a published
     index, `index_warc` builds one.
-    Plain `spark.read.text` + native from_json/split: splittable, pushdown-
-    friendly, no Python workers. Lines that don't parse yield null JSON
-    fields rather than killing the scan (crawl indexes carry occasional
-    malformed entries)."""
+    Local/glob paths go through plain `spark.read.text` + native
+    from_json/split: splittable, pushdown-friendly, no Python workers.
+    http(s) URL(s) — the public index shards are themselves served over
+    HTTP (`cdx-*.gz`) — stream each shard's GET body through the opener
+    seam (gzip members handled), one task per shard. Lines that don't
+    parse yield null JSON fields rather than killing the scan (crawl
+    indexes carry occasional malformed entries)."""
     from pyspark.sql import functions as F
 
-    lines = spark.read.text(path)
+    paths = list(path) if isinstance(path, (list, tuple)) else [path]
+    if any(_is_http(p) for p in paths):
+
+        def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # bounded: one decompressed chunk + ≤50k pending lines in
+            # memory — public index shards are 100s of MB decompressed
+            for pdf in batches:
+                for p in pdf["path"]:
+                    carry = b""
+                    out: list[str] = []
+                    for chunk in _iter_decompressed(_opener_for(p).chunks()):
+                        carry += chunk
+                        *full, carry = carry.split(b"\n")
+                        out.extend(l.decode("utf-8", "replace") for l in full)
+                        if len(out) >= 50_000:
+                            yield pd.DataFrame({"value": out})
+                            out = []
+                    if carry:
+                        out.append(carry.decode("utf-8", "replace"))
+                    if out:
+                        yield pd.DataFrame({"value": out})
+
+        lines = _paths_df(spark, path).mapInPandas(fetch, "value string")
+    else:
+        lines = spark.read.text(path)
     parts = F.split(F.col("value"), " ", 3)
     js = F.from_json(
         F.element_at(parts, 3),

@@ -783,3 +783,44 @@ def test_http_opener_retries_transient_errors(tmp_path):
         W._HTTP_SLEEP_SCALE[0] = old_scale
         srv.shutdown()
         srv.server_close()
+
+
+def test_read_cdx_over_http_gz(spark, tmp_path):
+    """The WHOLE public-crawl loop with nothing local: gzipped CDX index
+    shards fetched over HTTP, filtered, then ranged member fetch over HTTP
+    — identical rows to the local read."""
+    import gzip as _gz
+    import json
+
+    crawl = tmp_path / "crawl-data"
+    crawl.mkdir()
+    W.write_warc(str(crawl / "seg-0.warc.gz"), RECORDS)
+    idx = W.index_warc(spark, str(crawl / "*.warc.gz")).collect()
+    lines = [
+        "com,example)/ 20260101000000 " + json.dumps(
+            {"url": r["target_uri"], "mime": r["http_content_type"],
+             "status": str(r["http_status"]), "digest": r["digest"],
+             "filename": "crawl-data/seg-0.warc.gz",
+             "offset": str(r["warc_offset"]), "length": str(r["warc_length"])}
+        )
+        for r in idx if r["warc_type"] == "response"
+    ]
+    (tmp_path / "cdx-00000").write_text("\n".join(lines) + "\n")
+    (tmp_path / "cdx-00000.gz").write_bytes(
+        _gz.compress(("\n".join(lines) + "\n").encode())
+    )
+    local = sorted(
+        (r["url"], r["warc_offset"], r["warc_length"])
+        for r in W.read_cdx(spark, str(tmp_path / "cdx-00000")).collect()
+    )
+    with _serve(tmp_path) as (base, log):
+        over_http = W.read_cdx(spark, [f"{base}/cdx-00000.gz"])
+        assert sorted(
+            (r["url"], r["warc_offset"], r["warc_length"])
+            for r in over_http.collect()
+        ) == local
+        # end-to-end: http index -> http ranged fetch, zero local paths
+        keep = spark.createDataFrame(over_http.collect(), over_http.schema)
+        got = W.read_cdx_ranges(spark, keep.where("status = 200"), base).collect()
+        assert len(got) == 1
+        assert bytes(got[0]["body"]) == b"<html>hello world</html>"
