@@ -824,3 +824,29 @@ def test_read_cdx_over_http_gz(spark, tmp_path):
         got = W.read_cdx_ranges(spark, keep.where("status = 200"), base).collect()
         assert len(got) == 1
         assert bytes(got[0]["body"]) == b"<html>hello world</html>"
+
+
+@settings(max_examples=30, deadline=None)
+@given(recs=st.lists(_rec, min_size=1, max_size=10), chunk=st.sampled_from([3, 17, 4096]))
+def test_index_offsets_fuzz(tmp_path_factory, recs, chunk):
+    """Any archive the writer emits: member offsets tile the file exactly,
+    each (offset, length) slice gunzips to exactly that record, and the
+    index kernel agrees regardless of read-chunk framing."""
+    import gzip as _gz
+
+    d = tmp_path_factory.mktemp("wi")
+    p = str(d / "f.warc.gz")
+    W.write_warc(p, [dict(r) for r in recs], gzip_per_record=True)
+    blob = open(p, "rb").read()
+    chunks = (blob[i : i + chunk] for i in range(0, len(blob), chunk))
+    spans = list(W._iter_members_with_offsets(chunks))
+    assert len(spans) == len(recs)
+    pos = 0
+    whole = W.parse_warc_bytes(blob, types=None)
+    for (off, ln, member), rec in zip(spans, whole):
+        assert off == pos
+        pos += ln
+        assert _gz.decompress(blob[off : off + ln]) == member
+        (got,) = W.parse_warc_bytes(member, types=None)
+        assert got == rec
+    assert pos == len(blob)
