@@ -1906,7 +1906,13 @@ def _vp8l_decode_pixels(br: _VP8LReader, w: int, h: int, is_main: bool) -> list:
                 _vp8l_read_code(br, 40),
             )
         )
-    pix = [0] * (w * h)
+    from array import array
+
+    # typed u32 buffer: 4 B/pixel (a python int list is ~28 B/pixel — a
+    # 16 MP image would cost ~450 MB); numpy views it zero-copy at the end
+    pix = array("I", bytes(4 * w * h))
+    if pix.itemsize != 4:  # pragma: no cover — exotic platforms
+        pix = array("L", bytes(8 * w * h))
     cache = [0] * cache_size
     n = w * h
     pos = 0
