@@ -165,36 +165,10 @@ def main() -> dict:
     #       coalesced `Range:` requests. Served here by a stdlib Range-
     #       honoring server over the same archives; byte-for-byte the same
     #       selection as the local-path run above.
-    import http.server
-    import re as _re
-    import threading
+    from tools.rangeserver import serve_directory
 
-    class _RangeHandler(http.server.BaseHTTPRequestHandler):
-        def do_GET(self):
-            with open(os.path.join(crawl_dir, self.path.lstrip("/")), "rb") as f:
-                data = f.read()
-            rng = self.headers.get("Range")
-            if rng:
-                m = _re.fullmatch(r"bytes=(\d+)-(\d+)", rng)
-                lo, hi = int(m.group(1)), int(m.group(2))
-                self.send_response(206)
-                self.send_header("Content-Range", f"bytes {lo}-{hi}/{len(data)}")
-                self.send_header("Content-Length", str(hi - lo + 1))
-                self.end_headers()
-                self.wfile.write(data[lo : hi + 1])
-            else:
-                self.send_response(200)
-                self.send_header("Content-Length", str(len(data)))
-                self.end_headers()
-                self.wfile.write(data)
-
-        def log_message(self, *a):
-            pass
-
-    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _RangeHandler)
-    threading.Thread(target=srv.serve_forever, daemon=True).start()
-    try:
-        base = f"http://127.0.0.1:{srv.server_address[1]}"
+    with serve_directory(crawl_dir) as _rs:
+        base = _rs.base_url
         urls = [f"{base}/crawl-{s:02d}.warc.gz" for s in range(3)]
         hidx = index_warc(spark, urls)
         hkeep = (
@@ -209,9 +183,6 @@ def main() -> dict:
         )
         out["index_fetched_http"] = read_warc_ranges(spark, hkeep).count()
         assert out["index_fetched_http"] == out["index_fetched"]
-    finally:
-        srv.shutdown()
-        srv.server_close()
 
     # 0. URL-level dedup: canonical key collapses trivial crawl variants;
     #    keep the smallest doc_id per canonical URL (doc 7 re-crawls doc 1)

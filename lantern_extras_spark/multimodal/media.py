@@ -1698,21 +1698,6 @@ class _VP8LReader:
         self.bitpos = p + n
         return v
 
-    def peek(self, n: int) -> int:
-        """Next n bits without consuming; zero-padded past stream end (a
-        complete prefix code never selects phantom bits — only `skip`
-        enforces the boundary)."""
-        p = self.bitpos
-        b0 = p >> 3
-        nb = ((p & 7) + n + 7) >> 3
-        return (int.from_bytes(self.d[b0 : b0 + nb], "little") >> (p & 7)) & (
-            (1 << n) - 1
-        )
-
-    def skip(self, n: int) -> None:
-        if self.bitpos + n > self.nbits:
-            raise ValueError("VP8L: bitstream exhausted")
-        self.bitpos += n
 
 
 class _VP8LCode:
@@ -1855,12 +1840,15 @@ def _vp8l_dist_table() -> list:
     """The 120-entry short-distance map: 2D offsets (dx, dy) in the 8-row
     neighborhood above the current pixel, ordered by squared euclidean
     distance, ties broken larger dy first then positive dx before negative
-    — the generating rule behind the spec's literal table (its first 60
-    entries transcribe exactly to this ordering)."""
+    — the generating rule behind the spec's literal table. dx is bounded
+    to -7..8 (NOT -8): each entry must pack into the spec's 4-bit plane
+    code nibble `8 - dx`; with that bound this generator reproduces
+    libwebp's kCodeToPlaneCodes byte-for-byte (structure pinned in
+    tests)."""
     cands = [
         (x, y)
         for y in range(8)
-        for x in range(-8, 9)
+        for x in range(-7, 9)
         if y > 0 or x > 0
     ]
     cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], p[0] < 0))
@@ -2102,16 +2090,6 @@ def _vp8l_inv_predictor(arr, w: int, h: int, bits: int, sub: list) -> None:
                     rl[xi] = _vp8l_add(rl[xi], pred)
                 arr[y, x:x1] = rl[x:x1]
             x = x1
-
-
-def _vp8l_ct_delta(pred: int, val: int) -> int:
-    """(int8)pred * (int8)val >> 5 with arithmetic shift — the color
-    transform's cross-channel term."""
-    if pred >= 128:
-        pred -= 256
-    if val >= 128:
-        val -= 256
-    return (pred * val) >> 5
 
 
 def _vp8l_inv_color_transform(arr, w: int, h: int, bits: int, sub: list) -> None:

@@ -419,6 +419,7 @@ class _LocalOpener:
 
 _HTTP_RETRIES = 3
 _HTTP_BACKOFF_S = 0.5
+_HTTP_TIMEOUT_S = 60.0  # per-socket-op; a black-holed GET must not hang a task
 _HTTP_SLEEP_SCALE = [1.0]  # tests shrink this to avoid real sleeps
 
 
@@ -450,7 +451,9 @@ class _HttpOpener:
                 req = urllib.request.Request(
                     self.url, headers={"Accept-Encoding": "identity", **headers}
                 )
-                return urllib.request.urlopen(req)
+                # without a timeout the retry machinery below can never
+                # engage on a stalled connection — the task just hangs
+                return urllib.request.urlopen(req, timeout=_HTTP_TIMEOUT_S)
             except urllib.error.HTTPError as e:
                 if e.code < 500 and e.code != 429:
                     raise

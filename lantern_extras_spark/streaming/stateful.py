@@ -1297,29 +1297,75 @@ class StoreLockError(RuntimeError):
     documented "pause the ingest stream" convention, now enforced."""
 
 
+def _store_lock_fs(spark, store_dir: str):
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    lock = HPath(store_dir.rstrip("/") + ".lock")
+    return lock.getFileSystem(hconf), lock, HPath
+
+
+def force_unlock_store(spark, store_dir: str) -> bool:
+    """Operator escape hatch for a lock orphaned by a hard crash (kill -9 /
+    OOM mid-ingest never runs the unlock): delete `<store_dir>.lock` after
+    CONFIRMING no writer is alive — the lock file's content names the
+    owner, host, pid and acquisition time for exactly that check. Returns
+    True if a lock was removed. Deliberately manual: the lock cannot tell
+    a crashed holder from a slow live one, and guessing wrong corrupts the
+    compaction swap the lock exists to protect."""
+    fs, lock, _ = _store_lock_fs(spark, store_dir)
+    return bool(fs.delete(lock, False))
+
+
 @_contextlib.contextmanager
 def _store_writer_lock(spark, store_dir: str, owner: str):
     """Exclusive writer lock over a store directory: atomically create a
     sibling `<store_dir>.lock` via Hadoop createNewFile (works on local FS
     and HDFS; object stores with atomic create honor it too), delete it on
     exit. Fail-loud if held: a concurrent ingest against a mid-swap store
-    would silently lose epochs. A crash can leave the lock behind — the
-    error message names the file so an operator can clear it after
-    confirming no writer is alive."""
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    HPath = jvm.org.apache.hadoop.fs.Path
-    lock = HPath(store_dir.rstrip("/") + ".lock")
-    fs = lock.getFileSystem(hconf)
+    would silently lose epochs. A hard crash can orphan the lock — its
+    content records owner/host/pid/time so an operator (or a restart
+    runbook) can verify the holder is dead and clear it with
+    `force_unlock_store`."""
+    import json
+    import os
+    import socket
+    import time as _time
+
+    fs, lock, HPath = _store_lock_fs(spark, store_dir)
     parent = lock.getParent()
     if parent is not None:
         fs.mkdirs(parent)
     if not fs.createNewFile(lock):
+        try:
+            stream = fs.open(lock)
+            held_by = bytes(
+                stream.readNBytes(4096)  # java InputStream
+            ).decode("utf-8", "replace")
+            stream.close()
+        except Exception:
+            held_by = "<unreadable>"
         raise StoreLockError(
-            f"store {store_dir} is locked by another writer ({lock} exists); "
-            f"{owner} refusing to run — if no writer is alive, delete the "
-            "lock file and retry"
+            f"store {store_dir} is locked by another writer ({lock} exists, "
+            f"holder: {held_by.strip() or '<empty>'}); {owner} refusing to "
+            "run — verify the holder is dead, then clear with "
+            "force_unlock_store(spark, store_dir)"
         )
+    try:
+        out = fs.create(lock, True)
+        out.write(
+            json.dumps(
+                {
+                    "owner": owner,
+                    "host": socket.gethostname(),
+                    "pid": os.getpid(),
+                    "acquired_unix": int(_time.time()),
+                }
+            ).encode()
+        )
+        out.close()
+    except Exception:
+        pass  # metadata is best-effort; the lock itself already holds
     try:
         yield
     finally:

@@ -4356,3 +4356,29 @@ def test_vp8l_inside_vp8x_container():
     chunks = b"VP8X" + struct.pack("<I", len(vp8x_body)) + vp8x_body + vp8l_chunk
     data = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
     assert np.array_equal(decode_webp(data), img)
+
+
+def test_vp8l_distance_map_structure():
+    """The 120-entry short-distance map must be representable in the
+    spec's byte packing `(dy << 4) | (8 - dx)` — both nibbles 0..15, all
+    codes distinct. This is the constraint that pins dx to -7..8 (NOT -8:
+    8 - (-8) = 16 overflows the nibble — the bug a naive -8..8 candidate
+    pool introduces at codes 103+). Spot values cross-checked against
+    libwebp's kCodeToPlaneCodes."""
+    from lantern_extras_spark.multimodal.media import _VP8L_DIST
+
+    assert len(_VP8L_DIST) == 120
+    packed = set()
+    for dx, dy in _VP8L_DIST:
+        assert -7 <= dx <= 8 and 0 <= dy <= 7, (dx, dy)
+        b = (dy << 4) | (8 - dx)
+        assert 0 <= b <= 0x7F
+        packed.add(b)
+    assert len(packed) == 120  # injective packing
+    # spot pins: codes 1/2/3 (above, left, above-left-diag) and the first
+    # code past the old bug boundary (103 -> (8, 2))
+    assert _VP8L_DIST[0] == (0, 1)
+    assert _VP8L_DIST[1] == (1, 0)
+    assert _VP8L_DIST[2] == (1, 1)
+    assert _VP8L_DIST[102] == (8, 2)
+    assert not any(dx == -8 for dx, _ in _VP8L_DIST)

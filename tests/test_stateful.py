@@ -769,6 +769,7 @@ def test_hash_store_writer_lock(spark, tmp_path):
         StoreLockError,
         _store_writer_lock,
         compact_hash_store,
+        force_unlock_store,
         ingest_hash_batch,
     )
 
@@ -786,12 +787,27 @@ def test_hash_store_writer_lock(spark, tmp_path):
     assert spark.read.parquet(store).count() == 3
 
     # writer A holds the lock (a mid-flight ingest/compaction elsewhere):
-    # writer B's ingest AND a manual compaction both refuse to run
+    # writer B's ingest AND a manual compaction both refuse to run, and the
+    # error names the holder (owner/host/pid from the lock file content)
     with _store_writer_lock(spark, store, "writer A"):
-        with _pt.raises(StoreLockError, match="locked by another writer"):
+        with _pt.raises(StoreLockError, match="writer A"):
             ingest_hash_batch(batch([(9, h(9))]), 2, out, store)
         with _pt.raises(StoreLockError, match="locked by another writer"):
             compact_hash_store(spark, store)
+    # orphaned-lock recovery (hard crash never runs the unlock): the
+    # operator escape hatch clears it after confirming the holder is dead
+    with _pt.raises(StoreLockError):
+        with _store_writer_lock(spark, store, "crasher"):
+            raise StoreLockError("simulated crash")  # finally DOES unlock here
+    # the truly-orphaned case: create the lock out-of-band
+    from lantern_extras_spark.streaming.stateful import _store_lock_fs
+
+    fs, lock, _ = _store_lock_fs(spark, store)
+    assert fs.createNewFile(lock)
+    with _pt.raises(StoreLockError):
+        ingest_hash_batch(batch([(90, h(90))]), 5, out, store)
+    assert force_unlock_store(spark, store) is True
+    assert force_unlock_store(spark, store) is False  # already clear
     # lock released on exit: both proceed again
     ingest_hash_batch(batch([(9, h(9))]), 2, out, store)
     compact_hash_store(spark, store, n_files=1)

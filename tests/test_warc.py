@@ -501,48 +501,15 @@ import re as _re
 import threading
 
 
-class _RangeHandler(http.server.BaseHTTPRequestHandler):
-    """Minimal static-file handler honoring `Range: bytes=lo-hi` — the
-    contract public crawl buckets expose. `honor_range=False` simulates a
-    misconfigured server that replies 200 full-body, which the opener must
-    refuse."""
-
-    def do_GET(self):
-        fspath = os.path.join(self.server.root, self.path.lstrip("/"))
-        with open(fspath, "rb") as f:
-            data = f.read()
-        rng = self.headers.get("Range")
-        self.server.log.append((self.path, rng))
-        if rng and self.server.honor_range:
-            m = _re.fullmatch(r"bytes=(\d+)-(\d+)", rng)
-            lo, hi = int(m.group(1)), int(m.group(2))
-            chunk = data[lo : hi + 1]
-            self.send_response(206)
-            self.send_header("Content-Range", f"bytes {lo}-{hi}/{len(data)}")
-            self.send_header("Content-Length", str(len(chunk)))
-            self.end_headers()
-            self.wfile.write(chunk)
-        else:
-            self.send_response(200)
-            self.send_header("Content-Length", str(len(data)))
-            self.end_headers()
-            self.wfile.write(data)
-
-    def log_message(self, *a):  # silence per-request stderr noise
-        pass
+from tools.rangeserver import serve_directory as _serve_directory
 
 
 @contextlib.contextmanager
 def _serve(root, honor_range=True):
-    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _RangeHandler)
-    srv.root, srv.honor_range, srv.log = str(root), honor_range, []
-    t = threading.Thread(target=srv.serve_forever, daemon=True)
-    t.start()
-    try:
-        yield f"http://127.0.0.1:{srv.server_address[1]}", srv.log
-    finally:
-        srv.shutdown()
-        srv.server_close()
+    """(base_url, request_log) over the shared Range-honoring test server
+    (tools/rangeserver.py — one implementation for tests/example/tools)."""
+    with _serve_directory(root, honor_range=honor_range) as srv:
+        yield srv.base_url, srv.log
 
 
 def test_read_warc_http_urls(spark, tmp_path):

@@ -1,0 +1,80 @@
+"""Minimal Range-honoring static HTTP server over a directory.
+
+The ONE implementation of the `Range: bytes=lo-hi` contract the public
+crawl buckets expose, shared by the test suite (`tests/test_warc.py`), the
+pipeline example, and the WARC scale tool — three copies previously
+drifted (none supported open-ended `bytes=lo-`, for one). `honor_range=
+False` simulates a misconfigured server replying 200 full-body, which the
+archive opener must refuse.
+
+Usage::
+
+    with serve_directory(root) as srv:
+        url = f"{srv.base_url}/file.warc.gz"
+        ...
+        srv.log                # [(path, range_header_or_None), ...]
+        srv.ranged_bytes       # bytes served via 206 responses
+"""
+
+from __future__ import annotations
+
+import contextlib
+import http.server
+import os
+import re
+import threading
+
+
+class RangeHandler(http.server.BaseHTTPRequestHandler):
+    def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler convention
+        srv = self.server
+        fspath = os.path.join(srv.root, self.path.lstrip("/"))
+        try:
+            with open(fspath, "rb") as f:
+                data = f.read()
+        except OSError:
+            self.send_error(404)
+            return
+        rng = self.headers.get("Range")
+        srv.log.append((self.path, rng))
+        if rng and srv.honor_range:
+            m = re.fullmatch(r"bytes=(\d+)-(\d*)", rng)
+            if not m or int(m.group(1)) >= len(data):
+                self.send_error(416)
+                return
+            lo = int(m.group(1))
+            hi = min(int(m.group(2)) if m.group(2) else len(data) - 1,
+                     len(data) - 1)
+            chunk = data[lo : hi + 1]
+            srv.ranged_requests += 1
+            srv.ranged_bytes += len(chunk)
+            self.send_response(206)
+            self.send_header("Content-Range", f"bytes {lo}-{hi}/{len(data)}")
+            self.send_header("Content-Length", str(len(chunk)))
+            self.end_headers()
+            self.wfile.write(chunk)
+        else:
+            srv.full_requests += 1
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    def log_message(self, *a):  # silence per-request stderr noise
+        pass
+
+
+@contextlib.contextmanager
+def serve_directory(root, honor_range: bool = True):
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), RangeHandler)
+    srv.root = str(root)
+    srv.honor_range = honor_range
+    srv.log = []
+    srv.ranged_requests = srv.ranged_bytes = srv.full_requests = 0
+    srv.base_url = f"http://127.0.0.1:{srv.server_address[1]}"
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        yield srv
+    finally:
+        srv.shutdown()
+        srv.server_close()

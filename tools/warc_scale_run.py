@@ -150,40 +150,11 @@ def main() -> None:
     # coalesced Range requests for the selective fetch. Proves the network
     # path keeps the one-record memory contract AND that archive bytes
     # moved are proportional to the SELECTION, not the crawl.
-    import http.server
-    import re as _re
-    import threading
+    from tools.rangeserver import serve_directory
 
-    class _RangeHandler(http.server.BaseHTTPRequestHandler):
-        def do_GET(self):
-            with open(os.path.join(crawl_dir, self.path.lstrip("/")), "rb") as fh:
-                data = fh.read()
-            rng = self.headers.get("Range")
-            if rng:
-                m = _re.fullmatch(r"bytes=(\d+)-(\d+)", rng)
-                lo, hi = int(m.group(1)), int(m.group(2))
-                chunk = data[lo : hi + 1]
-                self.server.ranged_requests += 1
-                self.server.ranged_bytes += len(chunk)
-                self.send_response(206)
-                self.send_header("Content-Range", f"bytes {lo}-{hi}/{len(data)}")
-                self.send_header("Content-Length", str(len(chunk)))
-                self.end_headers()
-                self.wfile.write(chunk)
-            else:
-                self.server.full_requests += 1
-                self.send_response(200)
-                self.send_header("Content-Length", str(len(data)))
-                self.end_headers()
-                self.wfile.write(data)
-
-        def log_message(self, *a):
-            pass
-
-    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _RangeHandler)
-    srv.ranged_requests = srv.ranged_bytes = srv.full_requests = 0
-    threading.Thread(target=srv.serve_forever, daemon=True).start()
-    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    _rs_cm = serve_directory(crawl_dir)
+    srv = _rs_cm.__enter__()
+    base = srv.base_url
     urls = [f"{base}/{p}" for p in sorted(os.listdir(crawl_dir))]
 
     def http_probe(batches):
@@ -233,8 +204,7 @@ def main() -> None:
     n_fetched = read_warc_ranges(spark, keep).count()
     http_fetch_sec = time.monotonic() - t0
     ranged_bytes = srv.ranged_bytes - ranged_before
-    srv.shutdown()
-    srv.server_close()
+    _rs_cm.__exit__(None, None, None)
 
     result = {
         "n_archives": n_archives,
