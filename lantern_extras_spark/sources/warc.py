@@ -432,10 +432,12 @@ class _HttpOpener:
     there to prevent). Transient failures (connection errors, 5xx, 429)
     retry with linear backoff — at crawl scale some blips per million GETs
     are a certainty and must not fail whole tasks; 4xx responses raise
-    immediately (retrying a wrong request can't fix it), and a stream that
-    breaks MID-body is left to Spark task retry (resuming a half-consumed
-    gzip member is not safe). stdlib urllib only; object-store SDKs would
-    plug in at this same seam."""
+    immediately (retrying a wrong request can't fix it). A stream that
+    breaks MID-body RESUMES from the exact consumed offset via a
+    `Range: bytes=<consumed>-` request (a ~1 GB archive GET that dies at
+    byte 900M must not restart the task) — fail-loud if the server won't
+    honor the resume. stdlib urllib only; object-store SDKs would plug in
+    at this same seam."""
 
     def __init__(self, url: str):
         self.url = url
@@ -469,12 +471,58 @@ class _HttpOpener:
         ) from last
 
     def chunks(self) -> Iterator[bytes]:
-        with self._request({}) as r:
-            while True:
-                b = r.read(_READ_CHUNK)
-                if not b:
-                    return
-                yield b
+        import http.client
+        import time
+
+        consumed = 0
+        failures = 0
+        while True:
+            hdrs = {} if consumed == 0 else {"Range": f"bytes={consumed}-"}
+            # connection establishment has its OWN retry budget inside
+            # _request — only mid-stream breaks are handled here, so the
+            # two layers never compound
+            resp = self._request(hdrs)
+            try:
+                with resp as r:
+                    if consumed and getattr(r, "status", 200) != 206:
+                        raise ValueError(
+                            f"server for {self.url} ignored the mid-body "
+                            f"resume Range (HTTP {getattr(r, 'status', '?')}"
+                            ") — cannot continue a broken stream without "
+                            "re-reading consumed bytes"
+                        )
+                    # http.client returns b'' on a premature close instead
+                    # of raising (read(amt) never IncompleteReads), so EOF
+                    # must be checked against Content-Length ourselves
+                    remaining = getattr(r, "length", None)
+                    expected = None if remaining is None else consumed + remaining
+                    while True:
+                        b = r.read(_READ_CHUNK)
+                        if not b:
+                            if expected is not None and consumed < expected:
+                                raise http.client.IncompleteRead(
+                                    b"", expected - consumed
+                                )
+                            return
+                        consumed += len(b)
+                        failures = 0  # forward progress resets the budget
+                        yield b
+            except (
+                ConnectionError,
+                TimeoutError,
+                OSError,
+                http.client.HTTPException,
+            ) as e:
+                failures += 1
+                if failures >= _HTTP_RETRIES:
+                    raise IOError(
+                        f"GET {self.url} kept breaking mid-body at offset "
+                        f"{consumed} ({_HTTP_RETRIES} consecutive failures "
+                        f"with no progress): {e}"
+                    ) from e
+                time.sleep(
+                    _HTTP_BACKOFF_S * failures * float(_HTTP_SLEEP_SCALE[0])
+                )
 
     def read_range(self, offset: int, length: int) -> bytes:
         hdr = {"Range": f"bytes={offset}-{offset + length - 1}"}

@@ -817,3 +817,33 @@ def test_index_offsets_fuzz(tmp_path_factory, recs, chunk):
         (got,) = W.parse_warc_bytes(member, types=None)
         assert got == rec
     assert pos == len(blob)
+
+
+def test_http_opener_resumes_mid_body_break(tmp_path):
+    """A streaming GET that dies mid-body resumes from the exact consumed
+    offset with `Range: bytes=<n>-` — a ~1 GB archive fetch must not
+    restart (nor restart the whole Spark task) over one dropped
+    connection."""
+    import os as _os
+
+    blob = _os.urandom(10 << 20)  # > one 4 MB read, truncation beyond it
+    (tmp_path / "big.bin").write_bytes(blob)
+    old_scale = W._HTTP_SLEEP_SCALE[0]
+    W._HTTP_SLEEP_SCALE[0] = 0.0
+    try:
+        with _serve_directory(tmp_path, truncate_first_body=6 << 20) as srv:
+            got = b"".join(W._HttpOpener(f"{srv.base_url}/big.bin").chunks())
+            assert got == blob
+            resumes = [rng for _, rng in srv.log if rng and rng.endswith("-")]
+            assert resumes, "no Range resume request was issued"
+            # resumed from a mid-body offset, not from zero
+            assert all(int(r[len("bytes="):-1]) > 0 for r in resumes)
+        # a server that won't honor the resume fails loud, not silently
+        # re-reading from zero
+        with _serve_directory(
+            tmp_path, honor_range=False, truncate_first_body=6 << 20
+        ) as srv:
+            with pytest.raises(ValueError, match="resume"):
+                b"".join(W._HttpOpener(f"{srv.base_url}/big.bin").chunks())
+    finally:
+        W._HTTP_SLEEP_SCALE[0] = old_scale

@@ -5,7 +5,9 @@ crawl buckets expose, shared by the test suite (`tests/test_warc.py`), the
 pipeline example, and the WARC scale tool — three copies previously
 drifted (none supported open-ended `bytes=lo-`, for one). `honor_range=
 False` simulates a misconfigured server replying 200 full-body, which the
-archive opener must refuse.
+archive opener must refuse; `truncate_first_body=N` closes the first
+full-body response per path after N bytes (advertised length unchanged),
+which the opener must survive by resuming with a Range request.
 
 Usage::
 
@@ -58,6 +60,16 @@ class RangeHandler(http.server.BaseHTTPRequestHandler):
             self.send_response(200)
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
+            if (
+                srv.truncate_first_body is not None
+                and self.path not in srv._truncated
+            ):
+                # fault injection: advertise the full length but close the
+                # connection mid-body ONCE per path — the client must
+                # resume with a Range request, not restart
+                srv._truncated.add(self.path)
+                self.wfile.write(data[: srv.truncate_first_body])
+                return
             self.wfile.write(data)
 
     def log_message(self, *a):  # silence per-request stderr noise
@@ -65,10 +77,13 @@ class RangeHandler(http.server.BaseHTTPRequestHandler):
 
 
 @contextlib.contextmanager
-def serve_directory(root, honor_range: bool = True):
+def serve_directory(root, honor_range: bool = True,
+                    truncate_first_body: int | None = None):
     srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), RangeHandler)
     srv.root = str(root)
     srv.honor_range = honor_range
+    srv.truncate_first_body = truncate_first_body
+    srv._truncated = set()
     srv.log = []
     srv.ranged_requests = srv.ranged_bytes = srv.full_requests = 0
     srv.base_url = f"http://127.0.0.1:{srv.server_address[1]}"
