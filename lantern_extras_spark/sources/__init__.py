@@ -5,6 +5,7 @@ from lantern_extras_spark.sources.warc import (  # noqa: F401
     parse_warc_bytes,
     read_cdx,
     read_cdx_ranges,
+    read_paths_manifest,
     read_warc,
     read_warc_ranges,
     read_wet,

@@ -948,6 +948,27 @@ def read_cdx(spark: SparkSession, path) -> DataFrame:
     )
 
 
+def read_paths_manifest(source: str, base_url: str) -> list[str]:
+    """Load a crawl path manifest (`warc.paths` / `wet.paths` /
+    `cdx.paths`, optionally .gz) into full archive URLs — the entry point
+    of the public-crawl loop: manifest → URL list → `read_warc` /
+    `index_warc` / `read_cdx` (all of which take http(s) URL lists).
+    Driver-side on purpose: a monthly crawl's manifest is ~64k short
+    lines (a few MB), and the result IS the task list. `source` is a
+    local path or http(s) URL; `base_url` is the crawl's data root the
+    manifest lines are relative to."""
+    opener = _opener_for(source)
+    if opener is None:
+        raise ValueError(f"unreachable manifest source {source!r}")
+    blob = b"".join(_iter_decompressed(opener.chunks()))
+    root = base_url.rstrip("/")
+    return [
+        f"{root}/{ln.strip()}"
+        for ln in blob.decode("utf-8", "replace").splitlines()
+        if ln.strip()
+    ]
+
+
 def read_cdx_ranges(
     spark: SparkSession, cdx: DataFrame, base_url: str
 ) -> DataFrame:

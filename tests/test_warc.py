@@ -847,3 +847,25 @@ def test_http_opener_resumes_mid_body_break(tmp_path):
                 b"".join(W._HttpOpener(f"{srv.base_url}/big.bin").chunks())
     finally:
         W._HTTP_SLEEP_SCALE[0] = old_scale
+
+
+def test_read_paths_manifest_to_read_warc(spark, tmp_path):
+    """The loop's entry point: a (gzipped) warc.paths manifest resolves to
+    full URLs that feed straight into read_warc — zero local paths."""
+    import gzip as _gz
+
+    crawl = tmp_path / "crawl-data"
+    crawl.mkdir()
+    for i in range(2):
+        W.write_warc(str(crawl / f"m-{i}.warc.gz"), RECORDS)
+    manifest = "crawl-data/m-0.warc.gz\ncrawl-data/m-1.warc.gz\n"
+    (tmp_path / "warc.paths").write_text(manifest)
+    (tmp_path / "warc.paths.gz").write_bytes(_gz.compress(manifest.encode()))
+    with _serve(tmp_path) as (base, log):
+        for src in ("warc.paths", "warc.paths.gz"):
+            urls = W.read_paths_manifest(f"{base}/{src}", base)
+            assert urls == [f"{base}/crawl-data/m-{i}.warc.gz" for i in range(2)]
+        assert W.read_warc(spark, urls).count() == 4  # 2 responses × 2
+    # local manifest file works too
+    urls2 = W.read_paths_manifest(str(tmp_path / "warc.paths"), "http://x")
+    assert urls2 == [f"http://x/crawl-data/m-{i}.warc.gz" for i in range(2)]
