@@ -150,18 +150,24 @@ def _wds_parse_fn(max_samples, batch_bytes: int = 64 << 20):
     paths the tar streams straight from disk (binaryFile column-pruned to
     `path`, not even the shard blob materialized); peak task memory is one
     batch."""
-    from lantern_extras_spark.sources.warc import _local_fs_path, _opener_for
+    from lantern_extras_spark.sources.warc import (
+        _arrow_forced,
+        _local_fs_path,
+        _opener_for,
+    )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, row in pdf.iterrows():
                 fspath = _local_fs_path(row["path"])
-                if fspath is not None:
+                if fspath is not None and not _arrow_forced():
                     src = fspath  # seekable r:* straight from disk
                 else:
+                    # http(s) and object-store (Arrow FS) shards stream the
+                    # same way: chunked reads through tarfile's r|* mode
                     opener = _opener_for(row["path"])
                     src = (
-                        _IterStream(opener.chunks())  # http: streamed r|*
+                        _IterStream(opener.chunks())
                         if opener is not None
                         else bytes(row["content"])
                     )
