@@ -394,6 +394,61 @@ def cmd_release_gate(args) -> int:
     return 0
 
 
+def cmd_crawl_ingest(args) -> int:
+    """The public-crawl loop (r12) as one command, mirroring how the
+    reference ships its pipelines as subcommands (lantern_cli/src/cli.rs:
+    11-32): path manifest → index shards → index-side filter/dedup →
+    selective ranged fetch → parquet. Archive IO stays proportional to the
+    SURVIVING index rows, never the crawl. `--kind warc` skips the index
+    and bulk-streams whole archives instead (backfills, unindexed
+    crawls)."""
+    from pyspark.sql import functions as F
+
+    from lantern_extras_spark.sources.warc import (
+        read_cdx,
+        read_cdx_ranges,
+        read_paths_manifest,
+        read_warc,
+    )
+
+    spark = _spark("crawl-ingest")
+    urls = read_paths_manifest(args.manifest, args.base_url)
+    if args.max_shards:
+        urls = urls[: args.max_shards]
+    rep: dict = {"kind": args.kind, "manifest_entries": len(urls)}
+    if args.kind == "cdx":
+        idx = read_cdx(spark, urls)
+        if args.filter:
+            idx = idx.where(args.filter)
+        if args.dedup_digest:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("digest").orderBy(
+                "warc_filename", "warc_offset"
+            )
+            idx = (
+                idx.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        # one pass: the index is small (~1% of crawl bytes) — cache while
+        # both the count and the fetch read it
+        idx = idx.cache()
+        rep["selected_index_rows"] = idx.count()
+        recs = read_cdx_ranges(spark, idx, args.base_url, max_gap=args.max_gap)
+    else:
+        types = tuple(t for t in args.types.split(",") if t) or None
+        recs = read_warc(spark, urls, types=types)
+        if args.filter:
+            recs = recs.where(args.filter)
+    recs.write.mode("overwrite").parquet(args.output)
+    rep["output"] = args.output
+    rep["n_records"] = spark.read.parquet(args.output).count()
+    _json(rep)
+    spark.stop()
+    return 0
+
+
 def cmd_pq_table(args) -> int:
     from lantern_extras_spark.operators import pq as PQ
 
@@ -611,6 +666,34 @@ def build_parser() -> argparse.ArgumentParser:
     sk.add_argument("--phi", type=float, default=0.002)
     sk.add_argument("--top-k", type=int, default=10)
     sk.set_defaults(fn=cmd_sketch_stats)
+
+    cr = sub.add_parser(
+        "crawl-ingest",
+        help="public-crawl loop: manifest -> CDX index -> filter/dedup -> "
+             "ranged member fetch -> parquet (or --kind warc bulk streaming)",
+    )
+    cr.add_argument("--manifest", required=True,
+                    help="cdx.paths / warc.paths manifest (local or http(s), "
+                         "optionally .gz)")
+    cr.add_argument("--base-url", required=True,
+                    help="crawl data root the manifest lines are relative to")
+    cr.add_argument("--output", required=True, help="destination parquet path")
+    cr.add_argument("--kind", default="cdx", choices=["cdx", "warc"],
+                    help="cdx: index-driven selective fetch; warc: bulk-stream "
+                         "whole archives")
+    cr.add_argument("--filter", default=None,
+                    help="SQL filter over index columns (cdx: url/mime/status/"
+                         "digest/...) or record columns (warc)")
+    cr.add_argument("--dedup-digest", action="store_true",
+                    help="keep one index row per content digest (index-side "
+                         "dedup before any archive IO)")
+    cr.add_argument("--max-shards", type=int, default=None,
+                    help="cap manifest entries (sampling runs)")
+    cr.add_argument("--max-gap", type=int, default=256 << 10,
+                    help="range-coalescing gap tolerance in bytes (0 = exact)")
+    cr.add_argument("--types", default="response",
+                    help="comma-separated WARC record types for --kind warc")
+    cr.set_defaults(fn=cmd_crawl_ingest)
 
     pq = sub.add_parser("pq-table", help="product-quantize a vector column")
     pq.add_argument("--input", required=True)

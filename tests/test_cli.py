@@ -278,3 +278,81 @@ def test_cli_plan_lint(tmp_path):
     )
     assert rep2["clean"] is False
     assert any(f["rule"] == "global-window" for f in rep2["findings"])
+
+
+def test_cli_crawl_ingest(spark, tmp_path):
+    """The public-crawl loop as one subcommand: manifest -> http CDX shards
+    -> index-side filter + digest dedup -> ranged member fetch -> parquet.
+    Fixtures served by tools/rangeserver; archive IO is Range GETs only."""
+    import gzip as _gz
+
+    from lantern_extras_spark.sources import warc as W
+    from tools.rangeserver import serve_directory
+
+    crawl = tmp_path / "crawl-data"
+    crawl.mkdir()
+    records = [
+        {
+            "warc_type": "response",
+            "target_uri": f"https://example.com/{w}",
+            "payload": (
+                f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                f"Content-Length: {len(w) + 11}\r\n\r\n<html>{w}</html>"
+            ).encode(),
+            "content_type": "application/http; msgtype=response",
+        }
+        for w in ("alpha", "beta")
+    ]
+    for i in range(2):  # two archives with IDENTICAL content -> dedupable
+        W.write_warc(str(crawl / f"seg-{i}.warc.gz"), records)
+    idx = W.index_warc(spark, str(crawl / "*.warc.gz")).collect()
+    cdx_lines = []
+    for r in idx:
+        fname = "crawl-data/" + r["path"].rsplit("/", 1)[1]
+        cdx_lines.append(
+            "com,example)/ 20260101000000 "
+            + json.dumps(
+                {
+                    "url": r["target_uri"],
+                    "mime": r["http_content_type"],
+                    "status": str(r["http_status"]),
+                    "digest": r["digest"],
+                    "filename": fname,
+                    "offset": str(r["warc_offset"]),
+                    "length": str(r["warc_length"]),
+                }
+            )
+        )
+    (tmp_path / "cdx-00000.gz").write_bytes(
+        _gz.compress(("\n".join(cdx_lines) + "\n").encode())
+    )
+    (tmp_path / "cdx.paths.gz").write_bytes(_gz.compress(b"cdx-00000.gz\n"))
+    (tmp_path / "warc.paths").write_text(
+        "crawl-data/seg-0.warc.gz\ncrawl-data/seg-1.warc.gz\n"
+    )
+    with serve_directory(tmp_path) as srv:
+        base = srv.base_url
+        out_dir = str(tmp_path / "out_cdx")
+        (rep,) = _run(
+            "crawl-ingest", "--manifest", f"{base}/cdx.paths.gz",
+            "--base-url", base, "--output", out_dir,
+            "--filter", "status = 200 and url like '%alpha%'",
+            "--dedup-digest",
+        )
+        assert rep["kind"] == "cdx" and rep["manifest_entries"] == 1
+        # 2 archives x 1 alpha row, digest-deduped to ONE before any fetch
+        assert rep["selected_index_rows"] == 1 and rep["n_records"] == 1
+        got = [r.asDict() for r in spark.read.parquet(out_dir).collect()]
+        assert bytes(got[0]["body"]) == b"<html>alpha</html>"
+        # archive requests were all ranged (selective fetch, no full bodies)
+        archive_reqs = [(p, rng) for p, rng in srv.log if "seg-" in p]
+        assert archive_reqs and all(rng for _, rng in archive_reqs)
+
+        # bulk mode: warc.paths manifest, whole-archive streaming
+        out_bulk = str(tmp_path / "out_warc")
+        (rep2,) = _run(
+            "crawl-ingest", "--manifest", f"{base}/warc.paths",
+            "--base-url", base, "--kind", "warc", "--output", out_bulk,
+            "--filter", "http_status = 200",
+        )
+        assert rep2["manifest_entries"] == 2 and rep2["n_records"] == 4
