@@ -1126,10 +1126,11 @@ def ingest_hnsw_batch(
         return
     from lantern_extras_spark.operators.hnsw import build_hnsw_shards
 
+    data_dir = _store_write_dir(bdf.sparkSession, store_dir)
     build_hnsw_shards(
         bdf, vec_col=vec_col, id_col=id_col, n_shards=n_shards, m=m,
         ef_construction=ef_construction, metric=metric, seed=seed,
-    ).write.mode("overwrite").parquet(f"{store_dir}/epoch={int(epoch_id)}")
+    ).write.mode("overwrite").parquet(f"{data_dir}/epoch={int(epoch_id)}")
 
 
 def hnsw_search_store(
@@ -1146,7 +1147,9 @@ def hnsw_search_store(
     the moment their epoch lands — no graph rebuild on the read path."""
     from lantern_extras_spark.operators.hnsw import _SHARD_SCHEMA, hnsw_topk_batch
 
-    shards = spark.read.schema(_SHARD_SCHEMA).parquet(store_dir)
+    shards = spark.read.schema(_SHARD_SCHEMA).parquet(
+        resolve_store_data_dir(spark, store_dir)
+    )
     return hnsw_topk_batch(shards, queries, k=k, ef=ef, id_col=id_col)
 
 
@@ -1163,7 +1166,7 @@ def hnsw_store_stats(spark, store_dir: str) -> dict:
     # and _SHARD_SCHEMA is shared with the epoch-less store readers
     schema = StructType(list(_SHARD_SCHEMA.fields) + [StructField("epoch", LongType())])
     agg = (
-        spark.read.schema(schema).parquet(store_dir)
+        spark.read.schema(schema).parquet(resolve_store_data_dir(spark, store_dir))
         .agg(
             F.countDistinct("epoch").alias("epochs"),
             F.count("*").alias("total_shards"),
@@ -1193,29 +1196,31 @@ def compact_hnsw_store(
     """Compact the HNSW epoch pile back to ONE shard set: rebuild from the
     SOURCE rows (graphs are immutable artifacts, and the cos-metric graphs
     hold normalized vectors — the source is the only metric-lossless input,
-    the same contract as `refresh_semantic_store`'s re-fit) and atomically
-    swap the store for a single `epoch=-1` partition (-1 is never a
-    foreachBatch batch id, so an ingest retry guard can't collide with the
-    compacted partition). Pause the ingest stream across the swap; the
-    write-temp → delete → rename goes through Hadoop's FileSystem
-    (HDFS/S3A/local alike) but is not transactional against a concurrent
-    writer. After compaction, search fan-out drops from
-    epochs·n_shards back to n_shards."""
+    the same contract as `refresh_semantic_store`'s re-fit) and swap the
+    store for a single `epoch=-1` partition (-1 is never a foreachBatch
+    batch id, so an ingest retry guard can't collide with the compacted
+    partition). The swap is the versioned `_CURRENT` pointer flip
+    (r12 verdict #6): the rebuilt shards land in the NEXT version
+    directory, the pointer flips atomically, and the previous version is
+    retained one flip as grace — a concurrent `hnsw_search_store` never
+    sees an empty or partial store. Pause the ingest stream across the
+    swap (writer-vs-writer stays the stream's job). After compaction,
+    search fan-out drops from epochs·n_shards back to n_shards."""
     from lantern_extras_spark.operators.hnsw import build_hnsw_shards
 
     shards = build_hnsw_shards(
         source_df, vec_col=vec_col, id_col=id_col, n_shards=n_shards, m=m,
         ef_construction=ef_construction, metric=metric, seed=seed,
     )
-    tmp = store_dir.rstrip("/") + "__compact"
-    shards.write.mode("overwrite").parquet(f"{tmp}/epoch=-1")
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    HPath = jvm.org.apache.hadoop.fs.Path
-    fs = HPath(store_dir).getFileSystem(hconf)
-    fs.delete(HPath(store_dir), True)
-    if not fs.rename(HPath(tmp), HPath(store_dir)):
-        raise IOError(f"compaction swap failed: could not rename {tmp} -> {store_dir}")
+    data = resolve_store_data_dir(spark, store_dir)
+    fs, HPath = _store_fs(spark, store_dir)
+    versions = _list_store_versions(fs, HPath, store_dir.rstrip("/"))
+    nxt = _STORE_VERSION_RE % ((int(versions[-1][1:]) + 1) if versions else 1)
+    shards.write.mode("overwrite").parquet(
+        f"{store_dir.rstrip('/')}/{nxt}/epoch=-1"
+    )
+    _flip_store_current(spark, store_dir, nxt)
+    _swap_store_version(spark, store_dir, data)
 
 
 def maybe_compact_hnsw_store(
@@ -1303,6 +1308,137 @@ def _store_lock_fs(spark, store_dir: str):
     HPath = jvm.org.apache.hadoop.fs.Path
     lock = HPath(store_dir.rstrip("/") + ".lock")
     return lock.getFileSystem(hconf), lock, HPath
+
+
+# ---- versioned store layout (r12 verdict #6) -------------------------------
+# The writer lock serializes WRITERS, but a delete→rename compaction swap
+# could still hand a concurrent READER a transient empty/partial view. The
+# compactable stores therefore keep their data in versioned subdirectories
+# with an atomically-flipped pointer:
+#
+#     store_dir/_CURRENT        # one line: "v00007"
+#     store_dir/v00007/epoch=N/…parquet
+#
+# Readers resolve through the pointer (falling back to the highest vNNNNN
+# directory during the flip's delete→rename instant); compaction writes the
+# folded data into the NEXT version, flips the pointer, and retains the
+# immediately-previous version as a grace window for in-flight scans —
+# deleting only versions two flips old. Stores created before this layout
+# (flat epoch=N under store_dir) stay readable and writable as-is; their
+# FIRST compaction migrates them (the one swap that is not
+# reader-transparent — run it while the store is quiescent).
+
+_STORE_VERSION_RE = "v%05d"
+
+
+def _store_fs(spark, path: str):
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    return HPath(path).getFileSystem(hconf), HPath
+
+
+def _list_store_versions(fs, HPath, store_dir: str) -> list[str]:
+    import re
+
+    out = []
+    base = HPath(store_dir)
+    if not fs.exists(base):
+        return out
+    for st in fs.listStatus(base):
+        nm = st.getPath().getName()
+        if st.isDirectory() and re.fullmatch(r"v\d{5}", nm):
+            out.append(nm)
+    return sorted(out)
+
+
+def resolve_store_data_dir(spark, store_dir: str) -> str:
+    """CURRENT data directory of a store: `<store_dir>/<version>` when the
+    store is versioned (pointer file, falling back to the highest version
+    directory during a pointer flip), `store_dir` itself for the legacy
+    flat layout. Every store reader goes through this, so compaction flips
+    are invisible to them."""
+    fs, HPath = _store_fs(spark, store_dir)
+    base = store_dir.rstrip("/")
+    cur = HPath(f"{base}/_CURRENT")
+    try:
+        if fs.exists(cur):
+            stream = fs.open(cur)
+            name = bytes(stream.readNBytes(256)).decode("ascii", "replace").strip()
+            stream.close()
+            if name:
+                return f"{base}/{name}"
+    except Exception:
+        pass  # mid-flip or unreadable pointer: the version scan below decides
+    versions = _list_store_versions(fs, HPath, base)
+    if versions:
+        return f"{base}/{versions[-1]}"
+    return base
+
+
+def _store_write_dir(spark, store_dir: str) -> str:
+    """Data directory for INGEST writes. Versioned stores write into the
+    current version; a brand-new store is initialized as versioned
+    (v00001 + pointer) so its compactions are reader-transparent from
+    birth; a legacy flat store with existing data keeps writing flat until
+    its first compaction migrates it."""
+    fs, HPath = _store_fs(spark, store_dir)
+    base = store_dir.rstrip("/")
+    if fs.exists(HPath(f"{base}/_CURRENT")) or _list_store_versions(
+        fs, HPath, base
+    ):
+        return resolve_store_data_dir(spark, store_dir)
+    if fs.exists(HPath(base)) and len(fs.listStatus(HPath(base))) > 0:
+        return base  # legacy flat store with data
+    first = _STORE_VERSION_RE % 1
+    fs.mkdirs(HPath(f"{base}/{first}"))
+    _flip_store_current(spark, store_dir, first)
+    return f"{base}/{first}"
+
+
+def _flip_store_current(spark, store_dir: str, version: str) -> None:
+    """Atomically (re)point `_CURRENT` at `version`: write a sibling temp
+    file, delete the old pointer, rename into place. Hadoop rename will not
+    overwrite, so there is a pointer-less instant — readers cover it with
+    the highest-version fallback (the new version is fully written before
+    the flip starts, so that fallback is always correct)."""
+    fs, HPath = _store_fs(spark, store_dir)
+    base = store_dir.rstrip("/")
+    tmp = HPath(f"{base}/_CURRENT.tmp")
+    out = fs.create(tmp, True)
+    out.write(version.encode("ascii"))
+    out.close()
+    cur = HPath(f"{base}/_CURRENT")
+    fs.delete(cur, False)
+    if not fs.rename(tmp, cur):
+        raise IOError(f"could not flip {base}/_CURRENT to {version}")
+
+
+def _swap_store_version(spark, store_dir: str, prior_data_dir: str) -> None:
+    """Post-compaction retention: flip the pointer is already done by the
+    caller's `_flip_store_current`; here we delete data that no reader can
+    still need — versions OLDER than the immediately-previous one, and (on
+    a legacy-store migration) the flat `epoch=*` directories the compacted
+    version replaced."""
+    import re
+
+    fs, HPath = _store_fs(spark, store_dir)
+    base = store_dir.rstrip("/")
+    versions = _list_store_versions(fs, HPath, base)
+    # keep the newest (just written) and the previous data dir as grace
+    prior_name = prior_data_dir.rstrip("/").rsplit("/", 1)[-1]
+    for v in versions[:-1]:
+        if f"{base}/{v}" != prior_data_dir.rstrip("/"):
+            fs.delete(HPath(f"{base}/{v}"), True)
+    if prior_data_dir.rstrip("/") == base:
+        # legacy flat layout: remove the migrated epoch=* children (this is
+        # the documented non-reader-transparent migration)
+        for st in fs.listStatus(HPath(base)):
+            nm = st.getPath().getName()
+            if st.isDirectory() and re.match(r"epoch=", nm):
+                fs.delete(st.getPath(), True)
+    elif re.fullmatch(r"v\d{5}", prior_name):
+        pass  # grace-retained; the NEXT compaction's sweep deletes it
 
 
 def force_unlock_store(spark, store_dir: str) -> bool:
@@ -1411,7 +1547,8 @@ def ingest_hash_batch(
     kw = dict(bits=bits, band_bits=band_bits, max_distance=max_distance,
               max_band_freq=max_band_freq)
     with _store_writer_lock(sess, store_dir, f"ingest_hash_batch epoch {epoch}"):
-        store = _read_store_or_none(sess, store_dir, [id_col, hash_col])
+        data_dir = _store_write_dir(sess, store_dir)
+        store = _read_store_or_none(sess, data_dir, [id_col, hash_col])
         if store is not None:
             # a RETRY of this epoch already wrote its own epoch=N rows —
             # exclude them (partition-pruned) so the retry can't match the
@@ -1433,7 +1570,7 @@ def ingest_hash_batch(
         survivors.write.mode("overwrite").parquet(f"{output_dir}/epoch={epoch}")
         survivors.where(F.col(hash_col).isNotNull()).select(
             id_col, hash_col
-        ).write.mode("overwrite").parquet(f"{store_dir}/epoch={epoch}")
+        ).write.mode("overwrite").parquet(f"{data_dir}/epoch={epoch}")
 
 
 def hash_store_stats(spark, store_dir: str) -> dict:
@@ -1442,18 +1579,18 @@ def hash_store_stats(spark, store_dir: str) -> dict:
     partition column; the file count comes from a Hadoop FS listing (no
     data read) — it is the per-batch overhead that grows with epoch count
     (every `hash_neardup_join` against the store pays listing + one reader
-    per small file) even when the row count is flat."""
+    per small file) even when the row count is flat. Versioned stores
+    profile the CURRENT version only — grace-retained prior versions are
+    not per-batch cost."""
+    data_dir = resolve_store_data_dir(spark, store_dir)
     agg = (
-        spark.read.parquet(store_dir)
+        spark.read.parquet(data_dir)
         .agg(F.countDistinct("epoch").alias("epochs"), F.count("*").alias("rows"))
         .first()
     )
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    HPath = jvm.org.apache.hadoop.fs.Path
-    fs = HPath(store_dir).getFileSystem(hconf)
+    fs, HPath = _store_fs(spark, data_dir)
     files = 0
-    it = fs.listFiles(HPath(store_dir), True)
+    it = fs.listFiles(HPath(data_dir), True)
     while it.hasNext():
         f = it.next()
         if f.getPath().getName().endswith(".parquet"):
@@ -1475,23 +1612,23 @@ def compact_hash_store(
     retry guard can't collide with it — same convention as
     `compact_hnsw_store`). Unlike HNSW there is nothing to rebuild: store
     rows are plain (id, hash) survivors, so compaction is a read +
-    repartition + atomic FS swap. The write-temp → delete → rename is not
-    transactional against a concurrent writer, so the swap runs under the
-    store writer lock (`StoreLockError` if an ingest is mid-flight) — the
-    old "pause the ingest stream" convention, enforced."""
+    repartition into the NEXT version directory + an atomic `_CURRENT`
+    pointer flip (r12 verdict #6): concurrent READERS resolve through the
+    pointer and keep scanning the fully-written previous version (retained
+    one flip as grace), so no reader ever sees an empty or partial store.
+    Writers stay serialized by the store writer lock (`StoreLockError` if
+    an ingest is mid-flight)."""
     with _store_writer_lock(spark, store_dir, "compact_hash_store"):
-        store = spark.read.parquet(store_dir).drop("epoch")
-        tmp = store_dir.rstrip("/") + "__compact"
-        store.repartition(n_files).write.mode("overwrite").parquet(f"{tmp}/epoch=-1")
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        HPath = jvm.org.apache.hadoop.fs.Path
-        fs = HPath(store_dir).getFileSystem(hconf)
-        fs.delete(HPath(store_dir), True)
-        if not fs.rename(HPath(tmp), HPath(store_dir)):
-            raise IOError(
-                f"compaction swap failed: could not rename {tmp} -> {store_dir}"
-            )
+        data = resolve_store_data_dir(spark, store_dir)
+        store = spark.read.parquet(data).drop("epoch")
+        fs, HPath = _store_fs(spark, store_dir)
+        versions = _list_store_versions(fs, HPath, store_dir.rstrip("/"))
+        nxt = _STORE_VERSION_RE % ((int(versions[-1][1:]) + 1) if versions else 1)
+        store.repartition(n_files).write.mode("overwrite").parquet(
+            f"{store_dir.rstrip('/')}/{nxt}/epoch=-1"
+        )
+        _flip_store_current(spark, store_dir, nxt)
+        _swap_store_version(spark, store_dir, data)
 
 
 def maybe_compact_hash_store(

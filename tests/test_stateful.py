@@ -585,14 +585,18 @@ def test_streaming_hnsw_store_recall_and_freshness(spark, tmp_path):
     assert got2 != got1  # epoch-2 vectors actually reached the ranking
 
     # retry idempotence: seeded, id-sorted builds rewrite identical graphs
+    # (the store is versioned from birth — resolve through the pointer)
+    from lantern_extras_spark.streaming.stateful import resolve_store_data_dir
+
+    data = resolve_store_data_dir(spark, store)
     before = {
         (r["shard"],): bytes(r["index"])
-        for r in spark.read.parquet(f"{store}/epoch=1").collect()
+        for r in spark.read.parquet(f"{data}/epoch=1").collect()
     }
     ingest_hnsw_batch(b2, 1, store, n_shards=2, metric="l2sq")
     after = {
         (r["shard"],): bytes(r["index"])
-        for r in spark.read.parquet(f"{store}/epoch=1").collect()
+        for r in spark.read.parquet(f"{data}/epoch=1").collect()
     }
     assert before == after
 
@@ -659,7 +663,11 @@ def test_hnsw_store_compaction_restores_fanout_recall_pinned(spark, tmp_path):
     assert stats2 == {"epochs": 1, "total_shards": 2, "rows": 120}
     import os
 
-    assert os.path.isdir(os.path.join(store, "epoch=-1"))
+    from lantern_extras_spark.streaming.stateful import resolve_store_data_dir
+
+    assert os.path.isdir(
+        os.path.join(resolve_store_data_dir(spark, store), "epoch=-1")
+    )
 
     # recall pinned: the compacted graph serves at least as well
     recall_after = len(served() & exact) / len(exact)
@@ -715,7 +723,11 @@ def test_ingest_hash_batch_store_match_retry_and_compaction(spark, tmp_path):
         hash_store_stats,
         ingest_hash_batch,
         maybe_compact_hash_store,
+        resolve_store_data_dir,
     )
+
+    def store_rows():
+        return spark.read.parquet(resolve_store_data_dir(spark, store))
 
     out, store = str(tmp_path / "out"), str(tmp_path / "store")
     base = 0x1234_5678_9ABC_DEF0
@@ -731,11 +743,11 @@ def test_ingest_hash_batch_store_match_retry_and_compaction(spark, tmp_path):
     survivors = sorted(r["media_id"] for r in spark.read.parquet(out).collect())
     assert survivors == [1, 3, 11, 12]
     # null-hash survivor is kept in OUTPUT but not in the store
-    assert sorted(r["media_id"] for r in spark.read.parquet(store).collect()) == [1, 3, 12]
+    assert sorted(r["media_id"] for r in store_rows().collect()) == [1, 3, 12]
     # retry of epoch 1: overwrites its own partitions, no duplicates
     ingest_hash_batch(batch([(10, base ^ 1), (11, None), (12, 777)]), 1, out, store)
     assert sorted(r["media_id"] for r in spark.read.parquet(out).collect()) == [1, 3, 11, 12]
-    assert spark.read.parquet(store).count() == 3
+    assert store_rows().count() == 3
 
     # grow the pile: epochs 2..9, each one new well-separated hash
     # (golden-ratio multiples are pairwise far in Hamming distance)
@@ -771,9 +783,13 @@ def test_hash_store_writer_lock(spark, tmp_path):
         compact_hash_store,
         force_unlock_store,
         ingest_hash_batch,
+        resolve_store_data_dir,
     )
 
     out, store = str(tmp_path / "out"), str(tmp_path / "store")
+
+    def store_count():
+        return spark.read.parquet(resolve_store_data_dir(spark, store)).count()
 
     def batch(rows):
         return spark.createDataFrame(rows, "media_id long, phash long")
@@ -784,7 +800,7 @@ def test_hash_store_writer_lock(spark, tmp_path):
     # normal single-writer flow: lock acquired + released per call
     ingest_hash_batch(batch([(1, h(1)), (2, h(2))]), 0, out, store)
     ingest_hash_batch(batch([(3, h(3))]), 1, out, store)
-    assert spark.read.parquet(store).count() == 3
+    assert store_count() == 3
 
     # writer A holds the lock (a mid-flight ingest/compaction elsewhere):
     # writer B's ingest AND a manual compaction both refuse to run, and the
@@ -811,6 +827,126 @@ def test_hash_store_writer_lock(spark, tmp_path):
     # lock released on exit: both proceed again
     ingest_hash_batch(batch([(9, h(9))]), 2, out, store)
     compact_hash_store(spark, store, n_files=1)
-    assert spark.read.parquet(store).count() == 4
+    assert store_count() == 4
     # the interrupted epoch-2 ingest never half-wrote: survivors intact
     assert sorted(r["media_id"] for r in spark.read.parquet(out).collect()) == [1, 2, 3, 9]
+
+
+def test_compaction_is_reader_transparent(spark, tmp_path):
+    """r12 verdict #6: a reader polling the store while compactions run
+    never sees an empty or partial view — compaction writes the folded
+    data into the NEXT version directory and flips the `_CURRENT` pointer
+    atomically (previous version retained one flip as grace)."""
+    import threading
+
+    from lantern_extras_spark.streaming.stateful import (
+        compact_hash_store,
+        ingest_hash_batch,
+        resolve_store_data_dir,
+    )
+
+    out, store = str(tmp_path / "out"), str(tmp_path / "store")
+
+    def h(i):
+        return (i * 0x9E3779B97F4A7C15) % (1 << 63)
+
+    for e in range(6):
+        ingest_hash_batch(
+            spark.createDataFrame([(e, h(e))], "media_id long, phash long"),
+            e, out, store,
+        )
+    expected = 6
+    stop = threading.Event()
+    observed: list[int] = []
+    errors: list[BaseException] = []
+
+    def poll():
+        try:
+            while not stop.is_set():
+                n = spark.read.parquet(
+                    resolve_store_data_dir(spark, store)
+                ).count()
+                observed.append(n)
+        except BaseException as e:  # noqa: BLE001 — surfaced to the assert
+            errors.append(e)
+
+    t = threading.Thread(target=poll)
+    t.start()
+    try:
+        for _ in range(3):  # repeated flips: v2, v3, v4
+            compact_hash_store(spark, store, n_files=1)
+    finally:
+        stop.set()
+        t.join(60)
+    assert not errors, errors[0]
+    assert observed and all(n == expected for n in observed), (
+        f"reader saw row counts {sorted(set(observed))}, expected {{{expected}}}"
+    )
+    # retention: newest + one grace version on disk, older ones swept
+    import os as _os
+
+    versions = sorted(d for d in _os.listdir(store) if d.startswith("v"))
+    assert versions == ["v00003", "v00004"]
+
+
+def test_legacy_flat_store_migrates_on_first_compaction(spark, tmp_path):
+    """Stores created before the versioned layout (flat epoch=N under
+    store_dir) keep ingesting flat; their FIRST compaction migrates them to
+    v00001 + _CURRENT with rows and match behavior unchanged, and ingest
+    resumes inside the versioned layout."""
+    import os as _os
+
+    from lantern_extras_spark.streaming.stateful import (
+        compact_hash_store,
+        hash_store_stats,
+        ingest_hash_batch,
+        resolve_store_data_dir,
+    )
+
+    out, store = str(tmp_path / "out"), str(tmp_path / "store")
+
+    def h(i):
+        return (i * 0x9E3779B97F4A7C15) % (1 << 63)
+
+    # fabricate a pre-versioning store: flat epoch partitions, no _CURRENT
+    for e in range(3):
+        spark.createDataFrame(
+            [(e, h(e))], "media_id long, phash long"
+        ).write.parquet(f"{store}/epoch={e}")
+    assert resolve_store_data_dir(spark, store) == store  # legacy resolves flat
+    # ingest against the legacy store stays flat (no surprise migration)
+    ingest_hash_batch(
+        spark.createDataFrame([(10, h(10))], "media_id long, phash long"),
+        3, out, store,
+    )
+    assert _os.path.isdir(f"{store}/epoch=3") and not _os.path.exists(
+        f"{store}/_CURRENT"
+    )
+    assert hash_store_stats(spark, store) == {
+        "epochs": 4, "rows": 4, "files": hash_store_stats(spark, store)["files"]
+    }
+    # first compaction migrates: versioned layout, flat partitions swept
+    compact_hash_store(spark, store, n_files=1)
+    assert _os.path.exists(f"{store}/_CURRENT")
+    assert resolve_store_data_dir(spark, store).endswith("/v00001")
+    assert not any(d.startswith("epoch=") for d in _os.listdir(store))
+    assert hash_store_stats(spark, store)["rows"] == 4
+    # post-migration ingest lands INSIDE the current version
+    ingest_hash_batch(
+        spark.createDataFrame([(20, h(20))], "media_id long, phash long"),
+        9, out, store,
+    )
+    assert _os.path.isdir(f"{store}/v00001/epoch=9")
+    assert hash_store_stats(spark, store) == {
+        "epochs": 2, "rows": 5,
+        "files": hash_store_stats(spark, store)["files"],
+    }
+    # store-dup matching still works across the migrated store
+    ingest_hash_batch(
+        spark.createDataFrame(
+            [(30, h(2) ^ 1), (31, h(77))], "media_id long, phash long"
+        ),
+        10, out, store,
+    )
+    survivors = sorted(r["media_id"] for r in spark.read.parquet(out).collect())
+    assert 30 not in survivors and 31 in survivors
