@@ -1704,8 +1704,13 @@ class _VP8LCode:
     """Canonical prefix code: built from per-symbol code lengths exactly as
     DEFLATE does (codes assigned in (length, symbol) order), decoded bit by
     bit MSB-first. A code used through the 'simple' stream form may carry a
-    single symbol (zero bits per read); a normal-form length table must be
-    COMPLETE (Kraft sum exact) — libwebp rejects incomplete codes too."""
+    single symbol (zero bits per read); a normal-form length table with
+    EXACTLY ONE used symbol is likewise a 0-bit single-symbol code
+    regardless of its stated length (libwebp's BuildHuffmanTable 'special
+    case code with only one value' — non-libwebp encoders do emit this,
+    e.g. for a code-length code with one distinct length; ADVICE r12); a
+    multi-symbol normal-form table must be COMPLETE (Kraft sum exact) —
+    libwebp rejects incomplete codes too."""
 
     __slots__ = ("single", "lut", "max_len", "_mask")
 
@@ -1719,9 +1724,10 @@ class _VP8LCode:
         if not nonzero:
             raise ValueError("VP8L: empty prefix code")
         if len(nonzero) == 1:
-            raise ValueError(
-                "VP8L: single-symbol code must use the simple form"
-            )
+            self.single = nonzero[0][1]
+            self.lut = None
+            self.max_len = 0
+            return
         self.max_len = nonzero[-1][0]
         if self.max_len > 15:
             raise ValueError("VP8L: code length > 15")
@@ -2139,7 +2145,11 @@ def _vp8l_inv_palette(arr, cur_w: int, h: int, xbits: int, palette: list, orig_w
     loud). Returns the (h, orig_w) looked-up array."""
     import numpy as np
 
-    pal = np.asarray(palette, dtype=np.uint32)
+    # '<u4', not native uint32: every downstream uint8 view assumes the
+    # little-endian (b,g,r,a) channel layout (ADVICE r12 — the main decode
+    # path already pins '<u4'; a native dtype would swap channels on a
+    # big-endian host)
+    pal = np.asarray(palette, dtype="<u4")
     g = (arr >> 8) & 0xFF
     if xbits:
         per = 1 << xbits

@@ -4382,3 +4382,40 @@ def test_vp8l_distance_map_structure():
     assert _VP8L_DIST[2] == (1, 1)
     assert _VP8L_DIST[102] == (8, 2)
     assert not any(dx == -8 for dx, _ in _VP8L_DIST)
+
+
+def test_vp8l_single_symbol_normal_form_code():
+    """ADVICE r12: a normal-form prefix code with exactly one used symbol is
+    a valid 0-bit single-symbol code (libwebp BuildHuffmanTable's 'special
+    case code with only one value') — non-libwebp encoders emit this, e.g.
+    for a code-length code with a single distinct length. It must decode
+    without consuming bits, not raise and sentinel the whole image."""
+    from lantern_extras_spark.multimodal.media import _VP8LCode, _VP8LReader
+
+    code = _VP8LCode([0, 0, 5, 0])  # symbol 2, stated length 5
+    br = _VP8LReader(b"\xff\xff")
+    assert code.read(br) == 2 and br.bitpos == 0  # zero bits consumed
+    # the simple-form constructor path is unchanged
+    assert _VP8LCode([], single=7).read(br) == 7
+    # multi-symbol tables still demand Kraft completeness
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="incomplete|oversubscribed"):
+        _VP8LCode([3, 3])
+    with _pt.raises(ValueError, match="empty"):
+        _VP8LCode([0, 0])
+
+
+def test_vp8l_palette_dtype_little_endian():
+    """ADVICE r12: the palette-expanded array must be explicit '<u4' like
+    the main decode path — downstream uint8 views assume little-endian
+    (b,g,r,a) channel layout on any host."""
+    import numpy as np
+
+    from lantern_extras_spark.multimodal.media import _vp8l_inv_palette
+
+    arr = np.array([[0x00000100, 0x00000000]], dtype="<u4")  # indices 1, 0
+    pal = [0x11223344, 0xAABBCCDD]
+    out = _vp8l_inv_palette(arr, 2, 1, 0, pal, 2)
+    assert out.dtype == np.dtype("<u4")
+    assert [hex(v) for v in out[0]] == ["0xaabbccdd", "0x11223344"]
