@@ -423,14 +423,19 @@ def cmd_crawl_ingest(args) -> int:
         if args.dedup_digest:
             from pyspark.sql.window import Window
 
+            # null digests carry no content identity: dedup only the rows
+            # that HAVE one (a null partition would collapse every
+            # undigested record into a single survivor)
             w = Window.partitionBy("digest").orderBy(
                 "warc_filename", "warc_offset"
             )
-            idx = (
-                idx.withColumn("__rn", F.row_number().over(w))
+            digested = (
+                idx.where(F.col("digest").isNotNull())
+                .withColumn("__rn", F.row_number().over(w))
                 .where(F.col("__rn") == 1)
                 .drop("__rn")
             )
+            idx = digested.unionByName(idx.where(F.col("digest").isNull()))
         # one pass: the index is small (~1% of crawl bytes) — cache while
         # both the count and the fetch read it
         idx = idx.cache()

@@ -508,11 +508,26 @@ class _HttpOpener:
             except urllib.error.HTTPError as e:
                 if e.code == 416 and consumed > 0 and expected is None:
                     # a resume pointed exactly at EOF of an UNKNOWN-length
-                    # stream (no Content-Length): servers answer 416; every
-                    # byte was already consumed, so this IS the clean EOF.
-                    # With a known length the loop returns before ever
-                    # resuming at EOF, so a mid-file 416 still raises.
-                    return
+                    # stream (no Content-Length): servers answer 416 — but
+                    # only treat it as clean EOF when the 416's
+                    # `Content-Range: bytes */<total>` CONFIRMS every byte
+                    # was consumed. A bare 416 (range-rejecting server, or
+                    # the resource replaced by a shorter one between
+                    # requests) could mask genuinely missing bytes — fail
+                    # loud rather than silently truncate the stream. With a
+                    # known length the loop returns before ever resuming at
+                    # EOF, so a mid-file 416 always raises.
+                    import re as _re
+
+                    cr = e.headers.get("Content-Range") if e.headers else None
+                    m = _re.fullmatch(r"bytes \*/(\d+)", (cr or "").strip())
+                    if m and int(m.group(1)) == consumed:
+                        return
+                    raise ValueError(
+                        f"resume of {self.url} at offset {consumed} got 416 "
+                        f"but Content-Range {cr!r} does not confirm "
+                        "stream-end — bytes may be missing"
+                    ) from e
                 raise
             try:
                 with resp as r:

@@ -88,12 +88,13 @@ def iter_webdataset_samples(
                 key, ext = split_wds_key(m.name)
                 if key != cur_key:
                     if cur_key is not None:
-                        if _fp(cur_key) in seen:
+                        fp = _fp(cur_key)
+                        if fp in seen:
                             raise ValueError(
                                 f"webdataset shard: key {cur_key!r} appears in "
                                 "non-consecutive runs (interleaved shard)"
                             )
-                        seen.add(_fp(cur_key))
+                        seen.add(fp)
                         yield {"key": cur_key, "parts": cur}
                         emitted += 1
                     if max_samples is not None and emitted >= max_samples:
@@ -177,6 +178,13 @@ def _wds_parse_fn(max_samples, batch_bytes: int = 64 << 20):
                     # http(s) and object-store (Arrow FS) shards stream the
                     # same way: chunked reads through tarfile's r|* mode
                     opener = _opener_for(row["path"])
+                    if opener is None and "content" not in row:
+                        raise IOError(
+                            f"no shard opener for {row['path']} on this "
+                            "executor, and the scan was planned without the "
+                            "binaryFile content fallback (the driver could "
+                            "resolve the scheme; this executor cannot)"
+                        )
                     src = (
                         _IterStream(opener.chunks())
                         if opener is not None

@@ -405,27 +405,29 @@ def ingest_semantic_batch(
     epoch = int(epoch_id)
     batch = assign_cells(bdf.select(id_col, vec_col), centroids, vec_col=vec_col)
     batch = batch.cache()
-    store = _read_store_or_none(sess, store_dir, [id_col, vec_col, "cell"])
-    if store is not None:
-        if "epoch" in store.columns:
-            store = store.where(F.col("epoch") != epoch)  # retry self-match guard
-        store = store.select(id_col, vec_col, "cell")
-    if store is not None:
-        flagged = semantic_dedup_incremental(
-            batch, store, centroids=centroids, threshold=threshold,
-            id_col=id_col, vec_col=vec_col,
-        )
-    else:
-        from lantern_extras_spark.operators.dedup import semantic_dedup
+    with _store_writer_lock(sess, store_dir, f"ingest_semantic_batch epoch {epoch}"):
+        data_dir = _store_write_dir(sess, store_dir)
+        store = _read_store_or_none(sess, data_dir, [id_col, vec_col, "cell"])
+        if store is not None:
+            if "epoch" in store.columns:
+                store = store.where(F.col("epoch") != epoch)  # retry self-match guard
+            store = store.select(id_col, vec_col, "cell")
+        if store is not None:
+            flagged = semantic_dedup_incremental(
+                batch, store, centroids=centroids, threshold=threshold,
+                id_col=id_col, vec_col=vec_col,
+            )
+        else:
+            from lantern_extras_spark.operators.dedup import semantic_dedup
 
-        flagged = semantic_dedup(
-            batch, threshold=threshold, id_col=id_col, vec_col=vec_col,
-        )
-        flagged = flagged.withColumn("vs", F.lit("batch"))
-    dropped = flagged.select(F.col("dup_id").alias(id_col)).distinct()
-    survivors = batch.join(dropped, id_col, "left_anti")
-    survivors.write.mode("overwrite").parquet(f"{output_dir}/epoch={epoch}")
-    survivors.write.mode("overwrite").parquet(f"{store_dir}/epoch={epoch}")
+            flagged = semantic_dedup(
+                batch, threshold=threshold, id_col=id_col, vec_col=vec_col,
+            )
+            flagged = flagged.withColumn("vs", F.lit("batch"))
+        dropped = flagged.select(F.col("dup_id").alias(id_col)).distinct()
+        survivors = batch.join(dropped, id_col, "left_anti")
+        survivors.write.mode("overwrite").parquet(f"{output_dir}/epoch={epoch}")
+        survivors.write.mode("overwrite").parquet(f"{data_dir}/epoch={epoch}")
     batch.unpersist()
 
 
@@ -487,7 +489,7 @@ def semantic_store_drift(
     """
     from lantern_extras_spark.operators.versioning import embedding_drift
 
-    store = spark.read.parquet(store_dir)
+    store = spark.read.parquet(resolve_store_data_dir(spark, store_dir))
     if "epoch" not in store.columns:
         raise ValueError(
             f"store at {store_dir} has no epoch partition column — drift "
@@ -527,10 +529,12 @@ def refresh_semantic_store(
 
     Returns the NEW centroids — restart the ingest stream with them (the
     shared-geometry contract: batch cells must agree with store cells).
-    Pause the ingest stream across the refresh; the swap (write temp →
-    delete old → rename) goes through Hadoop's FileSystem so it works on
-    HDFS/S3A/local alike, but it is not transactional against a concurrent
-    writer.
+    The rewrite is the versioned `_CURRENT` pointer flip (same mechanism
+    as `compact_hash_store`): re-assigned rows land in the NEXT version
+    directory, the pointer flips atomically, and the previous version is
+    retained one flip as reader grace — a concurrent store reader never
+    sees an empty/partial store. Writers are serialized by the store
+    writer lock (`StoreLockError` if an ingest is mid-flight).
 
     Wire `semantic_store_drift` as the trigger: refresh when
     max_abs_mean_delta exceeds the tolerance, not on a timer — re-fitting
@@ -539,25 +543,22 @@ def refresh_semantic_store(
     """
     from lantern_extras_spark.operators.ivf import _auto_nlist, build_ivf
 
-    base = spark.read.parquet(store_dir).select(id_col, vec_col)
-    total = base.count()
-    if total == 0:
-        raise ValueError(f"store at {store_dir} is empty — nothing to refresh")
-    if nlist is None:
-        nlist = _auto_nlist(total)
-    assigned, centroids = build_ivf(
-        base, vec_col=vec_col, nlist=nlist, seed=seed, cell_col=cell_col,
-        max_train_rows=max_train_rows, total_rows=total,
-    )
-    tmp = store_dir.rstrip("/") + "__refresh"
-    assigned.write.mode("overwrite").parquet(f"{tmp}/epoch=-1")
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    HPath = jvm.org.apache.hadoop.fs.Path
-    fs = HPath(store_dir).getFileSystem(hconf)
-    fs.delete(HPath(store_dir), True)
-    if not fs.rename(HPath(tmp), HPath(store_dir)):
-        raise IOError(f"refresh swap failed: could not rename {tmp} -> {store_dir}")
+    with _store_writer_lock(spark, store_dir, "refresh_semantic_store"):
+        data = resolve_store_data_dir(spark, store_dir)
+        base = spark.read.parquet(data).select(id_col, vec_col)
+        total = base.count()
+        if total == 0:
+            raise ValueError(f"store at {store_dir} is empty — nothing to refresh")
+        if nlist is None:
+            nlist = _auto_nlist(total)
+        assigned, centroids = build_ivf(
+            base, vec_col=vec_col, nlist=nlist, seed=seed, cell_col=cell_col,
+            max_train_rows=max_train_rows, total_rows=total,
+        )
+        _publish_store_version(
+            spark, store_dir, data,
+            lambda p: assigned.write.mode("overwrite").parquet(p),
+        )
     return centroids
 
 
@@ -1126,11 +1127,16 @@ def ingest_hnsw_batch(
         return
     from lantern_extras_spark.operators.hnsw import build_hnsw_shards
 
-    data_dir = _store_write_dir(bdf.sparkSession, store_dir)
-    build_hnsw_shards(
-        bdf, vec_col=vec_col, id_col=id_col, n_shards=n_shards, m=m,
-        ef_construction=ef_construction, metric=metric, seed=seed,
-    ).write.mode("overwrite").parquet(f"{data_dir}/epoch={int(epoch_id)}")
+    sess = bdf.sparkSession
+    # the writer lock serializes the epoch write against a concurrent
+    # compaction's version flip — otherwise a fresh epoch could land in the
+    # grace-retained OLD version and be swept by the next flip
+    with _store_writer_lock(sess, store_dir, f"ingest_hnsw_batch epoch {int(epoch_id)}"):
+        data_dir = _store_write_dir(sess, store_dir)
+        build_hnsw_shards(
+            bdf, vec_col=vec_col, id_col=id_col, n_shards=n_shards, m=m,
+            ef_construction=ef_construction, metric=metric, seed=seed,
+        ).write.mode("overwrite").parquet(f"{data_dir}/epoch={int(epoch_id)}")
 
 
 def hnsw_search_store(
@@ -1203,24 +1209,23 @@ def compact_hnsw_store(
     (r12 verdict #6): the rebuilt shards land in the NEXT version
     directory, the pointer flips atomically, and the previous version is
     retained one flip as grace — a concurrent `hnsw_search_store` never
-    sees an empty or partial store. Pause the ingest stream across the
-    swap (writer-vs-writer stays the stream's job). After compaction,
-    search fan-out drops from epochs·n_shards back to n_shards."""
+    sees an empty or partial store. Writer-vs-writer is serialized by the
+    store writer lock (same as the hash store): a mid-flight ingest makes
+    this raise `StoreLockError` instead of racing the flip. After
+    compaction, search fan-out drops from epochs·n_shards back to
+    n_shards."""
     from lantern_extras_spark.operators.hnsw import build_hnsw_shards
 
     shards = build_hnsw_shards(
         source_df, vec_col=vec_col, id_col=id_col, n_shards=n_shards, m=m,
         ef_construction=ef_construction, metric=metric, seed=seed,
     )
-    data = resolve_store_data_dir(spark, store_dir)
-    fs, HPath = _store_fs(spark, store_dir)
-    versions = _list_store_versions(fs, HPath, store_dir.rstrip("/"))
-    nxt = _STORE_VERSION_RE % ((int(versions[-1][1:]) + 1) if versions else 1)
-    shards.write.mode("overwrite").parquet(
-        f"{store_dir.rstrip('/')}/{nxt}/epoch=-1"
-    )
-    _flip_store_current(spark, store_dir, nxt)
-    _swap_store_version(spark, store_dir, data)
+    with _store_writer_lock(spark, store_dir, "compact_hnsw_store"):
+        data = resolve_store_data_dir(spark, store_dir)
+        _publish_store_version(
+            spark, store_dir, data,
+            lambda p: shards.write.mode("overwrite").parquet(p),
+        )
 
 
 def maybe_compact_hnsw_store(
@@ -1415,18 +1420,18 @@ def _flip_store_current(spark, store_dir: str, version: str) -> None:
 
 
 def _swap_store_version(spark, store_dir: str, prior_data_dir: str) -> None:
-    """Post-compaction retention: flip the pointer is already done by the
+    """Post-compaction retention: the pointer flip is already done by the
     caller's `_flip_store_current`; here we delete data that no reader can
-    still need — versions OLDER than the immediately-previous one, and (on
-    a legacy-store migration) the flat `epoch=*` directories the compacted
-    version replaced."""
+    still need — versions OLDER than the immediately-previous one (which is
+    grace-retained until the NEXT flip's sweep), and, on a legacy-store
+    migration, the flat `epoch=*` directories the compacted version
+    replaced."""
     import re
 
     fs, HPath = _store_fs(spark, store_dir)
     base = store_dir.rstrip("/")
     versions = _list_store_versions(fs, HPath, base)
     # keep the newest (just written) and the previous data dir as grace
-    prior_name = prior_data_dir.rstrip("/").rsplit("/", 1)[-1]
     for v in versions[:-1]:
         if f"{base}/{v}" != prior_data_dir.rstrip("/"):
             fs.delete(HPath(f"{base}/{v}"), True)
@@ -1437,8 +1442,19 @@ def _swap_store_version(spark, store_dir: str, prior_data_dir: str) -> None:
             nm = st.getPath().getName()
             if st.isDirectory() and re.match(r"epoch=", nm):
                 fs.delete(st.getPath(), True)
-    elif re.fullmatch(r"v\d{5}", prior_name):
-        pass  # grace-retained; the NEXT compaction's sweep deletes it
+
+
+def _publish_store_version(spark, store_dir: str, prior_data_dir: str, write_fn) -> None:
+    """The reader-transparent store rewrite shared by every compactor/
+    refresher: write the folded data into the NEXT version's `epoch=-1`
+    via `write_fn(path)`, flip `_CURRENT` atomically, sweep versions older
+    than the grace-retained prior one. Call under the store writer lock."""
+    fs, HPath = _store_fs(spark, store_dir)
+    versions = _list_store_versions(fs, HPath, store_dir.rstrip("/"))
+    nxt = _STORE_VERSION_RE % ((int(versions[-1][1:]) + 1) if versions else 1)
+    write_fn(f"{store_dir.rstrip('/')}/{nxt}/epoch=-1")
+    _flip_store_current(spark, store_dir, nxt)
+    _swap_store_version(spark, store_dir, prior_data_dir)
 
 
 def force_unlock_store(spark, store_dir: str) -> bool:
@@ -1621,14 +1637,10 @@ def compact_hash_store(
     with _store_writer_lock(spark, store_dir, "compact_hash_store"):
         data = resolve_store_data_dir(spark, store_dir)
         store = spark.read.parquet(data).drop("epoch")
-        fs, HPath = _store_fs(spark, store_dir)
-        versions = _list_store_versions(fs, HPath, store_dir.rstrip("/"))
-        nxt = _STORE_VERSION_RE % ((int(versions[-1][1:]) + 1) if versions else 1)
-        store.repartition(n_files).write.mode("overwrite").parquet(
-            f"{store_dir.rstrip('/')}/{nxt}/epoch=-1"
+        _publish_store_version(
+            spark, store_dir, data,
+            lambda p: store.repartition(n_files).write.mode("overwrite").parquet(p),
         )
-        _flip_store_current(spark, store_dir, nxt)
-        _swap_store_version(spark, store_dir, data)
 
 
 def maybe_compact_hash_store(

@@ -309,20 +309,18 @@ def test_cli_crawl_ingest(spark, tmp_path):
     cdx_lines = []
     for r in idx:
         fname = "crawl-data/" + r["path"].rsplit("/", 1)[1]
-        cdx_lines.append(
-            "com,example)/ 20260101000000 "
-            + json.dumps(
-                {
-                    "url": r["target_uri"],
-                    "mime": r["http_content_type"],
-                    "status": str(r["http_status"]),
-                    "digest": r["digest"],
-                    "filename": fname,
-                    "offset": str(r["warc_offset"]),
-                    "length": str(r["warc_length"]),
-                }
-            )
-        )
+        entry = {
+            "url": r["target_uri"],
+            "mime": r["http_content_type"],
+            "status": str(r["http_status"]),
+            "digest": r["digest"],
+            "filename": fname,
+            "offset": str(r["warc_offset"]),
+            "length": str(r["warc_length"]),
+        }
+        if "beta" in r["target_uri"]:
+            del entry["digest"]  # undigested index rows exist in real CDXes
+        cdx_lines.append("com,example)/ 20260101000000 " + json.dumps(entry))
     (tmp_path / "cdx-00000.gz").write_bytes(
         _gz.compress(("\n".join(cdx_lines) + "\n").encode())
     )
@@ -336,14 +334,19 @@ def test_cli_crawl_ingest(spark, tmp_path):
         (rep,) = _run(
             "crawl-ingest", "--manifest", f"{base}/cdx.paths.gz",
             "--base-url", base, "--output", out_dir,
-            "--filter", "status = 200 and url like '%alpha%'",
-            "--dedup-digest",
+            "--filter", "status = 200", "--dedup-digest",
         )
         assert rep["kind"] == "cdx" and rep["manifest_entries"] == 1
-        # 2 archives x 1 alpha row, digest-deduped to ONE before any fetch
-        assert rep["selected_index_rows"] == 1 and rep["n_records"] == 1
-        got = [r.asDict() for r in spark.read.parquet(out_dir).collect()]
-        assert bytes(got[0]["body"]) == b"<html>alpha</html>"
+        # alpha (digested, 2 copies) dedups to ONE before any fetch; the two
+        # undigested beta rows pass through — null digests carry no content
+        # identity and must never collapse into a single survivor
+        assert rep["selected_index_rows"] == 3 and rep["n_records"] == 3
+        bodies = sorted(
+            bytes(r["body"]) for r in spark.read.parquet(out_dir).collect()
+        )
+        assert bodies == [
+            b"<html>alpha</html>", b"<html>beta</html>", b"<html>beta</html>"
+        ]
         # archive requests were all ranged (selective fetch, no full bodies)
         archive_reqs = [(p, rng) for p, rng in srv.log if "seg-" in p]
         assert archive_reqs and all(rng for _, rng in archive_reqs)

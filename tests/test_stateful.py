@@ -177,12 +177,18 @@ def test_ingest_semantic_batch_store_match_and_retry(spark, tmp_path):
     (corpus provenance, no re-embedding); an epoch retry is idempotent."""
     import numpy as np
 
-    from lantern_extras_spark.streaming.stateful import ingest_semantic_batch
+    from lantern_extras_spark.streaming.stateful import (
+        ingest_semantic_batch,
+        resolve_store_data_dir,
+    )
 
     rng = np.random.RandomState(9)
     base = rng.randn(4, 16)
     cents = [[float(v) for v in base[i]] for i in range(2)]
     out, store = str(tmp_path / "sout"), str(tmp_path / "sstore")
+
+    def sread():
+        return spark.read.parquet(resolve_store_data_dir(spark, store))
 
     def df(rows):
         return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
@@ -192,7 +198,7 @@ def test_ingest_semantic_batch_store_match_and_retry(spark, tmp_path):
              (3, v(base[3]))])
     ingest_semantic_batch(b0, 0, out, store, cents, threshold=0.95)
     assert sorted(r["vec_id"] for r in spark.read.parquet(out).collect()) == [1, 3]
-    st = spark.read.parquet(store)
+    st = sread()
     assert sorted(r["vec_id"] for r in st.collect()) == [1, 3]
     assert "cell" in st.columns  # store is cell-partitioned-corpus shaped
 
@@ -200,11 +206,11 @@ def test_ingest_semantic_batch_store_match_and_retry(spark, tmp_path):
              (11, v(rng.randn(16)))])
     ingest_semantic_batch(b1, 1, out, store, cents, threshold=0.95)
     assert sorted(r["vec_id"] for r in spark.read.parquet(out).collect()) == [1, 3, 11]
-    assert spark.read.parquet(store).count() == 3
+    assert sread().count() == 3
     # retry epoch 1: rewrites its own partition, nothing duplicated
     ingest_semantic_batch(b1, 1, out, store, cents, threshold=0.95)
     assert sorted(r["vec_id"] for r in spark.read.parquet(out).collect()) == [1, 3, 11]
-    assert spark.read.parquet(store).count() == 3
+    assert sread().count() == 3
 
 
 def test_streaming_semantic_ingest_end_to_end(spark, tmp_path):
@@ -319,7 +325,9 @@ def test_semantic_store_refresh_restores_recall(spark, tmp_path):
     ingest_semantic_batch(ddf, 1, out_dir, store_dir, old_cents, threshold=0.999)
 
     # every drifted pair survived ingest (cell-split -> never compared)
-    store = spark.read.parquet(store_dir)
+    from lantern_extras_spark.streaming.stateful import resolve_store_data_dir
+
+    store = spark.read.parquet(resolve_store_data_dir(spark, store_dir))
     assert store.where(F.col("vec_id") >= 100).count() == 12
 
     # the drift monitor fires across the epoch split
@@ -333,10 +341,11 @@ def test_semantic_store_refresh_restores_recall(spark, tmp_path):
     assert r_old["n_true_pairs"] >= 6
     assert r_old["recall"] < 0.5, r_old
 
-    # refresh: re-fit on the CURRENT distribution, re-assign, epoch=-1 rewrite
+    # refresh: re-fit on the CURRENT distribution, re-assign, epoch=-1
+    # rewrite published as the next store VERSION (reader-transparent flip)
     n_before = store.count()
     new_cents = refresh_semantic_store(spark, store_dir, nlist=5)
-    refreshed = spark.read.parquet(store_dir)
+    refreshed = spark.read.parquet(resolve_store_data_dir(spark, store_dir))
     assert refreshed.count() == n_before
     assert set(refreshed.select("epoch").distinct().toPandas()["epoch"]) == {-1}
     r_new = semantic_dedup_recall(refreshed.select("vec_id", "embedding"),
@@ -950,3 +959,33 @@ def test_legacy_flat_store_migrates_on_first_compaction(spark, tmp_path):
     )
     survivors = sorted(r["media_id"] for r in spark.read.parquet(out).collect())
     assert 30 not in survivors and 31 in survivors
+
+
+def test_hnsw_writers_serialized_by_lock(spark, tmp_path):
+    """The HNSW store shares the hash store's writer-lock contract: an
+    epoch ingest racing a compaction's version flip could land in the
+    grace-retained OLD version and be swept — both writers must refuse
+    while another holds the lock."""
+    import pytest as _pt
+
+    from lantern_extras_spark.streaming.stateful import (
+        StoreLockError,
+        _store_writer_lock,
+        compact_hnsw_store,
+        ingest_hnsw_batch,
+    )
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    ingest_hnsw_batch(df, 0, store, n_shards=2, metric="l2sq")
+    with _store_writer_lock(spark, store, "writer A"):
+        with _pt.raises(StoreLockError, match="writer A"):
+            ingest_hnsw_batch(df, 1, store, n_shards=2, metric="l2sq")
+        with _pt.raises(StoreLockError, match="locked by another writer"):
+            compact_hnsw_store(spark, store, df, n_shards=2, metric="l2sq")
+    # released: both proceed
+    ingest_hnsw_batch(df, 1, store, n_shards=2, metric="l2sq")
+    compact_hnsw_store(spark, store, df, n_shards=2, metric="l2sq")

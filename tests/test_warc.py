@@ -975,6 +975,15 @@ def test_chunks_unknown_length_eof_handling():
         def __exit__(self, *a):
             return False
 
+    import email.message
+
+    def _416(url, total=None):
+        hdrs = email.message.Message()
+        if total is not None:
+            hdrs["Content-Range"] = f"bytes */{total}"
+        return urllib.error.HTTPError(url, 416, "Range Not Satisfiable",
+                                      hdrs, None)
+
     class _EofOpener(W._HttpOpener):
         def __init__(self, url):
             super().__init__(url)
@@ -984,8 +993,7 @@ def test_chunks_unknown_length_eof_handling():
             self.requests.append(dict(headers))
             if "Range" not in headers:
                 return _FakeResp(blob)  # length=None: unknown-length stream
-            raise urllib.error.HTTPError(self.url, 416, "Range Not Satisfiable",
-                                         {}, None)
+            raise _416(self.url, total=len(blob))
 
     old_scale = W._HTTP_SLEEP_SCALE[0]
     W._HTTP_SLEEP_SCALE[0] = 0.0
@@ -1000,12 +1008,33 @@ def test_chunks_unknown_length_eof_handling():
                 self.requests.append(dict(headers))
                 if "Range" not in headers:
                     return _FakeResp(blob[:100_000], length=len(blob))
-                raise urllib.error.HTTPError(
-                    self.url, 416, "Range Not Satisfiable", {}, None
-                )
+                raise _416(self.url, total=len(blob))
 
         with pytest.raises(urllib.error.HTTPError):
             b"".join(_MidOpener("http://127.0.0.1:1/mid.bin").chunks())
+
+        # unknown length, 416 whose Content-Range total does NOT confirm
+        # the consumed offset (resource replaced/shorter, or header absent):
+        # bytes may be missing — refuse to call it EOF
+        class _ShrunkOpener(_EofOpener):
+            def _request(self, headers):
+                self.requests.append(dict(headers))
+                if "Range" not in headers:
+                    return _FakeResp(blob)
+                raise _416(self.url, total=len(blob) + 999)
+
+        with pytest.raises(ValueError, match="does not confirm"):
+            b"".join(_ShrunkOpener("http://127.0.0.1:1/shrunk.bin").chunks())
+
+        class _Bare416Opener(_EofOpener):
+            def _request(self, headers):
+                self.requests.append(dict(headers))
+                if "Range" not in headers:
+                    return _FakeResp(blob)
+                raise _416(self.url)  # no Content-Range at all
+
+        with pytest.raises(ValueError, match="does not confirm"):
+            b"".join(_Bare416Opener("http://127.0.0.1:1/bare.bin").chunks())
 
         # known length + break AFTER the final byte: clean EOF, no resume
         class _LateOpener(_EofOpener):

@@ -47,7 +47,13 @@ class RangeHandler(http.server.BaseHTTPRequestHandler):
         if rng and srv.honor_range:
             m = re.fullmatch(r"bytes=(\d+)-(\d*)", rng)
             if not m or int(m.group(1)) >= len(data):
-                self.send_error(416)
+                # RFC 7233 §4.4: a 416 SHOULD carry the selected
+                # representation's length — clients use it to tell
+                # resume-at-EOF (total == consumed) from missing bytes
+                self.send_response(416)
+                self.send_header("Content-Range", f"bytes */{len(data)}")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
                 return
             lo = int(m.group(1))
             if srv.range_start_skew and not m.group(2):
