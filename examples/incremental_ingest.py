@@ -139,6 +139,7 @@ def main() -> dict:
         from lantern_extras_spark.streaming.stateful import (
             ingest_semantic_batch,
             refresh_semantic_store,
+            resolve_store_data_dir,
             semantic_store_drift,
         )
 
@@ -159,9 +160,12 @@ def main() -> dict:
         if drift["max_abs_mean_delta"] > 0.5:  # tolerance sized to the scale
             new_cents = refresh_semantic_store(spark, estore, nlist=3)
             out["refreshed_nlist"] = len(new_cents)
+            # the store versions its data behind a _CURRENT pointer (r13):
+            # readers resolve the current version's directory
             out["refreshed_epochs"] = sorted(
                 r["epoch"] for r in
-                spark.read.parquet(estore).select("epoch").distinct().collect()
+                spark.read.parquet(resolve_store_data_dir(spark, estore))
+                .select("epoch").distinct().collect()
             )
 
         # --- streaming INDEX stores: search stays fresh under ingest -------
