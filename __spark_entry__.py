@@ -45,7 +45,46 @@ TABLES = (
 ).split()
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+#: Spread is OPT-IN per query (measured r13): it wins only where ONE heavy
+#: map pass feeds ONE consumer (gopher_filter 0.54x, ngram_novelty 0.49x,
+#: language_id 0.85x, knn_cos 0.86x in paired A/B). Queries that reference
+#: the scan from several subplans (dsir 1.61x, bm25_prf 1.55x) or whose map
+#: work is trivial (clean_text 1.98x) pay the extra exchange with no gain.
+_SPREAD_TABLES: frozenset[str] = frozenset()
+
+
+def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Input-skew mitigation (optimization guide §2.5: "one huge unsplittable
+    file ... otherwise repartition immediately after the read"). The testdata
+    parquet files are written as a SINGLE row group, so Spark's scan cannot
+    split them: every pre-shuffle map stage (tokenization, shingle md5,
+    embedding folds) runs as ONE task however many cores the session has.
+
+    The repartition is CONDITIONAL on the observed input layout: when the
+    file is large enough that the scan already yields >= defaultParallelism
+    splits (any real multi-file / multi-row-group table — the 100 TB case),
+    this is a no-op and the plan is byte-identical to the unspread one. Only
+    an under-split input pays one round-robin exchange of the (pruned,
+    pushed-down) scan output to recover the cluster's parallelism. Round-robin
+    keeps results partition-independent (and Spark's sort-before-repartition
+    keeps retries deterministic)."""
+    import os as _os
+
+    try:
+        size = _os.path.getsize(path)
+    except OSError:
+        return df  # non-local path: layout unknown, keep the plain scan
+    cores = spark.sparkContext.defaultParallelism
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    units = {"k": 10, "m": 20, "g": 30}
+    m = __import__("re").fullmatch(r"(\d+)([bkmg]?)b?", raw.strip().lower())
+    max_pb = (int(m.group(1)) << units.get(m.group(2), 0)) if m else 128 << 20
+    if size // max_pb >= cores:
+        return df  # scan already splits to full parallelism
+    return df.repartition(cores)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool | None = None) -> DataFrame:
     # the driver supplies its own SparkSession; make sure executors can import
     # this package inside pandas-UDF queries regardless of driver cwd, and pin
     # UTC so timestamp rendering matches the (timezone-naive) DuckDB oracle
@@ -53,7 +92,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     _ship_package(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if spread is None:
+        spread = name in _SPREAD_TABLES
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_SPREAD", "1") == "0":  # A/B + debugging hatch
+        spread = False
+    return _spread(spark, df, path) if spread else df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,7 +516,7 @@ def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_language_id(spark: SparkSession, sf: str) -> DataFrame:
     """Language-ID heuristic accuracy vs the labeled lang column."""
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents", spread=True)
     pred = TS.language_id(docs)
     return (
         pred.groupBy("lang")
@@ -993,7 +1040,7 @@ def q_gopher_filter(spark: SparkSession, sf: str) -> DataFrame:
     so repetition rules fire on a known subset while the rest exercise the
     token screens. Every signal is an exact integer quotient, so the DuckDB
     oracle replays the full rule set bit-for-bit, reasons included."""
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents", spread=True)
     wrapped = docs.select(
         "doc_id",
         F.when(
@@ -1729,6 +1776,11 @@ def q_near_moves(spark: SparkSession, sf: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" lightly edited note")),
         ).otherwise(F.col("text")).alias("text"),
     )
+    # NOTE (r13, measured): do NOT cache `diff` here. The two references
+    # (added / removed residues) each push their status filter into
+    # corpus_diff's union-of-arms plan, pruning the expensive
+    # edited-containment arm entirely; a cache would materialize every arm
+    # once and run slower (2.5 s -> 5.3 s when tried).
     diff = VER.corpus_diff(docs, new)
     out = VER.near_moves(docs, new, diff, threshold=0.3)
     return out.select(
@@ -2009,17 +2061,36 @@ def q_compressed_tradeoff(spark: SparkSession, sf: str) -> DataFrame:
     deterministic slice codebook vs the exact scan of the same hash query.
     Latency columns live in the CLI report (timings are not oracle-able);
     THIS query certifies the accuracy/footprint side of the same grid."""
-    exact5 = q_knn_l2(spark, sf).select("query_id", "vec_id")
+    # r13 (guide §2.6 overlap-independent-jobs): the four recall counts are
+    # independent driver-side actions over disjoint sub-plans — running them
+    # sequentially left the cluster idle through each job's tail. The shared
+    # 50-row exact set is cached (it feeds three of the four), then the four
+    # counts run from a small thread pool so later jobs back-fill executors
+    # freed by earlier ones. Results are identical integers; only the
+    # scheduling overlaps.
+    exact5 = q_knn_l2(spark, sf).select("query_id", "vec_id").cache()
     exact0 = exact5.where(F.col("query_id") == 0).select("vec_id")
-    n_sq8 = q_sq8_search(spark, sf).join(exact5, ["query_id", "vec_id"], "left_semi").count()
-    n_bq = q_bq_search(spark, sf).join(exact0, "vec_id", "left_semi").count()
-    n_mrl = q_mrl_search(spark, sf).join(exact0, "vec_id", "left_semi").count()
     emb = _t(spark, sf, "embeddings")
     qv = _hash_embed_py(IVF_QUERY_TEXT, dim=EMB_DIM)
     qdf = spark.createDataFrame([(0, qv)], "query_id long, query_vec array<double>")
     exact_pq = K.knn_join(emb, qdf, k=10, metric="l2sq", strategy="crossjoin",
                           dist_scale=5).select("vec_id")
-    n_pq = q_pq_adc_topk(spark, sf).join(exact_pq, "vec_id", "left_semi").count()
+    exact5.count()  # materialize before the concurrent readers fork
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_sq8 = pool.submit(
+            lambda: q_sq8_search(spark, sf)
+            .join(exact5, ["query_id", "vec_id"], "left_semi").count())
+        f_bq = pool.submit(
+            lambda: q_bq_search(spark, sf).join(exact0, "vec_id", "left_semi").count())
+        f_mrl = pool.submit(
+            lambda: q_mrl_search(spark, sf).join(exact0, "vec_id", "left_semi").count())
+        f_pq = pool.submit(
+            lambda: q_pq_adc_topk(spark, sf).join(exact_pq, "vec_id", "left_semi").count())
+        n_sq8, n_bq, n_mrl, n_pq = (
+            f_sq8.result(), f_bq.result(), f_mrl.result(), f_pq.result())
+    exact5.unpersist()
     rows = [
         ("float32", "exact scan", 4 * EMB_DIM, 1.0),
         ("sq8", "dequantized scan", EMB_DIM, round(n_sq8 / 50.0, 6)),
@@ -2036,7 +2107,11 @@ def q_bloom_anti_join(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom-prefiltered anti join (always exact): bloom-fail rows are
     definite non-members and bypass the join entirely; only the plausible
     sliver pays the left_anti confirm. Oracle = plain NOT EXISTS."""
-    li = _t(spark, sf, "lineitem")
+    # r13 (guide §2.3 project-before): the anti join's single-scan path
+    # persists its flagged input — projecting to the 3 consumed columns first
+    # keeps the cached relation (and both union branches) narrow instead of
+    # materializing all 16 lineitem columns
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_quantity", "l_returnflag")
     orders = _t(spark, sf, "orders")
     keys = orders.where(
         (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
@@ -2187,7 +2262,7 @@ def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     crawl batch; per new doc, the share of its distinct 3-gram shingles the
     held corpus has never seen. One distinct pass over reference shingles +
     one string equi-join + one per-doc agg — the crawl-valuation gauge."""
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents", spread=True)
     ref = docs.where(F.col("doc_id") % 5 < 2)
     tgt = docs.where(F.col("doc_id") % 5 >= 2)
     return TS.ngram_novelty(tgt, ref, n=3, round_dp=6).orderBy("doc_id")

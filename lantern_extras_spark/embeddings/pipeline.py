@@ -56,8 +56,21 @@ def hash_embedding(src: Column | str, model: str = "hash/test-model", dim: int |
     Bit-identical to HashRuntime and to the DuckDB oracle — used for end-to-end
     pipeline verification, and as the fast path for the 'hash' runtime.
     """
-    c = F.col(src) if isinstance(src, str) else src
     d = dim or model_dim(model)
+    if isinstance(src, str) and "`" not in src and "'" not in model:
+        # r13 construction fast path: building d elements through the Column
+        # API costs ~7 py4j round-trips per element (~450 for dim=64, a
+        # measurable driver-side cost PER QUERY CONSTRUCTION). One F.expr
+        # hands the whole expression to the SQL parser in a single call; the
+        # parsed tree is the same expression (verified value-identical
+        # against the Column form in tests).
+        elem = (
+            "(cast(conv(substring(md5(concat_ws(':','{m}','{i}',`{c}`)),1,8),16,10) as bigint)"
+            " / 4294967296.0D) * 2.0D - 1.0D"
+        )
+        arr = ",".join(elem.format(m=model, i=i, c=src) for i in range(d))
+        return F.expr(f"cast(array({arr}) as array<float>)")
+    c = F.col(src) if isinstance(src, str) else src
     elems = [
         (hash32(F.concat_ws(":", F.lit(model), F.lit(str(i)), c)) / F.lit(4294967296.0)) * 2.0 - 1.0
         for i in range(d)

@@ -23,17 +23,28 @@ Two position-hash kinds:
   Python (`contains_py`) — the portable kind, for filters that must be
   rebuilt/reused across engines.
 
-Two membership paths, picked by filter size:
-- literal: the word array rides in the plan as a (constant-folded) literal
-  and the probes are pure Column arithmetic — whole-stage codegen, zero
-  Python. The md5 kind probes inside ONE `aggregate` fold so the two md5
-  evaluations happen once per row (Spark's subexpression elimination does
-  not reach across short-circuited AND branches — measured 1.7× faster);
-  the xxhash kind uses the plain short-circuiting conjunction (recomputing
-  a cheap hash beats the fold's struct traffic).
-- broadcast: h1/h2 are computed ENGINE-SIDE, and an Arrow-batched pandas
-  UDF does the k bitmap gathers fully vectorized in numpy over the
-  broadcast word array — no per-row Python hashing for either kind.
+Three membership paths, picked by filter size:
+- literal (tiny filters, <= LITERAL_MAX_WORDS words): the word array rides in
+  the plan as a (constant-folded) literal and the probes are pure Column
+  arithmetic — whole-stage codegen, zero Python. The md5 kind probes inside
+  ONE `aggregate` fold so the two md5 evaluations happen once per row
+  (Spark's subexpression elimination does not reach across short-circuited
+  AND branches — measured 1.7× faster); the xxhash kind uses the plain
+  short-circuiting conjunction (recomputing a cheap hash beats the fold's
+  struct traffic).
+- subquery (mid-sized filters, <= SUBQUERY_MAX_WORDS words; r13): identical
+  probe arithmetic, but the word array arrives through a non-correlated
+  scalar subquery over a one-row local relation instead of a plan literal.
+  A literal this size is repeated once per probe in the plan (measured:
+  bloom_semi_join's plan was 1.2 MB of text) and re-pays py4j transfer,
+  analysis, optimizer traversal and codegen EVERY run; the subquery keeps
+  the plan O(1) while codegen still sees a constant bitmap. Auto-picked for
+  xxhash64 only (a subquery cannot appear inside the md5 fold's lambda).
+- broadcast (anything larger): h1/h2 are computed ENGINE-SIDE, and an
+  Arrow-batched pandas UDF does the k bitmap gathers fully vectorized in
+  numpy over the broadcast word array — no per-row Python hashing for
+  either kind, and the bitmap ships once per executor instead of riding
+  each stage's task binary.
 
 At 10 bits/key the false-positive rate is ~1%; the filter for 100M keys is
 ~125 MB — broadcastable where the raw 100M keys are not.
@@ -51,7 +62,8 @@ from pyspark.sql import functions as F
 
 from lantern_extras_spark.functions.hashing import hash32
 
-LITERAL_MAX_WORDS = 8192  # above this (512 KiB of plan literal) use broadcast
+LITERAL_MAX_WORDS = 256    # above this (16 KiB of plan literal) use subquery
+SUBQUERY_MAX_WORDS = 131072  # above this (1 MiB rides each stage's task binary) use broadcast
 HASH_KINDS = ("xxhash64", "md5")
 
 
@@ -166,9 +178,36 @@ def bloom_might_contain(
     module docstring for the literal/broadcast path trade-offs)."""
     col = (F.col(key) if isinstance(key, str) else key).cast("string")
     if mode == "auto":
-        mode = "literal" if len(bf.words) <= LITERAL_MAX_WORDS else "broadcast"
-    if mode == "literal":
-        words_lit = F.lit(bf.words).cast("array<bigint>")
+        if len(bf.words) <= LITERAL_MAX_WORDS:
+            mode = "literal"
+        elif bf.hash_kind == "xxhash64" and len(bf.words) <= SUBQUERY_MAX_WORDS:
+            # md5 stays literal/broadcast: its fold form (hashes evaluated
+            # once per row) cannot host a subquery expression inside the
+            # higher-order lambda (analyzer restriction)
+            mode = "subquery"
+        else:
+            mode = "broadcast"
+    if mode in ("literal", "subquery"):
+        if mode == "subquery":
+            # r13 optimization (guide §7.2/§1.2): a mid-sized bitmap as a plan
+            # LITERAL repeats the whole word array once per double-hash probe —
+            # bloom_semi_join's plan measured 1.2 MB of text (15 printed copies
+            # of a 4096-word array), and every run re-pays py4j transfer,
+            # analysis, optimizer traversal and codegen over it. Shipping the
+            # SAME array as a non-correlated scalar subquery over a one-row
+            # local relation keeps the plan O(1): the probes reference the
+            # executed subquery result (plan shrank to ~4 KB, identical
+            # probe arithmetic, bit-identical membership).
+            import uuid
+
+            from pyspark.sql import SparkSession
+
+            sess = spark or SparkSession.getActiveSession()
+            view = f"__bloom_words_{uuid.uuid4().hex}"
+            sess.createDataFrame([(bf.words,)], "w: array<bigint>").createOrReplaceTempView(view)
+            words_lit = F.expr(f"(select w from {view})")
+        else:
+            words_lit = F.lit(bf.words).cast("array<bigint>")
         mask = F.lit(bf.m - 1)
         h1, h2 = _hash_cols(col, bf.hash_kind)
 
@@ -176,8 +215,11 @@ def bloom_might_contain(
             word = F.element_at(words_lit, (F.shiftright(pos, 6) + 1).cast("int"))
             return F.getbit(word, pos.bitwiseAND(F.lit(63))) == 1
 
-        if bf.hash_kind == "xxhash64":
-            # cheap hash: short-circuiting conjunction, recomputation is fine
+        if bf.hash_kind == "xxhash64" or mode == "subquery":
+            # cheap hash: short-circuiting conjunction, recomputation is fine.
+            # (An explicitly requested md5 subquery probe also lands here —
+            # the md5 fold below cannot host a subquery inside its lambda —
+            # trading k-fold md5 recomputation for the O(1) plan.)
             cond = F.lit(True)
             for i in range(bf.k):
                 cond = cond & _bit((h1 + F.lit(i) * h2).bitwiseAND(mask))

@@ -467,11 +467,12 @@ def _cc_star(edges: DataFrame, max_iter: int) -> tuple[DataFrame, bool]:
             .distinct()
             .localCheckpoint()
         )
-        # fixpoint when the edge set is stable (set equality both ways; each
-        # side is a scan of the two checkpointed relations)
+        # fixpoint when the edge set is stable (set equality both ways; both
+        # sides scan the two checkpointed relations). r13: ONE job for the
+        # symmetric difference instead of two sequential exceptAll counts —
+        # the union short-circuits through the same limit(1)
         if (
-            small.exceptAll(e).limit(1).count() == 0
-            and e.exceptAll(small).limit(1).count() == 0
+            small.exceptAll(e).unionAll(e.exceptAll(small)).limit(1).count() == 0
         ):
             e = small
             converged = True
@@ -1758,19 +1759,21 @@ def semantic_dedup(
         )
     base = assigned.select(F.col(id_col), F.col(vec_col), F.col(cell_col))
 
-    # fail-loud oversize guard (collects only violators — tiny by definition)
-    oversized = (
-        base.groupBy(cell_col).count().where(F.col("count") > max_cell).collect()
-    )
-    if oversized:
-        worst = ", ".join(f"cell {r[cell_col]}={r['count']}" for r in oversized[:5])
-        raise ValueError(
-            f"semantic_dedup: {len(oversized)} cell(s) exceed max_cell="
-            f"{max_cell} ({worst}). Raise nlist (finer clustering) or "
-            f"max_cell; a silently skipped cell would accept duplicates."
+    def _guard(frame: DataFrame) -> None:
+        # fail-loud oversize guard (collects only violators — tiny by definition)
+        oversized = (
+            frame.groupBy(cell_col).count().where(F.col("count") > max_cell).collect()
         )
+        if oversized:
+            worst = ", ".join(f"cell {r[cell_col]}={r['count']}" for r in oversized[:5])
+            raise ValueError(
+                f"semantic_dedup: {len(oversized)} cell(s) exceed max_cell="
+                f"{max_cell} ({worst}). Raise nlist (finer clustering) or "
+                f"max_cell; a silently skipped cell would accept duplicates."
+            )
 
     if impl == "pandas":
+        _guard(base)
         import pandas as pd
 
         def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -1829,7 +1832,10 @@ def semantic_dedup(
         # path)
         base = base.withColumn("__nrm", vector_norm(F.col(vec_col)))
         base = base.cache()
-        base.count()
+        # r13: the oversize guard doubles as the cache materializer — one job
+        # computes the assignment (guard previously re-ran the whole
+        # assignment fold BEFORE the cache, then count() ran it again)
+        _guard(base)
         a, b = base.alias("sd_a"), base.alias("sd_b")
         denom = F.col("sd_a.__nrm") * F.col("sd_b.__nrm")
         pair_cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
@@ -2044,18 +2050,20 @@ def semantic_dedup_incremental(
 
     tagged = side(corpus, 0).unionByName(side(new_df, 1))
 
-    oversized = (
-        tagged.groupBy(cell_col).count().where(F.col("count") > max_cell).collect()
-    )
-    if oversized:
-        worst = ", ".join(f"cell {r[cell_col]}={r['count']}" for r in oversized[:5])
-        raise ValueError(
-            f"semantic_dedup_incremental: {len(oversized)} cell(s) exceed "
-            f"max_cell={max_cell} ({worst}). Use finer centroids or raise "
-            f"max_cell; a silently skipped cell would accept duplicates."
+    def _guard(frame: DataFrame) -> None:
+        oversized = (
+            frame.groupBy(cell_col).count().where(F.col("count") > max_cell).collect()
         )
+        if oversized:
+            worst = ", ".join(f"cell {r[cell_col]}={r['count']}" for r in oversized[:5])
+            raise ValueError(
+                f"semantic_dedup_incremental: {len(oversized)} cell(s) exceed "
+                f"max_cell={max_cell} ({worst}). Use finer centroids or raise "
+                f"max_cell; a silently skipped cell would accept duplicates."
+            )
 
     if impl == "pandas":
+        _guard(tagged)
         import numpy as np
         import pandas as pd
 
@@ -2106,7 +2114,9 @@ def semantic_dedup_incremental(
 
     tagged = tagged.withColumn("__nrm", vector_norm(F.col(vec_col)))
     tagged = tagged.cache()  # one InMemoryRelation for the self-join (see semantic_dedup)
-    tagged.count()
+    # r13: the guard job doubles as the cache materializer (was: guard ran the
+    # whole assignment fold uncached, then count() ran it a second time)
+    _guard(tagged)
     a, b = tagged.alias("si_a"), tagged.alias("si_b")
     denom = F.col("si_a.__nrm") * F.col("si_b.__nrm")
     pair_cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(

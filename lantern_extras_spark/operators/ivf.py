@@ -78,7 +78,14 @@ def assign_cells(
     produce identical assignments.
     """
     if impl == "native":
-        cents = F.array(*[F.lit([float(x) for x in c]).cast("array<double>") for c in centroids])
+        # r13 construction fast path: one F.expr for the whole centroid
+        # literal instead of nlist py4j array conversions (repr round-trips
+        # doubles exactly; Spark's double-literal parse is correctly rounded,
+        # so the literal values are bit-identical to the F.lit form)
+        arr_sql = "array(" + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")" for c in centroids
+        ) + ")"
+        cents = F.expr(arr_sql)
         v = F.col(vec_col).cast("array<double>")
         # stage 1: distances array (each l2sq evaluated once per centroid);
         # stage 2: scalar argmin fold over (index, distance), first-wins

@@ -208,15 +208,27 @@ def dsir_log_weights(
     if target is None and target_profile is None:
         raise ValueError("pass either target (a corpus) or target_profile")
     raw = df if raw is None else raw
+    import os as _os
+
+    # r13: each profile is read twice by the returned plan (the ratio table
+    # AND the totals row) — without a cache the full feature-stream explode +
+    # aggregation runs once per reference. The cached frame is <= `buckets`
+    # rows at ANY corpus scale, so this is a bounded-state cache, not a data
+    # cache. (SPARK_GRAFT_DSIR_CACHE=0 is the A/B hatch.)
+    _cache = _os.environ.get("SPARK_GRAFT_DSIR_CACHE", "1") != "0"
+
+    def _maybe_cache(frame: DataFrame) -> DataFrame:
+        return frame.cache() if _cache else frame
+
     raw_p = (
         raw_profile
         if raw_profile is not None
-        else bucket_profile(raw, text_col, buckets, include_bigrams)
+        else _maybe_cache(bucket_profile(raw, text_col, buckets, include_bigrams))
     )
     tgt_p = (
         target_profile
         if target_profile is not None
-        else bucket_profile(target, text_col, buckets, include_bigrams)
+        else _maybe_cache(bucket_profile(target, text_col, buckets, include_bigrams))
     )
     table = _ratio_table(raw_p, tgt_p, buckets, alpha)
     tots = raw_p.agg(F.sum("n").alias("__nr")).crossJoin(
@@ -425,8 +437,10 @@ def corpus_divergence(
     """
     if alpha <= 0:
         raise ValueError("alpha must be > 0")
-    pa = bucket_profile(a, text_col, buckets, include_bigrams)
-    pb = bucket_profile(b, text_col, buckets, include_bigrams)
+    # r13: each profile feeds its totals row AND the outer join — cache the
+    # <= buckets-row frames so the feature-stream pass runs once per corpus
+    pa = bucket_profile(a, text_col, buckets, include_bigrams).cache()
+    pb = bucket_profile(b, text_col, buckets, include_bigrams).cache()
     na = pa.agg(F.sum("n").alias("__na"))
     nb = pb.agg(F.sum("n").alias("__nb"))
     al = float(alpha)

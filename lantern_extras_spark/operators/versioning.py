@@ -251,7 +251,11 @@ def vocab_drift(
     hh_new = heavy_hitters(new, phi=phi, text_col=text_col, out_order=False).select(
         "token", F.col("n").alias("n_new")
     )
-    cand = hh_old.join(hh_new, "token", "full_outer").select("token")
+    # r13: `cand` anchors the report spine AND both broadcast recounts — three
+    # plan references, each of which would re-run BOTH heavy_hitters pipelines
+    # (MG sketch pass + exact recount) without a cache. The frame is bounded
+    # by construction at <= 2/phi rows, so this is bounded-state, not data.
+    cand = hh_old.join(hh_new, "token", "full_outer").select("token").cache()
     # exact recount of every candidate in BOTH snapshots (a token heavy in
     # one may be light-but-present in the other; its true share matters)
     def recount(df: DataFrame, out: str) -> DataFrame:

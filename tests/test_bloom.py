@@ -18,14 +18,46 @@ def frames(spark):
     return big, keys
 
 
-def test_semi_exact_both_modes(spark, frames):
+def test_semi_exact_all_modes(spark, frames):
     big, keys = frames
     want = sorted(r["k"] for r in big.join(keys, "k", "left_semi").collect())
-    for mode in ("literal", "broadcast"):
+    for mode in ("literal", "subquery", "broadcast"):
         got = sorted(
             r["k"] for r in BL.bloom_semi_join(big, keys, "k", mode=mode).collect()
         )
         assert got == want, mode
+
+
+def test_subquery_mode_keeps_plan_small(spark, frames):
+    """r13: a mid-sized bitmap must ride a scalar subquery, not a plan
+    literal — the literal form repeated the whole word array once per
+    double-hash probe (bloom_semi_join's plan measured 1.2 MB of text).
+    Pin: auto picks subquery above LITERAL_MAX_WORDS, the probe plan stays
+    orders of magnitude below the literal's footprint, and membership is
+    bit-identical to the literal path."""
+    big, _ = frames
+    keys = spark.range(0, 40000, 7).select(F.col("id").alias("k"))
+    bf = BL.bloom_build(keys, "k")
+    assert len(bf.words) > BL.LITERAL_MAX_WORDS  # mid-sized: auto → subquery
+    sub = big.where(BL.bloom_might_contain(bf, "k", mode="subquery"))
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "Subquery" in plan
+    # a literal plan for this filter is >400 KB; the subquery plan is ~KBs
+    assert len(plan) < 50_000, len(plan)
+    lit = big.where(BL.bloom_might_contain(bf, "k", mode="literal"))
+    assert sorted(r["k"] for r in sub.collect()) == sorted(r["k"] for r in lit.collect())
+
+
+def test_md5_subquery_falls_back_to_conjunction(spark, frames):
+    """Explicit md5+subquery cannot use the fold (no subqueries inside
+    higher-order lambdas) — it must still answer identically via the
+    conjunction form, and auto must never route md5 to subquery."""
+    _, keys = frames
+    bf = BL.bloom_build(keys, "k", hash_kind="md5")
+    df = keys.withColumnRenamed("k", "kk")
+    n_sub = df.where(BL.bloom_might_contain(bf, "kk", mode="subquery")).count()
+    n_lit = df.where(BL.bloom_might_contain(bf, "kk", mode="literal")).count()
+    assert n_sub == n_lit == keys.count()  # no false negatives either way
 
 
 def test_anti_exact_and_partition(spark, frames):
