@@ -64,6 +64,7 @@ from lantern_extras_spark.functions.hashing import hash32
 
 LITERAL_MAX_WORDS = 256    # above this (16 KiB of plan literal) use subquery
 SUBQUERY_MAX_WORDS = 131072  # above this (1 MiB rides each stage's task binary) use broadcast
+DRIVER_BUILD_MAX_KEYS = 2_000_000  # driver-side build cap: 16 B/key collect (32 MB)
 HASH_KINDS = ("xxhash64", "md5")
 
 
@@ -143,6 +144,31 @@ def bloom_build(
         raise ValueError("bloom_build: m_bits must be a power of two")
     key = F.col(key_col).cast("string")
     h1, h2 = _hash_cols(key, hash_kind)
+    if n <= DRIVER_BUILD_MAX_KEYS:
+        # r13 fast path, scale-adaptive (the dsir_select small-n discipline):
+        # for bounded key counts, collect the two ENGINE-computed hash values
+        # (16 bytes/key — 32 MB at the 2M-key cap) and set the bits in one
+        # numpy pass on the driver. Replaces the explode -> groupBy(word) ->
+        # collect build JOB (a full shuffle, ~1 s of fixed stage cost at any
+        # size) with a single narrow collect; the distributed build remains
+        # the path for larger key sets, where driver traffic would scale
+        # with n. Positions are identical by construction (same h1/h2
+        # Columns, same double-hash arithmetic), pinned by test.
+        import numpy as np
+
+        pdf = keys.select(h1.alias("__h1"), h2.alias("__h2")).toPandas()
+        a = pdf["__h1"].to_numpy(dtype=np.int64)
+        b = pdf["__h2"].to_numpy(dtype=np.int64)
+        words_arr = np.zeros(m_bits // 64, dtype=np.uint64)
+        for i in range(k_hashes):
+            pos = (a + i * b) & (m_bits - 1)
+            np.bitwise_or.at(
+                words_arr, pos >> 6,
+                np.uint64(1) << (pos & 63).astype(np.uint64),
+            )
+        return BloomFilter(
+            words_arr.view(np.int64).tolist(), m_bits, k_hashes, n, hash_kind
+        )
     positions = F.array(
         *[(h1 + F.lit(i) * h2).bitwiseAND(F.lit(m_bits - 1)) for i in range(k_hashes)]
     )

