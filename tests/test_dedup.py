@@ -329,24 +329,88 @@ def test_dedup_clusters_chain_transitivity(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _distributed_cc():
+    """Force dedup_clusters onto its distributed strategies (r13: graphs up
+    to DRIVER_CC_MAX_EDGES resolve via the bounded driver union-find)."""
+    cap = D.DRIVER_CC_MAX_EDGES
+    D.DRIVER_CC_MAX_EDGES = 0
+    try:
+        yield
+    finally:
+        D.DRIVER_CC_MAX_EDGES = cap
+
+
 def test_dedup_clusters_star_matches_label_on_random_graphs(spark):
     """strategy='star' (large-star/small-star contraction) must produce the
     exact (id, cluster_id) set as the label-propagation default on arbitrary
-    graph shapes — chains, stars, cliques, cycles, singleton edges."""
+    graph shapes — chains, stars, cliques, cycles, singleton edges.
+    Runs with the driver fast path DISABLED so the two distributed loops are
+    what is being compared."""
     import random
 
     rng = random.Random(42)
-    for trial in range(4):
-        n = 40
-        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
-        edges = [(a, b) for a, b in edges if a != b]
-        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-        lab = {(r["id"], r["cluster_id"]) for r in D.dedup_clusters(pairs).collect()}
-        star = {
-            (r["id"], r["cluster_id"])
-            for r in D.dedup_clusters(pairs, strategy="star").collect()
-        }
-        assert star == lab, f"trial {trial}: star != label"
+    with _distributed_cc():
+        for trial in range(4):
+            n = 40
+            edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
+            edges = [(a, b) for a, b in edges if a != b]
+            pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+            lab = {(r["id"], r["cluster_id"]) for r in D.dedup_clusters(pairs).collect()}
+            star = {
+                (r["id"], r["cluster_id"])
+                for r in D.dedup_clusters(pairs, strategy="star").collect()
+            }
+            assert star == lab, f"trial {trial}: star != label"
+
+
+def test_driver_cc_matches_distributed(spark):
+    """r13: the bounded driver union-find must produce the BIT-IDENTICAL
+    (id, cluster_id) set as both distributed strategies — random graphs,
+    a deep chain, string ids, duplicate/reversed edges."""
+    import random
+
+    rng = random.Random(7)
+    cases = [
+        spark.createDataFrame(
+            [(rng.randrange(30), rng.randrange(30)) for _ in range(40)],
+            "id_a long, id_b long",
+        ).where("id_a != id_b"),
+        spark.createDataFrame([(i, i + 1) for i in range(25)], "id_a long, id_b long"),
+        spark.createDataFrame(
+            [("b", "c"), ("c", "d"), ("d", "b"), ("x", "y"), ("y", "x")],
+            "id_a string, id_b string",
+        ),
+    ]
+    for i, pairs in enumerate(cases):
+        fast = {(r["id"], r["cluster_id"]) for r in D.dedup_clusters(pairs).collect()}
+        with _distributed_cc():
+            lab = {(r["id"], r["cluster_id"]) for r in D.dedup_clusters(pairs).collect()}
+            star = {
+                (r["id"], r["cluster_id"])
+                for r in D.dedup_clusters(pairs, strategy="star").collect()
+            }
+        assert fast == lab == star, f"case {i}"
+
+
+def test_driver_cc_over_cap_falls_back(spark):
+    """Above DRIVER_CC_MAX_EDGES the limit-probe must bail out and the
+    distributed loop must still answer correctly."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(10)], "id_a long, id_b long")
+    cap = D.DRIVER_CC_MAX_EDGES
+    D.DRIVER_CC_MAX_EDGES = 3  # 10 edges > cap
+    try:
+        edges = pairs.select(
+            pairs["id_a"].alias("a"), pairs["id_b"].alias("b")
+        )
+        assert D._cc_driver(edges, D.DRIVER_CC_MAX_EDGES) is None
+        got = {r["id"]: r["cluster_id"] for r in D.dedup_clusters(pairs).collect()}
+        assert got == {i: 0 for i in range(11)}
+    finally:
+        D.DRIVER_CC_MAX_EDGES = cap
 
 
 def test_dedup_clusters_star_deep_chain_log_rounds(spark):
@@ -358,7 +422,7 @@ def test_dedup_clusters_star_deep_chain_log_rounds(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "id_a long, id_b long"
     )
-    with warnings.catch_warnings(record=True) as w:
+    with _distributed_cc(), warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         out = D.dedup_clusters(pairs, strategy="star", max_iter=10)
         rows = out.collect()
@@ -375,7 +439,7 @@ def test_dedup_clusters_star_warns_when_exhausted(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "id_a long, id_b long"
     )
-    with warnings.catch_warnings(record=True) as w:
+    with _distributed_cc(), warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         D.dedup_clusters(pairs, strategy="star", max_iter=1)
         assert any("under-merged" in str(x.message) for x in w)
@@ -420,11 +484,11 @@ def test_dedup_clusters_warns_when_max_iter_exhausted(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(9)], "id_a long, id_b long"
     )
-    with warnings.catch_warnings(record=True) as w:
+    with _distributed_cc(), warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         D.dedup_clusters(pairs, max_iter=1)
         assert any("under-merged" in str(x.message) for x in w)
-    with warnings.catch_warnings(record=True) as w:
+    with _distributed_cc(), warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         out = D.dedup_clusters(pairs, max_iter=30)
         assert not any("under-merged" in str(x.message) for x in w)
