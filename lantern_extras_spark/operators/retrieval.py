@@ -484,7 +484,16 @@ def bm25_prf_topk(
         .limit(n_expansion)
         .select("term", F.lit(float(expansion_weight)).alias("weight"))
     )
-    weighted = orig.unionByName(expansion)
+    # r13 (guide §5 / §7.2 duplicated subtrees): `weighted`'s lineage contains
+    # the ENTIRE pass-1 scoring pipeline (via `feedback`), and pass two
+    # broadcasts it twice (term weights + the dfreq term set) — without a
+    # materialization each broadcast job re-executed pass one (42 Spark jobs
+    # measured at sf0.1). localCheckpoint the frame — it is bounded BY
+    # CONSTRUCTION at len(query_terms) + n_expansion rows — so pass one runs
+    # exactly once and pass two's broadcasts read ~a dozen materialized rows.
+    # Expansion terms still never visit the driver (checkpoint storage is
+    # executor-side).
+    weighted = orig.unionByName(expansion).localCheckpoint()
     pass2 = bm25_scores_weighted(df, weighted, text_col, id_col, k1, b, round_dp,
                                  staged=staged, max_terms=None)
     top = pass2.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -272,6 +272,45 @@ def kmv_distinct(
     return n_rows.crossJoin(est)
 
 
+def _mg_prune(state: dict, cap: int) -> dict:
+    """One Misra-Gries reduction step: keep <= cap counters by subtracting
+    the (cap+1)-th largest count and dropping the non-positive remainder."""
+    if len(state) <= cap:
+        return state
+    cut = sorted(state.values(), reverse=True)[cap]
+    return {t: c - cut for t, c in state.items() if c > cut}
+
+
+def _mg_group_candidates(toks: DataFrame, m: int) -> DataFrame:
+    """Per-group Misra-Gries candidate tokens over a (__g, __toks) frame —
+    one independent capacity-m summary per group within each partition, so
+    the per-group no-false-negative guarantee holds (averaging argument,
+    group-wise). Shared by `heavy_hitters(group_col=...)` and
+    `versioning.vocab_drift`'s single-pass two-snapshot pipeline (r13)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def mg_by_group(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states: dict[str, dict[str, int]] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ex = pdf[["__g", "__toks"]].explode("__toks").dropna()
+            if len(ex) == 0:
+                continue
+            for (g, tok), c in ex.groupby(["__g", "__toks"]).size().items():
+                st = states.setdefault(g, {})
+                st[tok] = st.get(tok, 0) + int(c)
+            states = {g: _mg_prune(st, m) for g, st in states.items()}
+        yield pd.DataFrame(
+            {"__g": [g for g, st in states.items() for _ in st],
+             "token": [t for st in states.values() for t in st]}
+        )
+
+    return toks.mapInPandas(mg_by_group, "__g string, token string").distinct()
+
+
 def heavy_hitters(
     df: DataFrame,
     phi: float = 0.001,
@@ -370,25 +409,7 @@ def heavy_hitters(
     toks = df.select(
         F.col(group_col).cast("string").alias("__g"), tokens(text_col).alias("__toks")
     ).cache()
-
-    def mg_by_group(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        states: dict[str, dict[str, int]] = {}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ex = pdf[["__g", "__toks"]].explode("__toks").dropna()
-            if len(ex) == 0:
-                continue
-            for (g, tok), c in ex.groupby(["__g", "__toks"]).size().items():
-                st = states.setdefault(g, {})
-                st[tok] = st.get(tok, 0) + int(c)
-            states = {g: prune(st, m) for g, st in states.items()}
-        yield pd.DataFrame(
-            {"__g": [g for g, st in states.items() for _ in st],
-             "token": [t for st in states.values() for t in st]}
-        )
-
-    candidates = toks.mapInPandas(mg_by_group, "__g string, token string").distinct()
+    candidates = _mg_group_candidates(toks, m)
     exploded = toks.select("__g", F.explode("__toks").alias("token"))
     totals = toks.groupBy("__g").agg(F.sum(F.size("__toks")).alias("__N"))
     counted = (

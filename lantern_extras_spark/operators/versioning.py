@@ -241,42 +241,45 @@ def vocab_drift(
     Output: (token, n_old, n_new, share_old, share_new, log_ratio), one row
     per candidate token, log_ratio > 0 = gained share in the new snapshot.
     """
-    from lantern_extras_spark.functions.portable import pround
-    from lantern_extras_spark.functions.text import token_count, tokens
-    from lantern_extras_spark.operators.textstats import heavy_hitters
+    import math
 
-    hh_old = heavy_hitters(old, phi=phi, text_col=text_col, out_order=False).select(
-        "token", F.col("n").alias("n_old")
-    )
-    hh_new = heavy_hitters(new, phi=phi, text_col=text_col, out_order=False).select(
-        "token", F.col("n").alias("n_new")
-    )
-    # r13: `cand` anchors the report spine AND both broadcast recounts — three
-    # plan references, each of which would re-run BOTH heavy_hitters pipelines
-    # (MG sketch pass + exact recount) without a cache. The frame is bounded
-    # by construction at <= 2/phi rows, so this is bounded-state, not data.
-    # NOTE (r13, measured): no cache on `cand` — three plan references, but
-    # runtime exchange reuse already dedupes the heavy_hitters subtrees and a
-    # cache measured exactly neutral (1.00x paired A/B); not worth the state.
-    cand = hh_old.join(hh_new, "token", "full_outer").select("token")
-    # exact recount of every candidate in BOTH snapshots (a token heavy in
-    # one may be light-but-present in the other; its true share matters)
-    def recount(df: DataFrame, out: str) -> DataFrame:
-        ex = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
-        return (
-            ex.join(F.broadcast(cand), "token", "left_semi")
-            .groupBy("token")
-            .agg(F.count("*").alias(out))
+    from lantern_extras_spark.functions.portable import pround
+    from lantern_extras_spark.functions.text import tokens
+    from lantern_extras_spark.operators.textstats import _mg_group_candidates
+
+    # r13 single-pass restructure (guide §1.2 — fewer passes/jobs): the
+    # previous shape ran TWO independent heavy_hitters pipelines (MG sketch +
+    # exact recount + total, per snapshot) and then two more candidate
+    # recounts and two totals — ~6 passes over the text plus a fan of
+    # broadcast jobs (62 Spark jobs measured at sf0.1). Both snapshots now
+    # ride ONE tagged union: one tokenization (cached, the heavy_hitters
+    # single-scan contract), one per-group MG candidate pass, one combined
+    # exact recount with conditional sums, one combined totals row. The
+    # phi filter applies post-recount — "heavy in EITHER snapshot" — which
+    # is the exact candidate set the full-outer join of the two
+    # heavy_hitters outputs produced, with the same exact counts.
+    m = math.ceil(1.0 / phi)
+    tagged = old.select(
+        F.lit("o").alias("__g"), F.col(text_col).alias("__text")
+    ).unionByName(new.select(F.lit("n").alias("__g"), F.col(text_col).alias("__text")))
+    toks = tagged.select("__g", tokens(F.col("__text")).alias("__toks")).cache()
+    cand = _mg_group_candidates(toks, m).select("token").distinct()
+    rc = (
+        toks.select("__g", F.explode("__toks").alias("token"))
+        .join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("__g") == "o", 1).otherwise(0)).cast("bigint").alias("n_old"),
+            F.sum(F.when(F.col("__g") == "n", 1).otherwise(0)).cast("bigint").alias("n_new"),
         )
-    tot_old = old.agg(F.sum(token_count(F.col(text_col))).alias("__to"))
-    tot_new = new.agg(F.sum(token_count(F.col(text_col))).alias("__tn"))
-    j = (
-        cand.join(recount(old, "n_old"), "token", "left")
-        .join(recount(new, "n_new"), "token", "left")
-        .crossJoin(F.broadcast(tot_old))
-        .crossJoin(F.broadcast(tot_new))
-        .withColumn("n_old", F.coalesce(F.col("n_old"), F.lit(0)).cast("bigint"))
-        .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint"))
+    )
+    tots = toks.agg(
+        F.sum(F.when(F.col("__g") == "o", F.size("__toks"))).alias("__to"),
+        F.sum(F.when(F.col("__g") == "n", F.size("__toks"))).alias("__tn"),
+    )
+    j = rc.crossJoin(F.broadcast(tots)).where(
+        (F.col("n_old") > F.lit(phi) * F.col("__to"))
+        | (F.col("n_new") > F.lit(phi) * F.col("__tn"))
     )
     share_old = F.col("n_old") / F.col("__to").cast("double")
     share_new = F.col("n_new") / F.col("__tn").cast("double")
