@@ -207,6 +207,35 @@ def dsir_log_weights(
         raise ValueError("alpha must be > 0")
     if target is None and target_profile is None:
         raise ValueError("pass either target (a corpus) or target_profile")
+    per_doc = _per_doc_logw(
+        df, target, text_col, id_col, buckets, alpha, include_bigrams,
+        raw, raw_profile, target_profile,
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn(out_col, pround(F.coalesce(F.col("__lw"), F.lit(0.0)), 6))
+        .withColumn("n_features", F.coalesce(F.col("__nf"), F.lit(0)).cast("bigint"))
+        .drop("__lw", "__nf")
+    )
+
+
+def _per_doc_logw(
+    df: DataFrame,
+    target: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    buckets: int,
+    alpha: float,
+    include_bigrams: bool,
+    raw: DataFrame | None,
+    raw_profile: DataFrame | None,
+    target_profile: DataFrame | None,
+) -> DataFrame:
+    """The heavy half of `dsir_log_weights` as a NARROW frame: (id_col,
+    __lw double, __nf bigint), one row per document with >= 1 feature (docs
+    with no tokens are absent — callers coalesce to 0.0/0). Split out (r13)
+    so `dsir_select`'s cutoff path can persist/reuse this O(N)-narrow frame
+    instead of re-executing the explode + profile pipeline per reference."""
     raw = df if raw is None else raw
     # NOTE (r13, measured): do NOT cache the profile frames here. Each is
     # referenced twice (ratio table + totals row), but AQE's exchange reuse
@@ -237,7 +266,7 @@ def dsir_log_weights(
     default_lr = F.log(
         F.lit(a) / (F.coalesce(F.col("__nt"), F.lit(0)).cast("double") + ab)
     ) - F.log(F.lit(a) / (F.coalesce(F.col("__nr"), F.lit(0)).cast("double") + ab))
-    per_doc = (
+    return (
         feats.join(F.broadcast(table), "b", "left")
         .groupBy(id_col)
         .agg(
@@ -251,12 +280,6 @@ def dsir_log_weights(
             (F.col("__slw") + F.col("__nmiss").cast("double") * default_lr).alias("__lw"),
             F.col("__nf"),
         )
-    )
-    return (
-        df.join(per_doc, id_col, "left")
-        .withColumn(out_col, pround(F.coalesce(F.col("__lw"), F.lit(0.0)), 6))
-        .withColumn("n_features", F.coalesce(F.col("__nf"), F.lit(0)).cast("bigint"))
-        .drop("__lw", "__nf")
     )
 
 
@@ -311,16 +334,59 @@ def dsir_select(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    w = dsir_log_weights(
-        df, target, text_col, id_col, buckets, alpha, include_bigrams, raw=raw
-    )
-    keyed = w.withColumn(
-        "sel_key", pround(F.col("dsir_logw") + _gumbel(F.col(id_col), seed), 6)
-    )
     if n <= small_n_max:
+        w = dsir_log_weights(
+            df, target, text_col, id_col, buckets, alpha, include_bigrams, raw=raw
+        )
+        keyed = w.withColumn(
+            "sel_key", pround(F.col("dsir_logw") + _gumbel(F.col(id_col), seed), 6)
+        )
         return keyed.orderBy(F.col("sel_key").desc(), F.col(id_col).asc()).limit(n)
-    return _cutoff_top_n(
-        keyed, n, "sel_key", id_col, quantile_accuracy, band_max, "dsir_select"
+    # Cutoff path, restructured r13 (guide §1.2 fewer passes / §5 bounded
+    # caching): previously the narrow (id, key) persist AND the returned
+    # filtered plan each re-executed the whole explode + profile pipeline —
+    # the heaviest work in the operator ran TWICE. Now the per-doc weights are
+    # computed once into a persisted NARROW frame (id, logw, n_features,
+    # sel_key — O(N) rows of ~40 B, the same persist discipline the old kd
+    # already used), the cutoff resolves against it, the O(n)-narrow survivor
+    # keys are localCheckpointed (executor-side), and the full-width result is
+    # one join of `df` against the survivors — which AQE broadcast-joins
+    # whenever n is broadcast-sized. Values identical: same per-doc sums, same
+    # pround points, same boundary filter.
+    per_doc = _per_doc_logw(
+        df, target, text_col, id_col, buckets, alpha, include_bigrams,
+        raw, None, None,
+    )
+    keyed_n = (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            pround(F.coalesce(F.col("__lw"), F.lit(0.0)), 6).alias("dsir_logw"),
+            F.coalesce(F.col("__nf"), F.lit(0)).cast("bigint").alias("n_features"),
+        )
+        .withColumn(
+            "sel_key", pround(F.col("dsir_logw") + _gumbel(F.col(id_col), seed), 6)
+        )
+        .persist()
+    )
+    try:
+        kd = keyed_n.select(
+            F.col(id_col).alias("__id"), F.col("sel_key").alias("__k")
+        )
+        bounds = _cutoff_bounds(kd, n, quantile_accuracy, band_max, "dsir_select")
+        if bounds is None:
+            surv = keyed_n.localCheckpoint()
+        else:
+            t_key, t_id = bounds
+            surv = keyed_n.where(
+                (F.col("sel_key") > F.lit(t_key))
+                | ((F.col("sel_key") == F.lit(t_key)) & (F.col(id_col) <= F.lit(t_id)))
+            ).localCheckpoint()
+    finally:
+        keyed_n.unpersist()
+    return df.join(surv, id_col).select(
+        *df.columns, "dsir_logw", "n_features", "sel_key"
     )
 
 
@@ -347,6 +413,48 @@ def _pick_cutoff(band, n: int, m_hi: int, op: str):
     return band[n - m_hi - 1]
 
 
+def _cutoff_bounds(
+    kd: DataFrame, n: int, accuracy: int, band_max: int, op: str
+) -> tuple | None:
+    """Resolve the exact top-n boundary row over a (preferably persisted)
+    narrow (__id, __k) frame via approx-quantile bracketing + one bounded
+    band collect. Returns (t_key, t_id) — the n-th row by (__k desc, __id
+    asc) — or None when n >= total rows (caller keeps everything)."""
+    total = kd.count()
+    if n >= total:
+        return None
+    # rank margin: 2× the approx-quantile guarantee (error <= N/accuracy)
+    d = 2 * (total // accuracy) + 1
+    f_hi = min(1.0, 1.0 - (n - d) / total) if n > d else 1.0
+    f_lo = max(0.0, 1.0 - (n + d) / total)
+    c_lo, c_hi = kd.agg(
+        F.percentile_approx("__k", [f_lo, f_hi], accuracy).alias("c")
+    ).first()["c"]
+    m_hi, m_lo = kd.agg(
+        F.count(F.when(F.col("__k") > c_hi, 1)).alias("a"),
+        F.count(F.when(F.col("__k") > c_lo, 1)).alias("b"),
+    ).first()
+    band_pred = F.col("__k") <= c_hi
+    if m_lo < n:  # tie mass at/below c_lo ate the margin: widen to -inf
+        m_lo = total
+    else:
+        band_pred = band_pred & (F.col("__k") > c_lo)
+    n_band = m_lo - m_hi
+    if n_band > band_max:
+        raise ValueError(
+            f"{op}: boundary band has {n_band} rows > band_max="
+            f"{band_max} — a tie mass this heavy on the selection key "
+            f"defeats quantile bracketing. Raise quantile_accuracy "
+            f"(band shrinks ~1/accuracy) or band_max (driver holds "
+            f"~20 bytes/band row)."
+        )
+    band = sorted(
+        ((r["__k"], r["__id"]) for r in kd.where(band_pred).collect()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    return _pick_cutoff(band, n, m_hi, op)
+
+
 def _cutoff_top_n(
     keyed: DataFrame,
     n: int,
@@ -364,41 +472,12 @@ def _cutoff_top_n(
     kd = keyed.select(F.col(id_col).alias("__id"), F.col(key_col).alias("__k"))
     kd = kd.persist()
     try:
-        total = kd.count()
-        if n >= total:
-            return keyed
-        # rank margin: 2× the approx-quantile guarantee (error <= N/accuracy)
-        d = 2 * (total // accuracy) + 1
-        f_hi = min(1.0, 1.0 - (n - d) / total) if n > d else 1.0
-        f_lo = max(0.0, 1.0 - (n + d) / total)
-        c_lo, c_hi = kd.agg(
-            F.percentile_approx("__k", [f_lo, f_hi], accuracy).alias("c")
-        ).first()["c"]
-        m_hi, m_lo = kd.agg(
-            F.count(F.when(F.col("__k") > c_hi, 1)).alias("a"),
-            F.count(F.when(F.col("__k") > c_lo, 1)).alias("b"),
-        ).first()
-        band_pred = F.col("__k") <= c_hi
-        if m_lo < n:  # tie mass at/below c_lo ate the margin: widen to -inf
-            m_lo = total
-        else:
-            band_pred = band_pred & (F.col("__k") > c_lo)
-        n_band = m_lo - m_hi
-        if n_band > band_max:
-            raise ValueError(
-                f"{op}: boundary band has {n_band} rows > band_max="
-                f"{band_max} — a tie mass this heavy on the selection key "
-                f"defeats quantile bracketing. Raise quantile_accuracy "
-                f"(band shrinks ~1/accuracy) or band_max (driver holds "
-                f"~20 bytes/band row)."
-            )
-        band = sorted(
-            ((r["__k"], r["__id"]) for r in kd.where(band_pred).collect()),
-            key=lambda t: (-t[0], t[1]),
-        )
-        t_key, t_id = _pick_cutoff(band, n, m_hi, op)
+        bounds = _cutoff_bounds(kd, n, accuracy, band_max, op)
     finally:
         kd.unpersist()
+    if bounds is None:
+        return keyed
+    t_key, t_id = bounds
     return keyed.where(
         (F.col(key_col) > F.lit(t_key))
         | ((F.col(key_col) == F.lit(t_key)) & (F.col(id_col) <= F.lit(t_id)))
