@@ -12,6 +12,7 @@ tie-break on (rounded value, id).
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1493,8 +1494,22 @@ def q_ivf_pq_search(spark: SparkSession, sf: str) -> DataFrame:
     DuckDB oracle replaying every stage. At scale the probed-cell filter is
     storage partition pruning (pinned by tests/test_ivf.py)."""
     emb = _t(spark, sf, "embeddings")
-    coarse_rows = emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
-    coarse = [list(map(float, r["embedding"])) for r in coarse_rows]
+    # r13 pass-5 (guide §1.2 fewer passes): ONE 8-row collect replaces the
+    # previous two jobs (coarse collect + a second collect that re-ran the
+    # assign/residual plan for vec_id<8). The codebook rows' cells and
+    # residuals are replayed driver-side with the IDENTICAL arithmetic as
+    # the native fold: sequential left-to-right double sums, strict-<
+    # first-wins argmin, elementwise double subtraction — Python floats ARE
+    # IEEE doubles, so the values are bit-identical (pinned by
+    # tests/test_plans.py::test_ivf_pq_codebook_driver_replay).
+    one_collect = os.environ.get("SPARK_GRAFT_IVFPQ_ONECOLLECT", "1") != "0"
+    rows8 = (
+        emb.where(F.col("vec_id") < (8 if one_collect else 4))
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    coarse = [list(map(float, r["embedding"])) for r in rows8 if r["vec_id"] < 4]
     indexed = IVF.assign_cells(emb, coarse, vec_col="embedding", impl="native")
     cents_arr = F.array(*[F.lit(c).cast("array<double>") for c in coarse])
     with_res = indexed.withColumn(
@@ -1505,14 +1520,30 @@ def q_ivf_pq_search(spark: SparkSession, sf: str) -> DataFrame:
             lambda a, b: a - b,
         ),
     )
-    cb_rows = with_res.where(F.col("vec_id") < 8).select("vec_id", "rv").collect()
     dim = len(coarse[0])
     bounds = PQ.split_bounds(dim, 4)
-    rows = []
-    for r in sorted(cb_rows, key=lambda r: r["vec_id"]):
-        rv = [float(x) for x in r["rv"]]
-        for s, (lo, hi) in enumerate(bounds):
-            rows.append((s, int(r["vec_id"]), rv[lo:hi]))
+    if not one_collect:  # A/B hatch: the pre-pass-5 second collect
+        cb_rows = with_res.where(F.col("vec_id") < 8).select("vec_id", "rv").collect()
+        rows = []
+        for r in sorted(cb_rows, key=lambda r: r["vec_id"]):
+            rv = [float(x) for x in r["rv"]]
+            for s, (lo, hi) in enumerate(bounds):
+                rows.append((s, int(r["vec_id"]), rv[lo:hi]))
+    else:
+        rows = []
+        for r in rows8:  # already vec_id-ascending
+            v = [float(x) for x in r["embedding"]]
+            best_d, best_i = float("inf"), -1
+            for i, c in enumerate(coarse):
+                s = 0.0
+                for a, b in zip(v, c):
+                    d = a - b
+                    s += d * d
+                if s < best_d:
+                    best_d, best_i = s, i
+            rv = [a - b for a, b in zip(v, coarse[best_i])]
+            for s_i, (lo, hi) in enumerate(bounds):
+                rows.append((s_i, int(r["vec_id"]), rv[lo:hi]))
     cb = spark.createDataFrame(rows, "subvector_id int, centroid_id int, c array<double>")
     coded = PQ.quantize(with_res, cb, vec_col="rv", dim=dim, formulation="direct")
     qv = _hash_embed_py(IVF_QUERY_TEXT, dim=dim)
@@ -1540,26 +1571,38 @@ def q_hnsw_recall(spark: SparkSession, sf: str) -> DataFrame:
     data = emb.where(F.col("vec_id") >= 5)
     exact = K.knn_join(data, q, k=10, metric="l2sq", strategy="crossjoin", dist_scale=5)
 
+    # r13 pass-5 (guide §2.6 overlap-independent-jobs): the exact-truth
+    # collect and the HNSW build+search job are independent driver-side
+    # actions — the exact collect now runs from a worker thread so the shard
+    # build's tasks back-fill executors freed by the crossjoin's tail.
+    # Results are the identical row sets; only the scheduling overlaps.
+    from concurrent.futures import ThreadPoolExecutor
+
     # collect the exact side ONCE (50 rows) — it is both the ground truth for
     # the recall check and, re-materialized below, the returned result
-    exact_rows = exact.select(
+    exact_sel = exact.select(
         "query_id", "vec_id", F.col("distance").alias("l2sq_distance"),
         F.col("rank").cast("bigint").alias("rnk"),
-    ).collect()
+    )
+    overlap = os.environ.get("SPARK_GRAFT_HNSW_OVERLAP", "1") != "0"
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_exact = pool.submit(exact_sel.collect) if overlap else None
+
+        shards = H.build_hnsw_shards(
+            data, vec_col="embedding", id_col="vec_id", n_shards=8, m=12,
+            ef_construction=64, metric="l2sq", seed=42,
+        )
+        queries = [
+            (int(r["query_id"]), [float(x) for x in r["query_vec"]])
+            for r in q.collect()
+        ]
+        got: dict[int, set[int]] = {}
+        for r in H.hnsw_topk_batch(shards, queries, k=10, ef=64, id_col="vec_id").collect():
+            got.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+        exact_rows = f_exact.result() if overlap else exact_sel.collect()
     truth: dict[int, set[int]] = {}
     for r in exact_rows:
         truth.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
-
-    shards = H.build_hnsw_shards(
-        data, vec_col="embedding", id_col="vec_id", n_shards=8, m=12,
-        ef_construction=64, metric="l2sq", seed=42,
-    )
-    queries = [
-        (int(r["query_id"]), [float(x) for x in r["query_vec"]]) for r in q.collect()
-    ]
-    got: dict[int, set[int]] = {}
-    for r in H.hnsw_topk_batch(shards, queries, k=10, ef=64, id_col="vec_id").collect():
-        got.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
     rec = sum(len(truth[qid] & got.get(qid, set())) for qid in truth) / sum(
         len(v) for v in truth.values()
     )
@@ -2277,7 +2320,18 @@ def q_cms_frequencies(spark: SparkSession, sf: str) -> DataFrame:
     guarantee (est >= exact, always) is visible in the overshoot column."""
     docs = _t(spark, sf, "documents")
     depth, width = 4, 2048
-    hh = TS.heavy_hitters(docs, phi=0.001, out_order=False).select("token", "n")
+    # r13 pass-6 (guide §5 / §7.2 duplicated subtrees): `hh` is referenced
+    # twice (the estimate probe AND the final join) and its lineage is the
+    # whole heavy_hitters pipeline (MG candidates + exact recount) — without
+    # a materialization it executed twice. The frame is bounded BY
+    # CONSTRUCTION at ≤ 1/phi rows (φ-heavy tokens), so localCheckpoint is
+    # bounded state, not data caching (the bm25_prf weighted-frame
+    # discipline).
+    hh = (
+        TS.heavy_hitters(docs, phi=0.001, out_order=False)
+        .select("token", "n")
+        .localCheckpoint()
+    )
     toks = docs.select(F.explode(T.tokens("text")).alias("token"))
     sk = SK.cms_build(toks, "token", depth=depth, width=width)
     est = SK.cms_estimate(sk, hh, "token", depth=depth, width=width)

@@ -1713,10 +1713,12 @@ def embedding_neardup_pairs(
             .where(F.col("count") > max_bucket).select("bucket")
         )
         pruned = buckets.join(F.broadcast(oversized), "bucket", "left_anti")
-        return (
-            pruned.groupBy("bucket")
-            .applyInPandas(verify, "id_a long, id_b long, cosine double")
-            .distinct()
+        # no distinct: each id lives in exactly ONE bucket (the key is a
+        # function of the vector), so every unordered pair is emitted at most
+        # once; the n_tables>1 union does its own distinct for cross-table
+        # collisions (r13 pass-5 — dropped a full exchange+aggregate pair)
+        return pruned.groupBy("bucket").applyInPandas(
+            verify, "id_a long, id_b long, cosine double"
         )
     elif impl == "native":
         key = None
@@ -1735,18 +1737,28 @@ def embedding_neardup_pairs(
         buckets = df.select(F.col(id_col), F.col(vec_col), key.alias("bucket"))
     else:
         raise ValueError(f"unknown impl {impl!r}")
-    buckets = buckets.withColumn("bucket_n", F.count("*").over(Window.partitionBy("bucket"))).where(
-        F.col("bucket_n") <= max_bucket
+    # NOTE (r13 pass-5, measured): do NOT persist the filtered bucket frame
+    # here. Both join sides re-execute the scan + plane folds + window, but a
+    # persist's materialization barrier measured 1.63x SLOWER (paired A/B)
+    # than the recompute — the same lost-pipelining effect as the reverted
+    # dsir profile caches. The distinct() removal below is where the win was.
+    buckets = (
+        buckets.withColumn(
+            "bucket_n", F.count("*").over(Window.partitionBy("bucket"))
+        )
+        .where(F.col("bucket_n") <= max_bucket)
+        .select("bucket", id_col, vec_col)
     )
     a = buckets.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = buckets.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    # no distinct: one bucket per id → each unordered pair joins exactly once
+    # (the n_tables>1 union distincts cross-table collisions itself)
     return (
         a.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cos_sim(F.col("v_a"), F.col("v_b")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .distinct()
     )
 
 

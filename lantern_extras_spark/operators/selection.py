@@ -181,6 +181,7 @@ def dsir_log_weights(
     raw: DataFrame | None = None,
     raw_profile: DataFrame | None = None,
     target_profile: DataFrame | None = None,
+    target_filter: Column | None = None,
 ) -> DataFrame:
     """DSIR importance log-weight per document of `df`: the sum over the
     doc's hashed n-gram bag of ln(p_target(b)/p_raw(b)) — i.e. the
@@ -205,11 +206,13 @@ def dsir_log_weights(
     """
     if alpha <= 0:
         raise ValueError("alpha must be > 0")
-    if target is None and target_profile is None:
-        raise ValueError("pass either target (a corpus) or target_profile")
+    if target is None and target_profile is None and target_filter is None:
+        raise ValueError(
+            "pass target (a corpus), target_profile, or target_filter"
+        )
     per_doc = _per_doc_logw(
         df, target, text_col, id_col, buckets, alpha, include_bigrams,
-        raw, raw_profile, target_profile,
+        raw, raw_profile, target_profile, target_filter,
     )
     return (
         df.join(per_doc, id_col, "left")
@@ -230,28 +233,75 @@ def _per_doc_logw(
     raw: DataFrame | None,
     raw_profile: DataFrame | None,
     target_profile: DataFrame | None,
+    target_filter: Column | None = None,
 ) -> DataFrame:
     """The heavy half of `dsir_log_weights` as a NARROW frame: (id_col,
     __lw double, __nf bigint), one row per document with >= 1 feature (docs
     with no tokens are absent — callers coalesce to 0.0/0). Split out (r13)
     so `dsir_select`'s cutoff path can persist/reuse this O(N)-narrow frame
-    instead of re-executing the explode + profile pipeline per reference."""
+    instead of re-executing the explode + profile pipeline per reference.
+
+    `target_filter` (r13 pass-6, guide §1.2 fewer passes): when the target
+    corpus is a predicate over the raw pool itself (DSIR's standard shape —
+    "select docs that look like the en subset"), both profiles fold into ONE
+    feature pass: group the tagged feature stream by bucket with a
+    conditional sum for the target count. The raw profile is identical by
+    definition; the target profile keeps exactly the buckets with >= 1
+    feature from a predicate-satisfying doc — the same (b, n) rows
+    `bucket_profile(df.where(pred))` produces. The single aggregation
+    subtree is shared by the ratio table AND the totals row, so Spark's
+    exchange reuse executes the tokenize+explode once instead of twice."""
+    import os as _os
+
     raw = df if raw is None else raw
+    if (
+        target_filter is not None
+        and raw_profile is None
+        and target_profile is None
+        and raw is df
+        and _os.environ.get("SPARK_GRAFT_DSIR_COMBINED", "1") == "0"
+    ):  # A/B hatch: the two-pass pre-pass-6 shape
+        target = df.where(target_filter)
+        target_filter = None
     # NOTE (r13, measured): do NOT cache the profile frames here. Each is
     # referenced twice (ratio table + totals row), but AQE's exchange reuse
     # already dedupes the identical aggregation subtree at runtime; adding a
     # cache made dsir_weights 1.28x SLOWER in paired A/B (materialization
     # barrier + lost stage pipelining).
-    raw_p = (
-        raw_profile
-        if raw_profile is not None
-        else bucket_profile(raw, text_col, buckets, include_bigrams)
-    )
-    tgt_p = (
-        target_profile
-        if target_profile is not None
-        else bucket_profile(target, text_col, buckets, include_bigrams)
-    )
+    if (
+        target_filter is not None
+        and raw_profile is None
+        and target_profile is None
+        and raw is df
+    ):
+        prof = (
+            _feature_stream(
+                df.withColumn("__tgt", target_filter),
+                text_col, buckets, include_bigrams, keep_cols=("__tgt",),
+            )
+            .groupBy("b")
+            .agg(
+                F.count("*").alias("__nr_b"),
+                F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__nt_b"),
+            )
+        )
+        raw_p = prof.select("b", F.col("__nr_b").alias("n"))
+        tgt_p = prof.where(F.col("__nt_b") > 0).select(
+            "b", F.col("__nt_b").alias("n")
+        )
+    else:
+        if target is None and target_filter is not None:
+            target = raw.where(target_filter)
+        raw_p = (
+            raw_profile
+            if raw_profile is not None
+            else bucket_profile(raw, text_col, buckets, include_bigrams)
+        )
+        tgt_p = (
+            target_profile
+            if target_profile is not None
+            else bucket_profile(target, text_col, buckets, include_bigrams)
+        )
     table = _ratio_table(raw_p, tgt_p, buckets, alpha)
     tots = raw_p.agg(F.sum("n").alias("__nr")).crossJoin(
         tgt_p.agg(F.sum("n").alias("__nt"))
@@ -293,7 +343,7 @@ def _gumbel(id_col: Column, seed: str) -> Column:
 
 def dsir_select(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     n: int,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -305,6 +355,7 @@ def dsir_select(
     small_n_max: int = 100_000,
     quantile_accuracy: int = 10_000,
     band_max: int = 2_000_000,
+    target_filter: Column | None = None,
 ) -> DataFrame:
     """Gumbel top-k importance resampling (DSIR step 3): sample `n` docs
     without replacement with probability proportional to their importance
@@ -336,7 +387,8 @@ def dsir_select(
         raise ValueError(f"n must be >= 1, got {n}")
     if n <= small_n_max:
         w = dsir_log_weights(
-            df, target, text_col, id_col, buckets, alpha, include_bigrams, raw=raw
+            df, target, text_col, id_col, buckets, alpha, include_bigrams,
+            raw=raw, target_filter=target_filter,
         )
         keyed = w.withColumn(
             "sel_key", pround(F.col("dsir_logw") + _gumbel(F.col(id_col), seed), 6)
@@ -355,7 +407,7 @@ def dsir_select(
     # pround points, same boundary filter.
     per_doc = _per_doc_logw(
         df, target, text_col, id_col, buckets, alpha, include_bigrams,
-        raw, None, None,
+        raw, None, None, target_filter,
     )
     keyed_n = (
         df.select(id_col)

@@ -143,8 +143,22 @@ def near_moves(
     """
     from lantern_extras_spark.operators.dedup import ngram_jaccard_join
 
-    added = diff.where(F.col("status") == "added").select(id_col)
-    removed = diff.where(F.col("status") == "removed").select(id_col)
+    # r13 pass-6 (guide §7.2 duplicated subtrees): `diff`'s added/removed
+    # residues are consumed by FOUR subtree references downstream (each
+    # side's shingle frame feeds both the posting explode and the verify
+    # join), so the full corpus_diff plan executed ~4x. One narrow
+    # (id, status) pass over the residue — the status filter still prunes
+    # corpus_diff's expensive edited-containment arm — is localCheckpointed
+    # (O(churn) ids, executor-side; the dsir-survivor discipline) so
+    # corpus_diff runs exactly once however many times the residues are
+    # referenced.
+    resid = (
+        diff.where(F.col("status").isin("added", "removed"))
+        .select(F.col(id_col), F.col("status"))
+        .localCheckpoint()
+    )
+    added = resid.where(F.col("status") == "added").select(id_col)
+    removed = resid.where(F.col("status") == "removed").select(id_col)
     pairs = ngram_jaccard_join(
         old.join(removed, id_col, "left_semi"),
         new.join(added, id_col, "left_semi"),

@@ -612,3 +612,59 @@ def test_lint_plan_flags_known_antipatterns(spark):
     clean = df.orderBy(F.col("id").desc()).limit(5)
     findings = lint_plan(clean)
     assert not any(f["severity"] == "warn" for f in findings), findings
+
+
+def test_ivf_pq_codebook_driver_replay(spark):
+    """q_ivf_pq_search (r13 pass-5) replays the 8 codebook rows' cell
+    assignment + residual on the DRIVER instead of a second Spark collect.
+    Pin bit-identity against the engine-computed plan it replaced:
+    assign_cells(native) + zip_with residual for vec_id<8."""
+    from pyspark.sql import functions as F
+
+    from lantern_extras_spark.operators import ivf as IVF
+    from lantern_extras_spark.operators import pq as PQ
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows8 = (
+        emb.where(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    coarse = [list(map(float, r["embedding"])) for r in rows8 if r["vec_id"] < 4]
+    dim = len(coarse[0])
+    bounds = PQ.split_bounds(dim, 4)
+
+    # engine side: the pre-pass-5 plan (native fold assign + zip_with residual)
+    indexed = IVF.assign_cells(emb, coarse, vec_col="embedding", impl="native")
+    cents_arr = F.array(*[F.lit(c).cast("array<double>") for c in coarse])
+    with_res = indexed.withColumn(
+        "rv",
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.element_at(cents_arr, F.col("cell") + 1),
+            lambda a, b: a - b,
+        ),
+    )
+    engine = {}
+    for r in with_res.where(F.col("vec_id") < 8).select("vec_id", "cell", "rv").collect():
+        engine[int(r["vec_id"])] = (int(r["cell"]), [float(x) for x in r["rv"]])
+
+    # driver side: the pass-5 replay (sequential sums, strict-< first-wins)
+    for r in rows8:
+        v = [float(x) for x in r["embedding"]]
+        best_d, best_i = float("inf"), -1
+        for i, c in enumerate(coarse):
+            s = 0.0
+            for a, b in zip(v, c):
+                d = a - b
+                s += d * d
+            if s < best_d:
+                best_d, best_i = s, i
+        rv = [a - b for a, b in zip(v, coarse[best_i])]
+        e_cell, e_rv = engine[int(r["vec_id"])]
+        assert best_i == e_cell
+        # bit-identity, not approx: both sides are the same IEEE double ops
+        assert rv == e_rv
+        for s_i, (lo, hi) in enumerate(bounds):
+            assert rv[lo:hi] == e_rv[lo:hi]

@@ -339,3 +339,51 @@ def test_cutoff_pick_fails_loud_on_bracket_miss():
         _pick_cutoff(band, n=5, m_hi=5, op="t")  # m_hi >= n -> negative wrap
     with pytest.raises(ValueError, match="quantile_accuracy"):
         _pick_cutoff(band, n=9, m_hi=5, op="t")  # rank 4 > len(band)=3
+
+
+def test_target_filter_matches_target_corpus_path(spark, mixed):
+    """r13 pass-6: the single-pass combined-profile path (target_filter) must
+    be bit-identical to the two-pass target-corpus path — same smoothed
+    ratios, same per-doc sums, same n_features — for weights AND both
+    dsir_select strategies."""
+    pred = F.col("doc_id") < 20
+    target = mixed.where(pred)
+    two_pass = sorted(
+        (r["doc_id"], r["dsir_logw"], r["n_features"])
+        for r in SEL.dsir_log_weights(mixed, target, buckets=B).collect()
+    )
+    one_pass = sorted(
+        (r["doc_id"], r["dsir_logw"], r["n_features"])
+        for r in SEL.dsir_log_weights(
+            mixed, target_filter=pred, buckets=B
+        ).collect()
+    )
+    assert two_pass == one_pass
+
+    sel_two = sorted(
+        (r["doc_id"], r["sel_key"])
+        for r in SEL.dsir_select(mixed, target, n=7, buckets=B).collect()
+    )
+    sel_one = sorted(
+        (r["doc_id"], r["sel_key"])
+        for r in SEL.dsir_select(
+            mixed, None, n=7, buckets=B, target_filter=pred
+        ).collect()
+    )
+    assert sel_two == sel_one
+
+    cut_two = sorted(
+        (r["doc_id"], r["sel_key"])
+        for r in SEL.dsir_select(
+            mixed, target, n=7, buckets=B, small_n_max=0,
+            quantile_accuracy=1000,
+        ).collect()
+    )
+    cut_one = sorted(
+        (r["doc_id"], r["sel_key"])
+        for r in SEL.dsir_select(
+            mixed, None, n=7, buckets=B, small_n_max=0,
+            quantile_accuracy=1000, target_filter=pred,
+        ).collect()
+    )
+    assert cut_two == cut_one
