@@ -2598,8 +2598,13 @@ def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     aggregations (<= buckets rows after map-side combine) and the log-ratio
     table is broadcast — nothing scales with the vocabulary."""
     docs = _t(spark, sf, "documents")
-    target = docs.where(F.col("lang") == "en")
-    out = SEL.dsir_log_weights(docs, target, buckets=2048, alpha=1.0)
+    # r13 pass-6 (guide §1.2 fewer passes): the target corpus is a predicate
+    # over the raw pool itself, so target_filter folds both profiles into ONE
+    # tagged feature pass — bit-identical weights pinned by
+    # tests/test_selection.py::test_target_filter_matches_target_corpus_path.
+    out = SEL.dsir_log_weights(
+        docs, target_filter=F.col("lang") == "en", buckets=2048, alpha=1.0
+    )
     return out.select("doc_id", "lang", "source", "n_features", "dsir_logw").orderBy(
         "doc_id"
     )
@@ -2612,8 +2617,11 @@ def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     makes the draw deterministic and oracle-replayable. Executes as
     TakeOrderedAndProject (partial top-n per partition, no ranking window)."""
     docs = _t(spark, sf, "documents")
-    target = docs.where(F.col("lang") == "en")
-    out = SEL.dsir_select(docs, target, n=60, buckets=2048, alpha=1.0)
+    # r13 pass-6: single-pass combined profile (see q_dsir_weights)
+    out = SEL.dsir_select(
+        docs, None, n=60, buckets=2048, alpha=1.0,
+        target_filter=F.col("lang") == "en",
+    )
     return out.select("doc_id", "lang", "dsir_logw", "sel_key").orderBy(
         F.col("sel_key").desc(), F.col("doc_id").asc()
     )
@@ -2629,9 +2637,10 @@ def q_dsir_select_big(spark: SparkSession, sf: str) -> DataFrame:
     100. Output is the IDENTICAL set as the TakeOrdered plan (hash compare
     is order-insensitive; the oracle's ordered LIMIT picks the same rows)."""
     docs = _t(spark, sf, "documents")
-    target = docs.where(F.col("lang") == "en")
+    # r13 pass-6: single-pass combined profile (see q_dsir_weights)
     out = SEL.dsir_select(
-        docs, target, n=120, buckets=2048, alpha=1.0, small_n_max=0
+        docs, None, n=120, buckets=2048, alpha=1.0, small_n_max=0,
+        target_filter=F.col("lang") == "en",
     )
     return out.select("doc_id", "lang", "dsir_logw", "sel_key")
 
