@@ -1795,7 +1795,12 @@ def q_corpus_diff(spark: SparkSession, sf: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" snapshot revision note")),
         ).otherwise(F.col("text")).alias("text"),
     )
-    out = VER.corpus_diff(docs, new)
+    # r13 (guide §2.5): the edited-arm shingle containment is compute-bound;
+    # AQE's byte-based coalescing ran it on ONE post-join partition. The
+    # split+repartition spreads only the edited sliver across the cores.
+    out = VER.corpus_diff(
+        docs, new, parallelism=spark.sparkContext.defaultParallelism
+    )
     return out.select(
         "doc_id", "status",
         pround("containment", 5).alias("containment"),

@@ -51,6 +51,7 @@ def corpus_diff(
     new: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Per-document diff of two corpus snapshots.
 
@@ -72,6 +73,15 @@ def corpus_diff(
     Both statuses of a move are reported (the vacated old id shows as
     ``removed``) so the row multiset always reconciles: every old id and
     every new id appears exactly once.
+
+    `parallelism` (r13, guide §2.5 input skew / §1.2): the edited-arm shingle
+    containment is COMPUTE-bound (tokenize + 3-gram + hash per row) while
+    AQE sizes post-join partitions by BYTES — a churn-sized edited set
+    coalesces into one partition and the containment runs single-threaded.
+    When set, the edited rows (only that sliver — others keep literal
+    containments) are round-robin repartitioned to `parallelism` before the
+    projection. Output rows/values are identical; only their distribution
+    (and hence union order) changes — callers compare content, not order.
     """
     o = _prepared(old, id_col, text_col, "o")
     n = _prepared(new, id_col, text_col, "n")
@@ -99,16 +109,54 @@ def corpus_diff(
         F.size(F.array_intersect(n_sh, o_sh)).cast("double")
         / F.size(n_sh).cast("double")
     )
+    matched = (
+        F.when(status.isin("unchanged", "edited"), F.col("o_id"))
+        .when(status == "moved", F.col("c_old_id"))
+        .otherwise(F.lit(None).cast(o.schema["o_id"].dataType))
+    )
+    import os as _os
+
+    if parallelism and _os.environ.get("SPARK_GRAFT_DIFF_SPLIT", "1") != "0":
+        # split the edited sliver out of the single projection so ONLY it
+        # (id, both texts) pays a round-robin exchange to `parallelism`
+        # partitions — the byte-sized AQE coalescing would otherwise run the
+        # whole shingle-containment pass on however few partitions the join
+        # output's bytes fill. The exchanges feeding the full-outer join are
+        # identical in both arms and reused (ReusedExchange), so the join
+        # merge runs twice over already-shuffled inputs, not the scans.
+        base = j.select(
+            F.coalesce(F.col("n_id"), F.col("o_id")).alias(id_col),
+            status.alias("status"),
+            matched.alias("matched_old_id"),
+            F.col("n_text"),
+            F.col("o_text"),
+        )
+        edited_arm = (
+            base.where(F.col("status") == "edited")
+            .repartition(parallelism)
+            .select(
+                F.col(id_col),
+                F.col("status"),
+                edited_containment.alias("containment"),
+                F.col("matched_old_id"),
+            )
+        )
+        others_arm = base.where(F.col("status") != "edited").select(
+            F.col(id_col),
+            F.col("status"),
+            F.when(F.col("status").isin("unchanged", "moved"), F.lit(1.0))
+            .otherwise(F.lit(None).cast("double"))
+            .alias("containment"),
+            F.col("matched_old_id"),
+        )
+        return edited_arm.unionByName(others_arm).select(
+            id_col, "status", "containment", "matched_old_id"
+        )
     containment = (
         F.when(status == "unchanged", F.lit(1.0))
         .when(status == "moved", F.lit(1.0))
         .when(status == "edited", edited_containment)
         .otherwise(F.lit(None).cast("double"))
-    )
-    matched = (
-        F.when(status.isin("unchanged", "edited"), F.col("o_id"))
-        .when(status == "moved", F.col("c_old_id"))
-        .otherwise(F.lit(None).cast(o.schema["o_id"].dataType))
     )
     return j.select(
         F.coalesce(F.col("n_id"), F.col("o_id")).alias(id_col),

@@ -197,3 +197,21 @@ def test_vocab_drift_candidates_cover_both_sides(spark):
     toks = {r["token"] for r in vocab_drift(old, new, phi=0.2).collect()}
     # aa heavy only in old, cc only in new, bb in both -> all three reported
     assert toks == {"aa", "bb", "cc"}
+
+
+def test_corpus_diff_split_arm_matches_single_plan(spark):
+    """r13: `parallelism` splits the edited arm behind a round-robin exchange
+    — the row MULTISET (all four columns) must be identical to the default
+    single-projection plan, and the split plan must carry the repartition."""
+    old, new = _corpora(spark)
+    base = VER.corpus_diff(old, new)
+    split = VER.corpus_diff(old, new, parallelism=4)
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, split.collect()))
+    assert a == b
+    assert "RoundRobinPartitioning" in split._jdf.queryExecution().executedPlan().toString()
+    # edge: an edited doc whose new text is too short to shingle -> 0.0
+    old2 = spark.createDataFrame([(1, "alpha beta gamma delta")], "doc_id long, text string")
+    new2 = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
+    r = {x["doc_id"]: x for x in VER.corpus_diff(old2, new2, parallelism=2).collect()}
+    assert r[1]["status"] == "edited" and r[1]["containment"] == 0.0
