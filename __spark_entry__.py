@@ -641,7 +641,7 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     The documents table has near-dup groups by construction, so real hits
     exist. Scale shape: broadcast benchmark + exploded-shingle equi-join,
     no self-join."""
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents", spread=True)
     bench = docs.where(F.col("doc_id") < 10)
     train = docs.where(F.col("doc_id") >= 10)
     flags = D.decontaminate(train, bench, threshold=0.3)
@@ -659,7 +659,7 @@ def q_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
     module's own prune-during-scan thesis applied to the release gate.
     EXACT: no false negatives, and the equi-join discards false-positive
     admissions, so the oracle is the identical plain-containment SQL."""
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents", spread=True)
     bench = docs.where(F.col("doc_id") < 10)
     train = docs.where(F.col("doc_id") >= 10)
     flags = D.decontaminate(train, bench, threshold=0.3, bloom_prefilter=True)
