@@ -268,22 +268,38 @@ def _per_doc_logw(
     # already dedupes the identical aggregation subtree at runtime; adding a
     # cache made dsir_weights 1.28x SLOWER in paired A/B (materialization
     # barrier + lost stage pipelining).
+    feats = None
     if (
         target_filter is not None
         and raw_profile is None
         and target_profile is None
         and raw is df
     ):
-        prof = (
-            _feature_stream(
-                df.withColumn("__tgt", target_filter),
-                text_col, buckets, include_bigrams, keep_cols=("__tgt",),
-            )
-            .groupBy("b")
-            .agg(
-                F.count("*").alias("__nr_b"),
-                F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__nt_b"),
-            )
+        feats_tagged = _feature_stream(
+            df.withColumn("__tgt", target_filter),
+            text_col, buckets, include_bigrams, keep_cols=(id_col, "__tgt"),
+        )
+        # r13 (guide §1.2 fewer passes / §5 caching): the profile histogram
+        # and the per-doc scoring stream are the SAME exploded md5-hashed
+        # feature rows — without a materialization the explode+hash pass (the
+        # dominant compute) ran twice, once per aggregation. For bounded
+        # inputs (<= SPARK_GRAFT_DSIR_MAT_MAX_DOCS documents, default 1M;
+        # probed with a cheap count-pushdown job) the tagged stream persists
+        # MEMORY_AND_DISK so one hash pass feeds both groupBys. Above the cap
+        # — the 100 TB deployment, where one would precompute profiles via
+        # raw_profile/target_profile anyway — the two-pass recompute shape is
+        # kept (persisting O(corpus-token) rows trades storage it may not
+        # have). Hatch: SPARK_GRAFT_DSIR_ONEPASS=0.
+        cap = int(_os.environ.get("SPARK_GRAFT_DSIR_MAT_MAX_DOCS", "1000000"))
+        if (
+            _os.environ.get("SPARK_GRAFT_DSIR_ONEPASS", "1") != "0"
+            and df.select(id_col).limit(cap + 1).count() <= cap
+        ):
+            feats_tagged = feats_tagged.persist()
+            feats = feats_tagged.select(id_col, "b")
+        prof = feats_tagged.groupBy("b").agg(
+            F.count("*").alias("__nr_b"),
+            F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__nt_b"),
         )
         raw_p = prof.select("b", F.col("__nr_b").alias("n"))
         tgt_p = prof.where(F.col("__nt_b") > 0).select(
@@ -306,7 +322,10 @@ def _per_doc_logw(
     tots = raw_p.agg(F.sum("n").alias("__nr")).crossJoin(
         tgt_p.agg(F.sum("n").alias("__nt"))
     )
-    feats = _feature_stream(df, text_col, buckets, include_bigrams, keep_cols=(id_col,))
+    if feats is None:
+        feats = _feature_stream(
+            df, text_col, buckets, include_bigrams, keep_cols=(id_col,)
+        )
     # left join: when `raw` is not `df` a doc bucket can be absent from BOTH
     # profiles (so absent from the ratio table); those features still carry
     # the smoothed default ratio ln(alpha/(Nt+aB)) - ln(alpha/(Nr+aB)),

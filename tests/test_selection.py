@@ -387,3 +387,27 @@ def test_target_filter_matches_target_corpus_path(spark, mixed):
         ).collect()
     )
     assert cut_two == cut_one
+
+def test_onepass_materialization_matches_recompute(spark, mixed, monkeypatch):
+    """r13: the doc-count-capped persist of the tagged feature stream (one
+    md5 hash pass feeding profile AND per-doc aggs) must be bit-identical to
+    the two-pass recompute shape, and the over-cap probe must fall back."""
+    pred = F.col("doc_id") < 20
+
+    def weights():
+        return sorted(
+            (r["doc_id"], r["dsir_logw"], r["n_features"])
+            for r in SEL.dsir_log_weights(
+                mixed, target_filter=pred, buckets=B
+            ).collect()
+        )
+
+    monkeypatch.setenv("SPARK_GRAFT_DSIR_ONEPASS", "1")
+    one = weights()
+    monkeypatch.setenv("SPARK_GRAFT_DSIR_ONEPASS", "0")
+    two = weights()
+    assert one == two
+    # over-cap: probe forces the recompute shape, values unchanged
+    monkeypatch.setenv("SPARK_GRAFT_DSIR_ONEPASS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_DSIR_MAT_MAX_DOCS", "1")
+    assert weights() == two
