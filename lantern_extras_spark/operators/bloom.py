@@ -204,14 +204,27 @@ def bloom_might_contain(
     module docstring for the literal/broadcast path trade-offs)."""
     col = (F.col(key) if isinstance(key, str) else key).cast("string")
     if mode == "auto":
+        import os as _os
+
         if len(bf.words) <= LITERAL_MAX_WORDS:
             mode = "literal"
-        elif bf.hash_kind == "xxhash64" and len(bf.words) <= SUBQUERY_MAX_WORDS:
+        elif (
+            bf.hash_kind == "xxhash64"
+            and len(bf.words) <= SUBQUERY_MAX_WORDS
+            and _os.environ.get("SPARK_GRAFT_BLOOM_MID", "broadcast") == "subquery"
+        ):
             # md5 stays literal/broadcast: its fold form (hashes evaluated
             # once per row) cannot host a subquery expression inside the
             # higher-order lambda (analyzer restriction)
             mode = "subquery"
         else:
+            # r13 (guide §4.2): for mid/large bitmaps the vectorized numpy
+            # probe over an Arrow batch beats the per-row JVM expression
+            # chain (5x getbit/element_at per row) — measured 0.45x on the
+            # 600k-row prefilter scan with a 4096-word filter. h1/h2 are
+            # computed engine-side so only 16 B/row cross the Python
+            # boundary. Hatch: SPARK_GRAFT_BLOOM_MID=subquery restores the
+            # scalar-subquery probe for the <= SUBQUERY_MAX_WORDS band.
             mode = "broadcast"
     if mode in ("literal", "subquery"):
         if mode == "subquery":

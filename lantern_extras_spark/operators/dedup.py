@@ -1444,8 +1444,24 @@ def decontaminate(
             "__sh",
             bits_per_key=bloom_bits_per_key,
         )
+        # r13 (measured): pin the mid-band probe to the scalar-subquery JVM
+        # chain here — this probe runs INSIDE the exploded-shingle codegen
+        # pipeline, where the broadcast mode's Arrow boundary splits the
+        # stage and costs more than it saves (1.10x in paired A/B; the
+        # standalone scan-filter probes measured the opposite, 0.77x).
+        from lantern_extras_spark.operators.bloom import (
+            LITERAL_MAX_WORDS,
+            SUBQUERY_MAX_WORDS,
+        )
+
+        probe_mode = "auto"
+        if (
+            bf.hash_kind == "xxhash64"
+            and LITERAL_MAX_WORDS < len(bf.words) <= SUBQUERY_MAX_WORDS
+        ):
+            probe_mode = "subquery"
         d_sh = d_sh.where(
-            bloom_might_contain(bf, "__sh", spark=docs.sparkSession)
+            bloom_might_contain(bf, "__sh", mode=probe_mode, spark=docs.sparkSession)
         )
     flags = (
         d_sh.join(b_sh, "__sh")
