@@ -137,5 +137,18 @@ def salted_join(
     r2 = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     ).withColumn("__salt", F.col("__salt").cast("int"))
+    # r13 (guide §3.1 pick the strategy deliberately): build a per-partition
+    # hash table over the REPLICATED side instead of sort-merging — skipping
+    # the sorts of both shuffled sides measured 0.39x on the bench join.
+    # Replication x salt already presumes the right side is the small one,
+    # and the salt bounds each reducer's build at ~|right|/partitions rows —
+    # a strictly weaker assumption than the replication itself. The hint
+    # changes the join ALGORITHM only (same keys, same exchanges, identical
+    # rows). SPARK_GRAFT_SALTED_SHJ=0 restores planner choice (sort-merge)
+    # for a right side too large to hash-build per partition.
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_SALTED_SHJ", "1") != "0":
+        r2 = r2.hint("SHUFFLE_HASH")
     out = l2.join(r2, on=[on, "__salt"], how=how)
     return out.drop("__salt")
