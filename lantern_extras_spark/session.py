@@ -67,6 +67,17 @@ def get_spark(app_name: str = "lantern-extras-spark", shuffle_partitions: int | 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # r13 (guide §3.1/§9): let the planner pick shuffled-hash join when
+        # its size conditions hold (build side under autoBroadcastThreshold x
+        # shuffle partitions AND 3x smaller than the probe side) — skipping
+        # both sorts measured 0.39-0.63x on the salted join and is the
+        # guide's recommended baseline at any scale; the size guard, not the
+        # preference, is what protects a too-big build side. Env-overridable
+        # for A/B (SPARK_GRAFT_PREFER_SMJ=true restores sort-merge).
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
