@@ -67,16 +67,16 @@ def get_spark(app_name: str = "lantern-extras-spark", shuffle_partitions: int | 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # r13 (guide §3.1/§9): let the planner pick shuffled-hash join when
-        # its size conditions hold (build side under autoBroadcastThreshold x
-        # shuffle partitions AND 3x smaller than the probe side) — skipping
-        # both sorts measured 0.39-0.63x on the salted join and is the
-        # guide's recommended baseline at any scale; the size guard, not the
-        # preference, is what protects a too-big build side. Env-overridable
-        # for A/B (SPARK_GRAFT_PREFER_SMJ=true restores sort-merge).
+        # r13 (guide §3.1, measured): a GLOBAL preferSortMergeJoin=false was
+        # tried and REVERTED — paired in-session A/B over the SMJ-carrying
+        # bench queries was neutral-to-noisy (0.82-1.17x medians, mins ~1.0)
+        # while the one real winner (salted_join, 0.39x isolated) gets an
+        # explicit SHUFFLE_HASH hint at its call site instead: the join whose
+        # build side is bounded BY CONSTRUCTION is hinted; everything else
+        # keeps the planner default. Env hatch kept for future A/B.
         .config(
             "spark.sql.join.preferSortMergeJoin",
-            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
