@@ -85,6 +85,26 @@ def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     return df.repartition(cores)
 
 
+#: Session-scoped scan-plan memo (r13, guide §6 file-listing caching / §1.2
+#: driver-side construction time): `spark.read.parquet(path)` re-reads the
+#: footer for schema inference on EVERY call — measured 58 ms of the 75 ms
+#: per `_t`, times ~500 constructions per bench run. The memo holds the
+#: IMMUTABLE scan DataFrame (a logical plan — never data or results) keyed on
+#: (applicationId, path), exactly the metadata Spark itself caches per
+#: session in its file-source cache; every execution still reads the parquet
+#: bytes. A new session (fresh applicationId) re-reads all footers.
+_SCAN_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, path)
+    df = _SCAN_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _SCAN_MEMO[key] = df
+    return df
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool | None = None) -> DataFrame:
     # the driver supplies its own SparkSession; make sure executors can import
     # this package inside pandas-UDF queries regardless of driver cwd, and pin
@@ -94,7 +114,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool | None = None) 
     _ship_package(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
-    df = spark.read.parquet(path)
+    df = _read_parquet_memo(spark, path)
     if spread is None:
         spread = name in _SPREAD_TABLES
     import os as _os
@@ -111,7 +131,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     store plain micros TIMESTAMP, which passes through untouched."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # nanosAsLong is set before the first (memoized) read, so the cached scan
+    # plan embeds the right schema for every later call too
+    ev = _read_parquet_memo(spark, f"{sf_dir}/events.parquet")
     if dict(ev.dtypes)["ts"] in ("bigint", "long"):
         ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     else:
