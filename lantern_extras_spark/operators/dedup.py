@@ -1149,6 +1149,36 @@ def ngram_jaccard_join(
     )
     pa = sha.select("id_a", "n_a", F.explode("sh_a").alias("h"))
     pb = shb.select("id_b", "n_b", F.explode("sh_b").alias("h"))
+    import os as _os
+
+    if max_df is None and _os.environ.get("SPARK_GRAFT_NGJ_COUNT", "1") != "0":
+        # r13 (guide §1.2 fewer passes / §2.4 remove shuffles): both shingle
+        # sets are DISTINCT by construction (hashed_shingles applies
+        # array_distinct), so |∩| is exactly the number of co-occurring
+        # posting rows per pair — the old shape's distinct() + two verify
+        # joins re-executed BOTH hashed_shingles subtrees a second time and
+        # recomputed the intersection with array_intersect. One groupBy
+        # replaces all of that; values are identical (same integer |∩|, same
+        # float jaccard expression). Only valid with max_df=None: posting
+        # pruning would undercount the co-occurrences, which is why the
+        # max_df path keeps full-set verification.
+        counted = (
+            pa.join(pb, "h")
+            .where(
+                (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
+                & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+            )
+            .groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.count("*").alias("__i"))
+        )
+        inter = F.col("__i").cast("double")
+        union = F.col("n_a") + F.col("n_b") - inter
+        jac = F.when(union == 0.0, F.lit(0.0)).otherwise(inter / union)
+        return (
+            counted.withColumn("jaccard", jac)
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     if max_df is not None:
         df_counts = (
             pa.select("h").unionAll(pb.select("h"))
