@@ -436,6 +436,61 @@ def bm25_scores_weighted(
     return per_doc
 
 
+def _bm25_pass1_literal(
+    staged: DataFrame,
+    query_terms: list[str],
+    id_col: str,
+    k1: float,
+    b: float,
+    round_dp: int | None,
+) -> DataFrame:
+    """BM25 over a literal term list, computed as one stats aggregate + one
+    projection over a staged `(id_col, __toks)` frame — the no-shuffle shape
+    of `bm25_scores`, but with the per-doc summation replayed in TERM-ASC
+    order so the floats are bit-identical to `bm25_scores_weighted`'s sorted
+    fold (see bm25_prf_topk). Docs with no query term are absent, matching
+    the weighted path. Falls back to the caller's weighted path for
+    duplicate term lists (the weighted semantics double-counts those)."""
+    terms = sorted(query_terms)
+    aggs = [
+        F.count("*").alias("__n"),
+        F.sum(F.size("__toks").cast("long")).alias("__sum_dl"),
+    ]
+    for i, t in enumerate(terms):
+        aggs.append(
+            F.sum(F.array_contains("__toks", t).cast("long")).alias(f"__df_{i}")
+        )
+    stats = staged.agg(*aggs)
+    scored = staged.crossJoin(F.broadcast(stats))
+    n = F.col("__n").cast("double")
+    avgdl = F.col("__sum_dl").cast("double") / n
+    dl = F.size("__toks").cast("double")
+    score: Column = F.lit(0.0)
+    for i, t in enumerate(terms):
+
+        def _tf(term: str) -> Column:
+            # real closure (not default-arg): F.filter passes the index as a
+            # second arg to arity-2 lambdas
+            return F.size(F.filter("__toks", lambda x: x == F.lit(term)))
+
+        tf = _tf(t).cast("double")
+        dft = F.col(f"__df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0) + (n - dft + F.lit(0.5)) / (dft + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * dl / avgdl
+        )
+        # same expression shape as the weighted path's contribution,
+        # including the weight multiply (1.0 * x == x exactly)
+        score = score + F.lit(1.0) * idf * (tf * F.lit(k1 + 1.0)) / denom
+    if round_dp is not None:
+        score = pround(score, round_dp)
+    return scored.where(
+        F.arrays_overlap("__toks", F.array(*[F.lit(t) for t in terms]))
+    ).select(F.col(id_col), score.alias("score"))
+
+
 def bm25_prf_topk(
     df: DataFrame,
     query_terms: list[str],
@@ -466,11 +521,32 @@ def bm25_prf_topk(
     # (heavy_hitters' single-scan contract); the cached projection is
     # (id, tokens) only and spills under MEMORY_AND_DISK at scale
     staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")).cache()
-    # max_terms=None: both term frames are bounded BY CONSTRUCTION (a
-    # len(query_terms) literal frame; ∪ a .limit(n_expansion) frame) and the
-    # guard's count job would re-run pass-1 lineage (measured 1.7×)
-    pass1 = bm25_scores_weighted(df, orig, text_col, id_col, k1, b, round_dp,
-                                 staged=staged, max_terms=None)
+    import os as _os
+
+    if (
+        _os.environ.get("SPARK_GRAFT_BM25_LIT_PASS1", "1") != "0"
+        and len(set(query_terms)) == len(query_terms)
+    ):
+        # r13 (guide §1.2 fewer passes): pass one's terms are DRIVER-SIDE
+        # LITERALS (unlike pass two's engine-resident expansion terms), so
+        # its scores can come from one stats aggregate + one projection over
+        # the staged tokens — no explode, no tf/dfreq joins. Bit-identity
+        # with the weighted path (pinned by
+        # test_bm25_literal_pass1_matches_weighted):
+        # - identical float expressions per term (df/tf/dl are the same
+        #   exact integers, 1.0*x == x);
+        # - contributions are summed in the SAME term-ASC order as the
+        #   weighted path's sorted fold, and absent terms contribute an
+        #   exact 0.0 (x + 0.0 == x for the non-negative contributions);
+        # - docs containing no query term are dropped (arrays_overlap), the
+        #   weighted path's absence semantics.
+        pass1 = _bm25_pass1_literal(staged, query_terms, id_col, k1, b, round_dp)
+    else:
+        # max_terms=None: both term frames are bounded BY CONSTRUCTION (a
+        # len(query_terms) literal frame; ∪ a .limit(n_expansion) frame) and
+        # the guard's count job would re-run pass-1 lineage (measured 1.7×)
+        pass1 = bm25_scores_weighted(df, orig, text_col, id_col, k1, b,
+                                     round_dp, staged=staged, max_terms=None)
     feedback = (
         pass1.orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(n_feedback).select(id_col)
