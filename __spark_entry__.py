@@ -613,7 +613,18 @@ def q_hash_banded_join(spark: SparkSession, sf: str) -> DataFrame:
     must be excluded, its genuine cross-id matches kept). DuckDB replays
     band extraction, the banded batch×store join, popcount(xor) verify, and
     the self-match exclusion."""
+    # r14 (guide §4.1 opaque-function pushdown / §2.3 project-before): the
+    # simhash Arrow kernel is a MapInPandas node, so a doc_id filter applied
+    # to its OUTPUT cannot be pushed below it — both join sides were running
+    # the md5 kernel over the FULL table and filtering afterwards. Only
+    # doc_id < 300 rows can reach either side (store < 150, batch 140-300),
+    # so filter BEFORE the kernel: the predicate lands in the parquet scan
+    # (PushedFilters) and the kernel hashes 300 docs instead of the corpus.
+    # Per-doc function => identical rows (filter-before == filter-after).
+    # Hatch: SPARK_GRAFT_HBJ_PREFILTER=0 restores the full-table kernel.
     docs = _t(spark, sf, "documents")
+    if os.environ.get("SPARK_GRAFT_HBJ_PREFILTER", "1") != "0":
+        docs = docs.where(F.col("doc_id") < 300)
     sigs = D.simhash(docs)
     store = sigs.where(F.col("doc_id") < 150)
     batch = sigs.where((F.col("doc_id") >= 140) & (F.col("doc_id") < 300))
@@ -2145,10 +2156,20 @@ def q_compressed_tradeoff(spark: SparkSession, sf: str) -> DataFrame:
     qdf = spark.createDataFrame([(0, qv)], "query_id long, query_vec array<double>")
     exact_pq = K.knn_join(emb, qdf, k=10, metric="l2sq", strategy="crossjoin",
                           dist_scale=5).select("vec_id")
-    exact5.count()  # materialize before the concurrent readers fork
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=4) as pool:
+        # r14 (guide §2.6): the pq branch never touches exact5, so submit it
+        # BEFORE the exact5 materialization count — its build/scan tasks
+        # back-fill executors while the crossjoin+window materializes, instead
+        # of the whole pool waiting behind a serial count. Same integers;
+        # scheduling only. Hatch: SPARK_GRAFT_CT_OVERLAP=0 restores the
+        # serial-count-first order.
+        overlap_pq = os.environ.get("SPARK_GRAFT_CT_OVERLAP", "1") != "0"
+        f_pq = pool.submit(
+            lambda: q_pq_adc_topk(spark, sf).join(exact_pq, "vec_id", "left_semi").count()
+        ) if overlap_pq else None
+        exact5.count()  # materialize before the exact5-consuming readers fork
         f_sq8 = pool.submit(
             lambda: q_sq8_search(spark, sf)
             .join(exact5, ["query_id", "vec_id"], "left_semi").count())
@@ -2156,8 +2177,9 @@ def q_compressed_tradeoff(spark: SparkSession, sf: str) -> DataFrame:
             lambda: q_bq_search(spark, sf).join(exact0, "vec_id", "left_semi").count())
         f_mrl = pool.submit(
             lambda: q_mrl_search(spark, sf).join(exact0, "vec_id", "left_semi").count())
-        f_pq = pool.submit(
-            lambda: q_pq_adc_topk(spark, sf).join(exact_pq, "vec_id", "left_semi").count())
+        if f_pq is None:
+            f_pq = pool.submit(
+                lambda: q_pq_adc_topk(spark, sf).join(exact_pq, "vec_id", "left_semi").count())
         n_sq8, n_bq, n_mrl, n_pq = (
             f_sq8.result(), f_bq.result(), f_mrl.result(), f_pq.result())
     exact5.unpersist()

@@ -93,11 +93,25 @@ def main() -> None:
     _calibration_once()  # warm-up discarded
     calibration_probes: list[float] = [_calibration_once()]
 
+    # r14 measurement-hygiene fix (r13 verdict item 3, guide §5 caching):
+    # operators that persist()/cache() an internal frame leave entries in the
+    # session CacheManager, and Spark matches CANONICALIZED plans — so
+    # iterations 2..N of the same reconstructed query were partially served
+    # from iteration 1's warm cache, and the leaked blocks accumulated memory
+    # pressure across the 137-query run (the likely cause of late-run noise).
+    # The SQL cache is now cleared BEFORE each timed iteration (outside the
+    # timed region), so every iteration computes cold from the parquet inputs.
+    # This makes cache-carrying queries report honestly HIGHER medians than
+    # the r13 harness did; legacy behavior: SPARK_GRAFT_BENCH_CLEARCACHE=0.
+    clear_cache = os.environ.get("SPARK_GRAFT_BENCH_CLEARCACHE", "1") != "0"
+
     def timed(name: str, fn) -> None:
         # median-of-N so one GC pause / compile stall can't fake a regression;
         # min is reported too (steady-state capability)
         runs = []
         for _ in range(N_ITER):
+            if clear_cache:
+                spark.catalog.clearCache()
             t0 = time.monotonic()
             fn()
             runs.append(time.monotonic() - t0)
@@ -328,6 +342,9 @@ def main() -> None:
         "total_min": round(sum(timings_min.values()), 3),
         "bench_iters": N_ITER,
         "timed_action": action,  # r13: "noop" sink per guide §1.4 (foreach = legacy)
+        # r14: SQL cache cleared before every timed iteration so per-iteration
+        # runs are cold (legacy warm-cache medians: SPARK_GRAFT_BENCH_CLEARCACHE=0)
+        "cache_cleared_between_iters": clear_cache,
         "sf": sf_val,
         # Calibration (r9 #4, probes interleaved per r10 #3): fixed pure-JVM
         # work (200M xxhash-sum + 20M-row two-level agg) whose time moves

@@ -1444,11 +1444,12 @@ def decontaminate(
     import os as _os
 
     b_base = hashed_shingles(b_src, bench_text_col, bench_id_col, shingle_n)
-    if (
+    bench_ckpt = (
         bloom_prefilter
         and broadcast_benchmark
         and _os.environ.get("SPARK_GRAFT_DECON_CKPT", "1") != "0"
-    ):
+    )
+    if bench_ckpt:
         # r13 pass-6 (guide §7.2 duplicated subtrees): with the prefilter on,
         # the bench shingle pipeline feeds THREE consumers — the posting
         # join's broadcast side, the Bloom sizing count, and the Bloom build
@@ -1469,11 +1470,40 @@ def decontaminate(
             bloom_might_contain,
         )
 
-        bf = bloom_build(
-            b_base.select(F.explode("sh").alias("__sh")).distinct(),
-            "__sh",
-            bits_per_key=bloom_bits_per_key,
-        )
+        # r14 (guide §1.2 fewer passes; r13 verdict item 7): when the bench
+        # shingles are already localCheckpointed (the broadcast-bounded case),
+        # the distinct-key set is computed on the DRIVER from one collect of
+        # the per-doc shingle arrays, instead of paying TWO distinct-shuffle
+        # jobs (bloom_build's sizing count + its h1/h2 collect each re-ran the
+        # explode->distinct exchange). The filter is built over a local
+        # relation with `n` passed, so no sizing job runs; h1/h2 still come
+        # from the ENGINE's own hash columns (bit-identical positions — same
+        # Columns, same arithmetic). Bounded by the same small-eval-set
+        # assumption as the broadcast + the driver-build key cap; above the
+        # cap (or unchekpointed) the distributed distinct build remains.
+        # Hatch: SPARK_GRAFT_DECON_DRIVER_BLOOM=0.
+        from lantern_extras_spark.operators.bloom import DRIVER_BUILD_MAX_KEYS
+
+        bf = None
+        if bench_ckpt and _os.environ.get(
+            "SPARK_GRAFT_DECON_DRIVER_BLOOM", "1"
+        ) != "0":
+            sh_rows = b_base.select("sh").collect()
+            keys = sorted({s for r in sh_rows for s in (r["sh"] or ())})
+            if len(keys) <= DRIVER_BUILD_MAX_KEYS:
+                spark = docs.sparkSession
+                kdf = spark.createDataFrame(
+                    [(int(k),) for k in keys], "__sh bigint"
+                )
+                bf = bloom_build(
+                    kdf, "__sh", bits_per_key=bloom_bits_per_key, n=len(keys)
+                )
+        if bf is None:
+            bf = bloom_build(
+                b_base.select(F.explode("sh").alias("__sh")).distinct(),
+                "__sh",
+                bits_per_key=bloom_bits_per_key,
+            )
         # r13 (measured): pin the mid-band probe to the scalar-subquery JVM
         # chain here — this probe runs INSIDE the exploded-shingle codegen
         # pipeline, where the broadcast mode's Arrow boundary splits the

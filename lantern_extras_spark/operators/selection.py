@@ -295,7 +295,14 @@ def _per_doc_logw(
             _os.environ.get("SPARK_GRAFT_DSIR_ONEPASS", "1") != "0"
             and df.select(id_col).limit(cap + 1).count() <= cap
         ):
-            feats_tagged = feats_tagged.persist()
+            # r14 (r13 verdict item 3 / ADVICE): scoped persist — the NEXT
+            # dsir one-pass call releases this call's blocks, so repeated
+            # calls no longer accumulate CacheManager entries for the session
+            # lifetime (the returned frame references this persist, so the
+            # operator itself cannot unpersist earlier).
+            from lantern_extras_spark.operators._cachescope import scoped_persist
+
+            (feats_tagged,) = scoped_persist("dsir_onepass", feats_tagged)
             feats = feats_tagged.select(id_col, "b")
         prof = feats_tagged.groupBy("b").agg(
             F.count("*").alias("__nr_b"),
@@ -581,9 +588,16 @@ def corpus_divergence(
     if alpha <= 0:
         raise ValueError("alpha must be > 0")
     # r13: each profile feeds its totals row AND the outer join — cache the
-    # <= buckets-row frames so the feature-stream pass runs once per corpus
-    pa = bucket_profile(a, text_col, buckets, include_bigrams).cache()
-    pb = bucket_profile(b, text_col, buckets, include_bigrams).cache()
+    # <= buckets-row frames so the feature-stream pass runs once per corpus.
+    # r14: scoped — the next corpus_divergence call releases this one's
+    # blocks instead of leaking CacheManager entries per call (verdict item 3).
+    from lantern_extras_spark.operators._cachescope import scoped_persist
+
+    pa, pb = scoped_persist(
+        "corpus_divergence",
+        bucket_profile(a, text_col, buckets, include_bigrams),
+        bucket_profile(b, text_col, buckets, include_bigrams),
+    )
     na = pa.agg(F.sum("n").alias("__na"))
     nb = pb.agg(F.sum("n").alias("__nb"))
     al = float(alpha)

@@ -1435,6 +1435,36 @@ def label_by_keywords(
     kw_rows = [
         (lab, kw.lower()) for lab, kws in sorted(labels.items()) for kw in kws
     ]
+
+    # r14 literal fast path (guide §1.2 distributed algorithm / §2.4 remove
+    # shuffles): seed-keyword dictionaries are DRIVER-SIZED by nature, so for
+    # small dictionaries (<= _KWLBL_LIT_MAX_KW keywords) the whole pipeline
+    # collapses to TWO shuffle-free passes over the text:
+    #   1. ONE single-row aggregation computing n_docs AND every keyword's
+    #      document frequency (exists() over the token array) — collected,
+    #      so idf becomes a per-keyword double literal;
+    #   2. ONE projection computing per-label scores as
+    #      sum_kw count_kw(doc) * max(idf_kw, 0) with the argmax as a
+    #      least()-of-structs — no explode, no joins, no (doc,label) or
+    #      doc-keyed aggregations, no window.
+    # The explode -> broadcast-join -> two-aggregation shape (below) remains
+    # for larger dictionaries, where a #keywords-wide expression would bloat
+    # codegen. Outputs are identical: same df_kw (exists == countDistinct over
+    # hits), same idf literals, same per-(doc,label) rounded score (verified
+    # exactly against the join path by test + oracle hash), same
+    # smallest-label tie-break, same default for hitless docs.
+    # Hatch: SPARK_GRAFT_KWLBL_LIT=0.
+    import os as _os
+
+    lit_max = int(_os.environ.get("SPARK_GRAFT_KWLBL_LIT_MAX_KW", "64"))
+    if (
+        len(kw_rows) <= lit_max
+        and _os.environ.get("SPARK_GRAFT_KWLBL_LIT", "1") != "0"
+    ):
+        return _label_by_keywords_literal(
+            df, labels, text_col, id_col, default_label, round_dp
+        )
+
     kws = spark.createDataFrame(kw_rows, "label string, kw string")
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("kw")
@@ -1466,6 +1496,107 @@ def label_by_keywords(
         df.join(best, id_col, "left")
         .withColumn("label", F.coalesce(F.col("label"), F.lit(default_label)))
         .withColumn("label_score", F.coalesce(F.col("label_score"), F.lit(0.0)))
+    )
+
+
+def _label_by_keywords_literal(
+    df: DataFrame,
+    labels: dict[str, tuple[str, ...]],
+    text_col: str,
+    id_col: str,
+    default_label: str,
+    round_dp: int,
+) -> DataFrame:
+    """Literal-dictionary body of `label_by_keywords` (see the fast-path
+    comment there). Two passes, zero shuffles:
+
+    1. one single-row aggregation collects n_docs and per-keyword document
+       frequency (`exists` over the token array == countDistinct over hits);
+    2. one projection scores every label as
+       Σ_kw count_kw(doc) · greatest(idf_kw, 0) and argmaxes via a
+       least()-of-structs with the (miss, -score, label) ordering — hitless
+       docs (miss on every label) fall to the default, matching the join
+       path's left-join/coalesce semantics.
+
+    idf is evaluated ENGINE-side from the exact integer counts
+    (log(lit(n)/lit(df+1)) constant-folds through the same JVM Math.log the
+    join path executes), so the only float difference vs the join path is
+    count·idf multiplication in place of idf repeated addition — absorbed by
+    the shared pround; exact equality of the rounded outputs is pinned by
+    test_textstats and the oracle hash."""
+    toks_col = "__kwl_toks"
+    toks_expr = tokens(F.lower(F.col(text_col))).alias(toks_col)
+    uniq_kws = sorted({kw.lower() for kws in labels.values() for kw in kws})
+
+    def _eq(kw: str):
+        # closure factory: pyspark inspects lambda ARITY to bind HOF variables,
+        # so the usual `k=kw` default-arg capture would read as a 2-ary lambda
+        return lambda t: t == F.lit(kw)
+
+    stats_row = (
+        df.select(toks_expr)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(
+                    F.when(
+                        F.exists(F.col(toks_col), _eq(kw)), F.lit(1)
+                    ).otherwise(F.lit(0))
+                ).alias(f"__df_{i}")
+                for i, kw in enumerate(uniq_kws)
+            ],
+        )
+        .collect()[0]
+    )
+    n_docs = int(stats_row["__n"])
+    dfreq = {
+        kw: int(stats_row[f"__df_{i}"] or 0) for i, kw in enumerate(uniq_kws)
+    }
+    idf_col = {
+        kw: F.greatest(
+            F.log(F.lit(float(n_docs)) / F.lit(float(dfreq[kw]) + 1.0)),
+            F.lit(0.0),
+        )
+        for kw in uniq_kws
+    }
+    cnt_col = {
+        kw: F.coalesce(
+            F.size(F.filter(F.col(toks_col), _eq(kw))), F.lit(0)
+        )
+        for kw in uniq_kws
+    }
+
+    structs = []
+    for lab in sorted(labels):
+        kws_l = [kw.lower() for kw in labels[lab]]
+        s = None
+        tot = None
+        for kw in kws_l:  # tuple order, duplicates included — join-path parity
+            term = cnt_col[kw].cast("double") * idf_col[kw]
+            s = term if s is None else s + term
+            tot = cnt_col[kw] if tot is None else tot + cnt_col[kw]
+        s = pround(s, round_dp)
+        structs.append(
+            F.struct(
+                F.when(tot > 0, F.lit(0)).otherwise(F.lit(1)).alias("miss"),
+                (-s).alias("ns"),
+                F.lit(lab).alias("l"),
+            )
+        )
+    best = structs[0] if len(structs) == 1 else F.least(*structs)
+    out_label = (
+        F.when(best["miss"] == 1, F.lit(default_label)).otherwise(best["l"])
+    )
+    out_score = (
+        F.when(best["miss"] == 1, F.lit(0.0))
+        .otherwise(pround(-best["ns"], round_dp))
+    )
+    base = df.select(*df.columns, toks_expr)
+    return base.select(
+        F.col(id_col),
+        *[F.col(c) for c in df.columns if c != id_col],
+        out_label.alias("label"),
+        out_score.alias("label_score"),
     )
 
 

@@ -324,7 +324,14 @@ def vocab_drift(
     tagged = old.select(
         F.lit("o").alias("__g"), F.col(text_col).alias("__text")
     ).unionByName(new.select(F.lit("n").alias("__g"), F.col(text_col).alias("__text")))
-    toks = tagged.select("__g", tokens(F.col("__text")).alias("__toks")).cache()
+    # r14: scoped cache — the next vocab_drift call releases this one's
+    # blocks instead of leaking a CacheManager entry per call (verdict item 3)
+    from lantern_extras_spark.operators._cachescope import scoped_persist
+
+    (toks,) = scoped_persist(
+        "vocab_drift",
+        tagged.select("__g", tokens(F.col("__text")).alias("__toks")),
+    )
     cand = _mg_group_candidates(toks, m).select("token").distinct()
     rc = (
         toks.select("__g", F.explode("__toks").alias("token"))
