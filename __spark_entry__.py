@@ -82,7 +82,21 @@ def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     max_pb = (int(m.group(1)) << units.get(m.group(2), 0)) if m else 128 << 20
     if size // max_pb >= cores:
         return df  # scan already splits to full parallelism
-    return df.repartition(cores)
+    # r14 (guide §2 "partition count must follow data size", r13 verdict
+    # item 2): repartition(cores) put ~19 KB in each of 32 partitions at the
+    # bench SF — per-task scheduling + Arrow/python-worker overhead outweighed
+    # the extra slots (interleaved paired A/B at c32: n=16 ran 0.75x vs n=32
+    # on decontaminate AND decontaminate_bloom mins). Each spread partition
+    # now targets >= SPREAD_TARGET_BYTES of input (default 32 KiB), still
+    # clamped to [2, cores]; a 100 TB input never reaches this branch (the
+    # scan already splits), so the constant only shapes small under-split
+    # inputs. Hatch: SPARK_GRAFT_SPREAD_BYTES=0 restores repartition(cores).
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_SPREAD_BYTES", "1") == "0":
+        return df.repartition(cores)
+    target = int(_os.environ.get("SPARK_GRAFT_SPREAD_TARGET_BYTES", str(32 << 10)))
+    return df.repartition(max(2, min(cores, size // max(1, target))))
 
 
 #: Session-scoped scan-plan memo (r13, guide §6 file-listing caching / §1.2
@@ -93,11 +107,18 @@ def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
 #: (applicationId, path), exactly the metadata Spark itself caches per
 #: session in its file-source cache; every execution still reads the parquet
 #: bytes. A new session (fresh applicationId) re-reads all footers.
-_SCAN_MEMO: dict[tuple[str, str], DataFrame] = {}
+_SCAN_MEMO: dict[tuple, DataFrame] = {}
 
 
 def _read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, path)
+    # r14 (ADVICE): key on the file mtime too, so a regenerated/rewritten
+    # parquet within one application gets a fresh scan (stale file listings
+    # otherwise surface as FileNotFoundException or silently-old data)
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None  # non-local path: immutability is the caller's contract
+    key = (spark.sparkContext.applicationId, path, mtime)
     df = _SCAN_MEMO.get(key)
     if df is None:
         df = spark.read.parquet(path)
@@ -2156,20 +2177,14 @@ def q_compressed_tradeoff(spark: SparkSession, sf: str) -> DataFrame:
     qdf = spark.createDataFrame([(0, qv)], "query_id long, query_vec array<double>")
     exact_pq = K.knn_join(emb, qdf, k=10, metric="l2sq", strategy="crossjoin",
                           dist_scale=5).select("vec_id")
+    # r14 REJECTED experiment: submitting the exact5-independent pq branch
+    # BEFORE the exact5 materialization count (guide §2.6) measured 1.03x
+    # median / 1.03x min in a clean 4-pair A/B — the serial count is too
+    # small a prefix to matter here. Reverted to the r13 shape.
+    exact5.count()  # materialize before the concurrent readers fork
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=4) as pool:
-        # r14 (guide §2.6): the pq branch never touches exact5, so submit it
-        # BEFORE the exact5 materialization count — its build/scan tasks
-        # back-fill executors while the crossjoin+window materializes, instead
-        # of the whole pool waiting behind a serial count. Same integers;
-        # scheduling only. Hatch: SPARK_GRAFT_CT_OVERLAP=0 restores the
-        # serial-count-first order.
-        overlap_pq = os.environ.get("SPARK_GRAFT_CT_OVERLAP", "1") != "0"
-        f_pq = pool.submit(
-            lambda: q_pq_adc_topk(spark, sf).join(exact_pq, "vec_id", "left_semi").count()
-        ) if overlap_pq else None
-        exact5.count()  # materialize before the exact5-consuming readers fork
         f_sq8 = pool.submit(
             lambda: q_sq8_search(spark, sf)
             .join(exact5, ["query_id", "vec_id"], "left_semi").count())
@@ -2177,9 +2192,8 @@ def q_compressed_tradeoff(spark: SparkSession, sf: str) -> DataFrame:
             lambda: q_bq_search(spark, sf).join(exact0, "vec_id", "left_semi").count())
         f_mrl = pool.submit(
             lambda: q_mrl_search(spark, sf).join(exact0, "vec_id", "left_semi").count())
-        if f_pq is None:
-            f_pq = pool.submit(
-                lambda: q_pq_adc_topk(spark, sf).join(exact_pq, "vec_id", "left_semi").count())
+        f_pq = pool.submit(
+            lambda: q_pq_adc_topk(spark, sf).join(exact_pq, "vec_id", "left_semi").count())
         n_sq8, n_bq, n_mrl, n_pq = (
             f_sq8.result(), f_bq.result(), f_mrl.result(), f_pq.result())
     exact5.unpersist()

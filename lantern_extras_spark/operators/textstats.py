@@ -1528,11 +1528,10 @@ def _label_by_keywords_literal(
     toks_expr = tokens(F.lower(F.col(text_col))).alias(toks_col)
     uniq_kws = sorted({kw.lower() for kws in labels.values() for kw in kws})
 
-    def _eq(kw: str):
-        # closure factory: pyspark inspects lambda ARITY to bind HOF variables,
-        # so the usual `k=kw` default-arg capture would read as a 2-ary lambda
-        return lambda t: t == F.lit(kw)
-
+    # native collection functions, NOT higher-order lambdas: filter()/exists()
+    # lambdas are interpreted per element (8 kw x tokens-per-doc lambda calls
+    # per row measured ~3x slower); array_contains and the array_remove
+    # size-difference count run inside whole-stage codegen
     stats_row = (
         df.select(toks_expr)
         .agg(
@@ -1540,7 +1539,7 @@ def _label_by_keywords_literal(
             *[
                 F.sum(
                     F.when(
-                        F.exists(F.col(toks_col), _eq(kw)), F.lit(1)
+                        F.array_contains(F.col(toks_col), kw), F.lit(1)
                     ).otherwise(F.lit(0))
                 ).alias(f"__df_{i}")
                 for i, kw in enumerate(uniq_kws)
@@ -1561,7 +1560,9 @@ def _label_by_keywords_literal(
     }
     cnt_col = {
         kw: F.coalesce(
-            F.size(F.filter(F.col(toks_col), _eq(kw))), F.lit(0)
+            F.size(F.col(toks_col))
+            - F.size(F.array_remove(F.col(toks_col), kw)),
+            F.lit(0),
         )
         for kw in uniq_kws
     }

@@ -8,6 +8,60 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_SMALL = "/root/testdata/sf0.001"
 
+# ---------------------------------------------------------------------------
+# Two-tier suite (r13 verdict item 1): the full suite takes ~40 minutes on
+# local[32], which overran the driver's verify window (VERIFY_r13
+# tests_ok=false was a CUTOFF at ~85% with zero failures). The default run
+# now skips the slow tier — end-to-end CLI/daemon/example replays, scale and
+# statistical tests, WARC transport — listed by function in
+# tests/slow_tests.txt (generated from the committed full-suite durations
+# run; every >= 4 s function except the oracle-parity gate, which stays in
+# the default tier whatever it costs). The default tier covers every module
+# (unit + parity + plan pins) in ~10 minutes.
+#
+# Run EVERYTHING with:  pytest tests/ --runslow   (or SPARK_GRAFT_SLOW_TESTS=1)
+# ---------------------------------------------------------------------------
+_SLOW_LIST = os.path.join(os.path.dirname(os.path.abspath(__file__)), "slow_tests.txt")
+
+
+def _slow_set() -> set[str]:
+    out = set()
+    try:
+        with open(_SLOW_LIST) as fh:
+            for line in fh:
+                line = line.strip()
+                if line and not line.startswith("#"):
+                    out.add(line)
+    except OSError:
+        pass
+    return out
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="also run the slow tier (tests/slow_tests.txt)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get(
+        "SPARK_GRAFT_SLOW_TESTS", "0"
+    ) == "1":
+        return
+    slow = _slow_set()
+    if not slow:
+        return
+    marker = pytest.mark.skip(
+        reason="slow tier — run with --runslow or SPARK_GRAFT_SLOW_TESTS=1"
+    )
+    for item in items:
+        base = f"{os.path.basename(str(item.fspath))}::{item.name.split('[')[0]}"
+        if base in slow:
+            item.add_marker(marker)
+
 
 @pytest.fixture(scope="session")
 def spark():

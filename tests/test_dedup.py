@@ -1209,3 +1209,37 @@ def test_dedup_keep_best_string_ids(spark):
     pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
     out = {r["doc_id"]: r["is_kept"] for r in dedup_keep_best(df, pairs, "q").collect()}
     assert out == {"a": True, "b": False, "z": True}
+
+
+def test_decontaminate_driver_bloom_matches_distributed(spark):
+    """r14: the driver-side Bloom build (one collect of the checkpointed
+    bench shingles, n passed) must flag the identical (doc, bench,
+    containment) rows as the distributed distinct-frame build."""
+    import os
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where("doc_id < 10")
+    train = docs.where("doc_id >= 10")
+    prev = os.environ.get("SPARK_GRAFT_DECON_DRIVER_BLOOM")
+    try:
+        os.environ["SPARK_GRAFT_DECON_DRIVER_BLOOM"] = "0"
+        dist = sorted(
+            (r["doc_id"], r["bench_id"], round(r["containment"], 12))
+            for r in D.decontaminate(
+                train, bench, threshold=0.1, bloom_prefilter=True
+            ).collect()
+        )
+        os.environ["SPARK_GRAFT_DECON_DRIVER_BLOOM"] = "1"
+        drv = sorted(
+            (r["doc_id"], r["bench_id"], round(r["containment"], 12))
+            for r in D.decontaminate(
+                train, bench, threshold=0.1, bloom_prefilter=True
+            ).collect()
+        )
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_DECON_DRIVER_BLOOM", None)
+        else:
+            os.environ["SPARK_GRAFT_DECON_DRIVER_BLOOM"] = prev
+    assert drv, "fixture produced no flags — threshold/slice drifted"
+    assert drv == dist

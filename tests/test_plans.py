@@ -514,13 +514,35 @@ def test_temperature_mixture_group_sized(spark):
 
 
 def test_keyword_labels_broadcast_no_window(spark):
-    """Keyword table and docfreq are broadcast; argmax is a struct-MIN
-    aggregate — no ranking window anywhere in the corpus-facing plan."""
+    """r14 default (literal fast path for driver-sized dictionaries): the
+    corpus-facing plan is ONE shuffle-free projection — no exchange, no
+    joins, no window, the idf literals baked in. The explode->broadcast
+    shape stays pinned behind the hatch for large dictionaries: keyword
+    table and docfreq broadcast, argmax a struct-MIN aggregate, no ranking
+    window."""
+    import os
+
     df = E.q_keyword_labels(spark, SF)
     s = plan_summary(df)
-    assert s.n_broadcasts >= 1, s.text
     assert "Window" not in s.text, s.text
-    assert "partial_min" in s.text or "partial_sum" in s.text, s.text
+    # the only exchange is the entry query's output orderBy (range); the
+    # scoring itself is join-free and shuffle-free
+    assert "hashpartitioning" not in s.text, s.text
+    assert "Join" not in s.text, s.text
+    assert s.n_broadcasts == 0, s.text
+
+    prev = os.environ.get("SPARK_GRAFT_KWLBL_LIT")
+    try:
+        os.environ["SPARK_GRAFT_KWLBL_LIT"] = "0"
+        s2 = plan_summary(E.q_keyword_labels(spark, SF))
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_KWLBL_LIT", None)
+        else:
+            os.environ["SPARK_GRAFT_KWLBL_LIT"] = prev
+    assert s2.n_broadcasts >= 1, s2.text
+    assert "Window" not in s2.text, s2.text
+    assert "partial_min" in s2.text or "partial_sum" in s2.text, s2.text
 
 
 def test_ngram_diversity_partial_aggregates(spark):

@@ -411,3 +411,51 @@ def test_onepass_materialization_matches_recompute(spark, mixed, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_DSIR_ONEPASS", "1")
     monkeypatch.setenv("SPARK_GRAFT_DSIR_MAT_MAX_DOCS", "1")
     assert weights() == two
+
+
+def test_scoped_persist_bounds_cache_growth(spark, mixed):
+    """r14 (verdict item 3): repeated dsir one-pass calls must not accumulate
+    CacheManager entries — the next call releases the previous call's
+    persisted frames (leak bounded at one call per operator family)."""
+    from lantern_extras_spark.operators import selection as SEL
+
+    spark.catalog.clearCache()
+    for _ in range(3):
+        SEL.dsir_log_weights(
+            mixed, None, buckets=256, target_filter=F.col("doc_id") < 20
+        ).write.format("noop").mode("overwrite").save()
+    n_persisted = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_persisted <= 1, f"dsir one-pass leaked {n_persisted} cached frames"
+    spark.catalog.clearCache()
+
+
+def test_dsir_cutoff_jobcut_matches_checkpoint_path(spark, mixed):
+    """r14: the scoped-persist cutoff (no survivor localCheckpoint, memoized
+    probe) must select the identical rows as the r13 checkpoint shape."""
+    import os
+
+    from lantern_extras_spark.operators import selection as SEL
+
+    prev = os.environ.get("SPARK_GRAFT_DSIR_JOBCUT")
+    try:
+        os.environ["SPARK_GRAFT_DSIR_JOBCUT"] = "0"
+        old = sorted(
+            map(tuple, SEL.dsir_select(
+                mixed, None, n=25, buckets=256, small_n_max=0,
+                target_filter=F.col("doc_id") < 20,
+            ).collect())
+        )
+        os.environ["SPARK_GRAFT_DSIR_JOBCUT"] = "1"
+        new = sorted(
+            map(tuple, SEL.dsir_select(
+                mixed, None, n=25, buckets=256, small_n_max=0,
+                target_filter=F.col("doc_id") < 20,
+            ).collect())
+        )
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_DSIR_JOBCUT", None)
+        else:
+            os.environ["SPARK_GRAFT_DSIR_JOBCUT"] = prev
+    assert len(new) == 25
+    assert new == old

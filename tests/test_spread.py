@@ -14,8 +14,25 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_spread_recovers_parallelism(spark):
+    """r14: the spread count follows DATA SIZE (>= SPREAD_TARGET_BYTES per
+    partition), clamped to [2, cores] — repartition(cores) over-fanned tiny
+    inputs (verdict item 2)."""
     df = E._t(spark, SF, "documents", spread=True)
-    assert df.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    size = os.path.getsize(f"{SF}/documents.parquet")
+    cores = spark.sparkContext.defaultParallelism
+    expected = max(2, min(cores, size // (32 << 10)))
+    assert df.rdd.getNumPartitions() == expected
+
+
+def test_spread_bytes_hatch_restores_cores(spark):
+    os.environ["SPARK_GRAFT_SPREAD_BYTES"] = "0"
+    try:
+        df = E._t(spark, SF, "documents", spread=True)
+        assert (
+            df.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+        )
+    finally:
+        os.environ.pop("SPARK_GRAFT_SPREAD_BYTES", None)
 
 
 def test_unspread_single_partition(spark):

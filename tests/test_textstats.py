@@ -435,3 +435,77 @@ def test_code_stats_starcoder_screen(spark):
     assert got[4]["n_lines"] == 1 and got[4]["avg_line_len"] == 0.0
     assert not got[4]["starcoder_keep"]  # alnum_frac 0
     assert got[5]["n_lines"] == 1  # NULL coalesced to ''
+
+
+def test_label_by_keywords_literal_matches_join_path(spark, docs):
+    """r14: the literal fast path (one stats agg + one shuffle-free
+    projection) must equal the explode->broadcast-join shape EXACTLY —
+    same labels, same rounded scores, same default/tie semantics."""
+    import os
+
+    from lantern_extras_spark.operators.textstats import label_by_keywords
+
+    labels = {
+        "exec": ("shuffle", "partition", "join", "scan"),
+        "ml": ("vector", "embedding", "model", "index"),
+    }
+    # corner rows: no-hit doc -> default; doc hitting ONLY a zero-idf keyword
+    # still gets that label with score 0.0 (NOT the default); ties break to
+    # the lexicographically smaller label; null/empty text -> default
+    extra = spark.createDataFrame(
+        [
+            (9001, "nothing relevant here at all"),
+            (9002, "zebra zebra zebra"),
+            (9003, ""),
+            (9004, None),
+            (9005, "join vector join vector"),
+        ],
+        "doc_id long, text string",
+    )
+    base = docs.select("doc_id", "text").unionByName(extra)
+    prev = os.environ.get("SPARK_GRAFT_KWLBL_LIT")
+    try:
+        os.environ["SPARK_GRAFT_KWLBL_LIT"] = "0"
+        join_rows = sorted(
+            map(tuple, label_by_keywords(base, labels).collect())
+        )
+        os.environ["SPARK_GRAFT_KWLBL_LIT"] = "1"
+        lit_rows = sorted(
+            map(tuple, label_by_keywords(base, labels).collect())
+        )
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_KWLBL_LIT", None)
+        else:
+            os.environ["SPARK_GRAFT_KWLBL_LIT"] = prev
+    assert lit_rows == join_rows
+    got = {r[0]: r for r in lit_rows}
+    # default for hitless/empty/null docs, real label for scored docs
+    assert got[9001][-2] == "other" and got[9001][-1] == 0.0
+    assert got[9003][-2] == "other" and got[9004][-2] == "other"
+    assert got[9005][-2] in ("exec", "ml") and got[9005][-1] > 0.0
+
+
+def test_label_by_keywords_literal_respects_dict_size_gate(spark):
+    """Dictionaries above SPARK_GRAFT_KWLBL_LIT_MAX_KW keep the join shape
+    (the literal expression would bloat codegen); outputs stay equal."""
+    import os
+
+    from lantern_extras_spark.operators.textstats import label_by_keywords
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    labels = {"a": ("alpha", "beta"), "d": ("delta",)}
+    prev = os.environ.get("SPARK_GRAFT_KWLBL_LIT_MAX_KW")
+    try:
+        os.environ["SPARK_GRAFT_KWLBL_LIT_MAX_KW"] = "1"  # force join path
+        gated = sorted(map(tuple, label_by_keywords(df, labels).collect()))
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_KWLBL_LIT_MAX_KW", None)
+        else:
+            os.environ["SPARK_GRAFT_KWLBL_LIT_MAX_KW"] = prev
+    lit = sorted(map(tuple, label_by_keywords(df, labels).collect()))
+    assert gated == lit

@@ -41,6 +41,10 @@ def main() -> None:
         for _ in range(N_PAIRS):
             for val, bucket in (("1", on), ("0", off)):
                 os.environ[var] = val
+                # match bench.py's r14 cold-per-iteration contract: operator
+                # caches from the previous run must not serve this one
+                if os.environ.get("SPARK_GRAFT_BENCH_CLEARCACHE", "1") != "0":
+                    spark.catalog.clearCache()
                 t0 = time.monotonic()
                 qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 bucket.append(time.monotonic() - t0)

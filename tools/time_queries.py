@@ -35,6 +35,9 @@ def main() -> None:
         iters = []
         for _ in range(N):
             spark.sparkContext.setJobDescription(f"time:{name}")
+            # match bench.py's r14 cold-per-iteration contract
+            if os.environ.get("SPARK_GRAFT_BENCH_CLEARCACHE", "1") != "0":
+                spark.catalog.clearCache()
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             iters.append(time.monotonic() - t0)
