@@ -387,7 +387,13 @@ def minhash_dedup(
         # pick the banding whose S-curve midpoint sits at the threshold (the
         # Leskovec-Rajaraman-Ullman criterion) instead of folklore constants
         bands = lsh_tune(threshold, n_hashes)["bands"]
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n).cache()
+    # r14: scoped — the next call releases this call's blocks (verdict item 3)
+    from lantern_extras_spark.operators._cachescope import scoped_persist
+
+    (sigs,) = scoped_persist(
+        "minhash_dedup_sigs",
+        minhash_signatures(df, text_col, id_col, n_hashes, shingle_n),
+    )
     cands = lsh_candidate_pairs(sigs, bands, id_col, max_bucket, n_hashes=n_hashes)
     ver_col = "shingles" if verify == "exact" else "sig"
     sh = sigs.select(F.col(id_col), F.col(ver_col))
@@ -1289,8 +1295,6 @@ def ngram_jaccard_pairs(
     belongs in a candidate-verify step, not an all-pairs scan
     (lantern_cli/src/index_autotune/mod.rs:238-246 intersects only candidates).
     """
-    from pyspark import StorageLevel
-
     if strategy not in ("index", "pairwise", "prefix"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if on_oversize not in ("error", "route"):
@@ -1302,12 +1306,15 @@ def ngram_jaccard_pairs(
     if metric == "containment" and on_oversize == "route":
         raise ValueError("on_oversize='route' requires metric='jaccard' (MinHash-LSH estimates jaccard)")
 
-    sh = (
+    # the guard count and both join sides read this; persist so
+    # shingling+hashing runs once, spilling to disk rather than recomputing.
+    # r14: scoped — the next call releases this call's blocks (verdict item 3)
+    from lantern_extras_spark.operators._cachescope import scoped_persist
+
+    (sh,) = scoped_persist(
+        "ngram_pairs_sh",
         hashed_shingles(df, text_col, id_col, shingle_n, extra_cols=block_cols)
-        .withColumn("sh_n", F.size("sh"))
-        # the guard count and both join sides read this; persist so
-        # shingling+hashing runs once, spilling to disk rather than recomputing
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .withColumn("sh_n", F.size("sh")),
     )
     if strategy == "pairwise":
         exact = _ngram_pairs_pairwise
@@ -1807,6 +1814,12 @@ def embedding_neardup_pairs(
             verify, "id_a long, id_b long, cosine double"
         )
     elif impl == "native":
+        # r14 REJECTED experiment (guide §4.1): unrolling each plane fold into
+        # a flat 64-term element_at product chain (bit-identical sums, proven
+        # exact-equal at all three SFs) measured **1.76x SLOWER** in a paired
+        # A/B — the 6x64-term expression tree blows up codegen/analysis and
+        # loses to the interpreted-but-compact aggregate(zip_with) fold at
+        # this dim. The fold stays.
         key = None
         for i in range(n_planes):
             proj = F.aggregate(
@@ -2000,7 +2013,10 @@ def semantic_dedup(
         # otherwise duplicate, resurrecting the bind bug on the honored-cell
         # path)
         base = base.withColumn("__nrm", vector_norm(F.col(vec_col)))
-        base = base.cache()
+        # r14: scoped — next call releases this call's blocks (verdict item 3)
+        from lantern_extras_spark.operators._cachescope import scoped_persist
+
+        (base,) = scoped_persist("semantic_dedup_base", base)
         # r13: the oversize guard doubles as the cache materializer — one job
         # computes the assignment (guard previously re-ran the whole
         # assignment fold BEFORE the cache, then count() ran it again)

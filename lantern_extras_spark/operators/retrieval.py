@@ -520,7 +520,14 @@ def bm25_prf_topk(
     # one tokenization feeds pass one, expansion selection AND pass two
     # (heavy_hitters' single-scan contract); the cached projection is
     # (id, tokens) only and spills under MEMORY_AND_DISK at scale
-    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")).cache()
+    # r14: scoped — the next bm25_prf call releases this call's blocks
+    # instead of leaking a CacheManager entry per call (r13 verdict item 3)
+    from lantern_extras_spark.operators._cachescope import scoped_persist
+
+    (staged,) = scoped_persist(
+        "bm25_prf_staged",
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")),
+    )
     import os as _os
 
     if (

@@ -373,7 +373,13 @@ def heavy_hitters(
         # tokenize ONCE: candidates (pass 1), the exact recount explode and
         # the token total (pass 2) all read this cached projection — one
         # tokenize + one source scan instead of three (r7 verdict, minor)
-        toks = df.select(tokens(text_col).alias("__toks")).cache()
+        # r14: scoped — the next heavy_hitters call releases this call's
+        # blocks (r13 verdict item 3)
+        from lantern_extras_spark.operators._cachescope import scoped_persist
+
+        (toks,) = scoped_persist(
+            "heavy_hitters_toks", df.select(tokens(text_col).alias("__toks"))
+        )
 
         def mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             state: dict[str, int] = {}
@@ -406,9 +412,15 @@ def heavy_hitters(
 
     # grouped variant: same single-scan shape — one cached (group, tokens)
     # projection feeds candidates, the exact recount and per-group totals
-    toks = df.select(
-        F.col(group_col).cast("string").alias("__g"), tokens(text_col).alias("__toks")
-    ).cache()
+    from lantern_extras_spark.operators._cachescope import scoped_persist
+
+    (toks,) = scoped_persist(
+        "heavy_hitters_toks_grouped",
+        df.select(
+            F.col(group_col).cast("string").alias("__g"),
+            tokens(text_col).alias("__toks"),
+        ),
+    )
     candidates = _mg_group_candidates(toks, m)
     exploded = toks.select("__g", F.explode("__toks").alias("token"))
     totals = toks.groupBy("__g").agg(F.sum(F.size("__toks")).alias("__N"))
